@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Declared relational completions (SURVEY.md §2.4, §2.6): the join
+  * strategies, top-k, set ops and window functions the reference never
+  * needed (its single join is a 16-row dict lookup, `app.py:15-29`) but any
+  * general engine must have. Each is shaped to its scale-correct physical
+  * plan: broadcast-hash for fact⋈dim, sort-merge for fact⋈fact,
+  * `TakeOrderedAndProject` for top-k (no global sort), windows partitioned
+  * by a key so state stays per-executor.
+  */
+object RelationalOps {
+
+  // ── Broadcast-hash join: lineitem ⋈ part. `part` is a dimension
+  // (200 rows/SF unit vs 6M lineitem): explicit broadcast() → zero shuffle
+  // on the fact side, plan must show BroadcastHashJoin. ──
+  def joinBhj(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
+  // ── Sort-merge join: lineitem ⋈ orders, large-large — both sides shuffle
+  // on the join key once; partial aggregation downstream reuses nothing but
+  // stays map-side-combined. hint("merge") pins SMJ so the demonstrated
+  // plan is the at-scale one even when AQE would pick broadcast at sf0.01. ──
+  def joinSmj(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir).hint("merge")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ── Left-semi (EXISTS): orders having at least one near-max-quantity
+  // item. Semi joins shuffle only the keys of the probe side — never
+  // materialize the match payload. ──
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 49)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  // ── Left-anti (NOT EXISTS): orders with no such item. ──
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 49)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  // ── Top-k: orderBy+limit compiles to TakeOrderedAndProject — per-partition
+  // heaps + driver merge of k rows, NOT a global sort (SURVEY §2.6). ──
+  def topkLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  // ── UNION ALL of two event slices (SURVEY §2.6: streaming append is
+  // concatenation; relational form is unionByName — no shuffle at all). ──
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    e.filter(col("event_type") === "signup")
+      .unionByName(e.filter(col("event_type") === "error"))
+      .orderBy("event_id")
+  }
+
+  // ── Moving average over the per-user event sequence (the weather
+  // dashboard's natural smoothing extension, SURVEY §2.6). Frame order is
+  // event_id (ingest order): ordering by the raw ns timestamp would be
+  // nondeterministic across engines because Spark reads events.ts truncated
+  // to µs. Partition by user_id → window state is per-key, shuffle-bounded. ──
+  def windowMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-3, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 6).as("mavg"))
+      .orderBy("event_id")
+  }
+
+  // ── row_number top-k per group (rank variant of A3's "most frequent"). ──
+  def windowRankTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(desc("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bhj"          -> joinBhj _,
+    "join_smj"          -> joinSmj _,
+    "join_semi"         -> joinSemi _,
+    "join_anti"         -> joinAnti _,
+    "topk_limit"        -> topkLimit _,
+    "set_union"         -> setUnion _,
+    "window_moving_avg" -> windowMovingAvg _,
+    "window_rank_topk"  -> windowRankTopk _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_bhj" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_smj" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_anti" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "topk_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "set_union" ->
+      """SELECT event_id, event_type, "value" FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, event_type, "value" FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "window_moving_avg" ->
+      """SELECT event_id, user_id,
+        |  round(avg("value") OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_rank_topk" ->
+      """SELECT event_type, event_id, "value", rn FROM (
+        |  SELECT event_type, event_id, "value",
+        |    row_number() OVER (PARTITION BY event_type ORDER BY "value" DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+  )
+}

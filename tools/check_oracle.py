@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (dev tool, not library
+code — mirrors what the driver does with Verify output + DuckDB).
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+    python3 tools/check_oracle.py <sfDir> <outDir>
+
+Registers each parquet test table as a DuckDB view, runs every oracle SQL
+from <outDir>/oracle_sql.json, loads the corresponding Spark parquet result,
+sorts columns by name, and value-compares cell by cell (exact; floats must
+match bitwise after each engine's own rounding discipline).
+"""
+import json, sys, math, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    no_oracle = []
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            duck = con.sql(sql)
+            dcols = [c.lower() for c in duck.columns]
+            drows = duck.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        scols = [c.lower() for c in spark_rel.columns]
+        srows = spark_rel.fetchall()
+        if sorted(dcols) != sorted(scols):
+            print(f"FAIL {name}: columns differ duck={sorted(dcols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        dperm = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        sperm = sorted(range(len(scols)), key=lambda i: scols[i])
+        dr = [tuple(canon(r[i]) for i in dperm) for r in drows]
+        sr = [tuple(canon(r[i]) for i in sperm) for r in srows]
+        if len(dr) != len(sr):
+            print(f"FAIL {name}: row count duck={len(dr)} spark={len(sr)}")
+            n_fail += 1
+            continue
+        if dr == sr:
+            print(f"PASS {name} ({len(dr)} rows)")
+            n_pass += 1
+        elif sorted(map(repr, dr)) == sorted(map(repr, sr)):
+            print(f"WARN {name}: rows equal as a SET but order differs (driver may still fail)")
+            n_fail += 1
+        else:
+            bad = [(i, a, b) for i, (a, b) in enumerate(zip(dr, sr)) if a != b][:3]
+            print(f"FAIL {name}: {sum(1 for a,b in zip(dr,sr) if a!=b)} mismatched rows; first: ")
+            for i, a, b in bad:
+                print(f"   row {i}: duck={a}")
+                print(f"   row {i}: sprk={b}")
+            n_fail += 1
+    # queries with spark output but no oracle entry
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        if os.path.isdir(f"{out_dir}/{d}") and d not in oracle:
+            n = con.sql(f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]
+            no_oracle.append(f"{d}({n} rows)")
+    if no_oracle:
+        print("NO-ORACLE (rows-only):", ", ".join(no_oracle))
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
