@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication suite for the LLM-training-data pipeline (SURVEY.md §2.10
+  * + north star): exact, normalized-key, MinHash+LSH, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-dup — all over `documents` /
+  * `embeddings`.
+  *
+  * Scale discipline (the whole point of these ops is 100 TB corpora):
+  *  - never all-pairs: candidates come from shared shingles, LSH band
+  *    buckets, or SimHash chunks — each a key-partitioned shuffle join.
+  *  - deterministic row choice everywhere: `row_number` window form, never
+  *    `dropDuplicates` (which keeps an arbitrary row — SURVEY §7.4).
+  *  - pair outputs are canonicalized `doc_a < doc_b` so results are stable
+  *    under any execution order.
+  *
+  * Oracle determinism: shingles/tokens are mapped to dense integer ids via
+  * a vocabulary dictionary (`dense_rank` over distinct shingles) and all
+  * MinHash/SimHash arithmetic is exact int64 — replicable bit-for-bit in
+  * DuckDB SQL. AT SCALE the dictionary (a global rank) is replaced by
+  * `xxhash64(shingle)` — same pipelines, no global state; the dictionary
+  * form exists only so the oracle can reproduce the hash values.
+  */
+object DedupOps {
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for affine hashes
+
+  // ── exact dedup, window form (SURVEY §2.10 dedup_exact):
+  // keep the lowest doc_id per identical text. groupBy-style shuffle on the
+  // (hashed) text key; at 100 TB one would pre-hash text to a 128-bit key
+  // to avoid shuffling full documents — semantics identical. ──
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ── near-dup via normalized key: lowercase, strip non-alphanumerics,
+  // collapse whitespace (SURVEY §2.10 dedup_near). ──
+  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val normKey = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+    val w = Window.partitionBy(col("norm_key")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("norm_key", normKey)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct (doc_id, word-3-gram-shingle) pairs. Word 3-grams, not word
+    * sets: this corpus draws ~16 words from a ~30-word vocabulary, so word
+    * SETS collide for most document pairs (measured: 92k of 125k pairs have
+    * set-Jaccard ≥ 0.5 at sf0.01) while 3-gram shingles separate cleanly. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        // guard: sequence(1, 0) in Spark generates a DESCENDING sequence,
+        // so docs with <3 tokens must short-circuit to an empty array
+        explode(expr(
+          "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2)," +
+            " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))" +
+            " ELSE CAST(array() AS ARRAY<STRING>) END"))
+          .as("shingle"))
+      .distinct()
+
+  /** Shingle vocabulary → dense id (oracle-deterministic stand-in for
+    * xxhash64; see object scaladoc). Vocabulary-sized, broadcastable. */
+  private def shingleDict(sh: DataFrame): DataFrame =
+    sh.select("shingle").distinct()
+      .withColumn("sid", dense_rank().over(Window.orderBy("shingle")).cast("long"))
+
+  /** True Jaccard over shingle sets for a given candidate pair set
+    * (columns doc_a < doc_b). Joins candidates back to the shingle lists —
+    * work is O(candidates × shingles/doc), never all-pairs. */
+  private def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("inter")), 6).as("jaccard"))
+  }
+
+  // ── n-gram Jaccard near-dup (SURVEY §2.10): candidates = pairs sharing
+  // ≥1 shingle (a shuffle join keyed on shingle — at scale, high-frequency
+  // shingles would be capped; this corpus tops out at doc-freq 25), then
+  // exact Jaccard ≥ 0.3. ──
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val cand = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardFor(cand, sh)
+      .filter(col("jaccard") >= 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ── MinHash + LSH (SURVEY §2.10 dedup_minhash): 32 affine min-hashes
+  // over shingle ids, banded 16×2; candidate pairs share a band signature;
+  // verified with true Jaccard ≥ 0.3. At j=0.3 the 16-band/2-row curve
+  // catches ~78% of true pairs — the standard recall/cost dial. ──
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val dict = shingleDict(sh)
+    val withSid = sh.join(broadcast(dict), "shingle")
+    // 32 hash functions: h_i(sid) = ((2i+1)·sid + 17i+7) mod P — odd
+    // multipliers, exact int64 (sid < vocab ≪ 2^31, product < 2^63).
+    val hashed = withSid
+      .select(col("doc_id"), col("sid"), explode(expr("sequence(0, 31)")).as("i"))
+      .withColumn("h", ((lit(2) * col("i") + 1) * col("sid") +
+        lit(17) * col("i") + 7) % P)
+    val sig = hashed.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+    val bands = sig
+      .withColumn("band", expr("i div 2"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(when(col("i") % 2 === 0, col("mh"))).as("m0"),
+        min(when(col("i") % 2 === 1, col("mh"))).as("m1"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
+          col("a.m1") === col("b.m1") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardFor(cand, sh)
+      .filter(col("jaccard") >= 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ── SimHash (SURVEY §2.10 dedup_simhash): 32-bit fingerprints from
+  // per-shingle affine hashes; near-dups = pairs within Hamming distance 3,
+  // candidate-restricted to pairs sharing one of four 8-bit chunks (the
+  // standard pigeonhole trick: d≤3 ⇒ some chunk of 4 is untouched ⇒
+  // shared — also exactly how it shards at 100 TB). ──
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val dict = shingleDict(sh)
+    val withSid = sh.join(broadcast(dict), "shingle")
+      // per-shingle 31-bit hash, then one row per (doc, shingle, bit)
+      .withColumn("sh_hash", (col("sid") * 1103515245L + 12345L) % P)
+    val bits = withSid
+      .select(col("doc_id"), col("sh_hash"), explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("bit_val",
+        expr("CASE WHEN shiftright(sh_hash, b) % 2 = 1 THEN 1 ELSE -1 END"))
+    val fp = bits.groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("bit_val")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .as("fp"))
+    val chunks = fp.select(col("doc_id"), col("fp"),
+      explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("chunk", expr("shiftright(fp, c * 8) % 256"))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.fp").as("fp_a"),
+        col("b.doc_id").as("doc_b"), col("b.fp").as("fp_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ── embedding-cosine near-dup (SURVEY §2.10): pairs within the same
+  // coarse block (label = stand-in for an IVF cell / LSH bucket; at 100 TB
+  // the block key comes from a trained quantizer) with cosine ≥ 0.4.
+  // Dot/norms via zip_with + aggregate higher-order functions — sequential
+  // fold, same order DuckDB evaluates, so values match to the last ULP. ──
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    pairs.select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** cosine(a, b) with left-to-right folds, mirroring DuckDB's
+    * list_cosine_similarity evaluation order: dot/(√na·√nb). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"   -> dedupExact _,
+    "dedup_near"    -> dedupNear _,
+    "dedup_ngram"   -> dedupNgram _,
+    "dedup_minhash" -> dedupMinhash _,
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_embed"   -> dedupEmbed _,
+  )
+
+  /** Shared DuckDB CTE prefix: shingles and their dense ids. */
+  private val duckShingles =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM t),
+      |dict AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      |         FROM (SELECT DISTINCT shingle FROM sh)),
+      |ws AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_near" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_ngram" -> (duckShingles +
+      """,
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
+        |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+        |          GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
+        |WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_minhash" -> (duckShingles +
+      """,
+        |hashed AS (SELECT doc_id, i, ((2*i + 1) * sid + 17*i + 7) % 2147483647 AS h
+        |           FROM ws, (SELECT unnest(range(0, 32)) AS i)),
+        |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |            min(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+        |            min(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+        |          FROM sig GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
+        |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
+        |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+        |          GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
+        |WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_simhash" -> (duckShingles +
+      """,
+        |hb AS (SELECT doc_id, (sid * 1103515245 + 12345) % 2147483647 AS sh_hash FROM ws),
+        |bits AS (SELECT doc_id, b,
+        |           CASE WHEN (sh_hash >> b) % 2 = 1 THEN 1 ELSE -1 END AS bit_val
+        |         FROM hb, (SELECT unnest(range(0, 32)) AS b)),
+        |wsum AS (SELECT doc_id, b, sum(bit_val) AS w FROM bits GROUP BY doc_id, b),
+        |fp AS (SELECT doc_id, sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS fp
+        |       FROM wsum GROUP BY doc_id),
+        |chunks AS (SELECT doc_id, fp, c, (fp >> (c * 8)) % 256 AS chunk
+        |           FROM fp, (SELECT unnest(range(0, 4)) AS c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a, b.doc_id AS doc_b, b.fp AS fp_b
+        |         FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk
+        |              AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

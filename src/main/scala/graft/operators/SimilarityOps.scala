@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.10 + north
+  * star): brute-force cosine top-k as the exact baseline, and a
+  * partition-pruned ANN variant as the scale path.
+  *
+  * The probe is a row of the table itself (vec_id 0), joined in as a
+  * broadcast single-row DataFrame — no `collect()` round-trip, so the same
+  * plan runs with the probe coming from any one-row DataFrame. Dot products
+  * and norms use the `zip_with`/`aggregate` higher-order functions (native
+  * Catalyst expressions, sequential fold — same evaluation order as the
+  * DuckDB oracle, so the doubles agree to the last ULP; round(6) absorbs
+  * that ULP).
+  *
+  * AT 100 TB: brute force is O(corpus) per probe but embarrassingly
+  * parallel and shuffle-free (broadcast probe, per-partition top-k via
+  * TakeOrderedAndProject) — it is the correct plan for one-off probes. The
+  * ANN variant prunes to one coarse cell (here the `label` column standing
+  * in for a trained IVF quantizer cell / LSH bucket): with the table
+  * written partitioned-by-cell, partition pruning keeps the scan to
+  * 1/n_cells of the data.
+  */
+object SimilarityOps {
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  private def probe(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+        col("v").as("p_v"))
+
+  // ── exact top-k: score everything, keep 10. orderBy+limit compiles to
+  // TakeOrderedAndProject (per-partition heaps, driver merges k rows). ──
+  def simSearch(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .join(broadcast(probe(spark, dir)), col("vec_id") =!= col("p_id"))
+      .select(col("vec_id"), col("label"),
+        round(DedupOps.cosine(col("v"), col("p_v")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+
+  // ── ANN: prune to the probe's coarse cell first, then exact top-k within
+  // it — the IVF search pattern (nprobe=1). ──
+  def simSearchAnn(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .join(broadcast(probe(spark, dir)),
+        col("label") === col("p_label") && col("vec_id") =!= col("p_id"))
+      .select(col("vec_id"), col("label"),
+        round(DedupOps.cosine(col("v"), col("p_v")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_search"     -> simSearch _,
+    "sim_search_ann" -> simSearchAnn _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_search" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS p_id, v AS p_v FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label, round(list_cosine_similarity(e.v, p.p_v), 6) AS cos_sim
+        |FROM e, p WHERE e.vec_id <> p.p_id
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_search_ann" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS p_id, label AS p_label, v AS p_v FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label, round(list_cosine_similarity(e.v, p.p_v), 6) AS cos_sim
+        |FROM e, p WHERE e.label = p.p_label AND e.vec_id <> p.p_id
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+  )
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for the LLM-training-data pipeline
+  * (SURVEY.md §2.10 + north star): per-language stats, token frequency,
+  * language ID, quality scoring, token counting, document fingerprinting —
+  * all over the `documents` table.
+  *
+  * Everything here is built from codegen'd built-ins (`split`, `explode`,
+  * higher-order `filter`/`aggregate`, `regexp_*`) — no UDFs, so the hot
+  * path stays inside whole-stage codegen and the same code runs unchanged
+  * on a 1000-executor cluster: per-document work is embarrassingly
+  * parallel; the only shuffles are the declared groupBys.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens of `text`. */
+  private def toksCol = split(trim(lower(col("text"))), "\\s+")
+
+  // ── per-language doc counts + avg length (SURVEY §2.10 text_stats).
+  // n_chars is integral: its sum is exact in int64 and its double mean is a
+  // single IEEE division — bitwise-deterministic, no rounding needed. ──
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(col("n_chars")).cast("double") / count(col("n_chars"))).as("avg_chars"))
+      .orderBy("lang")
+
+  // ── tokenize + top-k terms (SURVEY §2.10 text_tokens). explode is
+  // Spark's built-in Generator — no custom UDTF. The groupBy shuffles on
+  // token (bounded by vocabulary size, not corpus size); top-k is
+  // TakeOrderedAndProject, not a global sort. ──
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toksCol).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+      .limit(20)
+
+  // ── language ID by stopword-marker ratio (north star: "n-gram
+  // heuristic"). A real model would score char n-grams per language; the
+  // engine-relevant part — a per-row scoring expression feeding a
+  // classification CASE — is identical. ──
+  private val EnMarkers = Seq("the", "a", "of", "and", "is", "to", "in")
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = EnMarkers.map(m => s"'$m'").mkString(", ")
+    Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .withColumn("marker_ratio",
+        expr(s"round(size(filter(toks, t -> t IN ($markers))) / size(toks), 6)"))
+      .select(col("doc_id"), col("marker_ratio"),
+        when(col("marker_ratio") >= 0.10, lit("en")).otherwise(lit("und"))
+          .as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  // ── quality scoring: length, punctuation ratio, stopword ratio, average
+  // word length → composite score (north star "quality scoring"). All
+  // inputs are exact integer counts, so the double arithmetic is
+  // engine-deterministic. ──
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val markers = EnMarkers.map(m => s"'$m'").mkString(", ")
+    Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("chars", length(col("text")))
+      .withColumn("alnum_chars",
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      .withColumn("punct_ratio",
+        round((col("chars") - col("alnum_chars")).cast("double") / col("chars"), 6))
+      .withColumn("stop_ratio",
+        expr(s"round(size(filter(toks, t -> t IN ($markers))) / size(toks), 6)"))
+      .withColumn("avg_word_len",
+        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          col("n_toks"), 6))
+      .withColumn("quality",
+        round(lit(0.4) * col("stop_ratio") +
+          lit(0.3) * least(lit(1.0), col("n_toks") / lit(20.0)) +
+          lit(0.3) * (lit(1.0) - col("punct_ratio")), 6))
+      .select(col("doc_id"), col("n_toks"), col("punct_ratio"),
+        col("stop_ratio"), col("avg_word_len"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  // ── token counting: whitespace tokens + a BPE-ish regex segmentation
+  // (word pieces and single non-word symbols), north star "token counting". ──
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toksCol).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+          .as("re_tokens"))
+      .orderBy("doc_id")
+
+  // ── document fingerprinting: order-sensitive polynomial rolling hash over
+  // the token sequence (north star "rolling hash"). The oracle-deterministic
+  // form maps tokens to dense ids via a global dictionary (dense_rank over
+  // the distinct vocabulary — vocabulary-sized, tiny after distinct), then
+  // folds (acc*131 + id) mod 1e9+7 along the sequence with the `aggregate`
+  // higher-order function. AT SCALE: replace the dictionary+rank (a global
+  // sort) with `xxhash64(token)` directly — same fold, no global state; the
+  // dictionary exists only because a hash seed can't be replicated
+  // bit-for-bit in the DuckDB oracle. ──
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      posexplode(toksCol).as(Seq("pos", "tok")))
+    val dict = toks.select("tok").distinct()
+      .withColumn("wid", dense_rank().over(Window.orderBy("tok")).cast("long"))
+    toks.join(broadcast(dict), "tok")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("wid")))).as("seq"))
+      .select(col("doc_id"),
+        expr("aggregate(transform(seq, s -> s.wid), CAST(0 AS BIGINT)," +
+          " (acc, x) -> (acc * 131 + x) % 1000000007)").as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"       -> textStats _,
+    "text_tokens"      -> textTokens _,
+    "text_lang_id"     -> textLangId _,
+    "text_quality"     -> textQuality _,
+    "text_token_count" -> textTokenCount _,
+    "text_fingerprint" -> textFingerprint _,
+  )
+
+  private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents) t
+        |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
+         |SELECT doc_id,
+         |  round(CAST(len(list_filter(toks, t -> t IN ($duckMarkers))) AS DOUBLE) / len(toks), 6) AS marker_ratio,
+         |  CASE WHEN round(CAST(len(list_filter(toks, t -> t IN ($duckMarkers))) AS DOUBLE) / len(toks), 6) >= 0.10
+         |       THEN 'en' ELSE 'und' END AS pred_lang
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |    CAST(length(text) AS INTEGER) AS chars,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS alnum_chars
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_toks,
+         |  round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks), 6) AS avg_word_len,
+         |  round(0.4 * round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6)
+         |      + 0.3 * least(1.0, len(toks) / 20.0)
+         |      + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, i, toks[i] AS tok
+        |        FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+        |dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS wid
+        |         FROM (SELECT DISTINCT tok FROM tok)),
+        |seq AS (SELECT doc_id, list(wid ORDER BY i) AS wids
+        |        FROM tok JOIN dict USING (tok) GROUP BY doc_id)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), wids),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS fp
+        |FROM seq ORDER BY doc_id""".stripMargin,
+  )
+}
