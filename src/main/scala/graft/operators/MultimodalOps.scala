@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north star: "treat image/audio/video as
+  * opaque binary columns with typed metadata").
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake ([[FakeDecoder]]); everything Spark
+  * cares about — the binary column, the typed metadata struct, the
+  * partition-preserving batched `mapPartitions` shape (the Scala analogue
+  * of `mapInPandas`: one iterator per partition, never a per-row UDF
+  * round-trip), and the output schema — is real and tested.
+  *
+  * At 100 TB: payloads live in parquet binary columns (or object-store
+  * pointers for >row-group-size blobs), metadata in sibling scalar columns
+  * so filters like `width > 512` prune row groups WITHOUT touching bytes;
+  * the decode stage is a `mapPartitions` over only the filtered rows.
+  */
+object MultimodalOps {
+
+  /** Typed row for the decode stage: payload + per-item metadata. */
+  final case class MediaItem(doc_id: Long, payload: Array[Byte], format: String)
+
+  /** Decoded features. In production this row comes out of a real codec. */
+  final case class MediaFeatures(doc_id: Long, format: String, byte_len: Int,
+      width: Int, height: Int, checksum: Long)
+
+  /** Deterministic stand-in for an image decoder: derives "dimensions" and
+    * a checksum purely from the bytes. Marked fake — swap for a codec. */
+  object FakeDecoder {
+    def decode(item: MediaItem): MediaFeatures = {
+      val bytes = item.payload
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+      MediaFeatures(item.doc_id, item.format, bytes.length,
+        width = 64 + (math.abs(sum) % 512).toInt,
+        height = 64 + (math.abs(sum / 7) % 512).toInt,
+        checksum = sum)
+    }
+  }
+
+  /** The documents table dressed as a media table: text bytes as the opaque
+    * payload + a metadata struct. (The test corpus has no real blobs.) */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(lit("fake/rgb8").as("format"), col("n_chars").as("n_bytes_meta"),
+          col("lang").as("tag")).as("media_meta"))
+
+  // ── oracle-checkable slice of the plumbing: byte length + digest of the
+  // binary payload (md5 is identical in Spark and DuckDB). ──
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("digest"),
+        col("media_meta.format").as("format"))
+      .orderBy("doc_id")
+
+  // ── the real decode stage: batched mapPartitions over the typed Dataset.
+  // No oracle (the fake decoder is not SQL); verified in ScalaTest. ──
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items: Dataset[MediaItem] = mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"), col("media_meta.format").as("format"))
+      .as[MediaItem]
+    items
+      .mapPartitions(_.map(FakeDecoder.decode)) // one pass per partition batch
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_decode"   -> multimodalDecode _,
+    "multimodal_features" -> multimodalFeatures _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_decode" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+        |  md5(text) AS digest, 'fake/rgb8' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Structured-Streaming port of the reference's ingest chain
+  * (`/root/reference/producer.py` → Kafka → `/root/reference/consumer.py` →
+  * MongoDB), re-expressed as ONE streaming query: source → flatten →
+  * validate → derive → sink (SURVEY.md §3.1).
+  *
+  * Every transform is a pure plan function over a DataFrame, so the SAME
+  * code runs in batch (unit tests, backfills) and streaming — the idiomatic
+  * Spark upgrade from the reference's imperative per-message loop
+  * (`consumer.py:29-78`). Delivery upgrades from the reference's
+  * at-least-once (auto-commit + blind insert_one, `consumer.py:22,78`) to
+  * exactly-once via checkpoint + idempotent parquet sink.
+  *
+  * In this offline environment the Kafka source/sink are stood in by
+  * MemoryStream (tests) / file sources — the plan from `from_json` onward
+  * is identical to `readStream.format("kafka")`'s `value` column.
+  */
+object IngestPipeline {
+
+  /** Raw OpenWeatherMap payload shape (FIXTURES.md A1; producer sends the
+    * API response unmodified, `producer.py:38-41`). `weather` is declared
+    * StringType and parsed explicitly: the reference defends against the
+    * field arriving either as a JSON array or as a stringified-JSON value
+    * (`consumer.py:36-45`), and a typed from_json would silently null the
+    * whole struct on shape drift. */
+  val weatherElem: ArrayType = ArrayType(StructType(Seq(
+    StructField("description", StringType))))
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("main", StructType(Seq(
+      StructField("temp", DoubleType),
+      StructField("humidity", LongType),
+      StructField("pressure", LongType)))),
+    StructField("weather", StringType), // re-parsed below (string-or-array)
+    StructField("wind", StructType(Seq(StructField("speed", DoubleType)))),
+    StructField("coord", StructType(Seq(
+      StructField("lon", DoubleType), StructField("lat", DoubleType)))),
+    StructField("dt", LongType),
+    StructField("timezone", LongType)))
+
+  /** consumer.py:32-53 — flatten the nested payload into the store schema.
+    * `json` is a column of raw JSON strings (Kafka `value`). */
+  def flatten(raw: DataFrame, json: Column): DataFrame =
+    raw.withColumn("p", from_json(json, rawSchema))
+      .select(
+        col("p.name").as("city"),
+        col("p.main.temp").as("temperature"),
+        col("p.main.humidity").cast("int").as("humidity"),
+        col("p.main.pressure").cast("int").as("pressure"),
+        // consumer.py:36-45: weather may be an array OR a stringified JSON
+        // array; either way take [0].description, default "Unknown"
+        coalesce(
+          from_json(col("p.weather"), weatherElem).getItem(0).getField("description"),
+          lit("Unknown")).as("weather"),
+        col("p.wind.speed").as("wind_speed"),
+        col("p.coord").as("coordinates"),
+        col("p.dt").as("dt"),
+        col("p.timezone").as("tz_offset"))
+
+  /** consumer.py:55-57 — drop incomplete records ("Data tidak lengkap"). */
+  def validated(flat: DataFrame): DataFrame =
+    flat.filter(col("temperature").isNotNull && col("humidity").isNotNull &&
+      col("dt").isNotNull)
+
+  /** consumer.py:59-61 — local wall-clock = UTC epoch + offset seconds,
+    * stored formatted (the reference stores a string; we keep the typed
+    * timestamp alongside). */
+  def withLocalTime(df: DataFrame): DataFrame =
+    df.withColumn("obs_ts", timestamp_seconds(col("dt")))
+      .withColumn("local_time",
+        date_format(timestamp_seconds(col("dt") + col("tz_offset")),
+          "yyyy-MM-dd HH:mm:ss"))
+
+  /** The full ingest plan: raw JSON strings → validated flat records. */
+  def ingest(raw: DataFrame, json: Column): DataFrame =
+    withLocalTime(validated(flatten(raw, json)))
+
+  /** Stateful extension (SURVEY §2.8): per-city tumbling-window average
+    * temperature with a watermark bounding state. */
+  def tumblingAvg(obs: DataFrame): DataFrame =
+    obs.withWatermark("obs_ts", "10 minutes")
+      .groupBy(window(col("obs_ts"), "5 minutes"), col("city"))
+      .agg(avg(col("temperature")).as("avg_temp"), count(lit(1)).as("n_obs"))
+      .select(col("window.start").as("win_start"), col("city"),
+        col("avg_temp"), col("n_obs"))
+
+  /** Batch-queryable equivalent of the tumbling window over the events
+    * table (1-hour windows), for the driver's oracle. */
+  def streamTumblingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Exact.avgMoney(col("value")).as("avg_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+        col("event_type"), col("cnt"), col("avg_value"))
+      .orderBy("hour_s", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_avg" -> streamTumblingAvg _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_avg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
+  )
+}

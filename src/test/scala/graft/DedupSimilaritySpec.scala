@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** Dedup + similarity invariants: planted-duplicate behavior on in-memory
+  * corpora is covered by the cosine/jaccard identities; cross-variant
+  * containment (LSH candidates ⊆ exhaustive candidates) runs on sf0.001. */
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine identities: self=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+      (Seq(2.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0)),
+    ).toDF("a", "b")
+    val got = df.select(round(DedupOps.cosine($"a", $"b"), 9)).as[Double]
+      .collect().toSeq
+    assert(got === Seq(1.0, 0.0, -1.0))
+  }
+
+  test("dedup_exact keeps the LOWEST doc_id per text (window form)") {
+    // on sf0.001 all texts are distinct → output must be the full table
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    assert(DedupOps.dedupExact(spark, sf0001).count() === docs.count())
+  }
+
+  test("minhash LSH pairs are a subset of exhaustive ngram-jaccard pairs") {
+    val ngram = DedupOps.dedupNgram(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = DedupOps.dedupMinhash(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(ngram), s"minhash found pairs ngram missed: ${mh -- ngram}")
+    assert(ngram.nonEmpty) // the corpus has planted near-dups
+  }
+
+  test("simhash verified pairs all within hamming 3, canonical doc_a<doc_b") {
+    val rows = DedupOps.dedupSimhash(spark, sf0001)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.forall { case (a, b, h) => a < b && h >= 0 && h <= 3 })
+  }
+
+  test("sim_search: 10 rows, descending, ann results ⊆ brute-force ranking") {
+    val brute = SimilarityOps.simSearch(spark, sf0001)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect()
+    assert(brute.length === 10)
+    assert(brute.map(-_._2).toSeq === brute.map(-_._2).toSeq.sorted)
+    assert(!brute.map(_._1).contains(0L)) // probe excluded
+    val ann = SimilarityOps.simSearchAnn(spark, sf0001)
+      .select("vec_id").as[Long].collect()
+    // ANN searches only the probe's cell: every hit must share its label
+    val probeLabel = graft.sources.Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" === 0).select("label").as[Int].head()
+    val labels = graft.sources.Tables.embeddings(spark, sf0001)
+      .filter($"vec_id".isin(ann: _*)).select("label").as[Int].collect()
+    assert(labels.forall(_ === probeLabel))
+  }
+
+  test("dedup_embed: pairs canonical and above threshold") {
+    val rows = DedupOps.dedupEmbed(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, c) => a < b && c >= 0.4 })
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.IngestPipeline
+
+/** The consumer.py ingest semantics (SURVEY §5.2/§5.3/§5.5): golden 5-row
+  * sample from analysis.ipynb cell 0, the weather-as-string fallback, the
+  * drop-incomplete rule, and the streaming tumbling window end-to-end
+  * through MemoryStream. */
+class IngestPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** FIXTURES.md A2 golden sample (analysis.ipynb cell 0 output). */
+  private def goldenJson: Seq[String] = Seq(
+    ("Medan", 30.02, 74, 1010, "scattered clouds", 1748515260L),
+    ("Padang", 31.03, 65, 1012, "broken clouds", 1748515320L),
+    ("Palembang", 31.05, 74, 1011, "scattered clouds", 1748515380L),
+    ("Jakarta", 32.05, 62, 1011, "scattered clouds", 1748515500L),
+    ("Bandung", 28.97, 56, 1012, "few clouds", 1748515560L),
+  ).map { case (city, t, h, p, w, dt) =>
+    s"""{"name":"$city","main":{"temp":$t,"humidity":$h,"pressure":$p},
+       |"weather":[{"description":"$w"}],"wind":{"speed":3.1},
+       |"coord":{"lon":98.7,"lat":3.6},"dt":$dt,"timezone":25200}""".stripMargin
+      .replace("\n", "")
+  }
+
+  test("golden flatten: 5-row sample lands with reference store schema") {
+    val raw = goldenJson.toDF("raw")
+    val out = IngestPipeline.ingest(raw, col("raw"))
+    assert(out.count() === 5)
+    val medan = out.filter($"city" === "Medan").head()
+    assert(medan.getAs[Double]("temperature") === 30.02)
+    assert(medan.getAs[Int]("humidity") === 74)
+    assert(medan.getAs[String]("weather") === "scattered clouds")
+    // consumer.py:59-61: local wall clock = UTC + 25200s (WIB, +7h)
+    assert(medan.getAs[String]("local_time") === "2025-05-29 17:41:00")
+  }
+
+  test("weather arriving as stringified JSON is parsed (consumer.py:36-45)") {
+    val raw = Seq(
+      // array form and string-encoded form must both yield the description
+      """{"name":"A","main":{"temp":30.0,"humidity":70,"pressure":1010},"weather":[{"description":"haze"}],"dt":1748515260,"timezone":0}""",
+      """{"name":"B","main":{"temp":30.0,"humidity":70,"pressure":1010},"weather":"[{\"description\":\"haze\"}]","dt":1748515260,"timezone":0}""",
+      // missing / malformed weather → "Unknown" (consumer.py:44-45)
+      """{"name":"C","main":{"temp":30.0,"humidity":70,"pressure":1010},"dt":1748515260,"timezone":0}""",
+      """{"name":"D","main":{"temp":30.0,"humidity":70,"pressure":1010},"weather":"not json","dt":1748515260,"timezone":0}""",
+    ).toDF("raw")
+    val got = IngestPipeline.ingest(raw, col("raw"))
+      .select("city", "weather").as[(String, String)].collect().toMap
+    assert(got("A") === "haze")
+    assert(got("B") === "haze")
+    assert(got("C") === "Unknown")
+    assert(got("D") === "Unknown")
+  }
+
+  test("incomplete records are dropped (consumer.py:55-57)") {
+    val raw = Seq(
+      """{"name":"ok","main":{"temp":30.0,"humidity":70,"pressure":1010},"dt":1748515260,"timezone":0}""",
+      """{"name":"no_temp","main":{"humidity":70,"pressure":1010},"dt":1748515260,"timezone":0}""",
+      """{"name":"no_humidity","main":{"temp":30.0,"pressure":1010},"dt":1748515260,"timezone":0}""",
+      """{"name":"no_dt","main":{"temp":30.0,"humidity":70,"pressure":1010},"timezone":0}""",
+    ).toDF("raw")
+    val cities = IngestPipeline.ingest(raw, col("raw"))
+      .select("city").as[String].collect().toSet
+    assert(cities === Set("ok"))
+  }
+
+  test("streaming: tumbling 5-min per-city average through MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val obs = IngestPipeline.ingest(stream.toDF(), col("value"))
+    val q = IngestPipeline.tumblingAvg(obs)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("tumbling").start()
+    try {
+      // two cities, minute 0-4 window; one record in the next window
+      def rec(city: String, temp: Double, dt: Long) =
+        s"""{"name":"$city","main":{"temp":$temp,"humidity":70,"pressure":1010},"dt":$dt,"timezone":0}"""
+      val t0 = 1748515200L // aligned to 5-min boundary
+      stream.addData(
+        rec("X", 10.0, t0), rec("X", 20.0, t0 + 60),
+        rec("Y", 30.0, t0 + 120), rec("X", 40.0, t0 + 300))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT city, avg_temp, n_obs FROM tumbling ORDER BY win_start, city")
+        .collect()
+      assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ===
+        Seq(("X", 15.0, 2L), ("Y", 30.0, 1L), ("X", 40.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("incomplete records dropped inside the stream too") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = IngestPipeline.ingest(stream.toDF(), col("value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ingested").start()
+    try {
+      stream.addData(
+        """{"name":"good","main":{"temp":1.0,"humidity":1,"pressure":1},"dt":100,"timezone":0}""",
+        """{"name":"bad","main":{"pressure":1},"dt":100,"timezone":0}""")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT city FROM ingested").as[String].collect().toSet
+        === Set("good"))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.streaming.IngestPipeline
+
+/** Property-based checks (SURVEY §5.4). Uses scalacheck generators sampled
+  * deterministically (no scalatestplus bridge in the offline dep set);
+  * each property is evaluated over one vectorized DataFrame pass rather
+  * than per-sample Spark jobs. */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("local-time derivation equals JDK Instant.plusSeconds formatting") {
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(ZoneOffset.UTC)
+    val cases = samples(for {
+      epoch  <- Gen.choose(0L, 4102444800L)          // 1970..2100
+      offset <- Gen.choose(-14 * 3600L, 14 * 3600L)  // real-world tz range
+    } yield (epoch, offset), 100)
+    val got = cases.toDF("dt", "tz_offset")
+      .select($"dt", $"tz_offset",
+        date_format(timestamp_seconds($"dt" + $"tz_offset"),
+          "yyyy-MM-dd HH:mm:ss").as("lt"))
+      .as[(Long, Long, String)].collect()
+    got.foreach { case (epoch, offset, lt) =>
+      val expected = fmt.format(Instant.ofEpochSecond(epoch).plusSeconds(offset))
+      assert(lt === expected, s"epoch=$epoch offset=$offset")
+    }
+  }
+
+  test("filter∘filter ≡ filter(∧)") {
+    val df = graft.sources.Tables.events(spark, sf0001).cache()
+    val a = df.filter($"value" > 50).filter($"event_type" === "click")
+    val b = df.filter($"value" > 50 && $"event_type" === "click")
+    assert(a.collect().toSet === b.collect().toSet)
+  }
+
+  test("validated() is idempotent and monotone") {
+    val raw = Seq(
+      """{"name":"a","main":{"temp":1.0,"humidity":1,"pressure":1},"dt":1,"timezone":0}""",
+      """{"name":"b","main":{"humidity":1,"pressure":1},"dt":1,"timezone":0}""",
+      """{"name":"c","main":{"temp":2.0,"humidity":2,"pressure":2},"timezone":0}""",
+    ).toDF("raw")
+    val flat = IngestPipeline.flatten(raw, col("raw"))
+    val once = IngestPipeline.validated(flat)
+    val twice = IngestPipeline.validated(once)
+    assert(once.count() === twice.count())
+    assert(once.count() <= flat.count())
+  }
+
+  test("exact dedup is idempotent (dedup of deduped output is a no-op)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"text").orderBy($"id")
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"), (5L, "z"))
+      .toDF("id", "text")
+    val once = dedup(df)
+    assert(once.collect().toSet === dedup(once).collect().toSet)
+    assert(once.select("id").as[Long].collect().toSet === Set(1L, 3L, 5L))
+  }
+
+  test("polynomial fingerprint distinguishes permuted token sequences") {
+    val fold = "aggregate(wids, CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007)"
+    val perms = Seq(Seq(1L, 2L, 3L), Seq(3L, 2L, 1L), Seq(2L, 1L, 3L),
+      Seq(1L, 2L, 3L))
+    val fps = perms.toDF("wids").select(expr(fold)).as[Long].collect()
+    assert(fps(0) === fps(3))         // same sequence ⇒ same hash
+    assert(Set(fps(0), fps(1), fps(2)).size === 3) // permutations differ
+  }
+}

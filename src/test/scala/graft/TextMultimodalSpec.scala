@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{MultimodalOps, TextOps}
+import graft.operators.MultimodalOps.{FakeDecoder, MediaItem}
+
+/** Text-analysis and multimodal plumbing invariants. */
+class TextMultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("fingerprint is order-sensitive and injective on this corpus") {
+    val fp = TextOps.textFingerprint(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // identical token sequences ⇒ identical fingerprints, and vice versa
+    val byText = docs.groupBy(_._2.trim.toLowerCase.split("\\s+").toSeq)
+    byText.foreach { case (_, ds) =>
+      assert(ds.map(d => fp(d._1)).toSet.size === 1)
+    }
+    assert(fp.values.toSet.size === byText.size)
+  }
+
+  test("quality scores bounded to [0,1]; ratios to [0,1]") {
+    val rows = TextOps.textQuality(spark, sf0001)
+      .select("punct_ratio", "stop_ratio", "quality")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, s, q) =>
+      assert(p >= 0 && p <= 1); assert(s >= 0 && s <= 1)
+      assert(q >= 0 && q <= 1)
+    }
+  }
+
+  test("token counts: regex tokens ≥ whitespace tokens (punct split off)") {
+    val rows = TextOps.textTokenCount(spark, sf0001)
+      .select("ws_tokens", "re_tokens").as[(Int, Int)].collect()
+    assert(rows.forall { case (ws, re) => re >= ws && ws > 0 })
+  }
+
+  test("FakeDecoder is deterministic and total on arbitrary bytes") {
+    val item = MediaItem(7L, Array[Byte](1, 2, 3, -4), "fake/rgb8")
+    val a = FakeDecoder.decode(item)
+    val b = FakeDecoder.decode(item)
+    assert(a === b)
+    assert(a.byte_len === 4)
+    assert(a.width >= 64 && a.height >= 64)
+    val empty = FakeDecoder.decode(MediaItem(8L, Array.empty, "fake/rgb8"))
+    assert(empty.byte_len === 0 && empty.checksum === 0L)
+  }
+
+  test("multimodal decode stage: schema + per-doc features, partition-batched") {
+    val feats = MultimodalOps.multimodalFeatures(spark, sf0001)
+    assert(feats.columns.toSeq ===
+      Seq("doc_id", "format", "byte_len", "width", "height", "checksum"))
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    assert(feats.count() === docs.count())
+    // byte_len of the fake payload is the UTF-8 length of text
+    val joined = feats.join(docs, "doc_id")
+      .select("byte_len", "text").as[(Int, String)].collect()
+    assert(joined.forall { case (n, t) => n === t.getBytes("UTF-8").length })
+  }
+}
