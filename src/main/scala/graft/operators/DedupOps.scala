@@ -103,12 +103,21 @@ object DedupOps {
   // exact Jaccard ≥ 0.3. ──
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
-    val cand = sh.as("a").join(sh.as("b"),
+    // shingle-keyed self-join: each output row is one SHARED shingle of a
+    // pair, so counting rows per pair IS the intersection size — no
+    // separate candidate pass, one shuffle on shingle + one on pair.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    jaccardFor(cand, sh)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
   }
@@ -186,26 +195,31 @@ object DedupOps {
   // Dot/norms via zip_with + aggregate higher-order functions — sequential
   // fold, same order DuckDB evaluates, so values match to the last ULP. ──
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    // norms precomputed per vector (not per pair): 3× fewer folds; the
+    // value is bitwise what a per-pair sqrt(dot(v,v)) would produce, so
+    // oracle parity with DuckDB's list_cosine_similarity is preserved.
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val pairs = e.as("a").join(e.as("b"),
       col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
     pairs.select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos"))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
-  /** cosine(a, b) with left-to-right folds, mirroring DuckDB's
-    * list_cosine_similarity evaluation order: dot/(√na·√nb). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product (left-to-right, the order DuckDB's list
+    * functions evaluate — doubles agree to the last ULP). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** cosine(a, b) = dot/(√na·√nb), mirroring list_cosine_similarity. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"   -> dedupExact _,

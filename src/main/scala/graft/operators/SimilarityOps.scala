@@ -30,19 +30,24 @@ object SimilarityOps {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(DedupOps.dot(col("v"), col("v"))))
 
   private def probe(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).filter(col("vec_id") === 0)
       .select(col("vec_id").as("p_id"), col("label").as("p_label"),
-        col("v").as("p_v"))
+        col("v").as("p_v"), col("norm").as("p_norm"))
+
+  private def cosToProbe: org.apache.spark.sql.Column =
+    DedupOps.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm"))
 
   // ── exact top-k: score everything, keep 10. orderBy+limit compiles to
-  // TakeOrderedAndProject (per-partition heaps, driver merges k rows). ──
+  // TakeOrderedAndProject (per-partition heaps, driver merges k rows).
+  // Candidate norms are computed once in the scan projection, not inside
+  // the per-row cosine — one fold per row instead of three. ──
   def simSearch(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir)
       .join(broadcast(probe(spark, dir)), col("vec_id") =!= col("p_id"))
-      .select(col("vec_id"), col("label"),
-        round(DedupOps.cosine(col("v"), col("p_v")), 6).as("cos_sim"))
+      .select(col("vec_id"), col("label"), round(cosToProbe, 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
 
@@ -52,8 +57,7 @@ object SimilarityOps {
     vecs(spark, dir)
       .join(broadcast(probe(spark, dir)),
         col("label") === col("p_label") && col("vec_id") =!= col("p_id"))
-      .select(col("vec_id"), col("label"),
-        round(DedupOps.cosine(col("v"), col("p_v")), 6).as("cos_sim"))
+      .select(col("vec_id"), col("label"), round(cosToProbe, 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
 

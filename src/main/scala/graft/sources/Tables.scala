@@ -32,11 +32,19 @@ object Tables {
     * precision above 2^53 ns ≈ 1970+104 days). Every downstream comparison
     * against the DuckDB oracle (which keeps full ns) is designed for this
     * truncation: half-open range predicates, second-level formatted output. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsRawNanos(spark, dir)
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+
+  /** Events with `ts` as the raw nanosecond epoch long. Predicates that can
+    * be expressed on the raw long (time ranges at coarse boundaries) should
+    * filter HERE, before the µs conversion — a filter on the converted
+    * column sits above a projection and never reaches the parquet scan,
+    * while a long comparison is pushed down and skips row groups. */
+  def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
