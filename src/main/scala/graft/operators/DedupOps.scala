@@ -212,9 +212,14 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Sequential-fold dot product (left-to-right, the order DuckDB's list
-    * functions evaluate — doubles agree to the last ULP). */
-  def dot(x: Column, y: Column): Column =
+  /** Sequential dot product (left-to-right, the order DuckDB's list
+    * functions evaluate — doubles agree to the last ULP). Backed by the
+    * codegen'd native expression; [[dotHof]] is the built-in-composition
+    * equivalent kept for cross-checking the two in tests. */
+  def dot(x: Column, y: Column): Column = graft.functions.DotProduct(x, y)
+
+  /** Same fold via higher-order built-ins (interpreted; bit-identical). */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
   /** cosine(a, b) = dot/(√na·√nb), mirroring list_cosine_similarity. */

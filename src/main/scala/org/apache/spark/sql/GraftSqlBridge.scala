@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into `private[sql]` Column↔Expression plumbing, the
+  * established pattern for libraries contributing custom Catalyst
+  * expressions (cf. the public Qbeast/Spark-extension projects). Nothing
+  * else from the private surface is touched. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

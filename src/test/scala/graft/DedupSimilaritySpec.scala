@@ -57,6 +57,33 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(labels.forall(_ === probeLabel))
   }
 
+  test("native DotProduct ≡ higher-order-function fold, bit for bit") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .limit(100)
+    val both = vecs.crossJoin(
+        vecs.select($"v".as("w")).limit(5))
+      .select(DedupOps.dot($"v", $"w").as("native"),
+        DedupOps.dotHof($"v", $"w").as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    // bitwise equality, not tolerance: same fold order, same doubles
+    assert(both.forall { case (n, h) =>
+      java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h)
+    })
+  }
+
+  test("native DotProduct: nulls and length mismatch behave") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),   // 11.0
+      (None, Some(Seq(1.0))),                        // null in → null out
+      (Some(Seq(1.0, 2.0, 9.0)), Some(Seq(2.0, 2.0))), // min-length: 6.0
+    ).toDF("a", "b")
+    val got = df.select(DedupOps.dot($"a", $"b")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got === Seq(Some(11.0), None, Some(6.0)))
+  }
+
   test("dedup_embed: pairs canonical and above threshold") {
     val rows = DedupOps.dedupEmbed(spark, sf0001)
       .as[(Long, Long, Double)].collect()
