@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      graft.streaming.IngestPipeline.queries
+      AdvancedOps.queries ++ graft.streaming.IngestPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      graft.streaming.IngestPipeline.oracles
+      AdvancedOps.oracles ++ graft.streaming.IngestPipeline.oracles
 }

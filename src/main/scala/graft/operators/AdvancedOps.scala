@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Operators beyond the reference and beyond plain relational algebra that
+  * a production event/training-data pipeline needs: sessionization, as-of
+  * joins, hierarchical rollups.
+  *
+  * All three follow the same scale shape: ONE shuffle on the entity key,
+  * then per-partition ordered processing via window frames — the pattern
+  * that holds at 1000 executors (no range joins, no driver loops, state
+  * bounded per key).
+  *
+  * Timestamps are compared in epoch MICROSECONDS (`unix_micros` ≙ DuckDB
+  * `epoch_us`) — both engines truncate the ns parquet source identically,
+  * so gap/as-of boundary decisions agree exactly.
+  */
+object AdvancedOps {
+
+  private val GapUs = 30L * 60 * 1000000 // 30-minute session gap
+
+  /** Events with the µs epoch and a per-user ordering column. event_id is
+    * the tiebreak (and primary order): it is assigned in ingest order, so
+    * per-user it is time-monotone without the ns-ordering ambiguity. */
+  private def seq(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+
+  // ── gap-based sessionization: a new session starts when the gap to the
+  // previous event of the same user exceeds 30 min; session_id is the
+  // running count of session starts. Batch form of what
+  // flatMapGroupsWithState computes incrementally in streaming
+  // (graft.streaming.Sessionize). ──
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val running = order.rowsBetween(Window.unboundedPreceding, 0)
+    seq(spark, dir)
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ── as-of join: each purchase matched to the latest click AT OR BEFORE
+  // it by the same user. Implemented as union + running max over the
+  // per-user timeline — one shuffle, no range join, no point-in-time
+  // subquery per row (the plan that survives 100×: state per user is one
+  // value). ──
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    seq(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(order))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("last_click_us"))
+      .orderBy("purchase_id")
+  }
+
+  // ── rollup: hierarchical subtotals over returnflag → linestatus, with
+  // grouping indicators disambiguating the subtotal rows (free in Spark —
+  // SURVEY §2.5 notes cube/rollup as the natural extension the reference
+  // never had). ──
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.Exact.sumMoney(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+        col("cnt"), col("sum_qty"), col("g_rf"), col("g_ls"))
+      .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> sessionize _,
+    "asof_join"  -> asofJoin _,
+    "rollup_agg" -> rollupAgg _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sessionize" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |flags AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flags)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "asof_join" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |marked AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        |  FROM seq)
+        |SELECT event_id AS purchase_id, user_id, last_click_us
+        |FROM marked WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    "rollup_agg" ->
+      """SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+        |  COALESCE(l_linestatus, '<all>') AS linestatus,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin,
+  )
+}
