@@ -85,10 +85,42 @@ object AdvancedOps {
         col("cnt"), col("sum_qty"), col("g_rf"), col("g_ls"))
       .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
 
+  // ── exact distinct-aggregate: users per event type. Spark plans this as
+  // the two-phase expand/partial/final pipeline (dedup on (group, value)
+  // first, then count) — the exact-distinct pattern that scales; HLL
+  // (approx_count_distinct) is the sketch alternative, exercised in tests
+  // because "approx" can't hash-match an oracle. ──
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  // ── salted aggregation: the hot-key pattern spelled out. Phase 1 fans a
+  // skewed group key across 16 salt buckets (partial aggregate per
+  // (key, salt)), phase 2 merges the per-salt partials. For plain
+  // count/sum Spark's map-side partial aggregation already achieves this;
+  // the explicit form is the template for aggregates WITHOUT partial
+  // pushdown (collect_list, exact quantiles) on skewed keys at 100 TB —
+  // and its result is provably identical to the direct groupBy (oracled). ──
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("value").cast("decimal(18,2)")).as("s"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("cnt"),
+        sum(col("s")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sessionize" -> sessionize _,
-    "asof_join"  -> asofJoin _,
-    "rollup_agg" -> rollupAgg _,
+    "sessionize"   -> sessionize _,
+    "asof_join"    -> asofJoin _,
+    "rollup_agg"   -> rollupAgg _,
+    "distinct_agg" -> distinctAgg _,
+    "salted_agg"   -> saltedAgg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,6 +155,14 @@ object AdvancedOps {
         |SELECT event_id AS purchase_id, user_id, last_click_us
         |FROM marked WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    "distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rollup_agg" ->
       """SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
         |  COALESCE(l_linestatus, '<all>') AS linestatus,

