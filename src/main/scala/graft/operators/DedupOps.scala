@@ -132,16 +132,21 @@ object DedupOps {
     val withSid = sh.join(broadcast(dict), "shingle")
     // 32 hash functions: h_i(sid) = ((2i+1)·sid + 17i+7) mod P — odd
     // multipliers, exact int64 (sid < vocab ≪ 2^31, product < 2^63).
-    val hashed = withSid
-      .select(col("doc_id"), col("sid"), explode(expr("sequence(0, 31)")).as("i"))
-      .withColumn("h", ((lit(2) * col("i") + 1) * col("sid") +
-        lit(17) * col("i") + 7) % P)
-    val sig = hashed.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
-    val bands = sig
-      .withColumn("band", expr("i div 2"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(min(when(col("i") % 2 === 0, col("mh"))).as("m0"),
-        min(when(col("i") % 2 === 1, col("mh"))).as("m1"))
+    // The signature is 32 column aggregates in ONE groupBy(doc) — not an
+    // explode×32 + re-aggregate, which would shuffle 32× the rows.
+    val minCols = (0 until 32).map { i =>
+      min((lit(2L * i + 1) * col("sid") + lit(17L * i + 7)) % P).as(s"mh$i")
+    }
+    val sig = withSid.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // 16 bands × 2 rows, unpivoted via an inline struct array
+    val bandStructs = (0 until 16).map { b =>
+      struct(lit(b).as("band"), col(s"mh${2 * b}").as("m0"),
+        col(s"mh${2 * b + 1}").as("m1"))
+    }
+    val bands = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.m0").as("m0"), col("bs.m1").as("m1"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
           col("a.m1") === col("b.m1") && col("a.doc_id") < col("b.doc_id"))
@@ -158,21 +163,26 @@ object DedupOps {
   // standard pigeonhole trick: d≤3 ⇒ some chunk of 4 is untouched ⇒
   // shared — also exactly how it shards at 100 TB). ──
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // not cached: measured slower WITH cache here — sh is consumed once per
+    // branch and the in-session cache entry from the sibling dedup keys
+    // (identical logical plan) is reused when they run in the same session
     val sh = shingles(spark, dir)
     val dict = shingleDict(sh)
     val withSid = sh.join(broadcast(dict), "shingle")
-      // per-shingle 31-bit hash, then one row per (doc, shingle, bit)
+      // per-shingle 31-bit hash
       .withColumn("sh_hash", (col("sid") * 1103515245L + 12345L) % P)
-    val bits = withSid
-      .select(col("doc_id"), col("sh_hash"), explode(expr("sequence(0, 31)")).as("b"))
-      .withColumn("bit_val",
-        expr("CASE WHEN shiftright(sh_hash, b) % 2 = 1 THEN 1 ELSE -1 END"))
-    val fp = bits.groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("bit_val")).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr(
-        "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-        .as("fp"))
+    // per-bit ±1 weights summed as 32 column aggregates in ONE groupBy(doc)
+    // (not explode×32 + double groupBy); fp assembled from the 32 sums.
+    val bitSums = (0 until 32).map { b =>
+      sum(expr(s"CASE WHEN shiftright(sh_hash, $b) % 2 = 1 THEN 1 ELSE -1 END"))
+        .as(s"w$b")
+    }
+    val fpExpr = (0 until 32).map { b =>
+      expr(s"CASE WHEN w$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b)" +
+        " ELSE CAST(0 AS BIGINT) END")
+    }.reduce(_ + _)
+    val fp = withSid.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr.as("fp"))
     val chunks = fp.select(col("doc_id"), col("fp"),
       explode(expr("sequence(0, 3)")).as("c"))
       .withColumn("chunk", expr("shiftright(fp, c * 8) % 256"))
