@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** Session-extension entry point: registers graft's native expressions into
+  * the SQL function registry, so `SELECT graft_dot(a, b)` works in
+  * `spark.sql(...)` exactly like a built-in — the standard plugin path for
+  * a cluster-wide deployment:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotFunction)
+  }
+}
+
+object GraftExtensions {
+  /** (name, info, builder) tuple for the `graft_dot` scalar function. */
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(
+      classOf[DotProduct].getCanonicalName, null, "graft_dot",
+      "graft_dot(a, b) - dot product of two array<double> columns " +
+        "(codegen'd; sequential fold).",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+}
