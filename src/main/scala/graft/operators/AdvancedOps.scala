@@ -115,12 +115,57 @@ object AdvancedOps {
         sum(col("s")).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  // ── TPC-H Q1 pricing summary, THROUGH THE SQL FRONT DOOR: temp view +
+  // spark.sql — the engine's SQL surface is first-class, same Catalyst
+  // plan as the DataFrame form. Decimal-exact sums per the house rule. ──
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 4) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE), 4) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM graft_lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  // ── salted JOIN: the hot-key template for fact⋈dim when one probe key
+  // dominates (AQE skew-join handles sorted/shuffled joins at runtime;
+  // explicit salting is the portable fallback and the only option for
+  // deliberate key-spreading in streaming). The dim side is replicated
+  // across 8 salt values; the fact side picks a deterministic salt; the
+  // join key becomes (key, salt) so one hot key spreads over 8 tasks.
+  // Provably result-identical to the unsalted join — oracled as such. ──
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val userDim = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(5)))
+    val dimSalted = userDim
+      .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    val facts = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+    facts.join(dimSalted, Seq("user_id", "salt"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sessionize"   -> sessionize _,
-    "asof_join"    -> asofJoin _,
-    "rollup_agg"   -> rollupAgg _,
-    "distinct_agg" -> distinctAgg _,
-    "salted_agg"   -> saltedAgg _,
+    "sessionize"       -> sessionize _,
+    "asof_join"        -> asofJoin _,
+    "rollup_agg"       -> rollupAgg _,
+    "distinct_agg"     -> distinctAgg _,
+    "salted_agg"       -> saltedAgg _,
+    "tpch_q1"          -> tpchQ1 _,
+    "join_skew_salted" -> joinSkewSalted _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,6 +200,23 @@ object AdvancedOps {
         |SELECT event_id AS purchase_id, user_id, last_click_us
         |FROM marked WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 4) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE), 4) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT user_id % 5 AS segment, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id % 5 ORDER BY segment""".stripMargin,
     "distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events

@@ -61,9 +61,44 @@ object SimilarityOps {
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
 
+  // ── LSH-bucketed ANN: random-hyperplane signatures (4 fixed pseudo-random
+  // planes → 16 buckets); search only the probe's bucket. The third point on
+  // the exactness/recall dial after brute force and coarse-cell pruning. No
+  // DuckDB oracle: the bucket boundary is a float dot-product sign, which
+  // can flip across engines for vectors near a plane — verified instead by
+  // invariants in ScalaTest (candidates share the probe bucket; scores
+  // equal the brute-force scores for the same ids). At 100 TB the table is
+  // WRITTEN partitioned by bucket, so this probe reads 1/16 of the data. ──
+  private val NPlanes = 4
+
+  private def planeLit(p: Int): org.apache.spark.sql.Column =
+    array((0 until 64).map { d =>
+      lit((((p * 131 + d) * 2654435761L) % 1000) / 500.0 - 1.0)
+    }: _*)
+
+  /** Deterministic hyperplane-sign bucket of an array<double> column. */
+  def lshBucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until NPlanes).map { p =>
+      when(DedupOps.dot(v, planeLit(p)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def simSearchLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = vecs(spark, dir).withColumn("bucket", lshBucket(col("v")))
+    val p = bucketed.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("p_id"), col("v").as("p_v"),
+        col("norm").as("p_norm"), col("bucket").as("p_bucket"))
+    bucketed
+      .join(broadcast(p),
+        col("bucket") === col("p_bucket") && col("vec_id") =!= col("p_id"))
+      .select(col("vec_id"), col("bucket"), round(cosToProbe, 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_search"     -> simSearch _,
     "sim_search_ann" -> simSearchAnn _,
+    "sim_search_lsh" -> simSearchLsh _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -84,6 +84,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got === Seq(Some(11.0), None, Some(6.0)))
   }
 
+  test("sim_search_lsh: bucket-restricted, scores agree with brute force") {
+    val lsh = SimilarityOps.simSearchLsh(spark, sf0001)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toMap
+    assert(lsh.nonEmpty && lsh.size <= 10)
+    // scores for the ids LSH returns must equal the brute-force scores —
+    // bucketing changes the candidate set, never the metric
+    val all = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probeV = all.filter($"vec_id" === 0).select($"v".as("p_v"))
+    val brute = all.crossJoin(broadcast(probeV))
+      .select($"vec_id", round(DedupOps.cosine($"v", $"p_v"), 6).as("c"))
+      .as[(Long, Double)].collect().toMap
+    lsh.foreach { case (id, c) => assert(c === brute(id), s"vec $id") }
+    // and every hit shares the probe's bucket by construction
+    val buckets = all.select($"vec_id",
+        SimilarityOps.lshBucket($"v").as("b")).as[(Long, Int)].collect().toMap
+    val pb = buckets(0L)
+    lsh.keys.foreach(id => assert(buckets(id) === pb))
+  }
+
   test("dedup_embed: pairs canonical and above threshold") {
     val rows = DedupOps.dedupEmbed(spark, sf0001)
       .as[(Long, Long, Double)].collect()
