@@ -105,7 +105,22 @@ object RelationalOps {
       .orderBy(col("event_type"), col("rn"))
   }
 
+  // ── the same top-5-per-group as windowRankTopk, through the custom
+  // TopKPerKey operator (graft.plans): partial bounded heaps BEFORE the
+  // shuffle, so only ≤ k·partitions rows per key move — vs the window
+  // form's full shuffle + full sort. Same rows out (oracled identically,
+  // minus the rank column). ──
+  def topkPerKeyNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+        Tables.events(spark, dir)
+          .select(col("event_type"), col("event_id"), col("value")),
+        keyCols = Seq(col("event_type")),
+        orderCols = Seq(desc("value"), col("event_id")),
+        k = 5)
+      .orderBy(col("event_type"), desc("value"), col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_per_key_native" -> topkPerKeyNative _,
     "join_bhj"          -> joinBhj _,
     "join_smj"          -> joinSmj _,
     "join_semi"         -> joinSemi _,
@@ -117,6 +132,12 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "topk_per_key_native" ->
+      """SELECT event_type, event_id, "value" FROM (
+        |  SELECT event_type, event_id, "value",
+        |    row_number() OVER (PARTITION BY event_type ORDER BY "value" DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 5 ORDER BY event_type, "value" DESC, event_id""".stripMargin,
     "join_bhj" ->
       """SELECT p_brand, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

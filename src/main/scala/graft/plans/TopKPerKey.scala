@@ -1,0 +1,150 @@
+package graft.plans
+
+import scala.collection.mutable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Custom whole-operator: exact top-k rows per key.
+  *
+  * Spark expresses "top k per group" as `row_number().over(partitionBy(key)
+  * .orderBy(...)) <= k` — a full shuffle of EVERY row followed by a full
+  * sort of every partition. At 100 TB of events that plan moves the whole
+  * table to keep 5 rows per key. This operator is the plan you actually
+  * want (preference tier (c) of the build charter — a semantic Spark's
+  * optimizer cannot derive):
+  *
+  *   PartialTopKExec   per input partition, bounded heap per key → emits
+  *                     ≤ k rows per (key, partition); runs map-side,
+  *                     BEFORE the exchange (like partial aggregation)
+  *   exchange          hash on key — carries ≤ k·parts rows per key,
+  *                     not the whole table
+  *   FinalTopKExec     same bounded-heap pass per co-located key → exact
+  *
+  * Correctness: top-k is a semilattice fold (top-k of a union = top-k of
+  * per-part top-ks), so partial+final is exact, not approximate. Ties are
+  * impossible by construction when the ordering ends in a unique tiebreak
+  * column — the deterministic-output house rule anyway.
+  */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Shared bounded-heap pass: one hash map key → k-capped heap. */
+object TopKExec {
+  def topKIterator(
+      iter: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      k: Int): Iterator[InternalRow] = {
+    // max-heap on `ordering` so the WORST retained row is on top
+    val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+    iter.foreach { row =>
+      val key = keyProj(row) // transient buffer — copy only on first sight
+      val heap = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+          heaps.put(key.copy(), h)
+          h
+      }
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (ordering.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+    }
+    heaps.valuesIterator.flatMap(_.iterator)
+  }
+}
+
+case class PartialTopKExec(
+    keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: SparkPlan)
+  extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, os, out, kk) = (keys, order, child.output, k)
+    child.execute().mapPartitions { iter =>
+      TopKExec.topKIterator(iter,
+        UnsafeProjection.create(ks, out), RowOrdering.create(os, out), kk)
+    }
+  }
+  override protected def withNewChildInternal(c: SparkPlan): PartialTopKExec =
+    copy(child = c)
+}
+
+case class FinalTopKExec(
+    keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: SparkPlan)
+  extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, os, out, kk) = (keys, order, child.output, k)
+    child.execute().mapPartitions { iter =>
+      TopKExec.topKIterator(iter,
+        UnsafeProjection.create(ks, out), RowOrdering.create(os, out), kk)
+    }
+  }
+  override protected def withNewChildInternal(c: SparkPlan): FinalTopKExec =
+    copy(child = c)
+}
+
+/** Planner strategy: logical TopKPerKey → partial + (exchange) + final. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      val planned = org.apache.spark.sql.execution.PlanLater(child)
+      FinalTopKExec(keys, order, k, PartialTopKExec(keys, order, k, planned)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing entry point. */
+object TopK {
+  /** Ensure the strategy is installed in this session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(TopKStrategy))
+      spark.experimental.extraStrategies = cur :+ TopKStrategy
+  }
+
+  /** Exact top-k rows per key, ordered by `order` (make the last sort key
+    * unique for deterministic output).
+    *
+    * Column→Expression note: raw `Column`s carry lazy ColumnNode wrappers
+    * that the analyzer only resolves inside KNOWN plan nodes — handing them
+    * straight to a custom node leaves unresolved, unserializable
+    * expressions in the physical plan. So the sort orders and key
+    * expressions are harvested from throwaway ANALYZED `Sort`/`Project`
+    * plans over the same DataFrame (attribute ids line up because the
+    * child subtree is shared). */
+  def perKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    val spark = df.sparkSession
+    register(spark)
+    val sortPlan = GraftSqlBridge.logicalPlan(df.sortWithinPartitions(orderCols: _*))
+      .asInstanceOf[Sort]
+    val keys: Seq[Expression] =
+      if (keyCols.isEmpty) Seq.empty
+      else GraftSqlBridge.logicalPlan(df.select(keyCols: _*))
+        .asInstanceOf[Project].projectList.map {
+          case a: Alias => a.child
+          case e => e
+        }
+    GraftSqlBridge.ofRows(spark,
+      TopKPerKey(keys, sortPlan.order, k, sortPlan.child))
+  }
+}

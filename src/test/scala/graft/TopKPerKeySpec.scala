@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.TopK
+
+/** Custom TopKPerKey operator: equivalence with the window form, plan
+  * shape, edge cases. */
+class TopKPerKeySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def events = graft.sources.Tables.events(spark, sf0001)
+    .select($"event_type", $"event_id", $"value")
+
+  test("equals the row_number window form on real data") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy(desc("value"), $"event_id")
+    val windowed = events.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).drop("rn")
+      .collect().map(_.toSeq).toSet
+    val native = TopK.perKey(events, Seq($"event_type"),
+        Seq(desc("value"), $"event_id"), 5)
+      .collect().map(_.toSeq).toSet
+    assert(native === windowed)
+  }
+
+  test("physical plan shows partial heaps below the exchange") {
+    val df = TopK.perKey(events, Seq($"event_type"),
+      Seq(desc("value"), $"event_id"), 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK"), plan.take(1500))
+    assert(plan.contains("PartialTopK"), plan.take(1500))
+    // partial must sit below the shuffle: its output feeds the exchange
+    val partialIdx = plan.indexOf("PartialTopK")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"exchange@$exchangeIdx partial@$partialIdx\n${plan.take(1500)}")
+  }
+
+  test("k larger than group size returns whole groups; k=1 returns maxima") {
+    val tiny = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 5.0))
+      .toDF("event_type", "event_id", "value")
+    val all = TopK.perKey(tiny, Seq($"event_type"),
+      Seq(desc("value"), $"event_id"), 100).count()
+    assert(all === 3)
+    val top1 = TopK.perKey(tiny, Seq($"event_type"),
+        Seq(desc("value"), $"event_id"), 1)
+      .select($"event_type", $"event_id").as[(String, Long)].collect().toSet
+    assert(top1 === Set(("a", 2L), ("b", 3L)))
+  }
+
+  test("empty keys = global top-k") {
+    val top3 = TopK.perKey(events, Seq.empty, Seq(desc("value"), $"event_id"), 3)
+      .select($"value").as[Double].collect().sorted.reverse
+    val expected = events.orderBy(desc("value"), $"event_id").limit(3)
+      .select($"value").as[Double].collect().sorted.reverse
+    assert(top3.toSeq === expected.toSeq)
+  }
+}
