@@ -129,9 +129,22 @@ object DedupOps {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
     val dict = shingleDict(sh)
-    val withSid = sh.join(broadcast(dict), "shingle")
+    minhashFromSids(sh.join(broadcast(dict), "shingle"), sh)
+  }
+
+  /** Production variant: shingle ids from xxhash64 — no dictionary, no
+    * global rank, nothing driver-wide; THE form to run at 100 TB. Not
+    * oracle-able (xxhash64 seeds can't be replicated in DuckDB SQL), so
+    * it is a rows-only key; tests pin its pairs ⊆ the exhaustive n-gram
+    * pairs and its planted-dup recall. */
+  def dedupMinhashFast(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    minhashFromSids(sh.withColumn("sid", pmod(xxhash64(col("shingle")), lit(P))), sh)
+  }
+
+  private def minhashFromSids(withSid: DataFrame, sh: DataFrame): DataFrame = {
     // 32 hash functions: h_i(sid) = ((2i+1)·sid + 17i+7) mod P — odd
-    // multipliers, exact int64 (sid < vocab ≪ 2^31, product < 2^63).
+    // multipliers, exact int64 (sid < P < 2^31, product < 2^63).
     // The signature is 32 column aggregates in ONE groupBy(doc) — not an
     // explode×32 + re-aggregate, which would shuffle 32× the rows.
     val minCols = (0 until 32).map { i =>
@@ -237,12 +250,13 @@ object DedupOps {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_exact"   -> dedupExact _,
-    "dedup_near"    -> dedupNear _,
-    "dedup_ngram"   -> dedupNgram _,
-    "dedup_minhash" -> dedupMinhash _,
-    "dedup_simhash" -> dedupSimhash _,
-    "dedup_embed"   -> dedupEmbed _,
+    "dedup_exact"        -> dedupExact _,
+    "dedup_near"         -> dedupNear _,
+    "dedup_ngram"        -> dedupNgram _,
+    "dedup_minhash"      -> dedupMinhash _,
+    "dedup_minhash_fast" -> dedupMinhashFast _,
+    "dedup_simhash"      -> dedupSimhash _,
+    "dedup_embed"        -> dedupEmbed _,
   )
 
   /** Shared DuckDB CTE prefix: shingles and their dense ids. */

@@ -122,13 +122,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Production variant of [[textFingerprint]]: fold over `xxhash64(token)`
+    * directly — no dictionary, no global rank. Same 1e9+7 modulus as the
+    * dictionary form (ANSI mode — default-on in Spark 4 — rejects the
+    * wrap-around alternative as overflow). Rows-only key: xxhash64 cannot
+    * be replicated in the DuckDB oracle; tests pin its equivalence classes
+    * to the dictionary form's. */
+  def textFingerprintFast(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("aggregate(transform(split(trim(lower(text)), '\\\\s+')," +
+          " t -> pmod(xxhash64(t), 1000000007)), CAST(0 AS BIGINT)," +
+          " (acc, x) -> (acc * 131 + x) % 1000000007)")
+          .as("fp"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_stats"       -> textStats _,
-    "text_tokens"      -> textTokens _,
-    "text_lang_id"     -> textLangId _,
-    "text_quality"     -> textQuality _,
-    "text_token_count" -> textTokenCount _,
-    "text_fingerprint" -> textFingerprint _,
+    "text_stats"            -> textStats _,
+    "text_tokens"           -> textTokens _,
+    "text_lang_id"          -> textLangId _,
+    "text_quality"          -> textQuality _,
+    "text_token_count"      -> textTokenCount _,
+    "text_fingerprint"      -> textFingerprint _,
+    "text_fingerprint_fast" -> textFingerprintFast _,
   )
 
   private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")

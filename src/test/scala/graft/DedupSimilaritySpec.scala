@@ -35,6 +35,16 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ngram.nonEmpty) // the corpus has planted near-dups
   }
 
+  test("fast (xxhash64) minhash pairs ⊆ exhaustive ngram pairs, jaccard equal") {
+    val ngram = DedupOps.dedupNgram(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val fast = DedupOps.dedupMinhashFast(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(fast.forall { case (a, b, j) => ngram.get((a, b)).contains(j) },
+      "fast minhash surfaced a pair (or jaccard) the exhaustive form disagrees with")
+  }
+
   test("simhash verified pairs all within hamming 3, canonical doc_a<doc_b") {
     val rows = DedupOps.dedupSimhash(spark, sf0001)
       .as[(Long, Long, Int)].collect()

@@ -120,6 +120,41 @@ class IngestPipelineSpec extends SparkSuite {
     assert(cities === Seq("a", "b", "c")) // no loss, no dupes
   }
 
+  test("file-stream over the real events table equals the batch hour-window") {
+    // the dashboard's 5-min rescan (app.py:80-101) as an actual stream:
+    // readStream over the parquet store, one file per micro-batch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource consumes a DIRECTORY of arriving files — stage the
+    // table file into one (also what a real landing zone looks like)
+    val landing = java.nio.file.Files.createTempDirectory("graft_landing")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      landing.resolve("batch-000.parquet"))
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("h"), col("event_type"), col("cnt"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("stream_hours").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM stream_hours")
+        .as[(java.sql.Timestamp, String, Long)].collect()
+        .map(r => (r._1.toInstant.toString, r._2) -> r._3).toMap
+      val batch = graft.streaming.IngestPipeline
+        .streamTumblingAvg(spark, sf0001)
+        .select(to_timestamp(col("hour_s")).as("h"), col("event_type"), col("cnt"))
+        .as[(java.sql.Timestamp, String, Long)].collect()
+        .map(r => (r._1.toInstant.toString, r._2) -> r._3).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("incomplete records dropped inside the stream too") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]

@@ -20,6 +20,19 @@ class TextMultimodalSpec extends SparkSuite {
     assert(fp.values.toSet.size === byText.size)
   }
 
+  test("fast (xxhash64) fingerprint induces the same equivalence classes") {
+    val slow = TextOps.textFingerprint(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val fast = TextOps.textFingerprintFast(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(slow.keySet === fast.keySet)
+    // same partition of docs into identical-sequence groups, even though
+    // the hash values themselves differ
+    val slowGroups = slow.groupBy(_._2).values.map(_.keySet).toSet
+    val fastGroups = fast.groupBy(_._2).values.map(_.keySet).toSet
+    assert(slowGroups === fastGroups)
+  }
+
   test("quality scores bounded to [0,1]; ratios to [0,1]") {
     val rows = TextOps.textQuality(spark, sf0001)
       .select("punct_ratio", "stop_ratio", "quality")
