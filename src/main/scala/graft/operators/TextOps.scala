@@ -137,7 +137,33 @@ object TextOps {
           .as("fp"))
       .orderBy("doc_id")
 
+  // ── the end-to-end corpus-cleaning pipeline, composed from the pieces:
+  // exact-dedup (window form) → quality gate (stopword ratio + length) →
+  // per-language yield report. This is the shape of a real pretraining
+  // data job; each stage is one of this library's verified operators, and
+  // the composition stays a single Catalyst plan (dedup shuffle → per-row
+  // scoring → final aggregation — no materialization between stages). ──
+  def pipelineCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val markers = EnMarkers.map(m => s"'$m'").mkString(", ")
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("toks", toksCol)
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr(s"round(size(filter(toks, t -> t IN ($markers))) / size(toks), 6)"))
+      .filter(col("n_toks") >= 8 && col("stop_ratio") >= 0.05)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("n_toks")).as("kept_tokens"),
+        (sum(col("stop_ratio")).cast("double") / count(lit(1))).as("avg_stop_ratio"))
+      .select(col("lang"), col("kept_docs"), col("kept_tokens"),
+        round(col("avg_stop_ratio"), 6).as("avg_stop_ratio"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> pipelineCleanCorpus _,
     "text_stats"            -> textStats _,
     "text_tokens"           -> textTokens _,
     "text_lang_id"          -> textLangId _,
@@ -150,6 +176,24 @@ object TextOps {
   private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      s"""WITH dedup AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, lang, text,
+         |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM documents) t WHERE rn = 1),
+         |scored AS (
+         |  SELECT lang,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_toks,
+         |    round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x IN ($duckMarkers))) AS DOUBLE) /
+         |      len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS stop_ratio
+         |  FROM dedup)
+         |SELECT lang, count(*) AS kept_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS kept_tokens,
+         |  round(sum(stop_ratio) / count(*), 6) AS avg_stop_ratio
+         |FROM scored WHERE n_toks >= 8 AND stop_ratio >= 0.05
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS cnt,
         |  CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars

@@ -30,6 +30,20 @@ class LayoutSpec extends SparkSuite {
     assert(days > 10) // the corpus spans ~30 days — pruning is meaningful
   }
 
+  test("schema evolution: mergeSchema unifies old and new file layouts") {
+    // at 100 TB the store accumulates years of files; new columns arrive
+    // without rewriting history — mergeSchema + null-backfill semantics
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, 10.0)).toDF("id", "v").write.parquet(s"$dir/d=1")
+    Seq((2L, 20.0, "new")).toDF("id", "v", "tag").write.parquet(s"$dir/d=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "v", "tag", "d"))
+    val rows = merged.select("id", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows(1L) === None) // old files null-backfill the new column
+    assert(rows(2L) === Some("new"))
+  }
+
   test("exact distinct agrees with HLL within its error bound") {
     val exact = graft.operators.AdvancedOps.distinctAgg(spark, sf0001)
       .select("event_type", "n_users").as[(String, Long)].collect().toMap
