@@ -21,6 +21,11 @@ import graft.sources.Tables
   * `events.ts` is nanosecond-precision parquet — Spark truncates to
   * microseconds on read while DuckDB keeps nanoseconds, so raw timestamp
   * output can never hash-match.
+  *
+  * The trailing ORDER BY on row-level queries exists FOR THE ORACLE
+  * HARNESS (hash compare needs a total order). Library users compose the
+  * un-ordered operator; at 100 TB a global sort of a full scan is not part
+  * of any of these operators' semantics.
   */
 object CoreOps {
   private val TsFmt     = "yyyy-MM-dd HH:mm:ss"

@@ -215,6 +215,10 @@ object DedupOps {
   // ── embedding-cosine near-dup (SURVEY §2.10): pairs within the same
   // coarse block (label = stand-in for an IVF cell / LSH bucket; at 100 TB
   // the block key comes from a trained quantizer) with cosine ≥ 0.4.
+  // Within-block comparison is O(B²): the cell count must SCALE WITH the
+  // corpus (√N cells keeps per-cell work constant) — a fixed 16-way split
+  // only works at test scale. Sub-bucket hot cells with lshBucket
+  // (SimilarityOps) when a quantizer cell outgrows its pair budget.
   // Dot/norms via zip_with + aggregate higher-order functions — sequential
   // fold, same order DuckDB evaluates, so values match to the last ULP. ──
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {

@@ -40,7 +40,12 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
-/** Shared bounded-heap pass: one hash map key → k-capped heap. */
+/** Shared bounded-heap pass: one hash map key → k-capped heap.
+  *
+  * Memory: O(distinct keys per partition × k rows) — the same class as
+  * hash aggregation. A production build adds the ObjectHashAggregate-style
+  * fallback (spill the map, sort-based finish) for adversarial key counts;
+  * at 100 TB with key-clustered input files the map stays small. */
 object TopKExec {
   def topKIterator(
       iter: Iterator[InternalRow],

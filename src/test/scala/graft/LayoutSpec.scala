@@ -30,6 +30,33 @@ class LayoutSpec extends SparkSuite {
     assert(days > 10) // the corpus spans ~30 days — pruning is meaningful
   }
 
+  test("bucketed tables join with ZERO exchanges (co-located join)") {
+    // the 100 TB join answer: bucket both facts on the join key at write
+    // time and the shuffle disappears from every subsequent join
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    withBroadcastDisabled {
+      val j = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      assert(j.count() ===
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+    }
+  }
+
+  private def withBroadcastDisabled[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("schema evolution: mergeSchema unifies old and new file layouts") {
     // at 100 TB the store accumulates years of files; new columns arrive
     // without rewriting history — mergeSchema + null-backfill semantics
