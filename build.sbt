@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ScalaTest suites share one JVM and one SparkContext; the extensions
+// suite swaps the default session — run suites sequentially to keep
+// session handling race-free.
+Test / parallelExecution := false

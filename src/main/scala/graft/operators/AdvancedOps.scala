@@ -158,7 +158,34 @@ object AdvancedOps {
       .orderBy("segment")
   }
 
+  // ── cube: all grouping-set combinations (rollup's full-lattice sibling,
+  // same Expand-based plan). ──
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.Exact.sumMoney(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+        col("cnt"), col("sum_qty"), col("g_rf"), col("g_ls"))
+      .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
+
+  // ── lead/lag: the remaining window family — previous/next value along
+  // the per-user timeline (entity-partitioned, single shuffle). ──
+  def windowLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_agg"         -> cubeAgg _,
+    "window_lead_lag"  -> windowLeadLag _,
     "sessionize"       -> sessionize _,
     "asof_join"        -> asofJoin _,
     "rollup_agg"       -> rollupAgg _,
@@ -200,6 +227,21 @@ object AdvancedOps {
         |SELECT event_id AS purchase_id, user_id, last_click_us
         |FROM marked WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    "cube_agg" ->
+      """SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+        |  COALESCE(l_linestatus, '<all>') AS linestatus,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin,
+    "window_lead_lag" ->
+      """SELECT event_id, user_id, "value",
+        |  lag("value", 1) OVER w AS prev_value,
+        |  lead("value", 1) OVER w AS next_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
