@@ -78,8 +78,8 @@ object AdvancedOps {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"),
         graft.functions.Exact.sumMoney(col("l_quantity")).as("sum_qty"),
-        grouping(col("l_returnflag")).as("g_rf"),
-        grouping(col("l_linestatus")).as("g_ls"))
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
       .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
         col("cnt"), col("sum_qty"), col("g_rf"), col("g_ls"))
@@ -165,8 +165,8 @@ object AdvancedOps {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"),
         graft.functions.Exact.sumMoney(col("l_quantity")).as("sum_qty"),
-        grouping(col("l_returnflag")).as("g_rf"),
-        grouping(col("l_linestatus")).as("g_ls"))
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
       .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
         col("cnt"), col("sum_qty"), col("g_rf"), col("g_ls"))
@@ -206,8 +206,8 @@ object AdvancedOps {
         |  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |sess AS (
         |  SELECT user_id, us,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flags)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us

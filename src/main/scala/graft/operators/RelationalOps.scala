@@ -172,7 +172,7 @@ object RelationalOps {
     "window_rank_topk" ->
       """SELECT event_type, event_id, "value", rn FROM (
         |  SELECT event_type, event_id, "value",
-        |    row_number() OVER (PARTITION BY event_type ORDER BY "value" DESC, event_id) AS rn
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY "value" DESC, event_id) AS INTEGER) AS rn
         |  FROM events) t
         |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
   )

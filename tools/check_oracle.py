@@ -50,6 +50,16 @@ def main(sf_dir, out_dir):
         spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         scols = [c.lower() for c in spark_rel.columns]
         srows = spark_rel.fetchall()
+        # type parity: a HUGEINT/TINYINT on the duck side (or int8 on the
+        # spark side) means the engines disagree on the column's shape even
+        # when values compare equal — flag it before the driver might
+        stypes = {c.lower(): str(t) for c, t in zip(spark_rel.columns, spark_rel.types)}
+        dtypes = {c.lower(): str(t) for c, t in zip(duck.columns, duck.types)}
+        for c, t in dtypes.items():
+            if t in ("HUGEINT", "TINYINT", "SMALLINT") or \
+               (c in stypes and t != stypes[c] and
+                    not (t.startswith("DECIMAL") and stypes[c].startswith("DECIMAL"))):
+                print(f"WARN {name}: column '{c}' type {t} (duck) vs {stypes.get(c)} (spark)")
         if sorted(dcols) != sorted(scols):
             print(f"FAIL {name}: columns differ duck={sorted(dcols)} spark={sorted(scols)}")
             n_fail += 1
