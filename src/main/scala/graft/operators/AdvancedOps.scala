@@ -183,7 +183,20 @@ object AdvancedOps {
       .orderBy("event_id")
   }
 
+  // ── bivariate statistics: Pearson correlation + sample covariance per
+  // group (co-moment aggregation merges associatively — the same partial/
+  // final shape as every other agg here; rounded because co-moment merge
+  // order differs across engines in the last ULPs). ──
+  def statsCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_corr"       -> statsCorr _,
     "cube_agg"         -> cubeAgg _,
     "window_lead_lag"  -> windowLeadLag _,
     "sessionize"       -> sessionize _,
@@ -227,6 +240,12 @@ object AdvancedOps {
         |SELECT event_id AS purchase_id, user_id, last_click_us
         |FROM marked WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    "stats_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "cube_agg" ->
       """SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
         |  COALESCE(l_linestatus, '<all>') AS linestatus,
