@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.cosineFunction)
   }
 }
 
@@ -32,4 +33,18 @@ object GraftExtensions {
         "(codegen'd; sequential fold).",
       "", "", "", "", "", "", "built-in"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** cosine(a,b) = dot/(√na·√nb) as an expression tree over [[DotProduct]]. */
+  val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(
+      classOf[DotProduct].getCanonicalName, null, "graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two array<double> columns.",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      val (a, b) = (children(0), children(1))
+      Divide(DotProduct(a, b),
+        Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+    })
 }

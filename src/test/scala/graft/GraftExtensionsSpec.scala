@@ -28,6 +28,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got === 32.0)
   }
 
+  test("graft_cosine composes from the native dot product") {
+    val got = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+        " graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o")
+      .collect().head
+    assert(math.abs(got.getDouble(0) - 1.0) < 1e-12)
+    assert(got.getDouble(1) === 0.0)
+  }
+
   test("type errors surface at analysis, like any built-in") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_dot(array('x'), array('y'))").collect()
