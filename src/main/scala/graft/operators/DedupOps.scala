@@ -253,7 +253,27 @@ object DedupOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  // ── edit-distance verification stage, as the LAST step of the cascade:
+  // shared-shingle candidates → Jaccard ≥ 0.3 (cheap set math) → exact
+  // levenshtein ≤ 25 on the survivors only. Levenshtein is O(len²) per
+  // pair; running it on raw shingle candidates (≈1M pairs at sf0.1) costs
+  // minutes, on the jaccard survivors (hundreds) milliseconds — order the
+  // cascade by cost-per-pair, a shape that holds at any scale. Both
+  // engines' levenshtein is the standard DP distance → integer-exact. ──
+  def dedupEdit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val survivors = dedupNgram(spark, dir) // doc_a, doc_b, jaccard ≥ 0.3
+    survivors
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("da.text"), col("db.text")).as("edit_dist"))
+      .filter(col("edit_dist") <= 25)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit"         -> dedupEdit _,
     "dedup_exact"        -> dedupExact _,
     "dedup_near"         -> dedupNear _,
     "dedup_ngram"        -> dedupNgram _,
@@ -274,6 +294,25 @@ object DedupOps {
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_edit" -> (duckShingles +
+      """,
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
+        |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+        |          GROUP BY doc_a, doc_b),
+        |surv AS (SELECT doc_a, doc_b,
+        |           round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) AS jaccard
+        |         FROM inter JOIN sizes za ON doc_a = za.doc_id
+        |                    JOIN sizes zb ON doc_b = zb.doc_id
+        |         WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) >= 0.3)
+        |SELECT doc_a, doc_b, jaccard,
+        |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+        |FROM surv JOIN documents da ON doc_a = da.doc_id
+        |          JOIN documents db ON doc_b = db.doc_id
+        |WHERE levenshtein(da.text, db.text) <= 25
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

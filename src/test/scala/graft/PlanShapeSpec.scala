@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{CoreOps, RelationalOps}
+
+/** Plan-shape regression tests: pin the scale-discipline facts that
+  * `.explain` audits found, so a refactor that silently loses pushdown or
+  * a broadcast shows up as a red test, not a slow cluster. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flagship joins the dims broadcast, never cartesian") {
+    val plan = planOf(CoreOps.flagshipRevenue(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("summary_stats pushes the date range into the parquet scan") {
+    val plan = planOf(CoreOps.summaryStats(spark, sf0001))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual"),
+      plan.take(2000))
+  }
+
+  test("range_filter pushes the ns-long bounds into the scan") {
+    val plan = planOf(CoreOps.rangeFilter(spark, sf0001))
+    assert(plan.contains("GreaterThanOrEqual(ts,"), plan.take(2000))
+  }
+
+  test("scans prune to the referenced columns only") {
+    val plan = planOf(CoreOps.groupbyAvg(spark, sf0001))
+    // only l_returnflag + l_quantity should be read from the 11-col table
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"),
+      plan.take(2000))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(RelationalOps.topkLimit(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("partial aggregation happens below the shuffle") {
+    val plan = planOf(CoreOps.valueCounts(spark, sf0001))
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+}

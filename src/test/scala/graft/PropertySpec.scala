@@ -68,6 +68,29 @@ class PropertySpec extends SparkSuite {
     assert(once.select("id").as[Long].collect().toSet === Set(1L, 3L, 5L))
   }
 
+  test("TopKPerKey equals the window form for k ∈ {1, 3, 17}") {
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_type", $"event_id", $"value")
+    val w = Window.partitionBy($"event_type").orderBy(desc("value"), $"event_id")
+    for (k <- Seq(1, 3, 17)) {
+      val windowed = events.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).drop("rn").collect().map(_.toSeq).toSet
+      val native = graft.plans.TopK.perKey(events, Seq($"event_type"),
+        Seq(desc("value"), $"event_id"), k).collect().map(_.toSeq).toSet
+      assert(native === windowed, s"k=$k")
+    }
+  }
+
+  test("approx percentile stays within its declared accuracy of exact") {
+    val exact = graft.sources.Tables.lineitem(spark, sf0001)
+      .selectExpr("percentile(l_extendedprice, 0.5)").as[Double].head()
+    val approx = graft.sources.Tables.lineitem(spark, sf0001)
+      .selectExpr("approx_percentile(l_extendedprice, 0.5, 1000)").as[Double].head()
+    // accuracy=1000 → rank error ≤ n/1000; translate via a generous value bound
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("polynomial fingerprint distinguishes permuted token sequences") {
     val fold = "aggregate(wids, CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007)"
     val perms = Seq(Seq(1L, 2L, 3L), Seq(3L, 2L, 1L), Seq(2L, 1L, 3L),
