@@ -32,7 +32,11 @@ object GraftExtensions {
       "graft_dot(a, b) - dot product of two array<double> columns " +
         "(codegen'd; sequential fold).",
       "", "", "", "", "", "", "built-in"),
-    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_dot requires exactly 2 arguments, got ${children.length}")
+      DotProduct(children(0), children(1))
+    })
 
   /** cosine(a,b) = dot/(√na·√nb) as an expression tree over [[DotProduct]]. */
   val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -43,6 +47,8 @@ object GraftExtensions {
       "", "", "", "", "", "", "built-in"),
     (children: Seq[Expression]) => {
       import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      require(children.length == 2,
+        s"graft_cosine requires exactly 2 arguments, got ${children.length}")
       val (a, b) = (children(0), children(1))
       Divide(DotProduct(a, b),
         Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))

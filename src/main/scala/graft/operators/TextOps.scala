@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -20,6 +20,15 @@ object TextOps {
 
   /** Lowercased whitespace tokens of `text`. */
   private def toksCol = split(trim(lower(col("text"))), "\\s+")
+
+  /** Fraction of tokens (column `toks`) that are English stopword markers,
+    * rounded to 6 dp — the ONE definition shared by lang-ID, quality
+    * scoring and the cleaning pipeline (and mirrored verbatim in each
+    * DuckDB oracle). */
+  private def stopRatioCol: Column = {
+    val markers = EnMarkers.map(m => s"'$m'").mkString(", ")
+    expr(s"round(size(filter(toks, t -> t IN ($markers))) / size(toks), 6)")
+  }
 
   // ── per-language doc counts + avg length (SURVEY §2.10 text_stats).
   // n_chars is integral: its sum is exact in int64 and its double mean is a
@@ -49,11 +58,9 @@ object TextOps {
   // classification CASE — is identical. ──
   private val EnMarkers = Seq("the", "a", "of", "and", "is", "to", "in")
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val markers = EnMarkers.map(m => s"'$m'").mkString(", ")
     Tables.documents(spark, dir)
       .withColumn("toks", toksCol)
-      .withColumn("marker_ratio",
-        expr(s"round(size(filter(toks, t -> t IN ($markers))) / size(toks), 6)"))
+      .withColumn("marker_ratio", stopRatioCol)
       .select(col("doc_id"), col("marker_ratio"),
         when(col("marker_ratio") >= 0.10, lit("en")).otherwise(lit("und"))
           .as("pred_lang"))
@@ -65,7 +72,6 @@ object TextOps {
   // inputs are exact integer counts, so the double arithmetic is
   // engine-deterministic. ──
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val markers = EnMarkers.map(m => s"'$m'").mkString(", ")
     Tables.documents(spark, dir)
       .withColumn("toks", toksCol)
       .withColumn("n_toks", size(col("toks")))
@@ -74,8 +80,7 @@ object TextOps {
         length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
       .withColumn("punct_ratio",
         round((col("chars") - col("alnum_chars")).cast("double") / col("chars"), 6))
-      .withColumn("stop_ratio",
-        expr(s"round(size(filter(toks, t -> t IN ($markers))) / size(toks), 6)"))
+      .withColumn("stop_ratio", stopRatioCol)
       .withColumn("avg_word_len",
         round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
           col("n_toks"), 6))
@@ -144,19 +149,20 @@ object TextOps {
   // the composition stays a single Catalyst plan (dedup shuffle → per-row
   // scoring → final aggregation — no materialization between stages). ──
   def pipelineCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val markers = EnMarkers.map(m => s"'$m'").mkString(", ")
     val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .withColumn("toks", toksCol)
       .withColumn("n_toks", size(col("toks")))
-      .withColumn("stop_ratio",
-        expr(s"round(size(filter(toks, t -> t IN ($markers))) / size(toks), 6)"))
+      .withColumn("stop_ratio", stopRatioCol)
       .filter(col("n_toks") >= 8 && col("stop_ratio") >= 0.05)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("kept_docs"),
         sum(col("n_toks")).as("kept_tokens"),
-        (sum(col("stop_ratio")).cast("double") / count(lit(1))).as("avg_stop_ratio"))
+        // stop_ratio is a 6-dp value: decimal(18,6) sums it losslessly —
+        // a raw double sum would be partition-order-dependent (house rule)
+        (sum(col("stop_ratio").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_stop_ratio"))
       .select(col("lang"), col("kept_docs"), col("kept_tokens"),
         round(col("avg_stop_ratio"), 6).as("avg_stop_ratio"))
       .orderBy("lang")
@@ -191,7 +197,7 @@ object TextOps {
          |  FROM dedup)
          |SELECT lang, count(*) AS kept_docs,
          |  CAST(sum(n_toks) AS BIGINT) AS kept_tokens,
-         |  round(sum(stop_ratio) / count(*), 6) AS avg_stop_ratio
+         |  round(CAST(sum(CAST(stop_ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_stop_ratio
          |FROM scored WHERE n_toks >= 8 AND stop_ratio >= 0.05
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_stats" ->

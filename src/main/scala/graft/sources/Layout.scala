@@ -22,7 +22,11 @@ object Layout {
     events
       .withColumn("day", to_date(col("ts")))
       .repartition(col("day"))
-      .sortWithinPartitions(col("event_type"), col("ts"))
+      // the writer REQUIRES ordering to start with the partition column;
+      // leading with (event_type, ts) alone would make Spark insert its own
+      // day-sort on top, wasting the first sort and leaving the within-file
+      // order to unguaranteed stability
+      .sortWithinPartitions(col("day"), col("event_type"), col("ts"))
       .write.mode("overwrite")
       .partitionBy("day")
       .parquet(path)

@@ -111,7 +111,7 @@ object IngestPipeline {
     "stream_tumbling_avg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
         |  event_type, count(*) AS cnt,
-        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value") AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
   )
 }

@@ -48,9 +48,13 @@ class TopKPerKeySpec extends SparkSuite {
     assert(top1 === Set(("a", 2L), ("b", 3L)))
   }
 
-  test("empty keys = global top-k") {
-    val top3 = TopK.perKey(events, Seq.empty, Seq(desc("value"), $"event_id"), 3)
+  test("empty keys = global top-k, even on multi-partition input") {
+    // repartition(7) forces the case the single-file read hides: partials
+    // from many partitions must be coalesced before the final pass
+    val multi = events.repartition(7)
+    val top3 = TopK.perKey(multi, Seq.empty, Seq(desc("value"), $"event_id"), 3)
       .select($"value").as[Double].collect().sorted.reverse
+    assert(top3.length === 3)
     val expected = events.orderBy(desc("value"), $"event_id").limit(3)
       .select($"value").as[Double].collect().sorted.reverse
     assert(top3.toSeq === expected.toSeq)
