@@ -184,18 +184,12 @@ object DedupOps {
     val withSid = sh.join(broadcast(dict), "shingle")
       // per-shingle 31-bit hash
       .withColumn("sh_hash", (col("sid") * 1103515245L + 12345L) % P)
-    // per-bit ±1 weights summed as 32 column aggregates in ONE groupBy(doc)
-    // (not explode×32 + double groupBy); fp assembled from the 32 sums.
-    val bitSums = (0 until 32).map { b =>
-      sum(expr(s"CASE WHEN shiftright(sh_hash, $b) % 2 = 1 THEN 1 ELSE -1 END"))
-        .as(s"w$b")
-    }
-    val fpExpr = (0 until 32).map { b =>
-      expr(s"CASE WHEN w$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b)" +
-        " ELSE CAST(0 AS BIGINT) END")
-    }.reduce(_ + _)
-    val fp = withSid.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fpExpr.as("fp"))
+    // fingerprint via the custom TypedImperativeAggregate: one buffer of 32
+    // signed bit-counters per doc, partial-aggregated map-side — identical
+    // counters and sign rule as the 32-separate-sums formulation, so the
+    // DuckDB oracle (which spells out the sums) is unchanged.
+    val fp = withSid.groupBy(col("doc_id"))
+      .agg(graft.functions.SimhashAgg(col("sh_hash")).as("fp"))
     val chunks = fp.select(col("doc_id"), col("fp"),
       explode(expr("sequence(0, 3)")).as("c"))
       .withColumn("chunk", expr("shiftright(fp, c * 8) % 256"))
