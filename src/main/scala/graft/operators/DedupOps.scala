@@ -56,12 +56,25 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Candidate-generation guard: shingles occurring in more than this many
+    * documents are dropped from CANDIDATE PAIRING (not from Jaccard
+    * computation) — a stop-shingle cap. Without it, one boilerplate shingle
+    * shared by 1M docs yields 5·10^11 candidate pairs; with it, the worst
+    * shingle contributes ≤ cap². This corpus tops out at doc-freq 25, so
+    * the cap is inert here — it exists for adversarial distributions. */
+  private val ShingleDocFreqCap = 1000
+
+  /** SimHash chunk buckets larger than this are skipped in candidate
+    * generation (same pigeonhole guard, same rationale; max observed bucket
+    * here is 68). */
+  private val ChunkBucketCap = 1000
+
   /** Distinct (doc_id, word-3-gram-shingle) pairs. Word 3-grams, not word
     * sets: this corpus draws ~16 words from a ~30-word vocabulary, so word
     * SETS collide for most document pairs (measured: 92k of 125k pairs have
     * set-Jaccard ≥ 0.5 at sf0.01) while 3-gram shingles separate cleanly. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(spark, dir)
       .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
       .select(col("doc_id"),
         // guard: sequence(1, 0) in Spark generates a DESCENDING sequence,
@@ -72,6 +85,14 @@ object DedupOps {
             " ELSE CAST(array() AS ARRAY<STRING>) END"))
           .as("shingle"))
       .distinct()
+    // stop-shingle cap as a window count (one shuffle on shingle, no extra
+    // join). The capped universe applies UNIFORMLY — intersections AND set
+    // sizes — so Jaccard stays a true Jaccard over informative shingles.
+    raw.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= ShingleDocFreqCap)
+      .drop("df")
+  }
 
   /** Shingle vocabulary → dense id (oracle-deterministic stand-in for
     * xxhash64; see object scaladoc). Vocabulary-sized, broadcastable. */
@@ -193,6 +214,13 @@ object DedupOps {
     val chunks = fp.select(col("doc_id"), col("fp"),
       explode(expr("sequence(0, 3)")).as("c"))
       .withColumn("chunk", expr("shiftright(fp, c * 8) % 256"))
+      // bucket cap: a chunk value shared by >cap docs is degenerate for
+      // pairing (candidate blow-up); skip it — pairs still surface via
+      // their other three chunks (inert on this corpus, max bucket 68)
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("c"), col("chunk"))))
+      .filter(col("bucket_n") <= ChunkBucketCap)
+      .drop("bucket_n")
     val cand = chunks.as("a").join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -280,8 +308,10 @@ object DedupOps {
   /** Shared DuckDB CTE prefix: shingles and their dense ids. */
   private val duckShingles =
     """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM t),
+      |sh AS (SELECT doc_id, shingle FROM sh0
+      |       QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
       |dict AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
       |         FROM (SELECT DISTINCT shingle FROM sh)),
       |ws AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
@@ -363,7 +393,8 @@ object DedupOps {
         |fp AS (SELECT doc_id, sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS fp
         |       FROM wsum GROUP BY doc_id),
         |chunks AS (SELECT doc_id, fp, c, (fp >> (c * 8)) % 256 AS chunk
-        |           FROM fp, (SELECT unnest(range(0, 4)) AS c)),
+        |           FROM fp, (SELECT unnest(range(0, 4)) AS c)
+        |           QUALIFY count(*) OVER (PARTITION BY c, chunk) <= 1000),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a, b.doc_id AS doc_b, b.fp AS fp_b
         |         FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk
         |              AND a.doc_id < b.doc_id)
