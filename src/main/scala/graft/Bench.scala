@@ -15,6 +15,21 @@ object Bench {
     // classloading + first-codegen cost (it would otherwise dominate its
     // own timing by ~2s regardless of which query runs first)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // micro mode (dev): `runMain graft.Bench <key> [iters]` times one key
+    // repeatedly — separates per-session constants (codegen, cache fill)
+    // from steady-state cost. No args = the driver's full-inventory mode.
+    if (args.nonEmpty) {
+      val key = args(0)
+      val iters = if (args.length > 1) args(1).toInt else 3
+      val fn = SparkEntry.queries(key)
+      (1 to iters).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        println(f"[micro] $key iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop()
+      return
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
