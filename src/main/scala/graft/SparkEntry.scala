@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      AdvancedOps.queries ++ graft.streaming.IngestPipeline.queries ++
+      AdvancedOps.queries ++ SqlSurfaceOps.queries ++
+      graft.streaming.IngestPipeline.queries ++
       graft.ml.IvfIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      AdvancedOps.oracles ++ graft.streaming.IngestPipeline.oracles
+      AdvancedOps.oracles ++ SqlSurfaceOps.oracles ++
+      graft.streaming.IngestPipeline.oracles
 }

@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Second ring of declared relational completions (SURVEY.md §2.4–§2.7):
+  * the ANSI-SQL surface a user coming from the reference's pandas workflow
+  * would reach for next — grouping sets, set ops beyond UNION, full-outer /
+  * range joins, running windows, filtered aggregates, ordered string
+  * aggregation, deterministic sampling, mergeable-sketch distinct counts,
+  * regexp and map functions. Every operator keeps the library's two house
+  * rules: (1) deterministic output (explicit orderings + exact decimal
+  * arithmetic for money sums, see [[graft.functions.Exact]]), and (2) a
+  * 100 TB-shaped physical plan — no cross joins, no driver-side loops,
+  * band joins bucketed so the candidate space is O(n), not O(n²).
+  */
+object SqlSurfaceOps {
+
+  // ── GROUPING SETS with two non-nested sets — the shape neither rollup
+  // nor cube produces. Spark plans one Expand + one hash aggregate: a
+  // single pass over lineitem at any scale. ──
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+        col("cnt"), col("sum_qty"), col("g_rf"), col("g_ls"))
+      .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
+
+  // ── INTERSECT (set semantics, distinct): users who both clicked and
+  // purchased. Spark plans a left-semi join over distinct inputs — the
+  // same hash-dedup + semi shape DuckDB uses; shuffle on user_id only. ──
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy("user_id")
+  }
+
+  // ── EXCEPT (set semantics): users who clicked but never purchased —
+  // left-anti join over distincts. ──
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .except(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy("user_id")
+  }
+
+  // ── FULL OUTER join of two aggregates: per-nation customer count vs
+  // supplier count, nations present on either side. Aggregating BEFORE the
+  // join shrinks both sides to dimension size — the join is then trivially
+  // broadcastable; the unaggregated form would full-outer two fact tables. ──
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  /** 60 seconds in microseconds — the band width of [[joinRange]]. */
+  private val BandUs = 60L * 1000 * 1000
+
+  // ── Bucketed range (band) join: for every `error` event, how many
+  // `click` events did the same user make in the preceding 60 s (inclusive
+  // both ends)? A naive `ON c.us BETWEEN e.us-60s AND e.us` is a
+  // BroadcastNestedLoopJoin — O(errors × clicks), dead at scale. The
+  // bucketed form bins both sides into 60 s buckets, explodes the probe
+  // side into the (only) 2 buckets its band can overlap, equi-joins on
+  // (user_id, bucket) — a plain shuffle hash join with O(n) candidates —
+  // then applies the exact band predicate. Same rows, scale-safe plan.
+  // All arithmetic on integer µs (events.ts nanos div 1000) so the DuckDB
+  // oracle (epoch_ns // 1000) agrees exactly at the band boundaries. ──
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsRawNanos(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    // integer `div`, not `/`: double division + cast can land a boundary
+    // timestamp in the wrong bucket at epoch-µs magnitudes
+    val errors = ev.filter(col("event_type") === "error")
+      .withColumn("bucket",
+        explode(array(expr(s"us div $BandUs"),
+          expr(s"(us - $BandUs) div $BandUs"))))
+      .dropDuplicates("event_id", "bucket") // both band ends in one bucket
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("us").as("c_us"),
+        expr(s"us div $BandUs").as("bucket"))
+    errors.join(clicks,
+        errors("user_id") === clicks("c_user_id") &&
+          errors("bucket") === clicks("bucket") &&
+          clicks("c_us").between(errors("us") - BandUs, errors("us")),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("c_us")).as("n_prior_clicks"))
+      .orderBy("event_id")
+  }
+
+  // ── Running total (cumulative window): revenue-to-date per customer over
+  // their order history. Frame is the default RANGE UNBOUNDED PRECEDING..
+  // CURRENT ROW over a total order (o_orderdate, o_orderkey) — ties are
+  // impossible, so RANGE ≡ ROWS and both engines agree. Decimal sum inside
+  // the frame keeps the running values bitwise-stable. ──
+  def windowCumsum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(money(col("o_totalprice"))).over(w).cast("double")
+          .as("revenue_to_date"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ── NTILE quartiles of order value. ntile needs a total order for
+  // determinism: (o_totalprice DESC, o_orderkey) is tie-free. ──
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  // ── Filtered (conditional) aggregates — one pass, no self-joins: the
+  // `FILTER (WHERE ...)`/count_if surface. The reference computes its
+  // branch stats in 4 pandas passes (`app.py:116-124`); this is the
+  // single-Aggregate form Catalyst folds them into. ──
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(when(col("l_discount") > 0.05, 1)).as("cnt_discounted"),
+        sum(when(col("l_discount") > 0.05, money(col("l_extendedprice")))
+          .otherwise(lit(BigDecimal(0)))).cast("double").as("rev_discounted"),
+        count(when(col("l_quantity") >= 25, 1)).as("cnt_bulk"))
+      .orderBy("l_returnflag")
+
+  // ── Ordered string aggregation (LISTAGG/string_agg): nations per region,
+  // comma-joined in name order. collect_list is per-partition
+  // nondeterministic, so sort INSIDE the row (array_sort) before joining —
+  // the only deterministic formulation that also keeps the aggregation
+  // partial-merge-friendly (arrays concat associatively; sort happens once
+  // at the end on a dimension-sized result). ──
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+        .as("nations"))
+      .orderBy("r_name")
+  }
+
+  // ── Deterministic systematic sample: every 20th order key, then
+  // aggregate. Unlike TABLESAMPLE (seeded per-split, engine-specific), a
+  // key-modulus predicate is reproducible across engines, pushes down to
+  // the scan, and at 100 TB gives an unbiased 5% systematic sample when
+  // keys are uncorrelated with measures. ──
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(pmod(col("l_orderkey"), lit(20)) === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  // ── Approximate distinct (HLL): users per event type via
+  // approx_count_distinct, alongside the exact count for error inspection.
+  // At 100 TB the sketch is the only sane default: fixed memory per group,
+  // mergeable across partitions (partial aggregation works), one shuffle
+  // of sketch bytes instead of a (group, value) expand. No oracle —
+  // HLL implementations differ across engines; the ScalaTest asserts
+  // relative error < 5% against the exact count. ──
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  // ── Regexp surface: leading word of each document (RE2-safe pattern),
+  // frequency-counted. regexp_extract returns '' on no-match in BOTH Spark
+  // and DuckDB — the empty-string group is kept to pin that semantic. ──
+  def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(regexp_extract(col("text"), "^([A-Za-z]+)", 1).as("first_word"))
+      .groupBy(col("first_word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("first_word"))
+
+  // ── MapType round-trip: per-user map of event_type → count built with
+  // map_from_entries(collect_list(struct)), then exploded back to rows.
+  // Proves the map column type end-to-end (build, carry through a shuffle,
+  // explode) while staying oracle-able — the round-trip is semantically
+  // the plain groupBy count. ──
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("cnt")))))
+        .as("type_counts"))
+      .select(col("user_id"), explode(col("type_counts"))
+        .as(Seq("event_type", "cnt")))
+      .orderBy("user_id", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets"   -> groupingSetsAgg _,
+    "set_intersect"   -> setIntersect _,
+    "set_except"      -> setExcept _,
+    "join_full_outer" -> joinFullOuter _,
+    "join_range"      -> joinRange _,
+    "window_cumsum"   -> windowCumsum _,
+    "window_ntile"    -> windowNtile _,
+    "conditional_agg" -> conditionalAgg _,
+    "string_agg"      -> stringAgg _,
+    "sample_hash"     -> sampleHash _,
+    "approx_distinct" -> approxDistinct _,
+    "regexp_funcs"    -> regexpFuncs _,
+    "map_funcs"       -> mapFuncs _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+        |  COALESCE(l_linestatus, '<all>') AS linestatus,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(c.n_customers, 0) AS n_customers,
+        |  COALESCE(s.n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1) s
+        |USING (nationkey)
+        |ORDER BY nationkey""".stripMargin,
+    "join_range" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT e.event_id, count(c.us) AS n_prior_clicks
+        |FROM ev e
+        |LEFT JOIN ev c ON c.user_id = e.user_id AND c.event_type = 'click'
+        |  AND c.us BETWEEN e.us - 60000000 AND e.us
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    "window_cumsum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |    AS DOUBLE) AS revenue_to_date
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_ntile" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+        |    AS INTEGER) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "conditional_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS cnt_discounted,
+        |  CAST(COALESCE(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE) AS rev_discounted,
+        |  count(*) FILTER (WHERE l_quantity >= 25) AS cnt_bulk
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "sample_hash" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 20 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "regexp_funcs" ->
+      """SELECT COALESCE(regexp_extract(text, '^([A-Za-z]+)', 1), '') AS first_word,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY cnt DESC, first_word""".stripMargin,
+    "map_funcs" ->
+      """SELECT user_id, event_type, count(*) AS cnt
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+  )
+}

