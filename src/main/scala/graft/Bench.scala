@@ -19,19 +19,25 @@ object Bench {
     // repeatedly — separates per-session constants (codegen, cache fill)
     // from steady-state cost. No args = the driver's full-inventory mode.
     if (args.nonEmpty) {
-      val key = args(0)
+      val keys = args(0).split(",") // one key, or a comma-joined session mix
       val iters = if (args.length > 1) args(1).toInt else 3
-      val fn = SparkEntry.queries(key)
       (1 to iters).foreach { i =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        println(f"[micro] $key iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        keys.foreach { key =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(key)(spark, sfDir).count()
+          println(f"[micro] $key iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       }
       spark.stop()
       return
     }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // hermetic per key: cached plans from a previous key would otherwise
+      // make this key's number depend on inventory order (and accumulated
+      // cache blocks showed up as multi-second GC spikes on the wide
+      // self-join keys)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -39,12 +45,14 @@ object Bench {
           failed ::= name
           false
       }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name: $sec%.2f s")
       // a failed query must not masquerade as a fast one: sentinel -1
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
