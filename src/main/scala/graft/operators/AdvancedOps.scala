@@ -135,6 +135,51 @@ object AdvancedOps {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  // ── TPC-H Q3 shipping-priority: the classic filter→join→join→agg→top-k
+  // pipeline. Customer is dim-sized → broadcast; lineitem⋈orders is the
+  // large pair and shuffles once on orderkey; the final top-10 is
+  // TakeOrderedAndProject (per-partition heaps), never a global sort.
+  // (Our orders table has no o_shippriority; o_orderpriority stands in.) ──
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ── TPC-H Q6 forecast-revenue: pure scan-side query — every predicate
+  // pushes into the parquet scan (row-group skipping on shipdate), the
+  // aggregate is a single partial+final sum with no groups. The canonical
+  // "is pushdown actually happening" probe at 100 TB. ──
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(Exact.money(col("l_extendedprice")) * Exact.frac(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   // ── salted JOIN: the hot-key template for fact⋈dim when one probe key
   // dominates (AQE skew-join handles sorted/shuffled joins at runtime;
   // explicit salting is the portable fallback and the only option for
@@ -205,6 +250,8 @@ object AdvancedOps {
     "distinct_agg"     -> distinctAgg _,
     "salted_agg"       -> saltedAgg _,
     "tpch_q1"          -> tpchQ1 _,
+    "tpch_q3"          -> tpchQ3 _,
+    "tpch_q6"          -> tpchQ6 _,
     "join_skew_salted" -> joinSkewSalted _,
   )
 
@@ -261,6 +308,26 @@ object AdvancedOps {
         |  lead("value", 1) OVER w AS next_value
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

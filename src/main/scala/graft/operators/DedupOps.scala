@@ -294,7 +294,108 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ── duplicate CLUSTERING: near-dup pairs only say "a≈b"; dedup at corpus
+  // scale needs the transitive closure (a≈b, b≈c ⇒ {a,b,c} is one group,
+  // keep one representative). Connected components via iterative min-label
+  // propagation over the verified n-gram pair graph: each round, every
+  // node takes the min label among itself and its neighbors; fixpoint in
+  // O(component diameter) rounds — dup clusters are shallow (stars/chains
+  // of boilerplate variants), so 2–4 rounds in practice. Each round is ONE
+  // shuffle join + ONE groupBy — the GraphX-free formulation that runs
+  // anywhere DataFrames run. The driver holds only an 8-byte convergence
+  // checksum per round (sum of labels, monotone decreasing — unchanged ⇔
+  // no label moved). AT 100 TB: same loop, with per-round
+  // `localCheckpoint()` to truncate lineage; edge count is bounded by the
+  // candidate caps upstream. cluster_id = min doc_id of the group;
+  // singletons keep their own id. ──
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    dedupClusterWithCap(spark, dir, SmallGraphEdgeCap)
+
+  /** Driver union-find is used when the pair graph has at most this many
+    * (directed) edges: 2M edges ≈ 32 MB on the driver — trivial against
+    * executor-shuffle round costs. Candidate caps upstream already bound
+    * the pair graph; a corpus that still exceeds this takes the
+    * distributed path. */
+  private val SmallGraphEdgeCap = 2000000L
+
+  private[graft] def dedupClusterWithCap(
+      spark: SparkSession, dir: String, smallCap: Long): DataFrame = {
+    val pairs = dedupNgram(spark, dir).select(col("doc_a"), col("doc_b"))
+      .cache()
+    val nEdges = pairs.count() * 2
+    // propagate over edge ENDPOINTS only — a singleton's label can never
+    // change, so the cluster computation is proportional to the DUP GRAPH
+    // (pairs that survived candidate pruning + Jaccard), not the corpus;
+    // singletons rejoin via the final left join
+    val labels: DataFrame =
+      if (nEdges <= smallCap) {
+        // small-graph fast path: exact union-find on the driver. After
+        // pruning, the dup graph is orders smaller than the corpus; one
+        // collect of id PAIRS (never documents) replaces 2+ rounds of
+        // 4-stage shuffles. This is the same hybrid every production CC
+        // implementation ships; memory is bounded by the cap.
+        val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent.getOrElse(c, c); parent(c) = r; c = n
+          }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct
+        import spark.implicits._
+        nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
+      } else distributedMinLabel(
+        pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst").cache())
+    pairs.unpersist()
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Large-graph path: iterative min-label propagation with pointer
+    * jumping (path halving) — O(log diameter) rounds, each ONE shuffle
+    * join + ONE groupBy + ONE jump join, convergence detected by an
+    * 8-byte monotone checksum on the driver. At 100 TB add a per-round
+    * `localCheckpoint()` to truncate lineage. */
+  private def distributedMinLabel(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var checksum = -1L
+    var converged = false
+    while (!converged) {
+      val msgs = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val prop = labels.union(msgs)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      val next = prop.as("a")
+        .join(prop.select(col("node").as("jn"), col("label").as("jl")).as("b"),
+          col("a.label") === col("jn"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("jl"), col("a.label")).as("label"))
+        .cache()
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == checksum
+      checksum = nextSum
+    }
+    edges.unpersist()
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster"      -> dedupCluster _,
     "dedup_edit"         -> dedupEdit _,
     "dedup_exact"        -> dedupExact _,
     "dedup_near"         -> dedupNear _,
@@ -318,6 +419,32 @@ object DedupOps {
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // transitive closure in SQL: WITH RECURSIVE reachability from every
+    // edge endpoint, component id = min reached node — integer-exact, so
+    // it hash-matches the Spark label-propagation fixpoint.
+    "dedup_cluster" -> (duckShingles.replace("WITH t AS", "WITH RECURSIVE t AS") +
+      """,
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
+        |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+        |          GROUP BY doc_a, doc_b),
+        |surv AS (SELECT doc_a, doc_b
+        |         FROM inter JOIN sizes za ON doc_a = za.doc_id
+        |                    JOIN sizes zb ON doc_b = zb.doc_id
+        |         WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) >= 0.3),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM surv
+        |          UNION SELECT doc_b, doc_a FROM surv),
+        |reach(origin, node) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT r.origin, e.d FROM reach r JOIN edges e ON e.s = r.node),
+        |comp AS (SELECT origin AS doc_id, min(node) AS cluster_id
+        |         FROM reach GROUP BY origin)
+        |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     "dedup_edit" -> (duckShingles +
       """,
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -95,13 +95,64 @@ object SimilarityOps {
       .limit(10)
   }
 
+  // ── per-label centroid (the "train the coarse quantizer" building block:
+  // IVF cell centers, cluster means for k-means iterations). Unpivot each
+  // vector with posexplode, average per (label, position), re-assemble the
+  // array in position order. Both shuffles are keyed on (label[, pos]) —
+  // fully partial-aggregated, no vector ever on the driver. Components are
+  // summed in DECIMAL(18,9) (the float32 inputs survive that cast with
+  // identical rounding in both engines), making the sum associative →
+  // bitwise-reproducible under any partitioning, then divided once. ──
+  def embedCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => round(s.getField("c"), 6)).as("centroid"))
+      .orderBy("label")
+
+  // ── symmetric int8 quantization: q[i] = round(v[i] · 127/max|v|) — the
+  // storage-scale path for embedding corpora (4× smaller than float32,
+  // dot products in integer SIMD). Pure per-row transform: no shuffle at
+  // all, runs at scan speed; scale factor kept alongside for dequant. ──
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        transform(col("v"), x => round(x * col("scale")).cast("int")).as("q"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_search"     -> simSearch _,
     "sim_search_ann" -> simSearchAnn _,
     "sim_search_lsh" -> simSearchLsh _,
+    "embed_centroid" -> embedCentroid _,
+    "embed_quantize" -> embedQuantize _,
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_centroid" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |comp AS (
+        |  SELECT label, i - 1 AS pos,
+        |    CAST(sum(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
+        |  FROM e, range(1, 65) t(i)
+        |  GROUP BY label, i)
+        |SELECT label, list(round(c, 6) ORDER BY pos) AS centroid
+        |FROM comp GROUP BY label ORDER BY label""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        |      FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS q
+        |FROM s ORDER BY vec_id""".stripMargin,
     "sim_search" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT vec_id AS p_id, v AS p_v FROM e WHERE vec_id = 0)

@@ -168,7 +168,36 @@ object TextOps {
       .orderBy("lang")
   }
 
+  // ── TF-IDF distinctive term per document. tf/df/N are exact integers;
+  // the ARGMAX is taken on the integer key (tf DESC, df ASC, term) —
+  // equivalent to maximizing tf·ln(N/df) up to ties, but immune to
+  // cross-engine libm ULP differences in `ln`; the score itself is
+  // emitted rounded for display. Two shuffles (doc_id+term, term) and a
+  // broadcast of the 1-row corpus count — no vocabulary ever on the
+  // driver, so the shape holds at any corpus size. ──
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokens = docs
+      .select(col("doc_id"), explode(toksCol).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tf"), col("df"), col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("tfidf"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf"            -> textTfidf _,
     "pipeline_clean_corpus" -> pipelineCleanCorpus _,
     "text_stats"            -> textStats _,
     "text_tokens"           -> textTokens _,
@@ -182,6 +211,21 @@ object TextOps {
   private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens
+        |       WHERE term <> '' GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |FROM (SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, df.df, tf.term) AS rn
+        |      FROM tf JOIN df USING (term), n) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH dedup AS (
          |  SELECT * FROM (
