@@ -82,6 +82,51 @@ object IngestPipeline {
   def ingest(raw: DataFrame, json: Column): DataFrame =
     withLocalTime(validated(flatten(raw, json)))
 
+  /** Streaming dedup of redelivered records: the reference's pipeline is
+    * at-least-once (auto-commit consumer + blind insert_one,
+    * `consumer.py:22,78`) so replays DUPLICATE rows in MongoDB; this stage
+    * drops them by natural key (city, dt) with state bounded by the
+    * watermark — `dropDuplicatesWithinWatermark` evicts seen-keys older
+    * than the 10-minute horizon, so state is O(keys per horizon), not
+    * O(stream). The at-scale-correct streaming dedup (an unbounded
+    * dropDuplicates would OOM a year-long stream). */
+  def dedupedStream(obs: DataFrame): DataFrame =
+    obs.withWatermark("obs_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("city", "dt")
+
+  /** Stream-static enrichment join (J1 in streaming form): each arriving
+    * observation picks up its island from the 16-row dimension. The static
+    * side broadcasts; no stream-side state at all — the join is stateless
+    * per micro-batch, the same plan a 1000-executor cluster runs. */
+  def enriched(obs: DataFrame, islandDim: DataFrame): DataFrame =
+    obs.join(broadcast(islandDim), Seq("city"), "left")
+      .withColumn("pulau", coalesce(col("pulau"), lit("Lainnya")))
+
+  /** FIXTURES.md A3 — the app.py:15-23 island dimension as a DataFrame. */
+  def islandDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      "Medan" -> "Sumatera", "Padang" -> "Sumatera", "Palembang" -> "Sumatera",
+      "Jakarta" -> "Jawa", "Bandung" -> "Jawa", "Surabaya" -> "Jawa",
+      "Pontianak" -> "Kalimantan", "Banjarmasin" -> "Kalimantan",
+      "Samarinda" -> "Kalimantan",
+      "Makassar" -> "Sulawesi", "Manado" -> "Sulawesi", "Palu" -> "Sulawesi",
+      "Jayapura" -> "Papua",
+      "Denpasar" -> "Bali-Nusa", "Mataram" -> "Bali-Nusa",
+      "Ambon" -> "Maluku",
+    ).toDF("city", "pulau")
+  }
+
+  /** Sliding-window variant of [[tumblingAvg]]: 10-minute windows sliding
+    * every 5 — each event lands in 2 windows (window/slide overlap factor
+    * bounds the state and row amplification). */
+  def slidingAvg(obs: DataFrame): DataFrame =
+    obs.withWatermark("obs_ts", "10 minutes")
+      .groupBy(window(col("obs_ts"), "10 minutes", "5 minutes"), col("city"))
+      .agg(avg(col("temperature")).as("avg_temp"), count(lit(1)).as("n_obs"))
+      .select(col("window.start").as("win_start"), col("city"),
+        col("avg_temp"), col("n_obs"))
+
   /** Stateful extension (SURVEY §2.8): per-city tumbling-window average
     * temperature with a watermark bounding state. */
   def tumblingAvg(obs: DataFrame): DataFrame =

@@ -155,6 +155,68 @@ class IngestPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops at-least-once redeliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    def rec(city: String, dt: Long) =
+      s"""{"name":"$city","main":{"temp":1.0,"humidity":1,"pressure":1},"dt":$dt,"timezone":0}"""
+    val obs = IngestPipeline.ingest(stream.toDF(), col("value"))
+    val q = IngestPipeline.dedupedStream(obs)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("deduped").start()
+    try {
+      val t0 = 1748515200L
+      stream.addData(rec("a", t0), rec("a", t0), rec("b", t0)) // same-batch dupe
+      q.processAllAvailable()
+      stream.addData(rec("a", t0), rec("a", t0 + 60)) // cross-batch redelivery
+      q.processAllAvailable()
+      val got = spark.sql("SELECT city, dt FROM deduped")
+        .as[(String, Long)].collect().sorted.toSeq
+      assert(got === Seq(("a", t0), ("a", t0 + 60), ("b", t0)))
+    } finally q.stop()
+  }
+
+  test("stream-static island join enriches each micro-batch, default Lainnya") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    def rec(city: String, dt: Long) =
+      s"""{"name":"$city","main":{"temp":1.0,"humidity":1,"pressure":1},"dt":$dt,"timezone":0}"""
+    val obs = IngestPipeline.ingest(stream.toDF(), col("value"))
+    val q = IngestPipeline.enriched(obs, IngestPipeline.islandDim(spark))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enriched").start()
+    try {
+      stream.addData(rec("Medan", 1), rec("Jakarta", 2), rec("Atlantis", 3))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT city, pulau FROM enriched")
+        .as[(String, String)].collect().toMap
+      assert(got === Map("Medan" -> "Sumatera", "Jakarta" -> "Jawa",
+        "Atlantis" -> "Lainnya"))
+    } finally q.stop()
+  }
+
+  test("sliding 10/5-min windows: each event lands in exactly two windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    def rec(city: String, temp: Double, dt: Long) =
+      s"""{"name":"$city","main":{"temp":$temp,"humidity":1,"pressure":1},"dt":$dt,"timezone":0}"""
+    val obs = IngestPipeline.ingest(stream.toDF(), col("value"))
+    val q = IngestPipeline.slidingAvg(obs)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sliding").start()
+    try {
+      val t0 = 1748515200L // 5-min aligned
+      stream.addData(rec("X", 10.0, t0 + 60), rec("X", 20.0, t0 + 120))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT win_start, avg_temp, n_obs FROM sliding ORDER BY win_start")
+        .as[(java.sql.Timestamp, Double, Long)].collect().toSeq
+      assert(rows.length === 2) // [t0-5m, t0+5m) and [t0, t0+10m)
+      assert(rows.forall { case (_, avg, n) => avg === 15.0 && n === 2L })
+      assert(rows(1)._1.toInstant.getEpochSecond === t0)
+    } finally q.stop()
+  }
+
   test("incomplete records dropped inside the stream too") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
