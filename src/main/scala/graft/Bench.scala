@@ -13,8 +13,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb
     // classloading + first-codegen cost (it would otherwise dominate its
-    // own timing by ~2s regardless of which query runs first)
+    // own timing by ~2s regardless of which query runs first). The parquet
+    // read + join + agg exercises the scan/exchange/agg codepaths too —
+    // without it the alphabetically-first key paid ~1.5s of one-time
+    // FileSource/codegen class loading.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.functions._
+      val e = graft.sources.Tables.events(spark, sfDir)
+      e.join(e.select(col("event_id").as("j")), col("event_id") === col("j"))
+        .groupBy(col("event_type")).count().collect()
+      spark.catalog.clearCache()
+    }
     // micro mode (dev): `runMain graft.Bench <key> [iters]` times one key
     // repeatedly — separates per-session constants (codegen, cache fill)
     // from steady-state cost. No args = the driver's full-inventory mode.
