@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout utilities — the write-side half of the 100 TB story.
@@ -36,4 +36,44 @@ object Layout {
     * "PartitionFilters"). */
   def readEventsByDay(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** 32-bit Morton (Z-order) code interleaving two 16-bit dimensions —
+    * a static expression tree of shifts and masks, fully codegen'd.
+    * Inputs must already be scaled to [0, 65535] ([[scale16]]). */
+  def zValue(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Min-max scale a numeric column to the 16-bit Z-order domain. */
+  def scale16(c: Column, lo: Column, hi: Column): Column =
+    when(hi === lo, lit(0)).otherwise(
+      ((c - lo).cast("double") / (hi - lo) * 65535.0).cast("int"))
+
+  /** Z-ordered write of events on (user_id, time): sort by the Morton code
+    * of the two scaled dimensions, range-partitioned into `nFiles` so each
+    * file covers a contiguous Z-range = a small rectangle of
+    * (user, time) space. Parquet row-group min/max stats then skip most
+    * files for ANY conjunction of user-range and time-range predicates —
+    * multi-dimensional data skipping that single-column sorting cannot
+    * give. The dimension bounds come from one tiny aggregate broadcast
+    * back, never a driver collect. This is the layout move for the 100 TB
+    * store when queries filter on two independent columns. */
+  def writeEventsZOrdered(events: DataFrame, path: String,
+      nFiles: Int = 8): Unit = {
+    val withUs = events.withColumn("us", unix_micros(col("ts")))
+    val bounds = withUs.agg(
+      min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+      min(col("us")).as("tlo"), max(col("us")).as("thi"))
+    withUs.crossJoin(broadcast(bounds))
+      .withColumn("zv", zValue(
+        scale16(col("user_id"), col("ulo"), col("uhi")),
+        scale16(col("us"), col("tlo"), col("thi"))))
+      .drop("ulo", "uhi", "tlo", "thi", "us")
+      .repartitionByRange(nFiles, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(path)
+  }
 }

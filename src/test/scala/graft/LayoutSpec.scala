@@ -57,6 +57,54 @@ class LayoutSpec extends SparkSuite {
     try body finally spark.conf.set(key, prev)
   }
 
+  test("z-ordered files each cover a small rectangle of (user, time) space") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val events = Tables.events(spark, sf0001)
+    Layout.writeEventsZOrdered(events, dir, nFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === events.count())
+
+    // per-file bounding boxes: with Z-ordering each file's (user × time)
+    // rectangle must be a small fraction of the global domain — that is
+    // exactly what parquet min/max stats use to skip files
+    val spans = back
+      .withColumn("f", input_file_name())
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy("f")
+      .agg((max("user_id") - min("user_id")).as("du"),
+        (max("us") - min("us")).as("dt"))
+      .collect()
+    val gu = events.agg(max("user_id") - min("user_id")).head.getLong(0).toDouble
+    val gt = events.select(unix_micros(col("ts")).as("us"))
+      .agg(max("us") - min("us")).head.getLong(0).toDouble
+    val areaFractions = spans.map(r =>
+      (r.getLong(1) / gu) * (r.getLong(2) / gt))
+    assert(spans.length === 8)
+    // random placement would put every file near fraction 1.0; the Z-curve
+    // keeps the mean rectangle well below half the domain
+    assert(areaFractions.sum / areaFractions.length < 0.4,
+      areaFractions.mkString(", "))
+  }
+
+  test("dynamic partition pruning fires on a dim-filtered partition join") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    Layout.writeEventsByDay(Tables.events(spark, sf0001), dir)
+    val fact = Layout.readEventsByDay(spark, dir)
+    // dim carrying a non-partition attribute, filtered at query time: the
+    // fact side must receive a runtime (dynamicpruning) partition filter,
+    // scanning only the dim-selected days
+    val allDays = fact.select(col("day")).distinct()
+      .withColumn("tag", when(dayofmonth(col("day")) <= 3, "keep")
+        .otherwise("drop"))
+    val dim = allDays.cache()
+    dim.count()
+    val j = fact.join(dim.filter(col("tag") === "keep"), Seq("day"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+    assert(j.count() ===
+      fact.filter(dayofmonth(col("day")) <= 3).count())
+  }
+
   test("schema evolution: mergeSchema unifies old and new file layouts") {
     // at 100 TB the store accumulates years of files; new columns arrive
     // without rewriting history — mergeSchema + null-backfill semantics
