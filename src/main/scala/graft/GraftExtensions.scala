@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.cosineFunction)
+    // window-top-k → native TopKPerKey rewrite (+ the strategy that plans
+    // the rewritten node): users keep the row_number() idiom, the engine
+    // substitutes the partial-heap plan
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

@@ -127,6 +127,16 @@ object TopK {
       spark.experimental.extraStrategies = cur :+ TopKStrategy
   }
 
+  /** Install the `row_number() <= k` → TopKPerKey optimizer rewrite (plus
+    * the strategy it needs) in a session built without
+    * `spark.sql.extensions=graft.GraftExtensions`. Idempotent. */
+  def enableRewrite(spark: SparkSession): Unit = {
+    register(spark)
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations = cur :+ TopKRewriteRule
+  }
+
   /** Exact top-k rows per key, ordered by `order` (make the last sort key
     * unique for deterministic output).
     *

@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: rewrite the standard window-function top-k idiom
+  *
+  * {{{
+  *   SELECT <cols> FROM (
+  *     SELECT *, row_number() OVER (PARTITION BY k ORDER BY o) AS rn FROM t)
+  *   WHERE rn <= K            -- (and rn is not selected)
+  * }}}
+  *
+  * into the native [[TopKPerKey]] operator. The window form shuffles and
+  * fully sorts EVERY row of every partition just to discard all but K of
+  * them; the rewritten plan keeps a bounded heap per key BEFORE the
+  * exchange, so only ≤ K·partitions rows per key ever move (see
+  * [[TopKPerKey]]'s scaladoc). Users keep writing the idiomatic SQL; the
+  * engine substitutes the plan it wishes the optimizer had.
+  *
+  * Fire conditions (all checked, otherwise the plan is left untouched):
+  *  - the Window computes EXACTLY one expression: an unaliased-downstream
+  *    `row_number()` over the default (UNBOUNDED PRECEDING, CURRENT ROW)
+  *    row frame with a non-empty ORDER BY;
+  *  - the Filter is `rn <= lit` / `rn < lit` / `rn = 1` (literal int > 0)
+  *    over exactly that attribute, with no other conjuncts — composite
+  *    predicates keep the built-in plan (Spark already splits conjunctions,
+  *    so the common case arrives in this shape);
+  *  - the enclosing Project does not reference `rn` (the rank itself is
+  *    not part of the result — true for "give me the rows" top-k, false
+  *    for "give me the ranks", which genuinely needs the window);
+  *  - every partition/order expression is deterministic.
+  *
+  * Ordering caveat, by design: like every relational operator, the rewrite
+  * guarantees SET equality, not row order — the window form's incidental
+  * intra-partition ordering is not part of its contract either (any
+  * downstream consumer needing order must sort explicitly).
+  */
+object TopKRewriteRule extends Rule[LogicalPlan] {
+
+  private def rowNumberLimit(cond: Expression, rn: ExprId): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _))
+        if a.exprId == rn && k > 0 => Some(k)
+      case LessThan(a: AttributeReference, Literal(k: Int, _))
+        if a.exprId == rn && k > 1 => Some(k - 1)
+      case EqualTo(a: AttributeReference, Literal(1, _))
+        if a.exprId == rn => Some(1)
+      case GreaterThanOrEqual(Literal(k: Int, _), a: AttributeReference)
+        if a.exprId == rn && k > 0 => Some(k)
+      case _ => None
+    }
+
+  private def isDefaultRowNumberFrame(spec: WindowSpecDefinition): Boolean =
+    spec.orderSpec.nonEmpty && (spec.frameSpecification match {
+      case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+      case _ => false
+    })
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projectList,
+        Filter(cond,
+          Window(Seq(al @ Alias(
+            WindowExpression(RowNumber(), spec: WindowSpecDefinition), _)),
+            partSpec, orderSpec, child, _)))
+        if isDefaultRowNumberFrame(spec) &&
+          (partSpec ++ orderSpec).forall(_.deterministic) &&
+          rowNumberLimit(cond, al.exprId).isDefined &&
+          !projectList.exists(_.references.exists(_.exprId == al.exprId)) &&
+          projectList.forall(ne =>
+            ne.references.subsetOf(child.outputSet)) =>
+      val k = rowNumberLimit(cond, al.exprId).get
+      // Spark 3.5+'s InferWindowGroupLimit may already have slid a
+      // WindowGroupLimit under the Window (sort-based partial group
+      // pruning). Our heap-based operator supersedes it — keeping it
+      // would re-introduce the two full sorts the rewrite exists to
+      // avoid — so unwrap it when present.
+      val realChild = child match {
+        case WindowGroupLimit(_, _, _, _, c) => c
+        case c => c
+      }
+      Project(projectList, TopKPerKey(partSpec, orderSpec, k, realChild))
+  }
+}

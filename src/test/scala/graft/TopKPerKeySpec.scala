@@ -48,6 +48,54 @@ class TopKPerKeySpec extends SparkSuite {
     assert(top1 === Set(("a", 2L), ("b", 3L)))
   }
 
+  test("optimizer rule rewrites the row_number idiom to the native operator") {
+    import org.apache.spark.sql.expressions.Window
+    TopK.enableRewrite(spark)
+    val w = Window.partitionBy($"event_type").orderBy(desc("value"), $"event_id")
+    val idiom = events.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).drop("rn")
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK"), plan.take(1500))
+    // no window exec, no leftover WindowGroupLimit, and — the point of the
+    // heap-based operator — no sort anywhere in the plan
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Sort"), plan.take(1500))
+    // result set identical to the un-rewritten window form
+    val base = TopK.perKey(events, Seq($"event_type"),
+        Seq(desc("value"), $"event_id"), 5)
+      .collect().map(_.toSeq).toSet
+    assert(idiom.collect().map(_.toSeq).toSet === base)
+  }
+
+  test("rewrite leaves plans alone when the rank is part of the result") {
+    import org.apache.spark.sql.expressions.Window
+    TopK.enableRewrite(spark)
+    val w = Window.partitionBy($"event_type").orderBy(desc("value"), $"event_id")
+    val keepsRank = events.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5) // rn survives into the output
+    val plan = keepsRank.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("FinalTopK"), plan.take(1500))
+  }
+
+  test("rewrite handles rn < k and rn = 1 forms") {
+    import org.apache.spark.sql.expressions.Window
+    TopK.enableRewrite(spark)
+    val w = Window.partitionBy($"event_type").orderBy(desc("value"), $"event_id")
+    val lt = events.withColumn("rn", row_number().over(w))
+      .filter($"rn" < 4).drop("rn")
+    assert(lt.queryExecution.executedPlan.toString.contains("FinalTopK"))
+    assert(lt.count() === 5 * 3) // 5 event types × top-3
+    val eq1 = events.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(eq1.queryExecution.executedPlan.toString.contains("FinalTopK"))
+    val maxima = eq1.select($"event_type", $"value").as[(String, Double)]
+      .collect().toMap
+    val expect = events.groupBy($"event_type").agg(max($"value"))
+      .as[(String, Double)].collect().toMap
+    assert(maxima === expect)
+  }
+
   test("empty keys = global top-k, even on multi-partition input") {
     // repartition(7) forces the case the single-file read hides: partials
     // from many partitions must be coalesced before the final pass
