@@ -222,7 +222,52 @@ object SqlSurfaceOps {
         .as(Seq("event_type", "cnt")))
       .orderBy("user_id", "event_type")
 
+  // ── UNPIVOT (melt): the inverse of A6's pivot — wide measure columns to
+  // long (metric, value) rows, the shape feature stores and chart layers
+  // want. Spark's native `unpivot` plans an Expand (no join, no shuffle);
+  // one output row per (row × measure). ──
+  def unpivotStack(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "metric", valueColumnName = "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  // ── exact per-group percentiles: the groupBy form of A1's global
+  // describe(). Spark `percentile` ≙ DuckDB `percentile_cont` (linear
+  // interpolation) — the house pairing proven by describe_stats; medians
+  // land on data values or exact midpoints of ≤2-decimal inputs, so
+  // round(6) absorbs nothing but representation noise. At scale exact
+  // percentiles shuffle (group, value) pairs; the approx_percentile
+  // variant is the fixed-memory fallback (declared, not oracled). ──
+  def percentileGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+      .orderBy("l_returnflag")
+
+  // ── histogram binning via width_bucket: fixed-width value buckets as a
+  // single scan-side expression + one groupBy — the distributed histogram
+  // (no sort, no window). Bounds are literals here; at scale they come
+  // from one min/max aggregate broadcast back (see Layout.scale16). ──
+  def widthBucketHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12))
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unpivot_stack"     -> unpivotStack _,
+    "percentile_group"  -> percentileGroup _,
+    "width_bucket_hist" -> widthBucketHist _,
     "grouping_sets"   -> groupingSetsAgg _,
     "set_intersect"   -> setIntersect _,
     "set_except"      -> setExcept _,
@@ -239,6 +284,29 @@ object SqlSurfaceOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "unpivot_stack" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "percentile_group" ->
+      """SELECT l_returnflag,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS p50_qty,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 6) AS p90_qty,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // DuckDB has no width_bucket; this spells out Spark's exact formula
+    // (bucketSize = (hi-lo)/n, bucket = floor((x-lo)/bucketSize)+1, with
+    // the out-of-range rails) so the arithmetic is IEEE-identical
+    "width_bucket_hist" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |            WHEN o_totalprice >= 600000.0 THEN 13
+        |            ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "grouping_sets" ->
       """SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
         |  COALESCE(l_linestatus, '<all>') AS linestatus,

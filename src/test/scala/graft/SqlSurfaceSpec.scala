@@ -109,6 +109,28 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(viaMap == direct)
   }
 
+  test("unpivot triples the row count and preserves values") {
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val long = SqlSurfaceOps.unpivotStack(spark, sf0001)
+    assert(long.count() === li.count() * 3)
+    val plan = long.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(1500)) // no join, no shuffle
+  }
+
+  test("per-group percentiles are ordered and within data range") {
+    val rows = SqlSurfaceOps.percentileGroup(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2)) // p50 <= p90
+      assert(r.getDouble(1) >= 1.0 && r.getDouble(2) <= 50.0)
+    }
+  }
+
+  test("width_bucket histogram covers all orders exactly once") {
+    val total = SqlSurfaceOps.widthBucketHist(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
+    assert(total === graft.sources.Tables.orders(spark, sf0001).count())
+  }
+
   test("sample_hash reads a pushed-down predicate, not a full scan") {
     val plan = SqlSurfaceOps.sampleHash(spark, sf0001)
       .queryExecution.executedPlan.toString
