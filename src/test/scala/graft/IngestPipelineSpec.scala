@@ -217,6 +217,37 @@ class IngestPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases matched to clicks within the time bound") {
+    // the full stateful join: both sides streaming, watermarks bounding
+    // state, range condition bounding the match window — Structured
+    // Streaming buffers each side keyed by user and evicts by watermark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val clicks = MemoryStream[(Long, Long)]    // (user_id, epoch_s)
+    val purchases = MemoryStream[(Long, Long)]
+    val c = clicks.toDF().toDF("user_id", "cs")
+      .withColumn("c_ts", timestamp_seconds(col("cs")))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_user_id", "ps")
+      .withColumn("p_ts", timestamp_seconds(col("ps")))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = p.join(c,
+      col("user_id") === col("p_user_id") &&
+        col("c_ts").between(col("p_ts") - expr("INTERVAL 5 MINUTES"), col("p_ts")))
+      .select(col("p_user_id"), col("ps"), col("cs"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join").start()
+    try {
+      val t0 = 1748515200L
+      clicks.addData((1L, t0), (1L, t0 + 60), (2L, t0))
+      purchases.addData((1L, t0 + 120), (2L, t0 + 600)) // 2's click too old
+      q.processAllAvailable()
+      val got = spark.sql("SELECT p_user_id, ps, cs FROM ss_join")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, t0 + 120, t0), (1L, t0 + 120, t0 + 60)))
+    } finally q.stop()
+  }
+
   test("incomplete records dropped inside the stream too") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]

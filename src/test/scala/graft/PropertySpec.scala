@@ -36,6 +36,28 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("∀ random data+k: TopK rewrite ≡ window row_number form") {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopK.enableRewrite(spark)
+    val rows = samples(for {
+      key <- Gen.choose(0, 4)
+      id  <- Gen.choose(0L, 10000L)
+      v   <- Gen.choose(-1000.0, 1000.0)
+    } yield (s"k$key", id, v), 300).distinct
+    val df = rows.toDF("key", "id", "v").repartition(5).cache()
+    val w = Window.partitionBy($"key").orderBy(desc("v"), $"id")
+    Seq(1, 3, 7, 50).foreach { k =>
+      val idiom = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).drop("rn")
+      assert(idiom.queryExecution.executedPlan.toString.contains("FinalTopK"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).select($"key", $"id", $"v", $"rn") // keeps window
+      assert(idiom.collect().map(_.toSeq).toSet ===
+        viaWindow.drop("rn").collect().map(_.toSeq).toSet, s"k=$k")
+    }
+    df.unpersist()
+  }
+
   test("filter∘filter ≡ filter(∧)") {
     val df = graft.sources.Tables.events(spark, sf0001).cache()
     val a = df.filter($"value" > 50).filter($"event_type" === "click")
