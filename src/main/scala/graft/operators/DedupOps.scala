@@ -84,14 +84,19 @@ object DedupOps {
             " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))" +
             " ELSE CAST(array() AS ARRAY<STRING>) END"))
           .as("shingle"))
-      .distinct()
-    // stop-shingle cap as a window count (one shuffle on shingle, no extra
-    // join). The capped universe applies UNIFORMLY — intersections AND set
-    // sizes — so Jaccard stays a true Jaccard over informative shingles.
-    raw.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= ShingleDocFreqCap)
-      .drop("df")
+    // dedup + stop-shingle cap in ONE shuffle: the bounded-distinct
+    // aggregate builds each shingle's posting list map-side (partial
+    // aggregation dedups AND saturates before the exchange) and returns
+    // null for any shingle exceeding the cap — replacing the previous
+    // distinct + windowed-count pair of shuffles, with O(cap) memory per
+    // shingle even for a boilerplate shingle in 10^8 docs. The capped
+    // universe applies UNIFORMLY — intersections AND set sizes — so
+    // Jaccard stays a true Jaccard over informative shingles.
+    raw.groupBy(col("shingle"))
+      .agg(graft.functions.BoundedDistinctAgg(col("doc_id"), ShingleDocFreqCap)
+        .as("docs"))
+      .filter(col("docs").isNotNull)
+      .select(col("shingle"), explode(col("docs")).as("doc_id"))
   }
 
   /** Shingle vocabulary → dense id (oracle-deterministic stand-in for

@@ -82,6 +82,23 @@ class ExtensionOps2Spec extends SparkSuite {
     }
   }
 
+  test("bounded_distinct: exact under cap, null past cap, across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key "big" has 12 distinct values, "small" has 3, "dup" has 1 (many dups)
+    val rows = (1 to 12).map(i => ("big", i.toLong)) ++
+      Seq(("small", 1L), ("small", 2L), ("small", 3L)) ++
+      (1 to 50).map(_ => ("dup", 7L))
+    val df = rows.toDF("k", "v").repartition(8) // force partial+merge
+    val got = df.groupBy($"k")
+      .agg(graft.functions.BoundedDistinctAgg($"v", 10).as("s"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
+    assert(got("big") === None) // 12 > cap
+    assert(got("small") === Some(Seq(1L, 2L, 3L)))
+    assert(got("dup") === Some(Seq(7L))) // dedup across partitions
+  }
+
   test("text_tfidf picks one maximal term per doc") {
     val rows = TextOps.textTfidf(spark, sf0001).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
