@@ -264,7 +264,23 @@ object SqlSurfaceOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
 
+  // ── semi-structured VARIANT path (Spark 4): parse_json once into the
+  // binary variant encoding, then typed variant_get extraction — the
+  // schema-on-read upgrade over per-query get_json_object string parsing
+  // (parse once, extract many, columnar-shreddable at the storage layer).
+  // The reference's defensive JSON handling (consumer.py:36-45) is the
+  // string-era version of exactly this. ──
+  def variantJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "variant_json"      -> variantJson _,
     "unpivot_stack"     -> unpivotStack _,
     "percentile_group"  -> percentileGroup _,
     "width_bucket_hist" -> widthBucketHist _,
@@ -284,6 +300,12 @@ object SqlSurfaceOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "variant_json" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "unpivot_stack" ->
       """SELECT l_orderkey, l_linenumber, metric, val FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem

@@ -109,6 +109,19 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(viaMap == direct)
   }
 
+  test("variant extraction equals the string-path get_json_object") {
+    import org.apache.spark.sql.functions._
+    val viaVariant = SqlSurfaceOps.variantJson(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaString = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaVariant === viaString)
+  }
+
   test("unpivot triples the row count and preserves values") {
     val li = graft.sources.Tables.lineitem(spark, sf0001)
     val long = SqlSurfaceOps.unpivotStack(spark, sf0001)
