@@ -75,9 +75,35 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Frame size of [[multimodalFrames]] in payload bytes. */
+  private val FrameBytes = 256
+
+  // ── frame sampling: one row per fixed-size byte window of the payload —
+  // the video-frame / audio-chunk access pattern (explode over a computed
+  // frame index, then a per-frame slice; each frame row then feeds the
+  // decode stage independently, so frames of one blob parallelize across
+  // tasks). Sliced on the hex view because DuckDB lacks BLOB substring;
+  // hex is 2 chars/byte in both engines, so the window arithmetic is
+  // byte-exact and md5-comparable. ──
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).as("len"))
+      .select(col("doc_id"), col("hx"),
+        explode(sequence(lit(0L),
+          ((greatest(col("len"), lit(1)) - 1) / FrameBytes).cast("long")))
+          .as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        (length(substr(col("hx"), col("frame_no") * (FrameBytes * 2) + 1,
+          lit(FrameBytes * 2))) / 2).cast("int").as("frame_bytes"),
+        md5(substr(col("hx"), col("frame_no") * (FrameBytes * 2) + 1,
+          lit(FrameBytes * 2))).as("digest"))
+      .orderBy("doc_id", "frame_no")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode"   -> multimodalDecode _,
     "multimodal_features" -> multimodalFeatures _,
+    "multimodal_frames"   -> multimodalFrames _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,5 +111,15 @@ object MultimodalOps {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
         |  md5(text) AS digest, 'fake/rgb8' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS len FROM documents),
+        |f AS (SELECT doc_id, hx,
+        |        unnest(range(0, ((greatest(len, 1) - 1) // 256) + 1)) AS frame_no
+        |      FROM m)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(length(substring(hx, CAST(frame_no * 512 + 1 AS BIGINT), 512)) / 2 AS INTEGER) AS frame_bytes,
+        |  md5(substring(hx, CAST(frame_no * 512 + 1 AS BIGINT), 512)) AS digest
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
   )
 }

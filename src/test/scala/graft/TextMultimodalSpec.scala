@@ -72,4 +72,23 @@ class TextMultimodalSpec extends SparkSuite {
       .select("byte_len", "text").as[(Int, String)].collect()
     assert(joined.forall { case (n, t) => n === t.getBytes("UTF-8").length })
   }
+
+  test("frame sampling covers each payload exactly, 256-byte windows") {
+    val frames = graft.operators.MultimodalOps
+      .multimodalFrames(spark, sf0001)
+      .select("doc_id", "frame_no", "frame_bytes")
+      .as[(Long, Long, Int)].collect()
+    // per doc: frame numbers contiguous from 0, all-but-last frame full,
+    // byte total equals the payload length
+    val byDoc = frames.groupBy(_._1)
+    val lens = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "octet_length(cast(text as binary))")
+      .as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (doc, fs) =>
+      val sorted = fs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq)
+      assert(sorted.init.forall(_._3 === 256))
+      assert(sorted.map(_._3).sum === math.max(lens(doc), 0))
+    }
+  }
 }
