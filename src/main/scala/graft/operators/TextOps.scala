@@ -196,7 +196,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Email-shaped token pattern, deliberately RE2-safe (no backrefs, no
+    * lookaround) so Java regex (Spark) and RE2 (DuckDB) agree exactly. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  // ── PII scrubbing: redact email-shaped tokens and count redactions —
+  // the LLM-corpus cleaning staple. Pure per-row regexp_replace at scan
+  // speed (no shuffle but the final count); redaction_count kept per doc
+  // so a quality gate can drop heavily-redacted docs downstream. ──
+  def textScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), EmailRe, "<EMAIL>").as("clean_text"),
+        (size(split(col("text"), EmailRe, -1)) - 1).as("n_redacted"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scrub"            -> textScrub _,
     "text_tfidf"            -> textTfidf _,
     "pipeline_clean_corpus" -> pipelineCleanCorpus _,
     "text_stats"            -> textStats _,
@@ -211,6 +227,11 @@ object TextOps {
   private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS clean_text,
+        |  CAST(len(string_split_regex(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) - 1 AS INTEGER) AS n_redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -73,6 +73,25 @@ class TextMultimodalSpec extends SparkSuite {
     assert(joined.forall { case (n, t) => n === t.getBytes("UTF-8").length })
   }
 
+  test("text_scrub redacts email-shaped tokens and counts them") {
+    // the driver corpus has no emails, so craft rows exercising the regex
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "contact me at a.b-c_d@mail-x.example.com thanks"),
+      (2L, "two: x@y.io and z.1@w.co end"),
+      (3L, "no pii here"),
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        regexp_replace(col("text"),
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>").as("clean"),
+        (size(split(col("text"),
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", -1)) - 1).as("n"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === (("contact me at <EMAIL> thanks", 1)))
+    assert(got(2L) === (("two: <EMAIL> and <EMAIL> end", 2)))
+    assert(got(3L) === (("no pii here", 0)))
+  }
+
   test("frame sampling covers each payload exactly, 256-byte windows") {
     val frames = graft.operators.MultimodalOps
       .multimodalFrames(spark, sf0001)
