@@ -407,7 +407,12 @@ object DedupOps {
       checksum = nextSum
     }
     edges.unpersist()
-    labels
+    // hand back a lineage-truncated copy and drop the loop's cache entry:
+    // the caller's output plan no longer pins a per-invocation cached DF
+    // in the session (the leak would accumulate across repeated calls)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

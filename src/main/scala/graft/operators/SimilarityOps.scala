@@ -108,8 +108,11 @@ object SimilarityOps {
       .select(col("label"), posexplode(col("embedding").cast("array<double>"))
         .as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
+      // divide by count(x), not count(*): averages over the vectors that
+      // HAVE the position — identical for uniform-dim corpora, and the
+      // sane semantic for ragged ones (the oracle counts v[i] likewise)
       .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
-        count(lit(1))).as("c"))
+        count(col("x"))).as("c"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => round(s.getField("c"), 6)).as("centroid"))
@@ -122,7 +125,11 @@ object SimilarityOps {
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("scale", lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+      // zero-vector guard: 127/0 is Infinity in Spark but NULL in DuckDB —
+      // define scale=0 (q all zero) for the degenerate all-zeros embedding
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("mx") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("mx")))
       .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
         transform(col("v"), x => round(x * col("scale")).cast("int")).as("q"))
       .orderBy("vec_id")
@@ -140,7 +147,7 @@ object SimilarityOps {
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |comp AS (
         |  SELECT label, i - 1 AS pos,
-        |    CAST(sum(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
+        |    CAST(sum(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / count(v[i]) AS c
         |  FROM e, range(1, 65) t(i)
         |  GROUP BY label, i)
         |SELECT label, list(round(c, 6) ORDER BY pos) AS centroid
@@ -148,7 +155,10 @@ object SimilarityOps {
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
-        |        127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        |        CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') = 0.0
+        |             THEN 0.0
+        |             ELSE 127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max')
+        |        END AS scale
         |      FROM e)
         |SELECT vec_id, round(scale, 6) AS scale_r,
         |  list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS q

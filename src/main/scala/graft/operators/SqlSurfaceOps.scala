@@ -93,12 +93,14 @@ object SqlSurfaceOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("us"))
     // integer `div`, not `/`: double division + cast can land a boundary
-    // timestamp in the wrong bucket at epoch-µs magnitudes
+    // timestamp in the wrong bucket at epoch-µs magnitudes. The two
+    // candidate buckets differ by exactly 1 for every row (subtracting
+    // exactly one band width shifts the integer quotient by exactly one),
+    // so the explode is duplicate-free by construction — no dedup needed.
     val errors = ev.filter(col("event_type") === "error")
       .withColumn("bucket",
         explode(array(expr(s"us div $BandUs"),
           expr(s"(us - $BandUs) div $BandUs"))))
-      .dropDuplicates("event_id", "bucket") // both band ends in one bucket
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user_id"), col("us").as("c_us"),
         expr(s"us div $BandUs").as("bucket"))

@@ -168,13 +168,15 @@ object TextOps {
       .orderBy("lang")
   }
 
-  // ── TF-IDF distinctive term per document. tf/df/N are exact integers;
-  // the ARGMAX is taken on the integer key (tf DESC, df ASC, term) —
-  // equivalent to maximizing tf·ln(N/df) up to ties, but immune to
-  // cross-engine libm ULP differences in `ln`; the score itself is
-  // emitted rounded for display. Two shuffles (doc_id+term, term) and a
-  // broadcast of the 1-row corpus count — no vocabulary ever on the
-  // driver, so the shape holds at any corpus size. ──
+  // ── TF-IDF distinctive term per document: argmax of tf·ln(N/df), with
+  // tf/df/N exact integers. The ranking uses the score SNAPPED TO A 1e-9
+  // GRID with (term) as the final tiebreak: cross-engine libm `ln`
+  // differences are ~1 ULP (1e-16 relative), far inside the grid, so both
+  // engines rank identically except when two scores land within 1e-9 of
+  // each other — where the grid makes them EQUAL in both engines and the
+  // term tiebreak decides, again identically. Two shuffles (doc_id+term,
+  // term) and a broadcast of the 1-row corpus count — no vocabulary ever
+  // on the driver, so the shape holds at any corpus size. ──
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tokens = docs
@@ -185,20 +187,23 @@ object TextOps {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(desc("tf"), col("df"), col("term"))
+      .orderBy(desc("score_r"), col("term"))
     tf.join(df, "term")
       .crossJoin(broadcast(n))
+      .withColumn("score_r",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
-          .as("tfidf"))
+        round(col("score_r"), 4).as("tfidf"))
       .orderBy("doc_id")
   }
 
   /** Email-shaped token pattern, deliberately RE2-safe (no backrefs, no
-    * lookaround) so Java regex (Spark) and RE2 (DuckDB) agree exactly. */
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    * lookaround) so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+    * (?i) because PII hides in mixed case — John.Smith@Example.COM must
+    * redact too; both engines honor the inline flag. */
+  private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 
   // ── PII scrubbing: redact email-shaped tokens and count redactions —
   // the LLM-corpus cleaning staple. Pure per-row regexp_replace at scan
@@ -229,8 +234,8 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_scrub" ->
       """SELECT doc_id,
-        |  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS clean_text,
-        |  CAST(len(string_split_regex(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) - 1 AS INTEGER) AS n_redacted
+        |  regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS clean_text,
+        |  CAST(len(string_split_regex(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) - 1 AS INTEGER) AS n_redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tokens AS (
@@ -240,11 +245,12 @@ object TextOps {
         |       WHERE term <> '' GROUP BY doc_id, term),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT doc_id, term, tf, df,
-        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
-        |FROM (SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+        |SELECT doc_id, term, tf, df, round(score_r, 4) AS tfidf
+        |FROM (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS score_r,
         |        row_number() OVER (PARTITION BY tf.doc_id
-        |          ORDER BY tf.tf DESC, df.df, tf.term) AS rn
+        |          ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 9) DESC,
+        |                   tf.term) AS rn
         |      FROM tf JOIN df USING (term), n) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" ->
