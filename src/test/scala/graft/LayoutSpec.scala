@@ -105,6 +105,40 @@ class LayoutSpec extends SparkSuite {
       fact.filter(dayofmonth(col("day")) <= 3).count())
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Spark 3.3+ injects a bloom filter from a selective dim filter into
+    // the fact scan at runtime — the shuffle-side cousin of DPP, and the
+    // at-scale answer when the join key is NOT the partition column
+    val prev = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "false")
+    // production default only injects when the probe scan is >10GB — the
+    // right bar on a cluster, lowered here so the tiny fixture qualifies
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try withBroadcastDisabled {
+      val li = Tables.lineitem(spark, sf0001)
+      val p = Tables.part(spark, sf0001).filter(col("p_size") === 1)
+      val j = li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand")).count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(3000))
+      assert(plan.contains("bloom_filter_agg"), plan.take(3000))
+      // and the result is unaffected by the filter injection
+      val expect = Tables.lineitem(spark, sf0001)
+        .join(Tables.part(spark, sf0001).filter(col("p_size") === 1),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).count()
+      assert(j.collect().map(_.toSeq).toSet === expect.collect().map(_.toSeq).toSet)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+        case None => spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      }
+    }
+  }
+
   test("schema evolution: mergeSchema unifies old and new file layouts") {
     // at 100 TB the store accumulates years of files; new columns arrive
     // without rewriting history — mergeSchema + null-backfill semantics
