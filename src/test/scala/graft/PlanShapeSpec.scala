@@ -43,4 +43,27 @@ class PlanShapeSpec extends SparkSuite {
     val plan = planOf(CoreOps.valueCounts(spark, sf0001))
     assert(plan.contains("partial_count"), plan.take(2000))
   }
+
+  test("no key in the whole inventory plans a cartesian product") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, sf0001))
+      assert(!plan.contains("CartesianProduct"), s"$name:\n${plan.take(1500)}")
+    }
+  }
+
+  test("nested-loop joins appear only where a 1-row broadcast makes them the plan") {
+    // a BroadcastNestedLoopJoin whose build side is ONE broadcast row is
+    // the correct plan for scalar-vs-table combinations: sim_search*'s
+    // probe vector (joined non-equi on vec_id <> p_id) and text_tfidf's
+    // corpus-count crossJoin. Everything else must not nest-loop.
+    val allowed = Set("sim_search", "sim_search_ann", "sim_search_lsh",
+      "sim_search_ivf", "text_tfidf")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(kv => allowed(kv._1))
+      .foreach { case (name, fn) =>
+        val plan = planOf(fn(spark, sf0001))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name:\n${plan.take(1500)}")
+      }
+  }
 }
