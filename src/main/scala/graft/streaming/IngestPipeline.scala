@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -126,6 +126,43 @@ object IngestPipeline {
       .agg(avg(col("temperature")).as("avg_temp"), count(lit(1)).as("n_obs"))
       .select(col("window.start").as("win_start"), col("city"),
         col("avg_temp"), col("n_obs"))
+
+  /** foreachBatch UPSERT sink: the store keeps ONE row per city — the
+    * latest observation by (dt, then city for total order) — instead of
+    * the reference's append-only insert_one pile (`consumer.py:78`, which
+    * accumulates every poll forever and makes the dashboard re-aggregate
+    * history it doesn't want). Per micro-batch: read current store, union
+    * the batch, keep rank-1 per key, overwrite. The read→overwrite of the
+    * same path is safe because the merge is materialized (cache + count)
+    * before the write clears the directory. AT SCALE the same foreachBatch
+    * body targets a table format's MERGE (Delta/Iceberg) so the rewrite
+    * touches only matching files — the orchestration shown here (batch as
+    * a DataFrame, idempotent per epoch) is unchanged. */
+  def upsertBatch(batch: DataFrame, store: String): Unit = {
+    val spark = batch.sparkSession
+    val slim = batch.select("city", "temperature", "humidity", "dt")
+    val exists = new java.io.File(store).exists()
+    val merged0 =
+      if (exists) spark.read.parquet(store).unionByName(slim) else slim
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("city")).orderBy(org.apache.spark.sql.functions.desc("dt"))
+    val merged = merged0
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .cache()
+    merged.count() // materialize BEFORE overwriting the path being read
+    merged.write.mode("overwrite").parquet(store)
+    merged.unpersist()
+  }
+
+  /** Wire [[upsertBatch]] as a streaming sink. */
+  def upsertStream(obs: DataFrame, store: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    obs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertBatch(b.toDF(), store))
+      .start()
 
   /** Stateful extension (SURVEY §2.8): per-city tumbling-window average
     * temperature with a watermark bounding state. */

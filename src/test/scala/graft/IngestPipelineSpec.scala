@@ -217,6 +217,28 @@ class IngestPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert keeps exactly the latest row per city") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .resolve("store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    def rec(city: String, temp: Double, dt: Long) =
+      s"""{"name":"$city","main":{"temp":$temp,"humidity":1,"pressure":1},"dt":$dt,"timezone":0}"""
+    val stream = MemoryStream[String]
+    val q = IngestPipeline.upsertStream(
+      IngestPipeline.ingest(stream.toDF(), col("value")), store, ckpt)
+    try {
+      stream.addData(rec("A", 10.0, 100), rec("B", 20.0, 100))
+      q.processAllAvailable()
+      stream.addData(rec("A", 11.0, 200)) // newer A must REPLACE, not append
+      q.processAllAvailable()
+      val got = spark.read.parquet(store)
+        .select("city", "temperature", "dt")
+        .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+      assert(got === Seq(("A", 11.0, 200L), ("B", 20.0, 100L)))
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases matched to clicks within the time bound") {
     // the full stateful join: both sides streaming, watermarks bounding
     // state, range condition bounding the match window — Structured
