@@ -44,6 +44,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("partial_count"), plan.take(2000))
   }
 
+  test("hot aggregation paths run inside whole-stage codegen") {
+    // the '*(n)' markers are codegen span ids — their absence would mean
+    // an interpreted operator crept into the scan→filter→aggregate spine
+    Seq(CoreOps.flagshipRevenue(spark, sf0001),
+        graft.operators.AdvancedOps.tpchQ1(spark, sf0001),
+        graft.operators.AdvancedOps.tpchQ6(spark, sf0001)).foreach { df =>
+      df.collect() // AQE only shows codegen spans once stages have run
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), plan.take(1500))
+    }
+  }
+
   test("no key in the whole inventory plans a cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sf0001))
