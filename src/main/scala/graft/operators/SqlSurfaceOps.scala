@@ -197,6 +197,24 @@ object SqlSurfaceOps {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  // ── mergeable-sketch distinct counting (Apache DataSketches HLL via
+  // Spark 4 built-ins): per-day user sketches, then hll_union_agg for the
+  // period total — the pattern that makes distinct counts INCREMENTAL at
+  // scale (store a sketch per partition/day; any rollup is a cheap union,
+  // never a rescan). approx_count_distinct can't do this: its sketch is
+  // consumed inside one aggregation. No oracle (sketch bytes are
+  // implementation-specific); the ScalaTest pins union-vs-exact error. ──
+  def approxDistinctMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_daily"))
+    daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_total_users"),
+      count(lit(1)).as("n_days"),
+      sum(col("exact_daily")).as("sum_daily_exact"))
+  }
+
   // ── Regexp surface: leading word of each document (RE2-safe pattern),
   // frequency-counted. regexp_extract returns '' on no-match in BOTH Spark
   // and DuckDB — the empty-string group is kept to pin that semantic. ──
@@ -297,6 +315,7 @@ object SqlSurfaceOps {
     "string_agg"      -> stringAgg _,
     "sample_hash"     -> sampleHash _,
     "approx_distinct" -> approxDistinct _,
+    "approx_distinct_merge" -> approxDistinctMerge _,
     "regexp_funcs"    -> regexpFuncs _,
     "map_funcs"       -> mapFuncs _,
   )

@@ -91,6 +91,17 @@ class SqlSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("unioned daily HLL sketches estimate the period total within 5%") {
+    val r = SqlSurfaceOps.approxDistinctMerge(spark, sf0001).collect().head
+    val approx = r.getLong(0).toDouble
+    val exact = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id").distinct().count().toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+    // and the union is genuinely deduplicating across days: users active
+    // on many days would otherwise be counted once per day
+    assert(approx < r.getLong(2))
+  }
+
   test("approx distinct stays within 5% of exact") {
     val rows = SqlSurfaceOps.approxDistinct(spark, sf0001).collect()
     rows.foreach { r =>
