@@ -392,8 +392,11 @@ object DedupOps {
     while (!converged) {
       val msgs = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
+      // cached: the jump self-join below reads prop twice — uncached it
+      // would re-run the propagation union+groupBy once per side
       val prop = labels.union(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .cache()
       val next = prop.as("a")
         .join(prop.select(col("node").as("jn"), col("label").as("jl")).as("b"),
           col("a.label") === col("jn"), "left")
@@ -401,6 +404,7 @@ object DedupOps {
           coalesce(col("jl"), col("a.label")).as("label"))
         .cache()
       val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      prop.unpersist()
       labels.unpersist()
       labels = next
       converged = nextSum == checksum
@@ -427,9 +431,12 @@ object DedupOps {
     "dedup_embed"        -> dedupEmbed _,
   )
 
-  /** Shared DuckDB CTE prefix: shingles and their dense ids. */
+  /** Shared DuckDB CTE prefix: shingles and their dense ids. RECURSIVE is
+    * declared unconditionally — harmless for the non-recursive oracles,
+    * required by dedup_cluster's reachability CTE, and it keeps this one
+    * prefix shared by every dedup oracle without string surgery. */
   private val duckShingles =
-    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM t),
       |sh AS (SELECT doc_id, shingle FROM sh0
@@ -439,18 +446,24 @@ object DedupOps {
       |ws AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Shared candidate-pair + intersection CTEs (shared-shingle candidates,
+    * per-pair intersection counts) — appended to [[duckShingles]] by the
+    * ngram / edit / cluster oracles. */
+  private val duckCandInter =
+    """,
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |inter AS (SELECT doc_a, doc_b, count(*) AS i
+      |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
+      |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+      |          GROUP BY doc_a, doc_b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // transitive closure in SQL: WITH RECURSIVE reachability from every
     // edge endpoint, component id = min reached node — integer-exact, so
     // it hash-matches the Spark label-propagation fixpoint.
-    "dedup_cluster" -> (duckShingles.replace("WITH t AS", "WITH RECURSIVE t AS") +
+    "dedup_cluster" -> (duckShingles + duckCandInter +
       """,
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS i
-        |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
-        |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-        |          GROUP BY doc_a, doc_b),
         |surv AS (SELECT doc_a, doc_b
         |         FROM inter JOIN sizes za ON doc_a = za.doc_id
         |                    JOIN sizes zb ON doc_b = zb.doc_id
@@ -466,14 +479,8 @@ object DedupOps {
         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN comp c USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
-    "dedup_edit" -> (duckShingles +
+    "dedup_edit" -> (duckShingles + duckCandInter +
       """,
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS i
-        |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
-        |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-        |          GROUP BY doc_a, doc_b),
         |surv AS (SELECT doc_a, doc_b,
         |           round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) AS jaccard
         |         FROM inter JOIN sizes za ON doc_a = za.doc_id
@@ -497,14 +504,8 @@ object DedupOps {
         |    ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    "dedup_ngram" -> (duckShingles +
-      """,
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS i
-        |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
-        |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-        |          GROUP BY doc_a, doc_b)
+    "dedup_ngram" -> (duckShingles + duckCandInter +
+      """
         |SELECT doc_a, doc_b,
         |  round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) AS jaccard
         |FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
