@@ -257,6 +257,20 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // with the EXPLICIT pivot value list the output columns are fixed, so
+    // the pivot is oracle-able as conditional aggregation with matching
+    // column names (closing the §7.4 "pivot has no oracle" compromise);
+    // avgMoney per cell = decimal sum / count, NULL when the cell is empty
+    // in both engines
+    "pivot_matrix" -> {
+      val cells = Seq("click", "error", "purchase", "signup", "view").map { t =>
+        s"""CAST(sum(CAST("value" AS DECIMAL(18,2))) FILTER (WHERE event_type = '$t') AS DOUBLE)
+           | / count("value") FILTER (WHERE event_type = '$t') AS $t""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT user_id % 10 AS user_bucket,
+         |$cells
+         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin
+    },
     "scan_events" ->
       s"""SELECT event_id, strftime(ts, '$DuckTsFmt') AS ts_s, user_id, event_type, "value", props
          |FROM events ORDER BY event_id""".stripMargin,
