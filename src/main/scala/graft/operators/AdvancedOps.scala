@@ -180,6 +180,46 @@ object AdvancedOps {
         count(lit(1)).as("n_items"))
   }
 
+  // ── TPC-H Q12 shipping-modes: large-large join + conditional aggregation
+  // (high/low priority counts per returnflag standing in for shipmode,
+  // which our lineitem lacks). One shuffle on orderkey, counts folded into
+  // a single Aggregate via when(). ──
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val o = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  // ── TPC-H Q14 promo-revenue share: conditional revenue ratio over a
+  // fact⋈dim join. Both the numerator (CASE'd) and denominator come out of
+  // ONE aggregate pass; exact decimal arithmetic until the final division. ──
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-09-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")))
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(
+        (lit(BigDecimal(100)) * sum(when(col("p_type") === "PROMO",
+            Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(BigDecimal(0)))))
+          .cast("double").as("promo_numer"),
+        Exact.sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(round(col("promo_numer") / col("total_revenue"), 6).as("promo_pct"),
+        col("total_revenue"), col("n_items"))
+  }
+
   // ── salted JOIN: the hot-key template for fact⋈dim when one probe key
   // dominates (AQE skew-join handles sorted/shuffled joins at runtime;
   // explicit salting is the portable fallback and the only option for
@@ -252,6 +292,8 @@ object AdvancedOps {
     "tpch_q1"          -> tpchQ1 _,
     "tpch_q3"          -> tpchQ3 _,
     "tpch_q6"          -> tpchQ6 _,
+    "tpch_q12"         -> tpchQ12 _,
+    "tpch_q14"         -> tpchQ14 _,
     "join_skew_salted" -> joinSkewSalted _,
   )
 
@@ -308,6 +350,23 @@ object AdvancedOps {
         |  lead("value", 1) OVER w AS next_value
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+        |  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "tpch_q14" ->
+      """SELECT round(promo_numer / total_revenue, 6) AS promo_pct, total_revenue, n_items FROM (
+        |  SELECT
+        |    CAST(100 * sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |      ELSE 0 END) AS DOUBLE) AS promo_numer,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue,
+        |    count(*) AS n_items
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01') t""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  o_orderpriority,
