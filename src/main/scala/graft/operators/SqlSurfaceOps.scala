@@ -299,7 +299,41 @@ object SqlSurfaceOps {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  // ── remaining ranked-window family in one pass: first/last value over
+  // an explicit full frame, percent_rank and cume_dist (both exact
+  // rationals — (rank-1)/(n-1) and peers/n — so the doubles are identical
+  // across engines without rounding). One window spec, one sort. ──
+  def windowRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        first(col("value")).over(full).as("min_in_type"),
+        last(col("value")).over(full).as("max_in_type"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("event_type", "event_id")
+  }
+
+  // ── array-function surface: per-user sorted distinct event types, plus
+  // membership and set algebra against a literal — collect_set is
+  // per-partition nondeterministic so array_sort canonicalizes before
+  // anything order-sensitive (the same discipline as string_agg). ──
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      .select(col("user_id"), col("types"),
+        size(col("types")).as("n_types"),
+        array_contains(col("types"), "purchase").as("has_purchase"),
+        array_sort(array_except(col("types"), array(lit("click"), lit("view"))))
+          .as("non_browse"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rank_family" -> windowRankFamily _,
+    "array_funcs"        -> arrayFuncs _,
     "variant_json"      -> variantJson _,
     "unpivot_stack"     -> unpivotStack _,
     "percentile_group"  -> percentileGroup _,
@@ -321,6 +355,24 @@ object SqlSurfaceOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_rank_family" ->
+      """SELECT event_type, event_id, "value",
+        |  first("value") OVER (PARTITION BY event_type ORDER BY "value", event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min_in_type,
+        |  last("value") OVER (PARTITION BY event_type ORDER BY "value", event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_in_type,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY "value", event_id) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY event_type ORDER BY "value", event_id) AS cume
+        |FROM events ORDER BY event_type, event_id""".stripMargin,
+    "array_funcs" ->
+      """WITH t AS (
+        |  SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, types,
+        |  CAST(len(types) AS INTEGER) AS n_types,
+        |  list_contains(types, 'purchase') AS has_purchase,
+        |  list_sort(list_filter(types, x -> x NOT IN ('click', 'view'))) AS non_browse
+        |FROM t ORDER BY user_id""".stripMargin,
     "variant_json" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
