@@ -120,6 +120,28 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(viaMap == direct)
   }
 
+  test("window_rank_family: ranks are valid rationals, first/last bracket the value") {
+    val rows = SqlSurfaceOps.windowRankFamily(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (v, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= v && v <= hi)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0) // percent_rank
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)  // cume_dist
+    }
+  }
+
+  test("array_funcs: non_browse is types minus click/view, sorted") {
+    val rows = SqlSurfaceOps.arrayFuncs(spark, sf0001).collect()
+    rows.foreach { r =>
+      val types = r.getSeq[String](1)
+      val nb = r.getSeq[String](4)
+      assert(types.sorted == types)
+      assert(nb.toSet == types.toSet -- Set("click", "view"))
+      assert(r.getInt(2) === types.length)
+      assert(r.getBoolean(3) === types.contains("purchase"))
+    }
+  }
+
   test("variant extraction equals the string-path get_json_object") {
     import org.apache.spark.sql.functions._
     val viaVariant = SqlSurfaceOps.variantJson(spark, sf0001).collect()
