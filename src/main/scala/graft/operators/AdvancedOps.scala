@@ -269,16 +269,39 @@ object AdvancedOps {
   }
 
   // ── bivariate statistics: Pearson correlation + sample covariance per
-  // group (co-moment aggregation merges associatively — the same partial/
-  // final shape as every other agg here; rounded because co-moment merge
-  // order differs across engines in the last ULPs). ──
-  def statsCorr(spark: SparkSession, dir: String): DataFrame =
+  // group, computed from EXACT decimal power sums (n, Σx, Σy, Σxy, Σx²,
+  // Σy²) + the closed-form formulas — not the built-in corr/covar_samp,
+  // whose streaming co-moment merges are partition-order-sensitive in the
+  // last ULPs (a value near a 1e-6 rounding boundary then flips the digit
+  // across engines). Decimal sums are associative → bit-identical under
+  // any partitioning; the oracle spells out the IDENTICAL double
+  // expression tree over the same exact sums, so the doubles agree
+  // bit-for-bit before round(6). Same one-aggregate scale shape. ──
+  def statsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val u = col("l_discount").cast("decimal(9,4)")
+    val t = col("l_tax").cast("decimal(9,4)")
+    val nD = col("n").cast("double")
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"),
-        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(u).cast("double").as("su"), sum(t).cast("double").as("sv"),
+        sum(u * t).cast("double").as("suv"))
+      .select(col("l_returnflag"),
+        round((nD * col("sxy") - col("sx") * col("sy")) /
+          sqrt((nD * col("sxx") - col("sx") * col("sx")) *
+               (nD * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"),
+        round((nD * col("suv") - col("su") * col("sv")) /
+          (nD * (nD - lit(1.0d))), 6).as("covar_disc_tax"),
+        col("n"))
       .orderBy("l_returnflag")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_corr"       -> statsCorr _,
@@ -331,10 +354,22 @@ object AdvancedOps {
         |ORDER BY purchase_id""".stripMargin,
     "stats_corr" ->
       """SELECT l_returnflag,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        |  round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |  round((nd * sxy - sx * sy) /
+        |    sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS corr_qty_price,
+        |  round((nd * suv - su * sv) / (nd * (nd - 1.0)), 6) AS covar_disc_tax,
+        |  n
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS su,
+        |    CAST(sum(CAST(l_tax AS DECIMAL(9,4))) AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(9,4)) * CAST(l_tax AS DECIMAL(9,4))) AS DOUBLE) AS suv
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
     "cube_agg" ->
       """SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
         |  COALESCE(l_linestatus, '<all>') AS linestatus,

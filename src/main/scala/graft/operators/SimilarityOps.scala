@@ -114,8 +114,15 @@ object SimilarityOps {
       .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
         count(col("x"))).as("c"))
       .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => round(s.getField("c"), 6)).as("centroid"))
+      // output serialization: each component rounded to 6 dp, cast to
+      // DECIMAL(18,6) (fixed-scale rendering — "0.500000" — identical in
+      // Spark and DuckDB, unlike raw double formatting), comma-joined.
+      // Top-level array columns are unhashable in the oracle harness; the
+      // centroid math itself stays on arrays end-to-end.
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => round(s.getField("c"), 6).cast("decimal(18,6)").cast("string")),
+        ",").as("centroid"))
       .orderBy("label")
 
   // ── symmetric int8 quantization: q[i] = round(v[i] · 127/max|v|) — the
@@ -131,7 +138,10 @@ object SimilarityOps {
       .withColumn("scale",
         when(col("mx") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("mx")))
       .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
-        transform(col("v"), x => round(x * col("scale")).cast("int")).as("q"))
+        // int8 codes serialized as a comma-joined string (integer→string is
+        // engine-identical; arrays are unhashable in the oracle harness)
+        array_join(transform(col("v"),
+          x => round(x * col("scale")).cast("int").cast("string")), ",").as("q"))
       .orderBy("vec_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -143,14 +153,18 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // posexplode twin: generate_subscripts(v, 1) unnests in lockstep with
+    // unnest(v) (the Postgres-style parallel unnest), so the oracle tracks
+    // the ACTUAL vector length instead of hardcoding the fixture dimension
     "embed_centroid" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM e),
         |comp AS (
-        |  SELECT label, i - 1 AS pos,
-        |    CAST(sum(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / count(v[i]) AS c
-        |  FROM e, range(1, 65) t(i)
-        |  GROUP BY label, i)
-        |SELECT label, list(round(c, 6) ORDER BY pos) AS centroid
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(x) AS c
+        |  FROM ex GROUP BY label, pos)
+        |SELECT label,
+        |  array_to_string(list(CAST(CAST(round(c, 6) AS DECIMAL(18,6)) AS VARCHAR) ORDER BY pos), ',') AS centroid
         |FROM comp GROUP BY label ORDER BY label""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -161,7 +175,7 @@ object SimilarityOps {
         |        END AS scale
         |      FROM e)
         |SELECT vec_id, round(scale, 6) AS scale_r,
-        |  list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS q
+        |  array_to_string(list_transform(v, x -> CAST(CAST(round(x * scale) AS INTEGER) AS VARCHAR)), ',') AS q
         |FROM s ORDER BY vec_id""".stripMargin,
     "sim_search" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -319,16 +319,22 @@ object SqlSurfaceOps {
   // ── array-function surface: per-user sorted distinct event types, plus
   // membership and set algebra against a literal — collect_set is
   // per-partition nondeterministic so array_sort canonicalizes before
-  // anything order-sensitive (the same discipline as string_agg). ──
+  // anything order-sensitive (the same discipline as string_agg). The
+  // array columns are serialized with array_join in the OUTPUT projection
+  // only (the set algebra runs on real arrays): top-level array columns
+  // are not hashable by the oracle harness, and a comma-joined sorted
+  // array is the canonical string form in both engines. ──
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
-      .agg(array_sort(collect_set(col("event_type"))).as("types"))
-      .select(col("user_id"), col("types"),
-        size(col("types")).as("n_types"),
-        array_contains(col("types"), "purchase").as("has_purchase"),
-        array_sort(array_except(col("types"), array(lit("click"), lit("view"))))
-          .as("non_browse"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types_arr"))
+      .select(col("user_id"),
+        array_join(col("types_arr"), ",").as("types"),
+        size(col("types_arr")).as("n_types"),
+        array_contains(col("types_arr"), "purchase").as("has_purchase"),
+        array_join(
+          array_sort(array_except(col("types_arr"), array(lit("click"), lit("view")))),
+          ",").as("non_browse"))
       .orderBy("user_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -366,12 +372,13 @@ object SqlSurfaceOps {
         |FROM events ORDER BY event_type, event_id""".stripMargin,
     "array_funcs" ->
       """WITH t AS (
-        |  SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        |  SELECT user_id, list_sort(list(DISTINCT event_type)) AS types_arr
         |  FROM events GROUP BY user_id)
-        |SELECT user_id, types,
-        |  CAST(len(types) AS INTEGER) AS n_types,
-        |  list_contains(types, 'purchase') AS has_purchase,
-        |  list_sort(list_filter(types, x -> x NOT IN ('click', 'view'))) AS non_browse
+        |SELECT user_id,
+        |  array_to_string(types_arr, ',') AS types,
+        |  CAST(len(types_arr) AS INTEGER) AS n_types,
+        |  list_contains(types_arr, 'purchase') AS has_purchase,
+        |  array_to_string(list_sort(list_filter(types_arr, x -> x NOT IN ('click', 'view'))), ',') AS non_browse
         |FROM t ORDER BY user_id""".stripMargin,
     "variant_json" ->
       """SELECT event_type, count(*) AS cnt,

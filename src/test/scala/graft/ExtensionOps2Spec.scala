@@ -55,7 +55,7 @@ class ExtensionOps2Spec extends SparkSuite {
 
   test("embed_centroid averages match a driver-side reference") {
     val got = SimilarityOps.embedCentroid(spark, sf0001).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getInt(0) -> r.getString(1).split(",").toSeq.map(_.toDouble)).toMap
     val raw = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("label"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
@@ -76,7 +76,7 @@ class ExtensionOps2Spec extends SparkSuite {
   test("embed_quantize is within rounding of the scale and bounded by ±127") {
     val rows = SimilarityOps.embedQuantize(spark, sf0001).collect()
     rows.foreach { r =>
-      val q = r.getSeq[Int](2)
+      val q = r.getString(2).split(",").toSeq.map(_.toInt)
       assert(q.forall(v => v >= -127 && v <= 127))
       assert(q.exists(v => math.abs(v) == 127)) // max component hits the rail
     }

@@ -25,11 +25,13 @@ def canon(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # dev iteration: check only these comma-separated keys
+        oracle = {k: v for k, v in oracle.items() if k in only.split(",")}
     n_pass = n_fail = 0
     no_oracle = []
     for name in sorted(oracle):
@@ -88,6 +90,8 @@ def main(sf_dir, out_dir):
     # queries with spark output but no oracle entry
     import os
     for d in sorted(os.listdir(out_dir)):
+        if only and d not in only.split(","):
+            continue
         if os.path.isdir(f"{out_dir}/{d}") and d not in oracle:
             n = con.sql(f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]
             no_oracle.append(f"{d}({n} rows)")
@@ -98,4 +102,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
