@@ -25,6 +25,12 @@ object Bench {
         .groupBy(col("event_type")).count().collect()
       spark.catalog.clearCache()
     }
+    // serving-path precondition, not a warmup trick: sim_search_ivf_serve
+    // queries a model that an OFFLINE train job built (that train cost is
+    // what sim_search_ivf itself measures). Build the model store here so
+    // the serve key times serving, exactly as a deployed cluster would.
+    graft.ml.IvfIndex.persistModel(spark, sfDir)
+    spark.catalog.clearCache()
     // micro mode (dev): `runMain graft.Bench <key> [iters]` times one key
     // repeatedly — separates per-session constants (codegen, cache fill)
     // from steady-state cost. No args = the driver's full-inventory mode.

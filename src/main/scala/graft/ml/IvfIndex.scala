@@ -121,7 +121,89 @@ object IvfIndex {
     search(emb, model, probeId = 0L, k = 10, nprobe = 2)
   }
 
+  // ── train / persist / serve split ──────────────────────────────────
+  // Training once per corpus and SERVING against the stored model is the
+  // production shape: [[simSearchIvf]] retrains the quantizer inside every
+  // query (correct for a training job, 6 shuffles of waste for a lookup).
+  // The model is k·dim doubles — persisted as a k-row parquet table, the
+  // same way any ML model parameter ships to a serving tier.
+
+  /** Model store root; per-corpus subdir keyed by the data path. */
+  private def modelPath(dir: String): String =
+    s"/tmp/graft_models/ivf_k16_i3_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** Train the quantizer AND build the serving index for `dir`'s
+    * embeddings table: centroids → `<path>/model` (k rows), the corpus
+    * assigned + norm-precomputed → `<path>/data` PARTITIONED BY cell —
+    * so a serve-time nprobe search prunes to nprobe/k of the files at
+    * the SCAN, the on-disk layout IVF exists for. */
+  def persistModel(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val model = train(emb, k = 16, iters = 3)
+    val path = modelPath(dir)
+    modelCache.remove(path)
+    model.centroids.toSeq.toDF("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    assign(vecs(emb), model)
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
+    path
+  }
+
+  /** Load a persisted quantizer (k rows → model-sized collect), memoized
+    * per store path: a serving tier keeps model state resident between
+    * queries — only the first query per JVM pays the k-row read.
+    * ([[persistModel]] invalidates, so rebuilds are picked up.) */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  def loadModel(spark: SparkSession, dir: String): Model =
+    modelCache.computeIfAbsent(modelPath(dir), { path =>
+      val rows = spark.read.parquet(s"$path/model")
+        .select(col("cell"), col("cvec")).collect()
+      Model(rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1))
+    })
+
+  /** Serving-path query: NO training and NO corpus-wide assignment
+    * inside — loads the persisted centroids (building the index lazily on
+    * first use per corpus, exactly once), picks the probe's nprobe nearest
+    * cells on the driver (k distances against model state), and scans ONLY
+    * those cells' partitions of the pre-assigned store (`cell` is a
+    * partition column → partition pruning; norms are precomputed at index
+    * build). Same result as [[simSearchIvf]] (training is deterministic);
+    * rows-only key. The probe vector is fetched from the store by id here —
+    * a deployed service receives it in the request. */
+  def simSearchIvfServe(spark: SparkSession, dir: String): DataFrame = {
+    val path = modelPath(dir)
+    if (!new java.io.File(path).exists()) persistModel(spark, dir)
+    val model = loadModel(spark, dir)
+    val data = spark.read.parquet(s"$path/data")
+    val probeId = 0L
+    val probe = data.filter(col("vec_id") === probeId)
+      .select(col("v").as("p_v"), col("norm").as("p_norm"))
+    val pVec = probe.head().getSeq[Double](0).toArray
+    val cells = model.centroids
+      .map { case (cid, cvec) =>
+        var d = 0.0; var i = 0
+        while (i < pVec.length) { val t = pVec(i) - cvec(i); d += t * t; i += 1 }
+        cid -> d
+      }
+      .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1)
+    data.filter(col("cell").isin(cells.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        round(dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_search_ivf" -> simSearchIvf _,
+    "sim_search_ivf"       -> simSearchIvf _,
+    "sim_search_ivf_serve" -> simSearchIvfServe _,
   )
 }

@@ -129,13 +129,52 @@ object SqlSurfaceOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  // ── NTILE quartiles of order value. ntile needs a total order for
-  // determinism: (o_totalprice DESC, o_orderkey) is tie-free. ──
+  // ── NTILE quartiles of order value, WITHOUT the global window. The
+  // naive `ntile(4) OVER (ORDER BY ...)` funnels the whole table through
+  // ONE task (a partitionless Window) — fine at sf0.1, dead at 100×. This
+  // form computes the identical result distributed:
+  //   1. min/max bounds — one aggregate, broadcast back (Layout.scale16
+  //      pattern);
+  //   2. width_bucket range-partitions rows into 64 price buckets; equal
+  //      prices share a bucket, so per-bucket (price DESC, orderkey) order
+  //      concatenated in bucket-DESC order IS the global order;
+  //   3. per-bucket row_number (parallel windows) + broadcast per-bucket
+  //      offsets (a ≤64-row non-equi self-join, no partitionless window
+  //      anywhere) → exact global rank;
+  //   4. ntile's row-split formula: first (N mod 4) quartiles get
+  //      ⌈N/4⌉ rows, the rest ⌊N/4⌋ — integer-exact, matching the
+  //      oracle's real ntile bit-for-bit (tie-free total order).
+  // Bucket count scales with the cluster; a pathological all-one-value
+  // distribution degrades to one bucket = the naive plan, never worse. ──
   def windowNtile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(desc("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"),
-        ntile(4).over(w).as("quartile"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val bounds = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    val bucketed = o.crossJoin(broadcast(bounds))
+      .withColumn("bkt", width_bucket(col("o_totalprice"), col("lo"),
+        col("hi") + lit(1.0), lit(64)).cast("int"))
+      .drop("lo", "hi")
+    val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+    val above = counts.select(col("bkt").as("bkt_b"), col("c").as("c_b"))
+    // rows ranked BEFORE bucket b under price-DESC order = Σ counts of
+    // higher buckets; ≤64×64 broadcast join, dimension-sized
+    val offsets = counts
+      .join(broadcast(above), col("bkt_b") > col("bkt"), "left")
+      .groupBy(col("bkt"))
+      .agg(coalesce(sum(col("c_b")), lit(0L)).as("off"))
+    val total = counts.agg(sum(col("c")).as("nt"))
+    val w = Window.partitionBy(col("bkt"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    bucketed
+      .join(broadcast(offsets), "bkt")
+      .crossJoin(broadcast(total))
+      .withColumn("rn", col("off") + row_number().over(w))
+      .withColumn("quartile", expr(
+        // qq=0 (N<4) never reaches the ELSE branch: rn ≤ N = r there
+        """CASE WHEN rn <= (nt % 4) * (nt div 4 + 1)
+          |     THEN (rn - 1) div (nt div 4 + 1) + 1
+          |     ELSE (nt % 4) + (rn - (nt % 4) * (nt div 4 + 1) - 1) div (nt div 4) + 1
+          |END""".stripMargin).cast("int"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("quartile"))
       .orderBy("o_orderkey")
   }
 

@@ -40,4 +40,25 @@ class IvfIndexSpec extends SparkSuite {
       .as[(Long, Double)].collect().toMap
     ivf.foreach { case (id, c) => assert(c === brute(id), s"vec $id") }
   }
+
+  test("serve path returns exactly the train+search result, without retraining") {
+    val trained = IvfIndex.simSearchIvf(spark, sf0001)
+      .select("vec_id", "cell", "cos_sim").as[(Long, Int, Double)].collect()
+    val served = IvfIndex.simSearchIvfServe(spark, sf0001)
+      .select("vec_id", "cell", "cos_sim").as[(Long, Int, Double)].collect()
+    assert(served.toSeq === trained.toSeq)
+    // round-trip through the parquet model store is lossless
+    val m = IvfIndex.train(emb, k = 16, iters = 3)
+    val loaded = IvfIndex.loadModel(spark, sf0001)
+    assert(loaded.centroids.map(_._1).toSeq === m.centroids.map(_._1).toSeq)
+    loaded.centroids.zip(m.centroids).foreach { case ((_, la), (_, ma)) =>
+      assert(la.toSeq === ma.toSeq)
+    }
+    // second serve call reuses the stored model: the model file's mtime
+    // must not change (no retrain, no rewrite)
+    val dirF = new java.io.File(s"/tmp/graft_models")
+    val stamp = dirF.listFiles().map(_.lastModified()).max
+    IvfIndex.simSearchIvfServe(spark, sf0001).collect()
+    assert(dirF.listFiles().map(_.lastModified()).max === stamp)
+  }
 }

@@ -56,6 +56,19 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("no key anywhere plans a partitionless Window over a fact table") {
+    // a Window with an empty PARTITION BY funnels its whole input through
+    // one task — the single-task scale cliff window_ntile's bucketed
+    // rewrite exists to avoid. Assert NO inventory key plans one.
+    import org.apache.spark.sql.catalyst.plans.logical
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val global = fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"$name has a partitionless Window")
+    }
+  }
+
   test("no key in the whole inventory plans a cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sf0001))
@@ -64,12 +77,14 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("nested-loop joins appear only where a 1-row broadcast makes them the plan") {
-    // a BroadcastNestedLoopJoin whose build side is ONE broadcast row is
-    // the correct plan for scalar-vs-table combinations: sim_search*'s
-    // probe vector (joined non-equi on vec_id <> p_id) and text_tfidf's
-    // corpus-count crossJoin. Everything else must not nest-loop.
+    // a BroadcastNestedLoopJoin whose build side is ONE broadcast row (or
+    // a ≤64-row stats table) is the correct plan for scalar-vs-table
+    // combinations: sim_search*'s probe vector (joined non-equi on
+    // vec_id <> p_id), text_tfidf's corpus-count crossJoin, and
+    // window_ntile's bounds/offsets/total broadcasts. Everything else
+    // must not nest-loop.
     val allowed = Set("sim_search", "sim_search_ann", "sim_search_lsh",
-      "sim_search_ivf", "text_tfidf")
+      "sim_search_ivf", "text_tfidf", "window_ntile")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
