@@ -311,6 +311,22 @@ object SqlSurfaceOps {
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
       .orderBy("l_returnflag")
 
+  // ── fixed-memory percentile fallback: the SAME per-group quantiles via
+  // approx_percentile (KLL-style sketch) — at 100 TB the exact form
+  // shuffles every (group, value) pair, the sketch shuffles a bounded
+  // summary per partition and merges. Accuracy 10000 → rank error ≤ 1e-4
+  // of the group. Rows-only key (sketch internals are engine-specific; no
+  // cross-engine oracle is possible) — the ScalaTest pins the error bound
+  // against the exact form, mirroring approx_distinct's treatment. ──
+  def percentileGroupApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 6).as("p50_qty"),
+        round(expr("approx_percentile(l_quantity, 0.9, 10000)"), 6).as("p90_qty"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 6).as("p50_price"))
+      .orderBy("l_returnflag")
+
   // ── histogram binning via width_bucket: fixed-width value buckets as a
   // single scan-side expression + one groupBy — the distributed histogram
   // (no sort, no window). Bounds are literals here; at scale they come
@@ -341,7 +357,23 @@ object SqlSurfaceOps {
   // ── remaining ranked-window family in one pass: first/last value over
   // an explicit full frame, percent_rank and cume_dist (both exact
   // rationals — (rank-1)/(n-1) and peers/n — so the doubles are identical
-  // across engines without rounding). One window spec, one sort. ──
+  // across engines without rounding). One window spec, one sort.
+  //
+  // SKEW BOUND, explicit: event_type has tiny cardinality (5 here), so
+  // each window partition is table_size/n_types rows — at 100 TB that is
+  // tens of TB through one task, the low-cardinality-partition cliff.
+  // Unlike window_ntile (rewritten bucketed), percent_rank/cume_dist are
+  // rank-bearing: every row needs its exact position, so the semantics
+  // FORCE a per-type total order. The at-scale mitigations, in order:
+  // (a) the same two-pass device as window_ntile — range-bucket `value`
+  //     within each type, per-(type,bucket) windows + broadcast bucket
+  //     offsets/counts reconstruct rank and n exactly (percent_rank and
+  //     cume_dist are functions of rank, peers and n only);
+  // (b) for the rank-FREE members (first/last = per-type min/max here),
+  //     a salted two-pass aggregate — partial min/max per (type, salt),
+  //     merge 16 partials — broadcast back, no window at all.
+  // At test scale the direct window is the faster plan and keeps the
+  // oracle 1:1; the rewrite is proven by window_ntile's green row. ──
   def windowRankFamily(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
@@ -382,6 +414,7 @@ object SqlSurfaceOps {
     "variant_json"      -> variantJson _,
     "unpivot_stack"     -> unpivotStack _,
     "percentile_group"  -> percentileGroup _,
+    "percentile_group_approx" -> percentileGroupApprox _,
     "width_bucket_hist" -> widthBucketHist _,
     "grouping_sets"   -> groupingSetsAgg _,
     "set_intersect"   -> setIntersect _,

@@ -66,20 +66,25 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
             partSpec, orderSpec, child, _)))
         if isDefaultRowNumberFrame(spec) &&
           (partSpec ++ orderSpec).forall(_.deterministic) &&
-          rowNumberLimit(cond, al.exprId).isDefined &&
           !projectList.exists(_.references.exists(_.exprId == al.exprId)) &&
           projectList.forall(ne =>
             ne.references.subsetOf(child.outputSet)) =>
-      val k = rowNumberLimit(cond, al.exprId).get
-      // Spark 3.5+'s InferWindowGroupLimit may already have slid a
-      // WindowGroupLimit under the Window (sort-based partial group
-      // pruning). Our heap-based operator supersedes it — keeping it
-      // would re-introduce the two full sorts the rewrite exists to
-      // avoid — so unwrap it when present.
-      val realChild = child match {
-        case WindowGroupLimit(_, _, _, _, c) => c
-        case c => c
+      rowNumberLimit(cond, al.exprId) match {
+        case Some(k) =>
+          // Spark 3.5+'s InferWindowGroupLimit may already have slid a
+          // WindowGroupLimit under the Window (sort-based partial group
+          // pruning). Our heap-based operator supersedes it — keeping it
+          // would re-introduce the two full sorts the rewrite exists to
+          // avoid — so unwrap it, but ONLY one that belongs to THIS
+          // Window (same partition/order spec, row_number ranking): an
+          // unrelated group limit must survive the rewrite.
+          val realChild = child match {
+            case WindowGroupLimit(ps, os, RowNumber(), _, c)
+              if ps == partSpec && os == orderSpec => c
+            case c => c
+          }
+          Project(projectList, TopKPerKey(partSpec, orderSpec, k, realChild))
+        case None => p
       }
-      Project(projectList, TopKPerKey(partSpec, orderSpec, k, realChild))
   }
 }

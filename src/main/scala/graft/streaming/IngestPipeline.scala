@@ -128,13 +128,17 @@ object IngestPipeline {
         col("avg_temp"), col("n_obs"))
 
   /** foreachBatch UPSERT sink: the store keeps ONE row per city — the
-    * latest observation by (dt, then city for total order) — instead of
-    * the reference's append-only insert_one pile (`consumer.py:78`, which
-    * accumulates every poll forever and makes the dashboard re-aggregate
-    * history it doesn't want). Per micro-batch: read current store, union
-    * the batch, keep rank-1 per key, overwrite. The read→overwrite of the
-    * same path is safe because the merge is materialized (cache + count)
-    * before the write clears the directory. AT SCALE the same foreachBatch
+    * latest observation — instead of the reference's append-only
+    * insert_one pile (`consumer.py:78`, which accumulates every poll
+    * forever and makes the dashboard re-aggregate history it doesn't
+    * want). Per micro-batch: read current store, union the batch, keep
+    * rank-1 per key, write to a TEMP path, then swap directories — the
+    * store path is never read and written by the same job, so a lost
+    * cache block can never recompute against a half-truncated store
+    * (the failure the previous cache()+count() ordering only narrowed).
+    * The window order is a TOTAL order over the stored columns:
+    * redelivered duplicates (same city+dt, possibly corrected values)
+    * resolve identically on every run. AT SCALE the same foreachBatch
     * body targets a table format's MERGE (Delta/Iceberg) so the rewrite
     * touches only matching files — the orchestration shown here (batch as
     * a DataFrame, idempotent per epoch) is unchanged. */
@@ -145,14 +149,18 @@ object IngestPipeline {
     val merged0 =
       if (exists) spark.read.parquet(store).unionByName(slim) else slim
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("city")).orderBy(org.apache.spark.sql.functions.desc("dt"))
+      .partitionBy(col("city")).orderBy(desc("dt"),
+        desc("temperature"), desc("humidity")) // total over stored cols
     val merged = merged0
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .cache()
-    merged.count() // materialize BEFORE overwriting the path being read
-    merged.write.mode("overwrite").parquet(store)
-    merged.unpersist()
+    val tmp = store + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(store))
   }
 
   /** Wire [[upsertBatch]] as a streaming sink. */

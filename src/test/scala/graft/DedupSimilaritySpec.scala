@@ -26,6 +26,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(DedupOps.dedupExact(spark, sf0001).count() === docs.count())
   }
 
+  test("dedup_pipeline = union of the three methods' pair sets, labeled") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val ng = pairsOf(DedupOps.dedupNgram(spark, sf0001))
+    val mh = pairsOf(DedupOps.dedupMinhash(spark, sf0001))
+    val sim = pairsOf(DedupOps.dedupSimhash(spark, sf0001))
+    val pipe = DedupOps.dedupPipeline(spark, sf0001)
+      .select("doc_a", "doc_b", "methods", "n_methods")
+      .as[(Long, Long, String, Int)].collect()
+    assert(pipe.map(r => (r._1, r._2)).toSet === (ng ++ mh ++ sim))
+    pipe.foreach { case (a, b, methods, n) =>
+      val ms = methods.split(",").toSet
+      assert(ms.nonEmpty && n === ms.size)
+      assert(ms.contains("ngram") === ng((a, b)))
+      assert(ms.contains("minhash") === mh((a, b)))
+      assert(ms.contains("simhash") === sim((a, b)))
+    }
+    // LSH survivors pass the same Jaccard gate → always ⊆ ngram's pairs
+    assert(mh.subsetOf(ng))
+  }
+
   test("minhash LSH pairs are a subset of exhaustive ngram-jaccard pairs") {
     val ngram = DedupOps.dedupNgram(spark, sf0001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -84,7 +84,7 @@ class PlanShapeSpec extends SparkSuite {
     // window_ntile's bounds/offsets/total broadcasts. Everything else
     // must not nest-loop.
     val allowed = Set("sim_search", "sim_search_ann", "sim_search_lsh",
-      "sim_search_ivf", "text_tfidf", "window_ntile")
+      "sim_search_ivf", "sim_search_ivf_serve", "text_tfidf", "window_ntile")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>

@@ -144,6 +144,22 @@ class SqlSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("approx percentiles stay within sketch error of the exact form") {
+    val exact = SqlSurfaceOps.percentileGroup(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = SqlSurfaceOps.percentileGroupApprox(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    // accuracy 10000 → rank error ≤ 1/10000 of each group; on these value
+    // ranges that is within 5% relative of the exact quantile
+    approx.foreach { case (k, (a50q, a90q, a50p)) =>
+      val (e50q, e90q, e50p) = exact(k)
+      assert(math.abs(a50q - e50q) <= 0.05 * math.max(1.0, e50q), s"$k p50_qty")
+      assert(math.abs(a90q - e90q) <= 0.05 * math.max(1.0, e90q), s"$k p90_qty")
+      assert(math.abs(a50p - e50p) <= 0.05 * math.max(1.0, e50p), s"$k p50_price")
+    }
+  }
+
   test("variant extraction equals the string-path get_json_object") {
     import org.apache.spark.sql.functions._
     val viaVariant = SqlSurfaceOps.variantJson(spark, sf0001).collect()
