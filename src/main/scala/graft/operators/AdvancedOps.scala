@@ -69,6 +69,30 @@ object AdvancedOps {
       .orderBy("purchase_id")
   }
 
+  // ── time-series gap-fill (resample to a daily grid): per-user daily
+  // event counts with MISSING days zero-filled across each user's active
+  // span — the regularization step every time-series feature pipeline
+  // needs before windowed models. The day grid comes from sequence() +
+  // explode per user (bounded by span length, generated on executors —
+  // no calendar table, no driver loop) and the fill is a left join keyed
+  // on (user, day): every stage is keyed on the entity, so the shape is
+  // one shuffle + one map-side grid expansion at any scale. ──
+  def resampleDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("user_id", "day_s")
+  }
+
   // ── rollup: hierarchical subtotals over returnflag → linestatus, with
   // grouping indicators disambiguating the subtotal rows (free in Spark —
   // SURVEY §2.5 notes cube/rollup as the natural extension the reference
@@ -308,6 +332,7 @@ object AdvancedOps {
     "cube_agg"         -> cubeAgg _,
     "window_lead_lag"  -> windowLeadLag _,
     "sessionize"       -> sessionize _,
+    "resample_daily"   -> resampleDaily _,
     "asof_join"        -> asofJoin _,
     "rollup_agg"       -> rollupAgg _,
     "distinct_agg"     -> distinctAgg _,
@@ -338,6 +363,19 @@ object AdvancedOps {
         |  min(us) AS start_us, max(us) AS end_us
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "resample_daily" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM spans)
+        |SELECT g.user_id AS user_id, strftime(g.day, '%Y-%m-%d') AS day_s,
+        |  COALESCE(d.cnt, 0) AS cnt
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, day_s""".stripMargin,
     "asof_join" ->
       """WITH seq AS (
         |  SELECT event_id, user_id, event_type,

@@ -42,6 +42,29 @@ object RelationalOps {
       .orderBy("o_orderpriority")
   }
 
+  // ── Bucket-co-located join: the SAME fact⋈fact join as joinSmj with
+  // ZERO Exchange anywhere in the plan. Both tables are bucketed 16-way
+  // on orderkey at WRITE time (graft.sources.Bucketed), so the join reads
+  // co-located buckets, and because the aggregation below groups ON the
+  // bucket key, the bucket partitioning satisfies its distribution too
+  // (subset rule) — scan → join → agg → top-k without one row crossing
+  // the network. The plan guard in PlanShapeSpec pins "no Exchange". ──
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, lt) = graft.sources.Bucketed.ensure(spark, dir)
+    // hint("merge") pins the bucket-exploiting SMJ: at test SF the
+    // optimizer would broadcast the small side (adding a
+    // BroadcastExchange), which at 100 TB it cannot — the pinned plan is
+    // the at-scale one, and with bucketing it has NO exchange at all
+    val o = spark.table(ot).hint("merge")
+    val l = spark.table(lt)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
   // ── Left-semi (EXISTS): orders having at least one near-max-quantity
   // item. Semi joins shuffle only the keys of the probe side — never
   // materialize the match payload. ──
@@ -123,6 +146,7 @@ object RelationalOps {
     "topk_per_key_native" -> topkPerKeyNative _,
     "join_bhj"          -> joinBhj _,
     "join_smj"          -> joinSmj _,
+    "join_bucketed"     -> joinBucketed _,
     "join_semi"         -> joinSemi _,
     "join_anti"         -> joinAnti _,
     "topk_limit"        -> topkLimit _,
@@ -143,6 +167,13 @@ object RelationalOps {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_bucketed" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "join_smj" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue

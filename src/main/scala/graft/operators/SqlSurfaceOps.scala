@@ -387,6 +387,52 @@ object SqlSurfaceOps {
       .orderBy("event_type", "event_id")
   }
 
+  // ── the scaladoc mitigation above, IMPLEMENTED: the same four window
+  // values with the per-type partition split 64 ways. value-range buckets
+  // within each type (broadcast global bounds, width_bucket — ties share
+  // a bucket so per-(type,bucket) order concatenates to the per-type
+  // order), per-bucket row_number + broadcast (type,bucket) offsets →
+  // exact per-type rank; n and min/max per type from one aggregate each,
+  // broadcast back. percent_rank = (rank-1)/(n-1) and cume_dist = rank/n
+  // (tie-free total order ⇒ rank = row_number, peers = 1) — the same
+  // exact rationals, so this key shares window_rank_family's ORACLE
+  // verbatim: two green rows = machine-checked equivalence proof of the
+  // rewrite. Max partition is table/(n_types·64) instead of
+  // table/n_types. ──
+  def windowRankFamilyScaled(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val b = e.crossJoin(broadcast(bounds))
+      .withColumn("bkt", width_bucket(col("value"), col("lo"),
+        col("hi") + lit(1.0), lit(64)).cast("int"))
+      .drop("lo", "hi")
+    val counts = b.groupBy(col("event_type"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val below = counts.select(col("event_type").as("t2"),
+      col("bkt").as("b2"), col("c").as("c2"))
+    val offsets = counts
+      .join(broadcast(below),
+        col("t2") === col("event_type") && col("b2") < col("bkt"), "left")
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
+    val totals = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val mm = e.groupBy(col("event_type"))
+      .agg(min(col("value")).as("min_in_type"), max(col("value")).as("max_in_type"))
+    val w = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("value"), col("event_id"))
+    b.join(broadcast(offsets), Seq("event_type", "bkt"))
+      .join(broadcast(totals), Seq("event_type"))
+      .join(broadcast(mm), Seq("event_type"))
+      .withColumn("rank", col("off") + row_number().over(w))
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("min_in_type"), col("max_in_type"),
+        when(col("n") === 1, lit(0.0)).otherwise(
+          (col("rank") - 1).cast("double") / (col("n") - 1)).as("pct_rank"),
+        (col("rank").cast("double") / col("n")).as("cume"))
+      .orderBy("event_type", "event_id")
+  }
+
   // ── array-function surface: per-user sorted distinct event types, plus
   // membership and set algebra against a literal — collect_set is
   // per-partition nondeterministic so array_sort canonicalizes before
@@ -410,6 +456,7 @@ object SqlSurfaceOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_rank_family" -> windowRankFamily _,
+    "window_rank_family_scaled" -> windowRankFamilyScaled _,
     "array_funcs"        -> arrayFuncs _,
     "variant_json"      -> variantJson _,
     "unpivot_stack"     -> unpivotStack _,
@@ -432,7 +479,20 @@ object SqlSurfaceOps {
     "map_funcs"       -> mapFuncs _,
   )
 
+  /** Shared by window_rank_family and its _scaled twin — identical oracle
+    * = machine-checked equivalence of the distributed rewrite. */
+  private val rankFamilyOracle =
+    """SELECT event_type, event_id, "value",
+      |  first("value") OVER (PARTITION BY event_type ORDER BY "value", event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min_in_type,
+      |  last("value") OVER (PARTITION BY event_type ORDER BY "value", event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_in_type,
+      |  percent_rank() OVER (PARTITION BY event_type ORDER BY "value", event_id) AS pct_rank,
+      |  cume_dist() OVER (PARTITION BY event_type ORDER BY "value", event_id) AS cume
+      |FROM events ORDER BY event_type, event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "window_rank_family_scaled" -> rankFamilyOracle,
     "window_rank_family" ->
       """SELECT event_type, event_id, "value",
         |  first("value") OVER (PARTITION BY event_type ORDER BY "value", event_id

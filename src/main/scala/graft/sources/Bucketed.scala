@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Bucketed twins of the big fact tables — the storage layout that makes
+  * large-large joins SHUFFLE-FREE.
+  *
+  * `orders ⋈ lineitem` is the one join in this corpus where neither side
+  * broadcasts; unbucketed, every query pays a full shuffle of both tables
+  * on orderkey. Writing both tables `bucketBy(16, <orderkey>)` once moves
+  * that shuffle to WRITE time: the bucket metadata lives in the catalog,
+  * both sides hash-partition identically on disk, and every subsequent
+  * join (and any aggregation keyed on orderkey, by the subset rule) reads
+  * co-located buckets with NO Exchange in the plan — at 100 TB this is
+  * the difference between re-shuffling 100 TB per query and never
+  * shuffling it again. `sortBy` within buckets lets sort-merge join skip
+  * its sorts when each bucket holds one file.
+  *
+  * The reference has no analogue (pandas joins in memory); this is the
+  * engine-level upgrade its workflow gains for free on Spark.
+  */
+object Bucketed {
+
+  val NBuckets = 16
+
+  /** Lazily materialize the bucketed twins for `dir` (exactly once per
+    * warehouse — a catalog lookup thereafter, like any table). A fresh
+    * session with a leftover warehouse DIRECTORY (in-memory catalog, no
+    * metastore) would refuse the managed-table location; these are derived
+    * caches, so a stale location is simply cleared and rebuilt. */
+  def ensure(spark: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (ot, lt) = (s"graft_orders_b$tag", s"graft_lineitem_b$tag")
+    def build(name: String, keyCol: String, src: SparkSession => org.apache.spark.sql.DataFrame): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val loc = new org.apache.hadoop.fs.Path(s"$wh/$name")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        src(spark).write
+          .bucketBy(NBuckets, keyCol).sortBy(keyCol)
+          .mode("overwrite").saveAsTable(name)
+      }
+    build(ot, "o_orderkey", Tables.orders(_, dir))
+    build(lt, "l_orderkey", Tables.lineitem(_, dir))
+    (ot, lt)
+  }
+}

