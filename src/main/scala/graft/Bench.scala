@@ -29,11 +29,15 @@ object Bench {
     // queries a model that an OFFLINE train job built (that train cost is
     // what sim_search_ivf itself measures), and join_bucketed reads tables
     // an offline layout job wrote bucketed (the write-time shuffle is the
-    // one-time cost the layout exists to amortize). Build both stores here
+    // one-time cost the layout exists to amortize). Build each store here
     // so those keys time the steady-state query, as a deployed cluster
-    // would.
-    graft.ml.IvfIndex.persistModel(spark, sfDir)
-    graft.sources.Bucketed.ensure(spark, sfDir)
+    // would — but only when the run will actually touch the key: a micro
+    // invocation on an unrelated key must not pay a k-means train plus two
+    // bucketed fact-table writes at startup.
+    val selected = if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    def runsKey(k: String) = selected.forall(_.contains(k))
+    if (runsKey("sim_search_ivf_serve")) graft.ml.IvfIndex.persistModel(spark, sfDir)
+    if (runsKey("join_bucketed")) graft.sources.Bucketed.ensure(spark, sfDir)
     spark.catalog.clearCache()
     // micro mode (dev): `runMain graft.Bench <key> [iters]` times one key
     // repeatedly — separates per-session constants (codegen, cache fill)

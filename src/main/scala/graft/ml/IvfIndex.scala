@@ -128,9 +128,14 @@ object IvfIndex {
   // The model is k·dim doubles — persisted as a k-row parquet table, the
   // same way any ML model parameter ships to a serving tier.
 
-  /** Model store root; per-corpus subdir keyed by the data path. */
-  private def modelPath(dir: String): String =
-    s"/tmp/graft_models/ivf_k16_i3_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  /** Model store root; per-corpus subdir keyed by the data path AND a
+    * digest of the embeddings files (name/length/mtime) — regenerated or
+    * swapped source data yields a NEW path, so the serve path's exists()
+    * check can never hit a store built from different data (the stale
+    * store becomes an unreferenced orphan). Public so tests can scope
+    * assertions to this corpus's store rather than the shared root. */
+  def modelPath(dir: String): String =
+    s"/tmp/graft_models/ivf_k16_i3_${graft.sources.Fingerprint.tag(dir, "embeddings")}"
 
   /** Train the quantizer AND build the serving index for `dir`'s
     * embeddings table: centroids → `<path>/model` (k rows), the corpus

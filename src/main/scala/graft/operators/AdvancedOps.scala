@@ -317,12 +317,20 @@ object AdvancedOps {
         sum(u).cast("double").as("su"), sum(t).cast("double").as("sv"),
         sum(u * t).cast("double").as("suv"))
       .select(col("l_returnflag"),
-        round((nD * col("sxy") - col("sx") * col("sy")) /
-          sqrt((nD * col("sxx") - col("sx") * col("sx")) *
-               (nD * col("syy") - col("sy") * col("sy"))), 6)
+        // degenerate groups (n=1, or zero variance in either column) get
+        // an EXPLICIT NULL, guarded the same way in the oracle SQL: left
+        // to the engines, Spark's non-ANSI Divide returns NULL on a zero
+        // divisor while DuckDB's IEEE division returns NaN/±inf — a
+        // cross-engine mismatch waiting for the first tiny group
+        when((nD * col("sxx") - col("sx") * col("sx")) *
+             (nD * col("syy") - col("sy") * col("sy")) > 0,
+          round((nD * col("sxy") - col("sx") * col("sy")) /
+            sqrt((nD * col("sxx") - col("sx") * col("sx")) *
+                 (nD * col("syy") - col("sy") * col("sy"))), 6))
           .as("corr_qty_price"),
-        round((nD * col("suv") - col("su") * col("sv")) /
-          (nD * (nD - lit(1.0d))), 6).as("covar_disc_tax"),
+        when(col("n") > 1,
+          round((nD * col("suv") - col("su") * col("sv")) /
+            (nD * (nD - lit(1.0d))), 6)).as("covar_disc_tax"),
         col("n"))
       .orderBy("l_returnflag")
   }
@@ -392,9 +400,13 @@ object AdvancedOps {
         |ORDER BY purchase_id""".stripMargin,
     "stats_corr" ->
       """SELECT l_returnflag,
-        |  round((nd * sxy - sx * sy) /
-        |    sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS corr_qty_price,
-        |  round((nd * suv - su * sv) / (nd * (nd - 1.0)), 6) AS covar_disc_tax,
+        |  CASE WHEN (nd * sxx - sx * sx) * (nd * syy - sy * sy) > 0
+        |       THEN round((nd * sxy - sx * sy) /
+        |         sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+        |  END AS corr_qty_price,
+        |  CASE WHEN n > 1
+        |       THEN round((nd * suv - su * sv) / (nd * (nd - 1.0)), 6)
+        |  END AS covar_disc_tax,
         |  n
         |FROM (
         |  SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,

@@ -101,20 +101,10 @@ object DedupOps {
 
   /** Shingle vocabulary → dense id (oracle-deterministic stand-in for
     * xxhash64; see object scaladoc). Vocabulary-sized, broadcastable.
-    *
-    * Rank assignment is a DISTRIBUTED sort + zipWithIndex — per-partition
-    * counts then contiguous ids, identical to `dense_rank() OVER (ORDER BY
-    * shingle)` over the duplicate-free vocabulary but without collapsing
-    * the sort into a single partition (the global-window form funnels the
-    * whole vocabulary through one task — the classic scale cliff). */
-  private def shingleDict(sh: DataFrame): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    sh.select("shingle").distinct().orderBy("shingle")
-      .as[String].rdd.zipWithIndex()
-      .map { case (s, i) => (s, i + 1) }
-      .toDF("shingle", "sid")
-  }
+    * The distributed dense-rank device lives in [[graft.functions.RankDict]]
+    * (shared with text fingerprinting's token dictionary). */
+  private def shingleDict(sh: DataFrame): DataFrame =
+    graft.functions.RankDict.ranked(sh, "shingle", "sid")
 
   /** True Jaccard over shingle sets for a given candidate pair set
     * (columns doc_a < doc_b). Joins candidates back to the shingle lists —

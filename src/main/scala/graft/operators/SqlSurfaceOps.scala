@@ -129,6 +129,48 @@ object SqlSurfaceOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ── shared scaffold for EXACT ranks without a partitionless (or
+  // low-cardinality-partition) window, used by windowNtile and
+  // windowRankFamilyScaled: global value bounds (one aggregate, broadcast
+  // back), width_bucket range-partitions rows into nBuckets value buckets
+  // (ties share a bucket, so per-bucket order concatenated in bucket order
+  // IS the total order), per-bucket row_number (parallel windows) +
+  // broadcast per-(part,bucket) offsets from a ≤nBuckets² dimension-sized
+  // non-equi self-join. Max window partition is table/(|parts|·nBuckets);
+  // a pathological all-one-value distribution degrades to one bucket = the
+  // naive plan, never worse. Output: input columns + `bkt` + `rnk` (exact
+  // 1-based rank under the (partCols, value direction, tieCol) total
+  // order). One implementation so the bucket-offset device — including the
+  // direction-sensitive offset join the two call sites once hand-copied
+  // with opposite comparisons — can't desynchronize. ──
+  private def bucketedRank(df: DataFrame, partCols: Seq[String],
+      valueCol: String, descending: Boolean, tieCol: String,
+      nBuckets: Int = 64): DataFrame = {
+    val bounds = df.agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+    val b = df.crossJoin(broadcast(bounds))
+      .withColumn("bkt", width_bucket(col(valueCol), col("lo"),
+        col("hi") + lit(1.0), lit(nBuckets)).cast("int"))
+      .drop("lo", "hi")
+    val keyCols = partCols :+ "bkt"
+    val counts = b.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+    val other = counts.select(
+      keyCols.map(c => col(c).as(s"${c}_o")) :+ col("c").as("c_o"): _*)
+    // rows ranked BEFORE bucket b = Σ counts of earlier buckets in the
+    // same partition ("earlier" follows the sort direction)
+    val before =
+      if (descending) col("bkt_o") > col("bkt") else col("bkt_o") < col("bkt")
+    val cond = partCols.map(c => col(s"${c}_o") === col(c))
+      .foldLeft(before)(_ && _)
+    val offsets = counts.join(broadcast(other), cond, "left")
+      .groupBy(keyCols.map(col): _*)
+      .agg(coalesce(sum(col("c_o")), lit(0L)).as("off"))
+    val ord = if (descending) desc(valueCol) else asc(valueCol)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord, col(tieCol))
+    b.join(broadcast(offsets), keyCols)
+      .withColumn("rnk", col("off") + row_number().over(w))
+      .drop("off")
+  }
+
   // ── NTILE quartiles of order value, WITHOUT the global window. The
   // naive `ntile(4) OVER (ORDER BY ...)` funnels the whole table through
   // ONE task (a partitionless Window) — fine at sf0.1, dead at 100×. This
@@ -148,26 +190,12 @@ object SqlSurfaceOps {
   // distribution degrades to one bucket = the naive plan, never worse. ──
   def windowNtile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
-    val bounds = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
-    val bucketed = o.crossJoin(broadcast(bounds))
-      .withColumn("bkt", width_bucket(col("o_totalprice"), col("lo"),
-        col("hi") + lit(1.0), lit(64)).cast("int"))
-      .drop("lo", "hi")
-    val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
-    val above = counts.select(col("bkt").as("bkt_b"), col("c").as("c_b"))
-    // rows ranked BEFORE bucket b under price-DESC order = Σ counts of
-    // higher buckets; ≤64×64 broadcast join, dimension-sized
-    val offsets = counts
-      .join(broadcast(above), col("bkt_b") > col("bkt"), "left")
-      .groupBy(col("bkt"))
-      .agg(coalesce(sum(col("c_b")), lit(0L)).as("off"))
-    val total = counts.agg(sum(col("c")).as("nt"))
-    val w = Window.partitionBy(col("bkt"))
-      .orderBy(desc("o_totalprice"), col("o_orderkey"))
-    bucketed
-      .join(broadcast(offsets), "bkt")
+    val ranked = bucketedRank(o, Nil, "o_totalprice",
+      descending = true, tieCol = "o_orderkey")
+    val total = o.agg(count(lit(1)).as("nt"))
+    ranked
       .crossJoin(broadcast(total))
-      .withColumn("rn", col("off") + row_number().over(w))
+      .withColumnRenamed("rnk", "rn")
       .withColumn("quartile", expr(
         // qq=0 (N<4) never reaches the ELSE branch: rn ≤ N = r there
         """CASE WHEN rn <= (nt % 4) * (nt div 4 + 1)
@@ -402,34 +430,19 @@ object SqlSurfaceOps {
   def windowRankFamilyScaled(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("value"))
-    val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val b = e.crossJoin(broadcast(bounds))
-      .withColumn("bkt", width_bucket(col("value"), col("lo"),
-        col("hi") + lit(1.0), lit(64)).cast("int"))
-      .drop("lo", "hi")
-    val counts = b.groupBy(col("event_type"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
-    val below = counts.select(col("event_type").as("t2"),
-      col("bkt").as("b2"), col("c").as("c2"))
-    val offsets = counts
-      .join(broadcast(below),
-        col("t2") === col("event_type") && col("b2") < col("bkt"), "left")
-      .groupBy(col("event_type"), col("bkt"))
-      .agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
-    val totals = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val ranked = bucketedRank(e, Seq("event_type"), "value",
+      descending = false, tieCol = "event_id")
+    val totals = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val mm = e.groupBy(col("event_type"))
       .agg(min(col("value")).as("min_in_type"), max(col("value")).as("max_in_type"))
-    val w = Window.partitionBy(col("event_type"), col("bkt"))
-      .orderBy(col("value"), col("event_id"))
-    b.join(broadcast(offsets), Seq("event_type", "bkt"))
+    ranked
       .join(broadcast(totals), Seq("event_type"))
       .join(broadcast(mm), Seq("event_type"))
-      .withColumn("rank", col("off") + row_number().over(w))
       .select(col("event_type"), col("event_id"), col("value"),
         col("min_in_type"), col("max_in_type"),
         when(col("n") === 1, lit(0.0)).otherwise(
-          (col("rank") - 1).cast("double") / (col("n") - 1)).as("pct_rank"),
-        (col("rank").cast("double") / col("n")).as("cume"))
+          (col("rnk") - 1).cast("double") / (col("n") - 1)).as("pct_rank"),
+        (col("rnk").cast("double") / col("n")).as("cume"))
       .orderBy("event_type", "event_id")
   }
 

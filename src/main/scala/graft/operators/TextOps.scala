@@ -105,24 +105,18 @@ object TextOps {
 
   // ── document fingerprinting: order-sensitive polynomial rolling hash over
   // the token sequence (north star "rolling hash"). The oracle-deterministic
-  // form maps tokens to dense ids via a global dictionary (sorted distinct
-  // vocabulary ranked by DISTRIBUTED sort + zipWithIndex — per-partition
-  // counts then contiguous ids, identical to `dense_rank() OVER (ORDER BY
-  // tok)` but without funnelling the vocabulary through one task; same
-  // device as DedupOps.shingleDict), then folds (acc*131 + id) mod 1e9+7
+  // form maps tokens to dense ids via a global dictionary
+  // ([[graft.functions.RankDict]] — the distributed dense-rank device shared
+  // with DedupOps.shingleDict), then folds (acc*131 + id) mod 1e9+7
   // along the sequence with the `aggregate` higher-order function. AT
   // SCALE: replace the dictionary+rank with `xxhash64(token)` directly —
   // same fold, no global state; the dictionary exists only because a hash
   // seed can't be replicated bit-for-bit in the DuckDB oracle. ──
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
       posexplode(toksCol).as(Seq("pos", "tok")))
-    val dict = toks.select("tok").distinct().orderBy("tok")
-      .as[String].rdd.zipWithIndex()
-      .map { case (t, i) => (t, i + 1) }
-      .toDF("tok", "wid")
+    val dict = graft.functions.RankDict.ranked(toks, "tok", "wid")
     toks.join(broadcast(dict), "tok")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("wid")))).as("seq"))

@@ -29,7 +29,9 @@ object Bucketed {
     * metastore) would refuse the managed-table location; these are derived
     * caches, so a stale location is simply cleared and rebuilt. */
   def ensure(spark: SparkSession, dir: String): (String, String) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // content-keyed name: distinct dirs (and regenerated data at the SAME
+    // dir) get distinct tables — see [[Fingerprint]]
+    val tag = Fingerprint.tag(dir, "orders", "lineitem")
     val (ot, lt) = (s"graft_orders_b$tag", s"graft_lineitem_b$tag")
     def build(name: String, keyCol: String, src: SparkSession => org.apache.spark.sql.DataFrame): Unit =
       if (!spark.catalog.tableExists(name)) {

@@ -144,23 +144,36 @@ object IngestPipeline {
     * a DataFrame, idempotent per epoch) is unchanged. */
   def upsertBatch(batch: DataFrame, store: String): Unit = {
     val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def mv(from: String, to: String): Unit =
+      require(fs.rename(p(from), p(to)), s"rename $from -> $to failed")
+    val (tmp, bak) = (store + ".tmp", store + ".bak")
+    // crash recovery: the swap below keeps the previous store in exactly
+    // one of {store, store.bak} at every instant; if a prior batch died
+    // between its two renames, the data is in .bak — restore it before
+    // reading. (A leftover .tmp is an incomplete write: discarded.)
+    if (!fs.exists(p(store)) && fs.exists(p(bak))) mv(bak, store)
     val slim = batch.select("city", "temperature", "humidity", "dt")
-    val exists = new java.io.File(store).exists()
     val merged0 =
-      if (exists) spark.read.parquet(store).unionByName(slim) else slim
+      if (fs.exists(p(store))) spark.read.parquet(store).unionByName(slim)
+      else slim
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("city")).orderBy(desc("dt"),
         desc("temperature"), desc("humidity")) // total over stored cols
     val merged = merged0
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    val tmp = store + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(store), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(store))
+    // two-rename swap, every rename result CHECKED (a false return — e.g.
+    // cross-filesystem tmp, permissions — must fail the batch, not
+    // silently drop the store; foreachBatch retries idempotently because
+    // the merge is deterministic over {recovered store ∪ batch})
+    fs.delete(p(bak), true)
+    if (fs.exists(p(store))) mv(store, bak)
+    mv(tmp, store)
+    fs.delete(p(bak), true)
   }
 
   /** Wire [[upsertBatch]] as a streaming sink. */

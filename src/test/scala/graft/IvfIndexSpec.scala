@@ -54,11 +54,16 @@ class IvfIndexSpec extends SparkSuite {
     loaded.centroids.zip(m.centroids).foreach { case ((_, la), (_, ma)) =>
       assert(la.toSeq === ma.toSeq)
     }
-    // second serve call reuses the stored model: the model file's mtime
-    // must not change (no retrain, no rewrite)
-    val dirF = new java.io.File(s"/tmp/graft_models")
-    val stamp = dirF.listFiles().map(_.lastModified()).max
+    // second serve call reuses the stored model: no file under THIS
+    // corpus's store may change (no retrain, no rewrite). Scoped to
+    // modelPath(sf0001), not the shared /tmp/graft_models root — another
+    // corpus's concurrent build must not flip this assertion.
+    def stampOf(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().map(stampOf)).max
+      else f.lastModified()
+    val storeF = new java.io.File(IvfIndex.modelPath(sf0001))
+    val stamp = stampOf(storeF)
     IvfIndex.simSearchIvfServe(spark, sf0001).collect()
-    assert(dirF.listFiles().map(_.lastModified()).max === stamp)
+    assert(stampOf(storeF) === stamp)
   }
 }
