@@ -1,0 +1,133 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries heavy-hitters summary: the frequent items of a string
+  * column in ONE pass with a FIXED `capacity`-sized state, as a
+  * TypedImperativeAggregate so partial aggregation applies — each task
+  * summarizes its partition map-side and only `capacity`-sized summaries
+  * shuffle, the property that makes "top tokens of a 100 TB corpus"
+  * feasible without grouping every (token, 1) pair.
+  *
+  * Guarantees (the classic bounds):
+  *   - counts are underestimates by at most N/(capacity+1) (N = input
+  *     size), and any item with true frequency > N/(capacity+1) is
+  *     guaranteed present in the summary;
+  *   - when `capacity` ≥ the number of distinct items, no eviction ever
+  *     fires and every count is EXACT — which is how the driver key gets a
+  *     DuckDB oracle: the test vocabulary (31 tokens) sits far below the
+  *     capacity (64), so the summary degenerates to an exact group-count.
+  *     At 100 TB the same operator runs with capacity ≪ vocabulary and
+  *     returns the guaranteed-superset sketch instead.
+  *
+  * update: counted item +1; new item inserted while space remains;
+  * otherwise EVERY counter decrements by 1 (zeros evicted) — the
+  * pigeonhole step that caps undercounting. merge: counters add, then if
+  * over capacity the (capacity+1)-largest count is subtracted from all
+  * (the standard merge that preserves the error bound; a plain top-k
+  * truncation would not). eval: (term, cnt) structs sorted by count
+  * descending then term — deterministic output for a deterministic input.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      buf.get(s) match {
+        case Some(c) => buf(s) = c + 1
+        case None if buf.size < capacity => buf(s) = 1L
+        case None =>
+          // decrement-all eviction; O(capacity), amortized O(1) per input
+          buf.keysIterator.toArray.foreach { k =>
+            val n = buf(k) - 1
+            if (n == 0) buf.remove(k) else buf(k) = n
+          }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (k, c) => a(k) = a.getOrElse(k, 0L) + c }
+    if (a.size > capacity) {
+      // subtract the (capacity+1)-th largest count from every counter
+      val cut = a.valuesIterator.toArray.sortBy(-_).apply(capacity)
+      a.keysIterator.toArray.foreach { k =>
+        val n = a(k) - cut
+        if (n <= 0) a.remove(k) else a(k) = n
+      }
+    }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val rows: Array[Any] = buf.toArray
+      .sortBy { case (t, c) => (-c, t) }
+      .map { case (t, c) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(t), c))
+      }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    (1 to n).foreach { _ => val k = in.readUTF(); buf(k) = in.readLong() }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_heavy_hitters"
+
+  override def withNewMutableAggBufferOffset(off: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(child = newChildren.head)
+}
+
+object MisraGriesAgg {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Column-API entry point: `heavy_hitters(col, capacity)` aggregate. */
+  def apply(c: Column, capacity: Int): Column =
+    GraftSqlBridge.column(
+      MisraGriesAgg(GraftSqlBridge.expression(c), capacity)
+        .toAggregateExpression())
+}

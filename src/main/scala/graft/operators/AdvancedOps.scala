@@ -244,6 +244,46 @@ object AdvancedOps {
         col("total_revenue"), col("n_items"))
   }
 
+  // ── TPC-H Q5 local-supplier revenue: the 6-table star+snowflake join —
+  // the canonical join-ORDER showcase. Plan shape by size class: region
+  // and nation prune FIRST (broadcast, region filter cuts nations 5×),
+  // supplier broadcasts into the big side, the one genuinely large-large
+  // join (lineitem⋈orders, date-filtered) shuffles on orderkey, then
+  // customer joins on custkey with the c_nationkey = s_nationkey
+  // LOCAL-supplier equality applied as a post-join filter (it correlates
+  // the two dimension paths, so it can't push below either join). At
+  // 100 TB the orders date filter is the partition-pruning column and
+  // AQE re-plans the customer join from the shrunken intermediate. ──
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   // ── salted JOIN: the hot-key template for fact⋈dim when one probe key
   // dominates (AQE skew-join handles sorted/shuffled joins at runtime;
   // explicit salting is the portable fallback and the only option for
@@ -350,6 +390,7 @@ object AdvancedOps {
     "tpch_q6"          -> tpchQ6 _,
     "tpch_q12"         -> tpchQ12 _,
     "tpch_q14"         -> tpchQ14 _,
+    "tpch_q5"          -> tpchQ5 _,
     "join_skew_salted" -> joinSkewSalted _,
   )
 
@@ -452,6 +493,19 @@ object AdvancedOps {
         |    count(*) AS n_items
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01') t""".stripMargin,
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  o_orderpriority,

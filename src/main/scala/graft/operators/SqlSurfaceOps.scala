@@ -250,6 +250,28 @@ object SqlSurfaceOps {
         sumMoney(col("l_extendedprice")).as("sum_price"))
       .orderBy("l_returnflag")
 
+  // ── Stratified deterministic sample: per-class sampling RATES — the
+  // class-rebalancing step of a training-data pipeline (downsample the
+  // dominant class, keep the rare one whole). Rates ride along as a
+  // broadcast literal map (element_at, no join); the row key modulus is
+  // (orderkey·8 + linenumber) so line items of one order fall in
+  // different residues; like sample_hash the predicate is reproducible
+  // across engines and engines-independent of partitioning. Output
+  // reports kept counts + sampled revenue per class, with the rate for
+  // lineage. AT SCALE: swap the modulus for xxhash64(key) % m — same
+  // plan, better residue mixing on adversarial key patterns. ──
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rates = typedLit(Map("A" -> 2, "N" -> 5, "R" -> 10))
+    Tables.lineitem(spark, dir)
+      .withColumn("m", element_at(rates, col("l_returnflag")))
+      .filter(pmod(col("l_orderkey") * 8 + col("l_linenumber"), col("m")) === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sumMoney(col("l_extendedprice")).as("sum_price"),
+        first(col("m")).as("rate_denom"))
+      .orderBy("l_returnflag")
+  }
+
   // ── Approximate distinct (HLL): users per event type via
   // approx_count_distinct, alongside the exact count for error inspection.
   // At 100 TB the sketch is the only sane default: fixed memory per group,
@@ -486,6 +508,7 @@ object SqlSurfaceOps {
     "conditional_agg" -> conditionalAgg _,
     "string_agg"      -> stringAgg _,
     "sample_hash"     -> sampleHash _,
+    "sample_stratified" -> sampleStratified _,
     "approx_distinct" -> approxDistinct _,
     "approx_distinct_merge" -> approxDistinctMerge _,
     "regexp_funcs"    -> regexpFuncs _,
@@ -619,6 +642,14 @@ object SqlSurfaceOps {
       """SELECT l_returnflag, count(*) AS cnt,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_orderkey % 20 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sample_stratified" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CASE l_returnflag WHEN 'A' THEN 2 WHEN 'N' THEN 5 ELSE 10 END AS rate_denom
+        |FROM lineitem
+        |WHERE (l_orderkey * 8 + l_linenumber) %
+        |  (CASE l_returnflag WHEN 'A' THEN 2 WHEN 'N' THEN 5 ELSE 10 END) = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "regexp_funcs" ->
       """SELECT COALESCE(regexp_extract(text, '^([A-Za-z]+)', 1), '') AS first_word,

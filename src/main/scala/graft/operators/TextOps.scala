@@ -215,7 +215,65 @@ object TextOps {
         (size(split(col("text"), EmailRe, -1)) - 1).as("n_redacted"))
       .orderBy("doc_id")
 
+  // ── frequent tokens via the Misra-Gries sketch
+  // ([[graft.functions.MisraGriesAgg]]): ONE aggregate with fixed
+  // capacity-sized state — tasks summarize map-side and only
+  // capacity-sized summaries shuffle, vs text_tokens' exact
+  // group-every-token plan whose shuffle grows with the vocabulary. At
+  // this fixture's vocabulary (31 ≪ capacity 64) the sketch is provably
+  // exact, which is what licenses the DuckDB group-count oracle; at
+  // 100 TB the same plan runs with capacity ≪ vocabulary and the classic
+  // N/(capacity+1) undercount bound (see the aggregate's scaladoc). ──
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toksCol).as("token"))
+      .filter(col("token") =!= "")
+      .agg(graft.functions.MisraGriesAgg(col("token"), 64).as("hh"))
+      .select(explode(col("hh")).as("s"))
+      .select(col("s.term").as("term"), col("s.cnt").as("cnt"))
+      .orderBy(desc("cnt"), col("term"))
+      .limit(10)
+
+  // ── sequence packing for LLM batch assembly: concatenate the corpus in
+  // doc_id order and chunk it into fixed token budgets (the standard
+  // pretraining "pack and split into context windows" step). Each doc's
+  // START OFFSET is the exclusive prefix sum of token counts under the
+  // doc_id total order — computed WITHOUT a partitionless window: docs
+  // range-bucket by doc_id (width_bucket over broadcast bounds),
+  // per-bucket totals become broadcast offsets (≤64² dimension-sized
+  // non-equi join), and a per-bucket running sum finishes the prefix —
+  // the same offsets device as bucketedRank, applied to sums instead of
+  // counts. chunk_id = offset div budget; offset_in_chunk locates the
+  // doc inside its context window. ──
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toksCol).cast("long").as("n_toks"))
+    val bounds = d.agg(min(col("doc_id")).cast("double").as("lo"),
+      (max(col("doc_id")) + 1).cast("double").as("hi"))
+    val b = d.crossJoin(broadcast(bounds))
+      .withColumn("bkt", width_bucket(col("doc_id").cast("double"),
+        col("lo"), col("hi"), lit(64)).cast("int"))
+      .drop("lo", "hi")
+    val sums = b.groupBy(col("bkt")).agg(sum(col("n_toks")).as("s"))
+    val other = sums.select(col("bkt").as("bkt_o"), col("s").as("s_o"))
+    val offs = sums.join(broadcast(other), col("bkt_o") < col("bkt"), "left")
+      .groupBy(col("bkt")).agg(coalesce(sum(col("s_o")), lit(0L)).as("off"))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(offs), "bkt")
+      .withColumn("start_tok",
+        col("off") + coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_toks"),
+        col("start_tok"),
+        expr(s"start_tok div $budget").as("chunk_id"),
+        expr(s"start_tok % $budget").as("off_in_chunk"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters"         -> heavyHitters _,
+    "pack_sequences"        -> packSequences _,
     "text_scrub"            -> textScrub _,
     "text_tfidf"            -> textTfidf _,
     "pipeline_clean_corpus" -> pipelineCleanCorpus _,
@@ -231,6 +289,26 @@ object TextOps {
   private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // exact only because capacity ≥ vocabulary at test scale — the sketch
+    // degenerates to a group-count (see heavyHitters scaladoc)
+    "heavy_hitters" ->
+      """SELECT token AS term, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents) t
+        |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_toks, start_tok,
+        |  start_tok // 512 AS chunk_id, start_tok % 512 AS off_in_chunk
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS clean_text,

@@ -77,6 +77,27 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("tpch_q5 broadcasts every dimension and shuffles only the fact join") {
+    val plan = planOf(graft.operators.AdvancedOps.tpchQ5(spark, sf0001))
+    // region/nation/supplier ride broadcast; lineitem⋈orders (and the
+    // customer join) are the only shuffled joins — no dim may demote the
+    // plan to a shuffle, no join may nest-loop
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("heavy_hitters aggregates partially map-side (sketch summaries shuffle, not tokens)") {
+    val plan = planOf(graft.operators.TextOps.heavyHitters(spark, sf0001))
+    // TypedImperativeAggregate lowers to ObjectHashAggregate with a
+    // partial phase before the exchange: only capacity-sized summaries
+    // cross the wire. A plan that groups raw tokens instead would show a
+    // HashAggregate keyed on token below the exchange.
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert("ObjectHashAggregate.*partial_graft_heavy_hitters".r
+      .findFirstIn(plan.replaceAll("\n", " ")).isDefined, plan.take(1500))
+  }
+
   test("no key in the whole inventory plans a cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sf0001))
@@ -93,7 +114,7 @@ class PlanShapeSpec extends SparkSuite {
     // must not nest-loop.
     val allowed = Set("sim_search", "sim_search_ann", "sim_search_lsh",
       "sim_search_ivf", "sim_search_ivf_serve", "text_tfidf", "window_ntile",
-      "window_rank_family_scaled")
+      "window_rank_family_scaled", "pack_sequences")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
