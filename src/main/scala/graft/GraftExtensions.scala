@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.cosineFunction)
+    ext.injectFunction(GraftExtensions.simhashFunction)
+    ext.injectFunction(GraftExtensions.heavyHittersFunction)
     // window-top-k → native TopKPerKey rewrite (+ the strategy that plans
     // the rewritten node): users keep the row_number() idiom, the engine
     // substitutes the partial-heap plan
@@ -57,5 +59,42 @@ object GraftExtensions {
       val (a, b) = (children(0), children(1))
       Divide(DotProduct(a, b),
         Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+    })
+
+  /** `graft_simhash(hash_col)` aggregate — the analyzer wraps a bare
+    * AggregateFunction from a registry builder itself. */
+  val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(
+      classOf[graft.functions.SimhashAgg].getCanonicalName, null, "graft_simhash",
+      "graft_simhash(h) - SimHash fingerprint (long) of a group of 31-bit hashes.",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"graft_simhash requires exactly 1 argument, got ${children.length}")
+      graft.functions.SimhashAgg(children.head)
+    })
+
+  /** `graft_heavy_hitters(col, capacity)` aggregate; capacity must fold
+    * to an integer literal (it sizes the aggregation state). */
+  val heavyHittersFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_heavy_hitters"),
+    new ExpressionInfo(
+      classOf[graft.functions.MisraGriesAgg].getCanonicalName, null, "graft_heavy_hitters",
+      "graft_heavy_hitters(s, capacity) - Misra-Gries frequent-items summary " +
+        "of a string column: array<struct<term,cnt>> sorted by count desc.",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_heavy_hitters requires exactly 2 arguments, got ${children.length}")
+      require(children(1).foldable,
+        "graft_heavy_hitters capacity must be a literal")
+      val cap = children(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_heavy_hitters capacity must be integral, got $other")
+      }
+      graft.functions.MisraGriesAgg(children.head, cap)
     })
 }

@@ -93,6 +93,35 @@ object AdvancedOps {
       .orderBy("user_id", "day_s")
   }
 
+  // ── forward-fill twin of [[resampleDaily]]: LOCF (last observation
+  // carried forward) — gap days inherit the most recent known per-user
+  // daily average instead of zero, the imputation step for VALUE series
+  // (zero-fill is right for counts, wrong for levels). Same grid + left
+  // join shape; the fill itself is `last(value, ignoreNulls)` over the
+  // per-user day order — frame-bounded running state, partitioned on the
+  // entity, so it parallelizes per user like every other stage. is_gap
+  // rides along so downstream quality gates can weight imputed points. ──
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(Exact.avgMoney(col("value")).as("avg_v"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        round(last(col("avg_v"), ignoreNulls = true).over(w), 6)
+          .as("avg_value"),
+        col("avg_v").isNull.as("is_gap"))
+      .orderBy("user_id", "day_s")
+  }
+
   // ── rollup: hierarchical subtotals over returnflag → linestatus, with
   // grouping indicators disambiguating the subtotal rows (free in Spark —
   // SURVEY §2.5 notes cube/rollup as the natural extension the reference
@@ -381,6 +410,7 @@ object AdvancedOps {
     "window_lead_lag"  -> windowLeadLag _,
     "sessionize"       -> sessionize _,
     "resample_daily"   -> resampleDaily _,
+    "resample_ffill"   -> resampleFfill _,
     "asof_join"        -> asofJoin _,
     "rollup_agg"       -> rollupAgg _,
     "distinct_agg"     -> distinctAgg _,
@@ -425,6 +455,23 @@ object AdvancedOps {
         |  COALESCE(d.cnt, 0) AS cnt
         |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, day_s""".stripMargin,
+    "resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value") AS avg_v
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM spans)
+        |SELECT g.user_id AS user_id, strftime(g.day, '%Y-%m-%d') AS day_s,
+        |  round(last_value(d.avg_v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS avg_value,
+        |  d.avg_v IS NULL AS is_gap
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY user_id, day_s""".stripMargin,
     "asof_join" ->
       """WITH seq AS (
         |  SELECT event_id, user_id, event_type,

@@ -43,4 +43,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("array<double>"))
   }
+
+  test("graft_simhash aggregates from SQL, grouped and global") {
+    val got = spark.sql(
+      """SELECT graft_simhash(h) AS fp FROM
+        |  (VALUES (CAST(5 AS BIGINT)), (CAST(5 AS BIGINT)), (CAST(2 AS BIGINT))) t(h)"""
+        .stripMargin).collect().head.getLong(0)
+    // bits 0,2 appear twice/once among {101,101,010}: counters per bit =
+    // [+1+1-1, -1-1+1, ...] → bit0 set (2-1>0), bit1 unset (1-2<0)
+    assert((got & 1L) === 1L)
+    assert((got >> 1 & 1L) === 0L)
+  }
+
+  test("graft_heavy_hitters aggregates from SQL with a literal capacity") {
+    val rows = spark.sql(
+      """SELECT hh.term, hh.cnt FROM (
+        |  SELECT explode(graft_heavy_hitters(s, 8)) AS hh FROM
+        |    (VALUES ('a'), ('a'), ('a'), ('b'), ('b'), ('c')) t(s))"""
+        .stripMargin).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("graft_heavy_hitters rejects a non-literal capacity at analysis") {
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_heavy_hitters(s, length(s)) FROM (VALUES ('aa')) t(s)")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
 }
