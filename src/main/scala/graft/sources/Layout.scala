@@ -76,4 +76,54 @@ object Layout {
       .drop("zv")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetFileMB` each, preserving content exactly.
+    *
+    * The operational half of every streaming/partitioned ingest: each
+    * micro-batch (or each of 1000 writer tasks) leaves its own files, and
+    * after a week the store is a million 1 MB files — listing dominates
+    * planning, every scan task reads one tiny file, and the NameNode/
+    * object-store metadata budget is the real limit. Compaction is the
+    * standard fix (OPTIMIZE in table formats); this is the engine-level
+    * form: size the output file count from the ACTUAL on-disk bytes (no
+    * driver-side listing of row contents — just the file index Spark
+    * already holds), coalesce — NOT repartition: no shuffle, adjacent
+    * input files concatenate into output tasks — and atomically swap via
+    * the same checked two-rename protocol as the streaming upsert sink.
+    * Sorted layouts stay sorted per file because coalesce preserves
+    * intra-partition order and concatenation only widens file boundaries.
+    *
+    * Returns (files_before, files_after). */
+  def compact(spark: SparkSession, path: String,
+      targetFileMB: Int = 128): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    def dataFiles(d: org.apache.hadoop.fs.Path) = {
+      val it = fs.listFiles(d, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f
+      }
+      b.result()
+    }
+    val before = dataFiles(p)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(
+      totalBytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact_bak")
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val after = dataFiles(tmp).size
+    def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to), s"rename $from -> $to failed")
+    fs.delete(bak, true)
+    mv(p, bak)
+    mv(tmp, p)
+    fs.delete(bak, true)
+    (before.size, after)
+  }
 }

@@ -153,6 +153,26 @@ class LayoutSpec extends SparkSuite {
     assert(rows(2L) === Some("new"))
   }
 
+  test("compaction merges a fragmented store losslessly and atomically") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/events"
+    // simulate a week of micro-batch dribble: 64 tiny files
+    Tables.events(spark, sf0001).repartition(64)
+      .write.mode("overwrite").parquet(dir)
+    val originals = spark.read.parquet(dir).orderBy("event_id").collect()
+    val (before, after) = Layout.compact(spark, dir, targetFileMB = 128)
+    assert(before === 64)
+    assert(after === 1) // sf0.001 events ≪ 128 MB → one file
+    // content exactly preserved, no leftover swap directories
+    val compacted = spark.read.parquet(dir).orderBy("event_id").collect()
+    assert(compacted.toSeq === originals.toSeq)
+    assert(!new java.io.File(dir + ".compact_tmp").exists())
+    assert(!new java.io.File(dir + ".compact_bak").exists())
+    // physical file count on disk matches the report
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === 1)
+  }
+
   test("exact distinct agrees with HLL within its error bound") {
     val exact = graft.operators.AdvancedOps.distinctAgg(spark, sf0001)
       .select("event_type", "n_users").as[(String, Long)].collect().toMap
