@@ -313,6 +313,60 @@ object AdvancedOps {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  // ── TPC-H Q10 returned-item reporting: which customers returned the
+  // most revenue last quarter. lineitem pre-filters on returnflag, orders
+  // on the quarter — both cut BEFORE the fact-fact shuffle join; customer
+  // joins on custkey, nation broadcasts. Group keys include the
+  // descriptive columns (name, nation) so no second join after the
+  // aggregate. ──
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  // ── TPC-H Q18 large-volume customers: orders whose total quantity
+  // crosses a threshold. The classic formulation re-joins lineitem to
+  // re-sum inside the outer query; aggregating ONCE and carrying
+  // total_qty through the joins is equivalent and halves the lineitem
+  // passes — the aggregate-then-join discipline. The HAVING filter cuts
+  // the aggregate output to a sliver before it ever touches orders. ──
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("total_qty"))
+      .filter(col("total_qty") > 200)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), col("orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   // ── salted JOIN: the hot-key template for fact⋈dim when one probe key
   // dominates (AQE skew-join handles sorted/shuffled joins at runtime;
   // explicit salting is the portable fallback and the only option for
@@ -421,6 +475,8 @@ object AdvancedOps {
     "tpch_q12"         -> tpchQ12 _,
     "tpch_q14"         -> tpchQ14 _,
     "tpch_q5"          -> tpchQ5 _,
+    "tpch_q10"         -> tpchQ10 _,
+    "tpch_q18"         -> tpchQ18 _,
     "join_skew_salted" -> joinSkewSalted _,
   )
 
@@ -553,6 +609,30 @@ object AdvancedOps {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 200)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, orderdate, o_orderkey LIMIT 100""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  o_orderpriority,

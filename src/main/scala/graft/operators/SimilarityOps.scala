@@ -144,7 +144,39 @@ object SimilarityOps {
           x => round(x * col("scale")).cast("int").cast("string")), ",").as("q"))
       .orderBy("vec_id")
 
+  // ── cross-corpus alignment join: for EVERY probe vector in corpus A,
+  // the single nearest vector in corpus B by cosine — the batch form of
+  // similarity search (pairing near-duplicate candidates across two
+  // crawls, linking translated sentence embeddings, matching images to
+  // captions). Corpora here are the table's even/odd halves; in
+  // production they are two tables with identical schema. The probe set
+  // broadcasts (model-sized); every corpus partition scores its rows
+  // against all probes in one pass (a deliberate small-broadcast
+  // nested-loop — there is no equi-key), and the per-probe argmax is ONE
+  // hash aggregate via max(struct(cos, -id)) — lexicographic struct max =
+  // highest cosine, then lowest id, deterministic with no per-probe
+  // window and no second shuffle. AT SCALE: probe sets beyond broadcast
+  // size chunk into broadcast-sized batches (an outer loop, same plan),
+  // or swap the scorer for the IVF cell-pruned form — the aggregate
+  // doesn't change. ──
+  def embedAlign(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val probes = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 100)
+      .select(col("vec_id").as("p_id"), col("v").as("p_v"),
+        col("norm").as("p_norm"))
+    e.filter(col("vec_id") % 2 === 1)
+      .crossJoin(broadcast(probes))
+      .select(col("p_id"), col("vec_id"),
+        round(cosToProbe, 6).as("cos_sim"))
+      .groupBy(col("p_id"))
+      .agg(max(struct(col("cos_sim"), (-col("vec_id")).as("neg_id"))).as("m"))
+      .select(col("p_id"), (-col("m.neg_id")).as("match_id"),
+        col("m.cos_sim").as("cos_sim"))
+      .orderBy("p_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_align"    -> embedAlign _,
     "sim_search"     -> simSearch _,
     "sim_search_ann" -> simSearchAnn _,
     "sim_search_lsh" -> simSearchLsh _,
@@ -153,6 +185,17 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_align" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS p_id, v AS p_v FROM e
+        |      WHERE vec_id % 2 = 0 AND vec_id < 100),
+        |s AS (SELECT p_id, c.vec_id,
+        |        round(list_cosine_similarity(c.v, p.p_v), 6) AS cos_sim
+        |      FROM (SELECT * FROM e WHERE vec_id % 2 = 1) c, p),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY p_id
+        |        ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+        |SELECT p_id, vec_id AS match_id, cos_sim FROM r WHERE rn = 1
+        |ORDER BY p_id""".stripMargin,
     // posexplode twin: generate_subscripts(v, 1) unnests in lockstep with
     // unnest(v) (the Postgres-style parallel unnest), so the oracle tracks
     // the ACTUAL vector length instead of hardcoding the fixture dimension
