@@ -271,7 +271,85 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Word-5-gram shingles of `toks` (decontamination granularity — long
+    * enough that sharing one is evidence of copied text, not vocabulary
+    * overlap). Guarded: sequence(1, 0) descends, so short docs must
+    * short-circuit to empty. */
+  private val FiveGrams =
+    "CASE WHEN size(toks) >= 5 THEN transform(sequence(1, size(toks) - 4)," +
+      " i -> concat_ws(' ', slice(toks, i, 5)))" +
+      " ELSE CAST(array() AS ARRAY<STRING>) END"
+
+  // ── benchmark decontamination: flag every training doc that shares a
+  // word-5-gram with the held-out evaluation set — THE pretraining
+  // hygiene step (a model scored on benchmarks it memorized from training
+  // data reports fiction). Eval membership here is a deterministic id
+  // predicate (doc_id % 97 = 0) standing in for a real benchmark table of
+  // the same shape. Plan: the EVAL side's distinct shingles broadcast
+  // (benchmark-sized — thousands of docs — while the training corpus is
+  // the 100 TB side); one broadcast semi-join over the training shingles,
+  // distinct doc ids, left-join the flag back. The big side is touched
+  // once, shuffled only for the final distinct on doc_id — and at scale
+  // that distinct collapses into the per-partition dedup of a
+  // already-doc-partitioned shingle stream. ──
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .select(col("doc_id"), explode(expr(FiveGrams)).as("shingle"))
+    val evalSet = sh.filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    val hits = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSet), "shingle")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // ── intra-document repetition filter (the Gopher/RefinedWeb quality
+  // rules): duplicate-token fraction and most-frequent-bigram fraction
+  // per doc, plus the pass/fail gate. Everything is computed INSIDE the
+  // row with higher-order functions — array_distinct for the dup
+  // fraction, and the top-bigram count as a fold over the SORTED bigram
+  // array tracking the longest equal run (sorting groups duplicates
+  // adjacently, so max run length = max multiplicity) — zero shuffles,
+  // scan-speed, the per-row independence that lets a quality gate run as
+  // a side effect of ingest at any corpus size. ──
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams =
+      "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1)," +
+        " i -> concat(toks[i-1], ' ', toks[i]))" +
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    val topRun =
+      """aggregate(array_sort(bgs),
+        |  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+        |         CAST(0 AS BIGINT) AS best),
+        |  (acc, x) -> struct(x AS prev,
+        |    IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) AS run,
+        |    GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT))) AS best),
+        |  acc -> acc.best)""".stripMargin
+    Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .withColumn("n", size(col("toks")))
+      .withColumn("bgs", expr(bigrams))
+      .withColumn("dup_tok_frac", round(
+        (col("n") - size(array_distinct(col("toks")))).cast("double") / col("n"), 6))
+      .withColumn("top_bigram_frac", round(
+        expr(topRun).cast("double") /
+          greatest(col("n") - 1, lit(1)).cast("double"), 6))
+      .select(col("doc_id"), col("dup_tok_frac"), col("top_bigram_frac"),
+        (col("dup_tok_frac") <= 0.3 && col("top_bigram_frac") <= 0.2)
+          .as("pass_gate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate"         -> decontaminate _,
+    "text_repetition"       -> textRepetition _,
     "heavy_hitters"         -> heavyHitters _,
     "pack_sequences"        -> packSequences _,
     "text_scrub"            -> textScrub _,
@@ -289,6 +367,37 @@ object TextOps {
   private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        |             FROM t WHERE len(toks) >= 5)),
+        |hit AS (SELECT DISTINCT doc_id FROM sh
+        |        WHERE doc_id % 97 <> 0
+        |          AND shingle IN (SELECT shingle FROM sh WHERE doc_id % 97 = 0))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t),
+        |bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS b
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |topbg AS (SELECT doc_id, max(c) AS top FROM
+        |            (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+        |          GROUP BY 1)
+        |SELECT base.doc_id,
+        |  round((base.n - base.nd) / CAST(base.n AS DOUBLE), 6) AS dup_tok_frac,
+        |  round(COALESCE(topbg.top, 0) / CAST(GREATEST(base.n - 1, 1) AS DOUBLE), 6)
+        |    AS top_bigram_frac,
+        |  (round((base.n - base.nd) / CAST(base.n AS DOUBLE), 6) <= 0.3 AND
+        |   round(COALESCE(topbg.top, 0) / CAST(GREATEST(base.n - 1, 1) AS DOUBLE), 6) <= 0.2)
+        |    AS pass_gate
+        |FROM base LEFT JOIN topbg ON base.doc_id = topbg.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     // exact only because capacity ≥ vocabulary at test scale — the sketch
     // degenerates to a group-count (see heavyHitters scaladoc)
     "heavy_hitters" ->
