@@ -245,10 +245,14 @@ object TextOps {
   // the same offsets device as bucketedRank, applied to sums instead of
   // counts. chunk_id = offset div budget; offset_in_chunk locates the
   // doc inside its context window. ──
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 512
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(toksCol).cast("long").as("n_toks"))
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packCore(Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toksCol).cast("long").as("n_toks")))
+
+  /** Packing core over any (doc_id, n_toks) set — the distributed
+    * prefix-sum + chunk assignment shared by [[packSequences]] and the
+    * end of [[pipelineTrainingCorpus]]. */
+  private def packCore(d: DataFrame, budget: Int = 512): DataFrame = {
     val bounds = d.agg(min(col("doc_id")).cast("double").as("lo"),
       (max(col("doc_id")) + 1).cast("double").as("hi"))
     val b = d.crossJoin(broadcast(bounds))
@@ -269,6 +273,36 @@ object TextOps {
         expr(s"start_tok div $budget").as("chunk_id"),
         expr(s"start_tok % $budget").as("off_in_chunk"))
       .orderBy("doc_id")
+  }
+
+  // ── the CAPSTONE composite: the four stages a training-data run
+  // actually chains, in dependency order — (1) intra-doc quality gate
+  // (text_repetition's pass_gate), (2) benchmark decontamination (drop
+  // eval docs AND anything sharing a 5-gram with them), (3) exact dedup
+  // keeping the lowest doc_id per surviving text, (4) pack the survivors
+  // into 512-token context windows. Every stage is the SAME plan as its
+  // standalone key, composed lazily — Catalyst sees one DAG, so the
+  // documents scan is shared and the gates fuse into the scan projection
+  // where possible. The oracle spells out the identical four stages in
+  // SQL: one green row machine-checks the whole pipeline's composition,
+  // not just its parts. ──
+  def pipelineTrainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val pass = textRepetition(spark, dir)
+      .filter(col("pass_gate")).select("doc_id")
+    val contaminated = decontaminate(spark, dir)
+      .filter(col("contaminated")).select("doc_id")
+    val survivors = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0) // eval docs never train
+      .join(pass, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val deduped = survivors
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("toks", toksCol)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+    packCore(deduped)
   }
 
   /** Word-5-gram shingles of `toks` (decontamination granularity — long
@@ -350,6 +384,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate"         -> decontaminate _,
     "text_repetition"       -> textRepetition _,
+    "pipeline_training_corpus" -> pipelineTrainingCorpus _,
     "heavy_hitters"         -> heavyHitters _,
     "pack_sequences"        -> packSequences _,
     "text_scrub"            -> textScrub _,
@@ -367,6 +402,46 @@ object TextOps {
   private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // the four standalone-key fragments composed in dependency order —
+    // gate → decontaminate → dedup → pack; see pipelineTrainingCorpus
+    "pipeline_training_corpus" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t),
+        |bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS b
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |topbg AS (SELECT doc_id, max(c) AS top FROM
+        |            (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+        |          GROUP BY 1),
+        |gate AS (SELECT base.doc_id
+        |         FROM base LEFT JOIN topbg ON base.doc_id = topbg.doc_id
+        |         WHERE round((base.n - base.nd) / CAST(base.n AS DOUBLE), 6) <= 0.3
+        |           AND round(COALESCE(topbg.top, 0) /
+        |                 CAST(GREATEST(base.n - 1, 1) AS DOUBLE), 6) <= 0.2),
+        |sh AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        |             FROM t WHERE len(toks) >= 5)),
+        |cont AS (SELECT DISTINCT doc_id FROM sh
+        |         WHERE doc_id % 97 <> 0
+        |           AND shingle IN (SELECT shingle FROM sh WHERE doc_id % 97 = 0)),
+        |surv AS (SELECT t.doc_id, t.text, len(t.toks) AS n_toks FROM t
+        |         JOIN gate g ON t.doc_id = g.doc_id
+        |         WHERE t.doc_id % 97 <> 0
+        |           AND t.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |ded AS (SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY text
+        |             ORDER BY doc_id) AS rn FROM surv)
+        |        WHERE rn = 1),
+        |c AS (SELECT doc_id, n_toks,
+        |        CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS start_tok
+        |      FROM ded)
+        |SELECT doc_id, n_toks, start_tok,
+        |  start_tok // 512 AS chunk_id, start_tok % 512 AS off_in_chunk
+        |FROM c ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
         |           FROM documents),

@@ -114,7 +114,8 @@ class PlanShapeSpec extends SparkSuite {
     // must not nest-loop.
     val allowed = Set("sim_search", "sim_search_ann", "sim_search_lsh",
       "sim_search_ivf", "sim_search_ivf_serve", "text_tfidf", "window_ntile",
-      "window_rank_family_scaled", "pack_sequences", "embed_align")
+      "window_rank_family_scaled", "pack_sequences", "embed_align",
+      "pipeline_training_corpus")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
