@@ -90,11 +90,15 @@ object GraftExtensions {
       require(children(1).foldable,
         "graft_heavy_hitters capacity must be a literal")
       val cap = children(1).eval() match {
+        case b: Byte => b.toInt
+        case s: Short => s.toInt
         case i: Int => i
         case l: Long => l.toInt
         case other => throw new IllegalArgumentException(
           s"graft_heavy_hitters capacity must be integral, got $other")
       }
+      require(cap > 0,
+        s"graft_heavy_hitters capacity must be positive, got $cap")
       graft.functions.MisraGriesAgg(children.head, cap)
     })
 }

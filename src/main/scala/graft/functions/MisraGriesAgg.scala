@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -42,6 +43,18 @@ case class MisraGriesAgg(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  // capacity = 0 would silently return an empty summary for every group
+  // (update can never insert) — a wrong answer, not an error; reject early
+  require(capacity > 0, s"capacity must be positive, got $capacity")
+
+  // analysis-time type check: a non-string column must fail in the
+  // analyzer (this function is SQL-registered — any query can reach it),
+  // not as an executor-side ClassCastException mid-job
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_heavy_hitters requires a STRING column, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
@@ -88,11 +101,17 @@ case class MisraGriesAgg(
     new GenericArrayData(rows)
   }
 
+  // length-prefixed raw UTF-8, NOT writeUTF: modified-UTF-8 caps a string
+  // at 65535 bytes and a whitespace-free document (minified JSON, base64)
+  // tokenizes to one giant term — the summary must survive it
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.foreach { case (k, c) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -101,7 +120,10 @@ case class MisraGriesAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (1 to n).foreach { _ => val k = in.readUTF(); buf(k) = in.readLong() }
+    (1 to n).foreach { _ =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      buf(new String(b, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+    }
     buf
   }
 

@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -27,6 +28,13 @@ case class SimhashAgg(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]] {
+
+  // SQL-registered: a non-long column must fail analysis, not throw a
+  // ClassCastException on an executor mid-job
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires a BIGINT column, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): Array[Int] = new Array[Int](32)
 

@@ -261,9 +261,12 @@ object SqlSurfaceOps {
   // lineage. AT SCALE: swap the modulus for xxhash64(key) % m — same
   // plan, better residue mixing on adversarial key patterns. ──
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val rates = typedLit(Map("A" -> 2, "N" -> 5, "R" -> 10))
+    val rates = typedLit(Map("A" -> 2, "N" -> 5))
     Tables.lineitem(spark, dir)
-      .withColumn("m", element_at(rates, col("l_returnflag")))
+      // default rate for any class NOT in the map (the oracle's ELSE arm):
+      // element_at alone returns null off-map, and pmod(x, null) = null
+      // would silently DROP the unmapped class from the sample
+      .withColumn("m", coalesce(element_at(rates, col("l_returnflag")), lit(10)))
       .filter(pmod(col("l_orderkey") * 8 + col("l_linenumber"), col("m")) === 0)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("cnt"),

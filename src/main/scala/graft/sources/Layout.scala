@@ -109,6 +109,24 @@ object Layout {
       }
       b.result()
     }
+    // crash recovery, mirroring the upsert sink: the swap below keeps the
+    // previous store in exactly one of {path, path.compact_bak}; a prior
+    // run that died between its two renames left it in .bak — restore
+    // before reading
+    locally {
+      val bak0 = new org.apache.hadoop.fs.Path(path + ".compact_bak")
+      if (!fs.exists(p) && fs.exists(bak0))
+        require(fs.rename(bak0, p), s"recovery rename $bak0 -> $p failed")
+    }
+    // a Hive-partitioned layout (name=value subdirectories) must be
+    // compacted PER PARTITION directory: reading the root would re-infer
+    // the partition columns as data (type-rewriting them) and the flat
+    // rewrite would destroy pruning. Refuse loudly instead of silently
+    // flattening.
+    require(!fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")),
+      s"$path is Hive-partitioned; compact each partition directory " +
+        s"instead (e.g. compact(spark, \"$path/day=2026-01-01\"))")
     val before = dataFiles(p)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(

@@ -64,6 +64,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
 
+  test("SQL-registered aggregates type-check at analysis, not on executors") {
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_heavy_hitters(h, 8) FROM (VALUES (CAST(1 AS BIGINT))) t(h)")
+        .collect()
+    }
+    assert(e1.getMessage.contains("STRING"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_simhash(s) FROM (VALUES ('x')) t(s)").collect()
+    }
+    assert(e2.getMessage.contains("BIGINT"))
+  }
+
+  test("graft_heavy_hitters rejects non-positive capacity and accepts TINYINT") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_heavy_hitters(s, 0) FROM (VALUES ('a')) t(s)")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("positive"))
+    val ok = spark.sql(
+      "SELECT size(graft_heavy_hitters(s, CAST(8 AS TINYINT))) FROM (VALUES ('a')) t(s)")
+      .collect().head.getInt(0)
+    assert(ok === 1)
+  }
+
   test("graft_heavy_hitters rejects a non-literal capacity at analysis") {
     val err = intercept[Exception] {
       spark.sql(

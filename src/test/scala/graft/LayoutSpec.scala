@@ -173,6 +173,20 @@ class LayoutSpec extends SparkSuite {
     assert(files === 1)
   }
 
+  test("compaction refuses a Hive-partitioned root instead of flattening it") {
+    val dir = Files.createTempDirectory("graft_compact_part").toString + "/events"
+    Layout.writeEventsByDay(Tables.events(spark, sf0001), dir)
+    val err = intercept[IllegalArgumentException] {
+      Layout.compact(spark, dir)
+    }
+    assert(err.getMessage.contains("partition"))
+    // the per-partition call the error message prescribes works
+    val oneDay = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day=")).head
+    val (before, after) = Layout.compact(spark, oneDay.toString)
+    assert(before >= after && after >= 1)
+  }
+
   test("exact distinct agrees with HLL within its error bound") {
     val exact = graft.operators.AdvancedOps.distinctAgg(spark, sf0001)
       .select("event_type", "n_users").as[(String, Long)].collect().toMap
