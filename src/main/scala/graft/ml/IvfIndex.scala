@@ -105,8 +105,8 @@ object IvfIndex {
         col("vec_id") =!= probeId)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("cell"),
-        round(dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")), 6)
-          .as("cos_sim"))
+        (round(dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")), 6)
+          + lit(0.0d)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(k)
   }
@@ -201,8 +201,8 @@ object IvfIndex {
         col("vec_id") =!= probeId)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
-        round(dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")), 6)
-          .as("cos_sim"))
+        (round(dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")), 6)
+          + lit(0.0d)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
   }

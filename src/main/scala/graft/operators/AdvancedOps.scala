@@ -445,15 +445,19 @@ object AdvancedOps {
         // to the engines, Spark's non-ANSI Divide returns NULL on a zero
         // divisor while DuckDB's IEEE division returns NaN/±inf — a
         // cross-engine mismatch waiting for the first tiny group
+        // `+ 0.0` after round: IEEE `-0.0 + 0.0 = +0.0`, so a covariance
+        // that rounds to zero carries the SAME sign bit in both engines
+        // (DuckDB emitted -0.0 here, Spark +0.0 — bit-hash mismatch while
+        // every comparison operator says equal)
         when((nD * col("sxx") - col("sx") * col("sx")) *
              (nD * col("syy") - col("sy") * col("sy")) > 0,
           round((nD * col("sxy") - col("sx") * col("sy")) /
             sqrt((nD * col("sxx") - col("sx") * col("sx")) *
-                 (nD * col("syy") - col("sy") * col("sy"))), 6))
+                 (nD * col("syy") - col("sy") * col("sy"))), 6) + lit(0.0d))
           .as("corr_qty_price"),
         when(col("n") > 1,
           round((nD * col("suv") - col("su") * col("sv")) /
-            (nD * (nD - lit(1.0d))), 6)).as("covar_disc_tax"),
+            (nD * (nD - lit(1.0d))), 6) + lit(0.0d)).as("covar_disc_tax"),
         col("n"))
       .orderBy("l_returnflag")
   }
@@ -546,10 +550,10 @@ object AdvancedOps {
       """SELECT l_returnflag,
         |  CASE WHEN (nd * sxx - sx * sx) * (nd * syy - sy * sy) > 0
         |       THEN round((nd * sxy - sx * sy) /
-        |         sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+        |         sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) + 0.0
         |  END AS corr_qty_price,
         |  CASE WHEN n > 1
-        |       THEN round((nd * suv - su * sv) / (nd * (nd - 1.0)), 6)
+        |       THEN round((nd * suv - su * sv) / (nd * (nd - 1.0)), 6) + 0.0
         |  END AS covar_disc_tax,
         |  n
         |FROM (

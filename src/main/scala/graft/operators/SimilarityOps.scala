@@ -37,6 +37,9 @@ object SimilarityOps {
       .select(col("vec_id").as("p_id"), col("label").as("p_label"),
         col("v").as("p_v"), col("norm").as("p_norm"))
 
+  // `+ 0.0` after round: a cosine that rounds to zero from below would
+  // otherwise be `-0.0`, whose sign bit DuckDB and Spark don't agree on
+  // (same class of bug as stats_corr's covariance in round 3)
   private def cosToProbe: org.apache.spark.sql.Column =
     DedupOps.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm"))
 
@@ -47,7 +50,8 @@ object SimilarityOps {
   def simSearch(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir)
       .join(broadcast(probe(spark, dir)), col("vec_id") =!= col("p_id"))
-      .select(col("vec_id"), col("label"), round(cosToProbe, 6).as("cos_sim"))
+      .select(col("vec_id"), col("label"),
+        (round(cosToProbe, 6) + lit(0.0d)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
 
@@ -57,7 +61,8 @@ object SimilarityOps {
     vecs(spark, dir)
       .join(broadcast(probe(spark, dir)),
         col("label") === col("p_label") && col("vec_id") =!= col("p_id"))
-      .select(col("vec_id"), col("label"), round(cosToProbe, 6).as("cos_sim"))
+      .select(col("vec_id"), col("label"),
+        (round(cosToProbe, 6) + lit(0.0d)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
 
@@ -90,7 +95,8 @@ object SimilarityOps {
     bucketed
       .join(broadcast(p),
         col("bucket") === col("p_bucket") && col("vec_id") =!= col("p_id"))
-      .select(col("vec_id"), col("bucket"), round(cosToProbe, 6).as("cos_sim"))
+      .select(col("vec_id"), col("bucket"),
+        (round(cosToProbe, 6) + lit(0.0d)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
   }
@@ -167,7 +173,7 @@ object SimilarityOps {
     e.filter(col("vec_id") % 2 === 1)
       .crossJoin(broadcast(probes))
       .select(col("p_id"), col("vec_id"),
-        round(cosToProbe, 6).as("cos_sim"))
+        (round(cosToProbe, 6) + lit(0.0d)).as("cos_sim"))
       .groupBy(col("p_id"))
       .agg(max(struct(col("cos_sim"), (-col("vec_id")).as("neg_id"))).as("m"))
       .select(col("p_id"), (-col("m.neg_id")).as("match_id"),
@@ -190,7 +196,7 @@ object SimilarityOps {
         |p AS (SELECT vec_id AS p_id, v AS p_v FROM e
         |      WHERE vec_id % 2 = 0 AND vec_id < 100),
         |s AS (SELECT p_id, c.vec_id,
-        |        round(list_cosine_similarity(c.v, p.p_v), 6) AS cos_sim
+        |        round(list_cosine_similarity(c.v, p.p_v), 6) + 0.0 AS cos_sim
         |      FROM (SELECT * FROM e WHERE vec_id % 2 = 1) c, p),
         |r AS (SELECT *, row_number() OVER (PARTITION BY p_id
         |        ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
@@ -223,13 +229,13 @@ object SimilarityOps {
     "sim_search" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT vec_id AS p_id, v AS p_v FROM e WHERE vec_id = 0)
-        |SELECT e.vec_id, e.label, round(list_cosine_similarity(e.v, p.p_v), 6) AS cos_sim
+        |SELECT e.vec_id, e.label, round(list_cosine_similarity(e.v, p.p_v), 6) + 0.0 AS cos_sim
         |FROM e, p WHERE e.vec_id <> p.p_id
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "sim_search_ann" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT vec_id AS p_id, label AS p_label, v AS p_v FROM e WHERE vec_id = 0)
-        |SELECT e.vec_id, e.label, round(list_cosine_similarity(e.v, p.p_v), 6) AS cos_sim
+        |SELECT e.vec_id, e.label, round(list_cosine_similarity(e.v, p.p_v), 6) + 0.0 AS cos_sim
         |FROM e, p WHERE e.label = p.p_label AND e.vec_id <> p.p_id
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
   )

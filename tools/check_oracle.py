@@ -10,7 +10,7 @@ from <outDir>/oracle_sql.json, loads the corresponding Spark parquet result,
 sorts columns by name, and value-compares cell by cell (exact; floats must
 match bitwise after each engine's own rounding discipline).
 """
-import json, sys, math, glob
+import json, sys, math, glob, struct
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -21,7 +21,11 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # bit-exact like the driver's hash: -0.0 != +0.0 (Python == treats
+        # them equal, which masked a real driver hash mismatch in round 3)
+        return struct.pack("<d", v)
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
     return v
 
 
