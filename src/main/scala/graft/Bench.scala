@@ -37,7 +37,10 @@ object Bench {
     val selected = if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     def runsKey(k: String) = selected.forall(_.contains(k))
     if (runsKey("sim_search_ivf_serve")) graft.ml.IvfIndex.persistModel(spark, sfDir)
-    if (runsKey("join_bucketed")) graft.sources.Bucketed.ensure(spark, sfDir)
+    if (runsKey("join_bucketed") || runsKey("agg_bucketed"))
+      graft.sources.Bucketed.ensure(spark, sfDir)
+    if (runsKey("scan_pruned_day"))
+      graft.sources.Layout.ensureEventsByDay(spark, sfDir)
     spark.catalog.clearCache()
     // micro mode (dev): `runMain graft.Bench <key> [iters]` times one key
     // repeatedly — separates per-session constants (codegen, cache fill)

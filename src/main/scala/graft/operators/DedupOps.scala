@@ -165,9 +165,12 @@ object DedupOps {
 
   /** Production variant: shingle ids from xxhash64 — no dictionary, no
     * global rank, nothing driver-wide; THE form to run at 100 TB. Not
-    * oracle-able (xxhash64 seeds can't be replicated in DuckDB SQL), so
-    * it is a rows-only key; tests pin its pairs ⊆ the exhaustive n-gram
-    * pairs and its planted-dup recall. */
+    * oracle-able (xxhash64 seeds can't be replicated in DuckDB SQL, and
+    * band collisions land on different sids so candidate recall can
+    * legitimately differ from [[dedupMinhash]] by a pair at LSH noise
+    * level — measured 28 vs 27 at sf0.001); rows-only key, pinned by
+    * DedupSimilaritySpec: pairs ⊆ exhaustive n-gram pairs with equal
+    * jaccard, and ≥90% pair-set overlap with the dict variant. */
   def dedupMinhashFast(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
     minhashFromSids(sh.withColumn("sid", pmod(xxhash64(col("shingle")), lit(P))), sh)

@@ -65,6 +65,40 @@ object RelationalOps {
       .limit(10)
   }
 
+  // ── Bucket-subset aggregation: groupBy on the bucket key over the
+  // bucketed lineitem twin. The bucket partitioning (16-way hash on
+  // l_orderkey) SATISFIES the aggregate's required distribution, so the
+  // plan is scan → partial+final agg → top-k with NO Exchange — the
+  // aggregation twin of joinBucketed's shuffle-free join, completing the
+  // bucketing story beyond joins. At 100 TB every orderkey-grained rollup
+  // over the bucketed store runs without re-hashing the fact table. ──
+  def aggBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (_, lt) = graft.sources.Bucketed.ensure(spark, dir)
+    spark.table(lt)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ── Partition-pruned scan: one day out of a month-long day-partitioned
+  // events store (graft.sources.Layout.writeEventsByDay). The filter on
+  // the partition column resolves against the FILE INDEX — the plan's
+  // PartitionFilters — so the scan lists and reads exactly one day
+  // directory; the other 29 days cost nothing, not even a footer read.
+  // At 100 TB (≈3.3 TB/day) this is the difference between scanning 100 TB
+  // and 3.3 TB for every time-windowed query — the read-side proof of the
+  // layout the write side (Layout.scala) exists for. ──
+  def scanPrunedDay(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsByDay(spark, dir)
+    graft.sources.Layout.readEventsByDay(spark, path)
+      .filter(col("day") === to_date(lit("2024-01-15")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"))
+      .orderBy("event_type")
+  }
+
   // ── Left-semi (EXISTS): orders having at least one near-max-quantity
   // item. Semi joins shuffle only the keys of the probe side — never
   // materialize the match payload. ──
@@ -147,6 +181,8 @@ object RelationalOps {
     "join_bhj"          -> joinBhj _,
     "join_smj"          -> joinSmj _,
     "join_bucketed"     -> joinBucketed _,
+    "agg_bucketed"      -> aggBucketed _,
+    "scan_pruned_day"   -> scanPrunedDay _,
     "join_semi"         -> joinSemi _,
     "join_anti"         -> joinAnti _,
     "topk_limit"        -> topkLimit _,
@@ -174,6 +210,16 @@ object RelationalOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_orderkey, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "agg_bucketed" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "scan_pruned_day" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value") AS avg_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_smj" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue

@@ -37,6 +37,20 @@ object Layout {
   def readEventsByDay(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Lazily materialize the day-partitioned events copy for `dir`
+    * (content-keyed via [[Fingerprint]], same discipline as
+    * [[Bucketed.ensure]]: an offline layout job writes once, every
+    * subsequent query reads the pruned store); returns its path. */
+  def ensureEventsByDay(spark: SparkSession, dir: String): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_byday_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) writeEventsByDay(Tables.events(spark, dir), path)
+    path
+  }
+
   /** 32-bit Morton (Z-order) code interleaving two 16-bit dimensions —
     * a static expression tree of shifts and masks, fully codegen'd.
     * Inputs must already be scaled to [0, 65535] ([[scale16]]). */

@@ -64,6 +64,50 @@ object IngestPipeline {
         col("p.dt").as("dt"),
         col("p.timezone").as("tz_offset"))
 
+  /** producer.py:37-44's try/except, declarative (SURVEY §2.8 maps it to
+    * "PERMISSIVE + `_corrupt_record`"): parse with a corrupt-record column
+    * so a payload that fails to parse AT ALL keeps its raw text instead of
+    * silently vanishing. Shape drift INSIDE a parseable payload still
+    * degrades per-field (nulls → [[validated]] drop), matching
+    * consumer.py:55-57; only unparseable input is quarantined. */
+  val quarantineSchema: StructType =
+    rawSchema.add(StructField("_corrupt_record", StringType))
+
+  /** [[flatten]] + a `_corrupt_record` column (null ⇔ payload parsed). */
+  def flattenFlagged(raw: DataFrame, json: Column): DataFrame =
+    raw.withColumn("p", from_json(json, quarantineSchema,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .select(
+        col("p.name").as("city"),
+        col("p.main.temp").as("temperature"),
+        col("p.main.humidity").cast("int").as("humidity"),
+        col("p.main.pressure").cast("int").as("pressure"),
+        coalesce(
+          from_json(col("p.weather"), weatherElem).getItem(0).getField("description"),
+          lit("Unknown")).as("weather"),
+        col("p.wind.speed").as("wind_speed"),
+        col("p.coord").as("coordinates"),
+        col("p.dt").as("dt"),
+        col("p.timezone").as("tz_offset"),
+        col("p._corrupt_record").as("_corrupt_record"))
+
+  /** The quarantine side output: raw text of every unparseable payload. */
+  def quarantine(flagged: DataFrame): DataFrame =
+    flagged.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_payload"))
+
+  /** Clean/quarantine split over ONE parse: (validated ingest rows,
+    * quarantined raw payloads). Both sides derive from the same flagged
+    * plan, so in foreachBatch the parse runs once per micro-batch. */
+  def ingestWithQuarantine(raw: DataFrame, json: Column)
+      : (DataFrame, DataFrame) = {
+    val flagged = flattenFlagged(raw, json)
+    val clean = flagged.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    (withLocalTime(validated(clean)), quarantine(flagged))
+  }
+
   /** consumer.py:55-57 — drop incomplete records ("Data tidak lengkap"). */
   def validated(flat: DataFrame): DataFrame =
     flat.filter(col("temperature").isNotNull && col("humidity").isNotNull &&
@@ -183,6 +227,24 @@ object IngestPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
         upsertBatch(b.toDF(), store))
+      .start()
+
+  /** Streaming form of the clean/quarantine split: per micro-batch, valid
+    * rows append to `store` and unparseable payloads append to `quarPath`
+    * — the durable upgrade of the reference's except-branch print
+    * (`producer.py:43-44`). One parse per batch (both sides share the
+    * flagged plan); exactly-once by checkpoint + idempotent-append per
+    * epoch. */
+  def quarantineStream(rawStream: DataFrame, json: Column, store: String,
+      quarPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rawStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (clean, quar) = ingestWithQuarantine(b.toDF(), json)
+        clean.write.mode("append").parquet(store)
+        quar.write.mode("append").parquet(quarPath)
+      }
       .start()
 
   /** Stateful extension (SURVEY §2.8): per-city tumbling-window average

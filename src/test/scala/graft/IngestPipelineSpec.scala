@@ -285,4 +285,45 @@ class IngestPipelineSpec extends SparkSuite {
         === Set("good"))
     } finally q.stop()
   }
+
+  test("unparseable payloads quarantine with raw text; parseable drift degrades per-field") {
+    // producer.py:37-44's except branch, durably: wholly-malformed JSON
+    // must land in the quarantine side output (raw text preserved), NOT
+    // silently vanish; a parseable record with a bad field still flows the
+    // per-field path (null → validated() drop), and clean rows are
+    // untouched by the split
+    val garbage = """{not json at all!!"""
+    val truncated = """{"name":"T","main":{"temp":9"""
+    val raw = Seq(
+      """{"name":"good","main":{"temp":1.0,"humidity":1,"pressure":1},"dt":100,"timezone":0}""",
+      garbage,
+      truncated,
+      """{"name":"partial","main":{"pressure":1},"dt":100,"timezone":0}""",
+    ).toDF("raw")
+    val (clean, quar) = IngestPipeline.ingestWithQuarantine(raw, col("raw"))
+    assert(clean.select("city").as[String].collect().toSet === Set("good"))
+    assert(quar.select("raw_payload").as[String].collect().toSet
+      === Set(garbage, truncated))
+  }
+
+  test("streaming quarantine: malformed payload lands beside the store, valid rows unaffected") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_qstore").toString
+    val quar = java.nio.file.Files.createTempDirectory("graft_quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qckpt").toString
+    val stream = MemoryStream[String]
+    val q = IngestPipeline.quarantineStream(
+      stream.toDF(), col("value"), store, quar, ckpt)
+    try {
+      stream.addData(
+        """{"name":"ok1","main":{"temp":1.0,"humidity":1,"pressure":1},"dt":100,"timezone":0}""",
+        """broken{{payload""",
+        """{"name":"ok2","main":{"temp":2.0,"humidity":2,"pressure":2},"dt":200,"timezone":0}""")
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).select("city").as[String]
+        .collect().toSet === Set("ok1", "ok2"))
+      assert(spark.read.parquet(quar).select("raw_payload").as[String]
+        .collect().toSet === Set("broken{{payload"))
+    } finally q.stop()
+  }
 }

@@ -64,6 +64,35 @@ class PlanShapeSpec extends SparkSuite {
     assert(df.count() === 10)
   }
 
+  test("bucketed aggregate runs with zero Exchange (bucket-subset rule)") {
+    val df = RelationalOps.aggBucketed(spark, sf0001)
+    val plan = planOf(df)
+    // the 16-way bucket hash on l_orderkey satisfies the groupBy's
+    // required distribution, and top-k is TakeOrderedAndProject — so NO
+    // row crosses the network anywhere in the plan
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(df.count() === 10)
+  }
+
+  test("scan_pruned_day prunes to one day directory via PartitionFilters") {
+    // AQE's wrapper hides the scan node from collectLeaves; the pruning
+    // behavior under test is identical either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = RelationalOps.scanPrunedDay(spark, sf0001)
+      val plan = planOf(df)
+      // the day filter must resolve against the file index, not per-row
+      assert(plan.contains("PartitionFilters: [isnotnull(day"), plan.take(2500))
+      // and the scan must touch exactly ONE of the ~30 day partitions
+      val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+      assert(scanned.nonEmpty && scanned.forall(_ == 1),
+        s"selected partition counts: $scanned\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no key anywhere plans a partitionless Window over a fact table") {
     // a Window with an empty PARTITION BY funnels its whole input through
     // one task — the single-task scale cliff window_ntile's bucketed
