@@ -367,6 +367,96 @@ object AdvancedOps {
       .limit(100)
   }
 
+  // ── TPC-H Q4 order-priority checking (adapted: this schema has no
+  // l_commitdate/l_receiptdate, so "late" = shipped >30 days after the
+  // order date). The EXISTS compiles to LEFT-SEMI carrying the
+  // cross-table lateness predicate: only the order keys shuffle, the
+  // matching lineitem payload never materializes, and each order emits
+  // at most once no matter how many late lines it has. ──
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ── TPC-H Q13 customer distribution (adapted: no o_comment filter in
+  // this schema). LEFT OUTER from customer keeps the zero-order
+  // customers (count(o_orderkey) skips their nulls); the second
+  // aggregate groups ON the count — it runs over one row per customer,
+  // so the second shuffle is customer-sized, not order-sized. ──
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  // ── TPC-H Q17 small-quantity-order revenue. The spec's correlated
+  // per-part avg subquery is DECORRELATED: restrict lineitem to the
+  // brand's parts once, aggregate the per-part threshold from that same
+  // slice, broadcast the part-sized threshold table back. Lineitem is
+  // touched once; the correlated form would rescan it per row. Both
+  // engines build the threshold with the identical expression tree
+  // (decimal sum → double ÷ count × 0.2), so the strict `<` comparison
+  // can't flip on a ULP. ──
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thresh = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(col("l_quantity")) * lit(0.2d)).as("qty_thresh"))
+    li.join(broadcast(thresh), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg((sum(Exact.money(col("l_extendedprice"))).cast("double") / lit(7.0d))
+        .as("avg_yearly"))
+  }
+
+  // ── TPC-H Q22 global sales opportunity (adapted: no c_phone in this
+  // schema, so market segments stand in for country codes, and — every
+  // customer here has SOME order — "no orders" becomes "no orders since
+  // 2000", the churn form). Shape preserved exactly: scalar avg over
+  // positive balances broadcast (1-row nested-loop), rich-but-inactive
+  // customers found by LEFT-ANTI against the recent orders, grouped
+  // per segment. ──
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val segs = Seq("AUTOMOBILE", "BUILDING", "MACHINERY")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin(segs: _*))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(Exact.money(col("c_acctbal"))).cast("double") /
+        count(col("c_acctbal"))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        Exact.sumMoney(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   // ── salted JOIN: the hot-key template for fact⋈dim when one probe key
   // dominates (AQE skew-join handles sorted/shuffled joins at runtime;
   // explicit salting is the portable fallback and the only option for
@@ -481,6 +571,10 @@ object AdvancedOps {
     "tpch_q5"          -> tpchQ5 _,
     "tpch_q10"         -> tpchQ10 _,
     "tpch_q18"         -> tpchQ18 _,
+    "tpch_q4"          -> tpchQ4 _,
+    "tpch_q13"         -> tpchQ13 _,
+    "tpch_q17"         -> tpchQ17 _,
+    "tpch_q22"         -> tpchQ22 _,
     "join_skew_salted" -> joinSkewSalted _,
   )
 
@@ -637,6 +731,47 @@ object AdvancedOps {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o.o_orderkey
+        |                AND l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q17" ->
+      """WITH pb AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |       FROM lineitem JOIN pb ON l_partkey = p_partkey),
+        |th AS (SELECT l_partkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(l_quantity) * 0.2 AS qty_thresh
+        |       FROM li GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM li JOIN th USING (l_partkey)
+        |WHERE l_quantity < qty_thresh""".stripMargin,
+    "tpch_q22" ->
+      """WITH cs AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |            WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')),
+        |ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(c_acctbal) AS avg_bal
+        |       FROM cs WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cs, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  o_orderpriority,

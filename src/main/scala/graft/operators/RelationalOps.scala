@@ -127,6 +127,26 @@ object RelationalOps {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .limit(10)
 
+  // ── Time-RANGE window frame: per-user trailing-1-hour average — the
+  // event-time twin of windowMovingAvg's ROWS frame. RANGE frames bound
+  // by a TIME interval are what monitoring/feature pipelines actually
+  // want ("average over the last hour", not "last 4 events"); the frame
+  // is expressed on epoch-µs so the Window's rangeBetween stays numeric
+  // and codegen'd. Partitioned by user_id — state per task is one
+  // user's in-frame rows, never the stream. ──
+  def windowTimeRangeAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("range_avg",
+        sum(money(col("value"))).over(w).cast("double") /
+          count(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("range_avg"))
+      .orderBy("event_id")
+  }
+
   // ── UNION ALL of two event slices (SURVEY §2.6: streaming append is
   // concatenation; relational form is unionByName — no shuffle at all). ──
   def setUnion(spark: SparkSession, dir: String): DataFrame = {
@@ -188,6 +208,7 @@ object RelationalOps {
     "topk_limit"        -> topkLimit _,
     "set_union"         -> setUnion _,
     "window_moving_avg" -> windowMovingAvg _,
+    "window_time_range_avg" -> windowTimeRangeAvg _,
     "window_rank_topk"  -> windowRankTopk _,
   )
 
@@ -246,6 +267,15 @@ object RelationalOps {
         |  round(avg("value") OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
         |FROM events ORDER BY event_id""".stripMargin,
+    "window_time_range_avg" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count("value") OVER w AS range_avg
+        |FROM (SELECT event_id, user_id, "value",
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "window_rank_topk" ->
       """SELECT event_type, event_id, "value", rn FROM (
         |  SELECT event_type, event_id, "value",

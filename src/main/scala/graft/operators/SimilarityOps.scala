@@ -181,8 +181,35 @@ object SimilarityOps {
       .orderBy("p_id")
   }
 
+  // ── k-NN graph construction: each vector's top-3 neighbors within its
+  // coarse cell (label) — the candidate-generation step of graph-based
+  // semantic dedup and of HNSW-style index builds. Candidates are
+  // CELL-BUCKETED (the same discipline as every dedup candidate
+  // generator here: the self-join blows up per-cell, never corpus-wide —
+  // at 100 TB cells are IVF partitions and the per-cell join is one
+  // co-located task). Top-3 per node via a partitioned row_number, which
+  // the TopKRewrite rule lowers to the native heap operator when the
+  // extension is installed. ──
+  def embedKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val a = e.select(col("vec_id").as("src"), col("label"),
+      col("v").as("av"), col("norm").as("an"))
+    val b = e.select(col("vec_id").as("dst"), col("label"),
+      col("v").as("bv"), col("norm").as("bn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("cos_sim"), col("dst"))
+    a.join(b, "label").filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (round(DedupOps.dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+          + lit(0.0d)).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .orderBy("src", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_align"    -> embedAlign _,
+    "embed_knn_graph" -> embedKnnGraph _,
     "sim_search"     -> simSearch _,
     "sim_search_ann" -> simSearchAnn _,
     "sim_search_lsh" -> simSearchLsh _,
@@ -191,6 +218,16 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_knn_graph" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |        round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY src ORDER BY cos_sim DESC, dst) AS INTEGER) AS rn
+        |      FROM s)
+        |SELECT src, dst, cos_sim, rn FROM r WHERE rn <= 3
+        |ORDER BY src, rn""".stripMargin,
     "embed_align" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT vec_id AS p_id, v AS p_v FROM e

@@ -93,6 +93,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── CCNet-style quality bucketing: split the corpus into head/middle/
+  // tail terciles of the quality score — the standard pre-training corpus
+  // partitioning (CCNet buckets by LM perplexity tercile; the score here
+  // is this library's composite quality). The tercile THRESHOLDS are one
+  // 2-value aggregate broadcast back (never a driver collect, never a
+  // global sort of the corpus); at 100 TB the exact percentile becomes
+  // approx_percentile with the same 1-row-broadcast shape. ──
+  def textQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val q = textQuality(spark, dir).select(col("doc_id"), col("quality"))
+    val th = q.agg(
+      expr("percentile(quality, 0.3333333333333333)").as("t1"),
+      expr("percentile(quality, 0.6666666666666666)").as("t2"))
+    q.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("quality") >= col("t2"), lit("head"))
+          .when(col("quality") >= col("t1"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_quality"))
+      .orderBy("bucket")
+  }
+
   // ── token counting: whitespace tokens + a BPE-ish regex segmentation
   // (word pieces and single non-word symbols), north star "token counting". ──
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -394,6 +418,7 @@ object TextOps {
     "text_tokens"           -> textTokens _,
     "text_lang_id"          -> textLangId _,
     "text_quality"          -> textQuality _,
+    "text_quality_buckets"  -> textQualityBuckets _,
     "text_token_count"      -> textTokenCount _,
     "text_fingerprint"      -> textFingerprint _,
     "text_fingerprint_fast" -> textFingerprintFast _,
@@ -563,6 +588,26 @@ object TextOps {
          |      + 0.3 * least(1.0, len(toks) / 20.0)
          |      + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality_buckets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |    CAST(length(text) AS INTEGER) AS chars,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS alnum_chars
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(0.4 * round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6)
+         |      + 0.3 * least(1.0, len(toks) / 20.0)
+         |      + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality
+         |  FROM t),
+         |th AS (SELECT quantile_cont(quality, 0.3333333333333333) AS t1,
+         |              quantile_cont(quality, 0.6666666666666666) AS t2 FROM q)
+         |SELECT CASE WHEN quality >= t2 THEN 'head'
+         |            WHEN quality >= t1 THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs,
+         |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+         |FROM q, th GROUP BY bucket ORDER BY bucket""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS ws_tokens,

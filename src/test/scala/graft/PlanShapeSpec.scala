@@ -144,7 +144,9 @@ class PlanShapeSpec extends SparkSuite {
     val allowed = Set("sim_search", "sim_search_ann", "sim_search_lsh",
       "sim_search_ivf", "sim_search_ivf_serve", "text_tfidf", "window_ntile",
       "window_rank_family_scaled", "pack_sequences", "embed_align",
-      "pipeline_training_corpus")
+      "pipeline_training_corpus",
+      "tpch_q22", // scalar avg-balance broadcast (1 row) vs customer
+      "text_quality_buckets") // 2-value tercile-threshold broadcast
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
