@@ -457,6 +457,218 @@ object AdvancedOps {
       .orderBy("c_mktsegment")
   }
 
+  // ── TPC-H Q7 volume shipping between two nations. TWO nation paths —
+  // supplier's and customer's — so nation broadcasts twice under
+  // different aliases; the only large-large join (lineitem⋈orders)
+  // shuffles once on orderkey. The bidirectional pair predicate stays a
+  // post-join filter because it correlates both dimension paths. Revenue
+  // per (supp_nation, cust_nation, year) in exact decimal. ──
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // ── TPC-H Q8 national market share: NATION_3's share of PROMO-part
+  // revenue sold to EUROPE customers, per year. The share is a
+  // conditional-aggregate ratio — numerator and denominator come out of
+  // ONE aggregate pass (no second scan, no self-join), the same
+  // discipline as Q14. Part and both nation hops broadcast; region cuts
+  // the customer-nation list 5× before it ever reaches the fact join. ──
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))
+    val nc = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val ns = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3",
+            Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(BigDecimal(0)))).cast("double").as("nation_volume"),
+        Exact.sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_volume"))
+      .select(col("o_year"),
+        round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"),
+        col("total_volume"))
+      .orderBy("o_year")
+  }
+
+  // ── TPC-H Q9 product-type profit (adapted: no ps_supplycost in this
+  // schema, so cost = 0.5 × p_retailprice × l_quantity). Profit is kept
+  // as TWO exact decimal sums (revenue, retail cost) subtracted once in
+  // doubles at the end — both engines produce bit-identical sums, then
+  // one IEEE multiply-by-0.5 (exact) and one subtraction, so no rounding
+  // is needed. Part filtered on name and broadcast; one orderkey
+  // shuffle. ──
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        Exact.sumRevenue(col("l_extendedprice"), col("l_discount")).as("rev"),
+        sum(Exact.money(col("p_retailprice")) * Exact.money(col("l_quantity")))
+          .cast("double").as("retail"))
+      .select(col("nation"), col("o_year"),
+        (col("rev") - lit(0.5d) * col("retail")).as("sum_profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  // ── TPC-H Q15 top supplier: the revenue view + scalar-max subquery.
+  // Per-supplier quarterly revenue aggregates once (supplier-sized
+  // output); the max is a 1-row broadcast nested-loop back onto it —
+  // never a global sort, never a second lineitem pass. The double
+  // equality is safe cross-engine because both sides derive from the
+  // SAME exact decimal sum cast once to double. ──
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  // ── TPC-H Q16 parts/supplier relationship (adapted: no partsupp table —
+  // lineitem IS the observed part↔supplier relation here). COUNT DISTINCT
+  // suppliers per (brand, type, size) bucket: the distinct expands
+  // (brand,type,size,suppkey) keys in a first shuffle, then collapses to
+  // the bucket — Spark's two-phase distinct-aggregate keeps both passes
+  // partial-aggregated, so the wide key never concentrates. ──
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  // ── TPC-H Q19 discounted revenue: the disjunctive-predicate query.
+  // The three OR'd (brand × quantity-band × size-band) arms reference
+  // both join sides, so they evaluate post-join — but the per-side
+  // prefixes (brand IN (...), size ≥ 1, quantity bounds) are what a
+  // 100 TB run needs pushed, and Catalyst extracts exactly those
+  // common-prefix conjuncts below the join on its own (visible as
+  // PushedFilters on both scans). ──
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val arm1 = col("p_brand") === "Brand#11" &&
+      col("l_quantity").between(1, 11) && col("p_size").between(1, 5)
+    val arm2 = col("p_brand") === "Brand#22" &&
+      col("l_quantity").between(10, 20) && col("p_size").between(1, 10)
+    val arm3 = col("p_brand") === "Brand#33" &&
+      col("l_quantity").between(20, 30) && col("p_size").between(1, 15)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ── TPC-H Q21 suppliers who kept orders waiting (adapted lateness:
+  // shipped >30 days after the order date; finished orders only). The
+  // spec's EXISTS / NOT-EXISTS pair is DECORRELATED into one per-order
+  // aggregate: n_supps > 1 (someone else was on the order) and
+  // late_supps = 1 (nobody else was late) — min(late suppkey) then IS
+  // the sole offender, and sum(late lines) its per-order wait count.
+  // One lineitem pass, one orderkey shuffle; the correlated form would
+  // rescan lineitem twice per row. ──
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val perOrder = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("late_supps"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    perOrder
+      .filter(col("n_supps") > 1 && col("late_supps") === 1)
+      .groupBy(col("late_supp"))
+      .agg(sum(col("late_lines")).as("numwait"))
+      .join(broadcast(s), col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
   // ── salted JOIN: the hot-key template for fact⋈dim when one probe key
   // dominates (AQE skew-join handles sorted/shuffled joins at runtime;
   // explicit salting is the portable fallback and the only option for
@@ -575,6 +787,13 @@ object AdvancedOps {
     "tpch_q13"         -> tpchQ13 _,
     "tpch_q17"         -> tpchQ17 _,
     "tpch_q22"         -> tpchQ22 _,
+    "tpch_q7"          -> tpchQ7 _,
+    "tpch_q8"          -> tpchQ8 _,
+    "tpch_q9"          -> tpchQ9 _,
+    "tpch_q15"         -> tpchQ15 _,
+    "tpch_q16"         -> tpchQ16 _,
+    "tpch_q19"         -> tpchQ19 _,
+    "tpch_q21"         -> tpchQ21 _,
     "join_skew_salted" -> joinSkewSalted _,
   )
 
@@ -731,6 +950,104 @@ object AdvancedOps {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(vol) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS vol
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "tpch_q8" ->
+      """SELECT o_year, round(nation_volume / total_volume, 6) AS mkt_share,
+        |  total_volume
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |      ELSE 0 END) AS DOUBLE) AS nation_volume,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_volume
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY o_year) t
+        |ORDER BY o_year""".stripMargin,
+    "tpch_q9" ->
+      """SELECT nation, o_year, rev - 0.5 * retail AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS rev,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS retail
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE p_name LIKE '%widget%'
+        |  GROUP BY 1, 2) t
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

@@ -146,6 +146,7 @@ class PlanShapeSpec extends SparkSuite {
       "window_rank_family_scaled", "pack_sequences", "embed_align",
       "pipeline_training_corpus",
       "tpch_q22", // scalar avg-balance broadcast (1 row) vs customer
+      "tpch_q15", // scalar max-revenue broadcast (1 row) vs supplier revenue
       "text_quality_buckets") // 2-value tercile-threshold broadcast
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
