@@ -669,6 +669,106 @@ object AdvancedOps {
       .limit(20)
   }
 
+  // ── TPC-H Q2 minimum-cost supplier (adapted: no partsupp table — the
+  // observed part↔supplier relation is lineitem, and supplycost is the
+  // minimum unit price ever charged, min(extendedprice/quantity)). The
+  // correlated min-cost subquery decorrelates into ONE per-part argmin:
+  // min(struct(cost, suppkey, ...)) — lexicographic struct min gives the
+  // cheapest supplier with a deterministic suppkey tiebreak, no second
+  // pass, no self-join. The (part,supp) aggregate is the only
+  // lineitem-sized shuffle; everything after is part-sized. Unit price
+  // stays a RAW IEEE division (no intermediate rounding) so min() picks
+  // bit-identical values cross-engine. ──
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"), col("p_size"))
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    // broadcast part filter BEFORE the (part,supp) aggregate: the shuffle
+    // carries only matching parts' lines, not all of lineitem
+    val ps = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"), col("p_name"), col("p_size"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supplycost"))
+    ps.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"))
+      .agg(min(struct(col("supplycost"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"), col("p_name"), col("p_size"))).as("w"))
+      .select(col("w.s_acctbal").as("s_acctbal"), col("w.s_name").as("s_name"),
+        col("w.n_name").as("n_name"), col("p_partkey"),
+        col("w.p_name").as("p_name"), col("w.p_size").as("p_size"),
+        round(col("w.supplycost"), 2).as("supplycost"))
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  // ── TPC-H Q11 important stock (adapted: part "value" is total revenue
+  // supplied by NATION_1 suppliers). The fraction threshold stays in
+  // EXACT decimal end to end: value·10000 > total compares two exact
+  // decimals (never value > total·1e-4, which would reintroduce a float
+  // boundary). Total is a 1-row broadcast back onto the part-sized
+  // aggregate — lineitem is scanned once. ──
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === "NATION_19").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast("decimal(28,6)").as("value_dec"))
+    val total = perPart.agg(sum(col("value_dec")).cast("decimal(28,6)")
+      .as("total_dec"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_dec") * lit(10000) > col("total_dec"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_dec").cast("double").as("value"))
+      .orderBy(desc("value"), col("p_partkey"))
+  }
+
+  // ── TPC-H Q20 excess-stock suppliers (adapted: no availqty — a
+  // supplier "holds excess stock" of a part when MORE than half its
+  // all-time shipped quantity of that part went out in 1997, i.e. its
+  // supply is concentrated in the window). Both quantity sums come out
+  // of ONE (supp,part) aggregate pass via conditional aggregation; the
+  // half-threshold compares exact decimals as 2·q97 > qall. The
+  // qualifying (supp,part) set collapses to a distinct supplier
+  // left-semi result. ──
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+    val excess = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+              col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")),
+            Exact.money(col("l_quantity"))).otherwise(lit(BigDecimal(0)))).as("q97"),
+        sum(Exact.money(col("l_quantity"))).as("qall"))
+      // 2·q97 > qall, written subtraction-style so the exact decimals
+      // never widen past their sum precision
+      .filter(col("q97") > col("qall") - col("q97"))
+      .select(col("l_suppkey")).distinct()
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name") === "NATION_18").select(col("n_nationkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
   // ── salted JOIN: the hot-key template for fact⋈dim when one probe key
   // dominates (AQE skew-join handles sorted/shuffled joins at runtime;
   // explicit salting is the portable fallback and the only option for
@@ -794,6 +894,9 @@ object AdvancedOps {
     "tpch_q16"         -> tpchQ16 _,
     "tpch_q19"         -> tpchQ19 _,
     "tpch_q21"         -> tpchQ21 _,
+    "tpch_q2"          -> tpchQ2 _,
+    "tpch_q11"         -> tpchQ11 _,
+    "tpch_q20"         -> tpchQ20 _,
     "join_skew_salted" -> joinSkewSalted _,
   )
 
@@ -1048,6 +1151,58 @@ object AdvancedOps {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS p_partkey, l_suppkey, p_name, p_size,
+        |    min(l_extendedprice / l_quantity) AS supplycost
+        |  FROM lineitem JOIN part ON l_partkey = part.p_partkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+        |  GROUP BY 1, 2, 3, 4),
+        |j AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, p_size,
+        |    supplycost,
+        |    row_number() OVER (PARTITION BY p_partkey
+        |      ORDER BY supplycost, l_suppkey) AS rn
+        |  FROM ps
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, p_size,
+        |  round(supplycost, 2) AS supplycost
+        |FROM j WHERE rn = 1
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "tpch_q11" ->
+      """WITH sn AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_19'),
+        |pp AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,6)) AS value_dec
+        |  FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM pp
+        |WHERE value_dec * 10000 >
+        |  (SELECT CAST(sum(value_dec) AS DECIMAL(28,6)) FROM pp)
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    "tpch_q20" ->
+      """WITH x AS (
+        |  SELECT l_suppkey,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |              AND l_shipdate < TIMESTAMP '1998-01-01'
+        |        THEN CAST(l_quantity AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS q97,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qall
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%widget%'
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_18'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM x WHERE q97 > qall - q97)
+        |ORDER BY s_suppkey""".stripMargin,
     "tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

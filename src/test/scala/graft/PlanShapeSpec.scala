@@ -147,6 +147,7 @@ class PlanShapeSpec extends SparkSuite {
       "pipeline_training_corpus",
       "tpch_q22", // scalar avg-balance broadcast (1 row) vs customer
       "tpch_q15", // scalar max-revenue broadcast (1 row) vs supplier revenue
+      "tpch_q11", // scalar corpus-total broadcast (1 row) vs per-part values
       "text_quality_buckets") // 2-value tercile-threshold broadcast
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
