@@ -710,7 +710,7 @@ object AdvancedOps {
   }
 
   // ── TPC-H Q11 important stock (adapted: part "value" is total revenue
-  // supplied by NATION_1 suppliers). The fraction threshold stays in
+  // supplied by NATION_19 suppliers). The fraction threshold stays in
   // EXACT decimal end to end: value·10000 > total compares two exact
   // decimals (never value > total·1e-4, which would reintroduce a float
   // boundary). Total is a 1-row broadcast back onto the part-sized

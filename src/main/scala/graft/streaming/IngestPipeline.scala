@@ -45,24 +45,29 @@ object IngestPipeline {
     StructField("dt", LongType),
     StructField("timezone", LongType)))
 
+  /** The ONE store projection (consumer.py:32-53), shared by [[flatten]]
+    * and [[flattenFlagged]] so the ingest schema mapping lives in exactly
+    * one place — the two paths can't silently drift. */
+  private val storeProjection: Seq[Column] = Seq(
+    col("p.name").as("city"),
+    col("p.main.temp").as("temperature"),
+    col("p.main.humidity").cast("int").as("humidity"),
+    col("p.main.pressure").cast("int").as("pressure"),
+    // consumer.py:36-45: weather may be an array OR a stringified JSON
+    // array; either way take [0].description, default "Unknown"
+    coalesce(
+      from_json(col("p.weather"), weatherElem).getItem(0).getField("description"),
+      lit("Unknown")).as("weather"),
+    col("p.wind.speed").as("wind_speed"),
+    col("p.coord").as("coordinates"),
+    col("p.dt").as("dt"),
+    col("p.timezone").as("tz_offset"))
+
   /** consumer.py:32-53 — flatten the nested payload into the store schema.
     * `json` is a column of raw JSON strings (Kafka `value`). */
   def flatten(raw: DataFrame, json: Column): DataFrame =
     raw.withColumn("p", from_json(json, rawSchema))
-      .select(
-        col("p.name").as("city"),
-        col("p.main.temp").as("temperature"),
-        col("p.main.humidity").cast("int").as("humidity"),
-        col("p.main.pressure").cast("int").as("pressure"),
-        // consumer.py:36-45: weather may be an array OR a stringified JSON
-        // array; either way take [0].description, default "Unknown"
-        coalesce(
-          from_json(col("p.weather"), weatherElem).getItem(0).getField("description"),
-          lit("Unknown")).as("weather"),
-        col("p.wind.speed").as("wind_speed"),
-        col("p.coord").as("coordinates"),
-        col("p.dt").as("dt"),
-        col("p.timezone").as("tz_offset"))
+      .select(storeProjection: _*)
 
   /** producer.py:37-44's try/except, declarative (SURVEY §2.8 maps it to
     * "PERMISSIVE + `_corrupt_record`"): parse with a corrupt-record column
@@ -78,19 +83,8 @@ object IngestPipeline {
     raw.withColumn("p", from_json(json, quarantineSchema,
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt_record")))
-      .select(
-        col("p.name").as("city"),
-        col("p.main.temp").as("temperature"),
-        col("p.main.humidity").cast("int").as("humidity"),
-        col("p.main.pressure").cast("int").as("pressure"),
-        coalesce(
-          from_json(col("p.weather"), weatherElem).getItem(0).getField("description"),
-          lit("Unknown")).as("weather"),
-        col("p.wind.speed").as("wind_speed"),
-        col("p.coord").as("coordinates"),
-        col("p.dt").as("dt"),
-        col("p.timezone").as("tz_offset"),
-        col("p._corrupt_record").as("_corrupt_record"))
+      .select(storeProjection :+
+        col("p._corrupt_record").as("_corrupt_record"): _*)
 
   /** The quarantine side output: raw text of every unparseable payload. */
   def quarantine(flagged: DataFrame): DataFrame =
