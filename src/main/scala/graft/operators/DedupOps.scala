@@ -195,9 +195,12 @@ object DedupOps {
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.m0").as("m0"), col("bs.m1").as("m1"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
-          col("a.m1") === col("b.m1") && col("a.doc_id") < col("b.doc_id"))
+    // skew-hardened band-bucket pairing: one boilerplate-heavy band value
+    // shared by B docs is O(B²) — SkewPairs splits it into capped
+    // sub-blocks with the exact same candidate set (no recall cost, unlike
+    // the stop-shingle cap), bounding per-task pair counts
+    val cand = SkewPairs
+      .pairs(bands, Seq("band", "m0", "m1"), "doc_id")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardFor(cand, sh)
@@ -270,8 +273,11 @@ object DedupOps {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val pairs = e.as("a").join(e.as("b"),
-      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    // skew-hardened within-cell pairing: exact same pair set as the plain
+    // `a.label = b.label AND a.vec_id < b.vec_id` self-join, but a hot cell
+    // is split into capped sub-blocks so no task exceeds ~cap² pairs
+    // (SkewPairs doc; zero recall cost — the salt is exhaustive)
+    val pairs = SkewPairs.pairs(e, Seq("label"), "vec_id")
     pairs.select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos"))

@@ -192,16 +192,24 @@ object SimilarityOps {
   // extension is installed. ──
   def embedKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val a = e.select(col("vec_id").as("src"), col("label"),
-      col("v").as("av"), col("norm").as("an"))
-    val b = e.select(col("vec_id").as("dst"), col("label"),
-      col("v").as("bv"), col("norm").as("bn"))
+    // skew-hardened within-cell pairing (SkewPairs): the exact pair set of
+    // the old `a.label = b.label` self-join, but a hot cell splits into
+    // capped sub-blocks so no task exceeds ~cap² pairs. Each UNORDERED pair
+    // is scored once and mirrored into both directions with a generator —
+    // half the dot products of the full a×b join, one pass.
+    val und = SkewPairs.pairs(e, Seq("label"), "vec_id")
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        (round(DedupOps.dot(col("a.v"), col("b.v")) /
+          (col("a.norm") * col("b.norm")), 6) + lit(0.0d)).as("cos_sim"))
+    val directed = und.select(explode(array(
+        struct(col("ia").as("src"), col("ib").as("dst"), col("cos_sim")),
+        struct(col("ib").as("src"), col("ia").as("dst"), col("cos_sim"))))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"),
+        col("p.cos_sim").as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(desc("cos_sim"), col("dst"))
-    a.join(b, "label").filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        (round(DedupOps.dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
-          + lit(0.0d)).as("cos_sim"))
+    directed
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= 3)
       .orderBy("src", "rn")
