@@ -165,38 +165,90 @@ object IngestPipeline {
       .select(col("window.start").as("win_start"), col("city"),
         col("avg_temp"), col("n_obs"))
 
+  /** Number of stable hash buckets the upsert store is partitioned into.
+    * Small here (16 cities); at scale it is sized so a bucket's parquet
+    * fits one task's rewrite budget (e.g. 4096 buckets for a 1 TB store). */
+  val StoreBuckets = 16
+
+  /** Stable store-partition of a city — pure function of the key, so a
+    * city's rows land in the same bucket in every batch forever. */
+  def bucketOf(city: Column): Column =
+    pmod(xxhash64(city), lit(StoreBuckets)).cast("int")
+
   /** foreachBatch UPSERT sink: the store keeps ONE row per city — the
     * latest observation — instead of the reference's append-only
     * insert_one pile (`consumer.py:78`, which accumulates every poll
     * forever and makes the dashboard re-aggregate history it doesn't
-    * want). Per micro-batch: read current store, union the batch, keep
-    * rank-1 per key, write to a TEMP path, then swap directories — the
-    * store path is never read and written by the same job, so a lost
-    * cache block can never recompute against a half-truncated store
-    * (the failure the previous cache()+count() ordering only narrowed).
+    * want).
+    *
+    * INCREMENTAL: the store is laid out as `bucket=N` subdirectories keyed
+    * by [[bucketOf]], and a micro-batch rewrites ONLY the buckets its rows
+    * hash into — O(batch), not O(store). (The previous form re-read and
+    * rewrote the whole store every batch: correct, but a scale-killer once
+    * the store dwarfs a micro-batch.) Each touched bucket does the
+    * read-union-dedupe-swap against its own directory with the two-rename
+    * crash-safety preserved PER BUCKET; untouched buckets are not opened,
+    * so their files stay byte-identical (pinned by IngestPipelineSpec).
     * The window order is a TOTAL order over the stored columns:
     * redelivered duplicates (same city+dt, possibly corrected values)
     * resolve identically on every run. AT SCALE the same foreachBatch
-    * body targets a table format's MERGE (Delta/Iceberg) so the rewrite
-    * touches only matching files — the orchestration shown here (batch as
-    * a DataFrame, idempotent per epoch) is unchanged. */
+    * body targets a table format's MERGE (Delta/Iceberg) — this bucket
+    * layout is exactly the file-pruning that MERGE buys, hand-rolled on
+    * plain parquet. */
   def upsertBatch(batch: DataFrame, store: String): Unit = {
-    val spark = batch.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    recoverBuckets(fs, store)
+    val slim = batch.select("city", "temperature", "humidity", "dt")
+      .withColumn("bucket", bucketOf(col("city")))
+    // ≤ StoreBuckets ids — a driver-bounded collect by construction
+    val touched = slim.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    touched.foreach { b =>
+      mergeSwapBucket(slim.filter(col("bucket") === b).drop("bucket"),
+        fs, s"$store/bucket=$b", s"$store.tmp/bucket=$b", s"$store.bak/bucket=$b")
+    }
+  }
+
+  /** Restore any bucket whose previous batch died between its two renames:
+    * the swap keeps a bucket's previous data in exactly one of
+    * {store/bucket=N, store.bak/bucket=N} at every instant, so a missing
+    * store-side dir with a surviving .bak twin is restored before anything
+    * reads the store. Runs over ALL buckets (one listing), not just the
+    * batch's — a crashed bucket must not stay invisible until its city
+    * happens to recur. */
+  private def recoverBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      store: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val bakRoot = p(store + ".bak")
+    if (fs.exists(bakRoot)) {
+      fs.mkdirs(p(store))
+      fs.listStatus(bakRoot).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("bucket=") && !fs.exists(p(s"$store/$name")))
+          require(fs.rename(st.getPath, p(s"$store/$name")),
+            s"bucket recovery rename $name failed")
+      }
+    }
+  }
+
+  /** Read-union-dedupe-write-swap for ONE bucket directory. The bucket
+    * path is never read and written by the same job (the merge writes to
+    * `tmp`), so a lost cache block can never recompute against a
+    * half-truncated store; every rename result is CHECKED (a false return
+    * — cross-filesystem tmp, permissions — must fail the batch, not
+    * silently drop data; foreachBatch retries idempotently because the
+    * merge is deterministic over {recovered bucket ∪ batch rows}). */
+  private def mergeSwapBucket(rows: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      bdir: String, tmp: String, bak: String): Unit = {
+    val spark = rows.sparkSession
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     def mv(from: String, to: String): Unit =
       require(fs.rename(p(from), p(to)), s"rename $from -> $to failed")
-    val (tmp, bak) = (store + ".tmp", store + ".bak")
-    // crash recovery: the swap below keeps the previous store in exactly
-    // one of {store, store.bak} at every instant; if a prior batch died
-    // between its two renames, the data is in .bak — restore it before
-    // reading. (A leftover .tmp is an incomplete write: discarded.)
-    if (!fs.exists(p(store)) && fs.exists(p(bak))) mv(bak, store)
-    val slim = batch.select("city", "temperature", "humidity", "dt")
     val merged0 =
-      if (fs.exists(p(store))) spark.read.parquet(store).unionByName(slim)
-      else slim
+      if (fs.exists(p(bdir))) spark.read.parquet(bdir).unionByName(rows)
+      else rows
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("city")).orderBy(desc("dt"),
         desc("temperature"), desc("humidity")) // total over stored cols
@@ -204,13 +256,11 @@ object IngestPipeline {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     merged.write.mode("overwrite").parquet(tmp)
-    // two-rename swap, every rename result CHECKED (a false return — e.g.
-    // cross-filesystem tmp, permissions — must fail the batch, not
-    // silently drop the store; foreachBatch retries idempotently because
-    // the merge is deterministic over {recovered store ∪ batch})
     fs.delete(p(bak), true)
-    if (fs.exists(p(store))) mv(store, bak)
-    mv(tmp, store)
+    fs.mkdirs(p(bak).getParent)
+    fs.mkdirs(p(bdir).getParent)
+    if (fs.exists(p(bdir))) mv(bdir, bak)
+    mv(tmp, bdir)
     fs.delete(p(bak), true)
   }
 

@@ -239,6 +239,75 @@ class IngestPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("incremental upsert rewrites ONLY touched buckets (others byte-identical)") {
+    val store = java.nio.file.Files.createTempDirectory("graft_upsert_inc")
+      .resolve("store").toString
+    def batchOf(rows: (String, Double, Long)*) = {
+      import spark.implicits._
+      rows.toSeq.toDF("city", "temperature", "dt")
+        .withColumn("humidity", lit(1)).withColumn("pressure", lit(1))
+        .select("city", "temperature", "humidity", "pressure", "dt")
+    }
+    // two cities guaranteed to live in DIFFERENT buckets (probed via the
+    // production bucketOf so the test can't rot if the hash changes)
+    def bucket(c: String): Int = spark.range(1)
+      .select(IngestPipeline.bucketOf(lit(c))).head.getInt(0)
+    val a = "Jakarta"
+    val b = Seq("Medan", "Surabaya", "Manado", "Palu", "Ambon", "Denpasar")
+      .find(bucket(_) != bucket(a)).get
+    IngestPipeline.upsertBatch(batchOf((a, 10.0, 100L), (b, 20.0, 100L)), store)
+    // snapshot every file of b's bucket: (relative path → bytes)
+    def files(dir: java.nio.file.Path): Map[String, Seq[Byte]] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => dir.relativize(f).toString ->
+          java.nio.file.Files.readAllBytes(f).toSeq).toMap
+    }
+    val bDir = java.nio.file.Paths.get(store, s"bucket=${bucket(b)}")
+    val before = files(bDir)
+    assert(before.nonEmpty)
+    // second batch touches ONLY a — b's bucket directory must not be
+    // rewritten (same file names, same bytes: the O(batch) guarantee)
+    IngestPipeline.upsertBatch(batchOf((a, 11.0, 200L)), store)
+    assert(files(bDir) === before)
+    // and the merge semantics still hold across the bucketed layout
+    import spark.implicits._
+    val got = spark.read.parquet(store).select("city", "temperature", "dt")
+      .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((a, 11.0, 200L), (b, 20.0, 100L)))
+  }
+
+  test("bucket crash recovery: a bucket stranded in .bak is restored") {
+    val store = java.nio.file.Files.createTempDirectory("graft_upsert_rec")
+      .resolve("store").toString
+    def batchOf(rows: (String, Double, Long)*) = {
+      import spark.implicits._
+      rows.toSeq.toDF("city", "temperature", "dt")
+        .withColumn("humidity", lit(1))
+        .select("city", "temperature", "humidity", "dt")
+    }
+    def bucket(c: String): Int = spark.range(1)
+      .select(IngestPipeline.bucketOf(lit(c))).head.getInt(0)
+    val a = "Jakarta"
+    val b = Seq("Medan", "Surabaya", "Manado", "Palu", "Ambon", "Denpasar")
+      .find(bucket(_) != bucket(a)).get
+    IngestPipeline.upsertBatch(batchOf((a, 10.0, 100L), (b, 20.0, 100L)), store)
+    // simulate a crash between b-bucket's two renames: its dir moved to
+    // .bak, replacement never landed
+    val bName = s"bucket=${bucket(b)}"
+    val bakRoot = java.nio.file.Paths.get(store + ".bak")
+    java.nio.file.Files.createDirectories(bakRoot)
+    java.nio.file.Files.move(java.nio.file.Paths.get(store, bName),
+      bakRoot.resolve(bName))
+    // next batch (touching only a) must restore b's bucket before merging
+    IngestPipeline.upsertBatch(batchOf((a, 11.0, 200L)), store)
+    import spark.implicits._
+    val got = spark.read.parquet(store).select("city", "temperature", "dt")
+      .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((a, 11.0, 200L), (b, 20.0, 100L)))
+  }
+
   test("stream-stream join: purchases matched to clicks within the time bound") {
     // the full stateful join: both sides streaming, watermarks bounding
     // state, range condition bounding the match window — Structured
