@@ -97,6 +97,27 @@ object CoreOps {
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy("event_id")
 
+  // ── app.py:107-110: the dashboard's filter COMPOSITION — the time-range
+  // predicate always applies, but the island membership predicate applies
+  // ONLY when the selection is non-empty (an empty dropdown means "all
+  // islands", not "no islands"). Driver control flow like the F4
+  // empty-set guard: the plan simply omits the isin predicate, it does not
+  // filter to zero rows. Both bounds inclusive, as in the reference. ──
+  def selectionFilter(df: DataFrame, tsCol: Column, start: Column,
+      end: Column, keyCol: Column, selected: Seq[String]): DataFrame = {
+    val timed = df.filter(tsCol >= start && tsCol <= end)
+    if (selected.isEmpty) timed else timed.filter(keyCol.isin(selected: _*))
+  }
+
+  // ── app.py:41-42: schema-drift guard — a store written by an older
+  // producer may lack the `local_time` column; the reference substitutes
+  // the load wall-clock instead of crashing. Same drift-tolerance family
+  // as the string-vs-array weather parse (consumer.py:36-45). ──
+  def withTimestampFallback(df: DataFrame): DataFrame =
+    if (df.columns.contains("local_time"))
+      df.withColumn("timestamp", to_timestamp(col("local_time")))
+    else df.withColumn("timestamp", current_timestamp())
+
   // ── §2.4 J1: broadcast lookup join with default for misses
   // (app.py:15-29 dict lookup + "Lainnya" default → left join + coalesce).
   // customer⟕nation⟕region is the star-schema analogue; both dims are

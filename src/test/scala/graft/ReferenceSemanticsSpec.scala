@@ -35,6 +35,38 @@ class ReferenceSemanticsSpec extends SparkSuite {
     assert(df.isEmpty)
   }
 
+  test("empty island selection applies the time filter ONLY (app.py:107-110)") {
+    // the reference branches: empty dropdown → time filter alone ("all
+    // islands"); non-empty → time filter AND isin. An unconditional isin
+    // over an empty list would wrongly return ZERO rows.
+    val df = Seq(
+      ("Jakarta", "Jawa", "2024-01-10 08:00:00"),
+      ("Medan", "Sumatera", "2024-01-10 09:00:00"),
+      ("Ambon", "Maluku", "2024-02-20 08:00:00"), // outside the range
+    ).toDF("city", "pulau", "t").withColumn("ts", to_timestamp($"t"))
+    def run(sel: Seq[String]): Seq[String] =
+      CoreOps.selectionFilter(df, $"ts",
+          lit("2024-01-01").cast("timestamp"), lit("2024-01-31").cast("timestamp"),
+          $"pulau", sel)
+        .select("city").as[String].collect().sorted.toSeq
+    assert(run(Nil) === Seq("Jakarta", "Medan")) // time-only, NOT empty
+    assert(run(Seq("Jawa")) === Seq("Jakarta"))
+    assert(run(Seq("Jawa", "Sumatera")) === Seq("Jakarta", "Medan"))
+  }
+
+  test("missing local_time column falls back to now() (app.py:41-42)") {
+    val withCol = Seq(("Jakarta", "2024-01-10 08:00:00"))
+      .toDF("city", "local_time")
+    val parsed = CoreOps.withTimestampFallback(withCol)
+      .select($"timestamp".cast("string")).as[String].head()
+    assert(parsed === "2024-01-10 08:00:00")
+    // schema drift: no local_time column → wall-clock substitute, no crash
+    val drifted = Seq("Jakarta").toDF("city")
+    val now = CoreOps.withTimestampFallback(drifted)
+      .select($"timestamp").as[java.sql.Timestamp].head()
+    assert(math.abs(now.getTime - System.currentTimeMillis()) < 60000L)
+  }
+
   test("pivot_matrix equals its unpivoted groupBy form (SURVEY A6)") {
     val pivoted = CoreOps.pivotMatrix(spark, sf0001)
     val unpivoted = graft.sources.Tables.events(spark, sf0001)
