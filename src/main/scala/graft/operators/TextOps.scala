@@ -71,7 +71,13 @@ object TextOps {
   // word length → composite score (north star "quality scoring"). All
   // inputs are exact integer counts, so the double arithmetic is
   // engine-deterministic. ──
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir).orderBy("doc_id")
+
+  /** The quality computation without the presentation sort — shared by
+    * [[textQuality]] and [[textQualityBuckets]] so composites reuse one
+    * plan (and one documents scan) instead of re-deriving the score. */
+  private def qualityScored(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .withColumn("toks", toksCol)
       .withColumn("n_toks", size(col("toks")))
@@ -90,7 +96,6 @@ object TextOps {
           lit(0.3) * (lit(1.0) - col("punct_ratio")), 6))
       .select(col("doc_id"), col("n_toks"), col("punct_ratio"),
         col("stop_ratio"), col("avg_word_len"), col("quality"))
-      .orderBy("doc_id")
   }
 
   // ── CCNet-style quality bucketing: split the corpus into head/middle/
@@ -101,7 +106,13 @@ object TextOps {
   // global sort of the corpus); at 100 TB the exact percentile becomes
   // approx_percentile with the same 1-row-broadcast shape. ──
   def textQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val q = textQuality(spark, dir).select(col("doc_id"), col("quality"))
+    // the score feeds BOTH the threshold aggregate and the bucketing scan;
+    // without the cache the documents table is scanned (and the regexes
+    // evaluated) twice — cached, the second consumer reads the in-memory
+    // columnar copy, so exactly ONE documents pass per query (pinned by
+    // PlanShapeSpec)
+    val q = qualityScored(spark, dir).select(col("doc_id"), col("quality"))
+      .cache()
     val th = q.agg(
       expr("percentile(quality, 0.3333333333333333)").as("t1"),
       expr("percentile(quality, 0.6666666666666666)").as("t2"))

@@ -106,6 +106,24 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("text_quality_buckets scans documents ONCE (shared cached subplan)") {
+    // the tercile thresholds and the bucketing pass both consume the
+    // quality score; the score must come from one shared in-memory copy,
+    // not two independent documents scans re-running the regexes
+    val df = graft.operators.TextOps.textQualityBuckets(spark, sf0001)
+    val lp = df.queryExecution.optimizedPlan
+    // both consumers must read the ONE cached relation; no branch may go
+    // back to parquet (the InMemoryRelation's own build plan holds the
+    // single real scan, materialized once at execution)
+    val cacheReads = lp.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    val directScans = lp.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l }
+    assert(cacheReads.size === 2, lp.toString.take(2000))
+    assert(directScans.isEmpty,
+      s"documents scanned outside the shared cache:\n${lp.toString.take(2000)}")
+  }
+
   test("tpch_q5 broadcasts every dimension and shuffles only the fact join") {
     val plan = planOf(graft.operators.AdvancedOps.tpchQ5(spark, sf0001))
     // region/nation/supplier ride broadcast; lineitem⋈orders (and the
