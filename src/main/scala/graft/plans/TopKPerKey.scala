@@ -34,8 +34,15 @@ case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
+  // rankAttr: when the query consumes the rank itself (`SELECT ..., rn`),
+  // the final stage emits each row's 1-based position within its key,
+  // under the SAME attribute id the window's row_number carried — so the
+  // rewrite substitutes this node even for rank-projecting queries. Ranks
+  // are well-defined because the house rule makes the ordering total
+  // (unique tiebreak column).
+  override def output: Seq[Attribute] = child.output ++ rankAttr
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
@@ -47,11 +54,11 @@ case class TopKPerKey(
   * fallback (spill the map, sort-based finish) for adversarial key counts;
   * at 100 TB with key-clustered input files the map stays small. */
 object TopKExec {
-  def topKIterator(
+  private def buildHeaps(
       iter: Iterator[InternalRow],
       keyProj: UnsafeProjection,
       ordering: Ordering[InternalRow],
-      k: Int): Iterator[InternalRow] = {
+      k: Int): mutable.HashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]] = {
     // max-heap on `ordering` so the WORST retained row is on top
     val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
     iter.foreach { row =>
@@ -66,7 +73,33 @@ object TopKExec {
       if (heap.size < k) heap.enqueue(row.copy())
       else if (ordering.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
     }
-    heaps.valuesIterator.flatMap(_.iterator)
+    heaps
+  }
+
+  def topKIterator(
+      iter: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      k: Int): Iterator[InternalRow] =
+    buildHeaps(iter, keyProj, ordering, k).valuesIterator.flatMap(_.iterator)
+
+  /** Final-stage variant emitting each row's 1-based rank within its key.
+    * dequeueAll drains the max-heap worst-first; reversed, the best row of
+    * the key gets rank 1 — exactly row_number() under the same ordering
+    * (total by the unique-tiebreak house rule). Sorting k retained rows is
+    * O(k log k) per key, independent of the input size. */
+  def topKRankedIterator(
+      iter: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      k: Int): Iterator[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.JoinedRow
+    buildHeaps(iter, keyProj, ordering, k).valuesIterator.flatMap { h =>
+      val worstFirst: Seq[InternalRow] = h.dequeueAll
+      worstFirst.reverseIterator.zipWithIndex.map { case (row, i) =>
+        new JoinedRow(row, InternalRow(i + 1))
+      }
+    }
   }
 }
 
@@ -87,9 +120,10 @@ case class PartialTopKExec(
 }
 
 case class FinalTopKExec(
-    keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: SparkPlan)
+    keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    rankAttr: Option[Attribute], child: SparkPlan)
   extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
   // empty keys = GLOBAL top-k: all partial results must meet in one place
   // (AllTuples → single-partition exchange); UnspecifiedDistribution here
   // would silently emit k rows PER PARTITION on multi-partition input
@@ -99,21 +133,31 @@ case class FinalTopKExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, out, kk) = (keys, order, child.output, k)
+    val (ranked, outAll) = (rankAttr.isDefined, output)
     child.execute().mapPartitions { iter =>
-      TopKExec.topKIterator(iter,
-        UnsafeProjection.create(ks, out), RowOrdering.create(os, out), kk)
+      val (proj, ord) =
+        (UnsafeProjection.create(ks, out), RowOrdering.create(os, out))
+      if (ranked) {
+        // downstream exchanges serialize UnsafeRow only — flatten the
+        // (row, rank) JoinedRow through a projection before emitting
+        val toUnsafe = UnsafeProjection.create(outAll, outAll)
+        TopKExec.topKRankedIterator(iter, proj, ord, kk).map(toUnsafe)
+      } else TopKExec.topKIterator(iter, proj, ord, kk)
     }
   }
   override protected def withNewChildInternal(c: SparkPlan): FinalTopKExec =
     copy(child = c)
 }
 
-/** Planner strategy: logical TopKPerKey → partial + (exchange) + final. */
+/** Planner strategy: logical TopKPerKey → partial + (exchange) + final.
+  * The partial stage never ranks — ranks only exist after the per-key
+  * merge, so the rank column is appended by the final stage alone. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case TopKPerKey(keys, order, k, child, rankAttr) =>
       val planned = org.apache.spark.sql.execution.PlanLater(child)
-      FinalTopKExec(keys, order, k, PartialTopKExec(keys, order, k, planned)) :: Nil
+      FinalTopKExec(keys, order, k, rankAttr,
+        PartialTopKExec(keys, order, k, planned)) :: Nil
     case _ => Nil
   }
 }

@@ -27,10 +27,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    over exactly that attribute, with no other conjuncts — composite
   *    predicates keep the built-in plan (Spark already splits conjunctions,
   *    so the common case arrives in this shape);
-  *  - the enclosing Project does not reference `rn` (the rank itself is
-  *    not part of the result — true for "give me the rows" top-k, false
-  *    for "give me the ranks", which genuinely needs the window);
   *  - every partition/order expression is deterministic.
+  *
+  * When the enclosing Project references `rn` (the "give me the ranks"
+  * form), the rewrite still fires: [[TopKPerKey]]'s final stage emits each
+  * row's 1-based in-key position under the window alias's own attribute id,
+  * so downstream references resolve unchanged. The rank is well-defined
+  * because the ordering is total (unique-tiebreak house rule — the same
+  * assumption the deterministic window form already makes).
   *
   * Ordering caveat, by design: like every relational operator, the rewrite
   * guarantees SET equality, not row order — the window form's incidental
@@ -58,6 +62,21 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case _ => false
     })
 
+  /** Spark 3.5+'s InferWindowGroupLimit may already have slid a
+    * WindowGroupLimit under the Window (sort-based partial group
+    * pruning). Our heap-based operator supersedes it — keeping it
+    * would re-introduce the two full sorts the rewrite exists to
+    * avoid — so unwrap it, but ONLY one that belongs to THIS
+    * Window (same partition/order spec, row_number ranking): an
+    * unrelated group limit must survive the rewrite. */
+  private def unwrapGroupLimit(child: LogicalPlan,
+      partSpec: Seq[Expression], orderSpec: Seq[SortOrder]): LogicalPlan =
+    child match {
+      case WindowGroupLimit(ps, os, RowNumber(), _, c)
+        if ps == partSpec && os == orderSpec => c
+      case c => c
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(projectList,
         Filter(cond,
@@ -66,25 +85,31 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
             partSpec, orderSpec, child, _)))
         if isDefaultRowNumberFrame(spec) &&
           (partSpec ++ orderSpec).forall(_.deterministic) &&
-          !projectList.exists(_.references.exists(_.exprId == al.exprId)) &&
-          projectList.forall(ne =>
-            ne.references.subsetOf(child.outputSet)) =>
+          projectList.forall(ne => ne.references.subsetOf(
+            AttributeSet(child.output :+ al.toAttribute))) =>
       rowNumberLimit(cond, al.exprId) match {
         case Some(k) =>
-          // Spark 3.5+'s InferWindowGroupLimit may already have slid a
-          // WindowGroupLimit under the Window (sort-based partial group
-          // pruning). Our heap-based operator supersedes it — keeping it
-          // would re-introduce the two full sorts the rewrite exists to
-          // avoid — so unwrap it, but ONLY one that belongs to THIS
-          // Window (same partition/order spec, row_number ranking): an
-          // unrelated group limit must survive the rewrite.
-          val realChild = child match {
-            case WindowGroupLimit(ps, os, RowNumber(), _, c)
-              if ps == partSpec && os == orderSpec => c
-            case c => c
-          }
-          Project(projectList, TopKPerKey(partSpec, orderSpec, k, realChild))
+          // emit the rank column only when the result actually consumes it
+          val needRank =
+            projectList.exists(_.references.exists(_.exprId == al.exprId))
+          Project(projectList, TopKPerKey(partSpec, orderSpec, k,
+            unwrapGroupLimit(child, partSpec, orderSpec),
+            if (needRank) Some(al.toAttribute) else None))
         case None => p
+      }
+    // projectless form: the Filter's full output (rows + rank) is consumed
+    // downstream — substitute the node with the rank emitted, same schema
+    case f @ Filter(cond,
+        Window(Seq(al @ Alias(
+          WindowExpression(RowNumber(), spec: WindowSpecDefinition), _)),
+          partSpec, orderSpec, child, _))
+        if isDefaultRowNumberFrame(spec) &&
+          (partSpec ++ orderSpec).forall(_.deterministic) =>
+      rowNumberLimit(cond, al.exprId) match {
+        case Some(k) =>
+          TopKPerKey(partSpec, orderSpec, k,
+            unwrapGroupLimit(child, partSpec, orderSpec), Some(al.toAttribute))
+        case None => f
       }
   }
 }

@@ -17,6 +17,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
   }
@@ -86,6 +87,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT size(graft_heavy_hitters(s, CAST(8 AS TINYINT))) FROM (VALUES ('a')) t(s)")
       .collect().head.getInt(0)
     assert(ok === 1)
+  }
+
+  test("rank-PROJECTING row_number top-k lowers to the native heap operator") {
+    // window_rank_topk keeps rn in its output; the extended rewrite must
+    // still fire, emitting the rank from the final heap stage — no Window,
+    // no full per-partition sort in the measured plan
+    val df = graft.operators.RelationalOps.windowRankTopk(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK") && plan.contains("PartialTopK"),
+      plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    // ranks must equal the window form's row_number, checked row-by-row
+    // against an independent in-memory computation
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val expected = graft.sources.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case ((_, id, v), i) => (et, id, v, i + 1) }
+      }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq === expected)
+  }
+
+  test("embed_knn_graph's per-node top-3 lowers to the native heap operator") {
+    val df = graft.operators.SimilarityOps.embedKnnGraph(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK") && plan.contains("PartialTopK"),
+      plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    // 500 vectors × top-3 neighbors, ranks 1..3 each
+    val rows = df.collect()
+    assert(rows.length === 1500)
+    assert(rows.map(_.getInt(3)).toSeq.grouped(3).forall(_ == Seq(1, 2, 3)))
   }
 
   test("graft_heavy_hitters rejects a non-literal capacity at analysis") {

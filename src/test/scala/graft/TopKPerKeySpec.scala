@@ -67,15 +67,24 @@ class TopKPerKeySpec extends SparkSuite {
     assert(idiom.collect().map(_.toSeq).toSet === base)
   }
 
-  test("rewrite leaves plans alone when the rank is part of the result") {
+  test("rewrite fires even when the rank is in the result (rank emitted)") {
     import org.apache.spark.sql.expressions.Window
     TopK.enableRewrite(spark)
     val w = Window.partitionBy($"event_type").orderBy(desc("value"), $"event_id")
     val keepsRank = events.withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5) // rn survives into the output
     val plan = keepsRank.queryExecution.executedPlan.toString
-    assert(plan.contains("Window"), plan.take(1500))
-    assert(!plan.contains("FinalTopK"), plan.take(1500))
+    assert(plan.contains("FinalTopK"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+    // the emitted rank must equal the window's row_number, row by row
+    val got = keepsRank.select($"event_type", $"event_id", $"value", $"rn")
+      .as[(String, Long, Double, Int)].collect().toSet
+    val expected = events.as[(String, Long, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case ((_, id, v), i) => (et, id, v, i + 1) }
+      }.toSet
+    assert(got === expected)
   }
 
   test("rewrite handles rn < k and rn = 1 forms") {
