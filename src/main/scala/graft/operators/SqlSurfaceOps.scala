@@ -380,6 +380,30 @@ object SqlSurfaceOps {
         round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 6).as("p50_price"))
       .orderBy("l_returnflag")
 
+  // ── mergeable-sketch percentiles (the approx_distinct_merge pattern for
+  // QUANTILES): one log-bucket relative-error sketch per (day, event_type)
+  // — the binary column an incremental store persists — then any period
+  // rollup is pure bucket addition (graft.functions.QSketch; the published
+  // DDSketch design), never a rescan of values. Unlike approx_percentile,
+  // whose sketch dies inside a single aggregation, the persisted form
+  // answers "p90 of the last N days" from N stored rows. Rows-only key
+  // (sketch bytes and estimates are implementation-specific; DuckDB has no
+  // twin) — QuantileSketchSpec pins the α error bound against exact
+  // percentiles, merge-order invariance, and the parquet round-trip. ──
+  def percentileStoreMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{QuantileEstimate, QuantileMergeAgg, QuantileSketchAgg}
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(QuantileSketchAgg(col("value"), 0.01).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(QuantileMergeAgg(col("sk")).as("msk"), count(lit(1)).as("n_days"))
+      .select(col("event_type"),
+        round(QuantileEstimate(col("msk"), 0.5), 6).as("p50_value"),
+        round(QuantileEstimate(col("msk"), 0.9), 6).as("p90_value"),
+        col("n_days"))
+      .orderBy("event_type")
+  }
+
   // ── histogram binning via width_bucket: fixed-width value buckets as a
   // single scan-side expression + one groupBy — the distributed histogram
   // (no sort, no window). Bounds are literals here; at scale they come
@@ -514,6 +538,7 @@ object SqlSurfaceOps {
     "sample_stratified" -> sampleStratified _,
     "approx_distinct" -> approxDistinct _,
     "approx_distinct_merge" -> approxDistinctMerge _,
+    "percentile_store_merge" -> percentileStoreMerge _,
     "regexp_funcs"    -> regexpFuncs _,
     "map_funcs"       -> mapFuncs _,
   )
