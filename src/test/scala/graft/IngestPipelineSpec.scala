@@ -308,6 +308,52 @@ class IngestPipelineSpec extends SparkSuite {
     assert(got === Seq((a, 11.0, 200L), (b, 20.0, 100L)))
   }
 
+  test("streaming quantile-sketch store: per-day sketches, O(batch) updates") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_sksto")
+      .resolve("store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sksto_ck").toString
+    def rec(city: String, temp: Double, dt: Long) =
+      s"""{"name":"$city","main":{"temp":$temp,"humidity":1,"pressure":1},"dt":$dt,"timezone":0}"""
+    val day1 = 1748515200L // 2025-05-29 UTC
+    val day2 = day1 + 86400
+    val stream = MemoryStream[String]
+    val q = IngestPipeline.sketchStoreStream(
+      IngestPipeline.ingest(stream.toDF(), col("value")), store, ckpt)
+    try {
+      // batch 1 populates two days
+      stream.addData((1 to 50).map(i => rec("A", 20.0 + i, day1 + i * 60)) ++
+        (1 to 50).map(i => rec("A", 50.0 + i, day2 + i * 60)): _*)
+      q.processAllAvailable()
+      val dirs = new java.io.File(store).listFiles().map(_.getName).sorted
+      assert(dirs.count(_.startsWith("day=")) === 2, dirs.toSeq)
+      def files(name: String): Map[String, Seq[Byte]] = {
+        import scala.jdk.CollectionConverters._
+        val dir = java.nio.file.Paths.get(store, name)
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => dir.relativize(f).toString ->
+            java.nio.file.Files.readAllBytes(f).toSeq).toMap
+      }
+      val day2Name = dirs.filter(_.startsWith("day=")).last
+      val day2Before = files(day2Name)
+      // batch 2 touches ONLY day 1 → day 2's sketch must not be rewritten
+      stream.addData((51 to 100).map(i => rec("A", 20.0 + i, day1 + i * 60)): _*)
+      q.processAllAvailable()
+      assert(files(day2Name) === day2Before)
+      // merged store answers the percentile over ALL observations within α
+      val all = ((1 to 100).map(20.0 + _) ++ (1 to 50).map(50.0 + _))
+        .sorted.toIndexedSeq
+      val got = IngestPipeline.sketchStoreQuantiles(spark, store, Seq(0.5, 0.9))
+        .as[(Double, Double)].head()
+      for ((est, qq) <- Seq(got._1 -> 0.5, got._2 -> 0.9)) {
+        val exact = all((qq * (all.size - 1)).toInt)
+        assert(math.abs(est - exact) / exact <= IngestPipeline.SketchAlpha + 1e-9,
+          s"q=$qq exact=$exact got=$est")
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases matched to clicks within the time bound") {
     // the full stateful join: both sides streaming, watermarks bounding
     // state, range condition bounding the match window — Structured
