@@ -177,7 +177,15 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def minhashFromSids(withSid: DataFrame, sh: DataFrame): DataFrame = {
+  private def minhashFromSids(withSid: DataFrame, sh: DataFrame): DataFrame =
+    jaccardFor(minhashCandidates(withSid), sh)
+      .filter(col("jaccard") >= 0.3)
+
+  /** LSH band-bucket candidate pairs (doc_a < doc_b, distinct) — the
+    * pre-verification stage of [[minhashFromSids]], exposed so
+    * [[dedupPipeline]] can verify candidates against its shared Jaccard
+    * table instead of recomputing intersections. */
+  private def minhashCandidates(withSid: DataFrame): DataFrame = {
     // 32 hash functions: h_i(sid) = ((2i+1)·sid + 17i+7) mod P — odd
     // multipliers, exact int64 (sid < P < 2^31, product < 2^63).
     // The signature is 32 column aggregates in ONE groupBy(doc) — not an
@@ -199,12 +207,10 @@ object DedupOps {
     // shared by B docs is O(B²) — SkewPairs splits it into capped
     // sub-blocks with the exact same candidate set (no recall cost, unlike
     // the stop-shingle cap), bounding per-task pair counts
-    val cand = SkewPairs
+    SkewPairs
       .pairs(bands, Seq("band", "m0", "m1"), "doc_id")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardFor(cand, sh)
-      .filter(col("jaccard") >= 0.3)
   }
 
   // ── SimHash (SURVEY §2.10 dedup_simhash): 32-bit fingerprints from
@@ -445,9 +451,19 @@ object DedupOps {
     val sh = shingles(spark, dir).cache()
     val dict = shingleDict(sh)
     val withSid = sh.join(broadcast(dict), "shingle")
-    val ng = ngramPairs(sh)
+    // the exhaustive shared-shingle Jaccard table is computed ONCE and
+    // reused: the ngram branch IS it, and the minhash branch's verified
+    // pairs are exactly (LSH candidates ∩ jaccard ≥ 0.3) — LSH candidates
+    // share ≥1 band ⇒ ≥1 shingle, so every candidate that passes the
+    // threshold already has a row here (the `mh ⊆ ng` invariant
+    // DedupSimilaritySpec pins). A semi-join replaces the branch's second
+    // round of intersection counting.
+    val jac = ngramPairs(sh).cache()
+    val ng = jac
       .select(col("doc_a"), col("doc_b"), lit("ngram").as("method"))
-    val mh = minhashFromSids(withSid, sh)
+    val mh = minhashCandidates(withSid)
+      .join(jac.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"),
+        "left_semi")
       .select(col("doc_a"), col("doc_b"), lit("minhash").as("method"))
     val sim = simhashPairs(withSid)
       .select(col("doc_a"), col("doc_b"), lit("simhash").as("method"))
