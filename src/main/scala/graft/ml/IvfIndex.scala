@@ -81,6 +81,12 @@ object IvfIndex {
   def inertia(embeddings: DataFrame, model: Model): Double =
     assign(vecs(embeddings), model).agg(sum(col("d2"))).head().getDouble(0)
 
+  /** Public cell assignment: (vec_id, v, cell) for every vector — the
+    * quantizer output other operators block on (e.g. dedup_embed_ivf's
+    * within-cell pairing). */
+  def assignCells(embeddings: DataFrame, model: Model): DataFrame =
+    assign(vecs(embeddings), model).select(col("vec_id"), col("v"), col("cell"))
+
   /** Top-k cosine neighbours of `probeId`, searching only the `nprobe`
     * cells nearest to the probe vector. */
   def search(embeddings: DataFrame, model: Model, probeId: Long,

@@ -292,6 +292,32 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** The TRAINED-quantizer form of [[dedupEmbed]]: cells come from the IVF
+    * coarse quantizer (deterministic mini k-means, `ml/IvfIndex.scala`)
+    * instead of the fixture's pre-assigned `label` — exactly the 100 TB
+    * shape the dedupEmbed scaladoc promises ("at 100 TB the block key
+    * comes from a trained quantizer"). Within-cell pairing goes through
+    * the same SkewPairs salt (bounded per-task pairs, exact within-cell
+    * set), then exact cosine verification. Rows-only key: k-means means
+    * are FP-order-sensitive, so no cross-engine oracle — the spec pins
+    * (a) pairs ⊆ the brute-force all-pairs cos ≥ 0.4 set with equal
+    * cosines, and (b) bit-identical vectors always pair (they quantize to
+    * the same cell by construction). Recall vs the label-blocked form is
+    * the standard IVF trade: pairs crossing a cell boundary are missed —
+    * the candidate-vs-exhaustive dial every ANN dedup runs. */
+  def dedupEmbedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.ml.IvfIndex.train(emb, k = 16, iters = 3)
+    val e = graft.ml.IvfIndex.assignCells(emb, model)
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    SkewPairs.pairs(e, Seq("cell"), "vec_id")
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Sequential dot product (left-to-right, the order DuckDB's list
     * functions evaluate — doubles agree to the last ULP). Backed by the
     * codegen'd native expression; [[dotHof]] is the built-in-composition
@@ -487,6 +513,7 @@ object DedupOps {
     "dedup_minhash_fast" -> dedupMinhashFast _,
     "dedup_simhash"      -> dedupSimhash _,
     "dedup_embed"        -> dedupEmbed _,
+    "dedup_embed_ivf"    -> dedupEmbedIvf _,
   )
 
   /** Shared DuckDB CTE prefix: shingles and their dense ids. RECURSIVE is

@@ -61,6 +61,40 @@ class SkewPairsSpec extends SparkSuite {
     assert(pairs.size === 10 * (10 * 9) / 2)
   }
 
+  test("dedup_embed_ivf: pairs ⊆ brute force, equal cosines, exact dups found") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // driver-side brute force over all pairs (500 vecs at sf0.001)
+    val vecs = e.as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      i <- vecs.indices.iterator; j <- (i + 1) until vecs.length
+      c = cos(vecs(i)._2, vecs(j)._2) if math.round(c * 1e6) / 1e6 >= 0.4
+    } yield (vecs(i)._1, vecs(j)._1) -> math.round(c * 1e6) / 1e6).toMap
+    val got = graft.operators.DedupOps.dedupEmbedIvf(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (a) every reported pair exists in brute force with the same cosine
+    got.foreach { case (pair, c) =>
+      assert(brute.get(pair).exists(b => math.abs(b - c) < 2e-6),
+        s"$pair: ivf=$c brute=${brute.get(pair)}")
+    }
+    assert(got.nonEmpty)
+    // (b) bit-identical vectors quantize to the same cell → always found
+    val exactDups = (for {
+      i <- vecs.indices.iterator; j <- (i + 1) until vecs.length
+      if vecs(i)._2 == vecs(j)._2
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(exactDups.forall(got.contains),
+      s"missed exact-dup pairs: ${exactDups.filterNot(got.contains)}")
+  }
+
   test("production sites return identical pairs under the salt (sf0.001)") {
     // dedup_embed through the public operator vs a naive in-test self-join
     // over the same vectors — the oracle equivalence, pinned locally
