@@ -113,6 +113,50 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("∀ random data: QSketch quantiles within α, merge split-invariant") {
+    // pure-JVM property over the sketch core (no Spark jobs): for random
+    // value sets spanning signs and magnitudes, (a) every quantile
+    // estimate is within α relative error of the exact value, and
+    // (b) sketching any 2-way split and merging gives bit-identical bins
+    // to sketching the whole — the commutative-monoid law the streaming
+    // store's crash-retry correctness rests on.
+    import graft.functions.QSketch
+    val alpha = 0.02
+    val cases = samples(for {
+      n     <- Gen.choose(50, 2000)
+      scale <- Gen.oneOf(1e-6, 1.0, 1e6)
+      signs <- Gen.oneOf("pos", "neg", "mixed")
+      seed  <- Gen.choose(0L, 1L << 30)
+    } yield (n, scale, signs, seed), 25)
+    cases.foreach { case (n, scale, signs, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val data = (1 to n).map { _ =>
+        val mag = (rnd.nextDouble() + 1e-9) * scale
+        signs match {
+          case "pos" => mag
+          case "neg" => -mag
+          case _ => if (rnd.nextBoolean()) mag else -mag
+        }
+      }
+      val whole = new QSketch.Buf(alpha)
+      data.foreach(whole.insert)
+      val sorted = data.sorted
+      Seq(0.1, 0.5, 0.9).foreach { q =>
+        val exact = sorted((q * (n - 1)).toInt)
+        val got = whole.quantile(q)
+        assert(math.abs(got - exact) / math.abs(exact) <= alpha + 1e-9,
+          s"n=$n scale=$scale signs=$signs q=$q exact=$exact got=$got")
+      }
+      val cut = rnd.nextInt(n)
+      val (l, r) = (new QSketch.Buf(alpha), new QSketch.Buf(alpha))
+      data.take(cut).foreach(l.insert)
+      data.drop(cut).foreach(r.insert)
+      val merged = l.merge(r)
+      assert(merged.pos === whole.pos && merged.neg === whole.neg &&
+        merged.zeros === whole.zeros, s"split at $cut diverged")
+    }
+  }
+
   test("polynomial fingerprint distinguishes permuted token sequences") {
     val fold = "aggregate(wids, CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007)"
     val perms = Seq(Seq(1L, 2L, 3L), Seq(3L, 2L, 1L), Seq(2L, 1L, 3L),
