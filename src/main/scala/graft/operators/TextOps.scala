@@ -379,6 +379,67 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom sizing for [[decontaminateBloom]]: 2²⁰ bits (128 KB as a
+    * word→bits map) with 4 probes. At m/n ≈ 10 bits per eval shingle the
+    * false-positive rate is (1-e^(-kn/m))^k ≈ 1%, and every positive is
+    * re-checked exactly, so the rate only sizes the verify join — it can
+    * never change the answer. */
+  private val BloomBits = 1L << 20
+  private val BloomSeeds = 0 until 4
+
+  // ── decontaminate, the 100 TB shape: identical semantics and OUTPUT to
+  // `decontaminate` (machine-checked: the two keys share one oracle), but
+  // the first contact between the training corpus and the eval set is a
+  // 128 KB Bloom bitmap instead of the full distinct-shingle relation.
+  // Construction is pure SQL aggregation — k probe positions per eval
+  // shingle via seeded xxhash64, bit_or per 64-bit word — so the filter
+  // is built distributed and lands on the driver only as a map-typed
+  // scalar. Application is the repo's scalar-broadcast idiom
+  // (crossJoin(broadcast(1 row))): each training shingle tests k bits
+  // with codegen'd element_at/shiftleft expressions — zero extra
+  // shuffle, no UDF. Bloom positives (true hits + ~1% false positives)
+  // then hit the exact eval-shingle set, which at scale is joined only
+  // against this tiny candidate stream. No false negatives by
+  // construction, so candidates ∩ eval = exact hits. ──
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .select(col("doc_id"), explode(expr(FiveGrams)).as("shingle"))
+    val evalSet = sh.filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+
+    val positions = BloomSeeds.map(s =>
+      expr(s"pmod(xxhash64(shingle, $s), ${BloomBits}L)"))
+    val bloom = evalSet
+      .select(explode(array(positions: _*)).as("pos"))
+      .select(expr("CAST(pos div 64 AS INT)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("bloom"))
+
+    val mightContain = BloomSeeds.map { s =>
+      val pos = s"pmod(xxhash64(shingle, $s), ${BloomBits}L)"
+      expr(s"""(coalesce(element_at(bloom, CAST($pos div 64 AS INT)),
+              |          CAST(0 AS BIGINT))
+              | & shiftleft(CAST(1 AS BIGINT), CAST($pos % 64 AS INT))) != 0
+              |""".stripMargin)
+    }.reduce(_ && _)
+
+    val hits = sh.filter(col("doc_id") % 97 =!= 0)
+      .crossJoin(broadcast(bloom))
+      .filter(mightContain)                      // Bloom prefilter
+      .join(broadcast(evalSet), "shingle")       // exact confirm
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   // ── intra-document repetition filter (the Gopher/RefinedWeb quality
   // rules): duplicate-token fraction and most-frequent-bigram fraction
   // per doc, plus the pass/fail gate. Everything is computed INSIDE the
@@ -418,6 +479,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate"         -> decontaminate _,
+    "decontaminate_bloom"   -> decontaminateBloom _,
     "text_repetition"       -> textRepetition _,
     "pipeline_training_corpus" -> pipelineTrainingCorpus _,
     "heavy_hitters"         -> heavyHitters _,
@@ -436,6 +498,20 @@ object TextOps {
   )
 
   private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")
+
+  /** One oracle for both decontamination keys (exact and Bloom form). */
+  private val DecontaminateSql =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |           FROM documents),
+      |sh AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+      |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+      |             FROM t WHERE len(toks) >= 5)),
+      |hit AS (SELECT DISTINCT doc_id FROM sh
+      |        WHERE doc_id % 97 <> 0
+      |          AND shingle IN (SELECT shingle FROM sh WHERE doc_id % 97 = 0))
+      |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the four standalone-key fragments composed in dependency order —
@@ -478,18 +554,11 @@ object TextOps {
         |SELECT doc_id, n_toks, start_tok,
         |  start_tok // 512 AS chunk_id, start_tok % 512 AS off_in_chunk
         |FROM c ORDER BY doc_id""".stripMargin,
-    "decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-        |           FROM documents),
-        |sh AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
-        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
-        |             FROM t WHERE len(toks) >= 5)),
-        |hit AS (SELECT DISTINCT doc_id FROM sh
-        |        WHERE doc_id % 97 <> 0
-        |          AND shingle IN (SELECT shingle FROM sh WHERE doc_id % 97 = 0))
-        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
-        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "decontaminate" -> DecontaminateSql,
+    // the Bloom form is exact by construction (no false negatives; every
+    // positive re-verified), so it is held to the SAME oracle — the
+    // strongest possible equivalence check for the prefilter.
+    "decontaminate_bloom" -> DecontaminateSql,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
         |           FROM documents),

@@ -7,6 +7,20 @@ import graft.operators.MultimodalOps.{FakeDecoder, MediaItem}
 class TextMultimodalSpec extends SparkSuite {
   import spark.implicits._
 
+  test("bloom decontamination is row-identical to the exact form") {
+    // No false negatives by construction + exact re-verification of every
+    // Bloom positive ⇒ the two keys must agree on EVERY row, not just
+    // statistically. (Both also share one DuckDB oracle.)
+    val exact = TextOps.decontaminate(spark, sf0001)
+      .as[(Long, Boolean)].collect().toSeq
+    val bloom = TextOps.decontaminateBloom(spark, sf0001)
+      .as[(Long, Boolean)].collect().toSeq
+    assert(bloom === exact)
+    // non-vacuous: the eval docs themselves are excluded from the output
+    assert(exact.forall { case (id, _) => id % 97 != 0 })
+    assert(exact.nonEmpty)
+  }
+
   test("fingerprint is order-sensitive and injective on this corpus") {
     val fp = TextOps.textFingerprint(spark, sf0001)
       .as[(Long, Long)].collect().toMap
