@@ -269,6 +269,38 @@ object TextOps {
       .orderBy(desc("cnt"), col("term"))
       .limit(10)
 
+  // ── point-frequency sketch store (Count-Min — the fourth member of the
+  // sketch family: HLL cardinality, DDSketch quantiles, Misra-Gries
+  // top-k, and now arbitrary-key frequency). The shape mirrors
+  // percentile_store_merge: sketch per shard (modeling the per-day /
+  // per-partition sketch store an ingest pipeline persists), merge by
+  // pure counter addition, then answer point queries from the 64 KB
+  // merged sketch. Here the queries are the corpus's exact top-10 terms,
+  // reported with both counts so the output itself exhibits the
+  // never-underestimate guarantee the spec pins. Only sketches shuffle —
+  // the token stream is touched once per shard — so a vocabulary
+  // frequency service over a 100 TB corpus is one scan + 64 KB rollups,
+  // any later term lookup O(1). Rows-only key (DuckDB has no CMS);
+  // CountMinSketchSpec pins the ε-bound, split-invariant merge bytes and
+  // the parquet store round-trip. ──
+  def countMinFreq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CountMinEstimate, CountMinMergeAgg, CountMinSketchAgg}
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("term"))
+      .filter(col("term") =!= "")
+    val merged = toks
+      .groupBy((col("doc_id") % 16).as("shard"))
+      .agg(CountMinSketchAgg(col("term")).as("sk"))
+      .agg(CountMinMergeAgg(col("sk")).as("msk"))
+    toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("term"))
+      .limit(10)
+      .crossJoin(broadcast(merged))
+      .select(col("term"), col("exact_cnt"),
+        CountMinEstimate(col("msk"), col("term")).as("cms_cnt"))
+      .orderBy(desc("exact_cnt"), col("term"))
+  }
+
   // ── sequence packing for LLM batch assembly: concatenate the corpus in
   // doc_id order and chunk it into fixed token budgets (the standard
   // pretraining "pack and split into context windows" step). Each doc's
@@ -483,6 +515,7 @@ object TextOps {
     "text_repetition"       -> textRepetition _,
     "pipeline_training_corpus" -> pipelineTrainingCorpus _,
     "heavy_hitters"         -> heavyHitters _,
+    "count_min_freq"        -> countMinFreq _,
     "pack_sequences"        -> packSequences _,
     "text_scrub"            -> textScrub _,
     "text_tfidf"            -> textTfidf _,
