@@ -143,7 +143,92 @@ object PqIndex {
       .limit(10)
   }
 
+  // ── train / persist / serve split ──────────────────────────────────
+  // Same production shape as IvfIndex: [[simSearchPq]] retrains inside
+  // the query (right for a training job); a serving tier trains once,
+  // persists the codebooks (M·K·subDim doubles — model-sized) and the
+  // CODES table (vec_id + 16 bytes/vector — the compressed corpus), and
+  // answers queries from those. The serve scan touches the raw
+  // embeddings table exactly twice, both id-pruned: the probe fetch
+  // (1 row) and the exact re-rank of the 100-row short list — at 100 TB
+  // the wide vector column is read for ~100 rows, everything else rides
+  // the 16× smaller codes store.
+
+  /** Model store root, digest-keyed by the embeddings files like the IVF
+    * store — regenerated data can never silently serve a stale index. */
+  def modelPath(dir: String): String =
+    s"/tmp/graft_models/pq_m${M}_k${K}_i${Iters}_" +
+      graft.sources.Fingerprint.tag(dir, "embeddings")
+
+  /** Train + write `<path>/books` (M·K rows: m, code, cvec) and
+    * `<path>/codes` (vec_id, codes) — the vectors themselves stay ONLY
+    * in the source table. */
+  def persistModel(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val cb = train(emb)
+    val path = modelPath(dir)
+    bookCache.remove(path)
+    cb.books.zipWithIndex.flatMap { case (model, m) =>
+      model.centroids.map { case (code, cvec) => (m, code, cvec.toSeq) }
+    }.toDF("m", "code", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    encode(emb, cb).select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    path
+  }
+
+  private val bookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Codebooks]()
+
+  /** Load persisted codebooks (M·K rows — model-sized collect), memoized
+    * per store path like the IVF model cache. */
+  def loadBooks(spark: SparkSession, dir: String): Codebooks =
+    bookCache.computeIfAbsent(modelPath(dir), { path =>
+      val rows = spark.read.parquet(s"$path/books")
+        .select(col("m"), col("code"), col("cvec")).collect()
+      val books = (0 until M).map { m =>
+        IvfIndex.Model(rows.filter(_.getInt(0) == m)
+          .map(r => r.getInt(1) -> r.getSeq[Double](2).toArray)
+          .sortBy(_._1))
+      }
+      Codebooks(books, books.head.centroids.head._2.length)
+    })
+
+  /** Serving-path query: NO training and NO full-width corpus scan —
+    * ADC over the persisted codes store, then an id-pruned exact re-rank
+    * against the source table. Result identical to [[simSearchPq]]
+    * (training is deterministic); rows-only key. */
+  def simSearchPqServe(spark: SparkSession, dir: String): DataFrame = {
+    val path = modelPath(dir)
+    if (!new java.io.File(path).exists()) persistModel(spark, dir)
+    val cb = loadBooks(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val probeId = 0L
+    val pVec = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val pNorm = math.sqrt(pVec.map(x => x * x).sum)
+    val pUnit = pVec.map(_ / pNorm)
+    val shortList = spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") =!= probeId)
+      .withColumn("adc_d2", adcColumn(adcTable(pUnit, cb)))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(100)
+      .select(col("vec_id"))
+    val pLit = array(pVec.map(lit): _*)
+    emb.join(broadcast(shortList), "vec_id") // 100-id point fetch
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        (round(dot(col("v"), pLit) /
+          (sqrt(dot(col("v"), col("v"))) * lit(pNorm)), 6)
+          + lit(0.0d)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_search_pq" -> simSearchPq _,
+    "sim_search_pq"       -> simSearchPq _,
+    "sim_search_pq_serve" -> simSearchPqServe _,
   )
 }

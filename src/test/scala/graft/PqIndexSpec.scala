@@ -78,4 +78,19 @@ class PqIndexSpec extends SparkSuite {
     info(s"recall@10 = $recall/10")
     assert(recall >= 7)
   }
+
+  test("serve path: identical answer from the persisted store; codes-only layout") {
+    val servePath = PqIndex.persistModel(spark, sf0001)
+    val inline = PqIndex.simSearchPq(spark, sf0001)
+      .as[(Long, Double)].collect().toSeq
+    val served = PqIndex.simSearchPqServe(spark, sf0001)
+      .as[(Long, Double)].collect().toSeq
+    assert(served === inline) // deterministic training ⇒ same index
+    // the serving corpus is the COMPRESSED one: codes store carries no
+    // vector column, and the codebooks are model-sized
+    val codesSchema = spark.read.parquet(s"$servePath/codes").schema.fieldNames.toSet
+    assert(codesSchema === Set("vec_id", "codes"))
+    val books = spark.read.parquet(s"$servePath/books")
+    assert(books.count() === PqIndex.M.toLong * PqIndex.K)
+  }
 }
