@@ -275,6 +275,27 @@ object SqlSurfaceOps {
       .orderBy("l_returnflag")
   }
 
+  // ── Weighted sampling without replacement (the published Efraimidis &
+  // Spirakis 2006 one-pass scheme): each doc draws key = u^(1/w); the
+  // top-n keys ARE an exact weight-proportional sample without
+  // replacement. Weight = n_chars — sampling by text mass, the
+  // corpus-mixing step that keeps a subsample's length distribution
+  // representative. The uniform u is PORTABLE integer arithmetic (Knuth
+  // multiplicative hash of doc_id, reduced mod 2³¹, +1 so u>0) rather
+  // than engine rand(), so both engines replay it bit-identically and
+  // the key is oracle-checkable. pow() is libm (~1 ulp cross-engine):
+  // keys snap to a 1e-9 grid with doc_id as the final tiebreak — the
+  // textTfidf ranking device. One scan, top-n as TakeOrderedAndProject
+  // (per-partition heaps + driver merge of n·parts rows, never a global
+  // sort) — the shape that samples a 100 TB corpus in one pass. ──
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr("round(pow((pmod(doc_id * 2654435761, 2147483648) + 1)" +
+          " / 2147483649.0, 1.0 / GREATEST(n_chars, 1)), 9)").as("es_key"))
+      .orderBy(desc("es_key"), col("doc_id"))
+      .limit(50)
+
   // ── Approximate distinct (HLL): users per event type via
   // approx_count_distinct, alongside the exact count for error inspection.
   // At 100 TB the sketch is the only sane default: fixed memory per group,
@@ -536,6 +557,7 @@ object SqlSurfaceOps {
     "string_agg"      -> stringAgg _,
     "sample_hash"     -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
+    "sample_weighted"   -> sampleWeighted _,
     "approx_distinct" -> approxDistinct _,
     "approx_distinct_merge" -> approxDistinctMerge _,
     "percentile_store_merge" -> percentileStoreMerge _,
@@ -679,6 +701,12 @@ object SqlSurfaceOps {
         |WHERE (l_orderkey * 8 + l_linenumber) %
         |  (CASE l_returnflag WHEN 'A' THEN 2 WHEN 'N' THEN 5 ELSE 10 END) = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |  round(pow(((doc_id * 2654435761) % 2147483648 + 1) / 2147483649.0,
+        |            1.0 / GREATEST(n_chars, 1)), 9) AS es_key
+        |FROM documents
+        |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
     "regexp_funcs" ->
       """SELECT COALESCE(regexp_extract(text, '^([A-Za-z]+)', 1), '') AS first_word,
         |  count(*) AS cnt
