@@ -187,7 +187,9 @@ class PlanShapeSpec extends SparkSuite {
       "tpch_q22", // scalar avg-balance broadcast (1 row) vs customer
       "tpch_q15", // scalar max-revenue broadcast (1 row) vs supplier revenue
       "tpch_q11", // scalar corpus-total broadcast (1 row) vs per-part values
-      "text_quality_buckets") // 2-value tercile-threshold broadcast
+      "text_quality_buckets", // 2-value tercile-threshold broadcast
+      "decontaminate_bloom",  // 1-row 128 KB Bloom-bitmap broadcast
+      "count_min_freq")       // 1-row 64 KB merged-sketch broadcast
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
