@@ -40,6 +40,7 @@ object Bench {
     val selected = if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     def runsKey(k: String) = selected.forall(_.contains(k))
     if (runsKey("sim_search_ivf_serve")) graft.ml.IvfIndex.persistModel(spark, sfDir)
+    if (runsKey("sim_search_pq_serve")) graft.ml.PqIndex.persistModel(spark, sfDir)
     if (runsKey("join_bucketed") || runsKey("agg_bucketed"))
       graft.sources.Bucketed.ensure(spark, sfDir)
     if (runsKey("scan_pruned_day"))

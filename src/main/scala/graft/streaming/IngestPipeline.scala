@@ -289,15 +289,29 @@ object IngestPipeline {
     * observations — the dashboard-statistics upgrade of the reference's
     * full-store recompute every 300 s (`app.py:118-124`). */
   def sketchStoreBatch(batch: DataFrame, store: String): Unit = {
-    val spark = batch.sparkSession
+    import graft.functions.{QuantileMergeAgg, QuantileSketchAgg}
+    mergeDayStore(
+      batch.select(to_date(col("obs_ts")).as("day"), col("temperature")),
+      store,
+      df => df.agg(QuantileSketchAgg(col("temperature"), SketchAlpha).as("sk")),
+      df => df.agg(QuantileMergeAgg(col("sk")).as("sk")))
+  }
+
+  /** The per-day mergeable-sketch store discipline, shared by the
+    * quantile and Count-Min stores: for each day the batch touches, fold
+    * that day's rows into ONE sketch row (`sketchOf`), merge it with the
+    * stored row (`mergeOf` over their union), and swap the day dir with
+    * the two-rename crash-safe sequence of [[upsertBatch]]. Untouched
+    * day dirs are never rewritten — O(touched days), not O(store). */
+  private def mergeDayStore(withDay: DataFrame, store: String,
+      sketchOf: DataFrame => DataFrame,
+      mergeOf: DataFrame => DataFrame): Unit = {
+    val spark = withDay.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     def mv(from: String, to: String): Unit =
       require(fs.rename(p(from), p(to)), s"rename $from -> $to failed")
-    import graft.functions.{QuantileMergeAgg, QuantileSketchAgg}
-    val withDay = batch.select(to_date(col("obs_ts")).as("day"),
-      col("temperature"))
     // days-per-batch is watermark-bounded — a driver-bounded collect
     val days = withDay.select("day").distinct()
       .collect().map(_.getDate(0)).sortBy(_.toString)
@@ -305,12 +319,11 @@ object IngestPipeline {
       val (dayDir, tmp, bak) = (s"$store/day=$d", s"$store.tmp/day=$d",
         s"$store.bak/day=$d")
       if (!fs.exists(p(dayDir)) && fs.exists(p(bak))) mv(bak, dayDir)
-      val batchSk = withDay.filter(col("day") === lit(d))
-        .agg(QuantileSketchAgg(col("temperature"), SketchAlpha).as("sk"))
+      val batchSk = sketchOf(withDay.filter(col("day") === lit(d)))
       val merged =
         if (fs.exists(p(dayDir)))
-          spark.read.parquet(dayDir).select(col("sk")).unionByName(batchSk)
-            .agg(QuantileMergeAgg(col("sk")).as("sk"))
+          mergeOf(spark.read.parquet(dayDir).select(col("sk"))
+            .unionByName(batchSk))
         else batchSk
       merged.coalesce(1).write.mode("overwrite").parquet(tmp)
       fs.delete(p(bak), true)
@@ -320,6 +333,42 @@ object IngestPipeline {
       mv(tmp, dayDir)
       fs.delete(p(bak), true)
     }
+  }
+
+  /** Incremental per-day TERM-FREQUENCY store: the Count-Min twin of
+    * [[sketchStoreBatch]] over the city key. Same day-dir swap, same
+    * O(touched days) updates; the stored 64 KB sketches answer "how many
+    * observations did city X report on these days" by counter addition,
+    * never rescanning observations. */
+  def cmStoreBatch(batch: DataFrame, store: String): Unit = {
+    import graft.functions.{CountMinMergeAgg, CountMinSketchAgg}
+    mergeDayStore(
+      batch.select(to_date(col("obs_ts")).as("day"), col("city")),
+      store,
+      df => df.agg(CountMinSketchAgg(col("city")).as("sk")),
+      df => df.agg(CountMinMergeAgg(col("sk")).as("sk")))
+  }
+
+  /** Wire [[cmStoreBatch]] as a streaming sink. */
+  def cmStoreStream(obs: DataFrame, store: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    obs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        cmStoreBatch(b.toDF(), store))
+      .start()
+
+  /** Query side of the frequency store: merge the stored per-day
+    * sketches (a day-range read stays partition-pruned) and estimate
+    * each requested key's count. KB-sized reads only. */
+  def cmStoreCounts(spark: SparkSession, store: String,
+      keys: Seq[String]): DataFrame = {
+    import graft.functions.{CountMinEstimate, CountMinMergeAgg}
+    val merged = spark.read.parquet(store)
+      .agg(CountMinMergeAgg(col("sk")).as("msk"))
+    keys.foldLeft(merged) { (df, k) =>
+      df.withColumn(s"cnt_$k", CountMinEstimate(col("msk"), lit(k)))
+    }.drop("msk")
   }
 
   /** Wire [[sketchStoreBatch]] as a streaming sink. */

@@ -441,4 +441,47 @@ class IngestPipelineSpec extends SparkSuite {
         .collect().toSet === Set("broken{{payload"))
     } finally q.stop()
   }
+
+  test("streaming Count-Min store: per-day frequency sketches, O(batch) updates") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_cmsto")
+      .resolve("store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmsto_ck").toString
+    def rec(city: String, dt: Long) =
+      s"""{"name":"$city","main":{"temp":1.0,"humidity":1,"pressure":1},"dt":$dt,"timezone":0}"""
+    val day1 = 1748515200L // 2025-05-29 UTC
+    val day2 = day1 + 86400
+    val stream = MemoryStream[String]
+    val q = IngestPipeline.cmStoreStream(
+      IngestPipeline.ingest(stream.toDF(), col("value")), store, ckpt)
+    try {
+      stream.addData((1 to 30).map(i => rec("A", day1 + i * 60)) ++
+        (1 to 10).map(i => rec("B", day2 + i * 60)): _*)
+      q.processAllAvailable()
+      val dirs = new java.io.File(store).listFiles().map(_.getName).sorted
+      assert(dirs.count(_.startsWith("day=")) === 2, dirs.toSeq)
+      def files(name: String): Map[String, Seq[Byte]] = {
+        import scala.jdk.CollectionConverters._
+        val dir = java.nio.file.Paths.get(store, name)
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => dir.relativize(f).toString ->
+            java.nio.file.Files.readAllBytes(f).toSeq).toMap
+      }
+      val day2Name = dirs.filter(_.startsWith("day=")).last
+      val day2Before = files(day2Name)
+      // batch 2 touches ONLY day 1 → day 2's sketch must not be rewritten
+      stream.addData((1 to 20).map(i => rec("B", day1 + 3600 + i * 60)): _*)
+      q.processAllAvailable()
+      assert(files(day2Name) === day2Before)
+      // merged store estimates ≥ exact, within the εN bound (N = 60)
+      val got = IngestPipeline.cmStoreCounts(spark, store, Seq("A", "B"))
+        .as[(Long, Long)].head()
+      val bound = math.ceil(
+        math.E / graft.functions.CMSketch.Width * 60).toLong
+      for ((est, exact) <- Seq(got._1 -> 30L, got._2 -> 30L)) {
+        assert(est >= exact && est - exact <= bound, s"$exact vs $est")
+      }
+    } finally q.stop()
+  }
 }
