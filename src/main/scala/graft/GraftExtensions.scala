@@ -22,6 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.heavyHittersFunction)
+    ext.injectFunction(GraftExtensions.quantileSketchFunction)
+    ext.injectFunction(GraftExtensions.quantileMergeFunction)
+    ext.injectFunction(GraftExtensions.quantileEstimateFunction)
+    ext.injectFunction(GraftExtensions.cmSketchFunction)
+    ext.injectFunction(GraftExtensions.cmMergeFunction)
+    ext.injectFunction(GraftExtensions.cmEstimateFunction)
     // window-top-k → native TopKPerKey rewrite (+ the strategy that plans
     // the rewritten node): users keep the row_number() idiom, the engine
     // substitutes the partial-heap plan
@@ -100,5 +106,108 @@ object GraftExtensions {
       require(cap > 0,
         s"graft_heavy_hitters capacity must be positive, got $cap")
       graft.functions.MisraGriesAgg(children.head, cap)
+    })
+
+  /** Shared literal-extraction for registry builders whose argument sizes
+    * or parameterizes aggregation state. */
+  private def litDouble(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case de: org.apache.spark.sql.types.Decimal => de.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be numeric, got $other")
+    }
+  }
+
+  /** `graft_quantile_sketch(v, alpha)` aggregate → binary DDSketch. */
+  val quantileSketchFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quantile_sketch"),
+    new ExpressionInfo(
+      classOf[graft.functions.QuantileSketchAgg].getCanonicalName, null,
+      "graft_quantile_sketch",
+      "graft_quantile_sketch(v, alpha) - mergeable relative-error quantile " +
+        "sketch (binary) of a double column.",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_quantile_sketch requires exactly 2 arguments, got ${children.length}")
+      graft.functions.QuantileSketchAgg(children.head,
+        litDouble(children(1), "graft_quantile_sketch alpha"))
+    })
+
+  /** `graft_quantile_merge(sk)` aggregate — union stored sketches. */
+  val quantileMergeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quantile_merge"),
+    new ExpressionInfo(
+      classOf[graft.functions.QuantileMergeAgg].getCanonicalName, null,
+      "graft_quantile_merge",
+      "graft_quantile_merge(sk) - merge stored quantile sketches (binary).",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"graft_quantile_merge requires exactly 1 argument, got ${children.length}")
+      graft.functions.QuantileMergeAgg(children.head)
+    })
+
+  /** `graft_quantile_estimate(sk, q)` scalar — read a quantile out. */
+  val quantileEstimateFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quantile_estimate"),
+    new ExpressionInfo(
+      classOf[graft.functions.QuantileEstimate].getCanonicalName, null,
+      "graft_quantile_estimate",
+      "graft_quantile_estimate(sk, q) - quantile q from a (merged) sketch.",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_quantile_estimate requires exactly 2 arguments, got ${children.length}")
+      graft.functions.QuantileEstimate(children(0), children(1))
+    })
+
+  /** `graft_cm_sketch(key)` aggregate → binary Count-Min sketch. */
+  val cmSketchFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cm_sketch"),
+    new ExpressionInfo(
+      classOf[graft.functions.CountMinSketchAgg].getCanonicalName, null,
+      "graft_cm_sketch",
+      "graft_cm_sketch(key) - mergeable Count-Min frequency sketch (binary) " +
+        "of a string column.",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"graft_cm_sketch requires exactly 1 argument, got ${children.length}")
+      graft.functions.CountMinSketchAgg(children.head)
+    })
+
+  /** `graft_cm_merge(sk)` aggregate — union stored sketches. */
+  val cmMergeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cm_merge"),
+    new ExpressionInfo(
+      classOf[graft.functions.CountMinMergeAgg].getCanonicalName, null,
+      "graft_cm_merge",
+      "graft_cm_merge(sk) - merge stored Count-Min sketches (binary).",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"graft_cm_merge requires exactly 1 argument, got ${children.length}")
+      graft.functions.CountMinMergeAgg(children.head)
+    })
+
+  /** `graft_cm_estimate(sk, key)` scalar — point-frequency lookup. */
+  val cmEstimateFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cm_estimate"),
+    new ExpressionInfo(
+      classOf[graft.functions.CountMinEstimate].getCanonicalName, null,
+      "graft_cm_estimate",
+      "graft_cm_estimate(sk, key) - estimated count of key in a (merged) " +
+        "sketch; never underestimates.",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_cm_estimate requires exactly 2 arguments, got ${children.length}")
+      graft.functions.CountMinEstimate(children(0), children(1))
     })
 }

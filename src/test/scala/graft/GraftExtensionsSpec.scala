@@ -135,4 +135,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("quantile sketch family: sketch → merge → estimate, all from SQL") {
+    // per-group sketches, merged, then a quantile read — the full
+    // sketch-store lifecycle through nothing but registered functions
+    val got = spark.sql(
+      """SELECT graft_quantile_estimate(graft_quantile_merge(sk), 0.5D) AS p50
+        |FROM (SELECT g, graft_quantile_sketch(CAST(v AS DOUBLE), 0.01D) AS sk
+        |      FROM (SELECT id % 4 AS g, id AS v FROM range(0, 10001))
+        |      GROUP BY g)""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(got - 5000.0) / 5000.0 <= 0.01 + 1e-9)
+  }
+
+  test("count-min family: sketch → merge → estimate, never underestimates") {
+    val got = spark.sql(
+      """SELECT graft_cm_estimate(graft_cm_merge(sk), 'k7') AS c
+        |FROM (SELECT g, graft_cm_sketch(concat('k', CAST(id % 10 AS STRING))) AS sk
+        |      FROM (SELECT id, id % 4 AS g FROM range(0, 1000))
+        |      GROUP BY g)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(got >= 100L) // 'k7' occurs exactly 100 times
+    assert(got <= 100L + math.ceil(math.E / graft.functions.CMSketch.Width * 1000).toLong)
+  }
 }
