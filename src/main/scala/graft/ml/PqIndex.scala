@@ -78,6 +78,13 @@ object PqIndex {
     * ties, empty cells keep their previous centroid. */
   def train(embeddings: DataFrame): Codebooks = {
     val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    trainOn(withUnit(embeddings).select(col("vec_id"), col("vn")), d)
+  }
+
+  /** Codebook training over an arbitrary (vec_id, vn) vector table —
+    * [[train]] feeds it unit vectors; IVF-PQ feeds it RESIDUALS (which
+    * are not unit and must not be re-normalized). */
+  private[ml] def trainOn(vecs: DataFrame, d: Int): Codebooks = {
     require(d % M == 0, s"dim $d not divisible by M=$M")
     val subDim = d / M
     // subs = the 16 pre-sliced 4-dim subvectors, cached once: the means
@@ -85,8 +92,7 @@ object PqIndex {
     // re-slicing a duplicated 64-dim vn 16× per vector
     val subsCol = array((0 until M).map(m =>
       slice(col("vn"), m * subDim + 1, subDim)): _*)
-    val data = withUnit(embeddings)
-      .select(col("vec_id"), col("vn"), subsCol.as("subs")).cache()
+    val data = vecs.select(col("vec_id"), col("vn"), subsCol.as("subs")).cache()
     val initRows = data.orderBy("vec_id").limit(K).select("vn").collect()
     var books: IndexedSeq[Array[Array[Double]]] = (0 until M).map { m =>
       initRows.map(_.getSeq[Double](0)
@@ -252,8 +258,76 @@ object PqIndex {
       .limit(10)
   }
 
+  /** Coarse cells and probes of [[simSearchIvfPq]]: 8 cells halve the
+    * scanned corpus fraction to nprobe/k = 1/4 while keeping ≥ K vectors
+    * per average cell for residual-codebook training at the smallest SF. */
+  val CoarseK = 8
+  val Nprobe = 2
+
+  // ── IVF-PQ (the paper's §V — and the index FAISS calls IVFPQ): the
+  // coarse quantizer PRUNES (only nprobe/k of the corpus is scanned) and
+  // PQ codes of the RESIDUAL v − centroid(cell) COMPRESS what remains.
+  // Residuals matter: vectors in one cell share their centroid, so the
+  // residual cloud is centered and small — the same K codes quantize it
+  // far more finely than they can the raw sphere. The probe builds ONE
+  // ADC table PER PROBED CELL (its residual differs per centroid) —
+  // nprobe model-sized tables, then the same short-list → exact-re-rank
+  // tail as the flat PQ key. At 100 TB: scan 1/k of a codes store that
+  // is itself 16× smaller than the vectors, fetch ~100 full vectors. ──
+  def simSearchIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val unit = withUnit(emb).cache()
+    val coarse = IvfIndex.train(
+      unit.select(col("vec_id"), col("vn").as("embedding")),
+      k = CoarseK, iters = Iters)
+    val centsLit = array(coarse.centroids.map { case (_, cvec) =>
+      array(cvec.map(lit).toIndexedSeq: _*)
+    }.toIndexedSeq: _*) // id-sorted: index == cell id
+    val resid = IvfIndex
+      .assignCells(unit.select(col("vec_id"), col("vn").as("embedding")), coarse)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), get(centsLit, col("cell")), (a, b) => a - b).as("vn"))
+    val cb = trainOn(resid.select(col("vec_id"), col("vn")), d)
+    val codes = resid
+      .withColumn("codes", codesCol(cb.books.map(_.centroids.map(_._2))))
+      .select(col("vec_id"), col("cell"), col("codes"))
+
+    val probeId = 0L
+    val pRow = unit.filter(col("vec_id") === probeId)
+      .select(col("v"), col("vn")).head()
+    val pRaw = pRow.getSeq[Double](0).toArray
+    val pu = pRow.getSeq[Double](1).toArray
+    val probedCells = coarse.centroids.map { case (cid, cvec) =>
+      var s = 0.0; var i = 0
+      while (i < pu.length) { val t = pu(i) - cvec(i); s += t * t; i += 1 }
+      cid -> s
+    }.sortBy { case (cid, s) => (s, cid) }.take(Nprobe).map(_._1)
+    val shortList = probedCells.map { c =>
+      val cent = coarse.centroids(c)._2
+      val pr = pu.indices.map(i => pu(i) - cent(i)).toArray
+      codes.filter(col("cell") === c && col("vec_id") =!= probeId)
+        .withColumn("adc_d2", adcColumn(adcTable(pr, cb)))
+        .select(col("vec_id"), col("adc_d2"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(100)
+      .select(col("vec_id"))
+    val pNorm = math.sqrt(pRaw.map(x => x * x).sum)
+    val pLit = array(pRaw.map(lit).toIndexedSeq: _*)
+    emb.join(broadcast(shortList), "vec_id") // 100-id point fetch
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        (round(dot(col("v"), pLit) /
+          (sqrt(dot(col("v"), col("v"))) * lit(pNorm)), 6)
+          + lit(0.0d)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_search_pq"       -> simSearchPq _,
     "sim_search_pq_serve" -> simSearchPqServe _,
+    "sim_search_ivfpq"    -> simSearchIvfPq _,
   )
 }
