@@ -79,6 +79,33 @@ class PqIndexSpec extends SparkSuite {
     assert(recall >= 7)
   }
 
+  test("PqAssign: interpreted eval is bit-identical to the codegen path") {
+    // the whole-stage-codegen'd DataFrame result vs Expression.eval on
+    // the same rows — the two paths must implement the identical
+    // operation sequence (same accumulation order, same strict-< tie
+    // rule) or partitioning/codegen fallbacks could flip codes
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val books = cb.books.map(_.centroids.map(_._2)).toArray
+    val assignExpr = graft.functions.PqAssign(
+      BoundReference(0, ArrayType(DoubleType), nullable = false), books)
+    val fromDf = PqIndex.encode(emb, cb)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    val vcol = $"embedding".cast("array<double>")
+    val unitVecs = emb
+      .select($"vec_id",
+        transform(vcol, x =>
+          x / sqrt(graft.operators.DedupOps.dot(vcol, vcol))).as("vn"))
+      .as[(Long, Seq[Double])].collect()
+    unitVecs.foreach { case (id, vn) =>
+      val row = InternalRow(new GenericArrayData(vn.toArray): ArrayData)
+      val got = assignExpr.eval(row).asInstanceOf[ArrayData].toIntArray().toSeq
+      assert(got === fromDf(id), s"vec $id")
+    }
+  }
+
   test("ivfpq: exact scores for returned ids, recall within pruning budget") {
     val got = PqIndex.simSearchIvfPq(spark, sf0001)
       .as[(Long, Double)].collect()
