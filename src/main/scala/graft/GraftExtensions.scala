@@ -164,7 +164,16 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2,
         s"graft_quantile_estimate requires exactly 2 arguments, got ${children.length}")
-      graft.functions.QuantileEstimate(children(0), children(1))
+      // `0.5` parses as DECIMAL(1,1) and QuantileEstimate demands exact
+      // DoubleType; coerce numeric q so callers don't need the 0.5D suffix
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.{DoubleType, NumericType}
+      val q = children(1).dataType match {
+        case DoubleType => children(1)
+        case _: NumericType => Cast(children(1), DoubleType)
+        case _ => children(1) // let checkInputDataTypes report it
+      }
+      graft.functions.QuantileEstimate(children(0), q)
     })
 
   /** `graft_cm_sketch(key)` aggregate → binary Count-Min sketch. */

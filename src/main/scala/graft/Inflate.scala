@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   * subset of the output):
   *  - every entity id shifts by `copy × 10^8`, preserving referential
   *    integrity (orders↔lineitem↔part/supplier, customer↔orders) and
-  *    id-derived distributions (`user_id % 10` buckets, `doc_id % 97`
-  *    eval membership — the stride is a multiple of 10 and coprime to 97);
+  *    id-derived DISTRIBUTIONS: `user_id % 10` buckets are preserved
+  *    exactly (the stride is a multiple of 10), and because the stride is
+  *    coprime to 97 each copy contributes the same ~1/97 FRACTION of
+  *    `doc_id % 97 = 0` eval docs — membership itself remaps per copy
+  *    (10^8 mod 97 = 81 ≠ 0), so contamination sets are NOT comparable
+  *    doc-for-doc between base and inflated runs, only in aggregate
+  *    shape;
   *  - dimension tables (region, nation) are fixed-size in TPC-H and stay
   *    single-copy; foreign keys into them are NOT shifted;
   *  - document text gets a per-copy token suffix, so copies are neither

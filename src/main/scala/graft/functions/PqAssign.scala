@@ -49,6 +49,11 @@ case class PqAssign(child: Expression, books: Array[Array[Array[Double]]])
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * subDim) {
+      throw new IllegalArgumentException(
+        s"graft_pq_assign: vector has ${v.numElements()} elements, " +
+          s"codebooks expect ${m * subDim}")
+    }
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -87,6 +92,11 @@ case class PqAssign(child: Expression, books: Array[Array[Array[Double]]])
       val t = ctx.freshName("t")
       val c = ctx.freshName("cvec")
       s"""
+         |if ($v.numElements() != ${m * subDim}) {
+         |  throw new IllegalArgumentException(
+         |    "graft_pq_assign: vector has " + $v.numElements() +
+         |    " elements, codebooks expect ${m * subDim}");
+         |}
          |int[] $codes = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  double $best = Double.POSITIVE_INFINITY;

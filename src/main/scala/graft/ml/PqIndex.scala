@@ -303,7 +303,11 @@ object PqIndex {
       while (i < pu.length) { val t = pu(i) - cvec(i); s += t * t; i += 1 }
       cid -> s
     }.sortBy { case (cid, s) => (s, cid) }.take(Nprobe).map(_._1)
-    val shortList = probedCells.map { c =>
+    // the short list is collected (100 ids — request-sized), so the
+    // cached unit-vector table can be dropped HERE instead of leaking
+    // into the session for the caller's lifetime (trainOn and
+    // distributedMinLabel keep the same discipline)
+    val shortIds = probedCells.map { c =>
       val cent = coarse.centroids(c)._2
       val pr = pu.indices.map(i => pu(i) - cent(i)).toArray
       codes.filter(col("cell") === c && col("vec_id") =!= probeId)
@@ -312,10 +316,12 @@ object PqIndex {
     }.reduce(_ unionByName _)
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(100)
-      .select(col("vec_id"))
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    unit.unpersist()
     val pNorm = math.sqrt(pRaw.map(x => x * x).sum)
     val pLit = array(pRaw.map(lit).toIndexedSeq: _*)
-    emb.join(broadcast(shortList), "vec_id") // 100-id point fetch
+    emb.filter(col("vec_id") // 100-id point fetch
+        .isin(shortIds.map(java.lang.Long.valueOf).toIndexedSeq: _*))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"),
         (round(dot(col("v"), pLit) /

@@ -218,16 +218,23 @@ object IngestPipeline {
     * batch's — a crashed bucket must not stay invisible until its city
     * happens to recur. */
   private def recoverBuckets(fs: org.apache.hadoop.fs.FileSystem,
-      store: String): Unit = {
+      store: String): Unit = recoverDirs(fs, store, "bucket=")
+
+  /** The all-partitions sweep shared by the bucket and day stores: any
+    * `<prefix>X` dir stranded ONLY in `.bak` (crash between the two
+    * renames) is restored before anything reads or writes the store —
+    * including partitions no later batch will ever touch again. */
+  private def recoverDirs(fs: org.apache.hadoop.fs.FileSystem,
+      store: String, prefix: String): Unit = {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val bakRoot = p(store + ".bak")
     if (fs.exists(bakRoot)) {
       fs.mkdirs(p(store))
       fs.listStatus(bakRoot).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("bucket=") && !fs.exists(p(s"$store/$name")))
+        if (name.startsWith(prefix) && !fs.exists(p(s"$store/$name")))
           require(fs.rename(st.getPath, p(s"$store/$name")),
-            s"bucket recovery rename $name failed")
+            s"partition recovery rename $name failed")
       }
     }
   }
@@ -282,17 +289,17 @@ object IngestPipeline {
     * discipline of [[upsertBatch]]. Each micro-batch folds its
     * temperatures into one sketch per observation DAY and merges it into
     * that day's stored sketch — only days the batch touches are rewritten
-    * (two-rename swap per day dir, same crash-safety), and because sketch
-    * merge is pure bucket addition, a foreachBatch RETRY merges to the
-    * exact same bytes. The store stays tiny (one ~KB row per day) yet
-    * answers "p90 over any day range" without ever rescanning
-    * observations — the dashboard-statistics upgrade of the reference's
-    * full-store recompute every 300 s (`app.py:118-124`). */
-  def sketchStoreBatch(batch: DataFrame, store: String): Unit = {
+    * (two-rename swap per day dir, same crash-safety). Counter addition
+    * is NOT idempotent, so replay safety comes from the batch-id guard in
+    * [[mergeDayStore]], not from the merge algebra. The store stays tiny
+    * (one ~KB row per day) yet answers "p90 over any day range" without
+    * ever rescanning observations — the dashboard-statistics upgrade of
+    * the reference's full-store recompute every 300 s (`app.py:118-124`). */
+  def sketchStoreBatch(batch: DataFrame, store: String, batchId: Long): Unit = {
     import graft.functions.{QuantileMergeAgg, QuantileSketchAgg}
     mergeDayStore(
       batch.select(to_date(col("obs_ts")).as("day"), col("temperature")),
-      store,
+      store, batchId,
       df => df.agg(QuantileSketchAgg(col("temperature"), SketchAlpha).as("sk")),
       df => df.agg(QuantileMergeAgg(col("sk")).as("sk")))
   }
@@ -302,8 +309,20 @@ object IngestPipeline {
     * that day's rows into ONE sketch row (`sketchOf`), merge it with the
     * stored row (`mergeOf` over their union), and swap the day dir with
     * the two-rename crash-safe sequence of [[upsertBatch]]. Untouched
-    * day dirs are never rewritten — O(touched days), not O(store). */
-  private def mergeDayStore(withDay: DataFrame, store: String,
+    * day dirs are never rewritten — O(touched days), not O(store).
+    *
+    * Two failure modes [[upsertBatch]]'s rank-1 dedupe absorbs for free
+    * need explicit handling here, because counter ADDITION is not
+    * idempotent:
+    *  - REPLAY: the stored row carries the id of the last batch merged
+    *    into it; a foreachBatch retry of that same batch (only the most
+    *    recent uncommitted batch can replay) finds its own id and skips
+    *    the day instead of double-counting.
+    *  - STRANDED .bak: the swap is recovered by an all-days sweep up
+    *    front ([[recoverDirs]]), not per-touched-day — a crash on the
+    *    LAST batch that would ever touch a day must not leave that day
+    *    invisible to readers forever. */
+  private def mergeDayStore(withDay: DataFrame, store: String, batchId: Long,
       sketchOf: DataFrame => DataFrame,
       mergeOf: DataFrame => DataFrame): Unit = {
     val spark = withDay.sparkSession
@@ -312,26 +331,32 @@ object IngestPipeline {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     def mv(from: String, to: String): Unit =
       require(fs.rename(p(from), p(to)), s"rename $from -> $to failed")
+    recoverDirs(fs, store, "day=")
     // days-per-batch is watermark-bounded — a driver-bounded collect
     val days = withDay.select("day").distinct()
       .collect().map(_.getDate(0)).sortBy(_.toString)
     days.foreach { d =>
       val (dayDir, tmp, bak) = (s"$store/day=$d", s"$store.tmp/day=$d",
         s"$store.bak/day=$d")
-      if (!fs.exists(p(dayDir)) && fs.exists(p(bak))) mv(bak, dayDir)
       val batchSk = sketchOf(withDay.filter(col("day") === lit(d)))
       val merged =
-        if (fs.exists(p(dayDir)))
-          mergeOf(spark.read.parquet(dayDir).select(col("sk"))
-            .unionByName(batchSk))
-        else batchSk
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-      fs.delete(p(bak), true)
-      fs.mkdirs(p(bak).getParent)
-      fs.mkdirs(p(dayDir).getParent)
-      if (fs.exists(p(dayDir))) mv(dayDir, bak)
-      mv(tmp, dayDir)
-      fs.delete(p(bak), true)
+        if (fs.exists(p(dayDir))) {
+          val stored = spark.read.parquet(dayDir)
+          val alreadyMerged = stored.columns.contains("batch_id") &&
+            stored.select(max(col("batch_id"))).head().getLong(0) == batchId
+          if (alreadyMerged) None // replayed batch: this day is done
+          else Some(mergeOf(stored.select(col("sk")).unionByName(batchSk)))
+        } else Some(batchSk)
+      merged.foreach { out =>
+        out.withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs.delete(p(bak), true)
+        fs.mkdirs(p(bak).getParent)
+        fs.mkdirs(p(dayDir).getParent)
+        if (fs.exists(p(dayDir))) mv(dayDir, bak)
+        mv(tmp, dayDir)
+        fs.delete(p(bak), true)
+      }
     }
   }
 
@@ -340,11 +365,11 @@ object IngestPipeline {
     * O(touched days) updates; the stored 64 KB sketches answer "how many
     * observations did city X report on these days" by counter addition,
     * never rescanning observations. */
-  def cmStoreBatch(batch: DataFrame, store: String): Unit = {
+  def cmStoreBatch(batch: DataFrame, store: String, batchId: Long): Unit = {
     import graft.functions.{CountMinMergeAgg, CountMinSketchAgg}
     mergeDayStore(
       batch.select(to_date(col("obs_ts")).as("day"), col("city")),
-      store,
+      store, batchId,
       df => df.agg(CountMinSketchAgg(col("city")).as("sk")),
       df => df.agg(CountMinMergeAgg(col("sk")).as("sk")))
   }
@@ -354,8 +379,8 @@ object IngestPipeline {
       : org.apache.spark.sql.streaming.StreamingQuery =
     obs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        cmStoreBatch(b.toDF(), store))
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        cmStoreBatch(b.toDF(), store, id))
       .start()
 
   /** Query side of the frequency store: merge the stored per-day
@@ -376,8 +401,8 @@ object IngestPipeline {
       : org.apache.spark.sql.streaming.StreamingQuery =
     obs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sketchStoreBatch(b.toDF(), store))
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sketchStoreBatch(b.toDF(), store, id))
       .start()
 
   /** Query side of the sketch store: merge the stored per-day sketches

@@ -139,9 +139,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("quantile sketch family: sketch → merge → estimate, all from SQL") {
     // per-group sketches, merged, then a quantile read — the full
     // sketch-store lifecycle through nothing but registered functions
+    // plain decimal literals (0.5, not 0.5D): the registry builder must
+    // coerce them, like any built-in percentile function would
     val got = spark.sql(
-      """SELECT graft_quantile_estimate(graft_quantile_merge(sk), 0.5D) AS p50
-        |FROM (SELECT g, graft_quantile_sketch(CAST(v AS DOUBLE), 0.01D) AS sk
+      """SELECT graft_quantile_estimate(graft_quantile_merge(sk), 0.5) AS p50
+        |FROM (SELECT g, graft_quantile_sketch(CAST(v AS DOUBLE), 0.01) AS sk
         |      FROM (SELECT id % 4 AS g, id AS v FROM range(0, 10001))
         |      GROUP BY g)""".stripMargin)
       .collect().head.getDouble(0)

@@ -442,6 +442,37 @@ class IngestPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("day store: replayed batch id is a no-op; stranded .bak day recovers") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cmrep")
+      .resolve("store").toString
+    def batchDf(city: String, epoch: Long, n: Int) =
+      (1 to n).map(i => (city, epoch + i * 60L)).toDF("city", "sec")
+        .select($"city", timestamp_seconds($"sec").as("obs_ts"))
+    val day1 = 1748515200L // 2025-05-29 UTC
+    val day2 = day1 + 86400
+    def countA = IngestPipeline.cmStoreCounts(spark, store, Seq("A"))
+      .as[Long].head()
+    IngestPipeline.cmStoreBatch(batchDf("A", day1, 30), store, batchId = 7)
+    assert(countA === 30) // single key ⇒ CMS estimate is exact
+    // foreachBatch replay: the same (uncommitted) batch re-delivers with
+    // the SAME id — counter addition must not double-count it
+    IngestPipeline.cmStoreBatch(batchDf("A", day1, 30), store, batchId = 7)
+    assert(countA === 30)
+    // a genuinely new batch merges
+    IngestPipeline.cmStoreBatch(batchDf("A", day1, 30), store, batchId = 8)
+    assert(countA === 60)
+    // crash between the two renames strands a day ONLY in .bak; a later
+    // batch touching a DIFFERENT day must still restore it
+    val dayDir = new java.io.File(s"$store/day=2025-05-29")
+    val bakDir = new java.io.File(s"$store.bak/day=2025-05-29")
+    bakDir.getParentFile.mkdirs()
+    assert(dayDir.renameTo(bakDir))
+    IngestPipeline.cmStoreBatch(batchDf("B", day2, 5), store, batchId = 9)
+    assert(countA === 60) // recovered by the sweep, not lost
+    assert(IngestPipeline.cmStoreCounts(spark, store, Seq("B"))
+      .as[Long].head() === 5)
+  }
+
   test("streaming Count-Min store: per-day frequency sketches, O(batch) updates") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft_cmsto")
