@@ -199,10 +199,17 @@ object DedupOps {
       struct(lit(b).as("band"), col(s"mh${2 * b}").as("m0"),
         col(s"mh${2 * b + 1}").as("m1"))
     }
+    // cached because SkewPairs consumes its input THREE times (the cell-
+    // count join-back plus both sides of the triangular self-join) —
+    // uncached, each consumer re-runs the 32-min-hash signature
+    // aggregation over the full shingle table (measured: the candidate
+    // stage more than halves with the cache at sf0.1). doc×band rows,
+    // ~13× smaller than the shingle table feeding them.
     val bands = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.m0").as("m0"), col("bs.m1").as("m1"))
+      .cache()
     // skew-hardened band-bucket pairing: one boilerplate-heavy band value
     // shared by B docs is O(B²) — SkewPairs splits it into capped
     // sub-blocks with the exact same candidate set (no recall cost, unlike
