@@ -22,7 +22,8 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       AdvancedOps.queries ++ SqlSurfaceOps.queries ++
       graft.streaming.IngestPipeline.queries ++
-      graft.ml.IvfIndex.queries ++ graft.ml.PqIndex.queries
+      graft.ml.IvfIndex.queries ++ graft.ml.PqIndex.queries ++
+      graft.ml.Pca.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
