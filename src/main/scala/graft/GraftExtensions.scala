@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cmSketchFunction)
     ext.injectFunction(GraftExtensions.cmMergeFunction)
     ext.injectFunction(GraftExtensions.cmEstimateFunction)
+    ext.injectFunction(GraftExtensions.gramFunction)
     // window-top-k → native TopKPerKey rewrite (+ the strategy that plans
     // the rewritten node): users keep the row_number() idiom, the engine
     // substitutes the partial-heap plan
@@ -218,5 +219,22 @@ object GraftExtensions {
       require(children.length == 2,
         s"graft_cm_estimate requires exactly 2 arguments, got ${children.length}")
       graft.functions.CountMinEstimate(children(0), children(1))
+    })
+
+  /** `graft_gram(v, d)` aggregate — one-pass second-moment matrix of an
+    * array<double> column; d must be a literal (it sizes the state). */
+  val gramFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_gram"),
+    new ExpressionInfo(
+      classOf[graft.functions.GramMatrixAgg].getCanonicalName, null,
+      "graft_gram",
+      "graft_gram(v, d) - mergeable count/sums/upper-triangle-gram summary " +
+        "of a d-dim array<double> column (the covariance/PCA input).",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_gram requires exactly 2 arguments, got ${children.length}")
+      val dim = math.round(litDouble(children(1), "graft_gram dim")).toInt
+      graft.functions.GramMatrixAgg(children.head, dim)
     })
 }

@@ -160,4 +160,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got >= 100L) // 'k7' occurs exactly 100 times
     assert(got <= 100L + math.ceil(math.E / graft.functions.CMSketch.Width * 1000).toLong)
   }
+
+  test("graft_gram aggregates the second-moment layout from SQL") {
+    val flat = spark.sql(
+      """SELECT graft_gram(array(CAST(id AS DOUBLE), CAST(id * 2 AS DOUBLE)), 2)
+        |FROM range(1, 4)""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    // layout: [n, s0, s1, g00, g01, g11] over vectors (1,2),(2,4),(3,6)
+    assert(flat === Seq(3.0, 6.0, 12.0, 14.0, 28.0, 56.0))
+  }
 }
