@@ -43,7 +43,7 @@ object Bench {
     if (runsKey("sim_search_pq_serve")) graft.ml.PqIndex.persistModel(spark, sfDir)
     if (runsKey("join_bucketed") || runsKey("agg_bucketed"))
       graft.sources.Bucketed.ensure(spark, sfDir)
-    if (runsKey("scan_pruned_day"))
+    if (runsKey("scan_pruned_day") || runsKey("scan_pruned_dpp"))
       graft.sources.Layout.ensureEventsByDay(spark, sfDir)
     spark.catalog.clearCache()
     // micro mode (dev): `runMain graft.Bench <key> [iters]` times one key

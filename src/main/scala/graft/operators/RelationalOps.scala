@@ -99,6 +99,31 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  // ── Dynamic partition pruning: the RUNTIME companion of
+  // scan_pruned_day. There the pruned day is a literal the planner sees;
+  // here the day set comes from a FILTERED DIMENSION (a calendar keyed
+  // on a portable day-of-month residue), so which partitions survive is
+  // only known once the dim is evaluated — Spark broadcasts the dim for
+  // the join, REUSES that broadcast as a dynamicpruningexpression inside
+  // the fact scan's PartitionFilters (pinned by PlanShapeSpec), and the
+  // fact store reads only the matching day directories. THE mechanism
+  // that makes fact⋈dim over a 100 TB date-partitioned store read
+  // selected days without the query author naming them. ──
+  def scanPrunedDpp(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsByDay(spark, dir)
+    val fact = graft.sources.Layout.readEventsByDay(spark, path)
+    // the calendar dim: at scale a real table; derived here from the
+    // source events (NOT the partitioned store, so the dim subquery is
+    // independent of the scan it prunes)
+    val dim = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .filter(dayofmonth(col("day")) % 7 === 3)
+    fact.join(broadcast(dim), "day")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"))
+      .orderBy("event_type")
+  }
+
   // ── Left-semi (EXISTS): orders having at least one near-max-quantity
   // item. Semi joins shuffle only the keys of the probe side — never
   // materialize the match payload. ──
@@ -203,6 +228,7 @@ object RelationalOps {
     "join_bucketed"     -> joinBucketed _,
     "agg_bucketed"      -> aggBucketed _,
     "scan_pruned_day"   -> scanPrunedDay _,
+    "scan_pruned_dpp"   -> scanPrunedDpp _,
     "join_semi"         -> joinSemi _,
     "join_anti"         -> joinAnti _,
     "topk_limit"        -> topkLimit _,
@@ -240,6 +266,11 @@ object RelationalOps {
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value") AS avg_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_pruned_dpp" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value") AS avg_value
+        |FROM events WHERE day(CAST(ts AS DATE)) % 7 = 3
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_smj" ->
       """SELECT o_orderpriority, count(*) AS cnt,

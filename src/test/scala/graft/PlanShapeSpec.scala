@@ -114,6 +114,28 @@ class PlanShapeSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("scan_pruned_dpp injects a dynamic pruning expression into the scan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = RelationalOps.scanPrunedDpp(spark, sf0001)
+      val plan = planOf(df)
+      // the day set is only known at runtime (filtered dim), so pruning
+      // must ride a dynamicpruning subquery inside PartitionFilters —
+      // not a per-row post-scan filter
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2500))
+      // and the result matches: partitions actually pruned at execution
+      df.collect()
+      val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.output.exists(_.name == "event_type") =>
+          f.selectedPartitions.partitionCount
+      }
+      // day(d) % 7 = 3 keeps ~1/7 of a month's days (3rd,10th,17th,24th,31st)
+      assert(scanned.nonEmpty && scanned.forall(n => n > 0 && n <= 6),
+        s"selected partition counts: $scanned\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no key anywhere plans a partitionless Window over a fact table") {
     // a Window with an empty PARTITION BY funnels its whole input through
     // one task — the single-task scale cliff window_ntile's bucketed
