@@ -42,7 +42,15 @@ object GramBuf {
     def insert(v: ArrayData): Unit = {
       require(v.numElements() == d,
         s"graft_gram: vector has ${v.numElements()} elements, expected $d")
+      // the SQL type admits containsNull=true; reading a null element as
+      // 0.0 while still counting the row would silently skew the
+      // mean/covariance — reject loudly instead
       var i = 0
+      while (i < d) {
+        require(!v.isNullAt(i), s"graft_gram: null element at index $i")
+        i += 1
+      }
+      i = 0
       var t = 0
       while (i < d) {
         val vi = v.getDouble(i)

@@ -87,6 +87,18 @@ object IvfIndex {
   def assignCells(embeddings: DataFrame, model: Model): DataFrame =
     assign(vecs(embeddings), model).select(col("vec_id"), col("v"), col("cell"))
 
+  /** The `nprobe` cells nearest to a probe vector (ties → lower cell id)
+    * — model-sized driver math shared by every IVF-family search path
+    * (here, the serve path, and PqIndex's IVF-PQ). */
+  private[ml] def nearestCells(centroids: Array[(Int, Array[Double])],
+      p: Array[Double], nprobe: Int): Array[Int] =
+    centroids.map { case (cid, cvec) =>
+      var d = 0.0
+      var i = 0
+      while (i < p.length) { val t = p(i) - cvec(i); d += t * t; i += 1 }
+      cid -> d
+    }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+
   /** Top-k cosine neighbours of `probeId`, searching only the `nprobe`
     * cells nearest to the probe vector. */
   def search(embeddings: DataFrame, model: Model, probeId: Long,
@@ -97,16 +109,7 @@ object IvfIndex {
       .select(col("v").as("p_v"), col("norm").as("p_norm"))
     val probeRow = probe.head()
     val pVec = probeRow.getSeq[Double](0).toArray
-    val cells = model.centroids
-      .map { case (cid, cvec) =>
-        var d = 0.0
-        var i = 0
-        while (i < pVec.length) {
-          val t = pVec(i) - cvec(i); d += t * t; i += 1
-        }
-        cid -> d
-      }
-      .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+    val cells = nearestCells(model.centroids, pVec, nprobe)
     data.filter(col("cell").isin(cells.map(Integer.valueOf): _*) &&
         col("vec_id") =!= probeId)
       .crossJoin(broadcast(probe))
@@ -196,13 +199,7 @@ object IvfIndex {
     val probe = data.filter(col("vec_id") === probeId)
       .select(col("v").as("p_v"), col("norm").as("p_norm"))
     val pVec = probe.head().getSeq[Double](0).toArray
-    val cells = model.centroids
-      .map { case (cid, cvec) =>
-        var d = 0.0; var i = 0
-        while (i < pVec.length) { val t = pVec(i) - cvec(i); d += t * t; i += 1 }
-        cid -> d
-      }
-      .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1)
+    val cells = nearestCells(model.centroids, pVec, nprobe = 2)
     data.filter(col("cell").isin(cells.map(Integer.valueOf): _*) &&
         col("vec_id") =!= probeId)
       .crossJoin(broadcast(probe))

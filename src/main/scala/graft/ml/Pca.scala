@@ -65,7 +65,7 @@ object Pca {
     * when the off-diagonal Frobenius norm is negligible against the
     * matrix norm. Returns (eigenvalues, eigenvectors as COLUMNS of v),
     * unsorted. */
-  private def jacobiEigen(a0: Array[Array[Double]])
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
       : (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
@@ -95,7 +95,11 @@ object Pca {
           val apq = a(p)(q)
           if (apq != 0.0) {
             val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
-            val t = math.signum(theta) /
+            // sign(0) would make t = 0 — a NO-OP rotation that never
+            // zeroes a_pq when the two diagonal entries are exactly
+            // equal (e.g. perfectly correlated equal-variance dims);
+            // theta = 0 correctly means a 45° rotation, t = 1
+            val t = (if (theta >= 0) 1.0 else -1.0) /
               (math.abs(theta) + math.sqrt(theta * theta + 1))
             val c = 1 / math.sqrt(t * t + 1)
             val s = t * c
@@ -127,6 +131,11 @@ object Pca {
       }
       sweep += 1
     }
+    // converge or fail loudly — returning non-eigenpairs silently would
+    // corrupt every consumer downstream
+    require(offNorm2 <= 1e-24 * frob2,
+      s"Jacobi did not converge in $MaxSweeps sweeps " +
+        s"(off-diagonal ratio ${math.sqrt(offNorm2 / frob2)})")
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 

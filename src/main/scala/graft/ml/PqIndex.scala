@@ -127,6 +127,28 @@ object PqIndex {
       .withColumn("codes", codesCol(cb.books.map(_.centroids.map(_._2))))
       .select(col("vec_id"), col("v"), col("codes"))
 
+  /** Exact-cosine re-rank of a collected id short list against the
+    * source table — the ONE tail shared by all three PQ search keys
+    * (id-pruned point fetch of ~100 vectors, 6-dp rounded scores,
+    * (cos desc, vec_id) order, top 10). A single definition so the
+    * rounding/tie convention can never diverge between the inline,
+    * serve, and IVF-PQ paths, whose cross-key identity specs depend on
+    * it. */
+  private def rerankByIds(emb: DataFrame, ids: Array[Long],
+      pRaw: Array[Double]): DataFrame = {
+    val pNorm = math.sqrt(pRaw.map(x => x * x).sum)
+    val pLit = array(pRaw.map(lit).toIndexedSeq: _*)
+    emb.filter(col("vec_id")
+        .isin(ids.map(java.lang.Long.valueOf).toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        (round(dot(col("v"), pLit) /
+          (sqrt(dot(col("v"), col("v"))) * lit(pNorm)), 6)
+          + lit(0.0d)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
   /** The query's M×K ADC table: subspace-m distance from the probe's
     * m-th subvector to every codebook entry. Model-sized driver math. */
   def adcTable(pVec: Array[Double], cb: Codebooks): Array[Array[Double]] =
@@ -159,19 +181,13 @@ object PqIndex {
       .head().getSeq[Double](0).toArray
     val pNorm = math.sqrt(pVec.map(x => x * x).sum)
     val pUnit = pVec.map(_ / pNorm) // ADC probes on the sphere too
-    val shortList = encode(emb, cb)
+    val shortIds = encode(emb, cb)
       .filter(col("vec_id") =!= probeId)
       .withColumn("adc_d2", adcColumn(adcTable(pUnit, cb)))
       .orderBy(col("adc_d2"), col("vec_id")) // TakeOrderedAndProject
       .limit(100)
-    val pLit = array(pVec.map(lit): _*)
-    shortList
-      .select(col("vec_id"),
-        (round(dot(col("v"), pLit) /
-          (sqrt(dot(col("v"), col("v"))) * lit(pNorm)), 6)
-          + lit(0.0d)).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col("vec_id"))
-      .limit(10)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    rerankByIds(emb, shortIds, pVec)
   }
 
   // ── train / persist / serve split ──────────────────────────────────
@@ -241,21 +257,13 @@ object PqIndex {
       .head().getSeq[Double](0).toArray
     val pNorm = math.sqrt(pVec.map(x => x * x).sum)
     val pUnit = pVec.map(_ / pNorm)
-    val shortList = spark.read.parquet(s"$path/codes")
+    val shortIds = spark.read.parquet(s"$path/codes")
       .filter(col("vec_id") =!= probeId)
       .withColumn("adc_d2", adcColumn(adcTable(pUnit, cb)))
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(100)
-      .select(col("vec_id"))
-    val pLit = array(pVec.map(lit): _*)
-    emb.join(broadcast(shortList), "vec_id") // 100-id point fetch
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"),
-        (round(dot(col("v"), pLit) /
-          (sqrt(dot(col("v"), col("v"))) * lit(pNorm)), 6)
-          + lit(0.0d)).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col("vec_id"))
-      .limit(10)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    rerankByIds(emb, shortIds, pVec) // 100-id point fetch
   }
 
   /** Coarse cells and probes of [[simSearchIvfPq]]: 8 cells halve the
@@ -289,20 +297,21 @@ object PqIndex {
       .select(col("vec_id"), col("cell"),
         zip_with(col("v"), get(centsLit, col("cell")), (a, b) => a - b).as("vn"))
     val cb = trainOn(resid.select(col("vec_id"), col("vn")), d)
+    // cached: the probe loop below consumes this once PER PROBED CELL,
+    // and each branch would otherwise re-run the full assign+residual+
+    // encode pipeline over the corpus (the bands.cache() lesson from the
+    // minhash candidates). vec_id + cell + 16 codes — tiny.
     val codes = resid
       .withColumn("codes", codesCol(cb.books.map(_.centroids.map(_._2))))
       .select(col("vec_id"), col("cell"), col("codes"))
+      .cache()
 
     val probeId = 0L
     val pRow = unit.filter(col("vec_id") === probeId)
       .select(col("v"), col("vn")).head()
     val pRaw = pRow.getSeq[Double](0).toArray
     val pu = pRow.getSeq[Double](1).toArray
-    val probedCells = coarse.centroids.map { case (cid, cvec) =>
-      var s = 0.0; var i = 0
-      while (i < pu.length) { val t = pu(i) - cvec(i); s += t * t; i += 1 }
-      cid -> s
-    }.sortBy { case (cid, s) => (s, cid) }.take(Nprobe).map(_._1)
+    val probedCells = IvfIndex.nearestCells(coarse.centroids, pu, Nprobe)
     // the short list is collected (100 ids — request-sized), so the
     // cached unit-vector table can be dropped HERE instead of leaking
     // into the session for the caller's lifetime (trainOn and
@@ -318,17 +327,8 @@ object PqIndex {
       .limit(100)
       .select(col("vec_id")).collect().map(_.getLong(0))
     unit.unpersist()
-    val pNorm = math.sqrt(pRaw.map(x => x * x).sum)
-    val pLit = array(pRaw.map(lit).toIndexedSeq: _*)
-    emb.filter(col("vec_id") // 100-id point fetch
-        .isin(shortIds.map(java.lang.Long.valueOf).toIndexedSeq: _*))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"),
-        (round(dot(col("v"), pLit) /
-          (sqrt(dot(col("v"), col("v"))) * lit(pNorm)), 6)
-          + lit(0.0d)).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col("vec_id"))
-      .limit(10)
+    codes.unpersist()
+    rerankByIds(emb, shortIds, pRaw) // 100-id point fetch
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,26 +44,32 @@ object Bucketed {
     * goes below (all driver SFs land here). */
   val NBuckets: Int = MinBuckets
 
-  /** Derived counts, memoized per data dir: [[ensure]] runs on EVERY
-    * bucketed-key invocation, and without the memo each query would pay
-    * a lineitem count() job just to compute the table name it is about
-    * to find in the catalog. The conf override is deliberately NOT
-    * memoized (reading a conf is free and tests flip it mid-session). */
+  /** Derived counts, memoized per CONTENT FINGERPRINT (not per dir):
+    * [[ensure]] runs on EVERY bucketed-key invocation, and without the
+    * memo each query would pay a lineitem count() job just to compute
+    * the table name it is about to find in the catalog. Keying on the
+    * fingerprint keeps the memo honest when data is regenerated at the
+    * same path mid-JVM — the new files get a new tag, so the fresh
+    * layout is sized from a fresh count, matching ensure()'s own
+    * "regenerated data gets a distinct table" promise. The conf override
+    * is deliberately NOT memoized (reading a conf is free and tests flip
+    * it mid-session). */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Bucket count for `dir`'s layout: an explicit
     * `spark.graft.bucketed.buckets` wins; otherwise sized from the
-    * lineitem row count (one parquet-metadata count, paid once per dir
-    * per JVM — the build itself is the expensive part and runs once per
-    * layout). */
+    * lineitem row count (one parquet-metadata count, paid once per
+    * data-content fingerprint per JVM — the build itself is the
+    * expensive part and runs once per layout). */
   def bucketCount(spark: SparkSession, dir: String): Int =
     spark.conf.getOption("spark.graft.bucketed.buckets").map(_.toInt)
-      .getOrElse(countCache.computeIfAbsent(dir, { _ =>
-        val rows = Tables.lineitem(spark, dir).count()
-        math.min(MaxBuckets, math.max(MinBuckets,
-          math.ceil(rows.toDouble / TargetRowsPerBucket).toInt))
-      }))
+      .getOrElse(countCache.computeIfAbsent(
+        Fingerprint.tag(dir, "lineitem"), { _ =>
+          val rows = Tables.lineitem(spark, dir).count()
+          math.min(MaxBuckets, math.max(MinBuckets,
+            math.ceil(rows.toDouble / TargetRowsPerBucket).toInt))
+        }))
 
   /** Lazily materialize the bucketed twins for `dir` (exactly once per
     * warehouse — a catalog lookup thereafter, like any table). A fresh

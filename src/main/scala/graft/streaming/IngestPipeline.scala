@@ -344,8 +344,13 @@ object IngestPipeline {
           val stored = spark.read.parquet(dayDir)
           val alreadyMerged = stored.columns.contains("batch_id") &&
             stored.select(max(col("batch_id"))).head().getLong(0) == batchId
-          if (alreadyMerged) None // replayed batch: this day is done
-          else Some(mergeOf(stored.select(col("sk")).unionByName(batchSk)))
+          if (alreadyMerged) {
+            // replayed batch: the merge is done, but the original attempt
+            // may have crashed between its final two steps — clear the
+            // leftover .bak so stale pre-merge data can't linger forever
+            fs.delete(p(bak), true)
+            None
+          } else Some(mergeOf(stored.select(col("sk")).unionByName(batchSk)))
         } else Some(batchSk)
       merged.foreach { out =>
         out.withColumn("batch_id", lit(batchId))

@@ -65,6 +65,19 @@ class PcaSpec extends SparkSuite {
     }
   }
 
+  test("jacobi handles equal diagonal entries (the signum(0) pivot case)") {
+    // [[1,1],[1,1]]: theta = 0 for the only pivot — a naive sign(theta)
+    // makes the rotation a no-op and the solver silently returns the
+    // input diagonal. Correct answer: eigenvalues (2, 0), v₁ = [1,1]/√2.
+    val (vals, vecs) = Pca.jacobiEigen(Array(Array(1.0, 1.0), Array(1.0, 1.0)))
+    val order = vals.indices.sortBy(i => -vals(i))
+    assert(math.abs(vals(order(0)) - 2.0) <= 1e-12)
+    assert(math.abs(vals(order(1))) <= 1e-12)
+    val v1 = Array(vecs(0)(order(0)), vecs(1)(order(0)))
+    assert(math.abs(math.abs(v1(0)) - 1 / math.sqrt(2)) <= 1e-12)
+    assert(math.abs(v1(0) - v1(1)) <= 1e-12) // same sign, equal weight
+  }
+
   test("embed_pca key: projection identity and variance = eigenvalue") {
     val rows = Pca.embedPca(spark, sf0001)
       .as[(Long, Double, Double)].collect()
