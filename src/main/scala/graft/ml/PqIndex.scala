@@ -24,10 +24,12 @@ import graft.operators.DedupOps.dot
   * candidates then re-rank by exact cosine (the standard short-list
   * refinement), touching real vectors only for the short list.
   *
-  * Scale shape: training is M model-sized k-means runs (shuffles bounded
-  * by K·subDim, never corpus-sized); encoding is one scan; the ADC scan
-  * reads (vec_id, codes) ONLY — the wide embedding column prunes out of
-  * the read schema entirely, which is the point of PQ. Rows-only key
+  * Scale shape: training fits all M codebooks JOINTLY — two corpus
+  * passes per Lloyd iteration with shuffles bounded by M·K·subDim, never
+  * corpus-sized (see [[trainOn]]); encoding is one scan through the
+  * native [[graft.functions.PqAssign]] loop; the ADC scan reads
+  * (vec_id, codes) ONLY — the wide embedding column prunes out of the
+  * read schema entirely, which is the point of PQ. Rows-only key
   * (k-means means are FP-order-sensitive — no cross-engine oracle);
   * invariants pinned in PqIndexSpec, including the ADC = reconstructed
   * distance identity and recall vs the exact brute-force key.
