@@ -37,6 +37,23 @@ case class PqAssign(child: Expression, books: Array[Array[Array[Double]]])
   private val k = books(0).length
   private val subDim = books(0)(0).length
 
+  // Case-class equality on a nested Array is reference identity, which
+  // would make structurally identical PqAssigns compare unequal under
+  // semanticEquals/canonicalization (defeating subexpression elimination)
+  // — deep-compare the codebooks instead. Arrays.deepEquals/deepHashCode
+  // recurse through the nested primitive arrays.
+  override def equals(other: Any): Boolean = other match {
+    case that: PqAssign =>
+      child == that.child && java.util.Arrays.deepEquals(
+        books.asInstanceOf[Array[AnyRef]],
+        that.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
@@ -53,6 +70,15 @@ case class PqAssign(child: Expression, books: Array[Array[Array[Double]]])
       throw new IllegalArgumentException(
         s"graft_pq_assign: vector has ${v.numElements()} elements, " +
           s"codebooks expect ${m * subDim}")
+    }
+    // loud null-element guard (the GramBuf rule): ArrayData.getDouble on
+    // a null slot silently reads 0.0, which would code the vector as if
+    // that dimension were zero — corrupt codes with no error
+    var ni = 0
+    while (ni < v.numElements()) {
+      if (v.isNullAt(ni)) throw new IllegalArgumentException(
+        s"graft_pq_assign: null element at index $ni")
+      ni += 1
     }
     val codes = new Array[Int](m)
     var mi = 0
@@ -96,6 +122,10 @@ case class PqAssign(child: Expression, books: Array[Array[Array[Double]]])
          |  throw new IllegalArgumentException(
          |    "graft_pq_assign: vector has " + $v.numElements() +
          |    " elements, codebooks expect ${m * subDim}");
+         |}
+         |for (int $j = 0; $j < ${m * subDim}; $j++) {
+         |  if ($v.isNullAt($j)) throw new IllegalArgumentException(
+         |    "graft_pq_assign: null element at index " + $j);
          |}
          |int[] $codes = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {

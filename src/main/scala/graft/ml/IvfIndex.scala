@@ -19,12 +19,24 @@ import graft.operators.DedupOps.dot
   * the table is written partitioned by `cell`, so an nprobe search reads
   * nprobe/k of the corpus.
   *
-  * Determinism: init centroids are the k lowest vec_ids, iteration count is
-  * fixed, and argmin ties break on the lower cell id — same result on every
-  * run and partitioning (all reductions are min/argmin or exact means of
-  * the same value sets).
+  * Determinism: init centroids are a HASH-ORDERED sample (the k lowest by
+  * `xxhash64(vec_id)`, vec_id tiebreak — see [[initOrder]]), iteration
+  * count is fixed, and argmin ties break on the lower cell id — same
+  * result on every run and partitioning (all reductions are min/argmin or
+  * exact means of the same value sets).
   */
 object IvfIndex {
+
+  /** Init-sample ordering shared by this trainer and [[PqIndex.trainOn]]:
+    * `xxhash64(vec_id)` is a fixed-seed permutation of the id space, so
+    * "first k by hash" is a deterministic UNIFORM sample of the corpus —
+    * unlike first-k-by-id, which seeds k-means with whatever the lowest
+    * ids happen to look like (at real scale ids correlate with ingest
+    * time/shard, a biased slice). vec_id as tiebreak keeps the order
+    * total even across hash collisions. TakeOrderedAndProject shape: a
+    * per-partition top-k heap + driver merge, never a global sort. */
+  private[graft] def initOrder: Seq[org.apache.spark.sql.Column] =
+    Seq(xxhash64(col("vec_id")), col("vec_id"))
 
   final case class Model(centroids: Array[(Int, Array[Double])])
 
@@ -53,9 +65,9 @@ object IvfIndex {
   /** Train k cells with `iters` Lloyd iterations (fixed, deterministic). */
   def train(embeddings: DataFrame, k: Int, iters: Int): Model = {
     val data = vecs(embeddings).cache()
-    // deterministic init: the k lowest vec_ids
+    // deterministic init: hash-ordered uniform sample (see initOrder)
     var model = Model(
-      data.orderBy("vec_id").limit(k).collect().zipWithIndex.map {
+      data.orderBy(initOrder: _*).limit(k).collect().zipWithIndex.map {
         case (r, i) => i -> r.getSeq[Double](1).toArray
       })
     for (_ <- 1 to iters) {
@@ -144,7 +156,10 @@ object IvfIndex {
     * store becomes an unreferenced orphan). Public so tests can scope
     * assertions to this corpus's store rather than the shared root. */
   def modelPath(dir: String): String =
-    s"/tmp/graft_models/ivf_k16_i3_${graft.sources.Fingerprint.tag(dir, "embeddings")}"
+    // v2 = hash-sampled init (round 7): the path encodes the training
+    // recipe, so a store built under the old first-k-by-id init can never
+    // be served against codebooks trained the new way
+    s"/tmp/graft_models/ivf_v2_k16_i3_${graft.sources.Fingerprint.tag(dir, "embeddings")}"
 
   /** Train the quantizer AND build the serving index for `dir`'s
     * embeddings table: centroids → `<path>/model` (k rows), the corpus

@@ -39,8 +39,8 @@ object PqIndex {
     * (16× vs float32). Chosen by a recall sweep on the sf0.001 corpus —
     * coarser layouts (M=4/K=16 … M=8/K=32) plateau at 5-6/10 recall@10
     * against brute force, M=16/K=32 with a 100-wide short list reaches
-    * 9/10. K stays ≤ corpus size at the smallest SF (init takes the K
-    * lowest vec_ids). */
+    * 9-10/10. K stays ≤ corpus size at the smallest SF (init is a
+    * hash-ordered K-row sample — [[IvfIndex.initOrder]]). */
   val M = 16
   val K = 32
   val Iters = 3
@@ -64,9 +64,18 @@ object PqIndex {
     * candidates against the cosine target. */
   private def withUnit(embeddings: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
+    // norm computed ONCE per row as its own column — inlining
+    // sqrt(dot(v,v)) inside the transform lambda re-evaluates the full
+    // d-element dot product per ELEMENT (O(d²)/row across training,
+    // encoding, and every search scan). An all-zero vector keeps vn = 0⃗
+    // instead of silently coding NaN (0/0); on 0⃗ every code is an equal
+    // tie so the strict-< rule picks code 0 deterministically.
     embeddings.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("vn",
-        transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))))
+        when(col("nrm") === 0d, col("v"))
+          .otherwise(transform(col("v"), x => x / col("nrm"))))
+      .drop("nrm")
   }
 
   /** Train all M codebooks JOINTLY — one scan assigns every subspace's
@@ -75,9 +84,11 @@ object PqIndex {
     * subspace problems are independent, so this computes the same
     * k-means as M separate trainer runs, but in 2 corpus passes per
     * iteration instead of 2·M (measured at sf0.1: 16.8 s → ~2 s for the
-    * whole key). Determinism follows the IVF trainer's rules: init = the
-    * K lowest vec_ids' subvectors, fixed iterations, (d, code) argmin
-    * ties, empty cells keep their previous centroid. */
+    * whole key). Determinism follows the IVF trainer's rules: init = a
+    * hash-ordered K-row sample's subvectors ([[IvfIndex.initOrder]] —
+    * uniform over the corpus, not the biased lowest-id slice), fixed
+    * iterations, (d, code) argmin ties, empty cells keep their previous
+    * centroid. */
   def train(embeddings: DataFrame): Codebooks = {
     val d = embeddings.select(size(col("embedding"))).head().getInt(0)
     trainOn(withUnit(embeddings).select(col("vec_id"), col("vn")), d)
@@ -95,7 +106,8 @@ object PqIndex {
     val subsCol = array((0 until M).map(m =>
       slice(col("vn"), m * subDim + 1, subDim)): _*)
     val data = vecs.select(col("vec_id"), col("vn"), subsCol.as("subs")).cache()
-    val initRows = data.orderBy("vec_id").limit(K).select("vn").collect()
+    val initRows =
+      data.orderBy(IvfIndex.initOrder: _*).limit(K).select("vn").collect()
     var books: IndexedSeq[Array[Array[Double]]] = (0 until M).map { m =>
       initRows.map(_.getSeq[Double](0)
         .slice(m * subDim, (m + 1) * subDim).toArray)
@@ -206,7 +218,8 @@ object PqIndex {
   /** Model store root, digest-keyed by the embeddings files like the IVF
     * store — regenerated data can never silently serve a stale index. */
   def modelPath(dir: String): String =
-    s"/tmp/graft_models/pq_m${M}_k${K}_i${Iters}_" +
+    // v2 = hash-sampled init (round 7) — recipe-keyed like the IVF store
+    s"/tmp/graft_models/pq_v2_m${M}_k${K}_i${Iters}_" +
       graft.sources.Fingerprint.tag(dir, "embeddings")
 
   /** Train + write `<path>/books` (M·K rows: m, code, cvec) and
@@ -268,11 +281,24 @@ object PqIndex {
     rerankByIds(emb, shortIds, pVec) // 100-id point fetch
   }
 
-  /** Coarse cells and probes of [[simSearchIvfPq]]: 8 cells halve the
-    * scanned corpus fraction to nprobe/k = 1/4 while keeping ≥ K vectors
-    * per average cell for residual-codebook training at the smallest SF. */
+  /** Coarse cells and probes of [[simSearchIvfPq]]: 8 cells keep ≥ K
+    * vectors per average cell for residual-codebook training at the
+    * smallest SF; nprobe=3 scans 3/8 of the codes store. nprobe is THE
+    * recall/scan dial of IVF — measured at sf0.001 with the uniform
+    * hash-sampled init, the probe's true top-10 live in ~6 distinct
+    * cells (weakly clustered high-dim data), so cell coverage caps
+    * recall at 3/5/7-of-10 for nprobe=2/3/4; rounds ≤6 measured 9/10
+    * at nprobe=2 only because the biased first-K-by-id init seeded a
+    * centroid AT the probe vector (vec_id 0), gluing its neighbourhood
+    * into one cell — an artifact, not quantizer quality. The coarse
+    * quantizer runs more Lloyd iterations than the codebooks
+    * ([[CoarseIters]]): its cell boundaries decide what is SCANNED
+    * (recall), while codebook refinement only sharpens ranking within
+    * the short list — and its per-iteration cost is k·dim, corpus-pass
+    * bound, cheap at 8 cells. */
   val CoarseK = 8
-  val Nprobe = 2
+  val Nprobe = 3
+  val CoarseIters = 10
 
   // ── IVF-PQ (the paper's §V — and the index FAISS calls IVFPQ): the
   // coarse quantizer PRUNES (only nprobe/k of the corpus is scanned) and
@@ -290,7 +316,7 @@ object PqIndex {
     val unit = withUnit(emb).cache()
     val coarse = IvfIndex.train(
       unit.select(col("vec_id"), col("vn").as("embedding")),
-      k = CoarseK, iters = Iters)
+      k = CoarseK, iters = CoarseIters)
     val centsLit = array(coarse.centroids.map { case (_, cvec) =>
       array(cvec.map(lit).toIndexedSeq: _*)
     }.toIndexedSeq: _*) // id-sorted: index == cell id

@@ -283,7 +283,11 @@ object SqlSurfaceOps {
   // representative. The uniform u is PORTABLE integer arithmetic (Knuth
   // multiplicative hash of doc_id, reduced mod 2³¹, +1 so u>0) rather
   // than engine rand(), so both engines replay it bit-identically and
-  // the key is oracle-checkable. pow() is libm (~1 ulp cross-engine):
+  // the key is oracle-checkable. doc_id is reduced mod 2³¹ BEFORE the
+  // multiply — algebraically identical mod 2³¹, but it caps the product
+  // at (2³¹−1)·2654435761 ≈ 5.7e18 < int64 max, so ids of any magnitude
+  // (e.g. the 10⁸-stride inflated store) never overflow in either engine
+  // or under ANSI mode. pow() is libm (~1 ulp cross-engine):
   // keys snap to a 1e-9 grid with doc_id as the final tiebreak — the
   // textTfidf ranking device. One scan, top-n as TakeOrderedAndProject
   // (per-partition heaps + driver merge of n·parts rows, never a global
@@ -291,7 +295,8 @@ object SqlSurfaceOps {
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
-        expr("round(pow((pmod(doc_id * 2654435761, 2147483648) + 1)" +
+        expr("round(pow((pmod(pmod(doc_id, 2147483648) * 2654435761," +
+          " 2147483648) + 1)" +
           " / 2147483649.0, 1.0 / GREATEST(n_chars, 1)), 9)").as("es_key"))
       .orderBy(desc("es_key"), col("doc_id"))
       .limit(50)
@@ -703,7 +708,8 @@ object SqlSurfaceOps {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, n_chars,
-        |  round(pow(((doc_id * 2654435761) % 2147483648 + 1) / 2147483649.0,
+        |  round(pow(((doc_id % 2147483648) * 2654435761 % 2147483648 + 1)
+        |              / 2147483649.0,
         |            1.0 / GREATEST(n_chars, 1)), 9) AS es_key
         |FROM documents
         |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,

@@ -28,6 +28,23 @@ class IvfIndexSpec extends SparkSuite {
     }
   }
 
+  test("init sample is uniform over the id space, not a lowest-id slice") {
+    // the trainer seeds k-means with the first k vectors by
+    // xxhash64(vec_id) — replicate that order and assert the draw spans
+    // the corpus: at sf0.001 ids run 0..499, so a 16-row uniform sample
+    // should land in many distinct deciles of the id range, where the old
+    // first-k-by-id init concentrated in decile 0 by construction
+    val n = emb.count()
+    val ids = emb.select($"vec_id")
+      .orderBy(IvfIndex.initOrder: _*).limit(16).as[Long].collect()
+    assert(ids.length === 16)
+    assert(ids.distinct.length === 16)
+    val deciles = ids.map(id => id * 10 / n).toSet
+    info(s"init ids: ${ids.sorted.mkString(",")} (deciles: ${deciles.toSeq.sorted.mkString(",")})")
+    assert(deciles.size >= 6, s"init sample clumped: deciles $deciles")
+    assert(ids.max >= n / 2, "init sample never left the low-id half")
+  }
+
   test("search: 10 rows, scores equal brute force, probe excluded") {
     val ivf = IvfIndex.simSearchIvf(spark, sf0001)
       .select("vec_id", "cos_sim").as[(Long, Double)].collect()

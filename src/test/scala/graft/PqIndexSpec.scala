@@ -122,14 +122,18 @@ class PqIndexSpec extends SparkSuite {
       assert(math.abs(c - (math.rint(cos(exactById(id).toArray) * 1e6) / 1e6))
         <= 1e-9, s"vec $id")
     }
-    // recall vs brute force: nprobe=2 of 8 cells scans 1/4 of the corpus,
-    // so a missed neighbour must live in an unprobed cell — measured
-    // recall at sf0.001; pinned with margin below it
+    // recall vs brute force: nprobe=3 of 8 cells scans 3/8 of the corpus,
+    // so a missed neighbour must live in an unprobed cell. At sf0.001 the
+    // probe's true top-10 span ~6 cells (weakly clustered data), capping
+    // cell coverage at 7/10 for nprobe=3 — measured end-to-end 7/10 with
+    // the uniform hash-sampled init; pinned with one hit of margin.
+    // (The old 9/10 at nprobe=2 was an artifact: first-K-by-id init put a
+    // centroid AT the probe, gluing its neighbourhood into one cell.)
     val exactTop = graft.operators.SimilarityOps.simSearch(spark, sf0001)
       .select($"vec_id").as[Long].collect().toSet
     val recall = got.map(_._1).toSet.intersect(exactTop).size
     info(s"ivfpq recall@10 = $recall/10")
-    assert(recall >= 5)
+    assert(recall >= 6)
   }
 
   test("serve path: identical answer from the persisted store; codes-only layout") {
