@@ -310,10 +310,14 @@ object PqIndex {
   // nprobe model-sized tables, then the same short-list → exact-re-rank
   // tail as the flat PQ key. At 100 TB: scan 1/k of a codes store that
   // is itself 16× smaller than the vectors, fetch ~100 full vectors. ──
-  def simSearchIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = graft.sources.Tables.embeddings(spark, dir)
-    val d = emb.select(size(col("embedding"))).head().getInt(0)
-    val unit = withUnit(emb).cache()
+  /** The one IVF-PQ training pipeline — coarse quantizer on unit
+    * vectors, residual v − centroid(cell), residual codebooks, residual
+    * codes — shared verbatim by the inline key and the persisted serve
+    * store, so the two paths can never train differently (their identity
+    * spec depends on it). Returns the codes as a DataFrame the caller
+    * either caches (inline) or writes (persist). */
+  private def trainIvfPq(unit: DataFrame, d: Int)
+      : (IvfIndex.Model, Codebooks, DataFrame) = {
     val coarse = IvfIndex.train(
       unit.select(col("vec_id"), col("vn").as("embedding")),
       k = CoarseK, iters = CoarseIters)
@@ -325,26 +329,21 @@ object PqIndex {
       .select(col("vec_id"), col("cell"),
         zip_with(col("v"), get(centsLit, col("cell")), (a, b) => a - b).as("vn"))
     val cb = trainOn(resid.select(col("vec_id"), col("vn")), d)
-    // cached: the probe loop below consumes this once PER PROBED CELL,
-    // and each branch would otherwise re-run the full assign+residual+
-    // encode pipeline over the corpus (the bands.cache() lesson from the
-    // minhash candidates). vec_id + cell + 16 codes — tiny.
     val codes = resid
       .withColumn("codes", codesCol(cb.books.map(_.centroids.map(_._2))))
       .select(col("vec_id"), col("cell"), col("codes"))
-      .cache()
+    (coarse, cb, codes)
+  }
 
-    val probeId = 0L
-    val pRow = unit.filter(col("vec_id") === probeId)
-      .select(col("v"), col("vn")).head()
-    val pRaw = pRow.getSeq[Double](0).toArray
-    val pu = pRow.getSeq[Double](1).toArray
+  /** The one IVF-PQ probe: per-probed-cell residual ADC over a
+    * (vec_id, cell, codes) table → 100-id short list. Shared by the
+    * inline and serve keys (`codes` is the cached training output or the
+    * partitioned store — for the store, `col("cell") === c` prunes to
+    * that cell's files at the scan). */
+  private def ivfPqShortList(codes: DataFrame, coarse: IvfIndex.Model,
+      cb: Codebooks, pu: Array[Double], probeId: Long): Array[Long] = {
     val probedCells = IvfIndex.nearestCells(coarse.centroids, pu, Nprobe)
-    // the short list is collected (100 ids — request-sized), so the
-    // cached unit-vector table can be dropped HERE instead of leaking
-    // into the session for the caller's lifetime (trainOn and
-    // distributedMinLabel keep the same discipline)
-    val shortIds = probedCells.map { c =>
+    probedCells.map { c =>
       val cent = coarse.centroids(c)._2
       val pr = pu.indices.map(i => pu(i) - cent(i)).toArray
       codes.filter(col("cell") === c && col("vec_id") =!= probeId)
@@ -354,14 +353,120 @@ object PqIndex {
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(100)
       .select(col("vec_id")).collect().map(_.getLong(0))
+  }
+
+  def simSearchIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val unit = withUnit(emb).cache()
+    val (coarse, cb, codesDf) = trainIvfPq(unit, d)
+    // cached: the probe loop consumes this once PER PROBED CELL, and
+    // each branch would otherwise re-run the full assign+residual+
+    // encode pipeline over the corpus (the bands.cache() lesson from the
+    // minhash candidates). vec_id + cell + 16 codes — tiny.
+    val codes = codesDf.cache()
+    val probeId = 0L
+    val pRow = unit.filter(col("vec_id") === probeId)
+      .select(col("v"), col("vn")).head()
+    val pRaw = pRow.getSeq[Double](0).toArray
+    val pu = pRow.getSeq[Double](1).toArray
+    // the short list is collected (100 ids — request-sized), so the
+    // cached tables can be dropped HERE instead of leaking into the
+    // session for the caller's lifetime (trainOn and
+    // distributedMinLabel keep the same discipline)
+    val shortIds = ivfPqShortList(codes, coarse, cb, pu, probeId)
     unit.unpersist()
     codes.unpersist()
     rerankByIds(emb, shortIds, pRaw) // 100-id point fetch
   }
 
+  // ── IVF-PQ train / persist / serve split — the same production shape
+  // as the flat-PQ and IVF stores, completing serve parity across the
+  // ANN family. The store carries THREE model/compressed artifacts and
+  // zero vectors: coarse centroids (CoarseK rows), residual codebooks
+  // (M·K rows), and the codes table (vec_id + cell + 16 bytes/vector)
+  // PARTITIONED BY cell — so a serve-time probe reads nprobe/CoarseK of
+  // the codes files at the SCAN (partition pruning), and the raw
+  // embeddings table is touched exactly twice, both id-pruned: the probe
+  // fetch (1 row) and the 100-row exact re-rank.
+
+  /** Store root, recipe- and data-keyed like the PQ/IVF stores. */
+  def ivfPqModelPath(dir: String): String =
+    s"/tmp/graft_models/ivfpq_v2_m${M}_k${K}_i${Iters}" +
+      s"_c${CoarseK}_ci${CoarseIters}_" +
+      graft.sources.Fingerprint.tag(dir, "embeddings")
+
+  /** Train + write `<path>/coarse` (cell, cvec), `<path>/books`
+    * (m, code, cvec) and `<path>/codes` (vec_id, codes; partitioned by
+    * cell). Training is [[trainIvfPq]] — identical to the inline key. */
+  def persistIvfPqModel(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val unit = withUnit(emb).cache()
+    val (coarse, cb, codes) = trainIvfPq(unit, d)
+    val path = ivfPqModelPath(dir)
+    ivfPqCache.remove(path)
+    coarse.centroids.toSeq.map { case (cell, cvec) => (cell, cvec.toSeq) }
+      .toDF("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    cb.books.zipWithIndex.flatMap { case (model, m) =>
+      model.centroids.map { case (code, cvec) => (m, code, cvec.toSeq) }
+    }.toDF("m", "code", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    codes.write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    unit.unpersist()
+    path
+  }
+
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (IvfIndex.Model, Codebooks)]()
+
+  /** Load persisted coarse centroids + residual codebooks (model-sized
+    * collects), memoized per store path. */
+  def loadIvfPq(spark: SparkSession, dir: String): (IvfIndex.Model, Codebooks) =
+    ivfPqCache.computeIfAbsent(ivfPqModelPath(dir), { path =>
+      val coarse = IvfIndex.Model(
+        spark.read.parquet(s"$path/coarse").select(col("cell"), col("cvec"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1))
+      val rows = spark.read.parquet(s"$path/books")
+        .select(col("m"), col("code"), col("cvec")).collect()
+      val books = (0 until M).map { m =>
+        IvfIndex.Model(rows.filter(_.getInt(0) == m)
+          .map(r => r.getInt(1) -> r.getSeq[Double](2).toArray)
+          .sortBy(_._1))
+      }
+      (coarse, Codebooks(books, books.head.centroids.head._2.length))
+    })
+
+  /** Serving-path query: NO training and NO corpus-wide scan — the
+    * probe's nprobe cells prune the partitioned codes store at the scan,
+    * residual ADC shortlists 100 ids, and the raw table serves only the
+    * probe fetch + exact re-rank. Result identical to [[simSearchIvfPq]]
+    * (training is deterministic); rows-only key. */
+  def simSearchIvfPqServe(spark: SparkSession, dir: String): DataFrame = {
+    val path = ivfPqModelPath(dir)
+    if (!new java.io.File(path).exists()) persistIvfPqModel(spark, dir)
+    val (coarse, cb) = loadIvfPq(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val probeId = 0L
+    val pRaw = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val pNorm = math.sqrt(pRaw.map(x => x * x).sum)
+    val pu = pRaw.map(_ / pNorm)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("codes"))
+    val shortIds = ivfPqShortList(codes, coarse, cb, pu, probeId)
+    rerankByIds(emb, shortIds, pRaw) // 100-id point fetch
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_search_pq"       -> simSearchPq _,
-    "sim_search_pq_serve" -> simSearchPqServe _,
-    "sim_search_ivfpq"    -> simSearchIvfPq _,
+    "sim_search_pq"          -> simSearchPq _,
+    "sim_search_pq_serve"    -> simSearchPqServe _,
+    "sim_search_ivfpq"       -> simSearchIvfPq _,
+    "sim_search_ivfpq_serve" -> simSearchIvfPqServe _,
   )
 }

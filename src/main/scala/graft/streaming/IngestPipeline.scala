@@ -239,22 +239,39 @@ object IngestPipeline {
     }
   }
 
+  /** The two-rename crash-safe swap shared by the bucket store, the day
+    * stores, and [[compactStore]]: `tmp` (fully written) replaces `dir`,
+    * with the previous `dir` parked in `bak` for exactly the window
+    * between the two renames — so at every instant the partition's
+    * previous data exists in exactly one of {dir, bak} and
+    * [[recoverDirs]] can always restore it. Every rename result is
+    * CHECKED (a false return — cross-filesystem tmp, permissions — must
+    * fail the batch, not silently drop data). */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, tmp: String, bak: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def mv(from: String, to: String): Unit =
+      require(fs.rename(p(from), p(to)), s"rename $from -> $to failed")
+    fs.delete(p(bak), true)
+    fs.mkdirs(p(bak).getParent)
+    fs.mkdirs(p(dir).getParent)
+    if (fs.exists(p(dir))) mv(dir, bak)
+    mv(tmp, dir)
+    fs.delete(p(bak), true)
+  }
+
   /** Read-union-dedupe-write-swap for ONE bucket directory. The bucket
     * path is never read and written by the same job (the merge writes to
     * `tmp`), so a lost cache block can never recompute against a
-    * half-truncated store; every rename result is CHECKED (a false return
-    * — cross-filesystem tmp, permissions — must fail the batch, not
-    * silently drop data; foreachBatch retries idempotently because the
-    * merge is deterministic over {recovered bucket ∪ batch rows}). */
+    * half-truncated store; foreachBatch retries idempotently because the
+    * merge is deterministic over {recovered bucket ∪ batch rows}. */
   private def mergeSwapBucket(rows: DataFrame,
       fs: org.apache.hadoop.fs.FileSystem,
       bdir: String, tmp: String, bak: String): Unit = {
     val spark = rows.sparkSession
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    def mv(from: String, to: String): Unit =
-      require(fs.rename(p(from), p(to)), s"rename $from -> $to failed")
     val merged0 =
-      if (fs.exists(p(bdir))) spark.read.parquet(bdir).unionByName(rows)
+      if (fs.exists(new org.apache.hadoop.fs.Path(bdir)))
+        spark.read.parquet(bdir).unionByName(rows)
       else rows
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("city")).orderBy(desc("dt"),
@@ -263,12 +280,43 @@ object IngestPipeline {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(p(bak), true)
-    fs.mkdirs(p(bak).getParent)
-    fs.mkdirs(p(bdir).getParent)
-    if (fs.exists(p(bdir))) mv(bdir, bak)
-    mv(tmp, bdir)
-    fs.delete(p(bak), true)
+    swapDir(fs, bdir, tmp, bak)
+  }
+
+  /** Small-files compaction for the partitioned stores (the bucket upsert
+    * store and the per-day sketch/CMS stores): every micro-batch rewrite
+    * and every new day adds files, and a store that has run for months
+    * accumulates a small-files problem — more tasks, more open()s, more
+    * namenode pressure at scale — even though each partition's LOGICAL
+    * content is one city set or one sketch row. This maintenance pass
+    * rewrites each `<prefix>X` partition dir holding more than `maxFiles`
+    * data files into a single file via the same two-rename [[swapDir]]
+    * (readers never observe a partial partition; a crash mid-compaction
+    * is recovered by the stores' normal [[recoverDirs]] sweep). Content
+    * is unchanged by construction — read-coalesce-write of the same rows.
+    * O(oversized partitions) work; untouched partitions are not opened.
+    * Run out-of-band (a maintenance tick between batches), like a table
+    * format's OPTIMIZE. */
+  def compactStore(spark: SparkSession, store: String, prefix: String,
+      maxFiles: Int = 1): Unit = {
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    recoverDirs(fs, store, prefix)
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .foreach { st =>
+        val name = st.getPath.getName
+        val nData = fs.listStatus(st.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        if (nData > maxFiles) {
+          val (dir, tmp, bak) =
+            (s"$store/$name", s"$store.tmp/$name", s"$store.bak/$name")
+          spark.read.parquet(dir).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          swapDir(fs, dir, tmp, bak)
+        }
+      }
   }
 
   /** Wire [[upsertBatch]] as a streaming sink. */
@@ -295,13 +343,41 @@ object IngestPipeline {
     * (one ~KB row per day) yet answers "p90 over any day range" without
     * ever rescanning observations — the dashboard-statistics upgrade of
     * the reference's full-store recompute every 300 s (`app.py:118-124`). */
-  def sketchStoreBatch(batch: DataFrame, store: String, batchId: Long): Unit = {
+  def sketchStoreBatch(batch: DataFrame, store: String, batchId: Long,
+      queryId: String = "batch"): Unit = {
     import graft.functions.{QuantileMergeAgg, QuantileSketchAgg}
     mergeDayStore(
       batch.select(to_date(col("obs_ts")).as("day"), col("temperature")),
-      store, batchId,
+      store, batchId, queryId,
       df => df.agg(QuantileSketchAgg(col("temperature"), SketchAlpha).as("sk")),
       df => df.agg(QuantileMergeAgg(col("sk")).as("sk")))
+  }
+
+  /** The stable identity of the streaming query that owns `checkpoint` —
+    * the `id` field of the checkpoint's metadata file. This is the right
+    * incarnation token for the day stores' replay guard: it SURVIVES
+    * restarts from the same checkpoint (so a crash-replayed batch under a
+    * new runId is still recognized as already merged) but is REGENERATED
+    * when the checkpoint is reset — so a fresh query whose batch ids
+    * restart at 0 can never be mistaken for the old query's batch 0 and
+    * silently dropped. (runId would be wrong here: it changes on every
+    * restart, which would turn legitimate crash-replays into double
+    * counts.) Read lazily per batch — KB-sized file, OS-cached. */
+  private[streaming] def checkpointQueryId(spark: SparkSession,
+      checkpoint: String): String = {
+    val path = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) "batch"
+    else {
+      val in = fs.open(path)
+      try {
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        // {"id":"<uuid>"} — extract without a JSON dependency
+        val m = java.util.regex.Pattern.compile("\"id\"\\s*:\\s*\"([^\"]+)\"")
+          .matcher(txt)
+        if (m.find()) m.group(1) else "batch"
+      } finally in.close()
+    }
   }
 
   /** The per-day mergeable-sketch store discipline, shared by the
@@ -314,23 +390,26 @@ object IngestPipeline {
     * Two failure modes [[upsertBatch]]'s rank-1 dedupe absorbs for free
     * need explicit handling here, because counter ADDITION is not
     * idempotent:
-    *  - REPLAY: the stored row carries the id of the last batch merged
-    *    into it; a foreachBatch retry of that same batch (only the most
-    *    recent uncommitted batch can replay) finds its own id and skips
-    *    the day instead of double-counting.
+    *  - REPLAY: the stored row carries the (query_id, batch_id) of the
+    *    last batch merged into it; a foreachBatch retry of that same
+    *    batch (only the most recent uncommitted batch can replay) finds
+    *    its own pair and skips the day instead of double-counting. The
+    *    query id half ([[checkpointQueryId]]) is what makes the guard
+    *    safe against CHECKPOINT RESETS: a new checkpoint means new batch
+    *    ids from 0, and without the query id a colliding id would
+    *    silently drop the new query's first batches.
     *  - STRANDED .bak: the swap is recovered by an all-days sweep up
     *    front ([[recoverDirs]]), not per-touched-day — a crash on the
     *    LAST batch that would ever touch a day must not leave that day
     *    invisible to readers forever. */
   private def mergeDayStore(withDay: DataFrame, store: String, batchId: Long,
+      queryId: String,
       sketchOf: DataFrame => DataFrame,
       mergeOf: DataFrame => DataFrame): Unit = {
     val spark = withDay.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    def mv(from: String, to: String): Unit =
-      require(fs.rename(p(from), p(to)), s"rename $from -> $to failed")
     recoverDirs(fs, store, "day=")
     // days-per-batch is watermark-bounded — a driver-bounded collect
     val days = withDay.select("day").distinct()
@@ -342,8 +421,18 @@ object IngestPipeline {
       val merged =
         if (fs.exists(p(dayDir))) {
           val stored = spark.read.parquet(dayDir)
-          val alreadyMerged = stored.columns.contains("batch_id") &&
-            stored.select(max(col("batch_id"))).head().getLong(0) == batchId
+          // both halves must match: same batch id from a DIFFERENT query
+          // incarnation (reset checkpoint) is new data, not a replay.
+          // query_id missing = a pre-round-7 store; its batch_id-only
+          // guard semantics are preserved.
+          val alreadyMerged = stored.columns.contains("batch_id") && {
+            val head = stored
+              .select(max(col("batch_id")).as("b"),
+                if (stored.columns.contains("query_id"))
+                  max(col("query_id")).as("q") else lit(queryId).as("q"))
+              .head()
+            head.getLong(0) == batchId && head.getString(1) == queryId
+          }
           if (alreadyMerged) {
             // replayed batch: the merge is done, but the original attempt
             // may have crashed between its final two steps — clear the
@@ -354,13 +443,9 @@ object IngestPipeline {
         } else Some(batchSk)
       merged.foreach { out =>
         out.withColumn("batch_id", lit(batchId))
+          .withColumn("query_id", lit(queryId))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        fs.delete(p(bak), true)
-        fs.mkdirs(p(bak).getParent)
-        fs.mkdirs(p(dayDir).getParent)
-        if (fs.exists(p(dayDir))) mv(dayDir, bak)
-        mv(tmp, dayDir)
-        fs.delete(p(bak), true)
+        swapDir(fs, dayDir, tmp, bak)
       }
     }
   }
@@ -370,11 +455,12 @@ object IngestPipeline {
     * O(touched days) updates; the stored 64 KB sketches answer "how many
     * observations did city X report on these days" by counter addition,
     * never rescanning observations. */
-  def cmStoreBatch(batch: DataFrame, store: String, batchId: Long): Unit = {
+  def cmStoreBatch(batch: DataFrame, store: String, batchId: Long,
+      queryId: String = "batch"): Unit = {
     import graft.functions.{CountMinMergeAgg, CountMinSketchAgg}
     mergeDayStore(
       batch.select(to_date(col("obs_ts")).as("day"), col("city")),
-      store, batchId,
+      store, batchId, queryId,
       df => df.agg(CountMinSketchAgg(col("city")).as("sk")),
       df => df.agg(CountMinMergeAgg(col("sk")).as("sk")))
   }
@@ -385,7 +471,8 @@ object IngestPipeline {
     obs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        cmStoreBatch(b.toDF(), store, id))
+        cmStoreBatch(b.toDF(), store, id,
+          checkpointQueryId(b.sparkSession, checkpoint)))
       .start()
 
   /** Query side of the frequency store: merge the stored per-day
@@ -407,7 +494,8 @@ object IngestPipeline {
     obs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sketchStoreBatch(b.toDF(), store, id))
+        sketchStoreBatch(b.toDF(), store, id,
+          checkpointQueryId(b.sparkSession, checkpoint)))
       .start()
 
   /** Query side of the sketch store: merge the stored per-day sketches

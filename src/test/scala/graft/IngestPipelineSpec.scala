@@ -473,6 +473,70 @@ class IngestPipelineSpec extends SparkSuite {
       .as[Long].head() === 5)
   }
 
+  test("day store: colliding batch id from a NEW query incarnation still merges") {
+    // checkpoint reset: a fresh query restarts batch ids at 0 — with a
+    // batch_id-only guard, its first batch would collide with the old
+    // incarnation's id and be silently dropped. The (query_id, batch_id)
+    // pair must treat it as new data, while a true replay (same pair)
+    // still skips.
+    val store = java.nio.file.Files.createTempDirectory("graft_cmqid")
+      .resolve("store").toString
+    def batchDf(city: String, epoch: Long, n: Int) =
+      (1 to n).map(i => (city, epoch + i * 60L)).toDF("city", "sec")
+        .select($"city", timestamp_seconds($"sec").as("obs_ts"))
+    val day1 = 1748515200L // 2025-05-29 UTC
+    def countA = IngestPipeline.cmStoreCounts(spark, store, Seq("A"))
+      .as[Long].head()
+    IngestPipeline.cmStoreBatch(batchDf("A", day1, 30), store,
+      batchId = 0, queryId = "query-1")
+    assert(countA === 30)
+    // true replay: same (query, batch) pair — skip
+    IngestPipeline.cmStoreBatch(batchDf("A", day1, 30), store,
+      batchId = 0, queryId = "query-1")
+    assert(countA === 30)
+    // reset checkpoint: same batch id, NEW query id — must merge
+    IngestPipeline.cmStoreBatch(batchDf("A", day1, 30), store,
+      batchId = 0, queryId = "query-2")
+    assert(countA === 60)
+    // and the new incarnation's own replays skip again
+    IngestPipeline.cmStoreBatch(batchDf("A", day1, 30), store,
+      batchId = 0, queryId = "query-2")
+    assert(countA === 60)
+  }
+
+  test("compaction: oversized partitions collapse to one file, contents identical") {
+    val store = java.nio.file.Files.createTempDirectory("graft_compact")
+      .resolve("store").toString
+    // simulate a partition grown over many batches (append = extra files)
+    val rows1 = Seq(("Jakarta", 31.0, 70, 100L), ("Medan", 30.0, 65, 100L))
+      .toDF("city", "temperature", "humidity", "dt")
+    val rows2 = Seq(("Jakarta", 32.0, 71, 200L))
+      .toDF("city", "temperature", "humidity", "dt")
+    val cold = Seq(("Ambon", 29.0, 80, 100L))
+      .toDF("city", "temperature", "humidity", "dt")
+    rows1.coalesce(1).write.parquet(s"$store/bucket=0")
+    rows2.coalesce(1).write.mode("append").parquet(s"$store/bucket=0")
+    cold.coalesce(1).write.parquet(s"$store/bucket=1")
+    def dataFiles(b: Int) = new java.io.File(s"$store/bucket=$b")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    def contents = spark.read.parquet(store)
+      .select("city", "temperature", "humidity", "dt")
+      .as[(String, Double, Int, Long)].collect().toSet
+    assert(dataFiles(0).length === 2)
+    val before = contents
+    val coldStamps = dataFiles(1).map(f => f.getName -> f.lastModified).toSeq
+    IngestPipeline.compactStore(spark, store, "bucket=")
+    assert(dataFiles(0).length === 1, "oversized partition not compacted")
+    assert(contents === before, "compaction changed store contents")
+    // a partition already at the file budget is not opened or rewritten
+    assert(dataFiles(1).map(f => f.getName -> f.lastModified).toSeq
+      === coldStamps)
+    // idempotent: a second pass finds nothing to do
+    val stamp0 = dataFiles(0).head.lastModified
+    IngestPipeline.compactStore(spark, store, "bucket=")
+    assert(dataFiles(0).head.lastModified === stamp0)
+  }
+
   test("streaming Count-Min store: per-day frequency sketches, O(batch) updates") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft_cmsto")

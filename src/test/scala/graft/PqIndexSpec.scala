@@ -136,6 +136,27 @@ class PqIndexSpec extends SparkSuite {
     assert(recall >= 6)
   }
 
+  test("ivfpq serve: identical answer from the persisted store; cell-partitioned codes") {
+    val servePath = PqIndex.persistIvfPqModel(spark, sf0001)
+    val inline = PqIndex.simSearchIvfPq(spark, sf0001)
+      .as[(Long, Double)].collect().toSeq
+    val served = PqIndex.simSearchIvfPqServe(spark, sf0001)
+      .as[(Long, Double)].collect().toSeq
+    assert(served === inline) // deterministic training ⇒ same index
+    // store layout: codes carry NO vector column and are partitioned by
+    // cell (cell=N/ directories → serve-time partition pruning); coarse
+    // and books are model-sized
+    val codesSchema = spark.read.parquet(s"$servePath/codes")
+      .schema.fieldNames.toSet
+    assert(codesSchema === Set("vec_id", "codes", "cell"))
+    val cellDirs = new java.io.File(s"$servePath/codes").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    assert(spark.read.parquet(s"$servePath/coarse").count() === PqIndex.CoarseK.toLong)
+    assert(spark.read.parquet(s"$servePath/books").count()
+      === PqIndex.M.toLong * PqIndex.K)
+  }
+
   test("serve path: identical answer from the persisted store; codes-only layout") {
     val servePath = PqIndex.persistModel(spark, sf0001)
     val inline = PqIndex.simSearchPq(spark, sf0001)
