@@ -99,14 +99,25 @@ object Bench {
     println(line)
     // the driver keeps only the tail of stdout (~2k chars), which drops half
     // the per-key numbers; persist the complete artifact (median line + raw
-    // samples) to a committed file so every key's timing survives the round
+    // samples + per-key min) to a committed file so every key's timing
+    // survives the round. The MIN is the steady-state estimator under
+    // sandbox load (BASELINE.md): a loaded box only ever ADDS time, so of
+    // 3 samples the min is the one least polluted by neighbors — the
+    // number to compare across rounds when the median looks like noise.
     val samplesJson = samples.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    def minOf(ts: Seq[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0 else ts.min
+    val minJson = samples.map { case (k, ts) =>
+      s"\"" + k + "\":" + minOf(ts)
+    }.mkString("{", ",", "}")
+    val minTotal = samples.map { case (_, ts) => minOf(ts) }.filter(_ >= 0).sum
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
     java.nio.file.Files.write(outPath,
-      (line + "\n" + s"""{"samples":$samplesJson}""" + "\n")
+      (line + "\n" + s"""{"samples":$samplesJson}""" + "\n" +
+        s"""{"min_total":$minTotal,"min":$minJson}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

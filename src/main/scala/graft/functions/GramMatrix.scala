@@ -32,6 +32,19 @@ import org.apache.spark.sql.types._
   * g₁₁…] — count, sums, then the upper triangle row by row.
   */
 object GramBuf {
+  /** Dimensionality ceiling. The O(d²) per-partition partial is ~17 KB at
+    * d=64 and ~8 MB at d=1024 — still fine as aggregation state (it rides
+    * partial aggregation like any sketch) — but ~800 MB at d=10⁴, which
+    * would OOM executors long before the aggregate sees a second row. The
+    * cap makes the failure a loud analysis-time error instead. Past it,
+    * the published remedies change the ALGORITHM, not the constant: block
+    * the Gram matrix into d/b × d/b tiles aggregated as separate
+    * (i-block, j-block) group keys (each partial is b² — a tree of
+    * bounded merges), or switch to randomized sketched PCA
+    * (Halko-Martinsson-Tropp 2011: project to a k+p dim sketch first) —
+    * both keep the one-scan shape [[graft.ml.Pca]] relies on. */
+  val MaxDim = 2048
+
   def triLen(d: Int): Int = d * (d + 1) / 2
 
   final class Buf(val d: Int) {
@@ -113,6 +126,11 @@ case class GramMatrixAgg(
   extends TypedImperativeAggregate[GramBuf.Buf] {
 
   require(d > 0, s"graft_gram dim must be positive, got $d")
+  require(d <= GramBuf.MaxDim,
+    s"graft_gram dim $d exceeds the O(d^2)-state ceiling ${GramBuf.MaxDim}" +
+      " (the partial buffer would be " + (4L * d * (d + 1L) / 1048576) +
+      " MB per partition); block the matrix into tile-keyed aggregates or" +
+      " use a randomized sketch for higher dimensions — see GramBuf.MaxDim")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

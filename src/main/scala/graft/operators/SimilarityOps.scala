@@ -68,12 +68,16 @@ object SimilarityOps {
 
   // ── LSH-bucketed ANN: random-hyperplane signatures (4 fixed pseudo-random
   // planes → 16 buckets); search only the probe's bucket. The third point on
-  // the exactness/recall dial after brute force and coarse-cell pruning. No
-  // DuckDB oracle: the bucket boundary is a float dot-product sign, which
-  // can flip across engines for vectors near a plane — verified instead by
-  // invariants in ScalaTest (candidates share the probe bucket; scores
-  // equal the brute-force scores for the same ids). At 100 TB the table is
-  // WRITTEN partitioned by bucket, so this probe reads 1/16 of the data. ──
+  // the exactness/recall dial after brute force and coarse-cell pruning.
+  // Oracle-checked since round 7: the planes are pure integer arithmetic
+  // over (p, d), so DuckDB rebuilds them exactly (same doubles — integer
+  // ops then one correctly-rounded division), and the bucket is the sign
+  // of a double dot product both engines accumulate left-to-right. A
+  // vector EXACTLY on a plane could in principle flip across engines, but
+  // the sign inputs are bit-identical here, so the boundary case would
+  // have to be dot == 0 exactly — and the strict > 0 rule resolves it the
+  // same way in both. At 100 TB the table is WRITTEN partitioned by
+  // bucket, so this probe reads 1/16 of the data. ──
   private val NPlanes = 4
 
   private def planeLit(p: Int): org.apache.spark.sql.Column =
@@ -283,5 +287,19 @@ object SimilarityOps {
         |SELECT e.vec_id, e.label, round(list_cosine_similarity(e.v, p.p_v), 6) + 0.0 AS cos_sim
         |FROM e, p WHERE e.label = p.p_label AND e.vec_id <> p.p_id
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    // the hyperplanes are rebuilt from the same integer recipe as
+    // planeLit: ((p*131 + d) * 2654435761) % 1000 / 500.0 - 1.0
+    "sim_search_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |    (CASE WHEN list_dot_product(v, [((0*131 + d) * 2654435761) % 1000 / 500.0 - 1.0 FOR d IN range(0, 64)]) > 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN list_dot_product(v, [((1*131 + d) * 2654435761) % 1000 / 500.0 - 1.0 FOR d IN range(0, 64)]) > 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN list_dot_product(v, [((2*131 + d) * 2654435761) % 1000 / 500.0 - 1.0 FOR d IN range(0, 64)]) > 0 THEN 4 ELSE 0 END)
+        |  + (CASE WHEN list_dot_product(v, [((3*131 + d) * 2654435761) % 1000 / 500.0 - 1.0 FOR d IN range(0, 64)]) > 0 THEN 8 ELSE 0 END)
+        |  AS bucket FROM e),
+        |p AS (SELECT vec_id AS p_id, v AS p_v, bucket AS p_bucket FROM b WHERE vec_id = 0)
+        |SELECT b.vec_id, b.bucket, round(list_cosine_similarity(b.v, p.p_v), 6) + 0.0 AS cos_sim
+        |FROM b, p WHERE b.bucket = p.p_bucket AND b.vec_id <> p.p_id
+        |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
   )
 }

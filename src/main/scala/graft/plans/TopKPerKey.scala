@@ -30,18 +30,40 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * impossible by construction when the ordering ends in a unique tiebreak
   * column — the deterministic-output house rule anyway.
   */
+/** Which ranking function's `<= k` filter this operator implements.
+  * All three share the partial+final shape (each is a monotone
+  * qualification rule: a row qualifying globally qualifies within any
+  * subset, so per-partition pre-filtering is exact), but retain
+  * different row sets at the boundary:
+  *  - RowNum: exactly k rows per key (total-order house rule);
+  *  - Rank: rows with < k strictly-better rows — ties at the k-th
+  *    position ALL qualify, so a key can exceed k rows;
+  *  - DenseRank: rows among the k best DISTINCT order values — each
+  *    value class keeps all its rows.
+  * Rank/DenseRank memory is O(k classes + boundary ties) per key — the
+  * same bound Spark's own WindowGroupLimit(Rank/DenseRank) carries. */
+sealed trait TopKMode
+object TopKMode {
+  case object RowNum extends TopKMode
+  case object Rank extends TopKMode
+  case object DenseRank extends TopKMode
+}
+
 case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     child: LogicalPlan,
-    rankAttr: Option[Attribute] = None) extends UnaryNode {
+    rankAttr: Option[Attribute] = None,
+    mode: TopKMode = TopKMode.RowNum) extends UnaryNode {
   // rankAttr: when the query consumes the rank itself (`SELECT ..., rn`),
   // the final stage emits each row's 1-based position within its key,
-  // under the SAME attribute id the window's row_number carried — so the
-  // rewrite substitutes this node even for rank-projecting queries. Ranks
-  // are well-defined because the house rule makes the ordering total
-  // (unique tiebreak column).
+  // under the SAME attribute id the window's ranking function carried —
+  // so the rewrite substitutes this node even for rank-projecting
+  // queries. For RowNum the position is well-defined because the house
+  // rule makes the ordering total (unique tiebreak column); for
+  // Rank/DenseRank ties are first-class and the emitted value is the
+  // standard rank/dense_rank of the row's value class.
   override def output: Seq[Attribute] = child.output ++ rankAttr
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -101,18 +123,126 @@ object TopKExec {
       }
     }
   }
+
+  // ── rank()/dense_rank() retention: per key, CLASSES of order-equal rows
+  // kept sorted best→worst. A row joins its class (ties are first-class
+  // here — no unique-tiebreak assumption); a new class is admitted only
+  // while it still qualifies (rank: < k rows strictly before it;
+  // dense_rank: < k classes before it), and trailing classes are evicted
+  // as better rows arrive. Classes per key ≤ k; rows per key ≤ k-1 +
+  // boundary ties (rank) / unbounded-by-ties (dense_rank) — exactly the
+  // rows the window filter would keep, which is what makes the
+  // partial+final split exact (qualification is monotone under subsets).
+
+  private type Classes = mutable.ArrayBuffer[mutable.ArrayBuffer[InternalRow]]
+
+  private def buildClasses(
+      iter: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      k: Int,
+      dense: Boolean): mutable.HashMap[UnsafeRow, Classes] = {
+    val keys = mutable.HashMap.empty[UnsafeRow, Classes]
+    def evict(classes: Classes): Unit =
+      if (dense) { while (classes.length > k) classes.remove(classes.length - 1) }
+      else {
+        var prefix = 0
+        var keep = 0
+        while (keep < classes.length && prefix < k) {
+          prefix += classes(keep).length; keep += 1
+        }
+        while (classes.length > keep) classes.remove(classes.length - 1)
+      }
+    iter.foreach { row =>
+      val key = keyProj(row) // transient buffer — copy only on first sight
+      val classes = keys.get(key) match {
+        case Some(c) => c
+        case None =>
+          val c: Classes = mutable.ArrayBuffer.empty
+          keys.put(key.copy(), c)
+          c
+      }
+      // binary search among class representatives (first row of a class)
+      var lo = 0
+      var hi = classes.length - 1
+      var found = -1
+      while (found < 0 && lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val cmp = ordering.compare(row, classes(mid).head)
+        if (cmp == 0) found = mid
+        else if (cmp < 0) hi = mid - 1
+        else lo = mid + 1
+      }
+      if (found >= 0) {
+        classes(found) += row.copy()
+        if (!dense) evict(classes) // a grown class can push trailing ones out
+      } else {
+        // admission check before copying: would the new class qualify?
+        val admit =
+          if (dense) lo < k
+          else {
+            var before = 0
+            var i = 0
+            while (i < lo) { before += classes(i).length; i += 1 }
+            before < k
+          }
+        if (admit) {
+          classes.insert(lo, mutable.ArrayBuffer(row.copy()))
+          evict(classes)
+        }
+      }
+    }
+    keys
+  }
+
+  def topKClassesIterator(
+      iter: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      k: Int,
+      dense: Boolean): Iterator[InternalRow] =
+    buildClasses(iter, keyProj, ordering, k, dense)
+      .valuesIterator.flatMap(_.iterator.flatMap(_.iterator))
+
+  /** Final-stage variant emitting each row's rank()/dense_rank() value:
+    * classes drain best-first, so class i (0-based) carries dense rank
+    * i+1 and rank 1 + (rows in classes before it). */
+  def topKClassesRankedIterator(
+      iter: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      k: Int,
+      dense: Boolean): Iterator[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.JoinedRow
+    buildClasses(iter, keyProj, ordering, k, dense).valuesIterator.flatMap { cs =>
+      var rowsBefore = 0
+      cs.iterator.zipWithIndex.flatMap { case (cls, i) =>
+        val r = if (dense) i + 1 else rowsBefore + 1
+        rowsBefore += cls.length
+        cls.iterator.map(row => new JoinedRow(row, InternalRow(r)))
+      }
+    }
+  }
 }
 
 case class PartialTopKExec(
-    keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: SparkPlan)
+    keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    mode: TopKMode, child: SparkPlan)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
-    val (ks, os, out, kk) = (keys, order, child.output, k)
+    val (ks, os, out, kk, m) = (keys, order, child.output, k, mode)
     child.execute().mapPartitions { iter =>
-      TopKExec.topKIterator(iter,
-        UnsafeProjection.create(ks, out), RowOrdering.create(os, out), kk)
+      val (proj, ord) =
+        (UnsafeProjection.create(ks, out), RowOrdering.create(os, out))
+      m match {
+        case TopKMode.RowNum => TopKExec.topKIterator(iter, proj, ord, kk)
+        case TopKMode.Rank =>
+          TopKExec.topKClassesIterator(iter, proj, ord, kk, dense = false)
+        case TopKMode.DenseRank =>
+          TopKExec.topKClassesIterator(iter, proj, ord, kk, dense = true)
+      }
     }
   }
   override protected def withNewChildInternal(c: SparkPlan): PartialTopKExec =
@@ -121,7 +251,7 @@ case class PartialTopKExec(
 
 case class FinalTopKExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    rankAttr: Option[Attribute], child: SparkPlan)
+    rankAttr: Option[Attribute], mode: TopKMode, child: SparkPlan)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output ++ rankAttr
   // empty keys = GLOBAL top-k: all partial results must meet in one place
@@ -132,7 +262,7 @@ case class FinalTopKExec(
     else ClusteredDistribution(keys) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
-    val (ks, os, out, kk) = (keys, order, child.output, k)
+    val (ks, os, out, kk, m) = (keys, order, child.output, k, mode)
     val (ranked, outAll) = (rankAttr.isDefined, output)
     child.execute().mapPartitions { iter =>
       val (proj, ord) =
@@ -141,8 +271,22 @@ case class FinalTopKExec(
         // downstream exchanges serialize UnsafeRow only — flatten the
         // (row, rank) JoinedRow through a projection before emitting
         val toUnsafe = UnsafeProjection.create(outAll, outAll)
-        TopKExec.topKRankedIterator(iter, proj, ord, kk).map(toUnsafe)
-      } else TopKExec.topKIterator(iter, proj, ord, kk)
+        val it = m match {
+          case TopKMode.RowNum =>
+            TopKExec.topKRankedIterator(iter, proj, ord, kk)
+          case TopKMode.Rank =>
+            TopKExec.topKClassesRankedIterator(iter, proj, ord, kk, dense = false)
+          case TopKMode.DenseRank =>
+            TopKExec.topKClassesRankedIterator(iter, proj, ord, kk, dense = true)
+        }
+        it.map(toUnsafe)
+      } else m match {
+        case TopKMode.RowNum => TopKExec.topKIterator(iter, proj, ord, kk)
+        case TopKMode.Rank =>
+          TopKExec.topKClassesIterator(iter, proj, ord, kk, dense = false)
+        case TopKMode.DenseRank =>
+          TopKExec.topKClassesIterator(iter, proj, ord, kk, dense = true)
+      }
     }
   }
   override protected def withNewChildInternal(c: SparkPlan): FinalTopKExec =
@@ -154,10 +298,10 @@ case class FinalTopKExec(
   * merge, so the rank column is appended by the final stage alone. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child, rankAttr) =>
+    case TopKPerKey(keys, order, k, child, rankAttr, mode) =>
       val planned = org.apache.spark.sql.execution.PlanLater(child)
-      FinalTopKExec(keys, order, k, rankAttr,
-        PartialTopKExec(keys, order, k, planned)) :: Nil
+      FinalTopKExec(keys, order, k, rankAttr, mode,
+        PartialTopKExec(keys, order, k, mode, planned)) :: Nil
     case _ => Nil
   }
 }

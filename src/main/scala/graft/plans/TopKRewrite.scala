@@ -19,10 +19,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * [[TopKPerKey]]'s scaladoc). Users keep writing the idiomatic SQL; the
   * engine substitutes the plan it wishes the optimizer had.
   *
+  * The same idiom with `rank()` or `dense_rank()` in place of
+  * `row_number()` lowers to the identical plan shape with the operator in
+  * the matching [[TopKMode]] — tie classes are retained in full, so the
+  * filter's exact row set (which can exceed K on boundary ties) and the
+  * emitted rank values match the window form.
+  *
   * Fire conditions (all checked, otherwise the plan is left untouched):
   *  - the Window computes EXACTLY one expression: an unaliased-downstream
-  *    `row_number()` over the default (UNBOUNDED PRECEDING, CURRENT ROW)
-  *    row frame with a non-empty ORDER BY;
+  *    `row_number()`/`rank()`/`dense_rank()` over its default
+  *    (UNBOUNDED PRECEDING, CURRENT ROW) frame with a non-empty ORDER BY;
   *  - the Filter is `rn <= lit` / `rn < lit` / `rn = 1` (literal int > 0)
   *    over exactly that attribute, with no other conjuncts — composite
   *    predicates keep the built-in plan (Spark already splits conjunctions,
@@ -56,9 +62,24 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def isDefaultRowNumberFrame(spec: WindowSpecDefinition): Boolean =
+  /** row_number / rank / dense_rank → the [[TopKMode]] the operator runs
+    * in; any other window function keeps the built-in plan. */
+  private def modeOf(fn: Expression): Option[TopKMode] = fn match {
+    case RowNumber()   => Some(TopKMode.RowNum)
+    case Rank(_)       => Some(TopKMode.Rank)
+    case DenseRank(_)  => Some(TopKMode.DenseRank)
+    case _             => None
+  }
+
+  /** All three ranking functions IGNORE the window frame, but the
+    * analyzer stamps each with its default — ROWS unbounded-to-current
+    * for row_number, RANGE unbounded-to-current for rank/dense_rank.
+    * Accept exactly those shapes (an explicit nonstandard frame on a
+    * ranking function is analyzer-rejected anyway, but stay strict). */
+  private def isDefaultRankingFrame(spec: WindowSpecDefinition): Boolean =
     spec.orderSpec.nonEmpty && (spec.frameSpecification match {
       case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+      case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => true
       case _ => false
     })
 
@@ -67,13 +88,13 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     * pruning). Our heap-based operator supersedes it — keeping it
     * would re-introduce the two full sorts the rewrite exists to
     * avoid — so unwrap it, but ONLY one that belongs to THIS
-    * Window (same partition/order spec, row_number ranking): an
+    * Window (same partition/order spec, same ranking function): an
     * unrelated group limit must survive the rewrite. */
-  private def unwrapGroupLimit(child: LogicalPlan,
+  private def unwrapGroupLimit(child: LogicalPlan, mode: TopKMode,
       partSpec: Seq[Expression], orderSpec: Seq[SortOrder]): LogicalPlan =
     child match {
-      case WindowGroupLimit(ps, os, RowNumber(), _, c)
-        if ps == partSpec && os == orderSpec => c
+      case WindowGroupLimit(ps, os, fn, _, c)
+        if ps == partSpec && os == orderSpec && modeOf(fn).contains(mode) => c
       case c => c
     }
 
@@ -81,35 +102,36 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     case p @ Project(projectList,
         Filter(cond,
           Window(Seq(al @ Alias(
-            WindowExpression(RowNumber(), spec: WindowSpecDefinition), _)),
+            WindowExpression(fn, spec: WindowSpecDefinition), _)),
             partSpec, orderSpec, child, _)))
-        if isDefaultRowNumberFrame(spec) &&
+        if modeOf(fn).isDefined && isDefaultRankingFrame(spec) &&
           (partSpec ++ orderSpec).forall(_.deterministic) &&
           projectList.forall(ne => ne.references.subsetOf(
             AttributeSet(child.output :+ al.toAttribute))) =>
-      rowNumberLimit(cond, al.exprId) match {
-        case Some(k) =>
+      (rowNumberLimit(cond, al.exprId), modeOf(fn)) match {
+        case (Some(k), Some(mode)) =>
           // emit the rank column only when the result actually consumes it
           val needRank =
             projectList.exists(_.references.exists(_.exprId == al.exprId))
           Project(projectList, TopKPerKey(partSpec, orderSpec, k,
-            unwrapGroupLimit(child, partSpec, orderSpec),
-            if (needRank) Some(al.toAttribute) else None))
-        case None => p
+            unwrapGroupLimit(child, mode, partSpec, orderSpec),
+            if (needRank) Some(al.toAttribute) else None, mode))
+        case _ => p
       }
     // projectless form: the Filter's full output (rows + rank) is consumed
     // downstream — substitute the node with the rank emitted, same schema
     case f @ Filter(cond,
         Window(Seq(al @ Alias(
-          WindowExpression(RowNumber(), spec: WindowSpecDefinition), _)),
+          WindowExpression(fn, spec: WindowSpecDefinition), _)),
           partSpec, orderSpec, child, _))
-        if isDefaultRowNumberFrame(spec) &&
+        if modeOf(fn).isDefined && isDefaultRankingFrame(spec) &&
           (partSpec ++ orderSpec).forall(_.deterministic) =>
-      rowNumberLimit(cond, al.exprId) match {
-        case Some(k) =>
+      (rowNumberLimit(cond, al.exprId), modeOf(fn)) match {
+        case (Some(k), Some(mode)) =>
           TopKPerKey(partSpec, orderSpec, k,
-            unwrapGroupLimit(child, partSpec, orderSpec), Some(al.toAttribute))
-        case None => f
+            unwrapGroupLimit(child, mode, partSpec, orderSpec),
+            Some(al.toAttribute), mode)
+        case _ => f
       }
   }
 }

@@ -127,6 +127,79 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(3)).toSeq.grouped(3).forall(_ == Seq(1, 2, 3)))
   }
 
+  test("rank() top-k lowers to the native operator; boundary ties all kept") {
+    // ties are first-class for rank(): with A ordered 10,9,9,8 the two 9s
+    // both carry rank 2, so `rnk <= 2` keeps THREE rows for A — the
+    // rewrite must reproduce that exact set and the rank values, not clip
+    // to k rows
+    val df = spark.sql(
+      """SELECT k, v, id, rnk FROM (
+        |  SELECT *, rank() OVER (PARTITION BY k ORDER BY v DESC) AS rnk
+        |  FROM (VALUES ('A', 10, 1), ('A', 9, 2), ('A', 9, 3), ('A', 8, 4),
+        |               ('B', 5, 5), ('B', 5, 6), ('B', 2, 7)) t(k, v, id))
+        |WHERE rnk <= 2""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK") && plan.contains("PartialTopK"),
+      plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === Set(
+      ("A", 10, 1, 1), ("A", 9, 2, 2), ("A", 9, 3, 2),
+      ("B", 5, 5, 1), ("B", 5, 6, 1)))
+  }
+
+  test("dense_rank() top-k lowers to the native operator, full value classes") {
+    // dense_rank counts VALUE classes: B's `2` is dense rank 2 even with
+    // two 5s before it, so every B row qualifies at k=2
+    val df = spark.sql(
+      """SELECT k, v, id, rnk FROM (
+        |  SELECT *, dense_rank() OVER (PARTITION BY k ORDER BY v DESC) AS rnk
+        |  FROM (VALUES ('A', 10, 1), ('A', 9, 2), ('A', 9, 3), ('A', 8, 4),
+        |               ('B', 5, 5), ('B', 5, 6), ('B', 2, 7)) t(k, v, id))
+        |WHERE rnk <= 2""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK") && plan.contains("PartialTopK"),
+      plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === Set(
+      ("A", 10, 1, 1), ("A", 9, 2, 2), ("A", 9, 3, 2),
+      ("B", 5, 5, 1), ("B", 5, 6, 1), ("B", 2, 7, 2)))
+  }
+
+  test("rank modes match the window form on real data under any partitioning") {
+    // set-equality with the un-rewritten window computation on the events
+    // table (rank consumed AND not consumed), with a repartitioned input
+    // so the partial stage genuinely merges across partitions
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "event_id", "value").repartition(7)
+    for (fn <- Seq("rank", "dense_rank")) {
+      ev.createOrReplaceTempView("ev_rankmode")
+      val native = spark.sql(
+        s"""SELECT event_type, event_id, rnk FROM (
+           |  SELECT *, $fn() OVER (PARTITION BY event_type
+           |                        ORDER BY value DESC, event_id) AS rnk
+           |  FROM ev_rankmode) WHERE rnk <= 5""".stripMargin)
+      assert(native.queryExecution.executedPlan.toString.contains("FinalTopK"))
+      // independent reference: drive the same window through a plan shape
+      // the rewrite does NOT touch (extra conjunct blocks it)
+      val reference = spark.sql(
+        s"""SELECT event_type, event_id, rnk FROM (
+           |  SELECT *, $fn() OVER (PARTITION BY event_type
+           |                        ORDER BY value DESC, event_id) AS rnk
+           |  FROM ev_rankmode) WHERE rnk <= 5 AND rnk > 0""".stripMargin)
+      assert(!reference.queryExecution.executedPlan.toString.contains("FinalTopK"))
+      val g = native.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val e = reference.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(g === e, s"$fn mismatch")
+    }
+  }
+
   test("graft_heavy_hitters rejects a non-literal capacity at analysis") {
     val err = intercept[Exception] {
       spark.sql(

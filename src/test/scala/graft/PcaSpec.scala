@@ -17,6 +17,19 @@ class PcaSpec extends SparkSuite {
     .map { case (k, v) => k -> v.toArray }
   private lazy val model = Pca.fit(emb)
 
+  test("gram aggregate rejects dimensions past the O(d^2)-state ceiling") {
+    // d=10k means ~400 MB of aggregation state PER PARTITION — the guard
+    // must fail loudly at construction (driver side, before any executor
+    // allocates), naming the blocked/sketched alternatives
+    val err = intercept[IllegalArgumentException] {
+      graft.functions.GramMatrixAgg($"v", 10000)
+    }
+    assert(err.getMessage.contains("ceiling"))
+    assert(err.getMessage.contains("MB per partition"))
+    // the ceiling itself is accepted (construction only — no data needed)
+    graft.functions.GramMatrixAgg($"v", graft.functions.GramBuf.MaxDim)
+  }
+
   test("gram aggregate matches a driver-side recomputation") {
     val d = 64
     val flat = emb.select($"embedding".cast("array<double>").as("v"))
