@@ -435,12 +435,19 @@ object DedupOps {
     * join + ONE groupBy + ONE jump join, convergence detected by an
     * 8-byte monotone checksum on the driver. At 100 TB add a per-round
     * `localCheckpoint()` to truncate lineage. */
+  /** Rounds the last [[distributedMinLabel]] run took to reach its
+    * fixpoint — instrumentation for the scale proof (BASELINE.md records
+    * it); written only by the distributed path. */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def distributedMinLabel(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
     var checksum = -1L
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val msgs = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
       // cached: the jump self-join below reads prop twice — uncached it
@@ -461,6 +468,7 @@ object DedupOps {
       converged = nextSum == checksum
       checksum = nextSum
     }
+    lastCcRounds.set(rounds)
     edges.unpersist()
     // hand back a lineage-truncated copy and drop the loop's cache entry:
     // the caller's output plan no longer pins a per-invocation cached DF
