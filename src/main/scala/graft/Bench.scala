@@ -41,6 +41,7 @@ object Bench {
     def runsKey(k: String) = selected.forall(_.contains(k))
     if (runsKey("sim_search_ivf_serve")) graft.ml.IvfIndex.persistModel(spark, sfDir)
     if (runsKey("sim_search_pq_serve")) graft.ml.PqIndex.persistModel(spark, sfDir)
+    if (runsKey("sim_search_ivfpq_serve")) graft.ml.PqIndex.persistIvfPqModel(spark, sfDir)
     if (runsKey("join_bucketed") || runsKey("agg_bucketed"))
       graft.sources.Bucketed.ensure(spark, sfDir)
     if (runsKey("scan_pruned_day") || runsKey("scan_pruned_dpp"))

@@ -279,7 +279,10 @@ object IngestPipeline {
     val merged = merged0
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    merged.write.mode("overwrite").parquet(tmp)
+    // one file per bucket: a bucket is sized to one task's rewrite budget
+    // (see StoreBuckets), so the shuffle's N output partitions would just
+    // seed the small-files problem compactStore exists to clean up
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     swapDir(fs, bdir, tmp, bak)
   }
 
