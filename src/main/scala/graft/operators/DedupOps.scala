@@ -42,17 +42,57 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The near-dup normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace — shared by [[dedupNear]] and the incremental
+    * fingerprint so the two can never disagree on what "same document"
+    * means. */
+  private val normKeyCol =
+    trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+
   // ── near-dup via normalized key: lowercase, strip non-alphanumerics,
   // collapse whitespace (SURVEY §2.10 dedup_near). ──
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
-    val normKey = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
     val w = Window.partitionBy(col("norm_key")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
-      .withColumn("norm_key", normKey)
+      .withColumn("norm_key", normKeyCol)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ── INCREMENTAL dedup: admit a new shard against the all-time corpus
+  // WITHOUT rescanning the corpus — the daily-ingest shape of every
+  // production training-data pipeline (a crawl refresh must not re-read
+  // 100 TB of history to ask "seen before?"). The historical side is a
+  // FINGERPRINT STORE: one 32-byte sha256 of the normalized text per doc
+  // — ~0.03% the bytes of the raw corpus — which in production persists
+  // bucketed by fingerprint so the anti-join co-locates store buckets
+  // with the shard's shuffle and reads nothing else. The shard first
+  // self-dedups (row_number() = 1 per fingerprint — shard-sized window,
+  // lowered to the native partial-heap top-k under GraftExtensions),
+  // then anti-joins the store: both shuffles are SHARD-sized, history is
+  // touched only through its fingerprints. Here the "shard" is the
+  // doc_id % 10 = 0 slice (~10%, a synthetic daily batch) and the store
+  // is derived inline from the other 90% — the driver can't ship a
+  // pre-built store, but the PLAN is the store-backed one: nothing
+  // downstream of the fingerprint projection reads history's text. ──
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = sha2(normKeyCol, 256)
+    // the persisted fingerprint store, in production written once per
+    // ingest and appended incrementally (fp only — no text, no ids)
+    val store = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(fp.as("fp")).distinct()
+    val shard = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("fp", fp)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    shard
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // first occurrence within the shard
+      .join(store, Seq("fp"), "left_anti") // never seen in history
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
   }
 
@@ -523,6 +563,7 @@ object DedupOps {
     "dedup_edit"         -> dedupEdit _,
     "dedup_exact"        -> dedupExact _,
     "dedup_near"         -> dedupNear _,
+    "dedup_incremental"  -> dedupIncremental _,
     "dedup_ngram"        -> dedupNgram _,
     "dedup_minhash"      -> dedupMinhash _,
     "dedup_minhash_fast" -> dedupMinhashFast _,
@@ -652,6 +693,16 @@ object DedupOps {
         |    ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id, lang, source, n_chars,
+        |    sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |shard AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |          FROM f WHERE doc_id % 10 = 0)
+        |SELECT doc_id, lang, source, n_chars FROM shard
+        |WHERE rn = 1
+        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 10 <> 0)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram" -> (duckShingles + duckCandInter +
       """
         |SELECT doc_a, doc_b,

@@ -72,7 +72,7 @@ object TextOps {
   // inputs are exact integer counts, so the double arithmetic is
   // engine-deterministic. ──
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    qualityScored(spark, dir).orderBy("doc_id")
+    qualityScored(spark, dir).drop("source").orderBy("doc_id")
 
   /** The quality computation without the presentation sort — shared by
     * [[textQuality]] and [[textQualityBuckets]] so composites reuse one
@@ -94,8 +94,28 @@ object TextOps {
         round(lit(0.4) * col("stop_ratio") +
           lit(0.3) * least(lit(1.0), col("n_toks") / lit(20.0)) +
           lit(0.3) * (lit(1.0) - col("punct_ratio")), 6))
-      .select(col("doc_id"), col("n_toks"), col("punct_ratio"),
+      .select(col("doc_id"), col("source"), col("n_toks"), col("punct_ratio"),
         col("stop_ratio"), col("avg_word_len"), col("quality"))
+  }
+
+  // ── per-source quota sampling: cap every SOURCE at its 20
+  // highest-quality docs — the corpus-mixing step that stops one
+  // crawl/domain from dominating the training mix (the data-curation
+  // complement of [[textQualityBuckets]]' global terciles). The
+  // row_number-over-quality idiom is exactly what the engine's
+  // TopKRewrite lowers to the native partial-heap top-k under
+  // GraftExtensions: per input partition a bounded heap per source, so
+  // only ≤ 20·partitions rows per source ever shuffle and no source is
+  // ever fully sorted — at 100 TB the quota scan is one pass over the
+  // quality projection. (doc_id tiebreak keeps the order total.) ──
+  def sampleQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("quality"), col("doc_id"))
+    qualityScored(spark, dir)
+      .select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .orderBy("source", "rn")
   }
 
   // ── CCNet-style quality bucketing: split the corpus into head/middle/
@@ -525,6 +545,7 @@ object TextOps {
     "text_lang_id"          -> textLangId _,
     "text_quality"          -> textQuality _,
     "text_quality_buckets"  -> textQualityBuckets _,
+    "sample_quota"          -> sampleQuota _,
     "text_token_count"      -> textTokenCount _,
     "text_fingerprint"      -> textFingerprint _,
     "text_fingerprint_fast" -> textFingerprintFast _,
@@ -701,6 +722,23 @@ object TextOps {
          |      + 0.3 * least(1.0, len(toks) / 20.0)
          |      + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+    "sample_quota" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |    CAST(length(text) AS INTEGER) AS chars,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS alnum_chars
+         |  FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  round(0.4 * round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6)
+         |      + 0.3 * least(1.0, len(toks) / 20.0)
+         |      + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality
+         |  FROM t),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |        PARTITION BY source ORDER BY quality DESC, doc_id) AS INTEGER) AS rn
+         |      FROM q)
+         |SELECT doc_id, source, quality, rn FROM r WHERE rn <= 20
+         |ORDER BY source, rn""".stripMargin,
     "text_quality_buckets" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

@@ -20,6 +20,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got === Seq(1.0, 0.0, -1.0))
   }
 
+  test("dedup_incremental drops history hits and within-shard repeats") {
+    // the sf corpora carry no cross-shard duplicates, so the oracle match
+    // alone only proves plan equivalence — build a corpus where the shard
+    // (doc_id % 10 = 0) contains (a) an exact normalized-dup of a
+    // HISTORY doc, (b) a within-shard dup pair, (c) a fresh doc, and pin
+    // exactly who survives
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdup").toString
+    Seq(
+      // history (doc_id % 10 != 0)
+      (1L, "Alpha beta gamma.", "en", "web", 17L),
+      (2L, "Unrelated history text", "en", "web", 22L),
+      // shard: 10 normalizes to doc 1's text (case/punct differences)
+      (10L, "alpha BETA gamma!!", "en", "web", 18L),
+      // shard: 20/30 are mutual dups — only the lowest id survives
+      (20L, "Same shard text", "en", "crawl", 15L),
+      (30L, "same  shard TEXT", "en", "crawl", 16L),
+      // shard: genuinely new
+      (40L, "Fresh never seen before", "en", "crawl", 23L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = DedupOps.dedupIncremental(spark, dir)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got === Seq(20L, 40L))
+  }
+
   test("dedup_exact keeps the LOWEST doc_id per text (window form)") {
     // on sf0.001 all texts are distinct → output must be the full table
     val docs = graft.sources.Tables.documents(spark, sf0001)

@@ -169,6 +169,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       ("B", 5, 5, 1), ("B", 5, 6, 1), ("B", 2, 7, 2)))
   }
 
+  test("sample_quota's per-source quota lowers to the native heap operator") {
+    val df = graft.operators.TextOps.sampleQuota(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK") && plan.contains("PartialTopK"),
+      plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    // every source capped at 20, ranks exactly 1..n per source
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).values.foreach { rs =>
+      assert(rs.length <= 20)
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length))
+    }
+  }
+
   test("rank modes match the window form on real data under any partitioning") {
     // set-equality with the un-rewritten window computation on the events
     // table (rank consumed AND not consumed), with a repartitioned input
