@@ -142,12 +142,12 @@ object PqIndex {
       .select(col("vec_id"), col("v"), col("codes"))
 
   /** Exact-cosine re-rank of a collected id short list against the
-    * source table — the ONE tail shared by all three PQ search keys
+    * source table — the ONE tail shared by all four PQ search keys
     * (id-pruned point fetch of ~100 vectors, 6-dp rounded scores,
     * (cos desc, vec_id) order, top 10). A single definition so the
-    * rounding/tie convention can never diverge between the inline,
-    * serve, and IVF-PQ paths, whose cross-key identity specs depend on
-    * it. */
+    * rounding/tie convention can never diverge between the inline and
+    * serve paths of flat PQ and IVF-PQ, whose cross-key identity specs
+    * depend on it. */
   private def rerankByIds(emb: DataFrame, ids: Array[Long],
       pRaw: Array[Double]): DataFrame = {
     val pNorm = math.sqrt(pRaw.map(x => x * x).sum)
