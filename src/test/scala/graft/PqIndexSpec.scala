@@ -155,6 +155,15 @@ class PqIndexSpec extends SparkSuite {
     assert(spark.read.parquet(s"$servePath/coarse").count() === PqIndex.CoarseK.toLong)
     assert(spark.read.parquet(s"$servePath/books").count()
       === PqIndex.M.toLong * PqIndex.K)
+    // a second serve call reuses the store: no retrain, no rewrite (the
+    // same stamp discipline IvfIndexSpec pins for the IVF store)
+    def stampOf(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().map(stampOf)).max
+      else f.lastModified()
+    val storeF = new java.io.File(servePath)
+    val stamp = stampOf(storeF)
+    PqIndex.simSearchIvfPqServe(spark, sf0001).collect()
+    assert(stampOf(storeF) === stamp)
   }
 
   test("serve path: identical answer from the persisted store; codes-only layout") {
