@@ -17,6 +17,9 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // deployed-parity: show the plans Bench/Verify actually measure
+      // (TopKRewrite + graft_* functions), not the vanilla-session ones
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val keys =

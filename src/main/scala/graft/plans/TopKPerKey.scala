@@ -326,7 +326,10 @@ object TopK {
   }
 
   /** Exact top-k rows per key, ordered by `order` (make the last sort key
-    * unique for deterministic output).
+    * unique for deterministic output). `mode` selects the retention rule:
+    * RowNum keeps exactly k rows per key; Rank/DenseRank keep the rows
+    * their ranking function's `<= k` filter would (boundary ties / full
+    * value classes included).
     *
     * Column→Expression note: raw `Column`s carry lazy ColumnNode wrappers
     * that the analyzer only resolves inside KNOWN plan nodes — handing them
@@ -335,7 +338,8 @@ object TopK {
     * expressions are harvested from throwaway ANALYZED `Sort`/`Project`
     * plans over the same DataFrame (attribute ids line up because the
     * child subtree is shared). */
-  def perKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+  def perKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
+      k: Int, mode: TopKMode = TopKMode.RowNum): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
@@ -351,6 +355,6 @@ object TopK {
           case e => e
         }
     GraftSqlBridge.ofRows(spark,
-      TopKPerKey(keys, sortPlan.order, k, sortPlan.child))
+      TopKPerKey(keys, sortPlan.order, k, sortPlan.child, None, mode))
   }
 }

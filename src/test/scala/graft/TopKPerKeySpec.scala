@@ -23,6 +23,29 @@ class TopKPerKeySpec extends SparkSuite {
     assert(native === windowed)
   }
 
+  test("perKey rank/dense_rank modes equal their window forms, ties intact") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.TopKMode
+    // duplicated values so rank/dense_rank genuinely diverge from RowNum
+    val tied = Seq(("a", 1L, 10.0), ("a", 2L, 9.0), ("a", 3L, 9.0),
+      ("a", 4L, 8.0), ("b", 5L, 5.0), ("b", 6L, 5.0), ("b", 7L, 2.0))
+      .toDF("event_type", "event_id", "value").repartition(3)
+    val w = Window.partitionBy($"event_type").orderBy(desc("value"))
+    def windowed(fn: org.apache.spark.sql.Column) =
+      tied.withColumn("r", fn.over(w)).filter($"r" <= 2).drop("r")
+        .collect().map(_.toSeq).toSet
+    val nativeRank = TopK.perKey(tied, Seq($"event_type"),
+        Seq(desc("value")), 2, TopKMode.Rank)
+      .collect().map(_.toSeq).toSet
+    assert(nativeRank === windowed(rank()))
+    val nativeDense = TopK.perKey(tied, Seq($"event_type"),
+        Seq(desc("value")), 2, TopKMode.DenseRank)
+      .collect().map(_.toSeq).toSet
+    assert(nativeDense === windowed(dense_rank()))
+    // and they differ from each other here: dense keeps b's 2.0 class
+    assert(nativeDense !== nativeRank)
+  }
+
   test("physical plan shows partial heaps below the exchange") {
     val df = TopK.perKey(events, Seq($"event_type"),
       Seq(desc("value"), $"event_id"), 5)
