@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      AdvancedOps.queries ++ SqlSurfaceOps.queries ++
+      AdvancedOps.queries ++ SqlSurfaceOps.queries ++ AnalyticsOps.queries ++
       graft.streaming.IngestPipeline.queries ++
       graft.ml.IvfIndex.queries ++ graft.ml.PqIndex.queries ++
       graft.ml.Pca.queries
@@ -30,6 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      AdvancedOps.oracles ++ SqlSurfaceOps.oracles ++
+      AdvancedOps.oracles ++ SqlSurfaceOps.oracles ++ AnalyticsOps.oracles ++
       graft.streaming.IngestPipeline.oracles
 }

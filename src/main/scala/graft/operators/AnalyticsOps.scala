@@ -1,0 +1,302 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-analytics and data-management operators a production engine is
+  * expected to ship beyond plain relational algebra: cohort retention,
+  * ordered funnels, robust outlier detection, iterative graph ranking, and
+  * slowly-changing-dimension (SCD2) change capture.
+  *
+  * The reference's dashboard recomputes full-store aggregates every 300 s
+  * (`/root/reference/app.py:80-84`); these are the analyses such a
+  * dashboard grows into. Scale shapes:
+  *   - retention/funnel: ONE shuffle on `user_id`, then window frames —
+  *     per-user state is bounded, so the plan holds at 1000 executors.
+  *   - anomaly_mad: two keyed aggregations over a low-cardinality group
+  *     column + broadcast joins of the 5-row stats — the raw table is
+  *     never shuffled.
+  *   - pagerank: the edge list is shuffled ONCE onto its join key and
+  *     cached; each iteration reshuffles only the rank vector (nodes ≪
+  *     edges). Fixed-point integer arithmetic keeps every engine's sum
+  *     bit-identical regardless of partitioning/order.
+  *   - cdc_scd2: a single co-partitioned left join between snapshot and
+  *     change batch; decimal arithmetic for the price restatement so both
+  *     engines round identically.
+  */
+object AnalyticsOps {
+
+  /** Events with the µs epoch (`unix_micros` ≙ DuckDB `epoch_us` after the
+    * ns→µs truncation both sides perform — see [[Tables.events]]). */
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"), to_date(col("ts")).as("day"))
+
+  // ── cohort retention: users bucketed by their first active day; for each
+  // (cohort, day-offset) cell, how many of the cohort were active. THE
+  // product-analytics staple (Amplitude/Mixpanel retention grid). The
+  // cohort day comes from a min-over-user window, so the whole query is
+  // one shuffle on user_id + one on the (cohort, offset) grid — no
+  // self-join of events against first-seen. ──
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+    ev(spark, dir)
+      .select(col("user_id"), col("day"))
+      .withColumn("cohort", min(col("day")).over(perUser))
+      .withColumn("offset_d", datediff(col("day"), col("cohort")).cast("long"))
+      .groupBy(col("cohort"), col("offset_d"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort", "offset_d")
+  }
+
+  // ── ordered funnel: view → click → purchase, where each step must occur
+  // STRICTLY AFTER a completed previous step (a click only counts if some
+  // view precedes it; a purchase only if some qualifying click precedes
+  // it). One pass: running-max flags over the per-user timeline — the
+  // classic funnel without a per-step self-join. The inclusive frame is
+  // safe: a click row's own `seen_view` can only be set by a genuinely
+  // earlier view, because the current row is not a view. ──
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val tl = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+      .withColumn("seen_view",
+        max(when(col("event_type") === "view", 1).otherwise(0)).over(tl))
+      .withColumn("click_ok",
+        when(col("event_type") === "click" && col("seen_view") === 1, 1).otherwise(0))
+      .withColumn("seen_click", max(col("click_ok")).over(tl))
+      .withColumn("purchase_ok",
+        when(col("event_type") === "purchase" && col("seen_click") === 1, 1).otherwise(0))
+    flagged.groupBy(col("user_id"))
+      .agg(max(col("seen_view")).as("v"),
+        max(col("click_ok")).as("c"),
+        max(col("purchase_ok")).as("p"))
+      .agg(sum(col("v")).as("u1"), sum(col("c")).as("u2"), sum(col("p")).as("u3"))
+      .selectExpr(
+        "stack(3, '1_view', u1, '2_view_click', u2, '3_view_click_purchase', u3) AS (step, users)")
+      .orderBy("step")
+  }
+
+  // ── robust anomaly detection: per-event-type median + MAD (median
+  // absolute deviation), flagging |x − med| > 3σ̂ where σ̂ = 1.4826·MAD —
+  // the standard robust z-score (Hampel). Medians are exact
+  // (`percentile`), rounded to 6 dp BEFORE the threshold comparison so
+  // both engines take the same branch even if their interpolation differs
+  // in the last ulp. The group column has 5 values, so both stats frames
+  // broadcast; the events table itself is scanned twice but never
+  // shuffled. ──
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = e.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"),
+        first(col("med")).as("med"))
+    e.join(broadcast(mad), "event_type")
+      .withColumn("is_out",
+        (abs(col("value") - col("med")) > lit(4.4478) * col("mad")).cast("int"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("is_out")).as("n_outliers"), count(lit(1)).as("n_total"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"))
+      .orderBy("event_type")
+  }
+
+  /** Fixed-point PageRank scale: ranks are BIGINTs in units of 1e-12, so
+    * every sum is integer arithmetic — bit-identical under ANY partitioning
+    * or order, in Spark and in the DuckDB oracle alike. (A double-based
+    * rank needs a tolerance; an integer one needs none.) At node counts
+    * where 0.85·Σrank would overflow int64 (≈ 10^6 nodes at this scale
+    * constant), drop SCALE one decade per 10× nodes. */
+  private val PrScale = 1000000000000L // 1e12
+  private val PrIters = 5
+
+  // ── PageRank over the customer–supplier trade graph (who trades with
+  // whom, via orders ⋈ lineitem), undirected, damping 0.85, 5 iterations.
+  // The iterative-computation pattern every graph workload needs from the
+  // engine: static edge+degree frame shuffled onto its join key ONCE and
+  // cached; per iteration only the (node, rank) vector — orders of
+  // magnitude smaller than the edges — moves. Contributions use integer
+  // division (`div`), matching DuckDB `//` on positives, so the oracle can
+  // replay all 5 iterations exactly. ──
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // dedup the fact side to (order, supplier) BEFORE the join: shrinks the
+    // join input ~4× (multi-line orders) and the distinct after it
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val edgesDirected = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val und = edgesDirected.union(
+      edgesDirected.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // static per-edge frame: (src, dst, src-degree); one shuffle, cached,
+    // reused by all iterations
+    val adj = und.join(deg, "src").cache()
+    var ranks = deg.select(col("src").as("node"), lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      // the rank vector is |nodes| ≪ |edges| — broadcast it so the cached
+      // edge frame never reshuffles; only the dst-keyed partial-agg moves
+      // data. (On a graph whose node vector outgrows broadcast, drop the
+      // hint: the same plan degrades to a co-partitioned shuffle join.)
+      ranks = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(PrScale * 15L / 100L) +
+          expr("sum(contrib) * 85 div 100")).as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    ranks.orderBy("node")
+  }
+
+  // ── CDC / SCD type-2 merge: apply a change batch to a dimension
+  // snapshot, versioning each changed key with [valid_from, valid_to)
+  // intervals and an is_current flag — the standard warehouse pattern for
+  // history-preserving upserts. The change batch here is derived
+  // deterministically from orders (every 7th key is restated +5% a month
+  // later) so the oracle can rebuild it; in production it would arrive
+  // from the stream (graft.streaming.IngestPipeline's upsert sink is the
+  // O(batch) physical form of the same merge). Price restatement is done
+  // in DECIMAL so both engines round identically. ──
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("eff"))
+    val changes = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+        round(col("o_totalprice").cast("decimal(18,2)") * lit(1.05).cast("decimal(3,2)"), 2)
+          .cast("double").as("o_totalprice"),
+        date_add(col("eff"), 30).as("eff"))
+    val closed = base.join(
+      changes.select(col("o_orderkey"), col("eff").as("chg_eff")),
+      Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), lit(1L).as("version"), col("o_orderstatus"),
+        col("o_totalprice"), col("eff").as("valid_from"),
+        col("chg_eff").as("valid_to"),
+        col("chg_eff").isNull.as("is_current"))
+    val current = changes
+      .select(col("o_orderkey"), lit(2L).as("version"), col("o_orderstatus"),
+        col("o_totalprice"), col("eff").as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    closed.union(current).orderBy("o_orderkey", "version")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_retention" -> cohortRetention _,
+    "funnel_steps"     -> funnelSteps _,
+    "anomaly_mad"      -> anomalyMad _,
+    "graph_pagerank"   -> graphPagerank _,
+    "cdc_scd2"         -> cdcScd2 _,
+  )
+
+  private val prIterSql: String = {
+    // unrolled iterations: it0 = uniform PrScale; it{k} from it{k-1}
+    val iters = (1 to PrIters).map { k =>
+      val prev = if (k == 1) "r0" else s"it${k - 1}"
+      s"""it$k AS (
+         |  SELECT ue.dst AS node,
+         |    CAST(${PrScale * 15L / 100L} + (sum(p.r // deg.d) * 85) // 100
+         |         AS BIGINT) AS r
+         |  FROM ue JOIN $prev p ON ue.src = p.node
+         |         JOIN deg ON ue.src = deg.src
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |ue AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |deg AS (SELECT src, count(*) AS d FROM ue GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST($PrScale AS BIGINT) AS r FROM deg),
+       |$iters
+       |SELECT node, r FROM it$PrIters ORDER BY node""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+        |SELECT c.cohort, CAST(e.day - c.cohort AS BIGINT) AS offset_d,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "funnel_steps" ->
+      """WITH tl AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |f1 AS (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    OVER w AS seen_view
+        |  FROM tl
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |f2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND seen_view = 1
+        |    THEN 1 ELSE 0 END AS click_ok FROM f1),
+        |f3 AS (
+        |  SELECT *, max(click_ok) OVER w AS seen_click
+        |  FROM f2
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |f4 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND seen_click = 1
+        |    THEN 1 ELSE 0 END AS purchase_ok FROM f3),
+        |per_user AS (
+        |  SELECT user_id, max(seen_view) AS v, max(click_ok) AS c,
+        |    max(purchase_ok) AS p
+        |  FROM f4 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(v) AS BIGINT) AS u1,
+        |  CAST(sum(c) AS BIGINT) AS u2, CAST(sum(p) AS BIGINT) AS u3
+        |  FROM per_user)
+        |SELECT step, users FROM (
+        |  SELECT '1_view' AS step, u1 AS users FROM tot
+        |  UNION ALL SELECT '2_view_click', u2 FROM tot
+        |  UNION ALL SELECT '3_view_click_purchase', u3 FROM tot)
+        |ORDER BY step""".stripMargin,
+    "anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type,
+        |    round(quantile_cont("value", 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    round(quantile_cont(abs(e."value" - m.med), 0.5), 6) AS mad,
+        |    any_value(m.med) AS med
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(sum(CASE WHEN abs(e."value" - m.med) > 4.4478 * m.mad
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n_total,
+        |  any_value(m.med) AS med, any_value(m.mad) AS mad
+        |FROM events e JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_pagerank" -> prIterSql,
+    "cdc_scd2" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS eff
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)), 2)
+        |         AS DOUBLE) AS o_totalprice,
+        |    eff + 30 AS eff
+        |  FROM base WHERE o_orderkey % 7 = 0)
+        |SELECT b.o_orderkey, CAST(1 AS BIGINT) AS version, b.o_orderstatus,
+        |  b.o_totalprice, b.eff AS valid_from, c.eff AS valid_to,
+        |  c.eff IS NULL AS is_current
+        |FROM base b LEFT JOIN changes c USING (o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, 2, o_orderstatus, o_totalprice, eff,
+        |  CAST(NULL AS DATE), TRUE
+        |FROM changes
+        |ORDER BY o_orderkey, version""".stripMargin,
+  )
+}

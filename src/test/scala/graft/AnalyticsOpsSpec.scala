@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AnalyticsOps
+
+/** Invariants for the analytics family (cohort/funnel/anomaly/pagerank/
+  * SCD2) beyond the DuckDB hash oracle: structural properties that must
+  * hold at ANY scale factor, plus determinism under repartitioning for the
+  * iterative fixed-point PageRank (the property the integer arithmetic
+  * exists to guarantee).
+  */
+class AnalyticsOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cohort_retention: offset-0 cell equals cohort size; users never exceed it") {
+    val ret = AnalyticsOps.cohortRetention(spark, sf0001).collect()
+    val day0 = ret.filter(_.getLong(1) == 0L)
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    // every cohort has its day-0 row (the first-active day itself)
+    val cohorts = ret.map(_.getDate(0).toString).distinct
+    assert(cohorts.forall(day0.contains))
+    // retention is bounded by the cohort's size at offset 0
+    assert(ret.forall(r => r.getLong(2) <= day0(r.getDate(0).toString)))
+  }
+
+  test("funnel_steps: step counts are monotone non-increasing") {
+    val steps = AnalyticsOps.funnelSteps(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(steps.size == 3)
+    assert(steps("1_view") >= steps("2_view_click"))
+    assert(steps("2_view_click") >= steps("3_view_click_purchase"))
+    // sf0.001 has 15 users all active across a month — everyone converts
+    assert(steps("1_view") > 0)
+  }
+
+  test("anomaly_mad: outliers are a strict minority and counts are consistent") {
+    val rows = AnalyticsOps.anomalyMad(spark, sf0001).collect()
+    assert(rows.length == 5) // one per event_type
+    rows.foreach { r =>
+      val (out, total) = (r.getLong(1), r.getLong(2))
+      assert(out >= 0 && out <= total)
+      // 3-sigma-equivalent robust threshold keeps outliers rare
+      assert(out.toDouble / total < 0.2)
+      assert(r.getDouble(4) >= 0) // MAD is non-negative
+    }
+  }
+
+  test("graph_pagerank: bit-identical under repartitioning; mass bounded") {
+    val a = AnalyticsOps.graphPagerank(spark, sf0001).collect()
+    val b = {
+      // force different parallelism → different partial-sum order; the
+      // integer fixed-point must not care
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try AnalyticsOps.graphPagerank(spark, sf0001).collect()
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // integer truncation only LOSES mass: total ≤ n·SCALE, and damping
+    // keeps every rank ≥ 0.15·SCALE
+    val n = a.length.toLong
+    val total = a.map(_.getLong(1)).sum
+    assert(total <= n * 1000000000000L)
+    assert(a.forall(_.getLong(1) >= 150000000000L))
+  }
+
+  test("cdc_scd2: changed keys have v1 closed + v2 open; unchanged have one current row") {
+    val scd = AnalyticsOps.cdcScd2(spark, sf0001).cache()
+    val byKey = scd.groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n"), sum(when($"is_current", 1).otherwise(0)).as("cur"))
+      .collect()
+    byKey.foreach { r =>
+      val changed = r.getLong(0) % 7 == 0
+      assert(r.getLong(1) == (if (changed) 2L else 1L))
+      assert(r.getLong(2) == 1L) // exactly one current version per key
+    }
+    // closed intervals end where the successor begins
+    val bad = scd.filter($"version" === 1 && !$"is_current" &&
+      datediff($"valid_to", $"valid_from") =!= 30).count()
+    assert(bad == 0L)
+    scd.unpersist()
+  }
+}
