@@ -46,6 +46,8 @@ object Bench {
       graft.sources.Bucketed.ensure(spark, sfDir)
     if (runsKey("scan_pruned_day") || runsKey("scan_pruned_dpp"))
       graft.sources.Layout.ensureEventsByDay(spark, sfDir)
+    if (runsKey("scan_zorder"))
+      graft.sources.Layout.ensureEventsZOrdered(spark, sfDir)
     spark.catalog.clearCache()
     // micro mode (dev): `runMain graft.Bench <key> [iters]` times one key
     // repeatedly — separates per-session constants (codegen, cache fill)

@@ -99,6 +99,26 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  // ── Z-order pruned scan: the TWO-dimensional companion of
+  // scan_pruned_day. The store (Layout.writeEventsZOrdered) is sorted by
+  // the Morton interleave of (user_id, time), so each parquet file covers
+  // a small rectangle of that plane (pinned by LayoutSpec) and its
+  // row-group min/max stats skip the file for ANY conjunction of a
+  // user-range and a time-range predicate — data skipping no single-column
+  // sort order can give both predicates at once. Both filters are plain
+  // pushed-down range predicates; correctness never depends on the layout
+  // (the oracle runs the same filter on the unsorted source). ──
+  def scanZorder(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsZOrdered(spark, dir)
+    spark.read.parquet(path)
+      .filter(col("user_id").between(5, 99) &&
+        unix_micros(col("ts")).between(
+          1705276800000000L, 1705708800000000L)) // 2024-01-15 .. 2024-01-20 UTC
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"))
+      .orderBy("event_type")
+  }
+
   // ── Dynamic partition pruning: the RUNTIME companion of
   // scan_pruned_day. There the pruned day is a literal the planner sees;
   // here the day set comes from a FILTERED DIMENSION (a calendar keyed
@@ -228,6 +248,7 @@ object RelationalOps {
     "join_bucketed"     -> joinBucketed _,
     "agg_bucketed"      -> aggBucketed _,
     "scan_pruned_day"   -> scanPrunedDay _,
+    "scan_zorder"       -> scanZorder _,
     "scan_pruned_dpp"   -> scanPrunedDpp _,
     "join_semi"         -> joinSemi _,
     "join_anti"         -> joinAnti _,
@@ -266,6 +287,14 @@ object RelationalOps {
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value") AS avg_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_zorder" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value") AS avg_value
+        |FROM events
+        |WHERE user_id BETWEEN 5 AND 99
+        |  AND epoch_us(CAST(ts AS TIMESTAMP))
+        |      BETWEEN 1705276800000000 AND 1705708800000000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_pruned_dpp" ->
       """SELECT event_type, count(*) AS cnt,

@@ -91,6 +91,19 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Lazily materialize the Z-ordered events copy for `dir` (content-keyed
+    * via [[Fingerprint]], same offline-layout-job discipline as
+    * [[ensureEventsByDay]]); returns its path. */
+  def ensureEventsZOrdered(spark: SparkSession, dir: String): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_zorder_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) writeEventsZOrdered(Tables.events(spark, dir), path)
+    path
+  }
+
   /** Small-file compaction: rewrite a parquet directory into files of
     * ~`targetFileMB` each, preserving content exactly.
     *
