@@ -22,6 +22,7 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       AdvancedOps.queries ++ SqlSurfaceOps.queries ++ AnalyticsOps.queries ++
       graft.streaming.IngestPipeline.queries ++
+      graft.streaming.StreamJoin.queries ++
       graft.ml.IvfIndex.queries ++ graft.ml.PqIndex.queries ++
       graft.ml.Pca.queries
 
@@ -31,5 +32,6 @@ object SparkEntry {
     CoreOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       AdvancedOps.oracles ++ SqlSurfaceOps.oracles ++ AnalyticsOps.oracles ++
-      graft.streaming.IngestPipeline.oracles
+      graft.streaming.IngestPipeline.oracles ++
+      graft.streaming.StreamJoin.oracles
 }
