@@ -183,7 +183,31 @@ object Pca {
       .orderBy("vec_id")
   }
 
+  /** PCA whitening: the top-2 projection additionally scaled by 1/√λ per
+    * axis, giving coordinates with unit variance and zero covariance — the
+    * standard embedding normalization before cosine/k-means downstream
+    * (decorrelates the dominant directions so no axis swamps the metric).
+    * Same single-Gram-pass train + codegen'd projection scan as embed_pca;
+    * rows-only key, PcaSpec pins the unit-variance/zero-covariance
+    * identity. */
+  def embedWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val m = fit(emb)
+    require(m.l1 > 0 && m.l2 > 0, s"degenerate spectrum: λ=(${m.l1}, ${m.l2})")
+    val (s1, s2) = (1.0 / math.sqrt(m.l1), 1.0 / math.sqrt(m.l2))
+    val meanLit = array(m.mean.map(lit).toIndexedSeq: _*)
+    def proj(pc: Array[Double]) =
+      dot(zip_with(col("v"), meanLit, (a, b) => a - b),
+        array(pc.map(lit).toIndexedSeq: _*))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        (round(proj(m.pc1) * lit(s1), 6) + lit(0.0d)).as("w1"),
+        (round(proj(m.pc2) * lit(s2), 6) + lit(0.0d)).as("w2"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embed_pca" -> embedPca _,
+    "embed_pca"    -> embedPca _,
+    "embed_whiten" -> embedWhiten _,
   )
 }

@@ -110,4 +110,21 @@ class PcaSpec extends SparkSuite {
     assert(math.abs(varP - model.l1) <= 1e-3 * model.l1,
       s"var=$varP λ1=${model.l1}")
   }
+
+  test("embed_whiten key: unit variance per axis, zero covariance") {
+    val rows = Pca.embedWhiten(spark, sf0001)
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length === vecs.size)
+    val (w1, w2) = (rows.map(_._2), rows.map(_._3))
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    val (m1, m2) = (mean(w1), mean(w2))
+    val v1 = mean(w1.map(x => (x - m1) * (x - m1)))
+    val v2 = mean(w2.map(x => (x - m2) * (x - m2)))
+    val cov = mean(w1.indices.map(i => (w1(i) - m1) * (w2(i) - m2)).toArray)
+    // whitening divides each axis by √λ: variance 1, covariance 0 (axes
+    // are eigenvectors of the covariance — exactly decorrelated)
+    assert(math.abs(v1 - 1.0) < 1e-2, s"var(w1)=$v1")
+    assert(math.abs(v2 - 1.0) < 1e-2, s"var(w2)=$v2")
+    assert(math.abs(cov) < 1e-2, s"cov=$cov")
+  }
 }
