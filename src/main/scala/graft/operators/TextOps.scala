@@ -529,10 +529,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── n-gram novelty: per document, the fraction of its distinct word
+  // 3-grams that appear NOWHERE else in the corpus — the memorization/
+  // boilerplate signal (low novelty = templated or duplicated text; the
+  // aggregate corpus-level form of what dedup_ngram detects pairwise).
+  // Two shuffles, both on bounded keys: df per shingle (map-side partial
+  // count — a boilerplate shingle in 10^8 docs still aggregates
+  // hierarchically), then shingle-keyed join back (AQE skew-split handles
+  // the hot boilerplate keys). Per-doc state is one count pair. ──
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val trigrams =
+      "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2)," +
+        " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))" +
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .select(col("doc_id"), explode(expr(trigrams)).as("shingle"))
+      .distinct()
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("df") === 1).cast("long")).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate"         -> decontaminate _,
     "decontaminate_bloom"   -> decontaminateBloom _,
     "text_repetition"       -> textRepetition _,
+    "text_ngram_novelty"    -> textNgramNovelty _,
     "pipeline_training_corpus" -> pipelineTrainingCorpus _,
     "heavy_hitters"         -> heavyHitters _,
     "count_min_freq"        -> countMinFreq _,
@@ -608,6 +636,20 @@ object TextOps {
         |SELECT doc_id, n_toks, start_tok,
         |  start_tok // 512 AS chunk_id, start_tok % 512 AS off_in_chunk
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        |  FROM t),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS novelty
+        |FROM sh s JOIN df d USING (shingle)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "decontaminate" -> DecontaminateSql,
     // the Bloom form is exact by construction (no false negatives; every
     // positive re-verified), so it is held to the SAME oracle — the
