@@ -129,6 +129,25 @@ object SqlSurfaceOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ── rolling exact median: a PERCENTILE as a framed window aggregate —
+  // trailing-50-event median of `value` per event type, the robust
+  // rolling baseline every monitoring pipeline wants (rolling mean is
+  // what window_moving_avg shows; the median version survives outliers).
+  // One shuffle on the partition key; frame state is the 50-row buffer
+  // per partition cursor. Exact interpolation matches DuckDB's
+  // quantile_cont bit-for-bit at 6 dp on this data. ──
+  def windowRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-49, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_id"),
+        (round(expr("percentile(value, 0.5)").over(w), 6) + lit(0.0d)).as("med"))
+      .orderBy("event_id")
+  }
+
   // ── shared scaffold for EXACT ranks without a partitionless (or
   // low-cardinality-partition) window, used by windowNtile and
   // windowRankFamilyScaled: global value bounds (one aggregate, broadcast
@@ -557,6 +576,7 @@ object SqlSurfaceOps {
     "join_full_outer" -> joinFullOuter _,
     "join_range"      -> joinRange _,
     "window_cumsum"   -> windowCumsum _,
+    "window_rolling_median" -> windowRollingMedian _,
     "window_ntile"    -> windowNtile _,
     "conditional_agg" -> conditionalAgg _,
     "string_agg"      -> stringAgg _,
@@ -677,6 +697,13 @@ object SqlSurfaceOps {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |    AS DOUBLE) AS revenue_to_date
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_rolling_median" ->
+      """SELECT event_id,
+        |  round(quantile_cont("value", 0.5) OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) + 0.0 AS med
+        |FROM events ORDER BY event_id""".stripMargin,
     "window_ntile" ->
       """SELECT o_orderkey, o_totalprice,
         |  CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
