@@ -24,7 +24,7 @@ object SparkEntry {
       graft.streaming.IngestPipeline.queries ++
       graft.streaming.StreamJoin.queries ++
       graft.ml.IvfIndex.queries ++ graft.ml.PqIndex.queries ++
-      graft.ml.Pca.queries ++ graft.ml.LogReg.queries
+      graft.ml.Pca.queries ++ graft.ml.LogReg.queries ++ graft.ml.Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
