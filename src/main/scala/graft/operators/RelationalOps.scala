@@ -119,6 +119,33 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  // ── Snapshot time travel: two commits into the manifest-versioned store
+  // (sources/Versioned — immutable data files, atomic manifest-pointer
+  // commits), then BOTH snapshots read back and aggregated side by side.
+  // Reading v1 AFTER v2 was committed is the isolation proof: a snapshot
+  // reader sees exactly its manifest's file set, never a directory
+  // listing, so later appends are invisible by construction. The oracle
+  // rebuilds both snapshots from the source with the same time split. ──
+  private val TtSplitUs = 1705363200000000L // 2024-01-16 UTC
+  def scanTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tag = graft.sources.Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val root = s"$wh/graft_events_versioned_$tag"
+    if (graft.sources.Versioned.currentVersion(spark, root) < 2) {
+      val ev = Tables.events(spark, dir)
+      graft.sources.Versioned.append(spark, root,
+        ev.filter(unix_micros(col("ts")) < TtSplitUs))
+      graft.sources.Versioned.append(spark, root,
+        ev.filter(unix_micros(col("ts")) >= TtSplitUs))
+    }
+    def agg(v: Int) = graft.sources.Versioned.readVersion(spark, root, v)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"))
+      .withColumn("version", lit(v.toLong))
+    agg(1).union(agg(2)).select(col("version"), col("event_type"),
+      col("cnt"), col("avg_value")).orderBy("version", "event_type")
+  }
+
   // ── Dynamic partition pruning: the RUNTIME companion of
   // scan_pruned_day. There the pruned day is a literal the planner sees;
   // here the day set comes from a FILTERED DIMENSION (a calendar keyed
@@ -249,6 +276,7 @@ object RelationalOps {
     "agg_bucketed"      -> aggBucketed _,
     "scan_pruned_day"   -> scanPrunedDay _,
     "scan_zorder"       -> scanZorder _,
+    "scan_time_travel"  -> scanTimeTravel _,
     "scan_pruned_dpp"   -> scanPrunedDpp _,
     "join_semi"         -> joinSemi _,
     "join_anti"         -> joinAnti _,
@@ -296,6 +324,18 @@ object RelationalOps {
         |  AND epoch_us(CAST(ts AS TIMESTAMP))
         |      BETWEEN 1705276800000000 AND 1705708800000000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_time_travel" ->
+      """WITH ev AS (SELECT event_type, "value",
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, event_type, count(*) AS cnt,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value") AS avg_value
+        |  FROM ev WHERE us < 1705363200000000 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), event_type, count(*),
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value")
+        |  FROM ev GROUP BY event_type)
+        |ORDER BY version, event_type""".stripMargin,
     "scan_pruned_dpp" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value") AS avg_value

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Versioned
+
+/** Manifest-pointer snapshot store: append-only commits, version
+  * resolution, and the isolation property the format exists for. */
+class VersionedSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("snapshot isolation: a v1 reader is blind to later appends") {
+    val root = Files.createTempDirectory("graft_versioned").toString
+    assert(Versioned.currentVersion(spark, root) === 0)
+
+    val v1 = Versioned.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(v1 === 1)
+    val v2 = Versioned.append(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    assert(v2 === 2)
+    assert(Versioned.currentVersion(spark, root) === 2)
+
+    // v1 read AFTER v2's commit: exactly the original rows
+    val r1 = Versioned.readVersion(spark, root, 1)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(r1.toSeq === Seq((1L, "a"), (2L, "b")))
+    // v2 = v1's files + the appended ones
+    val r2 = Versioned.readVersion(spark, root, 2)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(r2.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // unknown snapshot fails loudly
+    intercept[IllegalArgumentException] {
+      Versioned.readVersion(spark, root, 3)
+    }
+  }
+
+  test("scan_time_travel key: v2 aggregates strictly contain v1's") {
+    val byVersion = graft.operators.RelationalOps
+      .queries("scan_time_travel")(spark, sf0001)
+      .select($"version", $"event_type", $"cnt")
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(byVersion.keySet === Set(1L, 2L))
+    // every event type's count can only grow across snapshots
+    byVersion(2L).foreach { case (et, c2) =>
+      assert(byVersion(1L).getOrElse(et, 0L) <= c2)
+    }
+    assert(byVersion(2L).values.sum >
+      byVersion(1L).values.sum) // the second commit added rows
+  }
+}
