@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.heavyHittersFunction)
+    ext.injectFunction(GraftExtensions.heavyHittersMergeFunction)
     ext.injectFunction(GraftExtensions.quantileSketchFunction)
     ext.injectFunction(GraftExtensions.quantileMergeFunction)
     ext.injectFunction(GraftExtensions.quantileEstimateFunction)
@@ -107,6 +108,35 @@ object GraftExtensions {
       require(cap > 0,
         s"graft_heavy_hitters capacity must be positive, got $cap")
       graft.functions.MisraGriesAgg(children.head, cap)
+    })
+
+  /** `graft_heavy_hitters_merge(summary, capacity)` aggregate — rolls up
+    * persisted graft_heavy_hitters summaries (mergeable-summaries rule);
+    * capacity must fold to an integer literal. */
+  val heavyHittersMergeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_heavy_hitters_merge"),
+    new ExpressionInfo(
+      classOf[graft.functions.MisraGriesMergeAgg].getCanonicalName, null,
+      "graft_heavy_hitters_merge",
+      "graft_heavy_hitters_merge(summary, capacity) - merge persisted " +
+        "Misra-Gries summaries (array<struct<term,cnt>>) into one.",
+      "", "", "", "", "", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_heavy_hitters_merge requires exactly 2 arguments, got ${children.length}")
+      require(children(1).foldable,
+        "graft_heavy_hitters_merge capacity must be a literal")
+      val cap = children(1).eval() match {
+        case b: Byte => b.toInt
+        case s: Short => s.toInt
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_heavy_hitters_merge capacity must be integral, got $other")
+      }
+      require(cap > 0,
+        s"graft_heavy_hitters_merge capacity must be positive, got $cap")
+      graft.functions.MisraGriesMergeAgg(children.head, cap)
     })
 
   /** Shared literal-extraction for registry builders whose argument sizes

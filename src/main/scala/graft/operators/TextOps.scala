@@ -289,6 +289,28 @@ object TextOps {
       .orderBy(desc("cnt"), col("term"))
       .limit(10)
 
+  // ── heavy-hitters summary STORE rollup: per-source Misra-Gries
+  // summaries (modeling the per-shard sketch store an ingest job
+  // persists) merged into the global top tokens by pure summary merging —
+  // the raw corpus is read once by the shard pass and NEVER re-read by
+  // any rollup. Completes the store-merge symmetry of the sketch family
+  // (HLL, DDSketch, Count-Min, and now Misra-Gries). Capacity (64) sits
+  // above this vocabulary (~31), so every summary stays exact and the
+  // result provably equals heavy_hitters' — the two keys SHARE an oracle
+  // (machine-checked equivalence); the lossy capacity-cut path is pinned
+  // separately in MisraGriesSpec. ──
+  def heavyHittersMerge(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(toksCol).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"))
+      .agg(graft.functions.MisraGriesAgg(col("token"), 64).as("hh"))
+      .agg(graft.functions.MisraGriesMergeAgg(col("hh"), 64).as("merged"))
+      .select(explode(col("merged")).as("s"))
+      .select(col("s.term").as("term"), col("s.cnt").as("cnt"))
+      .orderBy(desc("cnt"), col("term"))
+      .limit(10)
+
   // ── point-frequency sketch store (Count-Min — the fourth member of the
   // sketch family: HLL cardinality, DDSketch quantiles, Misra-Gries
   // top-k, and now arbitrary-key frequency). The shape mirrors
@@ -563,6 +585,7 @@ object TextOps {
     "text_ngram_novelty"    -> textNgramNovelty _,
     "pipeline_training_corpus" -> pipelineTrainingCorpus _,
     "heavy_hitters"         -> heavyHitters _,
+    "heavy_hitters_merge"   -> heavyHittersMerge _,
     "count_min_freq"        -> countMinFreq _,
     "pack_sequences"        -> packSequences _,
     "text_scrub"            -> textScrub _,
@@ -677,6 +700,14 @@ object TextOps {
     // exact only because capacity ≥ vocabulary at test scale — the sketch
     // degenerates to a group-count (see heavyHitters scaladoc)
     "heavy_hitters" ->
+      """SELECT token AS term, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents) t
+        |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+    // store-merge form: capacity > vocabulary keeps every per-source
+    // summary exact, so the merged rollup provably equals the direct
+    // count — same oracle = machine-checked equivalence
+    "heavy_hitters_merge" ->
       """SELECT token AS term, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |  FROM documents) t

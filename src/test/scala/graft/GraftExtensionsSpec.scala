@@ -65,6 +65,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
 
+  test("graft_heavy_hitters_merge rolls up summaries from SQL") {
+    val rows = spark.sql(
+      """SELECT m.term, m.cnt FROM (
+        |  SELECT explode(graft_heavy_hitters_merge(hh, 8)) AS m FROM (
+        |    SELECT shard, graft_heavy_hitters(s, 8) AS hh FROM
+        |      (VALUES (1, 'a'), (1, 'a'), (2, 'a'), (2, 'b'), (2, 'b'), (1, 'c')) t(shard, s)
+        |    GROUP BY shard))"""
+        .stripMargin).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    // wrong input shape fails at analysis (a raw string is not a summary)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_heavy_hitters_merge(s, 8) FROM (VALUES ('x')) t(s)")
+        .collect()
+    }
+    assert(e.getMessage.contains("summary") ||
+      e.getMessage.contains("array<struct"))
+  }
+
   test("SQL-registered aggregates type-check at analysis, not on executors") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT graft_heavy_hitters(h, 8) FROM (VALUES (CAST(1 AS BIGINT))) t(h)")

@@ -64,4 +64,36 @@ class MisraGriesSpec extends SparkSuite {
       assert(c1 > c2 || (c1 === c2 && t1 < t2))
     }
   }
+
+  test("store-merge: exact-regime rollup equals the direct key") {
+    val direct = TextOps.heavyHitters(spark, sf0001)
+      .as[(String, Long)].collect().toSeq
+    val merged = TextOps.queries("heavy_hitters_merge")(spark, sf0001)
+      .as[(String, Long)].collect().toSeq
+    assert(merged === direct)
+  }
+
+  test("store-merge: lossy regime keeps the mergeable-summaries bound") {
+    import org.apache.spark.sql.functions._
+    // 3 shards; one dominant term + distinct-per-shard noise far beyond
+    // the capacity, so the merge MUST take the capacity cut
+    val rows = (1 to 3).flatMap { shard =>
+      Seq.fill(60)(s"s$shard" -> "dominant") ++
+        (1 to 40).map(i => s"s$shard" -> s"noise_${shard}_$i")
+    }
+    val df = rows.toDF("shard", "term")
+    val n = rows.size.toLong
+    val cap = 8
+    val got = df.groupBy($"shard")
+      .agg(graft.functions.MisraGriesAgg($"term", cap).as("hh"))
+      .agg(graft.functions.MisraGriesMergeAgg($"hh", cap).as("m"))
+      .select(explode($"m").as("s"))
+      .select($"s.term", $"s.cnt").as[(String, Long)].collect().toMap
+    assert(got.size <= cap)
+    // any term with true frequency > N/(cap+1)=20 must survive the merges
+    assert(got.contains("dominant"))
+    // counts only ever undercount, by at most N/(cap+1)
+    assert(got("dominant") <= 180L)
+    assert(got("dominant") >= 180L - n / (cap + 1))
+  }
 }
