@@ -111,9 +111,13 @@ object RelationalOps {
   def scanZorder(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.Layout.ensureEventsZOrdered(spark, dir)
     spark.read.parquet(path)
+      // BOTH predicates compare raw columns (the time bound is a folded
+      // timestamp literal, not unix_micros(ts) — a function over the
+      // column would block parquet pushdown and with it the min/max
+      // skipping this key exists to demonstrate)
       .filter(col("user_id").between(5, 99) &&
-        unix_micros(col("ts")).between(
-          1705276800000000L, 1705708800000000L)) // 2024-01-15 .. 2024-01-20 UTC
+        col("ts") >= timestamp_micros(lit(1705276800000000L)) && // 2024-01-15 UTC
+        col("ts") <= timestamp_micros(lit(1705708800000000L))) // 2024-01-20 UTC
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"))
       .orderBy("event_type")
