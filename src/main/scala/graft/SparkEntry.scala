@@ -21,6 +21,7 @@ object SparkEntry {
     CoreOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       AdvancedOps.queries ++ SqlSurfaceOps.queries ++ AnalyticsOps.queries ++
+      StatsOps.queries ++
       graft.streaming.IngestPipeline.queries ++
       graft.streaming.StreamJoin.queries ++
       graft.ml.IvfIndex.queries ++ graft.ml.PqIndex.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     CoreOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       AdvancedOps.oracles ++ SqlSurfaceOps.oracles ++ AnalyticsOps.oracles ++
+      StatsOps.oracles ++
       graft.streaming.IngestPipeline.oracles ++
       graft.streaming.StreamJoin.oracles
 }

@@ -1,0 +1,328 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GramMatrixAgg
+import graft.sources.Tables
+
+/** Statistical / time-series operators: the numeric-analysis layer the
+  * reference's dashboard (`/root/reference/app.py:80-84` recomputes
+  * mean/sum cards per refresh) grows into once users ask "how do these
+  * measures RELATE" rather than "what is their level" — correlation
+  * structure, trends, distribution shape, smoothing, streaks, and gap
+  * repair.
+  *
+  * Scale shapes (the part that must survive 1000 executors):
+  *   - corr_matrix: ONE scan + a model-sized mergeable Gram partial per
+  *     partition ([[graft.functions.GramMatrixAgg]]) — the d×d second
+  *     moment of a 100 TB fact table costs one reduce of ~d²/2 doubles;
+  *     no per-pair pass, no shuffle of the fact table.
+  *   - regr_trend / group_entropy: plain keyed aggregation — partial
+  *     aggregates push to the map side, only group-sized state shuffles.
+  *   - hist_equidepth / window_ewma / window_streaks: entity-partitioned
+  *     windows (event_type / user_id) — per-key state is bounded, keys
+  *     parallelize; no global sort anywhere.
+  *   - resample_interp: per-user day spine + frame-bounded
+  *     ignore-nulls carries, the interpolation twin of resample_ffill.
+  *
+  * Determinism: every double that crosses the oracle boundary is
+  * `round(…, 6) + 0.0` (the repo-wide −0.0 normalization); orderings are
+  * total (unique tie-break column in every ORDER BY).
+  */
+object StatsOps {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"),
+        to_date(col("ts")).as("day"))
+
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0d)
+
+  // ── full Pearson correlation matrix over lineitem's measures in ONE
+  // pass: graft_gram accumulates n, Σxᵢ and the Σxᵢxⱼ upper triangle as a
+  // single mergeable aggregate, and the 6 pairwise correlations are pure
+  // arithmetic on the resulting 1-row array — where a naive corr(a,b)
+  // per pair either rescans or at best re-aggregates per pair, this is
+  // one scan + one ~120-byte reduce regardless of table size. corr is
+  // scale-factor-invariant, so the population-moment form here equals
+  // DuckDB's sample corr exactly (the n/(n−1) factors cancel). ──
+  private val CorrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def statsCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = CorrCols.length
+    val g1 = Tables.lineitem(spark, dir)
+      .select(array(CorrCols.map(c => col(c).cast("double")): _*).as("v"))
+      .agg(GramMatrixAgg(col("v"), d).as("g"))
+    def el(k: Int): Column = element_at(col("g"), k + 1)
+    val n = el(0)
+    def s(i: Int): Column = el(1 + i)
+    def gram(i: Int, j: Int): Column =
+      el(1 + d + i * d - i * (i - 1) / 2 + (j - i)) // upper-tri flat index
+    def cov(i: Int, j: Int): Column =
+      gram(i, j) / n - (s(i) / n) * (s(j) / n)
+    val pairs = for {
+      i <- 0 until d; j <- (i + 1) until d
+    } yield struct(
+      lit(CorrCols(i)).as("col_a"), lit(CorrCols(j)).as("col_b"),
+      r6(cov(i, j) / sqrt(cov(i, i) * cov(j, j))).as("r"))
+    g1.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.r").as("r"))
+      .orderBy("col_a", "col_b")
+  }
+
+  // ── per-group OLS trend: slope / intercept / R² of `value` against the
+  // event's day number, per event_type — "is this metric drifting, and
+  // how fast". Uses the engine's codegen'd regression aggregates
+  // (regr_slope/…): single keyed aggregation, partial-aggregated
+  // map-side, so the fact table shuffles only 5 tiny moment tuples. ──
+  def regrTrend(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .select(col("event_type"), col("value"),
+        expr("CAST(us div 86400000000 AS DOUBLE)").as("x"))
+      .groupBy(col("event_type"))
+      .agg(r6(expr("regr_slope(value, x)")).as("slope"),
+        r6(expr("regr_intercept(value, x)")).as("intercept"),
+        r6(expr("regr_r2(value, x)")).as("r2"),
+        expr("CAST(regr_count(value, x) AS BIGINT)").as("n"))
+      .orderBy("event_type")
+
+  // ── Shannon entropy of the language mix per source — the corpus-
+  // diversity diagnostic an LLM-data curator tracks per provider (a
+  // source whose entropy collapses started scraping one language).
+  // Two keyed aggregations over group-sized frames; the natural-log
+  // p·ln p sum is rounded once at the boundary. ──
+  def groupEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy("source")))
+    c.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        first(col("tot")).as("n_docs"),
+        r6(-sum((col("cnt") / col("tot")) * log(col("cnt") / col("tot"))))
+          .as("entropy"))
+      .orderBy("source")
+  }
+
+  // ── equi-depth histogram: 10 equal-count buckets of `value` per
+  // event_type via ntile over a TOTAL order (value, event_id — the
+  // tie-break makes bucket assignment deterministic), then per-bucket
+  // lo/hi/count. The windows are entity-partitioned, so unlike a global
+  // ntile this parallelizes per key; for a single global histogram at
+  // scale, window_rank_family_scaled's bucketed rank reconstruction is
+  // the drop-in form. Bounds pass through un-arithmetic'd → bit-exact. ──
+  def histEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    ev(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** [[windowEwma]] truncation: weights beyond 49 lags are ≤ 0.9⁵⁰ ≈
+    * 0.5%, below the 6-dp output rounding for this data's magnitudes —
+    * so a 50-row frame gives the exact same rounded answer as the
+    * unbounded recurrence while keeping per-row state O(1). */
+  private val EwmaLags = 49
+  private val EwmaDecay = "0.9D"
+
+  // ── exponentially-weighted moving average per user (decay 0.9,
+  // normalized weights — pandas `ewm(alpha=0.1, adjust=True)`): the
+  // smoothing primitive behind every "trend line" card. One shuffle onto
+  // user_id, then a 50-row frame collected in event-time order and
+  // reduced by codegen'd higher-order functions — no self-join, no
+  // per-row UDF. The truncated closed form makes the recurrence
+  // expressible as a frame aggregate (windowed sums can't carry
+  // position-dependent weights), which is what lets it run as ONE
+  // window pass at any scale. ──
+  def windowEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-EwmaLags, 0)
+    ev(spark, dir)
+      .select(col("event_id"), col("user_id"), col("us"), col("value"))
+      .withColumn("hist", collect_list(col("value")).over(w))
+      .withColumn("ewma", expr(
+        s"""round(
+           |  aggregate(
+           |    transform(hist,
+           |      (x, i) -> x * pow($EwmaDecay, size(hist) - 1 - i)),
+           |    0D, (a, b) -> a + b)
+           |  / ((1.0D - pow($EwmaDecay, CAST(size(hist) AS DOUBLE))) / 0.1D),
+           |6) + 0.0D""".stripMargin))
+      .select(col("event_id"), col("user_id"), col("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ── gaps-and-islands: consecutive-day activity streaks per user via
+  // the classic day−row_number island key — pure integer arithmetic
+  // (bit-exact in any engine), one shuffle on user_id, per-user state
+  // bounded by distinct active days. ──
+  def windowStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = ev(spark, dir)
+      .select(col("user_id"), col("day")).distinct()
+      .withColumn("grp",
+        expr("datediff(day, DATE'1970-01-01')") - row_number().over(byDay))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
+  // ── linear-interpolation resample: the imputation twin of
+  // resample_ffill for VALUE series where a straight-line estimate beats
+  // carrying the last level. Same per-user day spine + left join; the
+  // fill is two frame-bounded IGNORE NULLS carries (previous / next
+  // known point, each dragging its day along) and a pure-arithmetic
+  // lerp — no self-join against known points. Spine endpoints are known
+  // by construction (min/max come from observed days), so every gap has
+  // both neighbors. ──
+  def resampleInterp(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .groupBy(col("user_id"), col("day"))
+      .agg(avg(col("value")).as("v"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val prevF = byDay.rowsBetween(Window.unboundedPreceding, -1)
+    val nextF = byDay.rowsBetween(1, Window.unboundedFollowing)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(prevF))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(prevF))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(nextF))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(nextF))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        when(col("v").isNotNull, r6(col("v")))
+          .otherwise(r6(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double")))).as("val"),
+        col("v").isNull.as("is_gap"))
+      .orderBy("user_id", "day_s")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_corr_matrix" -> statsCorrMatrix _,
+    "regr_trend"        -> regrTrend _,
+    "group_entropy"     -> groupEntropy _,
+    "hist_equidepth"    -> histEquidepth _,
+    "window_ewma"       -> windowEwma _,
+    "window_streaks"    -> windowStreaks _,
+    "resample_interp"   -> resampleInterp _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stats_corr_matrix" -> {
+      val pairs = for {
+        i <- CorrCols.indices; j <- (i + 1) until CorrCols.length
+      } yield
+        s"""SELECT '${CorrCols(i)}' AS col_a, '${CorrCols(j)}' AS col_b,
+           |  round(corr(${CorrCols(i)}, ${CorrCols(j)}), 6) + 0.0 AS r
+           |FROM lineitem""".stripMargin
+      pairs.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+    "regr_trend" ->
+      """SELECT event_type,
+        |  round(regr_slope("value", x), 6) + 0.0 AS slope,
+        |  round(regr_intercept("value", x), 6) + 0.0 AS intercept,
+        |  round(regr_r2("value", x), 6) + 0.0 AS r2,
+        |  CAST(regr_count("value", x) AS BIGINT) AS n
+        |FROM (SELECT event_type, "value",
+        |        CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |             AS DOUBLE) AS x
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "group_entropy" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |t AS (SELECT *, sum(cnt) OVER (PARTITION BY source) AS tot FROM c)
+        |SELECT source, count(*) AS n_langs,
+        |  CAST(any_value(tot) AS BIGINT) AS n_docs,
+        |  round(-sum((cnt / CAST(tot AS DOUBLE)) *
+        |             ln(cnt / CAST(tot AS DOUBLE))), 6) + 0.0 AS entropy
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "hist_equidepth" ->
+      """SELECT event_type, bucket, min("value") AS lo, max("value") AS hi,
+        |  count(*) AS cnt
+        |FROM (SELECT event_type, "value", event_id,
+        |        ntile(10) OVER (PARTITION BY event_type
+        |                        ORDER BY "value", event_id) AS bucket
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "window_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, "value" AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS rn FROM e)
+        |SELECT a.event_id, a.user_id,
+        |  round(sum(b.v * pow(0.9, a.rn - b.rn)) /
+        |        ((1 - pow(0.9, count(*))) / 0.1), 6) + 0.0 AS ewma
+        |FROM r a JOIN r b
+        |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 49 AND a.rn
+        |GROUP BY a.event_id, a.user_id
+        |ORDER BY a.user_id, a.event_id""".stripMargin,
+    "window_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (SELECT user_id,
+        |        (day - DATE '1970-01-01')
+        |          - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |          AS grp
+        |      FROM d),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "resample_interp" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, avg("value") AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY 1)),
+        |j AS (
+        |  SELECT g.user_id, g.day, d.v FROM grid g
+        |  LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day),
+        |f AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS pd,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS nd
+        |  FROM j
+        |  WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wn AS (PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s,
+        |  CASE WHEN v IS NOT NULL THEN round(v, 6) + 0.0
+        |       ELSE round(pv + (nv - pv) *
+        |         ((day - pd) / CAST(nd - pd AS DOUBLE)), 6) + 0.0
+        |  END AS val,
+        |  v IS NULL AS is_gap
+        |FROM f ORDER BY user_id, day_s""".stripMargin,
+  )
+}

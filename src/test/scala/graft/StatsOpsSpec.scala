@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StatsOps
+
+/** Invariants for the statistics/time-series family beyond the DuckDB
+  * hash oracle: mathematical properties that must hold at ANY scale
+  * factor (correlation bounds and symmetry-free pair layout, regression
+  * identities, entropy bounds, equi-depth balance, EWMA range-boundedness,
+  * streak accounting, interpolation between-neighbors bounds).
+  */
+class StatsOpsSpec extends SparkSuite {
+
+  test("stats_corr_matrix: one row per unordered pair, r in [-1, 1], and " +
+    "self-consistent with the two-column corr aggregate") {
+    val rows = StatsOps.statsCorrMatrix(spark, sf0001).collect()
+    assert(rows.length == 6) // C(4,2) unordered pairs
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // the Gram-derived value must agree with Spark's own corr() pairwise
+    // aggregate to well inside the 6-dp boundary discipline
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val direct = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
+      .head().getDouble(0)
+    val gram = rows.find(r =>
+      r.getString(0) == "l_quantity" && r.getString(1) == "l_extendedprice")
+      .get.getDouble(2)
+    assert(math.abs(direct - gram) < 1e-6)
+  }
+
+  test("regr_trend: slope/intercept reproduce the mean point (the OLS " +
+    "line passes through (x̄, ȳ)) and r2 in [0, 1]") {
+    val t = StatsOps.regrTrend(spark, sf0001).collect()
+    assert(t.nonEmpty)
+    val means = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value"),
+        expr("CAST(unix_micros(ts) div 86400000000 AS DOUBLE)").as("x"))
+      .groupBy("event_type").agg(avg("x").as("mx"), avg("value").as("my"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    t.foreach { r =>
+      val (mx, my) = means(r.getString(0))
+      // slope/intercept are 6-dp rounded in the output; the identity's
+      // tolerance scales with x̄ (≈ 2·10⁴ days since epoch)
+      assert(math.abs(r.getDouble(1) * mx + r.getDouble(2) - my) <
+        (mx + 1) * 1e-6 + 1e-6)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("group_entropy: bounded by ln(n_langs) and non-negative") {
+    StatsOps.groupEntropy(spark, sf0001).collect().foreach { r =>
+      val (nLangs, h) = (r.getLong(1), r.getDouble(3))
+      assert(h >= 0.0)
+      assert(h <= math.log(nLangs.toDouble) + 1e-9)
+    }
+  }
+
+  test("hist_equidepth: buckets cover each group exactly, counts within 1, " +
+    "and ranges are ordered and non-overlapping") {
+    val h = StatsOps.histEquidepth(spark, sf0001).collect()
+      .groupBy(_.getString(0))
+    val totals = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    h.foreach { case (et, rows) =>
+      assert(rows.map(_.getLong(4)).sum == totals(et))
+      val counts = rows.map(_.getLong(4))
+      assert(counts.max - counts.min <= 1) // equi-depth balance
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(3) <= b.getDouble(2)) // hi(k) <= lo(k+1)
+        case _ =>
+      }
+    }
+  }
+
+  test("window_ewma: every smoothed value lies within the min/max of its " +
+    "user's history (convex combination)") {
+    val ew = StatsOps.windowEwma(spark, sf0001).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2))
+    val bounds = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(ew.nonEmpty)
+    ew.foreach { case (u, v) =>
+      val (lo, hi) = bounds(u)
+      assert(v >= lo - 1e-6 && v <= hi + 1e-6)
+    }
+  }
+
+  test("window_streaks: longest <= active days, streak count positive, " +
+    "and active days equals the user's distinct-day count") {
+    val s = StatsOps.windowStreaks(spark, sf0001).collect()
+    val dd = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(3))
+      assert(r.getLong(2) >= 1)
+      assert(r.getLong(3) == dd(r.getLong(0)))
+    }
+  }
+
+  test("resample_interp: known days round-trip, gap days lie between their " +
+    "neighbors' values, and the spine is dense per user") {
+    val rows = StatsOps.resampleInterp(spark, sf0001).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(_.getString(1)).sorted
+      // dense day spine: consecutive calendar days
+      days.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(java.time.LocalDate.parse(b).toEpochDay ==
+            java.time.LocalDate.parse(a).toEpochDay + 1)
+        case _ =>
+      }
+      // first and last rows are observed (spine spans known endpoints)
+      val sortedRows = rs.sortBy(_.getString(1))
+      assert(!sortedRows.head.getBoolean(3) && !sortedRows.last.getBoolean(3))
+      // every gap value lies within [min, max] of the known values
+      val known = rs.filter(!_.getBoolean(3)).map(_.getDouble(2))
+      val (lo, hi) = (known.min, known.max)
+      rs.filter(_.getBoolean(3)).foreach { g =>
+        assert(g.getDouble(2) >= lo - 1e-6 && g.getDouble(2) <= hi + 1e-6)
+      }
+    }
+  }
+}
