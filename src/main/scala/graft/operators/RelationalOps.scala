@@ -272,8 +272,77 @@ object RelationalOps {
         k = 5)
       .orderBy(col("event_type"), desc("value"), col("event_id"))
 
+  /** Bloom sizing for [[joinBloomPrefilter]]: 2²⁰ bits / 4 probes — the
+    * same 128 KB scalar-broadcast bitmap as decontaminate_bloom. At the
+    * ~550 keys/SF-unit this dim filter passes, the false-positive rate is
+    * ≪1%, and FPs are removed by the exact join, so the bitmap only sizes
+    * the shuffled fact stream — it can never change the answer. */
+  private val JoinBloomBits = 1L << 20
+  private val JoinBloomSeeds = 0 until 4
+
+  // ── runtime-filtered shuffle join: a selective dim-side predicate
+  // (1995-Q1 orders, ~3.7% of keys) is turned into a 128 KB Bloom bitmap
+  // and applied AT THE FACT SCAN, so ~96% of lineitem never enters the
+  // shuffle — the "runtime filter" / sideways-information-passing pattern
+  // (Spark's own bloomFilterJoin, Trino's dynamic filtering) built from
+  // first principles with codegen'd expressions: seeded xxhash64 probes,
+  // bit_or word aggregation, scalar-broadcast application. The exact join
+  // then removes Bloom false positives, so the result is IDENTICAL to the
+  // plain join (the oracle is the plain SQL join — machine-checked
+  // equivalence). At 100 TB this is the difference between shuffling the
+  // full fact table and shuffling 4% of it. ──
+  /** The 1995-Q1 order dim side of [[joinBloomPrefilter]]. */
+  private def bloomJoinDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+
+  /** The Bloom-prefiltered fact stream of [[joinBloomPrefilter]]:
+    * lineitem rows whose order key MIGHT be in the filtered dim (superset
+    * of true matches — no false negatives by construction). Exposed so
+    * the spec can pin the superset + pruning properties directly. */
+  private[graft] def bloomPrefilteredFact(
+      spark: SparkSession, dir: String): DataFrame = {
+    val dim = bloomJoinDim(spark, dir)
+    val positions = JoinBloomSeeds.map(s =>
+      expr(s"pmod(xxhash64(o_orderkey, $s), ${JoinBloomBits}L)"))
+    val bloom = dim
+      .select(explode(array(positions: _*)).as("pos"))
+      .select(expr("CAST(pos div 64 AS INT)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
+        .as("bloom"))
+
+    val mightContain = JoinBloomSeeds.map { s =>
+      val pos = s"pmod(xxhash64(l_orderkey, $s), ${JoinBloomBits}L)"
+      expr(s"""(coalesce(element_at(bloom, CAST($pos div 64 AS INT)),
+              |          CAST(0 AS BIGINT))
+              | & shiftleft(CAST(1 AS BIGINT), CAST($pos % 64 AS INT))) != 0
+              |""".stripMargin)
+    }.reduce(_ && _)
+
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .crossJoin(broadcast(bloom))
+      .filter(mightContain)                       // Bloom prefilter at scan
+      .drop("bloom")
+  }
+
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val dim = bloomJoinDim(spark, dir)
+    bloomPrefilteredFact(spark, dir)
+      .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "topk_per_key_native" -> topkPerKeyNative _,
+    "join_bloom_prefilter" -> joinBloomPrefilter _,
     "join_bhj"          -> joinBhj _,
     "join_smj"          -> joinSmj _,
     "join_bucketed"     -> joinBucketed _,
@@ -292,6 +361,16 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the Bloom form is exact by construction (no false negatives, FPs
+    // removed by the join) — its oracle is the PLAIN join, so the pass is
+    // a machine-checked equivalence proof of the prefilter
+    "join_bloom_prefilter" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "topk_per_key_native" ->
       """SELECT event_type, event_id, "value" FROM (
         |  SELECT event_type, event_id, "value",

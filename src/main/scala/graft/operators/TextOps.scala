@@ -578,7 +578,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── duplicated-SPAN detection (the sub-document form of what dedup_*
+  // does per document — Lee et al. 2022 showed most training-data
+  // duplication hides INSIDE otherwise-unique documents): every sliding
+  // 8-token span, flagged when the identical span also occurs in another
+  // document. One shuffle on the span key (map-side partial distinct),
+  // one span-keyed join back, one per-doc aggregate — the exact-match
+  // skeleton of a suffix-array span dedup; production swaps the span
+  // string for xxhash64(span) exactly like the *_fast fingerprint keys
+  // (8-byte keys through the shuffle instead of ~50-byte strings). ──
+  def textSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7)," +
+          " i -> array_join(slice(toks, i, 8), ' '))")).as("span"))
+    val global = sp.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = sp.join(global, "span")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("nd") >= 2).cast("long")).as("n_dup_spans"))
+    Tables.documents(spark, dir)
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans").isNull, lit(0.0d))
+          .otherwise(round(col("n_dup_spans").cast("double") /
+            col("n_spans"), 6) + lit(0.0d)).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // ── block-level boilerplate REMOVAL (the destructive twin of
+  // text_span_dedup): documents are chunked into non-overlapping 8-token
+  // blocks; each distinct block keeps only its FIRST occurrence
+  // (doc_id, block-position order) corpus-wide, and every document is
+  // reassembled from its surviving blocks — headers/footers/licence
+  // blocks repeated across a crawl vanish from all but one document.
+  // The keep/drop decision is one window over the block key (state = one
+  // row per distinct block); reassembly is a per-doc sort of its own
+  // ≤⌈len/8⌉ blocks — both scale-safe. ──
+  def textBlockDedup(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(toks) + 7) div 8 - 1)," +
+          " b -> struct(b AS b, array_join(slice(toks, b * 8 + 1, 8), ' ') AS blk))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.b").as("b"), col("x.blk").as("blk"))
+    val w = Window.partitionBy(col("blk")).orderBy(col("doc_id"), col("b"))
+    blocks
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("kept").cast("long")).as("kept_blocks"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(b, blk) END))," +
+            " x -> x.blk)")).as("new_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_span_dedup"       -> textSpanDedup _,
+    "text_block_dedup"      -> textBlockDedup _,
     "decontaminate"         -> decontaminate _,
     "decontaminate_bloom"   -> decontaminateBloom _,
     "text_repetition"       -> textRepetition _,
@@ -619,6 +683,40 @@ object TextOps {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |sp AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |             FROM t WHERE len(toks) >= 8)),
+        |g AS (SELECT span, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1),
+        |p AS (SELECT sp.doc_id, count(*) AS n_spans,
+        |        CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_dup
+        |      FROM sp JOIN g USING (span) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(p.n_spans, 0) AS n_spans,
+        |  COALESCE(p.n_dup, 0) AS n_dup_spans,
+        |  CASE WHEN p.n_spans IS NULL THEN 0.0
+        |       ELSE round(p.n_dup / CAST(p.n_spans AS DOUBLE), 6) + 0.0
+        |  END AS dup_ratio
+        |FROM documents d LEFT JOIN p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_block_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, i AS b,
+        |        array_to_string(toks[i*8+1:i*8+8], ' ') AS blk
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(range(0, (len(toks) + 7) // 8)) AS i
+        |            FROM t)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY blk
+        |        ORDER BY doc_id, b) AS rn FROM b)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_blocks,
+        |  COALESCE(string_agg(blk, ' ' ORDER BY b) FILTER (WHERE rn = 1), '')
+        |    AS new_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the four standalone-key fragments composed in dependency order —
     // gate → decontaminate → dedup → pack; see pipelineTrainingCorpus
     "pipeline_training_corpus" ->

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{RelationalOps, TextOps}
+import graft.sources.Tables
+
+/** Invariants for sub-document dedup (span flagging / block removal)
+  * beyond the DuckDB oracle: consistency with the document-level dedup
+  * keys and conservation laws that must hold at any scale factor.
+  */
+class SpanDedupSpec extends SparkSuite {
+
+  test("text_span_dedup: ratios bounded; exact-duplicate documents are " +
+    "fully span-duplicated") {
+    val rows = TextOps.textSpanDedup(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // dup spans <= spans
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // any byte-identical document pair (the dedup_exact signal) must have
+    // every span shared → dup_ratio 1.0 on both members
+    val dupDocs = Tables.documents(spark, sf0001)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    dupDocs.foreach { id => // vacuous at SFs without planted exact dups
+      val r = byId(id)
+      if (r.getLong(1) > 0) assert(r.getDouble(3) == 1.0)
+    }
+    // conservation: per-doc span totals add up to the corpus span count
+    val totalSpans = Tables.documents(spark, sf0001)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 8)
+      .select((size(col("toks")) - 7).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == totalSpans)
+  }
+
+  test("text_block_dedup: kept-block total equals the corpus's distinct " +
+    "block count, and surviving text is a subsequence of the original") {
+    val out = TextOps.textBlockDedup(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // conservation: every distinct block survives exactly once
+    val distinctBlocks = out.map(_.getLong(1)).sum - // all blocks
+      (out.map(_.getLong(1)).sum - out.map(_.getLong(2)).sum) // minus dropped
+    val expected = Tables.documents(spark, sf0001)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .select(explode(expr(
+        "transform(sequence(0, (size(toks) + 7) div 8 - 1)," +
+          " b -> array_join(slice(toks, b * 8 + 1, 8), ' '))")).as("blk"))
+      .distinct().count()
+    assert(distinctBlocks == expected)
+    // per doc: kept <= total, and the rebuilt text's tokens appear in the
+    // original in order (subsequence of 8-token blocks)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rebuilt = r.getString(3)
+      if (rebuilt.nonEmpty) {
+        val orig = docs(r.getLong(0)).split("\\s+")
+        val blocks = orig.grouped(8).map(_.mkString(" ")).toSeq
+        val keptSeq = rebuilt.split("\\s+").grouped(8).map(_.mkString(" ")).toList
+        // every kept block is one of the doc's own blocks, in order
+        var idx = 0
+        keptSeq.foreach { kb =>
+          val at = blocks.indexOf(kb, idx)
+          assert(at >= 0, s"block '$kb' not found in order")
+          idx = at + 1
+        }
+      }
+    }
+  }
+
+  test("join_bloom_prefilter: identical to the plain join, and the Bloom " +
+    "stage actually prunes the fact side") {
+    val got = RelationalOps.joinBloomPrefilter(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val dim = Tables.orders(spark, sf0001)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = Tables.lineitem(spark, sf0001)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.Exact.sumRevenue(
+          col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == plain.toSeq)
+    // the Bloom stage is a true prefilter: applying it alone keeps a
+    // superset of the matching rows but far less than the full fact table
+    val li = Tables.lineitem(spark, sf0001)
+    val bloomKept = RelationalOps.bloomPrefilteredFact(spark, sf0001).count()
+    val trueMatches = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(bloomKept >= trueMatches)        // no false negatives
+    assert(bloomKept < li.count() / 2)      // it actually prunes
+  }
+}
