@@ -219,7 +219,40 @@ object SimilarityOps {
       .orderBy("src", "rn")
   }
 
+  // ── centroid-distance outliers: the 5 vectors per label FARTHEST from
+  // their label's centroid — the embedding-space QA op (mislabeled or
+  // corrupted vectors surface first). Centroid components are exact
+  // decimal means (same discipline as embed_centroid, so the oracle
+  // rebuilds them bit-identically); the per-row cosine is the sequential
+  // HOF fold; ranking runs on the ROUNDED score so both engines break
+  // ties identically. The rank-filter form lowers to the native bounded
+  // TopKPerKey under GraftExtensions (TopKRewrite) — per-partition heaps,
+  // not a full sort. ──
+  def embedOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
+        count(col("x"))).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c)))," +
+        " s -> s.c)").as("cv"))
+      .withColumn("c_norm", sqrt(DedupOps.dot(col("cv"), col("cv"))))
+    val scored = vecs(spark, dir)
+      .join(broadcast(cent), "label")
+      .select(col("label"), col("vec_id"),
+        (round(DedupOps.dot(col("v"), col("cv")) /
+          (col("norm") * col("c_norm")), 6) + lit(0.0d)).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("cos_sim"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("label", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_outlier" -> embedOutlier _,
     "embed_align"    -> embedAlign _,
     "embed_knn_graph" -> embedKnnGraph _,
     "sim_search"     -> simSearch _,
@@ -230,6 +263,22 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_outlier" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM e),
+        |comp AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(x) AS c
+        |  FROM ex GROUP BY label, pos),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM comp GROUP BY label),
+        |s AS (SELECT e.label, e.vec_id,
+        |        round(list_cosine_similarity(e.v, cent.cv), 6) + 0.0 AS cos_sim
+        |      FROM e JOIN cent USING (label)),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY label ORDER BY cos_sim, vec_id) AS INTEGER) AS rn
+        |      FROM s)
+        |SELECT label, vec_id, cos_sim, rn FROM r WHERE rn <= 5
+        |ORDER BY label, rn""".stripMargin,
     "embed_knn_graph" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,

@@ -320,6 +320,45 @@ object SqlSurfaceOps {
       .orderBy(desc("es_key"), col("doc_id"))
       .limit(50)
 
+  // ── negative sampling for training pairs: 5 parts each customer has
+  // NEVER ordered — the contrastive-learning counterpart of the positive
+  // (customer, part) interactions. Candidates are generated ARITHMETICALLY
+  // (20 pseudo-random part ids per customer from the portable
+  // Knuth-multiplicative hash, reduced mod the part count), so the
+  // candidate stream is O(20·|customers|) regardless of catalog size — a
+  // naive customer×part cross join would be O(|C|·|P|) and is exactly
+  // what this op exists to avoid at scale. The anti-join against the
+  // observed interactions and the min-i dedup both shuffle on the
+  // candidate key. Same pmod-before-multiply overflow discipline as
+  // sample_weighted; identical arithmetic in the DuckDB oracle. ──
+  def sampleNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val np = Tables.part(spark, dir).agg(count(lit(1)).as("np"))
+    val purchased = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val cand = Tables.customer(spark, dir).select(col("c_custkey"))
+      .crossJoin(broadcast(np))
+      .select(col("c_custkey"), col("np"),
+        explode(expr("sequence(0, 19)")).as("i"))
+      .select(col("c_custkey"), col("i"),
+        (expr("pmod(pmod(c_custkey, 2147483648) * 2654435761 + i * 40503," +
+          " 2147483648)") % col("np") + 1).as("p_cand"))
+      .groupBy(col("c_custkey"), col("p_cand"))
+      .agg(min(col("i")).as("i")) // mod collisions: keep first draw
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("i"), col("p_cand"))
+    cand.join(purchased,
+        col("c_custkey") === col("c") && col("p_cand") === col("p"),
+        "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= 5)
+      .select(col("c_custkey"), col("p_cand").as("p_partkey"), col("neg_rank"))
+      .orderBy("c_custkey", "neg_rank")
+  }
+
   // ── Approximate distinct (HLL): users per event type via
   // approx_count_distinct, alongside the exact count for error inspection.
   // At 100 TB the sketch is the only sane default: fixed memory per group,
@@ -583,6 +622,7 @@ object SqlSurfaceOps {
     "sample_hash"     -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "sample_weighted"   -> sampleWeighted _,
+    "sample_negatives"  -> sampleNegatives _,
     "approx_distinct" -> approxDistinct _,
     "approx_distinct_merge" -> approxDistinctMerge _,
     "percentile_store_merge" -> percentileStoreMerge _,
@@ -603,6 +643,30 @@ object SqlSurfaceOps {
       |FROM events ORDER BY event_type, event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_negatives" ->
+      """WITH np AS (SELECT count(*) AS np FROM part),
+        |purchased AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cand AS (
+        |  SELECT c_custkey,
+        |    ((c_custkey % 2147483648) * 2654435761 + i * 40503)
+        |      % 2147483648 % np.np + 1 AS p_cand,
+        |    min(i) AS i
+        |  FROM customer CROSS JOIN np
+        |       CROSS JOIN (SELECT unnest(range(0, 20)) AS i)
+        |  GROUP BY 1, 2),
+        |neg AS (
+        |  SELECT cand.* FROM cand
+        |  LEFT JOIN purchased
+        |    ON cand.c_custkey = purchased.c AND cand.p_cand = purchased.p
+        |  WHERE purchased.c IS NULL),
+        |r AS (SELECT c_custkey, p_cand AS p_partkey,
+        |        CAST(row_number() OVER (PARTITION BY c_custkey
+        |          ORDER BY i, p_cand) AS INTEGER) AS neg_rank
+        |      FROM neg)
+        |SELECT c_custkey, p_partkey, neg_rank FROM r WHERE neg_rank <= 5
+        |ORDER BY c_custkey, neg_rank""".stripMargin,
     "window_rank_family_scaled" -> rankFamilyOracle,
     "window_rank_family" ->
       """SELECT event_type, event_id, "value",

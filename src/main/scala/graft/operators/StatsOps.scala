@@ -217,7 +217,66 @@ object StatsOps {
       .orderBy("user_id", "day_s")
   }
 
+  // ── Welch's two-sample t-test between every pair of event types on
+  // `value` — "are these two segments' means actually different". One
+  // keyed aggregation produces the 5-row (n, mean, var) frame; the pair
+  // grid is a self-join of that TINY frame (never of the fact table), so
+  // the fact table is scanned once regardless of how many pairs are
+  // tested. t and the Welch–Satterthwaite df are pure arithmetic on the
+  // moments. ──
+  def statsTtest(spark: SparkSession, dir: String): DataFrame = {
+    val m = ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("value")).as("m"), var_samp(col("value")).as("v"))
+    val a = m.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("m").as("ma"), col("v").as("va"))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("m").as("mb"), col("v").as("vb"))
+    val se2 = col("va") / col("na") + col("vb") / col("nb")
+    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        r6((col("ma") - col("mb")) / sqrt(se2)).as("t_stat"),
+        r6(se2 * se2 / (
+          (col("va") / col("na")) * (col("va") / col("na")) / (col("na") - 1) +
+            (col("vb") / col("nb")) * (col("vb") / col("nb")) / (col("nb") - 1)))
+          .as("df"))
+      .orderBy("type_a", "type_b")
+  }
+
+  // ── χ² test of independence: event_type × day-of-week (the portable
+  // `days-since-epoch mod 7` — identical integer arithmetic in any
+  // engine, unlike locale-dependent DOW functions). The observed grid is
+  // one keyed aggregation; expected counts come from the row/column
+  // marginals of that ~35-row frame, INCLUDING structurally-zero cells
+  // (the marginal cross join rebuilds them — dropping empty cells would
+  // understate χ²). Everything after the one fact-table scan is
+  // arithmetic on group-sized frames. ──
+  def statsChi2(spark: SparkSession, dir: String): DataFrame = {
+    val o = ev(spark, dir)
+      .select(col("event_type"),
+        expr("pmod(datediff(day, DATE'1970-01-01'), 7)").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = o.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+    val colT = o.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+    val n = o.agg(sum(col("o")).as("n"))
+    val grid = rowT.crossJoin(colT).crossJoin(broadcast(n))
+      .join(o, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("dow"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        (col("rt").cast("double") * col("ct") / col("n")).as("e"),
+        col("rt"), col("ct"), col("n"))
+    grid.agg(
+      r6(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")))
+        .as("chi2"),
+      ((countDistinct(col("event_type")) - 1) *
+        (countDistinct(col("dow")) - 1)).as("df"),
+      first(col("n")).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ttest"       -> statsTtest _,
+    "stats_chi2"        -> statsChi2 _,
     "stats_corr_matrix" -> statsCorrMatrix _,
     "regr_trend"        -> regrTrend _,
     "group_entropy"     -> groupEntropy _,
@@ -228,6 +287,40 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_ttest" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    avg("value") AS m, var_samp("value") AS v
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) + 0.0
+        |    AS t_stat,
+        |  round(pow(a.v / a.n + b.v / b.n, 2) /
+        |    ((a.v / a.n) * (a.v / a.n) / (a.n - 1) +
+        |     (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 6) + 0.0 AS df
+        |FROM m a, m b WHERE a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    "stats_chi2" ->
+      """WITH e0 AS (
+        |  SELECT event_type,
+        |    ((CAST(ts AS DATE) - DATE '1970-01-01') % 7 + 7) % 7 AS dow
+        |  FROM events),
+        |o AS (SELECT event_type, CAST(dow AS INTEGER) AS dow,
+        |        count(*) AS o FROM e0 GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |grid AS (
+        |  SELECT rt.event_type, ct.dow,
+        |    CAST(COALESCE(o.o, 0) AS BIGINT) AS o,
+        |    CAST(rt.rt AS DOUBLE) * ct.ct / n.n AS e
+        |  FROM rt CROSS JOIN ct CROSS JOIN n
+        |  LEFT JOIN o ON o.event_type = rt.event_type AND o.dow = ct.dow)
+        |SELECT round(sum((o - e) * (o - e) / e), 6) + 0.0 AS chi2,
+        |  CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+        |       AS BIGINT) AS df,
+        |  any_value(n.n) AS n
+        |FROM grid, n""".stripMargin,
     "stats_corr_matrix" -> {
       val pairs = for {
         i <- CorrCols.indices; j <- (i + 1) until CorrCols.length

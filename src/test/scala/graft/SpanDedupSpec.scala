@@ -75,6 +75,42 @@ class SpanDedupSpec extends SparkSuite {
     }
   }
 
+  test("embed_outlier: exactly the 5 lowest-cosine vectors per label, " +
+    "scores bounded") {
+    val out = graft.operators.SimilarityOps.embedOutlier(spark, sf0001)
+      .collect()
+    val perLabel = out.groupBy(_.getInt(0))
+    perLabel.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      assert(rs.map(_.getInt(3)).sorted.sameElements(1 to 5))
+      rs.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+      // ranks are consistent with the scores (rank 1 = farthest)
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.sameElements(byRank.sorted))
+    }
+  }
+
+  test("sample_negatives: no sampled pair was ever purchased; at most 5 " +
+    "contiguous ranks per customer") {
+    val neg = graft.operators.SqlSurfaceOps.sampleNegatives(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val purchased = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(neg.nonEmpty)
+    neg.foreach { case (c, p, _) => assert(!purchased.contains((c, p))) }
+    val nParts = Tables.part(spark, sf0001).count()
+    neg.foreach { case (_, p, _) => assert(p >= 1 && p <= nParts) }
+    neg.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length))
+    }
+  }
+
   test("join_bloom_prefilter: identical to the plain join, and the Bloom " +
     "stage actually prunes the fact side") {
     val got = RelationalOps.joinBloomPrefilter(spark, sf0001).collect()

@@ -105,6 +105,30 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("stats_ttest: one row per unordered type pair; Welch df between " +
+    "min(n)-1 and n1+n2-2") {
+    val ns = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = StatsOps.statsTtest(spark, sf0001).collect()
+    assert(rows.length == ns.size * (ns.size - 1) / 2)
+    rows.foreach { r =>
+      val (na, nb) = (ns(r.getString(0)), ns(r.getString(1)))
+      val df = r.getDouble(3)
+      assert(df >= math.min(na, nb) - 1 - 1e-6)
+      assert(df <= na + nb - 2 + 1e-6)
+    }
+  }
+
+  test("stats_chi2: non-negative statistic, df = (R-1)(C-1), n equals the " +
+    "event count") {
+    val r = StatsOps.statsChi2(spark, sf0001).head()
+    assert(r.getDouble(0) >= 0.0)
+    assert(r.getLong(1) == (5 - 1) * (7 - 1)) // 5 event types × 7 weekdays
+    assert(r.getLong(2) ==
+      graft.sources.Tables.events(spark, sf0001).count())
+  }
+
   test("resample_interp: known days round-trip, gap days lie between their " +
     "neighbors' values, and the spine is dense per user") {
     val rows = StatsOps.resampleInterp(spark, sf0001).collect()
