@@ -307,27 +307,38 @@ object RelationalOps {
     val dim = bloomJoinDim(spark, dir)
     val positions = JoinBloomSeeds.map(s =>
       expr(s"pmod(xxhash64(o_orderkey, $s), ${JoinBloomBits}L)"))
-    val bloom = dim
+    // the set-words relation (word index → or'd bit mask): ≤ #keys·k rows,
+    // broadcast as a HASH relation — not as a 128 KB map-typed scalar.
+    // (The scalar-broadcast form decontaminate_bloom uses was measured 10×
+    // slower HERE: a fact-wide crossJoin carries the whole map through
+    // every row and element_at on a map is a linear scan; a broadcast hash
+    // join probes O(1) per row and adds 8 bytes, staying codegen'd.)
+    val words = dim
       .select(explode(array(positions: _*)).as("pos"))
       .select(expr("CAST(pos div 64 AS INT)").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
       .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
-        .as("bloom"))
 
+    // one left broadcast-hash probe per seed; a missing word ⇒ bits NULL ⇒
+    // coalesce 0 ⇒ the row can't pass that seed's bit test (exactly the
+    // unset-bit semantics — false negatives remain impossible)
+    val probed = JoinBloomSeeds.foldLeft(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))) {
+      (df, s) =>
+        df.withColumn(s"p$s",
+            expr(s"pmod(xxhash64(l_orderkey, $s), ${JoinBloomBits}L)"))
+          .withColumn(s"w$s", expr(s"CAST(p$s div 64 AS INT)"))
+          .withColumn(s"m$s",
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p$s % 64 AS INT))"))
+          .join(broadcast(words.select(col("word").as(s"w$s"), col("bits").as(s"b$s"))),
+            Seq(s"w$s"), "left")
+    }
     val mightContain = JoinBloomSeeds.map { s =>
-      val pos = s"pmod(xxhash64(l_orderkey, $s), ${JoinBloomBits}L)"
-      expr(s"""(coalesce(element_at(bloom, CAST($pos div 64 AS INT)),
-              |          CAST(0 AS BIGINT))
-              | & shiftleft(CAST(1 AS BIGINT), CAST($pos % 64 AS INT))) != 0
-              |""".stripMargin)
+      (coalesce(col(s"b$s"), lit(0L)).bitwiseAND(col(s"m$s")) =!= 0)
     }.reduce(_ && _)
-
-    Tables.lineitem(spark, dir)
+    probed.filter(mightContain)                   // Bloom prefilter at scan
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .crossJoin(broadcast(bloom))
-      .filter(mightContain)                       // Bloom prefilter at scan
-      .drop("bloom")
   }
 
   def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
