@@ -24,6 +24,7 @@ object SparkEntry {
       StatsOps.queries ++
       graft.streaming.IngestPipeline.queries ++
       graft.streaming.StreamJoin.queries ++
+      graft.streaming.StreamEwma.queries ++
       graft.ml.IvfIndex.queries ++ graft.ml.PqIndex.queries ++
       graft.ml.Pca.queries ++ graft.ml.LogReg.queries ++ graft.ml.Bpe.queries
 
@@ -35,5 +36,6 @@ object SparkEntry {
       AdvancedOps.oracles ++ SqlSurfaceOps.oracles ++ AnalyticsOps.oracles ++
       StatsOps.oracles ++
       graft.streaming.IngestPipeline.oracles ++
-      graft.streaming.StreamJoin.oracles
+      graft.streaming.StreamJoin.oracles ++
+      graft.streaming.StreamEwma.oracles
 }

@@ -188,7 +188,49 @@ object AnalyticsOps {
     closed.union(current).orderBy("o_orderkey", "version")
   }
 
+  // ── data-quality profile: the assertion sweep a production pipeline
+  // runs before publishing a dataset — null rates, domain violations,
+  // duplicate keys, referential orphans, future timestamps — emitted as
+  // one (check, bad_rows) relation so a scheduler can gate on
+  // `max(bad_rows) = 0`. Each table is scanned ONCE (conditional
+  // aggregation folds every per-table check into a single pass); the
+  // referential check is a left-anti join on the key it would shuffle on
+  // anyway. Counts are integers — bit-exact in any engine. ──
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("rows"),
+      sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
+      sum((col("l_extendedprice") <= 0).cast("long")).as("nonpos_price"),
+      sum((col("l_discount") < 0 || col("l_discount") > 1).cast("long"))
+        .as("bad_discount"))
+    val ev = Tables.events(spark, dir).agg(
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_event_ids"),
+      sum((col("ts") >= lit("2030-01-01")).cast("long")).as("future_ts"),
+      sum(col("value").isNull.cast("long")).as("null_value"))
+    val docs = Tables.documents(spark, dir).agg(
+      sum((col("n_chars") === 0).cast("long")).as("empty_docs"),
+      sum((length(col("text")) =!= col("n_chars")).cast("long"))
+        .as("n_chars_mismatch"))
+    val orphans = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitems"))
+    li.crossJoin(ev).crossJoin(docs).crossJoin(orphans)
+      .selectExpr("stack(9, " +
+        "'lineitem_null_qty', null_qty, " +
+        "'lineitem_nonpos_price', nonpos_price, " +
+        "'lineitem_bad_discount', bad_discount, " +
+        "'lineitem_orphans', orphan_lineitems, " +
+        "'events_dup_ids', dup_event_ids, " +
+        "'events_future_ts', future_ts, " +
+        "'events_null_value', null_value, " +
+        "'documents_empty', empty_docs, " +
+        "'documents_n_chars_mismatch', n_chars_mismatch) AS (check, bad_rows)")
+      .orderBy("check")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile"       -> dqProfile _,
     "cohort_retention" -> cohortRetention _,
     "funnel_steps"     -> funnelSteps _,
     "anomaly_mad"      -> anomalyMad _,
@@ -219,6 +261,37 @@ object AnalyticsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "dq_profile" ->
+      """WITH li AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount
+        |  FROM lineitem),
+        |ev AS (
+        |  SELECT CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS dup_event_ids,
+        |    CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2030-01-01'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS future_ts,
+        |    CAST(sum(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value
+        |  FROM events),
+        |docs AS (
+        |  SELECT CAST(sum(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs,
+        |    CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch
+        |  FROM documents),
+        |orph AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS orphan_lineitems FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT chk AS "check", bad_rows FROM (
+        |  SELECT 'lineitem_null_qty' AS chk, null_qty AS bad_rows FROM li
+        |  UNION ALL SELECT 'lineitem_nonpos_price', nonpos_price FROM li
+        |  UNION ALL SELECT 'lineitem_bad_discount', bad_discount FROM li
+        |  UNION ALL SELECT 'lineitem_orphans', orphan_lineitems FROM orph
+        |  UNION ALL SELECT 'events_dup_ids', dup_event_ids FROM ev
+        |  UNION ALL SELECT 'events_future_ts', future_ts FROM ev
+        |  UNION ALL SELECT 'events_null_value', null_value FROM ev
+        |  UNION ALL SELECT 'documents_empty', empty_docs FROM docs
+        |  UNION ALL SELECT 'documents_n_chars_mismatch', n_chars_mismatch FROM docs)
+        |ORDER BY chk""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)

@@ -274,7 +274,31 @@ object StatsOps {
       first(col("n")).as("n"))
   }
 
+  // ── rolling z-score anomaly: each value against its own trailing
+  // 20-event window's mean/σ (the self-adapting threshold — unlike
+  // anomaly_mad's global per-type stats, this tracks drift). Entity-
+  // partitioned frame; only rows with a FULL window are emitted, so
+  // every engine computes the identical frame. σ rounded before the
+  // comparison so both engines take the same branch at the 3σ line. ──
+  def windowRollingZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id")).rowsBetween(-19, 0)
+    ev(spark, dir)
+      .select(col("event_id"), col("user_id"), col("us"), col("value"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+      .withColumn("m", avg(col("value")).over(w))
+      .withColumn("s", stddev_samp(col("value")).over(w))
+      .filter(col("rn") >= 20 && col("s") > 0)
+      .withColumn("z", r6((col("value") - col("m")) / col("s")))
+      // the 3σ branch tests the ROUNDED z, so both engines agree at the line
+      .select(col("event_id"), col("user_id"), col("z"),
+        (abs(col("z")) > 3).as("is_out"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rolling_zscore" -> windowRollingZscore _,
     "stats_ttest"       -> statsTtest _,
     "stats_chi2"        -> statsChi2 _,
     "stats_corr_matrix" -> statsCorrMatrix _,
@@ -287,6 +311,25 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, "value" AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER wo AS rn,
+        |        avg(v) OVER w AS m,
+        |        stddev_samp(v) OVER w AS s
+        |      FROM e
+        |      WINDOW
+        |        wo AS (PARTITION BY user_id ORDER BY us, event_id),
+        |        w AS (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT event_id, user_id,
+        |        round((v - m) / s, 6) + 0.0 AS z
+        |      FROM r WHERE rn >= 20 AND s > 0)
+        |SELECT event_id, user_id, z, abs(z) > 3 AS is_out
+        |FROM z ORDER BY user_id, event_id""".stripMargin,
     "stats_ttest" ->
       """WITH m AS (
         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,

@@ -640,7 +640,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── pairwise source-vocabulary overlap: Jaccard similarity between
+  // every pair of sources' token sets — the provenance diagnostic that
+  // catches two "different" providers scraping the same site (high
+  // overlap ⇒ the dedup pipeline should treat them as one pool). One
+  // distinct (source, token) relation, self-joined ON TOKEN (vocabulary-
+  // bounded key, each token carries ≤ |sources| rows — never a pairwise
+  // doc join); set sizes come from one tiny aggregate broadcast twice. ──
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .select(col("source"), explode(col("toks")).as("token"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = st.select(col("source").as("src_a"), col("token"))
+      .join(st.select(col("source").as("src_b"), col("token")), "token")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sza"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("szb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), 6) + lit(0.0d))
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_overlap"        -> sourceOverlap _,
     "text_span_dedup"       -> textSpanDedup _,
     "text_block_dedup"      -> textBlockDedup _,
     "decontaminate"         -> decontaminate _,
@@ -683,6 +712,24 @@ object TextOps {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "source_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, token FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents)),
+        |sizes AS (SELECT source, count(*) AS sz FROM st GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, i.inter,
+        |  round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) + 0.0
+        |    AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON i.src_a = sa.source
+        |JOIN sizes sb ON i.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "text_span_dedup" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
         |           FROM documents),

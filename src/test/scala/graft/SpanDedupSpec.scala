@@ -75,6 +75,29 @@ class SpanDedupSpec extends SparkSuite {
     }
   }
 
+  test("source_overlap: one row per unordered source pair, Jaccard in " +
+    "(0, 1], intersection bounded by the smaller vocabulary") {
+    val sizes = Tables.documents(spark, sf0001)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("source"), explode(col("toks")).as("t")).distinct()
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextOps.sourceOverlap(spark, sf0001).collect()
+    assert(rows.length == sizes.size * (sizes.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b, inter, j) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(inter <= math.min(sizes(a), sizes(b)))
+      assert(j > 0.0 && j <= 1.0) // shared 30-word vocab ⇒ overlap exists
+    }
+  }
+
+  test("dq_profile: generated data is clean — every check reports zero") {
+    val rows = graft.operators.AnalyticsOps.dqProfile(spark, sf0001).collect()
+    assert(rows.length == 9)
+    rows.foreach(r => assert(r.getLong(1) == 0L, r.getString(0)))
+  }
+
   test("embed_outlier: exactly the 5 lowest-cosine vectors per label, " +
     "scores bounded") {
     val out = graft.operators.SimilarityOps.embedOutlier(spark, sf0001)

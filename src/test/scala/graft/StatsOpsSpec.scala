@@ -129,6 +129,21 @@ class StatsOpsSpec extends SparkSuite {
       graft.sources.Tables.events(spark, sf0001).count())
   }
 
+  test("window_rolling_zscore: emitted only for full windows; flag matches " +
+    "the 3-sigma rule on the rounded score") {
+    val rows = StatsOps.windowRollingZscore(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (math.abs(r.getDouble(2)) > 3))
+    }
+    // row count = events minus the 19-row warmup per user (no σ=0 groups
+    // in this continuous-valued data)
+    val expected = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("user_id").count().collect()
+      .map(r => math.max(r.getLong(1) - 19, 0)).sum
+    assert(rows.length == expected)
+  }
+
   test("resample_interp: known days round-trip, gap days lie between their " +
     "neighbors' values, and the spine is dense per user") {
     val rows = StatsOps.resampleInterp(spark, sf0001).collect()
