@@ -21,7 +21,7 @@ object SparkEntry {
     CoreOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       AdvancedOps.queries ++ SqlSurfaceOps.queries ++ AnalyticsOps.queries ++
-      StatsOps.queries ++
+      StatsOps.queries ++ MiningOps.queries ++
       graft.streaming.IngestPipeline.queries ++
       graft.streaming.StreamJoin.queries ++
       graft.streaming.StreamEwma.queries ++
@@ -34,7 +34,7 @@ object SparkEntry {
     CoreOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       AdvancedOps.oracles ++ SqlSurfaceOps.oracles ++ AnalyticsOps.oracles ++
-      StatsOps.oracles ++
+      StatsOps.oracles ++ MiningOps.oracles ++
       graft.streaming.IngestPipeline.oracles ++
       graft.streaming.StreamJoin.oracles ++
       graft.streaming.StreamEwma.oracles

@@ -1,0 +1,393 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Pattern-mining operators: market-basket association rules, Markov
+  * transition matrices, sequential path motifs, degree-oriented triangle
+  * counting, RFM customer segmentation, and day-of-week seasonality — the
+  * "what co-occurs / what follows what" family a production analytics
+  * engine grows into once plain aggregation is covered (the reference's
+  * dashboard at `/root/reference/app.py:80-84` recomputes descriptive
+  * stats; these are the second-order analyses over the same store).
+  *
+  * Scale shapes (the property each operator is built around):
+  *   - assoc_rules: pair generation is a SELF-JOIN WITHIN ORDER — the
+  *     blow-up per basket is C(k,2) with k = items/order (TPC-H ≤ 7), so
+  *     the intermediate is a small constant × |lineitem|, co-partitioned
+  *     on the order key. Item supports are |parts|-sized and broadcast.
+  *   - markov/paths: ONE shuffle on user_id, then lead() frames; the
+  *     result cardinality is |event_types|² (resp. ³) — tiny forever.
+  *   - graph_triangles: degree-ordered edge orientation (count each
+  *     triangle exactly once at its lowest-degree vertex) — the standard
+  *     O(E^{3/2})-work bound that keeps wedge generation from exploding
+  *     on hub nodes, instead of orienting by raw id.
+  *   - rfm_segments: quintile CUT POINTS (one exact-percentile aggregate,
+  *     broadcast back) instead of a global ntile() sort — no
+  *     single-partition window at any scale; ties at a cut share a score.
+  *   - seasonal_dow: keyed aggregation onto a 5×7 grid; decimal-exact
+  *     value sums (see [[graft.functions.Exact]]).
+  */
+object MiningOps {
+
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0d)
+
+  /** Events with µs epoch + calendar day (ns→µs truncation as in
+    * [[Tables.events]]; DuckDB mirrors via `epoch_us(CAST(ts AS ...))`). */
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"),
+        to_date(col("ts")).as("day"))
+
+  /** Distinct (order, part) basket relation shared by assoc_rules and
+    * graph_triangles. */
+  private def baskets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+
+  // ── market-basket association rules: for every part pair co-occurring
+  // in ≥ 2 orders, support count, directional confidences, and lift.
+  // Pair generation joins the basket relation with itself ON THE ORDER
+  // KEY (bounded fan-out per order), never across orders; single-item
+  // supports and the order total are broadcast. Counts are integers and
+  // every ratio is rounded from the same integer inputs, so the numbers
+  // are engine-independent. ──
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir)
+    val nOrders = op.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCnt = op.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    val pairs = op.select(col("o"), col("p").as("part_a"))
+      .join(op.select(col("o"), col("p").as("part_b")), "o")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    pairs
+      .join(broadcast(itemCnt.select(col("p").as("part_a"), col("cnt").as("cnt_a"))), "part_a")
+      .join(broadcast(itemCnt.select(col("p").as("part_b"), col("cnt").as("cnt_b"))), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("support"),
+        r6(col("support").cast("double") / col("cnt_a")).as("conf_ab"),
+        r6(col("support").cast("double") / col("cnt_b")).as("conf_ba"),
+        r6(col("support").cast("double") * col("n_orders") /
+          (col("cnt_a") * col("cnt_b"))).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
+  // ── first-order Markov transition matrix of the per-user event stream:
+  // P(next = dst | current = src), from lead() over each user's timeline
+  // (total order: event time, id tiebreak). The normalizing window runs
+  // over the |types|² aggregate, not the raw events. ──
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val tl = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val trans = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+      .withColumn("dst", lead(col("event_type"), 1).over(tl))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("prob",
+        r6(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("src")))))
+      .orderBy("src", "dst")
+  }
+
+  // ── sequential path motifs: every consecutive event-type TRIPLE on a
+  // user timeline (the "what journey led here" query). Cardinality is
+  // |types|³ ≤ 125; ordering is (count desc, path) so the result is a
+  // stable ranking. ──
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val tl = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+      .withColumn("b", lead(col("event_type"), 1).over(tl))
+      .withColumn("c", lead(col("event_type"), 2).over(tl))
+      .filter(col("c").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("b"), col("c")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+  }
+
+  // ── triangle counting on the part co-purchase graph (parts sharing an
+  // order). Degree-ordered orientation: each undirected edge points from
+  // its lower-(degree, id) endpoint to the higher, so every triangle is
+  // counted exactly once — as a wedge at its minimum vertex plus the
+  // closing edge, which (being between the wedge's two higher endpoints)
+  // is itself oriented low→high and probes the same directed edge set.
+  // This is the classic bound that keeps per-vertex wedge generation at
+  // O(d_min²) instead of O(d_hub²): a celebrity node generates no wedges
+  // because all its edges point INTO it. The oracle replays the same
+  // orientation from the same integer degrees. ──
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir)
+    val und = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // degree lookup is |parts|-sized — broadcast to both endpoints
+    val withDeg = und
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
+    val dir2 = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("dst"))
+    // carry the dst's (degree, id) rank so wedge endpoints can be ordered
+    // the same way the closing edge is
+    val dirRanked = dir2
+      .join(broadcast(deg.select(col("node").as("dst"), col("d").as("dd"))), "dst")
+    val wedges = dirRanked.select(col("src"), col("dst").as("w1"), col("dd").as("d1"))
+      .join(dirRanked.select(col("src"), col("dst").as("w2"), col("dd").as("d2")), "src")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("w1") < col("w2")))
+    val tri = wedges.join(
+      dir2.select(col("src").as("w1"), col("dst").as("w2")), Seq("w1", "w2"))
+      .agg(count(lit(1)).as("triangles"))
+    val counts = und.agg(count(lit(1)).as("edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("nodes")))
+    counts.crossJoin(tri)
+      .select(col("nodes"), col("edges"), col("triangles"))
+  }
+
+  // ── RFM segmentation: recency / frequency / monetary per customer,
+  // scored 1–5 against exact quintile CUT POINTS (percentile aggregate →
+  // 1 row → broadcast comparison) rather than a global ntile() — no
+  // whole-table single-partition sort, at any scale. Ties at a cut point
+  // deterministically share the lower score in both engines. Monetary
+  // sums in decimal ([[Exact.sumMoney]]); cuts are rounded before the
+  // comparisons so both engines take identical branches. ──
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice"))
+    val maxDay = o.agg(max(col("d")).as("max_d"))
+    val rfm = o.groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("last_d"),
+        count(lit(1)).as("frequency"),
+        Exact.sumMoney(col("o_totalprice")).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"),
+        datediff(col("max_d"), col("last_d")).cast("long").as("recency"),
+        col("frequency"), col("monetary"))
+    val cuts = rfm.agg(
+      r6(expr("percentile(recency, 0.2)")).as("r1"),
+      r6(expr("percentile(recency, 0.4)")).as("r2"),
+      r6(expr("percentile(recency, 0.6)")).as("r3"),
+      r6(expr("percentile(recency, 0.8)")).as("r4"),
+      r6(expr("percentile(frequency, 0.2)")).as("f1"),
+      r6(expr("percentile(frequency, 0.4)")).as("f2"),
+      r6(expr("percentile(frequency, 0.6)")).as("f3"),
+      r6(expr("percentile(frequency, 0.8)")).as("f4"),
+      r6(expr("percentile(monetary, 0.2)")).as("m1"),
+      r6(expr("percentile(monetary, 0.4)")).as("m2"),
+      r6(expr("percentile(monetary, 0.6)")).as("m3"),
+      r6(expr("percentile(monetary, 0.8)")).as("m4"))
+    def score(v: Column, c1: Column, c2: Column, c3: Column, c4: Column,
+        lowIsGood: Boolean): Column = {
+      val cmp = (c: Column) =>
+        (if (lowIsGood) v < c else v > c).cast("long")
+      lit(1L) + cmp(c1) + cmp(c2) + cmp(c3) + cmp(c4)
+    }
+    rfm.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("recency"), col("frequency"),
+        col("monetary"),
+        score(col("recency"), col("r1"), col("r2"), col("r3"), col("r4"),
+          lowIsGood = true).as("r_score"),
+        score(col("frequency"), col("f1"), col("f2"), col("f3"), col("f4"),
+          lowIsGood = false).as("f_score"),
+        score(col("monetary"), col("m1"), col("m2"), col("m3"), col("m4"),
+          lowIsGood = false).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("o_custkey")
+  }
+
+  // ── day-of-week seasonality: per (event_type, weekday) cell — volume,
+  // decimal-exact mean value, and a seasonal index (cell mean ÷ the
+  // type's overall mean). The whole result is a 5×7 grid; the events
+  // table is shuffled once onto it. dow is 1=Sunday..7=Saturday (Spark
+  // `dayofweek`; the oracle uses DuckDB `dayofweek()+1`, same calendar). ──
+  def seasonalDow(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ev(spark, dir)
+      .groupBy(col("event_type"), dayofweek(col("day")).as("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.money(col("value"))).as("sv"))
+    val byType = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("avg_value",
+        r6(col("sv").cast("double") / col("n")))
+      .withColumn("idx", r6(
+        (col("sv").cast("double") / col("n")) /
+          (sum(col("sv")).over(byType).cast("double") /
+            sum(col("n")).over(byType))))
+      .select(col("event_type"), col("dow").cast("long").as("dow"),
+        col("n"), col("avg_value"), col("idx"))
+      .orderBy("event_type", "dow")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assoc_rules"        -> assocRules _,
+    "markov_transitions" -> markovTransitions _,
+    "session_paths"      -> sessionPaths _,
+    "graph_triangles"    -> graphTriangles _,
+    "rfm_segments"       -> rfmSegments _,
+    "seasonal_dow"       -> seasonalDow _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "assoc_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+        |ic AS (SELECT p, count(*) AS cnt FROM op GROUP BY 1),
+        |pr AS (
+        |  SELECT a.p AS part_a, b.p AS part_b, count(*) AS support
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.part_a, pr.part_b, pr.support,
+        |  round(CAST(pr.support AS DOUBLE) / ca.cnt, 6) + 0.0 AS conf_ab,
+        |  round(CAST(pr.support AS DOUBLE) / cb.cnt, 6) + 0.0 AS conf_ba,
+        |  round(CAST(pr.support AS DOUBLE) * n.n_orders / (ca.cnt * cb.cnt), 6)
+        |    + 0.0 AS lift
+        |FROM pr
+        |JOIN ic ca ON pr.part_a = ca.p
+        |JOIN ic cb ON pr.part_b = cb.p
+        |CROSS JOIN n
+        |ORDER BY part_a, part_b""".stripMargin,
+    "markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |t AS (SELECT event_type AS src,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS dst
+        |      FROM e),
+        |c AS (SELECT src, dst, count(*) AS n FROM t
+        |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) + 0.0
+        |    AS prob
+        |FROM c ORDER BY src, dst""".stripMargin,
+    "session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |t AS (SELECT event_type AS a,
+        |        lead(event_type, 1) OVER w AS b,
+        |        lead(event_type, 2) OVER w AS c
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+        |FROM t WHERE c IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path""".stripMargin,
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |dir AS (
+        |  SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v)
+        |              THEN und.u ELSE und.v END AS src,
+        |         CASE WHEN (du.d, und.u) < (dv.d, und.v)
+        |              THEN und.v ELSE und.u END AS dst
+        |  FROM und
+        |  JOIN deg du ON und.u = du.node
+        |  JOIN deg dv ON und.v = dv.node),
+        |dr AS (SELECT dir.src, dir.dst, deg.d AS dd
+        |       FROM dir JOIN deg ON dir.dst = deg.node),
+        |tri AS (
+        |  SELECT count(*) AS triangles
+        |  FROM dr e1
+        |  JOIN dr e2 ON e1.src = e2.src
+        |    AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+        |  JOIN dir e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        |SELECT (SELECT count(*) FROM deg) AS nodes,
+        |       (SELECT count(*) FROM und) AS edges,
+        |       tri.triangles
+        |FROM tri""".stripMargin,
+    "rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+        |  FROM orders),
+        |mx AS (SELECT max(d) AS max_d FROM o),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(d), (SELECT max_d FROM mx)) AS BIGINT)
+        |      AS recency,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS monetary
+        |  FROM o GROUP BY 1),
+        |cuts AS (
+        |  SELECT
+        |    round(quantile_cont(CAST(recency AS DOUBLE), 0.2), 6) AS r1,
+        |    round(quantile_cont(CAST(recency AS DOUBLE), 0.4), 6) AS r2,
+        |    round(quantile_cont(CAST(recency AS DOUBLE), 0.6), 6) AS r3,
+        |    round(quantile_cont(CAST(recency AS DOUBLE), 0.8), 6) AS r4,
+        |    round(quantile_cont(CAST(frequency AS DOUBLE), 0.2), 6) AS f1,
+        |    round(quantile_cont(CAST(frequency AS DOUBLE), 0.4), 6) AS f2,
+        |    round(quantile_cont(CAST(frequency AS DOUBLE), 0.6), 6) AS f3,
+        |    round(quantile_cont(CAST(frequency AS DOUBLE), 0.8), 6) AS f4,
+        |    round(quantile_cont(monetary, 0.2), 6) AS m1,
+        |    round(quantile_cont(monetary, 0.4), 6) AS m2,
+        |    round(quantile_cont(monetary, 0.6), 6) AS m3,
+        |    round(quantile_cont(monetary, 0.8), 6) AS m4
+        |  FROM rfm)
+        |SELECT o_custkey, recency, frequency, monetary,
+        |  1 + CAST(recency < r1 AS BIGINT) + CAST(recency < r2 AS BIGINT)
+        |    + CAST(recency < r3 AS BIGINT) + CAST(recency < r4 AS BIGINT)
+        |    AS r_score,
+        |  1 + CAST(frequency > f1 AS BIGINT) + CAST(frequency > f2 AS BIGINT)
+        |    + CAST(frequency > f3 AS BIGINT) + CAST(frequency > f4 AS BIGINT)
+        |    AS f_score,
+        |  1 + CAST(monetary > m1 AS BIGINT) + CAST(monetary > m2 AS BIGINT)
+        |    + CAST(monetary > m3 AS BIGINT) + CAST(monetary > m4 AS BIGINT)
+        |    AS m_score,
+        |  CAST(1 + CAST(recency < r1 AS BIGINT) + CAST(recency < r2 AS BIGINT)
+        |    + CAST(recency < r3 AS BIGINT) + CAST(recency < r4 AS BIGINT)
+        |    AS VARCHAR) ||
+        |  CAST(1 + CAST(frequency > f1 AS BIGINT) + CAST(frequency > f2 AS BIGINT)
+        |    + CAST(frequency > f3 AS BIGINT) + CAST(frequency > f4 AS BIGINT)
+        |    AS VARCHAR) ||
+        |  CAST(1 + CAST(monetary > m1 AS BIGINT) + CAST(monetary > m2 AS BIGINT)
+        |    + CAST(monetary > m3 AS BIGINT) + CAST(monetary > m4 AS BIGINT)
+        |    AS VARCHAR) AS segment
+        |FROM rfm CROSS JOIN cuts
+        |ORDER BY o_custkey""".stripMargin,
+    "seasonal_dow" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    dayofweek(CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 1 AS dow,
+        |    CAST("value" AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |c AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |        count(*) AS n, sum(v) AS sv
+        |      FROM e GROUP BY 1, 2)
+        |SELECT event_type, dow, n,
+        |  round(CAST(sv AS DOUBLE) / n, 6) + 0.0 AS avg_value,
+        |  round((CAST(sv AS DOUBLE) / n) /
+        |        (CAST(sum(sv) OVER (PARTITION BY event_type) AS DOUBLE) /
+        |         sum(n) OVER (PARTITION BY event_type)), 6) + 0.0 AS idx
+        |FROM c ORDER BY event_type, dow""".stripMargin,
+  )
+}

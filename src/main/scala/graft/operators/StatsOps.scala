@@ -297,7 +297,154 @@ object StatsOps {
       .orderBy("user_id", "event_id")
   }
 
+  // ── autocorrelation function of the daily total value series at lags
+  // 1..7 — the "is there weekly structure" diagnostic that decides
+  // whether seasonal_dow is worth modeling. The daily series is built
+  // ONCE with a decimal-exact sum (order-independent), then each lag is
+  // a co-partitioned self-join on the shifted calendar day; gap days
+  // simply drop out of both sides identically. Pearson per lag comes
+  // from decimal moment sums (the statsCorr discipline), so both
+  // engines do the identical integer-like arithmetic and ONE final
+  // rounded division chain. The series is one row per day — tiny — but
+  // the same plan holds for a per-entity ACF at any cardinality (swap
+  // the join/group keys). ──
+  def statsAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    val lagged = daily
+      .withColumn("lag", explode(sequence(lit(1), lit(7))))
+      .withColumn("prev_day", date_sub(col("day"), col("lag")))
+      .join(daily.select(col("day").as("prev_day"), col("v").as("pv")),
+        "prev_day")
+    // daily totals carry exactly 2 decimals: DECIMAL(18,2) is lossless and
+    // keeps products inside width 38 in BOTH engines (28,6)² would spill
+    // DuckDB to double and reintroduce order-dependence)
+    val x = col("v").cast("decimal(18,2)")
+    val y = col("pv").cast("decimal(18,2)")
+    val nD = col("n").cast("double")
+    lagged.groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(col("lag"), col("n"),
+        r6((nD * col("sxy") - col("sx") * col("sy")) /
+          sqrt((nD * col("sxx") - col("sx") * col("sx")) *
+            (nD * col("syy") - col("sy") * col("sy")))).as("acf"))
+      .orderBy("lag")
+  }
+
+  // ── CUSUM drift detection per user: the one-sided cumulative-sum
+  // statistic S_t = max(0, S_{t-1} + (x_t − μ − k)) — which looks like an
+  // un-windowable recurrence but has the exact closed form
+  // S_t = P_t − min_{j≤t} P_j over the prefix sums P of the slack-adjusted
+  // deviations. That identity is what makes CUSUM a TWO-WINDOW-PASS
+  // operator (running sum + running min) instead of a sequential scan —
+  // the whole point at scale. μ and σ come from decimal moment sums and
+  // are ROUNDED before use; the deviations are then exact decimals, so
+  // the running sum/min are integer-exact in both engines regardless of
+  // how each engine associates its window aggregation. k = σ/2 (the
+  // standard half-sigma slack), alarm at S > 5σ. ──
+  def windowCusum(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val tl = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = ev(spark, dir)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("sx", sum(col("v")).over(byUser))
+      .withColumn("sxx", sum(col("v") * col("v")).over(byUser))
+      .filter(col("n") >= 2)
+      .withColumn("mu6", r6(col("sx").cast("double") / col("n"))
+        .cast("decimal(24,6)"))
+      .withColumn("sd6", r6(sqrt(
+        (col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (col("n").cast("double") * (col("n").cast("double") - 1))))
+        .cast("decimal(24,6)"))
+      .filter(col("sd6") > 0)
+      // slack k = σ/2, exact at scale 7; dev is a pure decimal
+      .withColumn("dev",
+        col("v") - col("mu6") - col("sd6") * lit(BigDecimal("0.5")))
+    base
+      .withColumn("p", sum(col("dev")).over(tl))
+      .withColumn("m", min(col("p")).over(tl))
+      .withColumn("s", r6((col("p") - col("m")).cast("double") /
+        col("sd6").cast("double")))
+      .select(col("event_id"), col("user_id"), col("s"),
+        (col("s") > 5).as("alarm"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** [[statsKs]] samples: the two behavioral distributions compared. */
+  private val KsTypeA = "click"
+  private val KsTypeB = "purchase"
+
+  // ── two-sample Kolmogorov–Smirnov: D = sup |F₁ − F₂| between the value
+  // distributions of two event types. ECDFs are evaluated only at
+  // observed values (where the sup is attained): group by value ONCE,
+  // running integer counts per sample over the value order, one max.
+  // Counts are integers, so the only doubles are two divisions and the
+  // final λ = D·√(n₁n₂/(n₁+n₂)) — rounded at the boundary. Scale shape:
+  // one shuffle onto the value grid; the running counts parallelize per
+  // range partition. ──
+  def statsKs(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .filter(col("event_type").isin(KsTypeA, KsTypeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === KsTypeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === KsTypeB, 1L).otherwise(0L)).as("b"))
+    // the cumulative pass runs over the GROUPED value grid (≤ |distinct
+    // values| rows — the 2-dp metric domain), not the raw events; a
+    // global ECDF over an unbounded domain would use the bucketed rank
+    // reconstruction of window_rank_family_scaled instead
+    val byVal = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("ca", sum(col("a")).over(byVal))
+      .withColumn("cb", sum(col("b")).over(byVal))
+    val tot = g.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("ca").cast("double") / col("n1") -
+        col("cb").cast("double") / col("n2"))).as("d"))
+      .select(col("n1"), col("n2"), r6(col("d")).as("d_stat"),
+        r6(col("d") * sqrt(col("n1").cast("double") * col("n2") /
+          (col("n1") + col("n2")))).as("lambda"))
+  }
+
+  // ── additive seasonal decomposition of the daily value series:
+  // value = trend (centered 7-day moving average) + seasonal (per-weekday
+  // mean of the detrended series) + residual. Only days with a FULL
+  // ±3-day window are decomposed, so every engine sees identical frames.
+  // The daily series and the detrended deviations are exact decimals
+  // (trend is rounded before subtraction), making the per-weekday means
+  // order-independent; each output double is rounded once. ──
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val daily = ev(spark, dir).groupBy(col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("vd"))
+    val trended = daily
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .withColumn("trend6", r6(sum(col("vd")).over(w7).cast("double") / 7)
+        .cast("decimal(24,6)"))
+      .filter(col("cnt7") === 7)
+      .withColumn("dow", dayofweek(col("day")))
+      .withColumn("det", col("vd") - col("trend6"))
+    val seasonal = trended.groupBy(col("dow"))
+      .agg((round(sum(col("det")).cast("double") / count(lit(1)), 6) + lit(0.0d))
+        .as("seasonal"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("vd").cast("double").as("v"),
+        col("trend6").cast("double").as("trend"), col("seasonal"),
+        r6(col("det").cast("double") - col("seasonal")).as("resid"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_acf"             -> statsAcf _,
     "window_rolling_zscore" -> windowRollingZscore _,
     "stats_ttest"       -> statsTtest _,
     "stats_chi2"        -> statsChi2 _,
@@ -311,6 +458,29 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT l.lag, a.v, b.v AS pv
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN daily b ON b.day = a.day - CAST(l.lag AS INTEGER)),
+        |m AS (
+        |  SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(pv AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(pv AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(pv AS DECIMAL(18,2)) * CAST(pv AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lagged GROUP BY 1)
+        |SELECT lag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |             (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0 AS acf
+        |FROM m ORDER BY lag""".stripMargin,
     "window_rolling_zscore" ->
       """WITH e AS (
         |  SELECT event_id, user_id, "value" AS v,

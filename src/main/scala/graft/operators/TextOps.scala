@@ -668,7 +668,44 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  // ── collocations: pointwise mutual information of adjacent token
+  // bigrams across the corpus — the "which words travel together"
+  // diagnostic (phrase detection, tokenizer-merge candidates). Bigrams
+  // come from zipping each token array with itself shifted by one (pure
+  // per-row array ops, no positional explode+self-join); unigram counts
+  // are vocabulary-sized and broadcast. PMI = ln(P(ab) / (P(a)·P(b))),
+  // computed from integer counts in one expression and rounded once —
+  // both engines evaluate ln on the identical double. Emitted for pairs
+  // seen ≥ 5 times, ordered by the pair itself (total order). ──
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), toksCol.as("toks"))
+    val uni = toks.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val nUni = uni.agg(sum(col("cnt")).as("n_uni"))
+    val big = toks
+      .select(col("toks"),
+        slice(col("toks"), lit(2), size(col("toks"))).as("shifted"))
+      .select(explode(arrays_zip(col("toks"), col("shifted"))).as("z"))
+      .select(col("z.toks").as("tok_a"), col("z.shifted").as("tok_b"))
+      .filter(col("tok_b").isNotNull)
+    val nBig = big.agg(count(lit(1)).as("n_big"))
+    big.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+      .join(broadcast(uni.select(col("t").as("tok_a"), col("cnt").as("n_a"))), "tok_a")
+      .join(broadcast(uni.select(col("t").as("tok_b"), col("cnt").as("n_b"))), "tok_b")
+      .crossJoin(broadcast(nBig)).crossJoin(broadcast(nUni))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        (round(log((col("n_ab").cast("double") / col("n_big")) /
+          ((col("n_a").cast("double") / col("n_uni")) *
+            (col("n_b").cast("double") / col("n_uni")))), 6) + lit(0.0d))
+          .as("pmi"))
+      .orderBy("tok_a", "tok_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_collocations"     -> textCollocations _,
     "source_overlap"        -> sourceOverlap _,
     "text_span_dedup"       -> textSpanDedup _,
     "text_block_dedup"      -> textBlockDedup _,
@@ -712,6 +749,31 @@ object TextOps {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t AS tok, count(*) AS cnt
+        |  FROM (SELECT unnest(toks) AS t FROM t) GROUP BY 1),
+        |nu AS (SELECT sum(cnt) AS n_uni FROM uni),
+        |big AS (
+        |  SELECT z[1] AS tok_a, z[2] AS tok_b
+        |  FROM (SELECT unnest(list_zip(toks, toks[2:])) AS z FROM t)
+        |  WHERE z[2] IS NOT NULL),
+        |nb AS (SELECT count(*) AS n_big FROM big),
+        |ab AS (
+        |  SELECT tok_a, tok_b, count(*) AS n_ab FROM big
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT ab.tok_a, ab.tok_b, ab.n_ab,
+        |  round(ln((CAST(ab.n_ab AS DOUBLE) / nb.n_big) /
+        |           ((CAST(ua.cnt AS DOUBLE) / nu.n_uni) *
+        |            (CAST(ub.cnt AS DOUBLE) / nu.n_uni))), 6) + 0.0 AS pmi
+        |FROM ab
+        |JOIN uni ua ON ab.tok_a = ua.tok
+        |JOIN uni ub ON ab.tok_b = ub.tok
+        |CROSS JOIN nb CROSS JOIN nu
+        |ORDER BY tok_a, tok_b""".stripMargin,
     "source_overlap" ->
       """WITH st AS (
         |  SELECT DISTINCT source, token FROM (

@@ -92,6 +92,27 @@ class SpanDedupSpec extends SparkSuite {
     }
   }
 
+  test("text_collocations: bigram counts bounded by both unigram counts; " +
+    "PMI matches the hand formula on a sampled pair") {
+    val uni = Tables.documents(spark, sf0001)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUni = uni.values.sum.toDouble
+    val rows = TextOps.textCollocations(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nBig = Tables.documents(spark, sf0001)
+      .select((size(split(trim(lower(col("text"))), "\\s+")) - 1).as("m"))
+      .agg(sum(col("m"))).collect().head.getLong(0).toDouble
+    rows.foreach { r =>
+      val (a, b, nab, pmi) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(nab >= 5 && nab <= math.min(uni(a), uni(b)))
+      val ref = math.log((nab / nBig) / ((uni(a) / nUni) * (uni(b) / nUni)))
+      assert(math.abs(pmi - ref) < 1e-6)
+    }
+  }
+
   test("dq_profile: generated data is clean — every check reports zero") {
     val rows = graft.operators.AnalyticsOps.dqProfile(spark, sf0001).collect()
     assert(rows.length == 9)

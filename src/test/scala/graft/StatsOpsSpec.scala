@@ -144,6 +144,30 @@ class StatsOpsSpec extends SparkSuite {
     assert(rows.length == expected)
   }
 
+  test("stats_acf: 7 lags, |acf| <= 1, and lag-1 matches a driver-side " +
+    "Pearson on the same daily series") {
+    val daily = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getDouble(1)).toMap
+    val rows = StatsOps.statsAcf(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+    val pairs = daily.toSeq.flatMap { case (d, v) =>
+      daily.get(d.minusDays(1)).map(pv => (v, pv))
+    }
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val ref = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val lag1 = rows.find(_.getLong(0) == 1L).get
+    assert(lag1.getLong(1) == pairs.length)
+    assert(math.abs(lag1.getDouble(2) - ref) < 1e-6)
+  }
+
   test("resample_interp: known days round-trip, gap days lie between their " +
     "neighbors' values, and the spine is dense per user") {
     val rows = StatsOps.resampleInterp(spark, sf0001).collect()
