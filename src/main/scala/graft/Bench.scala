@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       // the cluster-deployment config: measured plans get the TopKPerKey
       // rewrite + graft_* functions, exactly as spark-submit would
       .config("spark.sql.extensions", "graft.GraftExtensions")

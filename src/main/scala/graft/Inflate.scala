@@ -65,8 +65,9 @@ object Inflate {
       shifted(_, _, "o_orderkey", "o_custkey")), "orders")
     write(copies(tbl("lineitem"))(
       shifted(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
-    // ts is read as a raw ns long (nanosAsLong) and written back as int64 —
-    // Tables.events reads both encodings identically
+    // ts passes through in whatever encoding the source carries (µs
+    // timestamp today; the legacy ns vintage round-trips as int64) —
+    // Tables.events normalizes both on read
     write(copies(tbl("events"))(
       shifted(_, _, "event_id", "user_id")), "events")
     write(copies(tbl("documents")) { (df, i) =>

@@ -75,20 +75,22 @@ object CoreOps {
       .orderBy("doc_id")
 
   // ── §2.3 F2: timestamp range predicate (app.py:108-110).
-  // Half-open [start, end): with ns-vs-µs precision skew, >= lower and
-  // < upper classify every row identically under truncation; an inclusive
-  // upper bound would not. The predicate is applied to the RAW ns long so
-  // it pushes into the parquet scan (row-group skipping) — filtering the
-  // converted timestamp column would evaluate above a projection instead. ──
-  def rangeFilter(spark: SparkSession, dir: String): DataFrame = {
-    def ns(isoDate: String): Long =
-      java.time.Instant.parse(isoDate).getEpochSecond * 1000000000L
-    Tables.eventsRawNanos(spark, dir)
-      .filter(col("ts") >= ns("2024-01-05T00:00:00Z") &&
-        col("ts") < ns("2024-01-20T00:00:00Z"))
+  // Half-open [start, end): with any precision skew between engines,
+  // >= lower and < upper at second-aligned boundaries classify every row
+  // identically under truncation; an inclusive upper bound would not.
+  // The literals fold to TimestampType constants, so on µs-encoded
+  // parquet the predicate pushes into the scan (row-group skipping —
+  // `PushedFilters` shows both bounds); on the legacy ns-as-long vintage
+  // the comparison evaluates above the normalizing projection instead,
+  // trading pushdown for one shared loader shape. Session TZ is UTC, so
+  // the unzoned literals mean the same instants the DuckDB oracle's
+  // naive TIMESTAMP literals do. ──
+  def rangeFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= to_timestamp(lit("2024-01-05 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy("event_id")
-  }
 
   // ── §2.3 F3: membership predicate (app.py:110) ──
   def isinFilter(spark: SparkSession, dir: String): DataFrame =

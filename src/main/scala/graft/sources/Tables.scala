@@ -24,27 +24,55 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet (TESTDATA.md), which Spark's
-    * TimestampType (µs) cannot hold: the vectorized reader rejects
-    * `TIMESTAMP(NANOS)` outright. We read nanos as raw longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs ourselves —
-    * `ts div 1000` in integer arithmetic (a double division would lose
-    * precision above 2^53 ns ≈ 1970+104 days). Every downstream comparison
-    * against the DuckDB oracle (which keeps full ns) is designed for this
-    * truncation: half-open range predicates, second-level formatted output. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    eventsRawNanos(spark, dir)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** `events.ts` arrives in either of two parquet encodings depending on
+    * the generator vintage: µs `TimestampType` (current testdata), or
+    * `TIMESTAMP(NANOS)`, which Spark's TimestampType (µs) cannot hold —
+    * the vectorized reader rejects it outright, so that vintage is read
+    * as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and truncated
+    * to µs ourselves: `ts div 1000` in integer arithmetic (a double
+    * division would lose precision above 2^53 ns ≈ 1970+104 days). The
+    * loader sniffs the footer schema and normalizes BOTH to µs
+    * TimestampType, so every operator sees one shape; ns→µs truncation is
+    * oracle-safe by the repo discipline of half-open range predicates and
+    * second-level formatted output. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 
-  /** Events with `ts` as the raw nanosecond epoch long. Predicates that can
-    * be expressed on the raw long (time ranges at coarse boundaries) should
-    * filter HERE, before the µs conversion — a filter on the converted
-    * column sits above a projection and never reaches the parquet scan,
-    * while a long comparison is pushed down and skips row groups. */
-  def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    // harmless when the file is µs-encoded; required to open a ns file
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // µs files are written isAdjustedToUTC=false; inferred as NTZ they
+    // break every unix_micros/time-zone-aware consumer, so read them as
+    // plain TimestampType — with the repo-wide UTC session the wall
+    // values mean the same instants (and the same rows the DuckDB
+    // oracle's naive timestamps select)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     table(spark, dir, "events")
+  }
+
+  /** Events with `ts` as the raw nanosecond epoch long, whatever the disk
+    * encoding. On ns-encoded data the long IS the stored column, so
+    * coarse-boundary range predicates placed here push into the parquet
+    * scan (row-group skipping); on µs-encoded data the long is a derived
+    * `unix_micros·1000` (exact — µs·1000 cannot overflow before year
+    * ~294247) and no longer scan-pushable, so operators that want
+    * pushdown on modern files should instead filter [[events]]' timestamp
+    * column with timestamp literals. */
+  def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")) * 1000L)
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

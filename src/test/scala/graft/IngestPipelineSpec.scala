@@ -131,10 +131,14 @@ class IngestPipelineSpec extends SparkSuite {
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       landing.resolve("batch-000.parquet"))
     val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val stream0 = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landing.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // normalize the legacy ns-as-long vintage; current µs files stream as-is
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
