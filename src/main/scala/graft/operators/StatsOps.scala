@@ -455,6 +455,9 @@ object StatsOps {
     "window_ewma"       -> windowEwma _,
     "window_streaks"    -> windowStreaks _,
     "resample_interp"   -> resampleInterp _,
+    "window_cusum"      -> windowCusum _,
+    "stats_ks"          -> statsKs _,
+    "seasonal_decompose" -> seasonalDecompose _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -630,5 +633,75 @@ object StatsOps {
         |  END AS val,
         |  v IS NULL AS is_gap
         |FROM f ORDER BY user_id, day_s""".stripMargin,
+    "window_cusum" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST("value" AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |m AS (SELECT *, count(*) OVER wu AS n, sum(v) OVER wu AS sx,
+        |        sum(v * v) OVER wu AS sxx
+        |      FROM e WINDOW wu AS (PARTITION BY user_id)),
+        |b AS (SELECT *,
+        |        CAST(round(CAST(sx AS DOUBLE) / n, 6) + 0.0
+        |             AS DECIMAL(24,6)) AS mu6,
+        |        CAST(round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |              (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+        |             + 0.0 AS DECIMAL(24,6)) AS sd6
+        |      FROM m WHERE n >= 2),
+        |d AS (SELECT *, v - mu6 - sd6 * CAST(0.5 AS DECIMAL(2,1)) AS dev
+        |      FROM b WHERE sd6 > 0),
+        |p AS (SELECT *, sum(dev) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |      FROM d),
+        |s AS (SELECT event_id, user_id,
+        |        round(CAST(p - min(p) OVER (PARTITION BY user_id
+        |            ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS DOUBLE) / CAST(sd6 AS DOUBLE), 6) + 0.0 AS s
+        |      FROM p)
+        |SELECT event_id, user_id, s, s > 5 AS alarm
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
+    "stats_ks" ->
+      """WITH g AS (
+        |  SELECT "value" AS value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |c AS (SELECT *, sum(a) OVER w AS ca, sum(b) OVER w AS cb
+        |      FROM g WINDOW w AS (ORDER BY value
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |        CAST(sum(b) AS BIGINT) AS n2 FROM g),
+        |d AS (SELECT n1, n2,
+        |        max(abs(CAST(ca AS DOUBLE) / n1 - CAST(cb AS DOUBLE) / n2))
+        |          AS d
+        |      FROM c, t GROUP BY 1, 2)
+        |SELECT n1, n2, round(d, 6) + 0.0 AS d_stat,
+        |  round(d * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) + 0.0
+        |    AS lambda
+        |FROM d""".stripMargin,
+    "seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS vd
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT *, count(*) OVER w7 AS cnt7,
+        |        CAST(round(CAST(sum(vd) OVER w7 AS DOUBLE) / 7, 6) + 0.0
+        |             AS DECIMAL(24,6)) AS trend6
+        |      FROM daily
+        |      WINDOW w7 AS (ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT *, dayofweek(day) AS dow, vd - trend6 AS det
+        |      FROM t WHERE cnt7 = 7),
+        |s AS (SELECT dow,
+        |        round(CAST(sum(det) AS DOUBLE) / count(*), 6) + 0.0
+        |          AS seasonal
+        |      FROM f GROUP BY 1)
+        |SELECT day, CAST(vd AS DOUBLE) AS v, CAST(trend6 AS DOUBLE) AS trend,
+        |  seasonal, round(CAST(det AS DOUBLE) - seasonal, 6) + 0.0 AS resid
+        |FROM f JOIN s USING (dow) ORDER BY day""".stripMargin,
   )
 }

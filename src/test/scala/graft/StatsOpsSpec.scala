@@ -192,4 +192,55 @@ class StatsOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("window_cusum: statistic is non-negative, zero at each user's first " +
+    "event, and alarm fires exactly when s > 5") {
+    val rows = StatsOps.windowCusum(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getBoolean(3) == (r.getDouble(2) > 5.0))
+    }
+    // rows arrive ordered (user_id, event_id) = the CUSUM time order per
+    // user, so the first row of each user group is that user's first
+    // event: P_1 - min(P_1) = 0
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      assert(rs.head.getDouble(2) == 0.0)
+    }
+  }
+
+  test("stats_ks: one row; D in [0, 1] and matches a driver-side exact " +
+    "two-sample ECDF sup; lambda consistent with D") {
+    val Seq(row) = StatsOps.statsKs(spark, sf0001).collect().toSeq
+    val (n1, n2, d, lambda) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    assert(d >= 0.0 && d <= 1.0)
+    val vals = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "purchase").map(_._2).sorted
+    assert(a.length == n1 && b.length == n2)
+    val grid = (a ++ b).distinct.sorted
+    val refD = grid.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.length -
+        b.count(_ <= x).toDouble / b.length)
+    }.max
+    assert(math.abs(d - refD) < 1e-6)
+    assert(math.abs(lambda -
+      refD * math.sqrt(n1.toDouble * n2 / (n1 + n2))) < 1e-5)
+  }
+
+  test("seasonal_decompose: components reassemble the series " +
+    "(v = trend + seasonal + resid) and seasonal takes <= 7 values") {
+    val rows = StatsOps.seasonalDecompose(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, t, s, res) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(v - (t + s + res)) < 5e-6)
+    }
+    assert(rows.map(_.getDouble(3)).distinct.length <= 7)
+  }
 }
