@@ -359,6 +359,51 @@ object SqlSurfaceOps {
       .orderBy("c_custkey", "neg_rank")
   }
 
+  /** [[sampleMixture]] target language shares, in integer TENTHS (Σ = 10)
+    * — the language-balance knob of a pretraining corpus. Integer weights
+    * keep every sizing step exact in any engine. */
+  private val MixtureWeights: Map[String, Long] =
+    Map("en" -> 4L, "de" -> 2L, "fr" -> 2L, "es" -> 1L, "zh" -> 1L)
+
+  // ── domain-mixture resampling (the corpus-mixing step of a pretraining
+  // pipeline, à la fixed-ratio data recipes): resize the corpus to a
+  // TARGET language mixture while keeping as much data as the mixture
+  // allows. With weights w_l (tenths) and availability c_l, the largest
+  // feasible corpus is N = min_l ⌊c_l·10/w_l⌋ — the scarcest language is
+  // the binding constraint; every other language downsamples to
+  // n_l = ⌊w_l·N/10⌋ via the portable Knuth-multiplicative uniform of
+  // doc_id thresholded at ppm_l = ⌊n_l·1e6/c_l⌋ (same pmod-before-multiply
+  // overflow discipline as sample_weighted). ALL sizing is integer
+  // arithmetic on a |langs|-row frame broadcast back onto the corpus, so
+  // both engines derive identical rates and identical kept sets. Scale
+  // shape: pass 1 is a keyed count (map-side partials, |langs| rows out);
+  // pass 2 is scan + broadcast-join + filter + keyed agg — nothing
+  // shuffles but lang-sized aggregates, at any corpus size. ──
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("available"))
+      .withColumn("weight", element_at(typedLit(MixtureWeights), col("lang")))
+      .filter(col("weight").isNotNull)
+    val feas = counts.agg(min(expr("available * 10 div weight")).as("nfeas"))
+    val tgt = counts.crossJoin(broadcast(feas))
+      .select(col("lang"), col("available"), col("weight"),
+        expr("weight * nfeas div 10").as("target_n"))
+      .withColumn("accept_ppm", expr("target_n * 1000000 div available"))
+    val kept = docs
+      .join(broadcast(tgt.select(col("lang"), col("accept_ppm"))), "lang")
+      .filter(expr("pmod(pmod(doc_id, 2147483648) * 2654435761, 2147483648)" +
+        " % 1000000") < col("accept_ppm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_n"), sum(col("n_chars")).as("kept_chars"))
+    tgt.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("available"), col("weight"), col("target_n"),
+        col("accept_ppm"),
+        coalesce(col("kept_n"), lit(0L)).as("kept_n"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+      .orderBy("lang")
+  }
+
   // ── Approximate distinct (HLL): users per event type via
   // approx_count_distinct, alongside the exact count for error inspection.
   // At 100 TB the sketch is the only sane default: fixed memory per group,
@@ -623,6 +668,7 @@ object SqlSurfaceOps {
     "sample_stratified" -> sampleStratified _,
     "sample_weighted"   -> sampleWeighted _,
     "sample_negatives"  -> sampleNegatives _,
+    "sample_mixture"    -> sampleMixture _,
     "approx_distinct" -> approxDistinct _,
     "approx_distinct_merge" -> approxDistinctMerge _,
     "percentile_store_merge" -> percentileStoreMerge _,
@@ -804,6 +850,26 @@ object SqlSurfaceOps {
         |            1.0 / GREATEST(n_chars, 1)), 9) AS es_key
         |FROM documents
         |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
+    "sample_mixture" ->
+      """WITH w AS (SELECT * FROM (VALUES ('en', 4), ('de', 2), ('fr', 2),
+        |             ('es', 1), ('zh', 1)) AS t(lang, wt)),
+        |c AS (SELECT lang, count(*) AS available FROM documents GROUP BY 1),
+        |cw AS (SELECT c.lang, c.available, CAST(w.wt AS BIGINT) AS weight
+        |       FROM c JOIN w USING (lang)),
+        |n AS (SELECT min(available * 10 // weight) AS nfeas FROM cw),
+        |tgt AS (SELECT lang, available, weight,
+        |          weight * nfeas // 10 AS target_n,
+        |          (weight * nfeas // 10) * 1000000 // available AS accept_ppm
+        |        FROM cw, n),
+        |kept AS (SELECT d.lang, count(*) AS kept_n,
+        |           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |         FROM documents d JOIN tgt USING (lang)
+        |         WHERE ((d.doc_id % 2147483648) * 2654435761 % 2147483648)
+        |               % 1000000 < accept_ppm
+        |         GROUP BY 1)
+        |SELECT lang, available, weight, target_n, accept_ppm,
+        |  COALESCE(kept_n, 0) AS kept_n, COALESCE(kept_chars, 0) AS kept_chars
+        |FROM tgt LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
     "regexp_funcs" ->
       """SELECT COALESCE(regexp_extract(text, '^([A-Za-z]+)', 1), '') AS first_word,
         |  count(*) AS cnt

@@ -202,4 +202,29 @@ class SqlSurfaceSpec extends SparkSuite {
     // directly on the scan within the same codegen stage (no shuffle first)
     assert(plan.contains("pmod"), plan.take(2000))
   }
+
+  test("sample_mixture: the scarcest language binds (some lang's feasible " +
+    "corpus equals the chosen N), targets honor the declared mixture, and " +
+    "kept counts never exceed availability") {
+    val rows = SqlSurfaceOps.sampleMixture(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("en", "de", "fr", "es", "zh"))
+    val n = rows.map(r => r.getLong(1) * 10 / r.getLong(2)).min
+    rows.foreach { r =>
+      val (avail, w, tgt, ppm, kept) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(tgt == w * n / 10)       // target honors the weight exactly
+      assert(tgt <= avail)            // never asks for more than exists
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(kept <= avail)
+      // thresholded-uniform acceptance lands near the target rate: the
+      // deviation of a deterministic-hash Bernoulli stays well inside a
+      // quarter of the STRATUM size (≈4σ at these counts; es at sf0.001
+      // sits 2.5σ off). Exactness is not the point here — the oracle
+      // hash-check pins bit-exact reproducibility separately.
+      assert(math.abs(kept - tgt) <= math.max(10L, avail / 4))
+    }
+    // the binding language's feasible corpus IS the corpus: its
+    // availability*10/weight equals n by construction of the min
+    assert(rows.exists(r => r.getLong(1) * 10 / r.getLong(2) == n))
+  }
 }
