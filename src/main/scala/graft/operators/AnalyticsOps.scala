@@ -152,6 +152,13 @@ object AnalyticsOps {
         .agg((lit(PrScale * 15L / 100L) +
           expr("sum(contrib) * 85 div 100")).as("r"))
         .select(col("dst").as("node"), col("r"))
+        // materialize + truncate lineage NOW: each iteration's broadcast
+        // otherwise re-executes every prior iteration from scratch
+        // (nothing below the broadcast is cached), turning k iterations
+        // into O(k²) iteration-executions. An eager localCheckpoint of
+        // the |nodes|-sized vector keeps the loop linear; integer ranks
+        // make the result bit-identical either way.
+        .localCheckpoint()
     }
     ranks.orderBy("node")
   }
