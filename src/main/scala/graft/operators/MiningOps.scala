@@ -120,19 +120,21 @@ object MiningOps {
   // ── triangle counting on the part co-purchase graph (parts sharing an
   // order). Degree-ordered orientation: each undirected edge points from
   // its lower-(degree, id) endpoint to the higher, so every triangle is
-  // counted exactly once — as a wedge at its minimum vertex plus the
-  // closing edge, which (being between the wedge's two higher endpoints)
-  // is itself oriented low→high and probes the same directed edge set.
-  // This is the classic bound that keeps per-vertex wedge generation at
-  // O(d_min²) instead of O(d_hub²): a celebrity node generates no wedges
-  // because all its edges point INTO it. The oracle replays the same
-  // orientation from the same integer degrees. ──
+  // counted exactly once — at the edge joining its two lowest-(degree,
+  // id) vertices, whose shared out-neighbors are the closing vertices.
+  // The classic orientation bound caps every out-adjacency at O(√E)
+  // instead of O(d_hub): a celebrity node closes no triangles from its
+  // own list because all its edges point INTO it. The oracle replays the
+  // same orientation from the same integer degrees. ──
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val op = baskets(spark, dir)
+    // cache the deduped edge set: degrees, orientation, the closing-edge
+    // probe and the edge count all consume it — uncached, each consumer
+    // re-runs the baskets self-join + distinct (~6 re-executions)
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+      .select(col("u"), col("v")).distinct().cache()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -140,24 +142,34 @@ object MiningOps {
     val withDeg = und
       .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
       .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
+    // cached too: probed once as each wedge's closing edge and read twice
+    // more (via dirRanked) as the wedge-generation sides
     val dir2 = withDeg.select(
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("u"))
         .otherwise(col("v")).as("src"),
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("v"))
-        .otherwise(col("u")).as("dst"))
-    // carry the dst's (degree, id) rank so wedge endpoints can be ordered
-    // the same way the closing edge is
-    val dirRanked = dir2
-      .join(broadcast(deg.select(col("node").as("dst"), col("d").as("dd"))), "dst")
-    val wedges = dirRanked.select(col("src"), col("dst").as("w1"), col("dd").as("d1"))
-      .join(dirRanked.select(col("src"), col("dst").as("w2"), col("dd").as("d2")), "src")
-      .filter(col("d1") < col("d2") ||
-        (col("d1") === col("d2") && col("w1") < col("w2")))
-    val tri = wedges.join(
-      dir2.select(col("src").as("w1"), col("dst").as("w2")), Seq("w1", "w2"))
-      .agg(count(lit(1)).as("triangles"))
+        .otherwise(col("u")).as("dst")).cache()
+    // edge-iterator counting: per oriented base edge (u,v), the closing
+    // vertices are exactly adj_out(u) ∩ adj_out(v), so each triangle is
+    // counted once — at the edge whose endpoints are its two LOWEST
+    // (degree, id) vertices. The out-adjacency arrays are bounded at
+    // O(√E) by the orientation, so the per-row intersection is cheap and
+    // the 80M-row wedge self-join this replaces never materializes —
+    // only the |nodes|-sized adjacency table joins (co-partitioned by
+    // src; AQE broadcasts it while it fits). A sink dst has no adjacency
+    // row and contributes 0 closings, which the inner join encodes by
+    // dropping the edge.
+    val adj = dir2.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    val tri = dir2
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")),
+        col("src") === col("u"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")),
+        col("dst") === col("v"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
+      .agg(sum(col("t")).cast("long").as("triangles"))
     val counts = und.agg(count(lit(1)).as("edges"))
       .crossJoin(deg.agg(count(lit(1)).as("nodes")))
     counts.crossJoin(tri)
