@@ -58,7 +58,10 @@ object MiningOps {
   // every ratio is rounded from the same integer inputs, so the numbers
   // are engine-independent. ──
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir)
+    // cached: the basket relation (a distinct = one shuffle over
+    // lineitem) feeds the order total, the item supports, and both pair
+    // sides — uncached each consumer re-runs the scan + distinct
+    val op = baskets(spark, dir).cache()
     val nOrders = op.select(col("o")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCnt = op.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
@@ -127,7 +130,7 @@ object MiningOps {
   // own list because all its edges point INTO it. The oracle replays the
   // same orientation from the same integer degrees. ──
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir)
+    val op = baskets(spark, dir).cache() // read twice by the self-join
     // cache the deduped edge set: degrees, orientation, the closing-edge
     // probe and the edge count all consume it — uncached, each consumer
     // re-runs the baskets self-join + distinct (~6 re-executions)
