@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -236,6 +236,34 @@ object AnalyticsOps {
       .orderBy("check")
   }
 
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0d)
+
+  // ── rolling engagement: DAU, trailing-7-day WAU, and stickiness
+  // (DAU/WAU) per day. The sliding DISTINCT is deliberately NOT a window
+  // over events: the distinct (user, day) activity relation (one shuffle,
+  // already day-granular) fans out to the ≤7 cover days each activity row
+  // can serve — a bounded ×7 expansion — and WAU is then a plain keyed
+  // count-distinct on the cover day. Partial aggregation everywhere, no
+  // single-task window, and the expansion never touches raw events, so
+  // the shape holds on a 100 TB event store. Days with no activity don't
+  // report (the inner join against DAU drops their cover rows). ──
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .cache() // feeds both the DAU aggregate and the cover expansion
+    val dau = act.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = act
+      .select(col("user_id"), col("day"),
+        explode(expr("sequence(0, 6)")).as("i"))
+      .select(col("user_id"), expr("date_add(day, i)").as("cday"))
+      .groupBy(col("cday")).agg(countDistinct(col("user_id")).as("wau7"))
+    dau.join(wau, dau("day") === wau("cday"))
+      .select(col("day"), col("dau"), col("wau7"),
+        r6(col("dau").cast("double") / col("wau7")).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile"       -> dqProfile _,
     "cohort_retention" -> cohortRetention _,
@@ -243,6 +271,7 @@ object AnalyticsOps {
     "anomaly_mad"      -> anomalyMad _,
     "graph_pagerank"   -> graphPagerank _,
     "cdc_scd2"         -> cdcScd2 _,
+    "rolling_active_users" -> rollingActiveUsers _,
   )
 
   private val prIterSql: String = {
@@ -358,6 +387,20 @@ object AnalyticsOps {
         |FROM events e JOIN mad m USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> prIterSql,
+    "rolling_active_users" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM act GROUP BY 1),
+        |cover AS (SELECT user_id, day + CAST(i AS INTEGER) AS cday
+        |          FROM act CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+        |wau AS (SELECT cday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+        |        FROM cover GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau7,
+        |  round(CAST(d.dau AS DOUBLE) / w.wau7, 6) + 0.0 AS stickiness
+        |FROM dau d JOIN wau w ON w.cday = d.day
+        |ORDER BY d.day""".stripMargin,
     "cdc_scd2" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -415,6 +415,49 @@ object StatsOps {
           (col("n1") + col("n2")))).as("lambda"))
   }
 
+  // ── Mann–Whitney U (two-sample rank-sum) between the same two value
+  // distributions statsKs compares — the nonparametric location test that
+  // complements KS's shape test. Ranks never materialize per row: on the
+  // grouped value grid, a tie group spanning ranks
+  // (cumBefore, cumBefore+t] has average rank cumBefore + (t+1)/2, so
+  // U = Σ a·avgrank − n₁(n₁+1)/2 comes from ONE running count over the
+  // grid (group-sized, like statsKs). The z-score uses the standard
+  // tie-corrected variance n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))). All sums
+  // are integer-or-dyadic (·.5) arithmetic — exact in both engines —
+  // and rounded once at the boundary. ──
+  def statsMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .filter(col("event_type").isin(KsTypeA, KsTypeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === KsTypeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === KsTypeB, 1L).otherwise(0L)).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val byVal = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("cum_before",
+      coalesce(sum(col("t")).over(byVal), lit(0L)))
+    val tot = g.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(col("n1"), col("n2"), col("tie3"))
+      .agg(sum(col("a").cast("double") *
+        (col("cum_before") + (col("t") + 1).cast("double") / 2)).as("r1"))
+      .select(col("n1"), col("n2"),
+        (col("r1") - col("n1").cast("double") * (col("n1") + 1) / 2).as("u1"),
+        col("tie3"))
+      .select(col("n1"), col("n2"), col("u1"),
+        (col("n1").cast("double") * col("n2") - col("u1")).as("u2"),
+        col("tie3"))
+      .select(col("n1"), col("n2"),
+        r6(col("u1")).as("u1"), r6(col("u2")).as("u2"),
+        r6((col("u1") - col("n1").cast("double") * col("n2") / 2) /
+          sqrt(col("n1").cast("double") * col("n2") / 12 *
+            ((col("n1") + col("n2") + 1).cast("double") -
+              col("tie3").cast("double") /
+                ((col("n1") + col("n2")).cast("double") *
+                  (col("n1") + col("n2") - 1))))).as("z"))
+  }
+
   // ── additive seasonal decomposition of the daily value series:
   // value = trend (centered 7-day moving average) + seasonal (per-weekday
   // mean of the detrended series) + residual. Only days with a FULL
@@ -458,6 +501,7 @@ object StatsOps {
     "window_cusum"      -> windowCusum _,
     "stats_ks"          -> statsKs _,
     "seasonal_decompose" -> seasonalDecompose _,
+    "stats_mannwhitney" -> statsMannWhitney _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -683,6 +727,35 @@ object StatsOps {
         |  round(d * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) + 0.0
         |    AS lambda
         |FROM d""".stripMargin,
+    "stats_mannwhitney" ->
+      """WITH g AS (
+        |  SELECT "value" AS value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |gt AS (SELECT *, a + b AS t FROM g),
+        |r AS (SELECT *, COALESCE(sum(t) OVER (ORDER BY value
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS cum_before
+        |      FROM gt),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |          CAST(sum(b) AS BIGINT) AS n2,
+        |          CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM gt),
+        |agg AS (SELECT n1, n2, tie3,
+        |          sum(CAST(a AS DOUBLE) *
+        |              (cum_before + CAST(t + 1 AS DOUBLE) / 2)) AS r1
+        |        FROM r, tot GROUP BY 1, 2, 3),
+        |u AS (SELECT n1, n2, tie3,
+        |        r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2 AS u1 FROM agg)
+        |SELECT n1, n2, round(u1, 6) + 0.0 AS u1,
+        |  round(CAST(n1 AS DOUBLE) * n2 - u1, 6) + 0.0 AS u2,
+        |  round((u1 - CAST(n1 AS DOUBLE) * n2 / 2) /
+        |    sqrt(CAST(n1 AS DOUBLE) * n2 / 12 *
+        |      (CAST(n1 + n2 + 1 AS DOUBLE) -
+        |       CAST(tie3 AS DOUBLE) /
+        |         (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6) + 0.0 AS z
+        |FROM u""".stripMargin,
     "seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -81,4 +81,25 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(bad == 0L)
     scd.unpersist()
   }
+
+  test("rolling_active_users: WAU brackets DAU and the trailing-7-day " +
+    "union, and matches a driver-side brute force") {
+    val rows = AnalyticsOps.rollingActiveUsers(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val act = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    rows.foreach { r =>
+      val (day, dau, wau) =
+        (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2))
+      val expectDau = act.filter(_._2 == day).map(_._1).distinct.length
+      val expectWau = act.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._1).distinct.length
+      assert(dau == expectDau, s"$day dau")
+      assert(wau == expectWau, s"$day wau")
+      assert(wau >= dau)
+      assert(math.abs(r.getDouble(3) - dau.toDouble / wau) < 1e-6)
+    }
+  }
 }

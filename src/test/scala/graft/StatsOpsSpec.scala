@@ -232,6 +232,33 @@ class StatsOpsSpec extends SparkSuite {
       refD * math.sqrt(n1.toDouble * n2 / (n1 + n2))) < 1e-5)
   }
 
+  test("stats_mannwhitney: U1 + U2 = n1*n2, and U1 matches a driver-side " +
+    "exact rank-sum with tie-averaged ranks") {
+    val Seq(row) = StatsOps.statsMannWhitney(spark, sf0001).collect().toSeq
+    val (n1, n2, u1, u2) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    assert(math.abs((u1 + u2) - n1.toDouble * n2) < 1e-6)
+    val vals = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val all = vals.sortBy(_._2)
+    // tie-averaged ranks: group equal values, average their 1-based ranks
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var i = 0
+    while (i < all.length) {
+      var j = i
+      while (j < all.length && all(j)._2 == all(i)._2) j += 1
+      val avg = (i + 1 + j).toDouble / 2 // mean of ranks i+1 .. j
+      ranks(all(i)._2) = avg
+      i = j
+    }
+    val r1 = vals.filter(_._1 == "click").map(v => ranks(v._2)).sum
+    val na = vals.count(_._1 == "click")
+    assert(na == n1)
+    assert(math.abs(u1 - (r1 - na.toDouble * (na + 1) / 2)) < 1e-5)
+  }
+
   test("seasonal_decompose: components reassemble the series " +
     "(v = trend + seasonal + resid) and seasonal takes <= 7 values") {
     val rows = StatsOps.seasonalDecompose(spark, sf0001).collect()
