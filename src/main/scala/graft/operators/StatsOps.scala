@@ -458,6 +458,46 @@ object StatsOps {
                   (col("n1") + col("n2") - 1))))).as("z"))
   }
 
+  /** [[statsBootstrap]] resample count and the Poisson(1) CDF in ppm —
+    * P(X≤k) for k=0..4, tail folded into weight 5 (P(X≥6) ≈ 6e-4). The
+    * SAME integer constants appear in the DuckDB oracle, so the resample
+    * weights are engine-identical by construction. */
+  private val BootB = 32
+  private val BootCdfPpm = Seq(367879, 735759, 919699, 981012, 996340)
+
+  // ── bootstrap confidence interval for the mean, via the POISSON
+  // bootstrap — the at-scale form: instead of drawing B independent
+  // n-row resamples (undistributable), each row contributes to resample
+  // b with multiplicity w ~ Poisson(1), approximated by thresholding the
+  // portable Knuth-multiplicative uniform of (event_id, b) against the
+  // Poisson CDF. ONE scan fans out ×B (the inherent bootstrap cost,
+  // linear in B and embarrassingly parallel), per-resample means are
+  // keyed aggregations of decimal-exact sums, and the CI is a percentile
+  // over the B-row means frame. Every weight is integer-deterministic in
+  // both engines; means are rounded before the interpolating percentile
+  // so the CI arithmetic runs on identical doubles. ──
+  def statsBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .select(col("event_id"), col("value").cast("decimal(18,2)").as("v"))
+    val Seq(p0, p1, p2, p3, p4) = BootCdfPpm
+    val weighted = e
+      .select(col("event_id"), col("v"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("b"))
+      .withColumn("u", expr(s"pmod(pmod(event_id, 2147483648) * $BootB + b," +
+        " 2147483648) * 2654435761 % 2147483648 % 1000000"))
+      .withColumn("w", when(col("u") < p0, 0).when(col("u") < p1, 1)
+        .when(col("u") < p2, 2).when(col("u") < p3, 3)
+        .when(col("u") < p4, 4).otherwise(5))
+    val means = weighted.groupBy(col("b"))
+      .agg(r6(sum(col("v") * col("w")).cast("double") / sum(col("w")))
+        .as("m"))
+    means.agg(count(lit(1)).as("n_resamples"),
+      r6(expr("percentile(m, 0.025)")).as("ci_lo"),
+      r6(expr("percentile(m, 0.5)")).as("ci_med"),
+      r6(expr("percentile(m, 0.975)")).as("ci_hi"),
+      r6(min(col("m"))).as("mn"), r6(max(col("m"))).as("mx"))
+  }
+
   // ── additive seasonal decomposition of the daily value series:
   // value = trend (centered 7-day moving average) + seasonal (per-weekday
   // mean of the detrended series) + residual. Only days with a FULL
@@ -502,6 +542,7 @@ object StatsOps {
     "stats_ks"          -> statsKs _,
     "seasonal_decompose" -> seasonalDecompose _,
     "stats_mannwhitney" -> statsMannWhitney _,
+    "stats_bootstrap"   -> statsBootstrap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -756,6 +797,28 @@ object StatsOps {
         |       CAST(tie3 AS DOUBLE) /
         |         (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6) + 0.0 AS z
         |FROM u""".stripMargin,
+    "stats_bootstrap" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST("value" AS DECIMAL(18,2)) AS v FROM events),
+        |x AS (SELECT event_id, v, CAST(i AS BIGINT) AS b
+        |      FROM e CROSS JOIN (SELECT unnest(range(0, 32)) AS i)),
+        |u AS (SELECT b, v,
+        |        ((((event_id % 2147483648) * 32 + b) % 2147483648)
+        |         * 2654435761 % 2147483648) % 1000000 AS u
+        |      FROM x),
+        |w AS (SELECT b, v,
+        |        CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |             WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |             WHEN u < 996340 THEN 4 ELSE 5 END AS w
+        |      FROM u),
+        |m AS (SELECT b, round(CAST(sum(v * w) AS DOUBLE) / sum(w), 6) + 0.0
+        |        AS m FROM w GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+        |  round(quantile_cont(m, 0.025), 6) + 0.0 AS ci_lo,
+        |  round(quantile_cont(m, 0.5), 6) + 0.0 AS ci_med,
+        |  round(quantile_cont(m, 0.975), 6) + 0.0 AS ci_hi,
+        |  round(min(m), 6) + 0.0 AS mn, round(max(m), 6) + 0.0 AS mx
+        |FROM m""".stripMargin,
     "seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -234,6 +234,7 @@ class PlanShapeSpec extends SparkSuite {
       "stats_ttest",       // |event_types|² moment-pair grid (~25 rows)
       "stats_chi2",        // |event_types|×7 marginal grid (~35 rows)
       "stats_ks",          // 1-row total-counts broadcast
+      "stats_mannwhitney", // 1-row totals (n1, n2, tie3) broadcast
       "dq_profile",        // four 1-row per-table assertion frames
       "sample_mixture",    // 1-row feasibility (nfeas) broadcast
       "sample_negatives",  // 1-row part-count broadcast

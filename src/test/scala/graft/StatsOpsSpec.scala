@@ -259,6 +259,20 @@ class StatsOpsSpec extends SparkSuite {
     assert(math.abs(u1 - (r1 - na.toDouble * (na + 1) / 2)) < 1e-5)
   }
 
+  test("stats_bootstrap: 32 resamples, ordered quantiles bracketed by " +
+    "min/max, and the CI covers the plain sample mean") {
+    val Seq(row) = StatsOps.statsBootstrap(spark, sf0001).collect().toSeq
+    assert(row.getLong(0) == 32L)
+    val (lo, med, hi, mn, mx) = (row.getDouble(1), row.getDouble(2),
+      row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    assert(mn <= lo && lo <= med && med <= hi && hi <= mx)
+    val mean = graft.sources.Tables.events(spark, sf0001)
+      .agg(avg(col("value"))).head.getDouble(0)
+    // Poisson resample means center on the sample mean; at n=1000 the
+    // 95% CI comfortably covers it (deterministic: fixed hash weights)
+    assert(mean >= lo && mean <= hi, s"$mean notin [$lo, $hi]")
+  }
+
   test("seasonal_decompose: components reassemble the series " +
     "(v = trend + seasonal + resid) and seasonal takes <= 7 values") {
     val rows = StatsOps.seasonalDecompose(spark, sf0001).collect()
