@@ -192,6 +192,35 @@ object DedupOps {
       .filter(col("jaccard") >= 0.3)
   }
 
+  // ── asymmetric CONTAINMENT dedup: C = |A∩B| / min(|A|,|B|) — the
+  // measure that catches a short document quoted inside a much longer
+  // one, where resemblance (Jaccard |∩|/|∪|) stays low because the union
+  // is dominated by the container (Broder's containment, the companion
+  // of resemblance). Same shared-shingle candidate core as dedup_ngram —
+  // one shuffle on shingle, one on pair, never all-pairs — flagged at
+  // C ≥ 0.9 with the Jaccard emitted alongside so downstream policy can
+  // distinguish true near-identity (both high) from inclusion (C high,
+  // J low). ──
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          least(col("za.n"), col("zb.n")), 6).as("containment"),
+        round(col("inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("inter")), 6).as("jaccard"))
+      .filter(col("containment") >= 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ── MinHash + LSH (SURVEY §2.10 dedup_minhash): 32 affine min-hashes
   // over shingle ids, banded 16×2; candidate pairs share a band signature;
   // verified with true Jaccard ≥ 0.3. At j=0.3 the 16-band/2-row curve
@@ -565,6 +594,7 @@ object DedupOps {
     "dedup_near"         -> dedupNear _,
     "dedup_incremental"  -> dedupIncremental _,
     "dedup_ngram"        -> dedupNgram _,
+    "dedup_containment"  -> dedupContainment _,
     "dedup_minhash"      -> dedupMinhash _,
     "dedup_minhash_fast" -> dedupMinhashFast _,
     "dedup_simhash"      -> dedupSimhash _,
@@ -668,6 +698,15 @@ object DedupOps {
         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN comp c USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    "dedup_containment" -> (duckShingles + duckCandInter +
+      """
+        |SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / least(za.n, zb.n), 6) AS containment,
+        |  round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes za ON doc_a = za.doc_id
+        |           JOIN sizes zb ON doc_b = zb.doc_id
+        |WHERE round(CAST(i AS DOUBLE) / least(za.n, zb.n), 6) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_edit" -> (duckShingles + duckCandInter +
       """,
         |surv AS (SELECT doc_a, doc_b,

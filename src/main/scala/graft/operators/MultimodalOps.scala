@@ -100,10 +100,38 @@ object MultimodalOps {
           lit(FrameBytes * 2))).as("digest"))
       .orderBy("doc_id", "frame_no")
 
+  // ── exact binary dedup as a two-level digest cascade: level 1 hashes a
+  // BOUNDED first-frame prefix (256 bytes — O(1) per row no matter how
+  // large the payload), level 2 computes the full digest ONLY inside
+  // prefix-colliding groups. On a 100 TB media corpus the cheap prefix
+  // pass eliminates almost every row before any full-payload hash or
+  // shuffle; only 16-byte digests are ever grouped. Output: one row per
+  // (prefix group, full digest) with the canonical (lowest) id, the
+  // exact-copy count, and the prefix-group size — n_copies ≥ 2 means
+  // byte-identical re-uploads, n_prefix > n_copies means same leading
+  // frame but diverging content (a truncation/re-encode suspect for the
+  // perceptual pass). ──
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"),
+        md5(substr(hex(col("payload")), lit(1), lit(FrameBytes * 2)))
+          .as("head"))
+    val cand = media.groupBy(col("head"))
+      .agg(count(lit(1)).as("n_prefix")).filter(col("n_prefix") >= 2)
+    media.join(cand, "head")
+      .select(col("head").as("head_digest"), col("doc_id"),
+        md5(col("payload")).as("digest"), col("n_prefix"))
+      .groupBy(col("head_digest"), col("digest"))
+      .agg(min(col("doc_id")).as("canonical"),
+        count(lit(1)).as("n_copies"), first(col("n_prefix")).as("n_prefix"))
+      .orderBy("canonical", "digest")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode"   -> multimodalDecode _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames"   -> multimodalFrames _,
+    "multimodal_dedup"    -> multimodalDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +139,17 @@ object MultimodalOps {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
         |  md5(text) AS digest, 'fake/rgb8' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_dedup" ->
+      """WITH m AS (SELECT doc_id, text,
+        |             md5(substring(hex(encode(text)), 1, 512)) AS head
+        |           FROM documents),
+        |c AS (SELECT head, count(*) AS n_prefix FROM m
+        |      GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT head AS head_digest, md5(text) AS digest,
+        |  min(doc_id) AS canonical, count(*) AS n_copies,
+        |  any_value(n_prefix) AS n_prefix
+        |FROM m JOIN c USING (head)
+        |GROUP BY 1, 2 ORDER BY canonical, digest""".stripMargin,
     "multimodal_frames" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
         |             octet_length(encode(text)) AS len FROM documents),

@@ -190,4 +190,23 @@ class DedupSimilaritySpec extends SparkSuite {
       .as[(Long, Long, Double)].collect()
     assert(rows.forall { case (a, b, c) => a < b && c >= 0.4 })
   }
+
+  test("dedup_containment: canonical pairs, containment >= max(jaccard, " +
+    "0.9), and it contains every very-high-jaccard ngram pair") {
+    val rows = DedupOps.dedupContainment(spark, sf0001)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, c, j) =>
+      assert(a < b)
+      assert(c >= 0.9 && c <= 1.0 + 1e-9)
+      // |∩|/min ≥ |∩|/|∪| always — containment dominates resemblance
+      assert(c >= j - 1e-9)
+    }
+    // a pair with Jaccard ≥ 0.9 has containment ≥ Jaccard ≥ 0.9, so the
+    // ngram family's near-identical pairs must all reappear here
+    val cPairs = rows.map(r => (r._1, r._2)).toSet
+    DedupOps.dedupNgram(spark, sf0001).as[(Long, Long, Double)].collect()
+      .filter(_._3 >= 0.9)
+      .foreach(p => assert(cPairs.contains((p._1, p._2)), s"missing $p"))
+  }
 }

@@ -124,4 +124,24 @@ class TextMultimodalSpec extends SparkSuite {
       assert(sorted.map(_._3).sum === math.max(lens(doc), 0))
     }
   }
+
+  test("multimodal_dedup: digest subgroups partition each prefix group, " +
+    "and full-digest groups are genuinely byte-identical") {
+    val rows = graft.operators.MultimodalOps.multimodalDedup(spark, sf0001)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // per prefix group: subgroup copies sum back to the group size
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      val nPrefix = grp.head._5
+      assert(nPrefix >= 2)
+      assert(grp.map(_._4).sum == nPrefix)
+      assert(grp.forall(_._5 == nPrefix))
+    }
+    // any n_copies >= 2 subgroup must correspond to exactly-equal texts
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.md5($"text".cast("binary")).as("d"))
+      .as[(Long, String)].collect().toMap
+    rows.filter(_._4 >= 2).foreach { r => assert(texts(r._3) == r._2) }
+  }
 }
