@@ -381,10 +381,14 @@ object SqlSurfaceOps {
   // shuffles but lang-sized aggregates, at any corpus size. ──
   def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // cached: the |langs|-row count frame feeds the feasibility scalar,
+    // the target table, AND (via tgt) the acceptance join — uncached,
+    // each consumer re-runs the full counting scan of the corpus
     val counts = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("available"))
       .withColumn("weight", element_at(typedLit(MixtureWeights), col("lang")))
       .filter(col("weight").isNotNull)
+      .cache()
     val feas = counts.agg(min(expr("available * 10 div weight")).as("nfeas"))
     val tgt = counts.crossJoin(broadcast(feas))
       .select(col("lang"), col("available"), col("weight"),
@@ -396,7 +400,7 @@ object SqlSurfaceOps {
         " % 1000000") < col("accept_ppm"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("kept_n"), sum(col("n_chars")).as("kept_chars"))
-    tgt.join(kept, Seq("lang"), "left")
+    tgt.join(broadcast(kept), Seq("lang"), "left")
       .select(col("lang"), col("available"), col("weight"), col("target_n"),
         col("accept_ppm"),
         coalesce(col("kept_n"), lit(0L)).as("kept_n"),
