@@ -163,6 +163,46 @@ object AnalyticsOps {
     ranks.orderBy("node")
   }
 
+  private val LpIters = 3
+
+  // ── synchronous label propagation (community detection, Raghavan et al.
+  // 2007) over the same customer–supplier trade graph as [[graphPagerank]]:
+  // each node adopts the MOST FREQUENT label among its neighbors, ties
+  // broken toward the smallest label, for a fixed 3 synchronous rounds.
+  // Async LPA is visit-order-dependent; the fixed-round synchronous
+  // min-tie-break variant is deterministic by construction, so any engine
+  // replays it exactly. Scale shape mirrors PageRank: the static
+  // undirected edge frame shuffles once and is cached; per round only the
+  // |nodes|-sized label vector moves (broadcast), and the neighborhood
+  // mode is two keyed aggregations — (node, label) counts, then an argmax
+  // folded into one min(struct(-count, label)) — both with map-side
+  // partials and no windows. localCheckpoint truncates lineage so round k
+  // never re-executes rounds 1..k-1. ──
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val e = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .cache() // read by all LpIters rounds
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to LpIters) {
+      labels = und.join(broadcast(labels), und("dst") === labels("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("src").as("node"), col("m").getField("l").as("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+      .orderBy("community")
+  }
+
   // ── CDC / SCD type-2 merge: apply a change batch to a dimension
   // snapshot, versioning each changed key with [valid_from, valid_to)
   // intervals and an is_current flag — the standard warehouse pattern for
@@ -270,6 +310,7 @@ object AnalyticsOps {
     "funnel_steps"     -> funnelSteps _,
     "anomaly_mad"      -> anomalyMad _,
     "graph_pagerank"   -> graphPagerank _,
+    "graph_label_prop" -> graphLabelProp _,
     "cdc_scd2"         -> cdcScd2 _,
     "rolling_active_users" -> rollingActiveUsers _,
   )
@@ -294,6 +335,33 @@ object AnalyticsOps {
        |r0 AS (SELECT src AS node, CAST($PrScale AS BIGINT) AS r FROM deg),
        |$iters
        |SELECT node, r FROM it$PrIters ORDER BY node""".stripMargin
+  }
+
+  private val lpIterSql: String = {
+    // unrolled synchronous rounds: l0 = own id; it{k}'s label is the
+    // neighbor mode of it{k-1} (count desc, label asc — same total order
+    // as the Spark side's min(struct(-count, label)))
+    val iters = (1 to LpIters).map { k =>
+      val prev = if (k == 1) "l0" else s"it${k - 1}"
+      s"""c$k AS (
+         |  SELECT ue.src, p.lbl, count(*) AS c
+         |  FROM ue JOIN $prev p ON ue.dst = p.node
+         |  GROUP BY 1, 2),
+         |it$k AS (
+         |  SELECT src AS node, lbl FROM (
+         |    SELECT src, lbl,
+         |      row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |ue AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ue),
+       |$iters
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(node) AS min_node
+       |FROM it$LpIters GROUP BY 1 ORDER BY community""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -387,6 +455,7 @@ object AnalyticsOps {
         |FROM events e JOIN mad m USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> prIterSql,
+    "graph_label_prop" -> lpIterSql,
     "rolling_active_users" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id,

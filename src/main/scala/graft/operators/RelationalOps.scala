@@ -351,7 +351,31 @@ object RelationalOps {
       .orderBy("o_orderpriority")
   }
 
+  // ── hopping-window aggregation in batch: 15-minute windows sliding
+  // every 5 minutes (duration = 3×slide, so each event lands in EXACTLY
+  // three overlapping windows), via the built-in `window(ts, dur, slide)`
+  // generator — the batch twin of a Structured Streaming hopping window
+  // (same generator, same alignment), so a backfill job and the live
+  // stream produce byte-identical frames. Scale shape: the generator is a
+  // bounded ×3 row expansion fused into the scan (a projection, not a
+  // join), then ONE keyed aggregation with map-side partials; window
+  // starts are epoch-aligned multiples of the slide, which the oracle
+  // replays arithmetically (the 3 covering starts of t are
+  // ⌊t/S⌋·S − j·S, j ∈ {0,1,2}). Decimal-exact sums; one rounded double
+  // out. ──
+  def windowHopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        window(col("ts"), "15 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sv"))
+      .select(col("event_type"),
+        unix_micros(col("w.start")).as("win_start_us"), col("n"),
+        (round(col("sv").cast("double") / col("n"), 6) + lit(0.0d))
+          .as("avg_value"))
+      .orderBy("event_type", "win_start_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_hopping"    -> windowHopping _,
     "topk_per_key_native" -> topkPerKeyNative _,
     "join_bloom_prefilter" -> joinBloomPrefilter _,
     "join_bhj"          -> joinBhj _,
@@ -372,6 +396,19 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_hopping" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST("value" AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |    (us // 300000000) * 300000000 - j.j * 300000000 AS win_start_us,
+        |    v
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j)
+        |SELECT event_type, win_start_us, count(*) AS n,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) + 0.0 AS avg_value
+        |FROM x GROUP BY 1, 2 ORDER BY event_type, win_start_us""".stripMargin,
     // the Bloom form is exact by construction (no false negatives, FPs
     // removed by the join) — its oracle is the PLAIN join, so the pass is
     // a machine-checked equivalence proof of the prefilter

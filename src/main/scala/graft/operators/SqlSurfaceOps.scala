@@ -408,6 +408,46 @@ object SqlSurfaceOps {
       .orderBy("lang")
   }
 
+  // ── temperature-scaled language rebalancing (the multilingual-corpus
+  // mixing rule of XLM-R / mT5: sample language l with probability
+  // ∝ n_l^α, α = 0.5, so low-resource languages are over-represented
+  // relative to their raw share): weights w_l = ⌊√c_l · 1e6⌋ in integer
+  // ppm (sqrt is IEEE correctly-rounded in both engines, the floor makes
+  // every downstream step integer-exact), corpus budget = 60% of the
+  // total, per-language target = min(⌊w_l·budget/Σw⌋, c_l) — capped at
+  // one epoch, no replacement — realized by the same portable
+  // hash-uniform ppm threshold as [[sampleMixture]]. Integer bounds:
+  // w ≤ √c·1e6 and w·budget ≤ √c·1e6·N — under int64 through sf≈1000
+  // inflation (c ≤ 1e9 ⇒ product ≈ 3e16). Scale shape: one keyed count
+  // of the corpus, |langs|-row sizing frame broadcast back, one
+  // filter+agg pass — nothing wider than |langs| ever shuffles. ──
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // cached: the |langs|-row count frame feeds sizing AND the accept join
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("available")).cache()
+    val w = counts.select(col("lang"), col("available"),
+      floor(sqrt(col("available")) * lit(1000000d)).cast("long").as("wppm"))
+    val tot = w.agg(sum(col("wppm")).as("wsum"),
+      expr("sum(available) * 6 div 10").as("budget"))
+    val tgt = w.crossJoin(broadcast(tot))
+      .select(col("lang"), col("available"), col("wppm"),
+        least(expr("wppm * budget div wsum"), col("available")).as("target_n"))
+      .withColumn("accept_ppm", expr("target_n * 1000000 div available"))
+    val kept = docs
+      .join(broadcast(tgt.select(col("lang"), col("accept_ppm"))), "lang")
+      .filter(expr("pmod(pmod(doc_id, 2147483648) * 2654435761, 2147483648)" +
+        " % 1000000") < col("accept_ppm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_n"), sum(col("n_chars")).as("kept_chars"))
+    tgt.join(broadcast(kept), Seq("lang"), "left")
+      .select(col("lang"), col("available"), col("wppm"), col("target_n"),
+        col("accept_ppm"),
+        coalesce(col("kept_n"), lit(0L)).as("kept_n"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+      .orderBy("lang")
+  }
+
   // ── Approximate distinct (HLL): users per event type via
   // approx_count_distinct, alongside the exact count for error inspection.
   // At 100 TB the sketch is the only sane default: fixed memory per group,
@@ -673,6 +713,7 @@ object SqlSurfaceOps {
     "sample_weighted"   -> sampleWeighted _,
     "sample_negatives"  -> sampleNegatives _,
     "sample_mixture"    -> sampleMixture _,
+    "sample_temperature" -> sampleTemperature _,
     "approx_distinct" -> approxDistinct _,
     "approx_distinct_merge" -> approxDistinctMerge _,
     "percentile_store_merge" -> percentileStoreMerge _,
@@ -874,6 +915,30 @@ object SqlSurfaceOps {
         |SELECT lang, available, weight, target_n, accept_ppm,
         |  COALESCE(kept_n, 0) AS kept_n, COALESCE(kept_chars, 0) AS kept_chars
         |FROM tgt LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS available FROM documents GROUP BY 1),
+        |w AS (SELECT lang, available,
+        |        CAST(floor(sqrt(available) * 1000000) AS BIGINT) AS wppm
+        |      FROM c),
+        |t AS (SELECT CAST(sum(wppm) AS BIGINT) AS wsum,
+        |        CAST(sum(available) AS BIGINT) * 6 // 10 AS budget
+        |      FROM w),
+        |tgt AS (SELECT lang, available, wppm,
+        |          least(CAST(wppm * budget // wsum AS BIGINT), available)
+        |            AS target_n
+        |        FROM w, t),
+        |a AS (SELECT lang, available, wppm, target_n,
+        |        target_n * 1000000 // available AS accept_ppm
+        |      FROM tgt),
+        |kept AS (SELECT d.lang, count(*) AS kept_n,
+        |           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |         FROM documents d JOIN a USING (lang)
+        |         WHERE ((d.doc_id % 2147483648) * 2654435761 % 2147483648)
+        |               % 1000000 < accept_ppm
+        |         GROUP BY 1)
+        |SELECT lang, available, wppm, target_n, accept_ppm,
+        |  COALESCE(kept_n, 0) AS kept_n, COALESCE(kept_chars, 0) AS kept_chars
+        |FROM a LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
     "regexp_funcs" ->
       """SELECT COALESCE(regexp_extract(text, '^([A-Za-z]+)', 1), '') AS first_word,
         |  count(*) AS cnt

@@ -526,8 +526,34 @@ object StatsOps {
       .orderBy("day")
   }
 
+  // ── one-way ANOVA across event types: does mean value differ between
+  // groups? Computed entirely from per-group (n, Σv, Σv²) — decimal-exact
+  // sums, one keyed aggregation of the fact table, then a k-row reduce —
+  // so the F statistic costs one scan regardless of corpus size (the
+  // textbook sum-of-squares identities SSb = Σ S1ᵢ²/nᵢ − T²/N,
+  // SSw = ΣS2 − Σ S1ᵢ²/nᵢ; Casella & Berger §11.2). Both engines form
+  // identical decimal sums, cast once to double, and run the same IEEE
+  // arithmetic — r6 seals the boundary. ──
+  def statsAnova(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s1"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("double").as("s2"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s1")).as("t"), sum(col("s2")).as("ss2"),
+      sum(col("s1") * col("s1") / col("n")).as("sg"))
+    tot.select(col("k"), col("nn").as("n"),
+        r6(col("sg") - col("t") * col("t") / col("nn")).as("ss_between"),
+        r6(col("ss2") - col("sg")).as("ss_within"),
+        (col("k") - 1).as("df1"), (col("nn") - col("k")).as("df2"),
+        r6(((col("sg") - col("t") * col("t") / col("nn")) / (col("k") - 1)) /
+          ((col("ss2") - col("sg")) / (col("nn") - col("k")))).as("f_stat"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_acf"             -> statsAcf _,
+    "stats_anova"           -> statsAnova _,
     "window_rolling_zscore" -> windowRollingZscore _,
     "stats_ttest"       -> statsTtest _,
     "stats_chi2"        -> statsChi2 _,
@@ -546,6 +572,24 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2)) *
+        |             CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn, sum(s1) AS t,
+        |    sum(s2) AS ss2, sum(s1 * s1 / n) AS sg
+        |  FROM g)
+        |SELECT k, nn AS n,
+        |  round(sg - t * t / nn, 6) + 0.0 AS ss_between,
+        |  round(ss2 - sg, 6) + 0.0 AS ss_within,
+        |  k - 1 AS df1, nn - k AS df2,
+        |  round(((sg - t * t / nn) / (k - 1)) /
+        |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
+        |FROM t""".stripMargin,
     "stats_acf" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

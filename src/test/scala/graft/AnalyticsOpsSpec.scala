@@ -45,6 +45,31 @@ class AnalyticsOpsSpec extends SparkSuite {
     }
   }
 
+  test("graph_label_prop: members conserve the node set, community ids are " +
+    "node ids, and the synchronous rounds are repartition-invariant") {
+    val a = AnalyticsOps.graphLabelProp(spark, sf0001).collect()
+    val nodes = AnalyticsOps.graphPagerank(spark, sf0001)
+      .select(col("node")).collect().map(_.getLong(0)).toSet
+    // every node keeps exactly one label
+    assert(a.map(_.getLong(1)).sum == nodes.size.toLong)
+    // labels originate as node ids and only propagate — both the
+    // community id and its min member must be real nodes
+    assert(a.forall(r => nodes.contains(r.getLong(0))))
+    assert(a.forall(r => nodes.contains(r.getLong(2))))
+    // 3 rounds of mode-adoption on a connected trade graph must coarsen:
+    // strictly fewer communities than nodes
+    assert(a.length < nodes.size)
+    // deterministic: the min(struct) tie-break ignores partitioning
+    val b = {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try AnalyticsOps.graphLabelProp(spark, sf0001).collect()
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("graph_pagerank: bit-identical under repartitioning; mass bounded") {
     val a = AnalyticsOps.graphPagerank(spark, sf0001).collect()
     val b = {

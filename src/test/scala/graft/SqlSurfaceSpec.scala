@@ -227,4 +227,40 @@ class SqlSurfaceSpec extends SparkSuite {
     // availability*10/weight equals n by construction of the min
     assert(rows.exists(r => r.getLong(1) * 10 / r.getLong(2) == n))
   }
+
+  test("sample_temperature: α=0.5 weights are exact, targets respect the " +
+    "budget and the one-epoch cap, and sampling rates favor scarce langs") {
+    val rows = SqlSurfaceOps.sampleTemperature(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (avail, wppm, tgt, ppm, kept) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(wppm == math.floor(math.sqrt(avail.toDouble) * 1e6).toLong)
+      assert(tgt <= avail)            // no upsampling past one epoch
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(kept <= avail)
+      // hash-thresholded acceptance lands near the target (same bound
+      // discipline as sample_mixture above)
+      assert(math.abs(kept - tgt) <= math.max(10L, avail / 4))
+    }
+    // Σ targets never exceed the 60% budget
+    val total = rows.map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(3)).sum <= total * 6 / 10)
+    // the temperature property: sampling RATE (target/avail) is monotone
+    // non-increasing in availability — scarce languages are favored
+    val byAvail = rows.sortBy(_.getLong(1))
+      .map(r => r.getLong(3).toDouble / r.getLong(1))
+    assert(byAvail.zip(byAvail.tail).forall { case (scarce, rich) =>
+      scarce >= rich - 1e-9 })
+  }
+
+  test("window_hopping: every event lands in exactly 3 windows, starts are " +
+    "slide-aligned, and spans cover the event") {
+    val rows = graft.operators.RelationalOps.windowHopping(spark, sf0001)
+      .collect()
+    val nEvents = graft.sources.Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == 3L * nEvents)
+    val slideUs = 300L * 1000000L
+    assert(rows.forall(r => r.getLong(1) % slideUs == 0L))
+  }
 }

@@ -47,6 +47,24 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("stats_anova: partition of total sum of squares and F consistency") {
+    val r = StatsOps.statsAnova(spark, sf0001).head()
+    val (k, n) = (r.getLong(0), r.getLong(1))
+    val (ssb, ssw) = (r.getDouble(2), r.getDouble(3))
+    val (df1, df2, f) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+    assert(k >= 2 && df1 == k - 1 && df2 == n - k)
+    assert(ssb >= -1e-6 && ssw >= -1e-6 && f >= 0.0)
+    // SSb + SSw must equal the total sum of squares (computed directly
+    // from the population variance — the ANOVA decomposition identity)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val sst = ev.agg((var_pop(col("value")) * count(col("value"))).as("sst"))
+      .head().getDouble(0)
+    assert(math.abs(ssb + ssw - sst) < sst * 1e-9 + 1e-2)
+    // reported F agrees with the ratio of the reported mean squares
+    // (both 6-dp rounded, so compare loosely)
+    assert(math.abs(f - (ssb / df1) / (ssw / df2)) < math.abs(f) * 1e-3 + 1e-3)
+  }
+
   test("group_entropy: bounded by ln(n_langs) and non-negative") {
     StatsOps.groupEntropy(spark, sf0001).collect().foreach { r =>
       val (nLangs, h) = (r.getLong(1), r.getDouble(3))
