@@ -137,9 +137,13 @@ object AnalyticsOps {
     val und = edgesDirected.union(
       edgesDirected.select(col("dst").as("src"), col("src").as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // static per-edge frame: (src, dst, src-degree); one shuffle, cached,
-    // reused by all iterations
-    val adj = und.join(deg, "src").cache()
+    // static per-edge frame: (src, dst, src-degree), cached PRE-PARTITIONED
+    // ON dst — the key every iteration aggregates on. HashPartitioning(dst)
+    // satisfies the per-iteration groupBy(dst)'s clustered distribution, so
+    // the edge-sized contribution set never crosses the wire again: the
+    // one-time repartition here replaces PrIters per-iteration shuffles
+    // (the broadcast join on src preserves the dst partitioning)
+    val adj = und.join(deg, "src").repartition(col("dst")).cache()
     var ranks = deg.select(col("src").as("node"), lit(PrScale).as("r"))
     for (_ <- 1 to PrIters) {
       // the rank vector is |nodes| ≪ |edges| — broadcast it so the cached
@@ -186,8 +190,13 @@ object AnalyticsOps {
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+    // cached PRE-PARTITIONED ON src, the key every round aggregates on:
+    // HashPartitioning(src) satisfies both the (src, lbl) count's and the
+    // per-src argmax's clustered distributions (partitioning exprs ⊆
+    // grouping exprs), so after this one-time shuffle every round is
+    // exchange-free — broadcast label join, two in-partition aggregations
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .cache() // read by all LpIters rounds
+      .repartition(col("src")).cache()
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to LpIters) {
