@@ -356,7 +356,8 @@ object RelationalOps {
   // three overlapping windows), via the built-in `window(ts, dur, slide)`
   // generator — the batch twin of a Structured Streaming hopping window
   // (same generator, same alignment), so a backfill job and the live
-  // stream produce byte-identical frames. Scale shape: the generator is a
+  // stream produce byte-identical frames (pinned: IngestPipelineSpec
+  // "file-stream hopping window equals the batch window_hopping key"). Scale shape: the generator is a
   // bounded ×3 row expansion fused into the scan (a projection, not a
   // join), then ONE keyed aggregation with map-side partials; window
   // starts are epoch-aligned multiples of the slide, which the oracle

@@ -159,6 +159,44 @@ class IngestPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-stream hopping window equals the batch window_hopping key") {
+    // window(ts, 15m, 5m) is the SAME generator in both execution modes —
+    // a backfill via RelationalOps.windowHopping and the live stream must
+    // produce identical frames (the claim the batch key's scaladoc makes)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val landing = java.nio.file.Files.createTempDirectory("graft_hop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      landing.resolve("batch-000.parquet"))
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream0 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val agg = stream
+      .groupBy(col("event_type"), window(col("ts"), "15 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("win_start_us"),
+        col("n"),
+        (round(col("sv").cast("double") / col("n"), 6) + lit(0.0d)).as("avg_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("stream_hops").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM stream_hops")
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val batch = graft.operators.RelationalOps.windowHopping(spark, sf0001)
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops at-least-once redeliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
