@@ -704,7 +704,54 @@ object TextOps {
       .orderBy("tok_a", "tok_b")
   }
 
+  // ── CCNet-style language-model quality score: a bigram LM with add-one
+  // smoothing is trained ON THE CORPUS ITSELF, then every document is
+  // scored by its mean bigram log-probability (and perplexity exp(−mean))
+  // — the "how typical is this text of the corpus" signal pretraining
+  // pipelines use to rank/filter documents (CCNet, Wenzek et al. 2020,
+  // uses a KenLM; the self-trained bigram form keeps the same shape and
+  // needs no external model). Scale shape: the bigram relation is built
+  // once and cached (it feeds the count model AND the scoring pass); the
+  // count tables are token-keyed aggregations with map-side partials; the
+  // score join shuffles on the (w1, w2) key the counts already have. The
+  // context-count table is broadcast here (vocab-sized, like the
+  // collocation unigrams) — drop the hint past broadcast scale and the
+  // same plan degrades to a co-partitioned shuffle join. Determinism: each
+  // bigram's log-prob is rounded to 9 dp and summed in DECIMAL(18,9), so
+  // the per-document mean is partition-order-free; perplexity is computed
+  // FROM the 6-dp-rounded mean, so both engines exponentiate identical
+  // doubles. ──
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), toksCol.as("toks"))
+    val big = toks
+      .select(col("doc_id"), col("toks"),
+        slice(col("toks"), lit(2), size(col("toks"))).as("shifted"))
+      .select(col("doc_id"), explode(arrays_zip(col("toks"), col("shifted"))).as("z"))
+      .select(col("doc_id"), col("z.toks").as("w1"), col("z.shifted").as("w2"))
+      .filter(col("w2").isNotNull)
+      .cache() // feeds c2, c1, and the scoring pass
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    big
+      .join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp_r",
+        round(log((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 9)
+          .cast("decimal(18,9)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(sum(col("logp_r")).cast("double") / count(lit(1)), 6) + lit(0.0d))
+          .as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 6) + lit(0.0d))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score"         -> textLmScore _,
     "text_collocations"     -> textCollocations _,
     "source_overlap"        -> sourceOverlap _,
     "text_span_dedup"       -> textSpanDedup _,
@@ -749,6 +796,30 @@ object TextOps {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, z[1] AS w1, z[2] AS w2
+        |  FROM (SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS z FROM t)
+        |  WHERE z[2] IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(toks) AS tok FROM t)),
+        |s AS (
+        |  SELECT big.doc_id,
+        |    CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 9)
+        |         AS DECIMAL(18,9)) AS logp
+        |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |m AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(CAST(sum(logp) AS DOUBLE) / count(*), 6) + 0.0 AS avg_logp
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, avg_logp,
+        |  round(exp(-avg_logp), 6) + 0.0 AS ppl
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_collocations" ->
       """WITH t AS (
         |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks

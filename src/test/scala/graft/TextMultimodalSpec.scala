@@ -87,6 +87,29 @@ class TextMultimodalSpec extends SparkSuite {
     assert(joined.forall { case (n, t) => n === t.getBytes("UTF-8").length })
   }
 
+  test("text_lm_score: smoothed log-probs are negative and bounded, ppl " +
+    "inverts the mean, and bigram counts conserve") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.textLmScore(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // total bigrams across docs = Σ max(tokens−1, 0), computed directly
+    val expected = graft.sources.Tables.documents(spark, sf0001)
+      .select(greatest(size(split(trim(lower(col("text"))), "\\s+")) - 1,
+        lit(0)).as("nb"))
+      .agg(sum(col("nb"))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == expected)
+    val nPlusV = expected + 100000 // loose N+V ceiling for the ppl bound
+    rows.foreach { r =>
+      val (nb, lp, ppl) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(nb >= 1)
+      assert(lp < 0.0) // add-one smoothing keeps every p strictly < 1
+      // p ≥ 1/(c1+V) ⇒ ppl ≤ N+V
+      assert(ppl >= 1.0 && ppl <= nPlusV.toDouble)
+      // ppl is exp(−mean) of the ROUNDED mean, to 6 dp
+      assert(math.abs(ppl - math.exp(-lp)) < 1e-5 * math.max(1.0, ppl))
+    }
+  }
+
   test("text_scrub redacts email-shaped tokens and counts them") {
     // the driver corpus has no emails, so craft rows exercising the regex
     import org.apache.spark.sql.functions._
