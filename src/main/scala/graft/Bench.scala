@@ -49,7 +49,8 @@ object Bench {
       graft.sources.Layout.ensureEventsByDay(spark, sfDir)
     if (runsKey("scan_zorder"))
       graft.sources.Layout.ensureEventsZOrdered(spark, sfDir)
-    if (runsKey("scan_time_travel")) // pre-commit both snapshots
+    if (runsKey("scan_time_travel") || runsKey("scan_snapshot_diff"))
+      // pre-commit both snapshots (shared versioned store)
       graft.operators.RelationalOps.queries("scan_time_travel")(spark, sfDir).count()
     spark.catalog.clearCache()
     // micro mode (dev): `runMain graft.Bench <key> [iters]` times one key

@@ -150,6 +150,30 @@ object RelationalOps {
       col("cnt"), col("avg_value")).orderBy("version", "event_type")
   }
 
+  // ── incremental (snapshot-diff) read of the versioned store: the
+  // catch-up query of a consumer that processed snapshot 1 and wants
+  // what snapshot 2 ADDED — [[graft.sources.Versioned.readDiff]] resolves
+  // both manifests and scans ONLY the increment's files (append-only
+  // store ⇒ the diff is exactly the new-file set; the carried 100 TB is
+  // never touched). Same store-ensure as [[scanTimeTravel]]; the oracle
+  // is the second commit's defining predicate. ──
+  def scanSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val tag = graft.sources.Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val root = s"$wh/graft_events_versioned_$tag"
+    if (graft.sources.Versioned.currentVersion(spark, root) < 2) {
+      val ev = Tables.events(spark, dir)
+      graft.sources.Versioned.append(spark, root,
+        ev.filter(unix_micros(col("ts")) < TtSplitUs))
+      graft.sources.Versioned.append(spark, root,
+        ev.filter(unix_micros(col("ts")) >= TtSplitUs))
+    }
+    graft.sources.Versioned.readDiff(spark, root, 1, 2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"))
+      .orderBy("event_type")
+  }
+
   // ── Dynamic partition pruning: the RUNTIME companion of
   // scan_pruned_day. There the pruned day is a literal the planner sees;
   // here the day set comes from a FILTERED DIMENSION (a calendar keyed
@@ -386,6 +410,7 @@ object RelationalOps {
     "scan_pruned_day"   -> scanPrunedDay _,
     "scan_zorder"       -> scanZorder _,
     "scan_time_travel"  -> scanTimeTravel _,
+    "scan_snapshot_diff" -> scanSnapshotDiff _,
     "scan_pruned_dpp"   -> scanPrunedDpp _,
     "join_semi"         -> joinSemi _,
     "join_anti"         -> joinAnti _,
@@ -455,6 +480,13 @@ object RelationalOps {
         |WHERE user_id BETWEEN 5 AND 99
         |  AND epoch_us(CAST(ts AS TIMESTAMP))
         |      BETWEEN 1705276800000000 AND 1705708800000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_snapshot_diff" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value")
+        |    AS avg_value
+        |FROM events
+        |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= 1705363200000000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_time_travel" ->
       """WITH ev AS (SELECT event_type, "value",

@@ -86,4 +86,20 @@ object Versioned {
     * — concurrent appends are invisible by construction. */
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame =
     spark.read.parquet(files(spark, root, v).toIndexedSeq: _*)
+
+  /** Incremental read: the files ADDED between snapshots `from` → `to`.
+    * Data files are immutable and commits only add, so the snapshot diff
+    * IS the new-file set — a consumer that already processed snapshot
+    * `from` catches up to `to` by scanning ONLY the increment, never the
+    * carried files. This is what keeps downstream jobs O(new data) on a
+    * 100 TB append-only table (the Iceberg/Delta "incremental read" /
+    * CDC-append pattern). `from` = 0 means "from the beginning" (the full
+    * snapshot `to`). */
+  def readDiff(spark: SparkSession, root: String, from: Int, to: Int): DataFrame = {
+    require(from >= 0 && from < to, s"need 0 <= from < to, got $from..$to")
+    val before = if (from == 0) Array.empty[String] else files(spark, root, from)
+    val added = files(spark, root, to).diff(before)
+    require(added.nonEmpty, s"no files added between v$from and v$to")
+    spark.read.parquet(added.toIndexedSeq: _*)
+  }
 }

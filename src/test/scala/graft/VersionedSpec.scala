@@ -33,6 +33,34 @@ class VersionedSpec extends SparkSuite {
     }
   }
 
+  test("readDiff returns exactly the increment and composes to the full " +
+    "snapshot") {
+    val root = Files.createTempDirectory("graft_diff").toString
+    Versioned.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Versioned.append(spark, root, Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
+    Versioned.append(spark, root, Seq((5L, "e")).toDF("id", "s"))
+    // each increment is exactly its commit's rows
+    assert(Versioned.readDiff(spark, root, 1, 2)
+      .as[(Long, String)].collect().sorted.toSeq === Seq((3L, "c"), (4L, "d")))
+    assert(Versioned.readDiff(spark, root, 2, 3)
+      .as[(Long, String)].collect().sorted.toSeq === Seq((5L, "e")))
+    // from = 0 is the full snapshot; increments compose to it
+    val full = Versioned.readDiff(spark, root, 0, 3)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(full === Versioned.readVersion(spark, root, 3)
+      .as[(Long, String)].collect().sorted.toSeq)
+    val composed = (Versioned.readVersion(spark, root, 1)
+      .as[(Long, String)].collect() ++
+      Versioned.readDiff(spark, root, 1, 2).as[(Long, String)].collect() ++
+      Versioned.readDiff(spark, root, 2, 3).as[(Long, String)].collect())
+      .sorted.toSeq
+    assert(composed === full)
+    // degenerate ranges fail loudly
+    intercept[IllegalArgumentException] {
+      Versioned.readDiff(spark, root, 2, 2)
+    }
+  }
+
   test("scan_time_travel key: v2 aggregates strictly contain v1's") {
     val byVersion = graft.operators.RelationalOps
       .queries("scan_time_travel")(spark, sf0001)
