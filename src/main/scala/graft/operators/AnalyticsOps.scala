@@ -107,6 +107,38 @@ object AnalyticsOps {
       .orderBy("event_type")
   }
 
+  // ── multi-touch purchase attribution: for every purchase, which
+  // earlier event type gets the credit — under the LAST-touch model (most
+  // recent non-purchase event before it) and the FIRST-touch model (the
+  // user's earliest non-purchase event). Both credits come from ONE
+  // windowed pass over the per-user timeline (last/first with
+  // ignoreNulls over a ROWS unbounded-to-previous frame on the total
+  // (us, event_id) order — no per-purchase self-join against the touch
+  // history), then two grid-sized aggregations. Purchases with no prior
+  // touch credit '(none)'. Decimal-exact value sums; the per-user frame
+  // keeps state bounded and keys parallel at any scale. ──
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val tl = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val p = ev(spark, dir)
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(tl))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(tl))
+      .filter(col("event_type") === "purchase")
+      .cache() // one timeline pass feeds both attribution models
+    def agg(model: String, c: Column) = p
+      .groupBy(coalesce(c, lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("attributed_value"))
+      .select(lit(model).as("model"), col("touch_type"),
+        col("n_purchases"), col("attributed_value"))
+    agg("first_touch", col("first_touch"))
+      .union(agg("last_touch", col("last_touch")))
+      .orderBy("model", "touch_type")
+  }
+
   /** Fixed-point PageRank scale: ranks are BIGINTs in units of 1e-12, so
     * every sum is integer arithmetic — bit-identical under ANY partitioning
     * or order, in Spark and in the DuckDB oracle alike. (A double-based
@@ -320,6 +352,7 @@ object AnalyticsOps {
     "anomaly_mad"      -> anomalyMad _,
     "graph_pagerank"   -> graphPagerank _,
     "graph_label_prop" -> graphLabelProp _,
+    "attribution"      -> attribution _,
     "cdc_scd2"         -> cdcScd2 _,
     "rolling_active_users" -> rollingActiveUsers _,
   )
@@ -465,6 +498,33 @@ object AnalyticsOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> prIterSql,
     "graph_label_prop" -> lpIterSql,
+    "attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, "value",
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS) OVER w AS last_touch,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |                IGNORE NULLS) OVER w AS first_touch
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT * FROM t WHERE event_type = 'purchase')
+        |SELECT * FROM (
+        |  SELECT 'first_touch' AS model,
+        |    COALESCE(first_touch, '(none)') AS touch_type,
+        |    count(*) AS n_purchases,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS attributed_value
+        |  FROM p GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'last_touch', COALESCE(last_touch, '(none)'), count(*),
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM p GROUP BY 2)
+        |ORDER BY model, touch_type""".stripMargin,
     "rolling_active_users" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id,

@@ -45,6 +45,30 @@ class AnalyticsOpsSpec extends SparkSuite {
     }
   }
 
+  test("attribution: both models conserve the purchase total, and the " +
+    "untouched bucket is model-independent") {
+    val rows = AnalyticsOps.attribution(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val models = rows.groupBy(_._1)
+    assert(models.keySet === Set("first_touch", "last_touch"))
+    val nPurch = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    models.values.foreach { m =>
+      assert(m.map(_._3).sum == nPurch) // every purchase credited once
+      assert(m.forall(_._4 >= 0.0))
+    }
+    // total attributed value identical across models (same purchases)
+    val va = models("first_touch").map(_._4).sum
+    val vb = models("last_touch").map(_._4).sum
+    assert(math.abs(va - vb) < 1e-6)
+    // a purchase has a first touch iff it has a last touch
+    def none(m: String) = rows.collectFirst {
+      case (`m`, "(none)", n, _) => n }.getOrElse(0L)
+    assert(none("first_touch") == none("last_touch"))
+    // purchases never credit themselves
+    assert(rows.forall(_._2 != "purchase"))
+  }
+
   test("graph_label_prop: members conserve the node set, community ids are " +
     "node ids, and the synchronous rounds are repartition-invariant") {
     val a = AnalyticsOps.graphLabelProp(spark, sf0001).collect()
