@@ -69,6 +69,32 @@ object AdvancedOps {
       .orderBy("purchase_id")
   }
 
+  private val AsofTolUs = 3600L * 1000000 // 1-hour as-of tolerance
+
+  // ── as-of join WITH TOLERANCE (the pandas merge_asof(tolerance=…)
+  // surface): like [[asofJoin]], but a click only matches a purchase if
+  // it happened within the last hour — staler state is treated as no
+  // match (null), the semantics every feature-freshness join needs.
+  // Same single running-max pass; the tolerance is a post-projection on
+  // the matched timestamp, so the plan is identical to the untoleranced
+  // form: one shuffle, per-user O(1) state. ──
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    seq(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(order))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("us") - col("last_click_us") <= AsofTolUs,
+          col("last_click_us")).as("click_us_1h"),
+        when(col("us") - col("last_click_us") <= AsofTolUs,
+          col("us") - col("last_click_us")).as("lag_us"))
+      .orderBy("purchase_id")
+  }
+
   // ── time-series gap-fill (resample to a daily grid): per-user daily
   // event counts with MISSING days zero-filled across each user's active
   // span — the regularization step every time-series feature pipeline
@@ -872,6 +898,7 @@ object AdvancedOps {
     "resample_daily"   -> resampleDaily _,
     "resample_ffill"   -> resampleFfill _,
     "asof_join"        -> asofJoin _,
+    "asof_join_tolerance" -> asofJoinTolerance _,
     "rollup_agg"       -> rollupAgg _,
     "distinct_agg"     -> distinctAgg _,
     "salted_agg"       -> saltedAgg _,
@@ -948,6 +975,22 @@ object AdvancedOps {
         |  d.avg_v IS NULL AS is_gap
         |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY user_id, day_s""".stripMargin,
+    "asof_join_tolerance" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |marked AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+        |  FROM seq)
+        |SELECT event_id AS purchase_id, user_id,
+        |  CASE WHEN us - lc <= 3600000000 THEN lc END AS click_us_1h,
+        |  CASE WHEN us - lc <= 3600000000 THEN us - lc END AS lag_us
+        |FROM marked WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
     "asof_join" ->
       """WITH seq AS (
         |  SELECT event_id, user_id, event_type,
