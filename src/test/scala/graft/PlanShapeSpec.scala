@@ -237,6 +237,8 @@ class PlanShapeSpec extends SparkSuite {
       "stats_mannwhitney", // 1-row totals (n1, n2, tie3) broadcast
       "dq_profile",        // four 1-row per-table assertion frames
       "sample_mixture",    // 1-row feasibility (nfeas) broadcast
+      "sample_temperature", // 1-row (wsum, budget) sizing broadcast
+      "text_lm_score",     // 1-row vocabulary-size broadcast
       "sample_negatives",  // 1-row part-count broadcast
       "source_overlap",    // 1-row corpus vocabulary-size broadcast
       "text_collocations") // 1-row corpus token-total broadcast
