@@ -551,7 +551,40 @@ object StatsOps {
           ((col("ss2") - col("sg")) / (col("nn") - col("k")))).as("f_stat"))
   }
 
+  // ── rolling correlation of two aligned daily series (trailing 14 full
+  // days): does view volume track purchase volume this fortnight? The
+  // moment sums feeding Pearson's r are INTEGER window sums of integer
+  // daily counts (Σx, Σy, Σxy, Σx², Σy² over a ROWS frame), so every
+  // engine derives bit-identical moments under any partitioning; r is one
+  // final double formula, rounded once. Degenerate frames (either series
+  // constant) yield null rather than a NaN. The window runs over the
+  // |days|-sized daily grid, never the events — one keyed aggregation
+  // then a tiny partitionless frame, same discipline as stats_ks. ──
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("day"))
+      .agg(sum((col("event_type") === "view").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("n") === 14)
+      .select(col("day"), col("x"), col("y"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          r6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))).cast("double"))))
+          .as("r14"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_corr"          -> rollingCorr _,
     "stats_acf"             -> statsAcf _,
     "stats_anova"           -> statsAnova _,
     "window_rolling_zscore" -> windowRollingZscore _,
@@ -572,6 +605,29 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, x, y,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x * y) OVER w AS sxy,
+        |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day, x, y,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        |       THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+        |                 AS DOUBLE)), 6) + 0.0
+        |  END AS r14
+        |FROM m WHERE n = 14 ORDER BY day""".stripMargin,
     "stats_anova" ->
       """WITH g AS (
         |  SELECT event_type, count(*) AS n,

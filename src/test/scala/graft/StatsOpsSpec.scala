@@ -65,6 +65,25 @@ class StatsOpsSpec extends SparkSuite {
     assert(math.abs(f - (ssb / df1) / (ssw / df2)) < math.abs(f) * 1e-3 + 1e-3)
   }
 
+  test("rolling_corr: r bounded to [-1, 1] and agrees with Spark's corr " +
+    "on the trailing frame") {
+    val rows = StatsOps.rollingCorr(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+    // spot-check the LAST frame against the two-column corr aggregate
+    val lastDay = rows.last.getDate(0).toLocalDate
+    val daily = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("event_type") === "view").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+      .filter(col("day") > lit(lastDay.minusDays(14).toString) &&
+        col("day") <= lit(lastDay.toString))
+    val direct = daily.agg(corr(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(rows.last.getDouble(3) - direct) < 1e-6)
+  }
+
   test("group_entropy: bounded by ln(n_langs) and non-negative") {
     StatsOps.groupEntropy(spark, sf0001).collect().foreach { r =>
       val (nLangs, h) = (r.getLong(1), r.getDouble(3))
