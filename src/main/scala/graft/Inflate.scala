@@ -65,10 +65,15 @@ object Inflate {
       shifted(_, _, "o_orderkey", "o_custkey")), "orders")
     write(copies(tbl("lineitem"))(
       shifted(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
-    // ts passes through in whatever encoding the source carries (µs
-    // timestamp today; the legacy ns vintage round-trips as int64) —
-    // Tables.events normalizes both on read
-    write(copies(tbl("events"))(
+    // events go through Tables.events, NOT the raw reader: the driver's
+    // pyarrow-written µs files carry no Spark footer metadata, so the
+    // inferTimestampNTZ=false escape hatch applies on read — but a raw
+    // round-trip here would WRITE a Spark-annotated TIMESTAMP_NTZ column,
+    // and Spark trusts its own footer over that conf, breaking every
+    // unix_micros consumer of the inflated store. Normalizing first
+    // writes plain TimestampType (µs, UTC session), which reads back
+    // identically to the source vintages.
+    write(copies(graft.sources.Tables.events(spark, src))(
       shifted(_, _, "event_id", "user_id")), "events")
     write(copies(tbl("documents")) { (df, i) =>
       val s = shifted(df, i, "doc_id")
