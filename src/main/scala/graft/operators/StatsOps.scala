@@ -583,8 +583,84 @@ object StatsOps {
       .orderBy("day")
   }
 
+  /** [[statsPsi]] period split (2024-01-16 UTC, µs) — the same boundary
+    * the versioned-store keys commit at, so the two periods are the two
+    * snapshots a monitoring job would actually compare. */
+  private val PsiSplitUs = 1705363200000000L
+
+  // ── population stability index: the standard ML-monitoring drift
+  // metric between a reference period and a current period,
+  // PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i), per event type. Bucket
+  // edges are the REFERENCE period's exact deciles (9 cut points,
+  // |types|×9 rows, broadcast back like rfm_segments' quintiles — no
+  // global sort); bucket membership is an integer edge-comparison sum,
+  // counts are integers, and shares use add-one smoothing
+  // ((c_i+1)/(n+10)) so empty buckets stay finite and every ratio is
+  // derived from identical integers in both engines. One scan per
+  // period, grid-sized state everywhere. ──
+  def statsPsi(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .select(col("event_type"), col("value"),
+        (col("us") < PsiSplitUs).as("is_ref"))
+    val edgeCols = (1 to 9).map(i =>
+      r6(expr(s"percentile(value, 0.$i)")).as(s"e$i"))
+    val edges = e.filter(col("is_ref"))
+      .groupBy(col("event_type"))
+      .agg(edgeCols.head, edgeCols.tail: _*)
+    val bucket = (1 to 9).map(i => (col("value") > col(s"e$i")).cast("int"))
+      .reduce(_ + _)
+    val counts = e.join(broadcast(edges), "event_type")
+      .groupBy(col("event_type"), col("is_ref"), bucket.as("b"))
+      .agg(count(lit(1)).as("c"))
+    val tot = Window.partitionBy(col("event_type"), col("is_ref"))
+    // dense (type, bucket) grid so buckets empty on ONE side still pair
+    val grid = counts.select(col("event_type")).distinct()
+      .crossJoin(spark.range(0, 10).select(col("id").cast("int").as("b")))
+    val shares = grid
+      .join(counts.filter(col("is_ref")).select(col("event_type"), col("b"),
+        col("c").as("cr")), Seq("event_type", "b"), "left")
+      .join(counts.filter(!col("is_ref")).select(col("event_type"), col("b"),
+        col("c").as("cc")), Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val sums = Window.partitionBy(col("event_type"))
+    shares
+      .withColumn("p", (col("cr") + 1).cast("double") /
+        (sum(col("cr")).over(sums) + 10))
+      .withColumn("q", (col("cc") + 1).cast("double") /
+        (sum(col("cc")).over(sums) + 10))
+      .groupBy(col("event_type"))
+      .agg(r6(sum((col("p") - col("q")) * log(col("p") / col("q"))))
+        .as("psi"))
+      .orderBy("event_type")
+  }
+
+  // ── Gini coefficient of per-user spend: how concentrated is activity
+  // value across users — the inequality summary every marketplace/usage
+  // dashboard carries. Computed from the closed form
+  // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over per-user totals ranked
+  // ascending (spend, user tiebreak). The rank runs over the |users|-sized
+  // aggregate, never the events; Σ i·x sums DECIMAL products of an
+  // integer rank and a decimal(18,2) spend — exact under any partition
+  // order, one double division at the end. ──
+  def statsGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = ev(spark, dir).groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+    val ranked = spend.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("user_id"))))
+    ranked.agg(count(lit(1)).as("n_users"),
+        sum(col("x")).cast("double").as("total_value"),
+        sum(col("i") * col("x")).cast("double").as("swx"))
+      .select(col("n_users"), col("total_value"),
+        r6(lit(2d) * col("swx") / (col("n_users") * col("total_value")) -
+          (col("n_users") + 1).cast("double") / col("n_users")).as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_corr"          -> rollingCorr _,
+    "stats_psi"             -> statsPsi _,
+    "stats_gini"            -> statsGini _,
     "stats_acf"             -> statsAcf _,
     "stats_anova"           -> statsAnova _,
     "window_rolling_zscore" -> windowRollingZscore _,
@@ -605,6 +681,56 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_psi" -> {
+      val edgeSel = (1 to 9)
+        .map(i => s"round(quantile_cont(v, 0.$i), 6) AS e$i").mkString(",\n        |    ")
+      val bucketSum = (1 to 9).map(i => s"CAST(v > e$i AS INT)").mkString(" + ")
+      s"""WITH e AS (
+        |  SELECT event_type, "value" AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) < 1705363200000000 AS is_ref
+        |  FROM events),
+        |edges AS (
+        |  SELECT event_type,
+        |    $edgeSel
+        |  FROM e WHERE is_ref GROUP BY 1),
+        |bk AS (
+        |  SELECT e.event_type, e.is_ref, $bucketSum AS b
+        |  FROM e JOIN edges USING (event_type)),
+        |counts AS (
+        |  SELECT event_type, is_ref, b, count(*) AS c FROM bk GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT t.event_type, CAST(g.range AS INT) AS b
+        |  FROM (SELECT DISTINCT event_type FROM counts) t, range(0, 10) g),
+        |sh AS (
+        |  SELECT g.event_type, g.b,
+        |    COALESCE(cr.c, 0) AS cr, COALESCE(cc.c, 0) AS cc
+        |  FROM grid g
+        |  LEFT JOIN (SELECT * FROM counts WHERE is_ref) cr
+        |    ON g.event_type = cr.event_type AND g.b = cr.b
+        |  LEFT JOIN (SELECT * FROM counts WHERE NOT is_ref) cc
+        |    ON g.event_type = cc.event_type AND g.b = cc.b),
+        |pq AS (
+        |  SELECT event_type, b,
+        |    CAST(cr + 1 AS DOUBLE) /
+        |      (sum(cr) OVER (PARTITION BY event_type) + 10) AS p,
+        |    CAST(cc + 1 AS DOUBLE) /
+        |      (sum(cc) OVER (PARTITION BY event_type) + 10) AS q
+        |  FROM sh)
+        |SELECT event_type, round(sum((p - q) * ln(p / q)), 6) + 0.0 AS psi
+        |FROM pq GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    "stats_gini" ->
+      """WITH spend AS (
+        |  SELECT user_id, sum(CAST("value" AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i
+        |      FROM spend)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(x) AS DOUBLE) AS total_value,
+        |  round(2.0 * CAST(sum(i * x) AS DOUBLE) /
+        |          (count(*) * CAST(sum(x) AS DOUBLE))
+        |        - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) + 0.0 AS gini
+        |FROM r""".stripMargin,
     "rolling_corr" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

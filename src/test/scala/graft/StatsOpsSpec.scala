@@ -84,6 +84,22 @@ class StatsOpsSpec extends SparkSuite {
     assert(math.abs(rows.last.getDouble(3) - direct) < 1e-6)
   }
 
+  test("stats_psi: non-negative per type (each PSI term has matching signs)") {
+    val rows = StatsOps.statsPsi(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) >= -1e-9,
+      s"${r.getString(0)}: psi ${r.getDouble(1)}"))
+  }
+
+  test("stats_gini: bounded to [0, 1) and counts every user once") {
+    val r = StatsOps.statsGini(spark, sf0001).head()
+    val users = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) == users)
+    val g = r.getDouble(2)
+    assert(g >= -1e-9 && g < 1.0)
+  }
+
   test("group_entropy: bounded by ln(n_langs) and non-negative") {
     StatsOps.groupEntropy(spark, sf0001).collect().foreach { r =>
       val (nLangs, h) = (r.getLong(1), r.getDouble(3))
