@@ -49,6 +49,8 @@ object Bench {
       graft.sources.Layout.ensureEventsByDay(spark, sfDir)
     if (runsKey("scan_zorder"))
       graft.sources.Layout.ensureEventsZOrdered(spark, sfDir)
+    if (runsKey("scan_jsonl"))
+      graft.sources.Layout.ensureEventsJsonl(spark, sfDir)
     if (runsKey("scan_time_travel") || runsKey("scan_snapshot_diff"))
       // pre-commit both snapshots (shared versioned store)
       graft.operators.RelationalOps.queries("scan_time_travel")(spark, sfDir).count()

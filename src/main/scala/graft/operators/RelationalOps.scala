@@ -150,6 +150,23 @@ object RelationalOps {
       col("cnt"), col("avg_value")).orderBy("version", "event_type")
   }
 
+  // ── JSONL source surface: the interchange format text/event corpora
+  // actually ship in, read the only way that works at corpus scale —
+  // EXPLICIT schema (inference is a second full pass and a corruption
+  // vector), timestamps as integer epochs (JSON has no timestamp type).
+  // The derived store is written once, content-keyed
+  // ([[graft.sources.Layout.ensureEventsJsonl]]); the oracle runs the
+  // same aggregate on the parquet original, so a pass proves the
+  // format round-trip is lossless. ──
+  def scanJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsJsonl(spark, dir)
+    graft.sources.Layout.readEventsJsonl(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"),
+        max(col("ts")).as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
   // ── incremental (snapshot-diff) read of the versioned store: the
   // catch-up query of a consumer that processed snapshot 1 and wants
   // what snapshot 2 ADDED — [[graft.sources.Versioned.readDiff]] resolves
@@ -411,6 +428,7 @@ object RelationalOps {
     "scan_zorder"       -> scanZorder _,
     "scan_time_travel"  -> scanTimeTravel _,
     "scan_snapshot_diff" -> scanSnapshotDiff _,
+    "scan_jsonl"        -> scanJsonl _,
     "scan_pruned_dpp"   -> scanPrunedDpp _,
     "join_semi"         -> joinSemi _,
     "join_anti"         -> joinAnti _,
@@ -481,6 +499,12 @@ object RelationalOps {
         |  AND epoch_us(CAST(ts AS TIMESTAMP))
         |      BETWEEN 1705276800000000 AND 1705708800000000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_jsonl" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value")
+        |    AS avg_value,
+        |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_snapshot_diff" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value")

@@ -51,6 +51,40 @@ object Layout {
     path
   }
 
+  /** Line-delimited-JSON twin of the events table (content-keyed derived
+    * store, written once) — the interchange format text corpora actually
+    * ship in. `ts` is serialized as the µs epoch long: JSON has no
+    * timestamp type, and an explicit integer survives any reader without
+    * parser/locale drift. */
+  def ensureEventsJsonl(spark: SparkSession, dir: String): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_jsonl_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      Tables.events(spark, dir)
+        .withColumn("ts", unix_micros(col("ts")))
+        .write.json(path)
+    }
+    path
+  }
+
+  /** Read the JSONL store with an EXPLICIT schema — at corpus scale,
+    * schema inference is a full extra pass over the data and a
+    * corruption vector (one malformed line re-types a column for every
+    * reader); production JSONL reads always pin the schema and route
+    * non-conforming lines to a corrupt-record column instead. */
+  def readEventsJsonl(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.schema(schema).json(path)
+  }
+
   /** 32-bit Morton (Z-order) code interleaving two 16-bit dimensions —
     * a static expression tree of shifts and masks, fully codegen'd.
     * Inputs must already be scaled to [0, 65535] ([[scale16]]). */

@@ -139,6 +139,20 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("JSONL store round-trips the events table losslessly") {
+    import org.apache.spark.sql.functions._
+    val path = graft.sources.Layout.ensureEventsJsonl(spark, sf0001)
+    val json = graft.sources.Layout.readEventsJsonl(spark, path)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val pq = graft.sources.Tables.events(spark, sf0001)
+      .select(json.columns.map(col).toIndexedSeq: _*)
+    assert(json.count() == pq.count())
+    assert(json.exceptAll(pq).isEmpty && pq.exceptAll(json).isEmpty)
+    // the explicit schema rejects nothing on well-formed data: no nulls
+    // introduced by the format hop
+    assert(json.filter(col("event_id").isNull || col("ts").isNull).count() == 0)
+  }
+
   test("schema evolution: mergeSchema unifies old and new file layouts") {
     // at 100 TB the store accumulates years of files; new columns arrive
     // without rewriting history — mergeSchema + null-backfill semantics
