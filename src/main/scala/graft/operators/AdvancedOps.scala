@@ -69,6 +69,40 @@ object AdvancedOps {
       .orderBy("purchase_id")
   }
 
+  private val DayUs = 86400L * 1000000
+
+  // ── interval-overlap join: user sessions × 3-day promo windows (every
+  // day-of-month ≡ 1 mod 7 opens one) — "which sessions ran during the
+  // promo". A theta join (a.start < b.end ∧ b.start ≤ a.end) is a cross
+  // product at scale; the standard decomposition EQUI-joins on the coarse
+  // day buckets each interval SPANS (a bounded explode: sessions span ≤2
+  // days under the 30-min gap rule, promos exactly 3), dedups the pairs
+  // that matched in several buckets, and applies the exact overlap
+  // predicate as a residual — the interval-join shape Flink/KDB use, all
+  // shuffles keyed on the bucket. The oracle can afford the plain theta
+  // join, which is the equivalence proof of the decomposition. ──
+  def joinIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        col("start_us"), col("end_us"))
+    val promos = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("promo_day")).distinct()
+      .filter(dayofmonth(col("promo_day")) % 7 === 1)
+      .withColumn("p0", expr("unix_micros(CAST(promo_day AS TIMESTAMP))"))
+      .withColumn("p1", col("p0") + lit(3 * DayUs))
+    val sb = sessions.withColumn("bday",
+      explode(expr(s"sequence(start_us div $DayUs, end_us div $DayUs)")))
+    val pb = promos.withColumn("bday",
+      explode(expr(s"sequence(p0 div $DayUs, (p1 - 1) div $DayUs)")))
+    sb.join(pb, "bday")
+      .filter(col("start_us") < col("p1") && col("p0") <= col("end_us"))
+      .select(col("user_id"), col("session_id"), col("promo_day")).distinct()
+      .groupBy(col("promo_day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("promo_day")
+  }
+
   private val AsofTolUs = 3600L * 1000000 // 1-hour as-of tolerance
 
   // ── as-of join WITH TOLERANCE (the pandas merge_asof(tolerance=…)
@@ -899,6 +933,7 @@ object AdvancedOps {
     "resample_ffill"   -> resampleFfill _,
     "asof_join"        -> asofJoin _,
     "asof_join_tolerance" -> asofJoinTolerance _,
+    "join_interval_overlap" -> joinIntervalOverlap _,
     "rollup_agg"       -> rollupAgg _,
     "distinct_agg"     -> distinctAgg _,
     "salted_agg"       -> saltedAgg _,
@@ -975,6 +1010,33 @@ object AdvancedOps {
         |  d.avg_v IS NULL AS is_gap
         |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY user_id, day_s""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |flags AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flags),
+        |sa AS (
+        |  SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us
+        |  FROM sess GROUP BY 1, 2),
+        |promos AS (
+        |  SELECT day, epoch_us(CAST(day AS TIMESTAMP)) AS p0,
+        |    epoch_us(CAST(day AS TIMESTAMP)) + 259200000000 AS p1
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        |  WHERE day(day) % 7 = 1)
+        |SELECT promos.day AS promo_day,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(DISTINCT sa.user_id) AS BIGINT) AS n_users
+        |FROM sa JOIN promos
+        |  ON sa.start_us < promos.p1 AND promos.p0 <= sa.end_us
+        |GROUP BY 1 ORDER BY promo_day""".stripMargin,
     "asof_join_tolerance" ->
       """WITH seq AS (
         |  SELECT event_id, user_id, event_type,
