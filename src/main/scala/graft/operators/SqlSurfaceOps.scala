@@ -448,6 +448,26 @@ object SqlSurfaceOps {
       .orderBy("lang")
   }
 
+  // ── canonical train/val/test split (98/1/1): every document lands in
+  // exactly one split via disjoint ranges of the SAME portable
+  // hash-uniform the sampling family uses — deterministic, reproducible
+  // from doc_id alone (no shuffle-order dependence, no stored split
+  // table), and stable under corpus growth: a document's split never
+  // changes when neighbors arrive, the property that keeps eval sets
+  // uncontaminated across refreshes. One scan, |splits|-row output. ──
+  def splitTrainEval(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("u",
+        expr("pmod(pmod(doc_id, 2147483648) * 2654435761, 2147483648)" +
+          " % 1000000"))
+      .withColumn("split",
+        when(col("u") < 980000, "train")
+          .when(col("u") < 990000, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("split")
+
   // ── Approximate distinct (HLL): users per event type via
   // approx_count_distinct, alongside the exact count for error inspection.
   // At 100 TB the sketch is the only sane default: fixed memory per group,
@@ -714,6 +734,7 @@ object SqlSurfaceOps {
     "sample_negatives"  -> sampleNegatives _,
     "sample_mixture"    -> sampleMixture _,
     "sample_temperature" -> sampleTemperature _,
+    "split_train_eval"  -> splitTrainEval _,
     "approx_distinct" -> approxDistinct _,
     "approx_distinct_merge" -> approxDistinctMerge _,
     "percentile_store_merge" -> percentileStoreMerge _,
@@ -915,6 +936,16 @@ object SqlSurfaceOps {
         |SELECT lang, available, weight, target_n, accept_ppm,
         |  COALESCE(kept_n, 0) AS kept_n, COALESCE(kept_chars, 0) AS kept_chars
         |FROM tgt LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+    "split_train_eval" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    ((doc_id % 2147483648) * 2654435761 % 2147483648) % 1000000 AS u
+        |  FROM documents)
+        |SELECT CASE WHEN u < 980000 THEN 'train'
+        |            WHEN u < 990000 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS available FROM documents GROUP BY 1),
         |w AS (SELECT lang, available,

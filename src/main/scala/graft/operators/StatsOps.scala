@@ -657,8 +657,58 @@ object StatsOps {
           (col("n_users") + 1).cast("double") / col("n_users")).as("gini"))
   }
 
+  // ── Benford first-digit audit: observed first-significant-digit shares
+  // of the value measure vs Benford's law — the classic
+  // fabricated-numbers screen auditors run on transaction feeds. The
+  // digit comes from integer CENTS through a CASE magnitude ladder, NOT
+  // floor(log10(v)) — float log of a near-power-of-ten is exactly the
+  // knife edge cross-engine floats disagree on, while the integer ladder
+  // is branch-identical everywhere. Expected shares are ln(1+1/d)/ln(10)
+  // on literal digits. One keyed aggregation; 9 rows out. ──
+  def statsBenford(spark: SparkSession, dir: String): DataFrame = {
+    val cents = abs(col("value")).cast("decimal(18,2)") * 100
+    val digit = (1 to 15).foldLeft(lit(0L)) { (acc, p) =>
+      val lo = math.pow(10, p - 1).toLong
+      val hi = math.pow(10, p).toLong
+      when(cents >= lo && cents < hi, (cents.cast("long") / lo).cast("long"))
+        .otherwise(acc)
+    }
+    val counts = ev(spark, dir)
+      .filter(col("value").isNotNull && abs(col("value")) >= 0.01)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share",
+        r6(col("n").cast("double") / sum(col("n")).over(Window.partitionBy())))
+      .withColumn("benford",
+        r6(log(lit(1d) + lit(1d) / col("digit")) / log(lit(10d))))
+      .orderBy("digit")
+  }
+
+  // ── running drawdown of daily order revenue: each day's distance below
+  // the all-time peak, the time-under-water series every
+  // capacity/forecast dashboard tracks. Daily revenue and the running
+  // peak are exact decimals (max is order-free), so the only double is
+  // the final ratio — rounded once. The window runs over the |days| grid. ──
+  def windowDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("peak", max(col("v")).over(run))
+      .select(col("day"), col("v").cast("double").as("revenue"),
+        col("peak").cast("double").as("peak"),
+        r6((col("peak") - col("v")).cast("double") /
+          col("peak").cast("double")).as("drawdown"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_corr"          -> rollingCorr _,
+    "stats_benford"         -> statsBenford _,
+    "window_drawdown"       -> windowDrawdown _,
     "stats_psi"             -> statsPsi _,
     "stats_gini"            -> statsGini _,
     "stats_acf"             -> statsAcf _,
@@ -681,6 +731,49 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(abs("value") AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM events
+        |  WHERE "value" IS NOT NULL AND abs("value") >= 0.01),
+        |dg AS (
+        |  SELECT CASE
+        |    WHEN cents < 10 THEN cents
+        |    WHEN cents < 100 THEN cents // 10
+        |    WHEN cents < 1000 THEN cents // 100
+        |    WHEN cents < 10000 THEN cents // 1000
+        |    WHEN cents < 100000 THEN cents // 10000
+        |    WHEN cents < 1000000 THEN cents // 100000
+        |    WHEN cents < 10000000 THEN cents // 1000000
+        |    WHEN cents < 100000000 THEN cents // 10000000
+        |    WHEN cents < 1000000000 THEN cents // 100000000
+        |    WHEN cents < 10000000000 THEN cents // 1000000000
+        |    WHEN cents < 100000000000 THEN cents // 10000000000
+        |    WHEN cents < 1000000000000 THEN cents // 100000000000
+        |    WHEN cents < 10000000000000 THEN cents // 1000000000000
+        |    WHEN cents < 100000000000000 THEN cents // 10000000000000
+        |    ELSE cents // 100000000000000 END AS digit
+        |  FROM c),
+        |n AS (SELECT CAST(digit AS BIGINT) AS digit, count(*) AS n
+        |      FROM dg GROUP BY 1)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) + 0.0 AS share,
+        |  round(ln(1 + 1.0 / digit) / ln(10), 6) + 0.0 AS benford
+        |FROM n ORDER BY digit""".stripMargin,
+    "window_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day, v,
+        |        max(v) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |      FROM daily)
+        |SELECT day, CAST(v AS DOUBLE) AS revenue, CAST(peak AS DOUBLE) AS peak,
+        |  round(CAST(peak - v AS DOUBLE) / CAST(peak AS DOUBLE), 6) + 0.0
+        |    AS drawdown
+        |FROM r ORDER BY day""".stripMargin,
     "stats_psi" -> {
       val edgeSel = (1 to 9)
         .map(i => s"round(quantile_cont(v, 0.$i), 6) AS e$i").mkString(",\n        |    ")

@@ -254,6 +254,18 @@ class SqlSurfaceSpec extends SparkSuite {
       scarce >= rich - 1e-9 })
   }
 
+  test("split_train_eval: partitions the corpus, train holds the bulk") {
+    val rows = SqlSurfaceOps.splitTrainEval(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.values.sum == total)    // every doc in exactly one split
+    assert(rows.getOrElse("train", 0L) > total * 9 / 10)
+    // splits are stable: rerun assigns identically
+    val again = SqlSurfaceOps.splitTrainEval(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === again)
+  }
+
   test("window_hopping: every event lands in exactly 3 windows, starts are " +
     "slide-aligned, and spans cover the event") {
     val rows = graft.operators.RelationalOps.windowHopping(spark, sf0001)

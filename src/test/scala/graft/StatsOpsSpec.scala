@@ -100,6 +100,28 @@ class StatsOpsSpec extends SparkSuite {
     assert(g >= -1e-9 && g < 1.0)
   }
 
+  test("stats_benford: digits are 1-9 and both share columns sum to 1") {
+    val rows = StatsOps.statsBenford(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    if (rows.length == 9) // expected-law shares only total 1 when all appear
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
+  test("window_drawdown: bounded to [0, 1) and zero exactly at peaks") {
+    val rows = StatsOps.windowDrawdown(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, peak, dd) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(v <= peak + 1e-9)
+      assert(dd >= -1e-9 && dd < 1.0)
+      if (v == peak) assert(dd == 0.0)
+    }
+    // the peak series is monotone non-decreasing
+    val peaks = rows.map(_.getDouble(2))
+    assert(peaks.zip(peaks.tail).forall { case (a, b) => b >= a })
+  }
+
   test("group_entropy: bounded by ln(n_langs) and non-negative") {
     StatsOps.groupEntropy(spark, sf0001).collect().foreach { r =>
       val (nLangs, h) = (r.getLong(1), r.getDouble(3))
