@@ -239,6 +239,7 @@ class PlanShapeSpec extends SparkSuite {
       "sample_mixture",    // 1-row feasibility (nfeas) broadcast
       "sample_temperature", // 1-row (wsum, budget) sizing broadcast
       "text_lm_score",     // 1-row vocabulary-size broadcast
+      "stats_psi",         // |types|×10 dense bucket grid (≤50 rows)
       "sample_negatives",  // 1-row part-count broadcast
       "source_overlap",    // 1-row corpus vocabulary-size broadcast
       "text_collocations") // 1-row corpus token-total broadcast
