@@ -44,11 +44,12 @@ object IvfIndex {
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Squared L2 distance between a vector column and a centroid literal. */
-  private def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) = {
-    val cLit = array(c.map(lit): _*)
-    val diff = zip_with(v, cLit, (a, b) => a - b)
-    dot(diff, diff)
-  }
+  // native fused loop (functions/Dist2) — bit-identical to the old
+  // dot(zip_with(v,c,_-_), …) HOF composition (same left-to-right
+  // acc += d·d fold) but codegen'd: the HOF pair evaluated two
+  // interpreter lambdas per element, k times per row per Lloyd iteration
+  private def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+    graft.functions.Dist2(v, array(c.map(lit): _*))
 
   /** Assign every vector to its nearest centroid (ties → lowest cell id). */
   private def assign(data: DataFrame, model: Model): DataFrame = {
