@@ -586,7 +586,55 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ── fuzzy RECORD LINKAGE between two feeds of the same entities: the
+  // cross-source twin of dedup (dedup asks "same item twice in one
+  // corpus?", linkage asks "which row over THERE is this row?"). The
+  // dirty feed is a deterministic corruption of the part names (char
+  // dropped / adjacent swap / untouched by p_partkey mod 3 — the typo
+  // classes real feeds contain), so the fixture ships inside the tables
+  // and the oracle can rebuild it in SQL. Classic block-then-score shape:
+  //   block  — equal 2-char prefix AND |len Δ| ≤ 2. Both survive the
+  //            corruptions by construction (positions ≥ 3 only); at
+  //            100 TB the block key hash-partitions both feeds, each
+  //            candidate set is block-sized, and a skewed block gets the
+  //            SkewPairs treatment exactly like an LSH band.
+  //   score  — native codegen'd [[graft.functions.JaroWinkler]] (Spark
+  //            has no Jaro family; a boxed UDF per candidate pair is the
+  //            anti-pattern), semantics pinned byte-for-byte to DuckDB's
+  //            jaro_winkler_similarity so the oracle checks the SCORES,
+  //            not just the assignment.
+  //   assign — best candidate ≥ 0.9 per dirty row via top-1-per-key
+  //            (TopKRewrite turns the rank filter into per-key heaps);
+  //            ties broken by clean_id, ranking on the 6-dp-rounded
+  //            score so sub-round float drift cannot reorder candidates.
+  // ──
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val clean = part.select(col("p_partkey").as("clean_id"),
+      col("p_name").as("name"))
+    val dirty = part.select(col("p_partkey").as("dirty_id"),
+      expr("""CASE CAST(p_partkey % 3 AS INT)
+             |  WHEN 0 THEN substr(p_name, 1, 2) || substr(p_name, 4)
+             |  WHEN 1 THEN substr(p_name, 1, 2) || substr(p_name, 4, 1)
+             |    || substr(p_name, 3, 1) || substr(p_name, 5)
+             |  ELSE p_name END""".stripMargin).as("dname"))
+    val scored = dirty.join(clean,
+        substring(col("dname"), 1, 2) === substring(col("name"), 1, 2) &&
+          abs(length(col("dname")) - length(col("name"))) <= 2)
+      .select(col("dirty_id"), col("clean_id"),
+        (round(graft.functions.JaroWinkler(col("dname"), col("name")), 6)
+          + lit(0.0d)).as("score"))
+      .filter(col("score") >= 0.9)
+    val w = Window.partitionBy(col("dirty_id"))
+      .orderBy(desc("score"), col("clean_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dirty_id"), col("clean_id"), col("score"))
+      .orderBy("dirty_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "record_linkage" -> recordLinkage _,
     "dedup_pipeline"     -> dedupPipeline _,
     "dedup_cluster"      -> dedupCluster _,
     "dedup_edit"         -> dedupEdit _,
@@ -630,6 +678,32 @@ object DedupOps {
       |          GROUP BY doc_a, doc_b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // rebuilds the corrupted feed, blocks, scores with DuckDB's OWN
+    // jaro_winkler_similarity (byte semantics pinned in
+    // graft.functions.JaroWinkler's scaladoc), and re-derives the same
+    // rounded-score-then-rank assignment
+    "record_linkage" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey AS dirty_id,
+        |    CASE CAST(p_partkey % 3 AS INT)
+        |      WHEN 0 THEN substr(p_name, 1, 2) || substr(p_name, 4)
+        |      WHEN 1 THEN substr(p_name, 1, 2) || substr(p_name, 4, 1)
+        |        || substr(p_name, 3, 1) || substr(p_name, 5)
+        |      ELSE p_name END AS dname
+        |  FROM part),
+        |clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
+        |cand AS (
+        |  SELECT d.dirty_id, c.clean_id,
+        |    round(jaro_winkler_similarity(d.dname, c.name), 6) + 0.0 AS score
+        |  FROM dirty d JOIN clean c
+        |    ON substr(d.dname, 1, 2) = substr(c.name, 1, 2)
+        |   AND abs(length(d.dname) - length(c.name)) <= 2),
+        |r AS (
+        |  SELECT dirty_id, clean_id, score, row_number() OVER (
+        |      PARTITION BY dirty_id ORDER BY score DESC, clean_id) AS rn
+        |  FROM cand WHERE score >= 0.9)
+        |SELECT dirty_id, clean_id, score FROM r WHERE rn = 1
+        |ORDER BY dirty_id""".stripMargin,
     // composite: the three pair sets from the SAME shingle CTEs, unioned
     // with method labels (CTE names suffixed to avoid colliding with the
     // shared cand/inter fragment)

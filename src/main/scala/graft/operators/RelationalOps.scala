@@ -167,6 +167,72 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  // ── CSV source surface with a QUARANTINE path: the lowest-common-
+  // denominator feed format, read with an explicit schema in PERMISSIVE
+  // mode so the fixture's deliberately poisoned lines
+  // ([[graft.sources.Layout.CsvBadLines]]) null out their unparseable
+  // fields and carry the raw text in `_corrupt_record` instead of
+  // failing the job — at 100 TB a feed WILL contain malformed lines and
+  // FAILFAST is an outage, silent drop is data loss; count-and-continue
+  // is the production posture. One scan: corrupt lines land in the
+  // null-event_type group (their event_type field is empty by
+  // construction, and real events never have one), so the per-type
+  // aggregate and the quarantine tally come out of the same pass; the
+  // tiny grouped frame then re-aggregates for the total. The oracle runs
+  // the aggregate on the parquet original and pins the quarantine count
+  // to the fixture's 3 — proving both the lossless round-trip of good
+  // rows AND that every poisoned line was caught and excluded. ──
+  // CSV-parser pruning trap (verified empirically, Spark 4.1): corruption
+  // is only detected for COLUMNS THE PLAN REQUIRES — a branch that needs
+  // just (event_type, _corrupt_record) parses nothing else, so poisoned
+  // numeric fields (and even wrong token counts) no longer corrupt the
+  // row there. Two references to this scan with different pruning would
+  // therefore DISAGREE on the quarantine count. Everything below hangs
+  // off ONE plan whose required schema includes `value`, and the total
+  // crosses rows via a global window over the already-aggregated 6-row
+  // frame (a single-partition window over group-sized data, not a second
+  // scan).
+  def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsCsv(spark, dir)
+    graft.sources.Layout.readEventsCsv(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"),
+        count(col("_corrupt_record")).as("n_bad"))
+      .withColumn("n_quarantined",
+        sum(when(col("event_type").isNull, col("n_bad")).otherwise(lit(0L)))
+          .over(Window.partitionBy(lit(1))))
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("cnt"), col("avg_value"),
+        col("n_quarantined"))
+      .orderBy("event_type")
+  }
+
+  // ── schema-evolution read: one scan over a store whose generations
+  // DISAGREE on the column set (gen1 predates `props`, gen2 adds an
+  // `ingest_rev` producer tag — graft.sources.Layout
+  // .ensureEventsSchemaEvolution). `mergeSchema=true` unions the parquet
+  // footers instead of trusting the first one sampled, so columns absent
+  // in a generation read as null rather than vanishing (or failing) for
+  // every consumer — the only read posture that survives a decade of
+  // producers on a 100 TB store. The footer merge is planning-time
+  // metadata work; the scan itself stays one pushdown-capable pass. The
+  // aggregate observes the evolution directly (per-generation column
+  // presence counts); the oracle rebuilds it from the source with the
+  // same time split. ──
+  def scanSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout
+      .ensureEventsSchemaEvolution(spark, dir, TtSplitUs)
+    spark.read.option("mergeSchema", "true")
+      // generations live in plain subdirectories; without recursive
+      // lookup the root listing finds no files at all
+      .option("recursiveFileLookup", "true").parquet(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        count(col("props")).as("props_seen"),
+        count(col("ingest_rev")).as("rev2_rows"))
+      .orderBy("event_type")
+  }
+
   // ── incremental (snapshot-diff) read of the versioned store: the
   // catch-up query of a consumer that processed snapshot 1 and wants
   // what snapshot 2 ADDED — [[graft.sources.Versioned.readDiff]] resolves
@@ -429,6 +495,8 @@ object RelationalOps {
     "scan_time_travel"  -> scanTimeTravel _,
     "scan_snapshot_diff" -> scanSnapshotDiff _,
     "scan_jsonl"        -> scanJsonl _,
+    "scan_csv"          -> scanCsv _,
+    "scan_schema_evolution" -> scanSchemaEvolution _,
     "scan_pruned_dpp"   -> scanPrunedDpp _,
     "join_semi"         -> joinSemi _,
     "join_anti"         -> joinAnti _,
@@ -504,6 +572,24 @@ object RelationalOps {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value")
         |    AS avg_value,
         |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // n_quarantined pins the CSV fixture's 3 poisoned lines
+    // (graft.sources.Layout.CsvBadLines): the engine must catch and
+    // exclude every one of them, and good rows must round-trip losslessly
+    "scan_csv" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value")
+        |    AS avg_value,
+        |  CAST(3 AS BIGINT) AS n_quarantined
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same 2024-01-16 UTC split as the store fixture: gen1 rows predate
+    // `props`, gen2 rows carry props + the ingest_rev tag
+    "scan_schema_evolution" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  count(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >=
+        |    1705363200000000 THEN props END) AS props_seen,
+        |  count(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >=
+        |    1705363200000000 THEN 1 END) AS rev2_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_snapshot_diff" ->
       """SELECT event_type, count(*) AS cnt,

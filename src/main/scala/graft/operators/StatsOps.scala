@@ -705,7 +705,98 @@ object StatsOps {
       .orderBy("day")
   }
 
+  // ── Holt linear-trend exponential smoothing of each event_type's daily
+  // revenue series — the forecasting step up from window_ewma (level only)
+  // and regr_trend (global OLS line): level AND trend adapt recursively,
+  // so the 7-day-ahead forecast tracks recent drift instead of the
+  // all-history average. The recursion is inherently sequential, which is
+  // exactly why it runs on the RIGHT side of the aggregation boundary: the
+  // 100 TB fact table reduces to group-sized daily series via one keyed
+  // partial-aggregated groupBy (DECIMAL sums → order-independent, so the
+  // collected y values are bit-identical to the oracle's), and the fold
+  // itself is a per-key `aggregate` HOF over ≤ a-few-thousand elements —
+  // codegen'd arithmetic on group-sized state, never a pass over raw rows.
+  // Init (Hyndman & Athanasopoulos, fpp3 §8.2 simple-init form): the
+  // first two observations are consumed by l=y₁, b=y₂−y₁, and the update
+  // lₜ=αyₜ+(1−α)(lₜ₋₁+bₜ₋₁), bₜ=β(lₜ−lₜ₋₁)+(1−β)bₜ₋₁ then runs over
+  // y₃…yₙ (y₂ initializes, it is not also re-smoothed). The oracle replays
+  // the identical recursion as a recursive CTE — same literals, same
+  // operation order, bit-equal doubles until the single boundary round. ──
+  private val HoltA = "0.5"
+  private val HoltB = "0.3"
+
+  def forecastHolt(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("s"))
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(s, 3, greatest(size(s) - 2, 0)),
+           |  named_struct('l', s[0].y, 'b', s[1].y - s[0].y),
+           |  (st, p) -> named_struct(
+           |    'l', $HoltA * p.y + (1.0D - $HoltA) * (st.l + st.b),
+           |    'b', $HoltB * (($HoltA * p.y + (1.0D - $HoltA) * (st.l + st.b))
+           |           - st.l) + (1.0D - $HoltB) * st.b))""".stripMargin))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n_days"),
+        r6(col("st.l")).as("level"),
+        r6(col("st.b")).as("trend"),
+        r6(col("st.l") + lit(7.0d) * col("st.b")).as("forecast_7"))
+      .orderBy("event_type")
+
+  // ── Theil-Sen robust trend per event_type: the median of all pairwise
+  // slopes of the daily-revenue series, with the intercept as the median
+  // residual at that slope — the robust-statistics twin of regr_trend's
+  // OLS line (one corrupted day drags an OLS slope arbitrarily; Theil-Sen
+  // tolerates up to ~29% outliers). Same scale shape as forecast_holt:
+  // the fact table collapses to a group-sized series FIRST, and the
+  // O(n²/2) pair enumeration runs on that series (366 days → 67k pairs
+  // per key) as a keyed self-join — bounded per key, parallel across
+  // keys, never a pass over raw events. The median is computed EXPLICITLY
+  // (row_number + the (m+1)÷2/(m+2)÷2 middle pair) rather than through
+  // either engine's quantile function, so no interpolation-implementation
+  // drift can leak into the compare; the intercept pass reuses the
+  // UNROUNDED slope, and each output rounds once at the boundary. ──
+  def statsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast("double").as("x"),
+        col("y"))
+    def medianOf(df: DataFrame, v: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(v))
+      val n = Window.partitionBy(col("event_type"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(n))
+        // div, not `/`: Column./ on longs is DOUBLE division, and an
+        // even m would then yield k+0.5 — matching neither middle row
+        .filter(col("rn") === expr("(m + 1) div 2") ||
+          col("rn") === expr("(m + 2) div 2"))
+        .groupBy(col("event_type")).agg(avg(col(v)).as(v))
+    }
+    val a = daily.alias("a")
+    val b = daily.alias("b")
+    val slopes = a.join(b, col("a.event_type") === col("b.event_type") &&
+        col("b.x") > col("a.x"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("slope"))
+    val slope = medianOf(slopes, "slope")
+    val resid = daily.join(broadcast(slope), "event_type")
+      .select(col("event_type"),
+        (col("y") - col("slope") * col("x")).as("icpt"))
+    val n = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    n.join(slope, "event_type").join(medianOf(resid, "icpt"), "event_type")
+      .select(col("event_type"), col("n_days"),
+        r6(col("slope")).as("slope"), r6(col("icpt")).as("intercept"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_holt"         -> forecastHolt _,
+    "stats_theilsen"        -> statsTheilSen _,
     "rolling_corr"          -> rollingCorr _,
     "stats_benford"         -> statsBenford _,
     "window_drawdown"       -> windowDrawdown _,
@@ -731,6 +822,84 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical Holt recursion replayed as a recursive CTE: same
+    // init (l₁=y₁, b₁=y₂−y₁), same literals, same operation order — the
+    // doubles stay bit-equal until the single boundary round
+    "forecast_holt" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |rec AS (
+        |  -- base = the state AFTER the first two observations (they are
+        |  -- consumed by the init), so the recursion's first update is y3
+        |  SELECT event_type, n, 2 AS t,
+        |    max(CASE WHEN t = 1 THEN y END) AS l,
+        |    max(CASE WHEN t = 2 THEN y END) -
+        |      max(CASE WHEN t = 1 THEN y END) AS b
+        |  FROM s GROUP BY event_type, n
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, r.t + 1,
+        |    0.5 * p.y + (1.0 - 0.5) * (r.l + r.b),
+        |    0.3 * ((0.5 * p.y + (1.0 - 0.5) * (r.l + r.b)) - r.l)
+        |      + (1.0 - 0.3) * r.b
+        |  FROM rec r JOIN s p
+        |    ON p.event_type = r.event_type AND p.t = r.t + 1
+        |  WHERE r.t < r.n)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
+        |  round(l + 7.0 * b, 6) + 0.0 AS forecast_7
+        |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
+    // explicit middle-pair median on both sides — no engine quantile
+    // implementation in the loop; the intercept pass reuses the
+    // UNROUNDED slope exactly as the Spark plan does
+    "stats_theilsen" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT event_type,
+        |    CAST(day - DATE '1970-01-01' AS DOUBLE) AS x, y
+        |  FROM d),
+        |p AS (
+        |  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM xy a JOIN xy b
+        |    ON a.event_type = b.event_type AND b.x > a.x),
+        |pr AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM p),
+        |sl AS (
+        |  SELECT event_type, avg(slope) AS slope FROM pr
+        |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |  GROUP BY event_type),
+        |res AS (
+        |  SELECT xy.event_type, xy.y - sl.slope * xy.x AS icpt
+        |  FROM xy JOIN sl ON xy.event_type = sl.event_type),
+        |rr AS (
+        |  SELECT event_type, icpt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY icpt) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM res),
+        |ic AS (
+        |  SELECT event_type, avg(icpt) AS icpt FROM rr
+        |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |  GROUP BY event_type),
+        |n AS (
+        |  SELECT event_type, count(*) AS n_days FROM d GROUP BY event_type)
+        |SELECT n.event_type, n.n_days,
+        |  round(sl.slope, 6) + 0.0 AS slope,
+        |  round(ic.icpt, 6) + 0.0 AS intercept
+        |FROM n JOIN sl ON n.event_type = sl.event_type
+        |  JOIN ic ON n.event_type = ic.event_type
+        |ORDER BY n.event_type""".stripMargin,
     "stats_benford" ->
       """WITH c AS (
         |  SELECT CAST(CAST(abs("value") AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -85,6 +85,87 @@ object Layout {
     spark.read.schema(schema).json(path)
   }
 
+  /** CSV twin of the events table (content-keyed derived store, written
+    * once) — the lowest-common-denominator interchange format raw feeds
+    * actually arrive in. `ts` ships as the µs epoch long (same rationale
+    * as [[ensureEventsJsonl]]: no parser/locale drift), doubles round-trip
+    * via shortest-repr. The fixture then appends ONE extra file holding
+    * [[CsvBadLines]] deliberately malformed rows (unparseable numerics,
+    * empty event_type) — the poisoned 0.001% every real 100 TB CSV feed
+    * contains — so the read side's quarantine path is exercised, not just
+    * declared. The bad file leads with the header line because Spark's
+    * CSV reader drops the first line of EVERY file when header=true. */
+  val CsvBadLines: Seq[String] = Seq(
+    "not_a_long,1705300000000000,42,,9.9x,junk",
+    "12x,not_a_ts_long,43,,x1.0,junk",
+    "13x,1705300000000001,no,,0.0y,junk")
+
+  def ensureEventsCsv(spark: SparkSession, dir: String): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_csv_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      Tables.events(spark, dir)
+        .withColumn("ts", unix_micros(col("ts")))
+        .write.option("header", "true").csv(path)
+      val bad = new org.apache.hadoop.fs.Path(path + "/zz_bad.csv")
+      val out = fs.create(bad)
+      try out.write(
+        ("event_id,ts,user_id,event_type,value,props" +: CsvBadLines)
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    path
+  }
+
+  /** Read the CSV store with an EXPLICIT schema in PERMISSIVE mode: a
+    * line whose fields don't parse keeps its raw text in
+    * `_corrupt_record` instead of failing the job or silently re-typing
+    * a column (the schema-inference trap — inference is also a whole
+    * extra pass at corpus scale). Unparseable numeric fields null out,
+    * so a poisoned line never contributes to an aggregate; the caller
+    * counts `_corrupt_record` to surface the quarantine volume. */
+  def readEventsCsv(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
+
+  /** Two-generation parquet store with DIFFERENT schemas — the drift
+    * every long-lived 100 TB store accumulates: generation 1 (events
+    * before `splitUs`) predates the `props` column entirely, generation 2
+    * carries `props` plus a new `ingest_rev` producer tag. Plain
+    * subdirectories (no `name=value`, so nothing is inferred as a
+    * partition column); the read side must union the schemas, not pick
+    * one footer. Written once, content-keyed. */
+  def ensureEventsSchemaEvolution(spark: SparkSession, dir: String,
+      splitUs: Long): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_schemaevo_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val ev = Tables.events(spark, dir)
+      ev.filter(unix_micros(col("ts")) < splitUs)
+        .drop("props")
+        .write.parquet(s"$path/gen1")
+      ev.filter(unix_micros(col("ts")) >= splitUs)
+        .withColumn("ingest_rev", lit(2))
+        .write.parquet(s"$path/gen2")
+    }
+    path
+  }
+
   /** 32-bit Morton (Z-order) code interleaving two 16-bit dimensions —
     * a static expression tree of shifts and masks, fully codegen'd.
     * Inputs must already be scaled to [0, 65535] ([[scale16]]). */

@@ -138,6 +138,58 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(labels.forall(_ === probeLabel))
   }
 
+  test("native JaroWinkler: pinned to the DuckDB-probed reference values") {
+    // each case probed against duckdb's jaro_winkler_similarity (the
+    // oracle engine) — pinning window, integer half-transpositions,
+    // prefix boost, the 0.7 boost threshold, byte semantics, and empties
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("CRATE", "TRACE", 0.7333333333333334), // jaro>0.7 but prefix 0
+      ("abcxxx", "bcaxxx", 0.9444444444444445), // odd transpositions→floor
+      ("abcdx", "abzzzzzzz", 0.5407407407407407), // jaro≤0.7: NO boost
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("héllo", "hello", 0.8400000000000001), // BYTES, not code points
+      ("abc", "abc", 1.0), ("", "abc", 0.0), ("a", "", 0.0), ("", "", 0.0))
+    val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
+    val got = df.select(graft.functions.JaroWinkler($"a", $"b")).as[Double]
+      .collect().toSeq
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(g === want, s"jw($a, $b)")
+    }
+    // null propagation
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(graft.functions.JaroWinkler($"a", $"b")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("record_linkage: untouched rows score 1.0, every match clears the " +
+    "threshold, and corrupted rows overwhelmingly link back home") {
+    val out = DedupOps.recordLinkage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, s) => assert(s >= 0.9 && s <= 1.0) }
+    // dirty_id % 3 == 2 rows are uncorrupted: their top match must be a
+    // perfect score (possibly another part with the identical name, so
+    // pin the SCORE, not the id)
+    out.filter(_._1 % 3 == 2).foreach { case (d, _, s) =>
+      assert(s === 1.0, s"uncorrupted $d")
+    }
+    // many parts share an identical p_name (62 distinct among 200 at
+    // sf0.001), so id-level home is undefined under ties — the correct
+    // invariant is NAME-level: the matched clean row must carry the
+    // dirty row's ORIGINAL name (measured 100% at sf0.001 and sf0.01;
+    // assert all, since any regression here means the scorer or the
+    // blocking broke)
+    val names = graft.sources.Tables.part(spark, sf0001)
+      .select($"p_partkey", $"p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (d, c, s) =>
+      assert(names(d) === names(c), s"dirty $d ($s) matched wrong name")
+    }
+  }
+
   test("native DotProduct ≡ higher-order-function fold, bit for bit") {
     val vecs = graft.sources.Tables.embeddings(spark, sf0001)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))

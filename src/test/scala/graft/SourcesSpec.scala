@@ -46,6 +46,45 @@ class SourcesSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("scan_csv: poisoned lines quarantined exactly, good rows equal " +
+    "the parquet original") {
+    val out = graft.operators.RelationalOps.scanCsv(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // every row carries the fixture's full quarantine count — no poisoned
+    // line escaped, none was double-counted
+    out.foreach(r => assert(r.getLong(3) ===
+      graft.sources.Layout.CsvBadLines.length.toLong))
+    // lossless round-trip: per-type counts match the parquet source
+    val src = graft.sources.Tables.events(spark, sf0001)
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(1) === src(r.getString(0))))
+    // and no poisoned line leaked into a good group: total good rows ==
+    // source rows
+    assert(out.map(_.getLong(1)).sum ===
+      graft.sources.Tables.events(spark, sf0001).count())
+  }
+
+  test("scan_schema_evolution: mergeSchema unions generation columns; " +
+    "absent columns read null, never fail or vanish") {
+    val path = graft.sources.Layout.ensureEventsSchemaEvolution(
+      spark, sf0001, 1705363200000000L)
+    val merged = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(path)
+    assert(merged.columns.contains("props") &&
+      merged.columns.contains("ingest_rev"))
+    // gen1 rows: props/ingest_rev null; gen2 rows: both populated
+    val pre = merged.filter(unix_micros($"ts") < 1705363200000000L)
+    val post = merged.filter(unix_micros($"ts") >= 1705363200000000L)
+    assert(pre.filter($"props".isNotNull || $"ingest_rev".isNotNull)
+      .count() === 0)
+    assert(post.filter($"ingest_rev" =!= 2).count() === 0)
+    assert(post.filter($"props".isNull).count() === 0)
+    // nothing lost across generations
+    assert(merged.count() ===
+      graft.sources.Tables.events(spark, sf0001).count())
+  }
+
   test("CSV with declared schema round-trips the island dimension") {
     val dim = graft.streaming.IngestPipeline.islandDim(spark)
     val dir = Files.createTempDirectory("graft_csv").toString + "/dim"

@@ -11,6 +11,74 @@ import graft.operators.StatsOps
   */
 class StatsOpsSpec extends SparkSuite {
 
+  /** Daily DECIMAL-exact revenue series per event_type, sorted by day —
+    * the shared input of the forecast_holt / stats_theilsen replays. */
+  private def dailySeries(): Map[String, Array[(Int, Double)]] =
+    graft.sources.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).as("x"), col("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(t => (t._2, t._3)).sortBy(_._1) }
+
+  test("forecast_holt: matches a driver-side replay of the recursion " +
+    "exactly (pre-round), and a constant series yields zero trend") {
+    val out = StatsOps.forecastHolt(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val series = dailySeries()
+    assert(out.keySet === series.keySet)
+    series.foreach { case (k, s) =>
+      var l = s(0)._2
+      var b = s(1)._2 - s(0)._2
+      s.drop(2).foreach { case (_, y) =>
+        val l2 = 0.5 * y + (1.0 - 0.5) * (l + b)
+        b = 0.3 * (l2 - l) + (1.0 - 0.3) * b
+        l = l2
+      }
+      val (n, lev, tr, fc) = out(k)
+      assert(n === s.length.toLong)
+      assert(math.abs(lev - l) < 1e-6, s"$k level")
+      assert(math.abs(tr - b) < 1e-6, s"$k trend")
+      assert(math.abs(fc - (l + 7.0 * b)) < 2e-6, s"$k forecast")
+    }
+    // analytic invariant: on a constant series the recursion is a fixed
+    // point — level stays at the constant, trend at zero
+    var (l, b) = (5.0, 0.0)
+    (1 to 50).foreach { _ =>
+      val l2 = 0.5 * 5.0 + 0.5 * (l + b)
+      b = 0.3 * (l2 - l) + 0.7 * b; l = l2
+    }
+    assert(l === 5.0 && b === 0.0)
+  }
+
+  test("stats_theilsen: matches a driver-side pairwise-median replay, " +
+    "and the slope is bracketed by the extreme pairwise slopes") {
+    val out = StatsOps.statsTheilSen(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val series = dailySeries()
+    def median(a: Array[Double]): Double = {
+      val s = a.sorted; val m = s.length
+      (s((m + 1) / 2 - 1) + s((m + 2) / 2 - 1)) / 2
+    }
+    series.foreach { case (k, s) =>
+      val slopes = for {
+        i <- s.indices.toArray; j <- (i + 1) until s.length
+      } yield (s(j)._2 - s(i)._2) / (s(j)._1 - s(i)._1).toDouble
+      val m = median(slopes)
+      val icpt = median(s.map { case (x, y) => y - m * x })
+      val (n, os, oi) = out(k)
+      assert(n === s.length.toLong)
+      assert(math.abs(os - m) < 1e-6, s"$k slope")
+      assert(math.abs(oi - icpt) < 1e-6, s"$k intercept")
+      assert(os >= slopes.min - 1e-9 && os <= slopes.max + 1e-9)
+    }
+  }
+
   test("stats_corr_matrix: one row per unordered pair, r in [-1, 1], and " +
     "self-consistent with the two-column corr aggregate") {
     val rows = StatsOps.statsCorrMatrix(spark, sf0001).collect()
