@@ -51,6 +51,11 @@ object Bench {
       graft.sources.Layout.ensureEventsZOrdered(spark, sfDir)
     if (runsKey("scan_jsonl"))
       graft.sources.Layout.ensureEventsJsonl(spark, sfDir)
+    if (runsKey("scan_csv"))
+      graft.sources.Layout.ensureEventsCsv(spark, sfDir)
+    if (runsKey("scan_schema_evolution"))
+      graft.sources.Layout.ensureEventsSchemaEvolution(
+        spark, sfDir, graft.operators.RelationalOps.TtSplitUs)
     if (runsKey("scan_time_travel") || runsKey("scan_snapshot_diff"))
       // pre-commit both snapshots (shared versioned store)
       graft.operators.RelationalOps.queries("scan_time_travel")(spark, sfDir).count()

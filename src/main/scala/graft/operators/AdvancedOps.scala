@@ -129,6 +129,38 @@ object AdvancedOps {
       .orderBy("purchase_id")
   }
 
+  // ── nearest-direction as-of join: each purchase matched to its CLOSEST
+  // click in either direction, ties to the earlier one — pandas
+  // merge_asof(direction='nearest'), completing the family next to the
+  // backward default ([[asofJoin]]) and the tolerance variant
+  // ([[asofJoinTolerance]]). Same single-sort shape: ONE
+  // entity-partitioned ordered window computes both the running last
+  // click (unbounded-preceding frame) and the upcoming next click
+  // (unbounded-following frame) — no self-join, no per-row probe; the
+  // nearest pick is then plain row-local arithmetic. Scale = one shuffle
+  // on user_id, per-key state bounded by the user's timeline. ──
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val spec = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val click = when(col("event_type") === "click", col("us"))
+    seq(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("back_us",
+        max(click).over(spec.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("fwd_us",
+        min(click).over(spec.rowsBetween(0, Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+      .withColumn("click_us",
+        when(col("back_us").isNull, col("fwd_us"))
+          .when(col("fwd_us").isNull, col("back_us"))
+          .when(col("us") - col("back_us") <= col("fwd_us") - col("us"),
+            col("back_us"))
+          .otherwise(col("fwd_us")))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_us"), (col("us") - col("click_us")).as("delta_us"))
+      .orderBy("purchase_id")
+  }
+
   // ── time-series gap-fill (resample to a daily grid): per-user daily
   // event counts with MISSING days zero-filled across each user's active
   // span — the regularization step every time-series feature pipeline
@@ -933,6 +965,7 @@ object AdvancedOps {
     "resample_ffill"   -> resampleFfill _,
     "asof_join"        -> asofJoin _,
     "asof_join_tolerance" -> asofJoinTolerance _,
+    "asof_join_nearest" -> asofJoinNearest _,
     "join_interval_overlap" -> joinIntervalOverlap _,
     "rollup_agg"       -> rollupAgg _,
     "distinct_agg"     -> distinctAgg _,
@@ -1053,6 +1086,30 @@ object AdvancedOps {
         |  CASE WHEN us - lc <= 3600000000 THEN us - lc END AS lag_us
         |FROM marked WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    "asof_join_nearest" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |marked AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+        |    min(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+        |  FROM seq),
+        |n AS (
+        |  SELECT *,
+        |    CASE WHEN back_us IS NULL THEN fwd_us
+        |         WHEN fwd_us IS NULL THEN back_us
+        |         WHEN us - back_us <= fwd_us - us THEN back_us
+        |         ELSE fwd_us END AS click_us
+        |  FROM marked WHERE event_type = 'purchase')
+        |SELECT event_id AS purchase_id, user_id, click_us,
+        |  us - click_us AS delta_us
+        |FROM n ORDER BY purchase_id""".stripMargin,
     "asof_join" ->
       """WITH seq AS (
         |  SELECT event_id, user_id, event_type,

@@ -130,7 +130,7 @@ object RelationalOps {
   // reader sees exactly its manifest's file set, never a directory
   // listing, so later appends are invisible by construction. The oracle
   // rebuilds both snapshots from the source with the same time split. ──
-  private val TtSplitUs = 1705363200000000L // 2024-01-16 UTC
+  private[graft] val TtSplitUs = 1705363200000000L // 2024-01-16 UTC
   def scanTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val tag = graft.sources.Fingerprint.tag(dir, "events")
     val wh = spark.conf.get("spark.sql.warehouse.dir")

@@ -794,7 +794,44 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── seasonal anomaly detection: anomaly_mad on the DESEASONALIZED
+  // daily series. A Monday always looks anomalous against a plain global
+  // band when weekends are quiet — the robust band must be fit on the
+  // residual AFTER the trend and day-of-week effects are removed
+  // ([[seasonalDecompose]]'s resid), which is exactly what an on-call
+  // alert on daily revenue needs. Median and MAD use the explicit
+  // middle-pair form (same anti-quantile-drift discipline as
+  // stats_theilsen) over the |days|-sized residual frame; every window
+  // here runs on aggregated group-sized data, never the fact table. The
+  // flag compares the UNROUNDED score (both engines derive it from the
+  // same 6-dp-rounded residuals, so the comparison is bit-identical);
+  // the reported score is rounded once at the boundary. ──
+  def anomalySeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val dec = seasonalDecompose(spark, dir)
+      .select(col("day"), col("v"), col("trend"), col("seasonal"),
+        col("resid"))
+    def middlePair(df: DataFrame, v: String): DataFrame = {
+      val one = Window.partitionBy(lit(1))
+      df.withColumn("rn", row_number().over(one.orderBy(col(v))))
+        .withColumn("m", count(lit(1)).over(one))
+        .filter(col("rn") === expr("(m + 1) div 2") ||
+          col("rn") === expr("(m + 2) div 2"))
+    }
+    val med = middlePair(dec, "resid").agg(avg(col("resid")).as("med"))
+    val dev = dec.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("resid") - col("med")))
+    val mad = middlePair(dev.select(col("dev")), "dev")
+      .agg(avg(col("dev")).as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("raw", col("dev") / expr("nullif(mad, 0.0D)"))
+      .select(col("day"), col("v"),
+        r6(col("trend") + col("seasonal")).as("expected"), col("resid"),
+        r6(col("raw")).as("score"), (col("raw") > 3.5d).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anomaly_seasonal"      -> anomalySeasonal _,
     "forecast_holt"         -> forecastHolt _,
     "stats_theilsen"        -> statsTheilSen _,
     "rolling_corr"          -> rollingCorr _,
@@ -1307,6 +1344,44 @@ object StatsOps {
         |  round(quantile_cont(m, 0.975), 6) + 0.0 AS ci_hi,
         |  round(min(m), 6) + 0.0 AS mn, round(max(m), 6) + 0.0 AS mx
         |FROM m""".stripMargin,
+    // seasonal_decompose's residual pipeline + explicit middle-pair
+    // median/MAD band; the flag compares the unrounded score exactly as
+    // the Spark plan does
+    "anomaly_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS vd
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT *, count(*) OVER w7 AS cnt7,
+        |        CAST(round(CAST(sum(vd) OVER w7 AS DOUBLE) / 7, 6) + 0.0
+        |             AS DECIMAL(24,6)) AS trend6
+        |      FROM daily
+        |      WINDOW w7 AS (ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT *, dayofweek(day) AS dow, vd - trend6 AS det
+        |      FROM t WHERE cnt7 = 7),
+        |s AS (SELECT dow,
+        |        round(CAST(sum(det) AS DOUBLE) / count(*), 6) + 0.0
+        |          AS seasonal
+        |      FROM f GROUP BY 1),
+        |r0 AS (
+        |  SELECT day, CAST(vd AS DOUBLE) AS v,
+        |    CAST(trend6 AS DOUBLE) AS trend, seasonal,
+        |    round(CAST(det AS DOUBLE) - seasonal, 6) + 0.0 AS resid
+        |  FROM f JOIN s USING (dow)),
+        |mr AS (SELECT resid, row_number() OVER (ORDER BY resid) AS rn,
+        |         count(*) OVER () AS m FROM r0),
+        |med AS (SELECT avg(resid) AS med FROM mr
+        |        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2),
+        |dv AS (SELECT abs(resid - med) AS dev FROM r0, med),
+        |dr AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn,
+        |         count(*) OVER () AS m FROM dv),
+        |mad AS (SELECT avg(dev) AS mad FROM dr
+        |        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2)
+        |SELECT day, v, round(trend + seasonal, 6) + 0.0 AS expected, resid,
+        |  round(abs(resid - med) / nullif(mad, 0), 6) + 0.0 AS score,
+        |  abs(resid - med) / nullif(mad, 0) > 3.5 AS is_anomaly
+        |FROM r0, med, mad ORDER BY day""".stripMargin,
     "seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

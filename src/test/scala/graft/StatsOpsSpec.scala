@@ -79,6 +79,57 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("anomaly_seasonal: scores non-negative, flag agrees with the " +
+    "threshold, anomalies are a small minority, rows = full-window days") {
+    val rows = StatsOps.anomalySeasonal(spark, sf0001).collect()
+    val expected = StatsOps.seasonalDecompose(spark, sf0001).count()
+    assert(rows.length.toLong === expected)
+    var flagged = 0
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) {
+        val score = r.getDouble(4)
+        assert(score >= 0.0)
+        // flag computed on the unrounded score; the reported score is
+        // 6-dp rounded, so allow the boundary half-ulp
+        if (r.getBoolean(5)) { flagged += 1; assert(score >= 3.499999) }
+        else assert(score <= 3.500001)
+      }
+    }
+    // a robust 3.5×MAD band must not flag a large fraction of days
+    assert(flagged <= rows.length / 5, s"$flagged/${rows.length} flagged")
+  }
+
+  test("asof_join_nearest: the matched click IS the closest click, ties " +
+    "go backward, and delta sign tracks direction") {
+    val out = graft.operators.AdvancedOps.asofJoinNearest(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.nonEmpty)
+    // replay: per user, all click timestamps; per purchase, the true
+    // nearest distance (backward on ties)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicksByUser = ev.filter(_._3 == "click")
+      .groupBy(_._2).map { case (u, v) => u -> v.map(_._4).sorted }
+    val purchases = ev.filter(_._3 == "purchase")
+      .map(e => (e._1, e._2, e._4)).sortBy(_._1)
+    assert(out.length === purchases.length)
+    out.zip(purchases).foreach { case ((pid, u, clk, dlt), (pid2, u2, us)) =>
+      assert(pid === pid2 && u === u2)
+      clicksByUser.get(u) match {
+        case None => assert(clk.isEmpty && dlt.isEmpty)
+        case Some(clicks) =>
+          val best = clicks.minBy(c => (math.abs(us - c), c - us))
+          assert(math.abs(us - clk.get) === math.abs(us - best),
+            s"purchase $pid: not nearest")
+          assert(dlt.get === us - clk.get)
+      }
+    }
+  }
+
   test("stats_corr_matrix: one row per unordered pair, r in [-1, 1], and " +
     "self-consistent with the two-column corr aggregate") {
     val rows = StatsOps.statsCorrMatrix(spark, sf0001).collect()
