@@ -746,6 +746,70 @@ object StatsOps {
         r6(col("st.l") + lit(7.0d) * col("st.b")).as("forecast_7"))
       .orderBy("event_type")
 
+  // ── Holt-Winters additive triple smoothing: [[forecastHolt]] plus a
+  // 7-slot weekly seasonal state — the forecaster that knows Mondays
+  // differ from Sundays. Same scale shape: ONE keyed aggregation reduces
+  // the fact table to group-sized daily series; the recursion folds over
+  // that series as a codegen'd `aggregate` HOF whose state is a
+  // (level, trend, s[7]) struct. Update (Hyndman fpp3 §8.3, additive):
+  //   lₜ = α(yₜ−s_slot) + (1−α)(lₜ₋₁+bₜ₋₁)
+  //   bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁
+  //   s_slot ← γ(yₜ−lₜ₋₁−bₜ₋₁) + (1−γ)s_slot
+  // Pinned simple init: l₀ = mean of the first 7 observations
+  // (left-associated sum — the oracle repeats the same association),
+  // b₀ = 0, s_slot = (that slot's first-week y) − l₀. The weekday slot
+  // is epoch-day mod 7 — ENGINE-NEUTRAL, unlike dayofweek() whose
+  // Sunday origin differs between Spark (1) and DuckDB (0). Assumes ≥ 8
+  // observations per key (every tested SF has ≥ 30); the oracle replays
+  // the recursion as a recursive CTE carrying the 7 slots as columns. ──
+  private val HwA = "0.3"
+  private val HwB = "0.1"
+  private val HwG = "0.2"
+
+  def forecastHoltWinters(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      .withColumn("dw",
+        pmod(datediff(col("day"), lit("1970-01-01")), lit(7)) + 1)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y"), col("dw"))))
+        .as("obs"))
+      .withColumn("l0",
+        expr("aggregate(slice(obs, 1, 7), 0D, (a, x) -> a + x.y) / 7.0D"))
+      // first-week seasonal: the FIRST first-week observation on each
+      // slot (unique when days are contiguous; filter()[0] pins the
+      // gap case deterministically, oracle mirrors via arg_min)
+      .withColumn("s0", expr(
+        """transform(sequence(1, 7),
+          |  d -> coalesce(
+          |    filter(slice(obs, 1, 7), p -> p.dw = d)[0].y - l0, 0D))"""
+          .stripMargin))
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(obs, 8, greatest(size(obs) - 7, 0)),
+           |  named_struct('l', l0, 'b', 0D, 's', s0),
+           |  (st, p) -> named_struct(
+           |    'l', $HwA * (p.y - element_at(st.s, p.dw))
+           |           + (1.0D - $HwA) * (st.l + st.b),
+           |    'b', $HwB * (($HwA * (p.y - element_at(st.s, p.dw))
+           |           + (1.0D - $HwA) * (st.l + st.b)) - st.l)
+           |           + (1.0D - $HwB) * st.b,
+           |    's', transform(st.s, (x, i) ->
+           |           if(i + 1 = p.dw,
+           |             $HwG * (p.y - st.l - st.b) + (1.0D - $HwG) * x,
+           |             x))))""".stripMargin))
+      .select(col("event_type"),
+        size(col("obs")).cast("long").as("n_days"),
+        r6(col("st.l")).as("level"),
+        r6(col("st.b")).as("trend"),
+        // 7 days out lands on the SAME weekday as the last observation
+        r6(col("st.l") + lit(7.0d) * col("st.b") +
+          expr("element_at(st.s, element_at(obs, size(obs)).dw)"))
+          .as("forecast_7"),
+        r6(expr("array_max(st.s) - array_min(st.s)")).as("amplitude"))
+      .orderBy("event_type")
+
   // ── Theil-Sen robust trend per event_type: the median of all pairwise
   // slopes of the daily-revenue series, with the intercept as the median
   // residual at that slope — the robust-statistics twin of regr_trend's
@@ -833,6 +897,7 @@ object StatsOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_seasonal"      -> anomalySeasonal _,
     "forecast_holt"         -> forecastHolt _,
+    "forecast_holt_winters" -> forecastHoltWinters _,
     "stats_theilsen"        -> statsTheilSen _,
     "rolling_corr"          -> rollingCorr _,
     "stats_benford"         -> statsBenford _,
@@ -892,6 +957,88 @@ object StatsOps {
         |  round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
         |  round(l + 7.0 * b, 6) + 0.0 AS forecast_7
         |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
+    // the triple-smoothing recursion replayed with the 7 seasonal slots
+    // carried as columns; slot = epoch-day mod 7 (engine-neutral), init
+    // left-associates the first-week mean exactly like the Spark fold,
+    // arg_min pins the first-week slot value to the FIRST observation
+    "forecast_holt_winters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, y,
+        |    CAST(day - DATE '1970-01-01' AS INT) % 7 + 1 AS dw,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |base AS (
+        |  SELECT event_type, n,
+        |    (max(CASE WHEN t = 1 THEN y END) + max(CASE WHEN t = 2 THEN y END)
+        |     + max(CASE WHEN t = 3 THEN y END) + max(CASE WHEN t = 4 THEN y END)
+        |     + max(CASE WHEN t = 5 THEN y END) + max(CASE WHEN t = 6 THEN y END)
+        |     + max(CASE WHEN t = 7 THEN y END)) / 7.0 AS l0,
+        |    arg_min(y, t) FILTER (WHERE t <= 7 AND dw = 1) AS w1,
+        |    arg_min(y, t) FILTER (WHERE t <= 7 AND dw = 2) AS w2,
+        |    arg_min(y, t) FILTER (WHERE t <= 7 AND dw = 3) AS w3,
+        |    arg_min(y, t) FILTER (WHERE t <= 7 AND dw = 4) AS w4,
+        |    arg_min(y, t) FILTER (WHERE t <= 7 AND dw = 5) AS w5,
+        |    arg_min(y, t) FILTER (WHERE t <= 7 AND dw = 6) AS w6,
+        |    arg_min(y, t) FILTER (WHERE t <= 7 AND dw = 7) AS w7
+        |  FROM s GROUP BY event_type, n),
+        |rec AS (
+        |  SELECT event_type, n, 7 AS t, l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+        |    coalesce(w1 - l0, 0.0) AS s1, coalesce(w2 - l0, 0.0) AS s2,
+        |    coalesce(w3 - l0, 0.0) AS s3, coalesce(w4 - l0, 0.0) AS s4,
+        |    coalesce(w5 - l0, 0.0) AS s5, coalesce(w6 - l0, 0.0) AS s6,
+        |    coalesce(w7 - l0, 0.0) AS s7
+        |  FROM base
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, r.t + 1,
+        |    0.3 * (p.y - CASE p.dw WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+        |        WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+        |        WHEN 6 THEN r.s6 ELSE r.s7 END)
+        |      + (1.0 - 0.3) * (r.l + r.b),
+        |    0.1 * ((0.3 * (p.y - CASE p.dw WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+        |        WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+        |        WHEN 6 THEN r.s6 ELSE r.s7 END)
+        |      + (1.0 - 0.3) * (r.l + r.b)) - r.l) + (1.0 - 0.1) * r.b,
+        |    CASE WHEN p.dw = 1
+        |      THEN 0.2 * (p.y - r.l - r.b) + (1.0 - 0.2) * r.s1
+        |      ELSE r.s1 END,
+        |    CASE WHEN p.dw = 2
+        |      THEN 0.2 * (p.y - r.l - r.b) + (1.0 - 0.2) * r.s2
+        |      ELSE r.s2 END,
+        |    CASE WHEN p.dw = 3
+        |      THEN 0.2 * (p.y - r.l - r.b) + (1.0 - 0.2) * r.s3
+        |      ELSE r.s3 END,
+        |    CASE WHEN p.dw = 4
+        |      THEN 0.2 * (p.y - r.l - r.b) + (1.0 - 0.2) * r.s4
+        |      ELSE r.s4 END,
+        |    CASE WHEN p.dw = 5
+        |      THEN 0.2 * (p.y - r.l - r.b) + (1.0 - 0.2) * r.s5
+        |      ELSE r.s5 END,
+        |    CASE WHEN p.dw = 6
+        |      THEN 0.2 * (p.y - r.l - r.b) + (1.0 - 0.2) * r.s6
+        |      ELSE r.s6 END,
+        |    CASE WHEN p.dw = 7
+        |      THEN 0.2 * (p.y - r.l - r.b) + (1.0 - 0.2) * r.s7
+        |      ELSE r.s7 END
+        |  FROM rec r JOIN s p
+        |    ON p.event_type = r.event_type AND p.t = r.t + 1
+        |  WHERE r.t < r.n),
+        |last AS (SELECT event_type, dw AS dwl FROM s WHERE t = n)
+        |SELECT r.event_type, CAST(r.n AS BIGINT) AS n_days,
+        |  round(r.l, 6) + 0.0 AS level, round(r.b, 6) + 0.0 AS trend,
+        |  round(r.l + 7.0 * r.b + CASE l2.dwl WHEN 1 THEN r.s1
+        |      WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4
+        |      WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 ELSE r.s7 END, 6) + 0.0
+        |    AS forecast_7,
+        |  round(greatest(r.s1, r.s2, r.s3, r.s4, r.s5, r.s6, r.s7)
+        |      - least(r.s1, r.s2, r.s3, r.s4, r.s5, r.s6, r.s7), 6) + 0.0
+        |    AS amplitude
+        |FROM rec r JOIN last l2 ON r.event_type = l2.event_type
+        |WHERE r.t = r.n ORDER BY r.event_type""".stripMargin,
     // explicit middle-pair median on both sides — no engine quantile
     // implementation in the loop; the intercept pass reuses the
     // UNROUNDED slope exactly as the Spark plan does

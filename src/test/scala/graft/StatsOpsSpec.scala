@@ -55,6 +55,42 @@ class StatsOpsSpec extends SparkSuite {
     assert(l === 5.0 && b === 0.0)
   }
 
+  test("forecast_holt_winters: matches a driver-side replay of the " +
+    "triple-smoothing recursion, amplitude = seasonal spread") {
+    val out = StatsOps.forecastHoltWinters(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val series = dailySeries()
+    assert(out.keySet === series.keySet)
+    series.foreach { case (k, sr) =>
+      val dw = sr.map { case (x, y) => (((x % 7) + 7) % 7 + 1, y) }
+      var l = 0.0
+      dw.take(7).foreach { case (_, y) => l += y }
+      l /= 7.0
+      var b = 0.0
+      val s = new Array[Double](8)
+      val seen = scala.collection.mutable.Set[Int]()
+      dw.take(7).foreach { case (d, y) =>
+        if (!seen.contains(d)) { s(d) = y - l; seen += d }
+      }
+      dw.drop(7).foreach { case (d, y) =>
+        // all three updates read the PRE-update state, as the engine's
+        // named_struct does (st.l / st.b / st.s are the old values)
+        val l2 = 0.3 * (y - s(d)) + (1.0 - 0.3) * (l + b)
+        val b2 = 0.1 * (l2 - l) + (1.0 - 0.1) * b
+        val s2 = 0.2 * (y - l - b) + (1.0 - 0.2) * s(d)
+        l = l2; b = b2; s(d) = s2
+      }
+      val (n, lev, tr, fc, amp) = out(k)
+      assert(n === sr.length.toLong)
+      assert(math.abs(lev - l) < 1e-6, s"$k level")
+      assert(math.abs(tr - b) < 1e-6, s"$k trend")
+      val slots = (1 to 7).map(s(_))
+      assert(math.abs(amp - (slots.max - slots.min)) < 2e-6, s"$k amplitude")
+      val lastDw = dw.last._1
+      assert(math.abs(fc - (l + 7.0 * b + s(lastDw))) < 2e-6, s"$k forecast")
+    }
+  }
   test("stats_theilsen: matches a driver-side pairwise-median replay, " +
     "and the slope is bracketed by the extreme pairwise slopes") {
     val out = StatsOps.statsTheilSen(spark, sf0001).collect()
