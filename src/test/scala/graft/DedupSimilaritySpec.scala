@@ -188,6 +188,28 @@ class DedupSimilaritySpec extends SparkSuite {
     out.foreach { case (d, c, s) =>
       assert(names(d) === names(c), s"dirty $d ($s) matched wrong name")
     }
+    // the distinct-pattern plan must equal the NAIVE row-level blocked
+    // join + (score desc, clean_id) rank — the equivalence that justifies
+    // scoring the name vocabulary instead of every row pair
+    val part = graft.sources.Tables.part(spark, sf0001)
+    val dirty = part.select($"p_partkey".as("dirty_id"),
+      DedupOps.corruptNameExpr.as("dname"))
+    val clean = part.select($"p_partkey".as("clean_id"),
+      $"p_name".as("name"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"dirty_id").orderBy(desc("score"), $"clean_id")
+    val naive = dirty.join(clean,
+        substring($"dname", 1, 2) === substring($"name", 1, 2) &&
+          abs(length($"dname") - length($"name")) <= 2)
+      .select($"dirty_id", $"clean_id",
+        (round(graft.functions.JaroWinkler($"dname", $"name"), 6)
+          + lit(0.0d)).as("score"))
+      .filter($"score" >= 0.9)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"dirty_id", $"clean_id", $"score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.toSeq === naive.toSeq)
   }
 
   test("native DotProduct ≡ higher-order-function fold, bit for bit") {
