@@ -194,14 +194,21 @@ object RelationalOps {
   // scan).
   def scanCsv(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.Layout.ensureEventsCsv(spark, dir)
+    val good = col("_corrupt_record").isNull
     graft.sources.Layout.readEventsCsv(spark, path)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"),
+      // corrupt rows are excluded from cnt/avg EXPLICITLY (a corrupt
+      // line whose event_type token happens to parse keeps that field
+      // in PERMISSIVE mode, so it can land in a real group — quarantine
+      // must not depend on every field of a bad line failing) and
+      // counted wherever they fall; the global window then totals them
+      // across groups
+      .agg(count(when(good, lit(1))).as("cnt"),
+        avgMoney(when(good, col("value"))).as("avg_value"),
         count(col("_corrupt_record")).as("n_bad"))
       .withColumn("n_quarantined",
-        sum(when(col("event_type").isNull, col("n_bad")).otherwise(lit(0L)))
-          .over(Window.partitionBy(lit(1))))
-      .filter(col("event_type").isNotNull)
+        sum(col("n_bad")).over(Window.partitionBy(lit(1))))
+      .filter(col("event_type").isNotNull && col("cnt") > 0)
       .select(col("event_type"), col("cnt"), col("avg_value"),
         col("n_quarantined"))
       .orderBy("event_type")

@@ -40,6 +40,27 @@ object StatsOps {
 
   private def r6(c: Column): Column = round(c, 6) + lit(0.0d)
 
+  /** Explicit middle-pair median of `v`, one row per `keys` combination
+    * (global when `keys` is empty): order, take rows (m+1)÷2 and
+    * (m+2)÷2, average — identical arithmetic in DuckDB, so no engine
+    * quantile-interpolation implementation ever enters an oracle
+    * compare. Shared by stats_theilsen and anomaly_seasonal. Integer
+    * `div`, not Column./ — the latter is DOUBLE division on longs, and
+    * an even m would yield k+0.5, matching neither middle row. */
+  private def explicitMedian(df: DataFrame, v: String,
+      keys: Seq[String]): DataFrame = {
+    val part =
+      if (keys.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(keys.map(col): _*)
+    val ranked = df
+      .withColumn("rn", row_number().over(part.orderBy(col(v))))
+      .withColumn("m", count(lit(1)).over(part))
+      .filter(col("rn") === expr("(m + 1) div 2") ||
+        col("rn") === expr("(m + 2) div 2"))
+    if (keys.isEmpty) ranked.agg(avg(col(v)).as(v))
+    else ranked.groupBy(keys.map(col): _*).agg(avg(col(v)).as(v))
+  }
+
   // ── full Pearson correlation matrix over lineitem's measures in ONE
   // pass: graft_gram accumulates n, Σxᵢ and the Σxᵢxⱼ upper triangle as a
   // single mergeable aggregate, and the 6 pairwise correlations are pure
@@ -731,6 +752,10 @@ object StatsOps {
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("s"))
+      // the init needs two observations; a 1-point series would index
+      // past the array under ANSI mode AND vanish from the oracle's
+      // recursion (base t=2 never equals n=1) — drop it on BOTH sides
+      .filter(size(col("s")) >= 2)
       .withColumn("st", expr(
         s"""aggregate(
            |  slice(s, 3, greatest(size(s) - 2, 0)),
@@ -775,16 +800,22 @@ object StatsOps {
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("day"), col("y"), col("dw"))))
         .as("obs"))
+      // a weekly seasonal state cannot be fit from under one season;
+      // the oracle drops such keys naturally (its base row carries t=7,
+      // which never equals n < 7) — match it explicitly here
+      .filter(size(col("obs")) >= 7)
       .withColumn("l0",
         expr("aggregate(slice(obs, 1, 7), 0D, (a, x) -> a + x.y) / 7.0D"))
       // first-week seasonal: the FIRST first-week observation on each
-      // slot (unique when days are contiguous; filter()[0] pins the
-      // gap case deterministically, oracle mirrors via arg_min)
+      // slot (unique when days are contiguous; get() — not [0], which
+      // throws under ANSI mode on an empty filter result — pins the
+      // gap case to null→0D deterministically, oracle mirrors via
+      // arg_min FILTER)
       .withColumn("s0", expr(
         """transform(sequence(1, 7),
           |  d -> coalesce(
-          |    filter(slice(obs, 1, 7), p -> p.dw = d)[0].y - l0, 0D))"""
-          .stripMargin))
+          |    get(filter(slice(obs, 1, 7), p -> p.dw = d), 0).y - l0,
+          |    0D))""".stripMargin))
       .withColumn("st", expr(
         s"""aggregate(
            |  slice(obs, 8, greatest(size(obs) - 7, 0)),
@@ -830,17 +861,8 @@ object StatsOps {
       .select(col("event_type"),
         datediff(col("day"), lit("1970-01-01")).cast("double").as("x"),
         col("y"))
-    def medianOf(df: DataFrame, v: String): DataFrame = {
-      val w = Window.partitionBy(col("event_type")).orderBy(col(v))
-      val n = Window.partitionBy(col("event_type"))
-      df.withColumn("rn", row_number().over(w))
-        .withColumn("m", count(lit(1)).over(n))
-        // div, not `/`: Column./ on longs is DOUBLE division, and an
-        // even m would then yield k+0.5 — matching neither middle row
-        .filter(col("rn") === expr("(m + 1) div 2") ||
-          col("rn") === expr("(m + 2) div 2"))
-        .groupBy(col("event_type")).agg(avg(col(v)).as(v))
-    }
+    def medianOf(df: DataFrame, v: String): DataFrame =
+      explicitMedian(df, v, Seq("event_type"))
     val a = daily.alias("a")
     val b = daily.alias("b")
     val slopes = a.join(b, col("a.event_type") === col("b.event_type") &&
@@ -874,18 +896,12 @@ object StatsOps {
     val dec = seasonalDecompose(spark, dir)
       .select(col("day"), col("v"), col("trend"), col("seasonal"),
         col("resid"))
-    def middlePair(df: DataFrame, v: String): DataFrame = {
-      val one = Window.partitionBy(lit(1))
-      df.withColumn("rn", row_number().over(one.orderBy(col(v))))
-        .withColumn("m", count(lit(1)).over(one))
-        .filter(col("rn") === expr("(m + 1) div 2") ||
-          col("rn") === expr("(m + 2) div 2"))
-    }
-    val med = middlePair(dec, "resid").agg(avg(col("resid")).as("med"))
+    val med = explicitMedian(dec, "resid", Nil)
+      .select(col("resid").as("med"))
     val dev = dec.crossJoin(broadcast(med))
       .withColumn("dev", abs(col("resid") - col("med")))
-    val mad = middlePair(dev.select(col("dev")), "dev")
-      .agg(avg(col("dev")).as("mad"))
+    val mad = explicitMedian(dev.select(col("dev")), "dev", Nil)
+      .select(col("dev").as("mad"))
     dev.crossJoin(broadcast(mad))
       .withColumn("raw", col("dev") / expr("nullif(mad, 0.0D)"))
       .select(col("day"), col("v"),

@@ -106,11 +106,19 @@ object Layout {
     val path = s"$wh/graft_events_csv_$tag"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    val bad = new org.apache.hadoop.fs.Path(path + "/zz_bad.csv")
+    // completion is the _SUCCESS marker, not bare directory existence:
+    // the committer creates the directory at job START, so a crash
+    // mid-write leaves a partial store that a bare-existence check
+    // would silently serve forever; overwrite mode makes the retry safe
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS")))
       Tables.events(spark, dir)
         .withColumn("ts", unix_micros(col("ts")))
-        .write.option("header", "true").csv(path)
-      val bad = new org.apache.hadoop.fs.Path(path + "/zz_bad.csv")
+        .write.mode("overwrite").option("header", "true").csv(path)
+    // checked separately from the marker: a crash between the Spark
+    // write and this append must not leave a store that silently reads
+    // with zero quarantined lines on every later run
+    if (!fs.exists(bad)) {
       val out = fs.create(bad)
       try out.write(
         ("event_id,ts,user_id,event_type,value,props" +: CsvBadLines)
@@ -154,14 +162,18 @@ object Layout {
     val path = s"$wh/graft_events_schemaevo_$tag"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    // completion marker = the LAST generation's _SUCCESS: a crash between
+    // the gen1 and gen2 writes must not leave a half store that a bare
+    // directory check would serve forever; overwrite mode makes the
+    // whole-store retry safe
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen2/_SUCCESS"))) {
       val ev = Tables.events(spark, dir)
       ev.filter(unix_micros(col("ts")) < splitUs)
         .drop("props")
-        .write.parquet(s"$path/gen1")
+        .write.mode("overwrite").parquet(s"$path/gen1")
       ev.filter(unix_micros(col("ts")) >= splitUs)
         .withColumn("ingest_rev", lit(2))
-        .write.parquet(s"$path/gen2")
+        .write.mode("overwrite").parquet(s"$path/gen2")
     }
     path
   }
