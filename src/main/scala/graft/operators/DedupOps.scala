@@ -586,6 +586,33 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ── canonical-document selection: the production FINAL step of dedup —
+  // pairs ([[dedupNgram]]) → clusters ([[dedupCluster]]) → keep ONE
+  // representative per cluster, chosen by QUALITY (argmax text_quality,
+  // ties to the lowest doc_id), not by accident of id order. A corpus
+  // deduped by min-id keeps whichever variant scraped first; keeping the
+  // best-scoring variant is what the curation literature (CCNet, Gopher)
+  // actually does. Composition reuses both machines end to end: the
+  // cluster labels and the quality scores each arrive from their own
+  // keyed plans, the argmax is one per-cluster window over the
+  // |corpus|-row join — every stage keyed, nothing driver-side. The
+  // oracle re-derives the WHOLE composition (shingles → candidates →
+  // components → quality → argmax) in one recursive SQL statement. ──
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupCluster(spark, dir) // (doc_id, cluster_id), all docs
+    val quality = TextOps.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(desc("quality"), col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+        col("quality"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   // ── fuzzy RECORD LINKAGE between two feeds of the same entities: the
   // cross-source twin of dedup (dedup asks "same item twice in one
   // corpus?", linkage asks "which row over THERE is this row?"). The
@@ -653,6 +680,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "record_linkage" -> recordLinkage _,
+    "dedup_canonical" -> dedupCanonical _,
     "dedup_pipeline"     -> dedupPipeline _,
     "dedup_cluster"      -> dedupCluster _,
     "dedup_edit"         -> dedupEdit _,
@@ -695,7 +723,40 @@ object DedupOps {
       |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
       |          GROUP BY doc_a, doc_b)""".stripMargin
 
+  /** Connected-component CTEs shared by the cluster-family oracles:
+    * verified pairs → undirected edges → recursive reachability →
+    * min-label components → full-corpus cluster assignment `cl`. */
+  private val duckClusterComp =
+    """,
+      |surv AS (SELECT doc_a, doc_b
+      |         FROM inter JOIN sizes za ON doc_a = za.doc_id
+      |                    JOIN sizes zb ON doc_b = zb.doc_id
+      |         WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) >= 0.3),
+      |edges AS (SELECT doc_a AS s, doc_b AS d FROM surv
+      |          UNION SELECT doc_b, doc_a FROM surv),
+      |reach(origin, node) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT r.origin, e.d FROM reach r JOIN edges e ON e.s = r.node),
+      |comp AS (SELECT origin AS doc_id, min(node) AS cluster_id
+      |         FROM reach GROUP BY origin),
+      |cl AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      |       FROM documents d LEFT JOIN comp c USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // cluster assignment + text_quality's scoring CTE + per-cluster
+    // argmax — the composed canonical-selection semantics, re-derived
+    // end to end by the oracle
+    "dedup_canonical" -> (duckShingles + duckCandInter + duckClusterComp +
+      ",\n" + TextOps.duckQualityCte +
+      """
+        |,r AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+        |        row_number() OVER (PARTITION BY cl.cluster_id
+        |          ORDER BY q.quality DESC, cl.doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+        |      FROM cl JOIN q USING (doc_id))
+        |SELECT cluster_id, doc_id AS kept_doc, quality, n_members
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
     // rebuilds the corrupted feed, blocks, scores with DuckDB's OWN
     // jaro_winkler_similarity (byte semantics pinned in
     // graft.functions.JaroWinkler's scaladoc), and re-derives the same
@@ -773,23 +834,9 @@ object DedupOps {
     // transitive closure in SQL: WITH RECURSIVE reachability from every
     // edge endpoint, component id = min reached node — integer-exact, so
     // it hash-matches the Spark label-propagation fixpoint.
-    "dedup_cluster" -> (duckShingles + duckCandInter +
-      """,
-        |surv AS (SELECT doc_a, doc_b
-        |         FROM inter JOIN sizes za ON doc_a = za.doc_id
-        |                    JOIN sizes zb ON doc_b = zb.doc_id
-        |         WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) >= 0.3),
-        |edges AS (SELECT doc_a AS s, doc_b AS d FROM surv
-        |          UNION SELECT doc_b, doc_a FROM surv),
-        |reach(origin, node) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT r.origin, e.d FROM reach r JOIN edges e ON e.s = r.node),
-        |comp AS (SELECT origin AS doc_id, min(node) AS cluster_id
-        |         FROM reach GROUP BY origin)
-        |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-        |FROM documents d LEFT JOIN comp c USING (doc_id)
-        |ORDER BY doc_id""".stripMargin),
+    "dedup_cluster" -> (duckShingles + duckCandInter + duckClusterComp +
+      """
+        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin),
     "dedup_containment" -> (duckShingles + duckCandInter +
       """
         |SELECT doc_a, doc_b,

@@ -448,6 +448,33 @@ object SqlSurfaceOps {
       .orderBy("lang")
   }
 
+  // ── per-epoch training-data shuffle WITHOUT a global sort: each epoch
+  // assigns every document to one of 8 shards by an epoch-salted portable
+  // hash and orders it within its shard by the same hash — the standard
+  // large-corpus delivery layout (a trainer streams shards in order;
+  // consecutive docs are hash-random). The 100 TB point: a true global
+  // shuffle is a full-corpus sort per epoch; this is ONE hash-partition
+  // step plus SHARD-LOCAL sorts of corpus/8 rows each, re-seeded per
+  // epoch by arithmetic alone (no stored permutation), reproducible on
+  // any engine via the same Knuth-multiplicative uniform the sampling
+  // family uses. Output = the first two epochs' full layout, proving a
+  // document's (shard, position) genuinely reshuffles between epochs. ──
+  def sampleEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val epochs = spark.range(1, 3)
+      .select(col("id").cast("int").as("epoch"))
+    docs.crossJoin(broadcast(epochs))
+      .withColumn("u",
+        expr("pmod(pmod(doc_id, 2147483648) * 2654435761 + epoch * 40503," +
+          " 2147483648)"))
+      .withColumn("shard", pmod(col("u"), lit(8)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("u"), col("doc_id"))))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
   // ── canonical train/val/test split (98/1/1): every document lands in
   // exactly one split via disjoint ranges of the SAME portable
   // hash-uniform the sampling family uses — deterministic, reproducible
@@ -735,6 +762,7 @@ object SqlSurfaceOps {
     "sample_mixture"    -> sampleMixture _,
     "sample_temperature" -> sampleTemperature _,
     "split_train_eval"  -> splitTrainEval _,
+    "sample_epoch_shuffle" -> sampleEpochShuffle _,
     "approx_distinct" -> approxDistinct _,
     "approx_distinct_merge" -> approxDistinctMerge _,
     "percentile_store_merge" -> percentileStoreMerge _,
@@ -946,6 +974,18 @@ object SqlSurfaceOps {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
+    "sample_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([1, 2]) AS epoch),
+        |u AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    ((d.doc_id % 2147483648) * 2654435761 + e.epoch * 40503)
+        |      % 2147483648 AS u
+        |  FROM documents d CROSS JOIN e)
+        |SELECT epoch, CAST(u % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, u % 8
+        |    ORDER BY u, doc_id) AS INTEGER) AS pos,
+        |  doc_id
+        |FROM u ORDER BY epoch, shard, pos""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS available FROM documents GROUP BY 1),
         |w AS (SELECT lang, available,

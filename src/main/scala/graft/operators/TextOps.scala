@@ -781,6 +781,22 @@ object TextOps {
 
   private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")
 
+  /** Quality-score CTE fragment `q(doc_id, quality)` — the text_quality
+    * oracle's scoring arithmetic verbatim, exported (without `WITH`) so
+    * other families' oracles can compose it (dedup_canonical ranks
+    * cluster members by this score). */
+  private[operators] def duckQualityCte: String =
+    s"""q AS (
+       |  SELECT doc_id,
+       |    round(0.4 * round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6)
+       |        + 0.3 * least(1.0, len(toks) / 20.0)
+       |        + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |          CAST(length(text) AS INTEGER) AS chars,
+       |          CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS alnum_chars
+       |        FROM documents) tq)""".stripMargin
+
   /** One oracle for both decontamination keys (exact and Bloom form). */
   private val DecontaminateSql =
     """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -212,6 +212,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out.toSeq === naive.toSeq)
   }
 
+  test("dedup_canonical: members partition the corpus, each kept doc is " +
+    "its cluster's quality argmax (ties to lowest id)") {
+    val out = DedupOps.dedupCanonical(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(out.map(_._4).sum === nDocs) // every doc in exactly one cluster
+    assert(out.map(_._1).distinct.length === out.length)
+    val clusters = DedupOps.dedupCluster(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.operators.TextOps.textQuality(spark, sf0001)
+      .select($"doc_id", $"quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    out.foreach { case (cid, kept, q, n) =>
+      val members = byCluster(cid).keys.toSeq
+      assert(members.size.toLong === n)
+      assert(clusters(kept) === cid)
+      assert(q === quality(kept))
+      val best = members.minBy(d => (-quality(d), d))
+      assert(kept === best, s"cluster $cid kept $kept, argmax is $best")
+    }
+  }
+
   test("native DotProduct ≡ higher-order-function fold, bit for bit") {
     val vecs = graft.sources.Tables.embeddings(spark, sf0001)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))

@@ -266,6 +266,26 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(rows === again)
   }
 
+  test("sample_epoch_shuffle: each epoch is a permutation of the corpus, " +
+    "positions are contiguous per shard, and epochs genuinely reshuffle") {
+    val rows = SqlSurfaceOps.sampleEpochShuffle(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    (1 to 2).foreach { e =>
+      val epoch = rows.filter(_._1 == e)
+      assert(epoch.length.toLong === total) // every doc exactly once
+      assert(epoch.map(_._4).distinct.length.toLong === total)
+      epoch.groupBy(_._2).foreach { case (_, shard) =>
+        assert(shard.map(_._3).sorted.toSeq === (1 to shard.length).toSeq)
+      }
+    }
+    // the epoch salt must actually move documents around
+    val pos1 = rows.filter(_._1 == 1).map(r => r._4 -> (r._2, r._3)).toMap
+    val moved = rows.filter(_._1 == 2)
+      .count(r => pos1(r._4) != ((r._2, r._3)))
+    assert(moved > total / 2, s"only $moved/$total docs moved between epochs")
+  }
+
   test("window_hopping: every event lands in exactly 3 windows, starts are " +
     "slide-aligned, and spans cover the event") {
     val rows = graft.operators.RelationalOps.windowHopping(spark, sf0001)
