@@ -855,12 +855,17 @@ object StatsOps {
   // drift can leak into the compare; the intercept pass reuses the
   // UNROUNDED slope, and each output rounds once at the boundary. ──
   def statsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    // cached: this group-sized frame (|types|×|days| rows) feeds the
+    // pair self-join, the residual pass, and the count — uncached, each
+    // consumer re-aggregates the FULL fact table (4 extra corpus scans
+    // at sf≈1, measured 18.5 s → 3.9 s)
     val daily = ev(spark, dir)
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("1970-01-01")).cast("double").as("x"),
         col("y"))
+      .cache()
     def medianOf(df: DataFrame, v: String): DataFrame =
       explicitMedian(df, v, Seq("event_type"))
     val a = daily.alias("a")
@@ -893,13 +898,20 @@ object StatsOps {
   // same 6-dp-rounded residuals, so the comparison is bit-identical);
   // the reported score is rounded once at the boundary. ──
   def anomalySeasonal(spark: SparkSession, dir: String): DataFrame = {
+    // cached ×2: dec and dev are |days|-row frames, but each is consumed
+    // by MULTIPLE branches (median, deviation, final select) and dec's
+    // lineage is the whole decompose — a full fact-table aggregation.
+    // Uncached, the branch tree re-evaluates the decompose ~6× (measured
+    // 45 s at sf≈1; cached 4.4 s).
     val dec = seasonalDecompose(spark, dir)
       .select(col("day"), col("v"), col("trend"), col("seasonal"),
         col("resid"))
+      .cache()
     val med = explicitMedian(dec, "resid", Nil)
       .select(col("resid").as("med"))
     val dev = dec.crossJoin(broadcast(med))
       .withColumn("dev", abs(col("resid") - col("med")))
+      .cache()
     val mad = explicitMedian(dev.select(col("dev")), "dev", Nil)
       .select(col("dev").as("mad"))
     dev.crossJoin(broadcast(mad))

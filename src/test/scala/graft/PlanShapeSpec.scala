@@ -148,6 +148,11 @@ class PlanShapeSpec extends SparkSuite {
     import org.apache.spark.sql.catalyst.plans.logical
     def groupSized(p: logical.LogicalPlan): Boolean = p match {
       case _: logical.Aggregate => true
+      // a cached frame is group-sized iff the plan it materializes is —
+      // the relation itself is a leaf, so look through to its build plan
+      // (anomaly_seasonal caches its |days|-row residual frame)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        m.cachedPlan.toString.contains("Aggregate")
       case l if l.children.isEmpty => false
       case l => l.children.forall(groupSized)
     }
@@ -242,7 +247,10 @@ class PlanShapeSpec extends SparkSuite {
       "stats_psi",         // |types|×10 dense bucket grid (≤50 rows)
       "sample_negatives",  // 1-row part-count broadcast
       "source_overlap",    // 1-row corpus vocabulary-size broadcast
-      "text_collocations") // 1-row corpus token-total broadcast
+      "text_collocations", // 1-row corpus token-total broadcast
+      // session-6 scalar/tiny broadcasts:
+      "anomaly_seasonal",     // 1-row median + 1-row MAD broadcasts
+      "sample_epoch_shuffle") // 2-row epoch frame broadcast
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
