@@ -131,7 +131,12 @@ object RelationalOps {
   // listing, so later appends are invisible by construction. The oracle
   // rebuilds both snapshots from the source with the same time split. ──
   private[graft] val TtSplitUs = 1705363200000000L // 2024-01-16 UTC
-  def scanTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+
+  /** Lazily commit the two-snapshot versioned events store (v1 = before
+    * the split, v2 appends the rest); shared by the time-travel, diff,
+    * and IVM keys. Returns the store root. */
+  private def ensureVersionedEvents(spark: SparkSession,
+      dir: String): String = {
     val tag = graft.sources.Fingerprint.tag(dir, "events")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val root = s"$wh/graft_events_versioned_$tag"
@@ -142,6 +147,11 @@ object RelationalOps {
       graft.sources.Versioned.append(spark, root,
         ev.filter(unix_micros(col("ts")) >= TtSplitUs))
     }
+    root
+  }
+
+  def scanTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureVersionedEvents(spark, dir)
     def agg(v: Int) = graft.sources.Versioned.readVersion(spark, root, v)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"))
@@ -248,19 +258,51 @@ object RelationalOps {
   // never touched). Same store-ensure as [[scanTimeTravel]]; the oracle
   // is the second commit's defining predicate. ──
   def scanSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val tag = graft.sources.Fingerprint.tag(dir, "events")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val root = s"$wh/graft_events_versioned_$tag"
-    if (graft.sources.Versioned.currentVersion(spark, root) < 2) {
-      val ev = Tables.events(spark, dir)
-      graft.sources.Versioned.append(spark, root,
-        ev.filter(unix_micros(col("ts")) < TtSplitUs))
-      graft.sources.Versioned.append(spark, root,
-        ev.filter(unix_micros(col("ts")) >= TtSplitUs))
-    }
+    val root = ensureVersionedEvents(spark, dir)
     graft.sources.Versioned.readDiff(spark, root, 1, 2)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"))
+      .orderBy("event_type")
+  }
+
+  // ── incremental view maintenance: the cure for the reference's central
+  // inefficiency — app.py re-reads the ENTIRE store and recomputes its
+  // aggregate cards on every 5-minute refresh (app.py:32-36,101). Here
+  // the per-type aggregate is PERSISTED once against snapshot v1 as
+  // mergeable partials (count + DECIMAL sum — decimal addition is
+  // associative, so partials merge exactly), and the refresh touches
+  // ONLY the stored aggregate (|types| rows) plus the snapshot DIFF
+  // (Versioned.readDiff resolves manifests and scans just the appended
+  // files). At 100 TB with a 3 TB/day append, the refresh reads 3 TB +
+  // a few bytes instead of 100 TB — and yields the bit-identical answer
+  // a full recompute would, which is exactly what the oracle checks
+  // (its SQL aggregates the whole source from scratch). cnt_new reports
+  // the increment's contribution per group. ──
+  def ivmRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureVersionedEvents(spark, dir)
+    val tag = graft.sources.Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val aggPath = s"$wh/graft_events_ivm_v1_$tag"
+    val fs = new org.apache.hadoop.fs.Path(aggPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cnt_val (non-null values) is its own partial: the merged average
+    // must divide by count(value), exactly as avgMoney and the oracle do
+    def partials(df: DataFrame) = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), count(col("value")).as("cnt_val"),
+        sum(money(col("value"))).as("sum_val"))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$aggPath/_SUCCESS")))
+      partials(graft.sources.Versioned.readVersion(spark, root, 1))
+        .write.mode("overwrite").parquet(aggPath)
+    val stored = spark.read.parquet(aggPath)
+      .withColumn("cnt_new", lit(0L))
+    val delta = partials(graft.sources.Versioned.readDiff(spark, root, 1, 2))
+      .withColumn("cnt_new", col("cnt"))
+    stored.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("cnt"),
+        (sum(col("sum_val")).cast("double") / sum(col("cnt_val")))
+          .as("avg_value"),
+        sum(col("cnt_new")).as("cnt_new"))
       .orderBy("event_type")
   }
 
@@ -504,6 +546,7 @@ object RelationalOps {
     "scan_jsonl"        -> scanJsonl _,
     "scan_csv"          -> scanCsv _,
     "scan_schema_evolution" -> scanSchemaEvolution _,
+    "ivm_refresh"       -> ivmRefresh _,
     "scan_pruned_dpp"   -> scanPrunedDpp _,
     "join_semi"         -> joinSemi _,
     "join_anti"         -> joinAnti _,
@@ -588,6 +631,16 @@ object RelationalOps {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value")
         |    AS avg_value,
         |  CAST(3 AS BIGINT) AS n_quarantined
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // full from-scratch recompute over the whole source — a PASS proves
+    // the incremental merge (stored v1 partials + diff partials) equals
+    // the total aggregate bit-for-bit; cnt_new = the v2 increment
+    "ivm_refresh" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value")
+        |    AS avg_value,
+        |  count(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >=
+        |    1705363200000000 THEN 1 END) AS cnt_new
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same 2024-01-16 UTC split as the store fixture: gen1 rows predate
     // `props`, gen2 rows carry props + the ingest_rev tag

@@ -61,6 +61,36 @@ class VersionedSpec extends SparkSuite {
     }
   }
 
+  test("ivm_refresh reads ONLY the stored partials + the diff files — " +
+    "never snapshot v1's data — and still equals the full recompute") {
+    val refresh = graft.operators.RelationalOps.ivmRefresh(spark, sf0001)
+    val rows = refresh.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // equals the from-scratch aggregate (bit-exact via decimal partials)
+    val full = graft.sources.Tables.events(spark, sf0001)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.Exact.avgMoney($"value").as("avg_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { case (t, cnt, avg, cntNew) =>
+      assert((cnt, avg) === full(t))
+      assert(cntNew > 0 && cntNew < cnt) // the increment is a real subset
+    }
+    // THE IVM property: the refresh plan's input files are the stored
+    // aggregate plus the diff's files — v1's data files are not touched
+    val tag = graft.sources.Fingerprint.tag(sf0001, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val root = s"$wh/graft_events_versioned_$tag"
+    val v1Files = Versioned.readVersion(spark, root, 1).inputFiles.toSet
+    val diffFiles = Versioned.readDiff(spark, root, 1, 2).inputFiles.toSet
+    val read = refresh.inputFiles.toSet
+    assert(read.intersect(v1Files).isEmpty,
+      s"refresh re-read v1 data: ${read.intersect(v1Files).take(3)}")
+    assert(diffFiles.subsetOf(read)) // the increment IS read
+    assert((read -- diffFiles).forall(_.contains("graft_events_ivm_v1_")))
+  }
+
   test("scan_time_travel key: v2 aggregates strictly contain v1's") {
     val byVersion = graft.operators.RelationalOps
       .queries("scan_time_travel")(spark, sf0001)
