@@ -50,6 +50,47 @@ object AdvancedOps {
       .orderBy("user_id", "session_id")
   }
 
+  // ── concurrent-sessions gauge: how many sessions were simultaneously
+  // active, max per day — the interval-stabbing load metric every
+  // capacity planner asks of a session store. Each session becomes a
+  // (+1 at start, −1 at end+1µs) delta pair (inclusive [start, end]
+  // activity); concurrency is the running sum of the deltas over time.
+  // A global running sum is a single-task cliff at session-table scale,
+  // so it is computed in the distributed-prefix form pack_sequences
+  // uses: per-day running sums (day-partitioned windows, parallel) plus
+  // a per-day carry-in offset from the |days|-row day-total frame (a
+  // partitionless window over GROUP-SIZED data) broadcast back. Ties at
+  // an instant order +1 before −1 (delta DESC), so the gauge counts a
+  // session ending and one starting at the same µs as overlapping —
+  // and the per-day MAX is invariant to the remaining tie order (the
+  // max inside an equal-(us,delta) block is always the block's end
+  // value). The oracle affords the straight global running sum, which
+  // is the machine-checked equivalence proof of the decomposition. ──
+  def sessionsConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(spark, dir)
+    val points = sess.select(col("start_us").as("us"), lit(1L).as("delta"))
+      .unionByName(sess.select((col("end_us") + 1).as("us"),
+        lit(-1L).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("us"))))
+    val withinDay = Window.partitionBy(col("day"))
+      .orderBy(col("us"), desc("delta"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dayTotals = points.groupBy(col("day"))
+      .agg(sum(col("delta")).as("day_delta"))
+      .withColumn("carry_in",
+        coalesce(sum(col("day_delta")).over(
+          Window.partitionBy(lit(1)).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry_in"))
+    points
+      .withColumn("running", sum(col("delta")).over(withinDay))
+      .join(broadcast(dayTotals), "day")
+      .groupBy(col("day"))
+      .agg(max(col("carry_in") + col("running")).as("max_concurrent"),
+        sum((col("delta") === 1).cast("long")).as("sessions_started"))
+      .orderBy("day")
+  }
+
   // ── as-of join: each purchase matched to the latest click AT OR BEFORE
   // it by the same user. Implemented as union + running max over the
   // per-user timeline — one shuffle, no range join, no point-in-time
@@ -966,6 +1007,7 @@ object AdvancedOps {
     "asof_join"        -> asofJoin _,
     "asof_join_tolerance" -> asofJoinTolerance _,
     "asof_join_nearest" -> asofJoinNearest _,
+    "sessions_concurrent" -> sessionsConcurrent _,
     "join_interval_overlap" -> joinIntervalOverlap _,
     "rollup_agg"       -> rollupAgg _,
     "distinct_agg"     -> distinctAgg _,
@@ -1086,6 +1128,39 @@ object AdvancedOps {
         |  CASE WHEN us - lc <= 3600000000 THEN us - lc END AS lag_us
         |FROM marked WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    // sessionize's CTEs + a STRAIGHT global running sum over the delta
+    // timeline — the affordable-at-oracle-scale form whose equality
+    // proves the engine's day-partitioned prefix decomposition exact
+    "sessions_concurrent" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |flags AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s0 AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flags),
+        |sess AS (
+        |  SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us
+        |  FROM s0 GROUP BY user_id, session_id),
+        |pts AS (
+        |  SELECT start_us AS us, CAST(1 AS BIGINT) AS delta FROM sess
+        |  UNION ALL
+        |  SELECT end_us + 1, CAST(-1 AS BIGINT) FROM sess),
+        |r AS (
+        |  SELECT CAST(make_timestamp(us) AS DATE) AS day, delta,
+        |    CAST(sum(delta) OVER (ORDER BY us, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS conc
+        |  FROM pts)
+        |SELECT day, max(conc) AS max_concurrent,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS sessions_started
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     "asof_join_nearest" ->
       """WITH seq AS (
         |  SELECT event_id, user_id, event_type,

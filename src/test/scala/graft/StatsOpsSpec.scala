@@ -166,6 +166,32 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("sessions_concurrent: day-partitioned prefix decomposition equals " +
+    "a straight global running sum replayed on the driver") {
+    val out = graft.operators.AdvancedOps.sessionsConcurrent(spark, sf0001)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val sess = graft.operators.AdvancedOps.sessionize(spark, sf0001)
+      .select(col("start_us"), col("end_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // global replay: +1/-1 deltas, sorted (us, +1 first), running sum
+    val pts = (sess.map(s => (s._1, 1L)) ++ sess.map(s => (s._2 + 1, -1L)))
+      .sortBy(p => (p._1, -p._2))
+    var run = 0L
+    val perDay = scala.collection.mutable.Map[String, (Long, Long)]()
+    pts.foreach { case (us, d) =>
+      run += d
+      val day = java.time.Instant.ofEpochSecond(us / 1000000L)
+        .toString.take(10)
+      val (mx, st) = perDay.getOrElse(day, (Long.MinValue, 0L))
+      perDay(day) = (math.max(mx, run), st + (if (d == 1) 1L else 0L))
+    }
+    assert(out.length === perDay.size)
+    out.foreach { case (day, mx, started) =>
+      assert((mx, started) === perDay(day), s"day $day")
+      assert(mx >= 1 && mx <= sess.length.toLong)
+    }
+  }
+
   test("stats_corr_matrix: one row per unordered pair, r in [-1, 1], and " +
     "self-consistent with the two-column corr aggregate") {
     val rows = StatsOps.statsCorrMatrix(spark, sf0001).collect()
