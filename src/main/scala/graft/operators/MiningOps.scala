@@ -255,7 +255,63 @@ object MiningOps {
       .orderBy("event_type", "dow")
   }
 
+  // ── k-core decomposition (3 peeling rounds): iteratively delete nodes
+  // of the co-purchase graph whose degree falls below K, where K is the
+  // DATA-DERIVED lower-median degree (a fixed K is a no-op or a wipe
+  // depending on SF; the median peels meaningfully at any scale) — the
+  // graph-densification step that isolates the robust core from
+  // hangers-on, completing the graph family next to pagerank/label-prop/
+  // triangles/components. Same iterative discipline as graph_label_prop:
+  // a FIXED round count, each round one semi-join edge restriction + one
+  // keyed degree recount (all shuffles on node ids), per-round frames
+  // cached; K and the three per-round counts are the only driver-side
+  // scalars (model-sized, like pagerank's convergence checksums). The
+  // oracle unrolls the same three rounds. ──
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val und = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct().cache()
+    def degreesOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val one = Window.partitionBy(lit(1))
+    val deg0 = degreesOf(und).cache()
+    val k = deg0
+      .withColumn("rn", row_number().over(one.orderBy(col("d"), col("node"))))
+      .withColumn("m", count(lit(1)).over(one))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .head().getLong(1) // lower-median degree
+    var cur = deg0
+    var edges = und
+    var prev = deg0.count()
+    val rounds = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (r <- 1 to 3) {
+      // eager localCheckpoint, not cache: each round's plan would
+      // otherwise stack joins over ALL previous rounds' trees, and the
+      // re-optimization of that growing lineage (not the data) comes to
+      // dominate — the same lesson PageRank's iteration loop learned
+      val survivors = cur.filter(col("d") >= k).select(col("node"))
+        .localCheckpoint(true)
+      val remain = survivors.count()
+      rounds += ((r.toLong, k, prev - remain, remain))
+      edges = edges
+        .join(survivors.withColumnRenamed("node", "u"), "u")
+        .join(survivors.withColumnRenamed("node", "v"), "v")
+        .select(col("u"), col("v")).localCheckpoint(true)
+      cur = survivors.join(degreesOf(edges), Seq("node"), "left")
+        .select(col("node"), coalesce(col("d"), lit(0L)).as("d"))
+        .localCheckpoint(true)
+      prev = remain
+    }
+    spark.createDataFrame(rounds.result())
+      .toDF("round", "k", "n_removed", "n_remaining")
+      .orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore"        -> graphKcore _,
     "assoc_rules"        -> assocRules _,
     "markov_transitions" -> markovTransitions _,
     "session_paths"      -> sessionPaths _,
@@ -265,6 +321,51 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same three peeling rounds unrolled; K = lower-median degree
+    // via the explicit middle-row rule
+    "graph_kcore" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |d0 AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |kk AS (
+        |  SELECT d AS k FROM (
+        |    SELECT d, row_number() OVER (ORDER BY d, node) AS rn,
+        |      count(*) OVER () AS m FROM d0)
+        |  WHERE rn = (m + 1) // 2),
+        |k1 AS (SELECT node FROM d0, kk WHERE d >= k),
+        |e1 AS (SELECT u, v FROM und
+        |       JOIN k1 a ON und.u = a.node JOIN k1 b ON und.v = b.node),
+        |d1 AS (
+        |  SELECT k1.node, COALESCE(c.d, 0) AS d FROM k1 LEFT JOIN (
+        |    SELECT node, count(*) AS d FROM (
+        |      SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |    GROUP BY 1) c USING (node)),
+        |k2 AS (SELECT node FROM d1, kk WHERE d >= k),
+        |e2 AS (SELECT u, v FROM e1
+        |       JOIN k2 a ON e1.u = a.node JOIN k2 b ON e1.v = b.node),
+        |d2 AS (
+        |  SELECT k2.node, COALESCE(c.d, 0) AS d FROM k2 LEFT JOIN (
+        |    SELECT node, count(*) AS d FROM (
+        |      SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        |    GROUP BY 1) c USING (node)),
+        |k3 AS (SELECT node FROM d2, kk WHERE d >= k)
+        |SELECT CAST(1 AS BIGINT) AS round, kk.k,
+        |  (SELECT count(*) FROM d0) - (SELECT count(*) FROM k1) AS n_removed,
+        |  (SELECT count(*) FROM k1) AS n_remaining FROM kk
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), kk.k,
+        |  (SELECT count(*) FROM k1) - (SELECT count(*) FROM k2),
+        |  (SELECT count(*) FROM k2) FROM kk
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), kk.k,
+        |  (SELECT count(*) FROM k2) - (SELECT count(*) FROM k3),
+        |  (SELECT count(*) FROM k3) FROM kk
+        |ORDER BY round""".stripMargin,
     "assoc_rules" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |n AS (SELECT count(DISTINCT o) AS n_orders FROM op),

@@ -95,6 +95,40 @@ class MiningOpsSpec extends SparkSuite {
       assert(math.abs(c - nCust / 5.0) <= nCust * 0.05 + 2))
   }
 
+  test("graph_kcore: matches a driver-side peeling replay; counts " +
+    "monotone, K is the lower-median degree") {
+    val out = MiningOps.graphKcore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val k = out.head._2
+    assert(out.forall(_._2 == k))
+    // replay: build the co-purchase graph on the driver and peel 3 rounds
+    val op = Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    def degrees(es: Set[(Long, Long)]): Map[Long, Int] =
+      es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, v) => n -> v.size }
+    val d0 = degrees(edges)
+    val sortedDeg = d0.toSeq.sortBy(p => (p._2, p._1)).map(_._2)
+    assert(k === sortedDeg((sortedDeg.length + 1) / 2 - 1).toLong)
+    var nodes = d0
+    var es = edges
+    out.foreach { case (_, _, nRemoved, nRemain) =>
+      val keep = nodes.filter(_._2 >= k).keySet
+      assert(nRemoved === (nodes.size - keep.size).toLong)
+      assert(nRemain === keep.size.toLong)
+      es = es.filter(e => keep(e._1) && keep(e._2))
+      val d = degrees(es)
+      nodes = keep.map(n => n -> d.getOrElse(n, 0)).toMap
+    }
+  }
+
   test("seasonal_dow: indexes average to 1 weighted by volume; cell counts " +
     "total the events table") {
     val rows = MiningOps.seasonalDow(spark, sf0001).collect()
