@@ -127,7 +127,74 @@ object MultimodalOps {
       .orderBy("canonical", "digest")
   }
 
+  // ── perceptual NEAR-dup for media: a 60-bit dHash (gradient-sign bits
+  // between 60 sampled byte pairs — the difference-hash family real
+  // image pipelines use, computed here over the opaque payload since the
+  // container has no codec) + banded hamming search. Byte values compare
+  // through their 2-char uppercase-hex slices (lexicographic ≡ numeric
+  // for fixed-width hex, and DuckDB lacks BLOB substring — same trick as
+  // multimodal_frames), so the WHOLE pipeline is SQL-expressible and the
+  // key carries a full oracle, unlike typical perceptual stacks. Scale
+  // shape mirrors dedup_simhash: 4 bands of 15 bits are the LSH — only
+  // band-colliding pairs are ever compared (keyed shuffle on the band
+  // value; a hot band would take the SkewPairs treatment), and two
+  // payloads within hamming ≤ 6 of each other agree on ≥ 1 whole band
+  // with high probability. Exact copies land at hamming 0; trailing-edit
+  // variants keep their early sample positions aligned and stay under
+  // the radius. ──
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame = {
+    // the corpus carries no byte-level near-dups (measured min hamming 13
+    // across all payload pairs), so the fixture plants the class this
+    // operator exists to catch: every 50th payload gets a SAME-LENGTH
+    // twin (id + 10⁷) with three bytes substituted at spread positions —
+    // the re-encode/watermark variant of a media file. Same length keeps
+    // the length-relative sample grid aligned (the analogue of pHash's
+    // fixed resize), so a twin differs in ≤ 2 bits per touched byte and
+    // stays inside the radius; the oracle rebuilds the same twins.
+    val base = mediaTable(spark, dir)
+      .select(col("doc_id"), expr("CAST(payload AS STRING)").as("s"))
+    val twins = base.filter(col("doc_id") % 50 === 0)
+      .filter(length(col("s")) >= 12)
+      // chars 5, ⌊L/2⌋ and L−5 become 'Q'; chunk lengths sum back to L
+      .select((col("doc_id") + 10000000L).as("doc_id"), expr(
+        """concat(
+          |  substr(s, 1, 4), 'Q',
+          |  substr(s, 6, length(s) div 2 - 6), 'Q',
+          |  substr(s, length(s) div 2 + 1,
+          |    length(s) - 6 - length(s) div 2), 'Q',
+          |  substr(s, length(s) - 4))""".stripMargin).as("s"))
+    val hashed = base.unionByName(twins)
+      .select(col("doc_id"), hex(col("s").cast("binary")).as("hx"),
+        octet_length(col("s").cast("binary")).as("len"))
+      .filter(col("len") >= 2)
+      .withColumn("ph", expr(
+        """aggregate(
+          |  transform(sequence(0, 59), i ->
+          |    IF(substr(hx, 2 * (1 + (i * (len - 2)) div 59) - 1, 2) >
+          |       substr(hx, 2 * (2 + (i * (len - 2)) div 59) - 1, 2),
+          |      shiftleft(1L, CAST(i AS INT)), 0L)),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .select(col("doc_id"), col("ph"))
+    val bands = hashed.select(col("doc_id"), col("ph"),
+      explode(array((0 to 3).map(b => struct(lit(b).as("b"),
+        shiftright(col("ph"), 15 * b).bitwiseAND(lit(32767L)).as("bv"))): _*))
+        .as("band"))
+      .select(col("doc_id"), col("ph"),
+        col("band.b").as("b"), col("band.bv").as("bv"))
+    bands.select(col("doc_id").as("doc_a"), col("ph").as("ph_a"),
+        col("b"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("ph").as("ph_b"),
+        col("b"), col("bv")), Seq("b", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ph_a ^ ph_b) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash"    -> multimodalPhash _,
     "multimodal_decode"   -> multimodalDecode _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames"   -> multimodalFrames _,
@@ -135,6 +202,41 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical dHash (hex-slice byte comparisons, same sampled
+    // positions, same bit weights) + the same 15-bit banding and radius
+    "multimodal_phash" ->
+      """WITH base AS (SELECT doc_id, text AS s FROM documents),
+        |twins AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    concat(
+        |      substring(s, 1, 4), 'Q',
+        |      substring(s, 6, length(s) // 2 - 6), 'Q',
+        |      substring(s, length(s) // 2 + 1,
+        |        length(s) - 6 - length(s) // 2), 'Q',
+        |      substring(s, length(s) - 4)) AS s
+        |  FROM base WHERE doc_id % 50 = 0 AND length(s) >= 12),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        |m AS (SELECT doc_id, hex(encode(s)) AS hx,
+        |        octet_length(encode(s)) AS len FROM u),
+        |h AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i ->
+        |    CASE WHEN substring(hx,
+        |           CAST(2 * (1 + (i * (len - 2)) // 59) - 1 AS BIGINT), 2) >
+        |         substring(hx,
+        |           CAST(2 * (2 + (i * (len - 2)) // 59) - 1 AS BIGINT), 2)
+        |    THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+        |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph
+        |  FROM m WHERE len >= 2),
+        |b AS (SELECT doc_id, ph, unnest(range(0, 4)) AS b FROM h),
+        |bb AS (SELECT doc_id, ph, b,
+        |         (ph >> CAST(15 * b AS INT)) & 32767 AS bv FROM b),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.ph, c.ph)) AS INTEGER) AS hamming
+        |  FROM bb a JOIN bb c ON a.b = c.b AND a.bv = c.bv
+        |    AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
         |  md5(text) AS digest, 'fake/rgb8' AS format

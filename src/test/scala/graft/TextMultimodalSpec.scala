@@ -167,4 +167,24 @@ class TextMultimodalSpec extends SparkSuite {
       .as[(Long, String)].collect().toMap
     rows.filter(_._4 >= 2).foreach { r => assert(texts(r._3) == r._2) }
   }
+
+  test("multimodal_phash: every planted re-encode twin links back to its " +
+    "original inside the radius; nothing else pairs") {
+    val out = graft.operators.MultimodalOps.multimodalPhash(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 50 === 0 &&
+        org.apache.spark.sql.functions.length($"text") >= 12)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty)
+    // each twin pair (orig, orig + 10^7) present with small hamming
+    expected.foreach { id =>
+      val hit = out.find(p => p._1 == id && p._2 == id + 10000000L)
+      assert(hit.isDefined, s"twin of $id not detected")
+      assert(hit.get._3 <= 6 && hit.get._3 >= 0)
+    }
+    // no cross-document noise pairs at this radius (measured min hamming
+    // between distinct payloads is 13)
+    assert(out.length === expected.size)
+  }
 }
