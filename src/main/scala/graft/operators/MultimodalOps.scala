@@ -163,18 +163,24 @@ object MultimodalOps {
           |  substr(s, length(s) div 2 + 1,
           |    length(s) - 6 - length(s) div 2), 'Q',
           |  substr(s, length(s) - 4))""".stripMargin).as("s"))
+    // Spark samples the BINARY payload directly (byte-indexed substr is
+    // O(1) where char-indexed substr on a long string walks the prefix;
+    // binary comparison is unsigned-lexicographic = the same order the
+    // oracle gets from fixed-width uppercase-hex slices). Cached: both
+    // sides of the band self-join consume this |corpus|-row frame.
     val hashed = base.unionByName(twins)
-      .select(col("doc_id"), hex(col("s").cast("binary")).as("hx"),
+      .select(col("doc_id"), col("s").cast("binary").as("pb"),
         octet_length(col("s").cast("binary")).as("len"))
       .filter(col("len") >= 2)
       .withColumn("ph", expr(
         """aggregate(
           |  transform(sequence(0, 59), i ->
-          |    IF(substr(hx, 2 * (1 + (i * (len - 2)) div 59) - 1, 2) >
-          |       substr(hx, 2 * (2 + (i * (len - 2)) div 59) - 1, 2),
+          |    IF(substr(pb, 1 + (i * (len - 2)) div 59, 1) >
+          |       substr(pb, 2 + (i * (len - 2)) div 59, 1),
           |      shiftleft(1L, CAST(i AS INT)), 0L)),
           |  0L, (a, x) -> a + x)""".stripMargin))
       .select(col("doc_id"), col("ph"))
+      .cache()
     val bands = hashed.select(col("doc_id"), col("ph"),
       explode(array((0 to 3).map(b => struct(lit(b).as("b"),
         shiftright(col("ph"), 15 * b).bitwiseAND(lit(32767L)).as("bv"))): _*))
