@@ -68,10 +68,26 @@ object AdvancedOps {
   // is the machine-checked equivalence proof of the decomposition. ──
   def sessionsConcurrent(spark: SparkSession, dir: String): DataFrame = {
     val sess = sessionize(spark, dir)
+    // delta-0 MIDNIGHT SENTINELS over the whole day span: without them a
+    // day whose peak is the carry-in level (sessions held open across
+    // midnight, only ends during the day) under-reports its max, and a
+    // day lying entirely inside long sessions vanishes from the output —
+    // the sentinel row samples the carry-in at 00:00 and guarantees
+    // every day a row. Ties at an instant order +1 > 0 > −1 (delta
+    // DESC), so the sentinel reads the level BEFORE that midnight's own
+    // starts/ends.
+    val spine = sess
+      .agg(min(col("start_us")).as("lo"), max(col("end_us") + 1).as("hi"))
+      .select(explode(expr(
+        "sequence(CAST(lo div 86400000000 AS BIGINT)," +
+          " CAST(hi div 86400000000 AS BIGINT))")).as("dayno"))
+      .select((col("dayno") * 86400000000L).as("us"), lit(0L).as("delta"))
     val points = sess.select(col("start_us").as("us"), lit(1L).as("delta"))
       .unionByName(sess.select((col("end_us") + 1).as("us"),
         lit(-1L).as("delta")))
+      .unionByName(spine)
       .withColumn("day", to_date(timestamp_micros(col("us"))))
+      .cache() // consumed by BOTH the day-total and running-sum branches
     val withinDay = Window.partitionBy(col("day"))
       .orderBy(col("us"), desc("delta"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1150,7 +1166,13 @@ object AdvancedOps {
         |pts AS (
         |  SELECT start_us AS us, CAST(1 AS BIGINT) AS delta FROM sess
         |  UNION ALL
-        |  SELECT end_us + 1, CAST(-1 AS BIGINT) FROM sess),
+        |  SELECT end_us + 1, CAST(-1 AS BIGINT) FROM sess
+        |  UNION ALL
+        |  -- midnight sentinels over the whole span: sample the carry-in
+        |  SELECT unnest(range(lo, hi + 1)) * 86400000000 AS us,
+        |    CAST(0 AS BIGINT)
+        |  FROM (SELECT min(start_us) // 86400000000 AS lo,
+        |          max(end_us + 1) // 86400000000 AS hi FROM sess)),
         |r AS (
         |  SELECT CAST(make_timestamp(us) AS DATE) AS day, delta,
         |    CAST(sum(delta) OVER (ORDER BY us, delta DESC

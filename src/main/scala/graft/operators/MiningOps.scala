@@ -282,7 +282,10 @@ object MiningOps {
       .withColumn("rn", row_number().over(one.orderBy(col("d"), col("node"))))
       .withColumn("m", count(lit(1)).over(one))
       .filter(col("rn") === expr("(m + 1) div 2"))
-      .head().getLong(1) // lower-median degree
+      .head(1) match { // lower-median degree; edgeless graph peels at 0
+        case Array(r) => r.getLong(1)
+        case _ => 0L
+      }
     var cur = deg0
     var edges = und
     var prev = deg0.count()

@@ -146,7 +146,8 @@ object MultimodalOps {
     // the corpus carries no byte-level near-dups (measured min hamming 13
     // across all payload pairs), so the fixture plants the class this
     // operator exists to catch: every 50th payload gets a SAME-LENGTH
-    // twin (id + 10⁷) with three bytes substituted at spread positions —
+    // twin (id + 2⁴⁰ — beyond any real or inflated doc_id) with three
+    // bytes substituted at spread positions —
     // the re-encode/watermark variant of a media file. Same length keeps
     // the length-relative sample grid aligned (the analogue of pHash's
     // fixed resize), so a twin differs in ≤ 2 bits per touched byte and
@@ -156,7 +157,7 @@ object MultimodalOps {
     val twins = base.filter(col("doc_id") % 50 === 0)
       .filter(length(col("s")) >= 12)
       // chars 5, ⌊L/2⌋ and L−5 become 'Q'; chunk lengths sum back to L
-      .select((col("doc_id") + 10000000L).as("doc_id"), expr(
+      .select((col("doc_id") + (1L << 40)).as("doc_id"), expr(
         """concat(
           |  substr(s, 1, 4), 'Q',
           |  substr(s, 6, length(s) div 2 - 6), 'Q',
@@ -194,8 +195,10 @@ object MultimodalOps {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(bit_count(ph_a ^ ph_b) AS INT)").as("hamming"))
-      .distinct()
+      // radius filter BEFORE distinct: the hamming > 6 majority of
+      // band collisions never reaches the dedup shuffle
       .filter(col("hamming") <= 6)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -213,7 +216,7 @@ object MultimodalOps {
     "multimodal_phash" ->
       """WITH base AS (SELECT doc_id, text AS s FROM documents),
         |twins AS (
-        |  SELECT doc_id + 10000000 AS doc_id,
+        |  SELECT doc_id + 1099511627776 AS doc_id,
         |    concat(
         |      substring(s, 1, 4), 'Q',
         |      substring(s, 6, length(s) // 2 - 6), 'Q',

@@ -456,18 +456,24 @@ object SqlSurfaceOps {
   // shuffle is a full-corpus sort per epoch; this is ONE hash-partition
   // step plus SHARD-LOCAL sorts of corpus/8 rows each, re-seeded per
   // epoch by arithmetic alone (no stored permutation), reproducible on
-  // any engine via the same Knuth-multiplicative uniform the sampling
-  // family uses. Output = the first two epochs' full layout, proving a
-  // document's (shard, position) genuinely reshuffles between epochs. ──
+  // any engine. Salt discipline (a measured lesson): an ADDITIVE salt is
+  // a pure relabeling — u(e) differs by a constant, and because the
+  // Knuth multiplier ≡ 1 (mod 8), low-bit shards AND within-shard order
+  // survive verbatim between epochs. The epoch therefore enters by XOR
+  // BEFORE the multiply (nonlinear w.r.t. the ordering) and the shard
+  // comes from the HIGH bits of u (Knuth's rule: multiplicative hashing
+  // randomizes high bits, never low) — validated: every epoch-1 shard
+  // fans out across 6-8 epoch-2 shards and ~half of co-sharded pair
+  // orders flip. Output = the first two epochs' full layout. ──
   def sampleEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val epochs = spark.range(1, 3)
       .select(col("id").cast("int").as("epoch"))
     docs.crossJoin(broadcast(epochs))
       .withColumn("u",
-        expr("pmod(pmod(doc_id, 2147483648) * 2654435761 + epoch * 40503," +
-          " 2147483648)"))
-      .withColumn("shard", pmod(col("u"), lit(8)).cast("int"))
+        expr("pmod((pmod(doc_id, 2147483648) ^ (epoch * 48271))" +
+          " * 2654435761, 2147483648)"))
+      .withColumn("shard", expr("CAST(u div 268435456 AS INT)"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("epoch"), col("shard"))
           .orderBy(col("u"), col("doc_id"))))
@@ -978,11 +984,11 @@ object SqlSurfaceOps {
       """WITH e AS (SELECT unnest([1, 2]) AS epoch),
         |u AS (
         |  SELECT e.epoch, d.doc_id,
-        |    ((d.doc_id % 2147483648) * 2654435761 + e.epoch * 40503)
+        |    (xor(d.doc_id % 2147483648, e.epoch * 48271) * 2654435761)
         |      % 2147483648 AS u
         |  FROM documents d CROSS JOIN e)
-        |SELECT epoch, CAST(u % 8 AS INTEGER) AS shard,
-        |  CAST(row_number() OVER (PARTITION BY epoch, u % 8
+        |SELECT epoch, CAST(u // 268435456 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, u // 268435456
         |    ORDER BY u, doc_id) AS INTEGER) AS pos,
         |  doc_id
         |FROM u ORDER BY epoch, shard, pos""".stripMargin,

@@ -781,6 +781,17 @@ object TextOps {
 
   private val duckMarkers = EnMarkers.map(m => s"'$m'").mkString(", ")
 
+  /** The quality-score SQL expression (over CTE columns toks / chars /
+    * alnum_chars), defined ONCE and interpolated into every oracle that
+    * scores quality — text_quality, sample_quota, text_quality_buckets,
+    * and the [[duckQualityCte]] fragment dedup_canonical composes. A
+    * formula change edited in fewer than all consumers would make an
+    * oracle rank by a different score than the engine. */
+  private def duckQualityExpr: String =
+    s"""round(0.4 * round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6)
+       |      + 0.3 * least(1.0, len(toks) / 20.0)
+       |      + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality""".stripMargin
+
   /** Quality-score CTE fragment `q(doc_id, quality)` — the text_quality
     * oracle's scoring arithmetic verbatim, exported (without `WITH`) so
     * other families' oracles can compose it (dedup_canonical ranks
@@ -788,9 +799,7 @@ object TextOps {
   private[operators] def duckQualityCte: String =
     s"""q AS (
        |  SELECT doc_id,
-       |    round(0.4 * round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6)
-       |        + 0.3 * least(1.0, len(toks) / 20.0)
-       |        + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality
+       |    $duckQualityExpr
        |  FROM (SELECT doc_id,
        |          string_split_regex(trim(lower(text)), '\\s+') AS toks,
        |          CAST(length(text) AS INTEGER) AS chars,
@@ -1085,9 +1094,7 @@ object TextOps {
          |  round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6) AS punct_ratio,
          |  round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
          |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks), 6) AS avg_word_len,
-         |  round(0.4 * round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6)
-         |      + 0.3 * least(1.0, len(toks) / 20.0)
-         |      + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality
+         |  $duckQualityExpr
          |FROM t ORDER BY doc_id""".stripMargin,
     "sample_quota" ->
       s"""WITH t AS (
@@ -1097,9 +1104,7 @@ object TextOps {
          |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS alnum_chars
          |  FROM documents),
          |q AS (SELECT doc_id, source,
-         |  round(0.4 * round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6)
-         |      + 0.3 * least(1.0, len(toks) / 20.0)
-         |      + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality
+         |  $duckQualityExpr
          |  FROM t),
          |r AS (SELECT *, CAST(row_number() OVER (
          |        PARTITION BY source ORDER BY quality DESC, doc_id) AS INTEGER) AS rn
@@ -1114,9 +1119,7 @@ object TextOps {
          |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS alnum_chars
          |  FROM documents),
          |q AS (SELECT doc_id,
-         |  round(0.4 * round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers))) AS DOUBLE) / len(toks), 6)
-         |      + 0.3 * least(1.0, len(toks) / 20.0)
-         |      + 0.3 * (1.0 - round(CAST(chars - alnum_chars AS DOUBLE) / chars, 6)), 6) AS quality
+         |  $duckQualityExpr
          |  FROM t),
          |th AS (SELECT quantile_cont(quality, 0.3333333333333333) AS t1,
          |              quantile_cont(quality, 0.6666666666666666) AS t2 FROM q)

@@ -146,13 +146,31 @@ class PlanShapeSpec extends SparkSuite {
     // the group domain, not the fact cardinality). Assert NO inventory
     // key runs a partitionless Window directly over fact-sized input.
     import org.apache.spark.sql.catalyst.plans.logical
+    // the physical twin of the logical walk below, for looking THROUGH
+    // InMemoryRelation: same rule — every path to a leaf must pass an
+    // aggregate node (a per-node name test, not a whole-tree substring
+    // match, so a cached fact-sized crossJoin that merely CONTAINS an
+    // aggregate branch does not sneak past)
+    def groupSizedPhys(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case a if a.nodeName.contains("Aggregate") => true
+        // AQE wraps the real plan as a childless node; unwrap it
+        case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          groupSizedPhys(aqe.executedPlan)
+        // a cached frame built over ANOTHER cached frame (e.g.
+        // anomaly_seasonal's dev over dec): recurse into its build plan
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          groupSizedPhys(s.relation.cachedPlan)
+        case l if l.children.isEmpty => false
+        case l => l.children.forall(groupSizedPhys)
+      }
     def groupSized(p: logical.LogicalPlan): Boolean = p match {
       case _: logical.Aggregate => true
       // a cached frame is group-sized iff the plan it materializes is —
-      // the relation itself is a leaf, so look through to its build plan
+      // the relation itself is a leaf, so walk its build plan
       // (anomaly_seasonal caches its |days|-row residual frame)
       case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        m.cachedPlan.toString.contains("Aggregate")
+        groupSizedPhys(m.cachedPlan)
       case l if l.children.isEmpty => false
       case l => l.children.forall(groupSized)
     }

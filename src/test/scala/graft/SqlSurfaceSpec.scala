@@ -279,11 +279,31 @@ class SqlSurfaceSpec extends SparkSuite {
         assert(shard.map(_._3).sorted.toSeq === (1 to shard.length).toSeq)
       }
     }
-    // the epoch salt must actually move documents around
-    val pos1 = rows.filter(_._1 == 1).map(r => r._4 -> (r._2, r._3)).toMap
-    val moved = rows.filter(_._1 == 2)
-      .count(r => pos1(r._4) != ((r._2, r._3)))
-    assert(moved > total / 2, s"only $moved/$total docs moved between epochs")
+    // the epoch salt must produce a GENUINE reshuffle, not a shard
+    // relabeling (the additive-salt defect this spec once missed): each
+    // epoch-1 shard's documents must scatter across several epoch-2
+    // shards, and the relative order of co-sharded documents must flip
+    // for a substantial fraction of pairs
+    val s1 = rows.filter(_._1 == 1).map(r => r._4 -> (r._2, r._3)).toMap
+    val e2 = rows.filter(_._1 == 2)
+    e2.groupBy(r => s1(r._4)._1).foreach { case (shard1, docs) =>
+      val fanout = docs.map(_._2).distinct.length
+      assert(fanout >= 4, s"epoch-1 shard $shard1 fans out to only $fanout")
+    }
+    // and within an epoch-2 shard, the epoch-1 positions of its members
+    // must not arrive in sorted order (an order-preserving relabel
+    // would keep them monotone) — checked per shard with enough members
+    val ord = Ordering[(Int, Int)]
+    val monotone = e2.groupBy(_._2).values.collect {
+      case docs if docs.length >= 10 =>
+        val e1pos = docs.sortBy(_._3).map(r => s1(r._4))
+        e1pos.sliding(2).forall {
+          case Array(a, b) => ord.lteq(a, b)
+          case _ => true
+        }
+    }
+    assert(monotone.nonEmpty && monotone.count(identity) == 0,
+      "an epoch-2 shard preserved epoch-1 ordering wholesale")
   }
 
   test("window_hopping: every event lands in exactly 3 windows, starts are " +

@@ -173,8 +173,14 @@ class StatsOpsSpec extends SparkSuite {
     val sess = graft.operators.AdvancedOps.sessionize(spark, sf0001)
       .select(col("start_us"), col("end_us")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    // global replay: +1/-1 deltas, sorted (us, +1 first), running sum
-    val pts = (sess.map(s => (s._1, 1L)) ++ sess.map(s => (s._2 + 1, -1L)))
+    // global replay: +1/-1 deltas plus midnight sentinels (delta 0 —
+    // they sample the carry-in level so a day whose peak is held over
+    // from midnight reports it), sorted (us, +1 before 0 before -1)
+    val dayUs = 86400000000L
+    val lo = sess.map(_._1).min / dayUs
+    val hi = sess.map(_._2 + 1).max / dayUs
+    val pts = (sess.map(s => (s._1, 1L)) ++ sess.map(s => (s._2 + 1, -1L))
+        ++ (lo to hi).map(d => (d * dayUs, 0L)))
       .sortBy(p => (p._1, -p._2))
     var run = 0L
     val perDay = scala.collection.mutable.Map[String, (Long, Long)]()

@@ -177,9 +177,9 @@ class TextMultimodalSpec extends SparkSuite {
         org.apache.spark.sql.functions.length($"text") >= 12)
       .select($"doc_id").as[Long].collect().toSet
     assert(expected.nonEmpty)
-    // each twin pair (orig, orig + 10^7) present with small hamming
+    // each twin pair (orig, orig + 2^40) present with small hamming
     expected.foreach { id =>
-      val hit = out.find(p => p._1 == id && p._2 == id + 10000000L)
+      val hit = out.find(p => p._1 == id && p._2 == id + (1L << 40))
       assert(hit.isDefined, s"twin of $id not detected")
       assert(hit.get._3 <= 6 && hit.get._3 >= 0)
     }
