@@ -345,7 +345,68 @@ object AnalyticsOps {
       .orderBy("day")
   }
 
+  // ── CDC log compaction: keep only the LATEST record per entity key —
+  // the read-side collapse of an append-only change stream into current
+  // state (the upsert store's batch twin; every CDC consumer needs it).
+  // Runs through the native TopKPerKey operator (k=1): per-partition
+  // bounded "heaps" of one row flow into the shuffle, so only ≤
+  // #partitions rows move per key — vs the window form's full shuffle +
+  // full sort of the log. Order is total (ts desc, event_id desc), so
+  // the survivor is well-defined under any partitioning. ──
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+        ev(spark, dir).select(col("user_id"), col("event_type"),
+          col("event_id"), col("us"), col("value")),
+        keyCols = Seq(col("user_id"), col("event_type")),
+        orderCols = Seq(desc("us"), desc("event_id")),
+        k = 1)
+      .orderBy("user_id", "event_type")
+
+  // ── MERGE INTO (upsert + delete in one pass): the lakehouse mutation
+  // primitive — apply a change batch of updates, deletes, and inserts to
+  // a snapshot atomically. The change batch derives deterministically
+  // from the snapshot (update keys ≡3 mod 10, delete keys ≡7 mod 10,
+  // insert keys = key+10⁸ for keys ≡1 mod 10) so the oracle replays it
+  // exactly; price restatements stay in DECIMAL (the cdc_scd2 rule).
+  // Executed as ONE full-outer join co-partitioned on the key — matched
+  // rows update or drop, unmatched-target rows carry over, unmatched-
+  // source rows insert. At scale both sides hash-partition on the key;
+  // nothing driver-side, no second pass (the reference's store would
+  // re-write the whole collection). ──
+  def mergeInto(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val m = col("o_orderkey") % 10
+    val src = target
+      .filter(m === 3 || m === 7 || m === 1)
+      .select(
+        when(m === 1, col("o_orderkey") + 100000000L)
+          .otherwise(col("o_orderkey")).as("k"),
+        when(m === 3, lit("U")).when(m === 7, lit("D"))
+          .otherwise(lit("I")).as("act"),
+        when(m === 3,
+            round(col("o_totalprice").cast("decimal(18,2)") *
+              lit(1.10).cast("decimal(3,2)"), 2).cast("double"))
+          .when(m === 1,
+            round(col("o_totalprice").cast("decimal(18,2)") *
+              lit(0.50).cast("decimal(3,2)"), 2).cast("double"))
+          .otherwise(lit(null).cast("double")).as("new_price"))
+    target.join(src, col("o_orderkey") === col("k"), "full_outer")
+      .filter(col("act").isNull || col("act") =!= "D")
+      .select(
+        coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+        when(col("act") === "I", lit("N"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        coalesce(col("new_price"), col("o_totalprice")).as("price"),
+        when(col("act") === "U", lit("updated"))
+          .when(col("act") === "I", lit("inserted"))
+          .otherwise(lit("kept")).as("action"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_latest"     -> dedupLatest _,
+    "merge_into"       -> mergeInto _,
     "dq_profile"       -> dqProfile _,
     "cohort_retention" -> cohortRetention _,
     "funnel_steps"     -> funnelSteps _,
@@ -407,6 +468,41 @@ object AnalyticsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_latest" ->
+      """SELECT user_id, event_type, event_id, us, "value" FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, "value",
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+        |        event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "merge_into" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_orderkey + 100000000
+        |         ELSE o_orderkey END AS k,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'U'
+        |         WHEN o_orderkey % 10 = 7 THEN 'D' ELSE 'I' END AS act,
+        |    CASE WHEN o_orderkey % 10 = 3
+        |           THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+        |             * CAST(1.10 AS DECIMAL(3,2)), 2) AS DOUBLE)
+        |         WHEN o_orderkey % 10 = 1
+        |           THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+        |             * CAST(0.50 AS DECIMAL(3,2)), 2) AS DOUBLE)
+        |         ELSE NULL END AS new_price
+        |  FROM target WHERE o_orderkey % 10 IN (1, 3, 7))
+        |SELECT COALESCE(t.o_orderkey, s.k) AS o_orderkey,
+        |  CASE WHEN s.act = 'I' THEN 'N' ELSE t.o_orderstatus END AS status,
+        |  COALESCE(s.new_price, t.o_totalprice) AS price,
+        |  CASE WHEN s.act = 'U' THEN 'updated'
+        |       WHEN s.act = 'I' THEN 'inserted'
+        |       ELSE 'kept' END AS action
+        |FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.k
+        |WHERE s.act IS NULL OR s.act <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "dq_profile" ->
       """WITH li AS (
         |  SELECT

@@ -313,7 +313,61 @@ object MiningOps {
       .orderBy("round")
   }
 
+  // ── Histogram-based best-split finding — the inner loop of every
+  // gradient-boosted-tree / decision-tree trainer (LightGBM/XGBoost's
+  // "hist" algorithm, published in Ke et al. 2017): bin each feature,
+  // aggregate per-bin (count, label-sum) in ONE pass, then score every
+  // split threshold from prefix sums. Label = (l_returnflag = 'R');
+  // features = quantity/discount/tax, pre-binned on their natural 2-dp
+  // integer grids (so binning is exact, no quantile sketch needed here).
+  // Scale shape: the corpus is scanned ONCE (explode is a 3× row map,
+  // no shuffle); the only shuffle carries (feature, bin) partial
+  // aggregates — ≤ 3·|bins| rows of map-side-combined state, model-
+  // sized forever. Split scoring runs on the bins table (≤ ~70 rows) —
+  // the window sort is trivial. Gain = unnormalized Gini decrease
+  // N·G(parent) − N_L·G(L) − N_R·G(R) with N·G = s(n−s)/n, computed in
+  // double from exact int64 counts (< 2⁵³, so the int→double cast and
+  // the identical *,−,/ op sequence are bit-equal on both engines). ──
+  def featureSplitGain(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+      col("l_quantity").cast("int").as("qty"),
+      (col("l_discount").cast("decimal(18,2)") * 100).cast("int").as("disc"),
+      (col("l_tax").cast("decimal(18,2)") * 100).cast("int").as("tax"))
+    val melted = li
+      .select(col("y"), explode(array(
+        struct(lit("quantity").as("feature"), col("qty").as("bin")),
+        struct(lit("discount").as("feature"), col("disc").as("bin")),
+        struct(lit("tax").as("feature"), col("tax").as("bin")))).as("fb"))
+      .select(col("fb.feature").as("feature"), col("fb.bin").as("bin"),
+        col("y"))
+    val hist = melted.groupBy(col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val wOrd = Window.partitionBy(col("feature")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("feature"))
+    val scored = hist
+      .withColumn("nl", sum(col("n")).over(wOrd))
+      .withColumn("sl", sum(col("s")).over(wOrd))
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("st", sum(col("s")).over(wAll))
+      .filter(col("nl") < col("nt")) // "everything left" is not a split
+      .withColumn("gain", round(
+        expr("cast(st as double) * (nt - st) / nt" +
+          " - cast(sl as double) * (nl - sl) / nl" +
+          " - cast(st - sl as double) * ((nt - nl) - (st - sl)) / (nt - nl)"),
+        9))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("feature")).orderBy(desc("gain"), col("bin"))))
+      .filter(col("rn") === 1)
+      .select(col("feature"), col("bin").as("split_bin"),
+        col("nl").as("n_left"), (col("nt") - col("nl")).as("n_right"),
+        col("gain"))
+      .orderBy("feature")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feature_split_gain" -> featureSplitGain _,
     "graph_kcore"        -> graphKcore _,
     "assoc_rules"        -> assocRules _,
     "markov_transitions" -> markovTransitions _,
@@ -324,6 +378,38 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // HUGEINT prefix sums cast to BIGINT/DOUBLE at the boundary; the
+    // gain expression is op-for-op the Spark form
+    "feature_split_gain" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CAST(l_quantity AS INTEGER) AS qty,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS INTEGER) AS disc,
+        |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS INTEGER) AS tax
+        |  FROM lineitem),
+        |m AS (SELECT 'quantity' AS feature, qty AS bin, y FROM li
+        |  UNION ALL SELECT 'discount', disc, y FROM li
+        |  UNION ALL SELECT 'tax', tax, y FROM li),
+        |h AS (SELECT feature, bin, count(*) AS n, sum(y) AS s
+        |      FROM m GROUP BY 1, 2),
+        |g AS (SELECT feature, bin,
+        |    sum(n) OVER wo AS nl, sum(s) OVER wo AS sl,
+        |    sum(n) OVER wa AS nt, sum(s) OVER wa AS st
+        |  FROM h
+        |  WINDOW wo AS (PARTITION BY feature ORDER BY bin),
+        |         wa AS (PARTITION BY feature)),
+        |gg AS (SELECT feature, bin, nl, nt - nl AS nr,
+        |    round(CAST(st AS DOUBLE) * (nt - st) / nt
+        |      - CAST(sl AS DOUBLE) * (nl - sl) / nl
+        |      - CAST(st - sl AS DOUBLE) * ((nt - nl) - (st - sl)) / (nt - nl),
+        |      9) AS gain
+        |  FROM g WHERE nl < nt),
+        |r AS (SELECT *, row_number()
+        |        OVER (PARTITION BY feature ORDER BY gain DESC, bin) AS rn
+        |      FROM gg)
+        |SELECT feature, bin AS split_bin, CAST(nl AS BIGINT) AS n_left,
+        |  CAST(nr AS BIGINT) AS n_right, gain
+        |FROM r WHERE rn = 1 ORDER BY feature""".stripMargin,
     // the same three peeling rounds unrolled; K = lower-median degree
     // via the explicit middle-row rule
     "graph_kcore" ->

@@ -123,6 +123,33 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  // ── Merge-on-read positional deletes: scan the immutable `data/`
+  // files and subtract the delete-vector tombstones (file, pos) — the
+  // Delta/Iceberg deletion idiom where a delete appends a tiny
+  // tombstone file instead of rewriting data ([[graft.sources.Layout
+  // .ensureEventsMor]] builds the store). Row identity is Spark's
+  // native `_metadata.file_path`/`row_index` constant metadata columns
+  // (no stored position column). The subtraction is a BROADCAST
+  // left-anti join: tombstones are deletes-sized, never corpus-sized,
+  // so the scan streams map-side with zero shuffle before the final
+  // model-sized aggregation. At 100 TB the same plan holds per file
+  // group; if tombstones themselves grew huge, the next step is the
+  // real systems' roaring-bitmap-per-file compression — the join shape
+  // is unchanged. The oracle applies the store's documented delete rule
+  // to the raw table; the read path never sees that rule. ──
+  def scanDeleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsMor(spark, dir)
+    val data = spark.read.parquet(s"$path/data")
+      .select(col("event_type"), col("value"),
+        col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"))
+    val deletes = spark.read.parquet(s"$path/deletes")
+    data.join(broadcast(deletes), Seq("file", "pos"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ── Snapshot time travel: two commits into the manifest-versioned store
   // (sources/Versioned — immutable data files, atomic manifest-pointer
   // commits), then BOTH snapshots read back and aggregated side by side.
@@ -541,6 +568,7 @@ object RelationalOps {
     "agg_bucketed"      -> aggBucketed _,
     "scan_pruned_day"   -> scanPrunedDay _,
     "scan_zorder"       -> scanZorder _,
+    "scan_delete_vectors" -> scanDeleteVectors _,
     "scan_time_travel"  -> scanTimeTravel _,
     "scan_snapshot_diff" -> scanSnapshotDiff _,
     "scan_jsonl"        -> scanJsonl _,
@@ -558,6 +586,13 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the store's documented tombstone rule applied to the raw table —
+    // the Spark side reads only (file, pos) tombstones, never this rule
+    "scan_delete_vectors" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id % 13 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "window_hopping" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

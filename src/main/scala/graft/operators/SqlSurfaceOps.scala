@@ -129,6 +129,24 @@ object SqlSurfaceOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ── ratio_to_report: each event's share of its type's total — the
+  // contribution view every BI layer derives from a raw measure. The
+  // partition total is a DECIMAL window sum (exact, so the denominator
+  // is partitioning-independent; a double window sum would hash-flake
+  // vs the oracle AND vs Spark's own re-runs); the ratio itself divides
+  // in double and rounds. Whole-partition frame, no ORDER BY → Spark
+  // computes the total once per partition, not a running sum; one
+  // shuffle on event_type, per-key state bounded by the partition. ──
+  def windowRatioToReport(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") /
+            sum(money(col("value"))).over(w).cast("double"), 9)
+          .as("share"))
+      .orderBy("event_id")
+  }
+
   // ── rolling exact median: a PERCENTILE as a framed window aggregate —
   // trailing-50-event median of `value` per event type, the robust
   // rolling baseline every monitoring pipeline wants (rolling mean is
@@ -757,6 +775,7 @@ object SqlSurfaceOps {
     "join_full_outer" -> joinFullOuter _,
     "join_range"      -> joinRange _,
     "window_cumsum"   -> windowCumsum _,
+    "window_ratio_to_report" -> windowRatioToReport _,
     "window_rolling_median" -> windowRollingMedian _,
     "window_ntile"    -> windowNtile _,
     "conditional_agg" -> conditionalAgg _,
@@ -907,6 +926,12 @@ object SqlSurfaceOps {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |    AS DOUBLE) AS revenue_to_date
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_ratio_to_report" ->
+      """SELECT event_id, event_type, "value",
+        |  round("value" /
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY event_type) AS DOUBLE), 9) AS share
+        |FROM events ORDER BY event_id""".stripMargin,
     "window_rolling_median" ->
       """SELECT event_id,
         |  round(quantile_cont("value", 0.5) OVER (

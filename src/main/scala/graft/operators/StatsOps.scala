@@ -922,7 +922,68 @@ object StatsOps {
       .orderBy("day")
   }
 
+  // ── Exact distribution-shape moments per group: skewness and excess
+  // kurtosis from DECIMAL-exact raw power sums — the "is this metric's
+  // distribution drifting" gauge behind the dashboard's mean/sum cards
+  // (`/root/reference/app.py:80-84` stops at first moments).
+  //
+  // Determinism device: `value` is known 2-dp, so iv = value·100 is an
+  // EXACT int64 (via the decimal(18,2) cast both engines already agree
+  // on). Power sums Σiv, Σiv², Σiv³, Σiv⁴ accumulate in DECIMAL(38,0) —
+  // associative and partitioning-independent, unlike double sums. iv ≤
+  // 5.7e4 keeps iv⁴ ≤ 1.1e19 per row and the sf-corpus totals ≤ ~1e24,
+  // far under the 1e38 ceiling (headroom to ~1e13 rows — 100 TB-class —
+  // before the iv⁴ sum needs a second-level split). Moments then combine
+  // in DOUBLE with an op-for-op identical formula on both engines:
+  // casting the same exact integer to double is deterministic IEEE, and
+  // +,-,*,/,sqrt are all correctly rounded, so skew/kurt agree bit-for-
+  // bit before the final 6-dp display rounding. Skew/kurt are scale-
+  // invariant, so the ×100 never needs undoing; only the mean rescales.
+  // ONE scan, map-side partial aggregation, group-sized state — the
+  // at-scale shape is a plain keyed agg. ──
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val df = ev(spark, dir)
+      .withColumn("iv",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("iv").cast("decimal(38,0)")).as("s1"),
+        sum((col("iv") * col("iv")).cast("decimal(38,0)")).as("s2"),
+        sum((col("iv") * col("iv") * col("iv")).cast("decimal(38,0)"))
+          .as("s3"),
+        // iv⁴ would overflow int64 per-row at iv > 5.5e4: square once in
+        // int64 (exact), then multiply in decimal
+        sum((col("iv") * col("iv")).cast("decimal(38,0)") *
+          (col("iv") * col("iv"))).as("s4"))
+      .select(col("event_type"), col("n"),
+        expr("round(cast(s1 as double) / n / 100, 6) + 0.0d").as("mean"),
+        expr("""round(
+            (cast(s3 as double) / n
+              - 3 * (cast(s1 as double) / n) * (cast(s2 as double) / n)
+              + 2 * (cast(s1 as double) / n) * (cast(s1 as double) / n)
+                  * (cast(s1 as double) / n))
+            / ((cast(s2 as double) / n
+                 - (cast(s1 as double) / n) * (cast(s1 as double) / n))
+               * sqrt(cast(s2 as double) / n
+                 - (cast(s1 as double) / n) * (cast(s1 as double) / n))),
+            6) + 0.0d""").as("skewness"),
+        expr("""round(
+            (cast(s4 as double) / n
+              - 4 * (cast(s1 as double) / n) * (cast(s3 as double) / n)
+              + 6 * (cast(s1 as double) / n) * (cast(s1 as double) / n)
+                  * (cast(s2 as double) / n)
+              - 3 * (cast(s1 as double) / n) * (cast(s1 as double) / n)
+                  * (cast(s1 as double) / n) * (cast(s1 as double) / n))
+            / ((cast(s2 as double) / n
+                 - (cast(s1 as double) / n) * (cast(s1 as double) / n))
+               * (cast(s2 as double) / n
+                 - (cast(s1 as double) / n) * (cast(s1 as double) / n)))
+            - 3, 6) + 0.0d""").as("kurtosis"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_moments"         -> statsMoments _,
     "anomaly_seasonal"      -> anomalySeasonal _,
     "forecast_holt"         -> forecastHolt _,
     "forecast_holt_winters" -> forecastHoltWinters _,
@@ -952,6 +1013,45 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // HUGEINT power sums = Spark's DECIMAL(38,0) (both exact 128-bit);
+    // the double combination below is op-for-op the Spark expression
+    "stats_moments" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS iv
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(iv AS HUGEINT)) AS s1,
+        |    sum(CAST(iv * iv AS HUGEINT)) AS s2,
+        |    sum(CAST(iv * iv * iv AS HUGEINT)) AS s3,
+        |    sum(CAST(iv * iv AS HUGEINT) * (iv * iv)) AS s4
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(s1 AS DOUBLE) / n / 100, 6) + 0.0 AS mean,
+        |  round(
+        |    (CAST(s3 AS DOUBLE) / n
+        |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+        |      + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |          * (CAST(s1 AS DOUBLE) / n))
+        |    / ((CAST(s2 AS DOUBLE) / n
+        |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |       * sqrt(CAST(s2 AS DOUBLE) / n
+        |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
+        |    6) + 0.0 AS skewness,
+        |  round(
+        |    (CAST(s4 AS DOUBLE) / n
+        |      - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+        |      + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |          * (CAST(s2 AS DOUBLE) / n)
+        |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |          * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |    / ((CAST(s2 AS DOUBLE) / n
+        |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |       * (CAST(s2 AS DOUBLE) / n
+        |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+        |    - 3, 6) + 0.0 AS kurtosis
+        |FROM s ORDER BY event_type""".stripMargin,
     // the identical Holt recursion replayed as a recursive CTE: same
     // init (l₁=y₁, b₁=y₂−y₁), same literals, same operation order — the
     // doubles stay bit-equal until the single boundary round

@@ -100,6 +100,40 @@ object Layout {
     "12x,not_a_ts_long,43,,x1.0,junk",
     "13x,1705300000000001,no,,0.0y,junk")
 
+  /** Merge-on-read events store: immutable `data/` parquet plus a
+    * positional DELETE VECTOR under `deletes/` — the lakehouse deletion
+    * idiom (Delta deletion vectors / Iceberg positional delete files):
+    * deleting rows never rewrites a data file, it appends (file, pos)
+    * tombstones that readers subtract. Positions are Spark's native
+    * `_metadata.row_index` / `_metadata.file_path` constant metadata
+    * columns — no stored position column, so `data/` stays byte-
+    * compatible with a plain store. The demo delete set (event_id ≡ 0
+    * mod 13) is computed FROM the written files once, here; the read
+    * path ([[graft.operators.RelationalOps.scanDeleteVectors]]) never
+    * sees that rule — it honors whatever tombstones exist.
+    * Completion marker = the DELETES' _SUCCESS (written last): a crash
+    * after `data/` but before `deletes/` must not serve an undeleted
+    * store. */
+  def ensureEventsMor(spark: SparkSession, dir: String): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_mor_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deletes/_SUCCESS"))) {
+      Tables.events(spark, dir)
+        .repartition(8, col("event_id"))
+        .write.mode("overwrite").parquet(s"$path/data")
+      spark.read.parquet(s"$path/data")
+        .select(col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"), col("event_id"))
+        .filter(col("event_id") % 13 === 0)
+        .select(col("file"), col("pos"))
+        .write.mode("overwrite").parquet(s"$path/deletes")
+    }
+    path
+  }
+
   def ensureEventsCsv(spark: SparkSession, dir: String): String = {
     val tag = Fingerprint.tag(dir, "events")
     val wh = spark.conf.get("spark.sql.warehouse.dir")

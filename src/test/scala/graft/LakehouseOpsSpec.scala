@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{AnalyticsOps, MiningOps, RelationalOps, StatsOps}
+import graft.sources.Tables
+
+/** Invariant checks for the round-7 lakehouse/CDC/ML-split additions:
+  * merge-on-read delete vectors, MERGE INTO, latest-record compaction,
+  * exact moments, and histogram split finding. */
+class LakehouseOpsSpec extends SparkSuite {
+
+  test("scan_delete_vectors subtracts exactly the tombstoned rows via a broadcast anti-join") {
+    val df = RelationalOps.scanDeleteVectors(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf0001)
+      .filter(col("event_id") % 13 =!= 0)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the store actually lost rows to tombstones (the delete set is
+    // non-empty), and data/ still holds every original row (merge-on-
+    // read: deletes never rewrite data files)
+    val path = graft.sources.Layout.ensureEventsMor(spark, sf0001)
+    val dataRows = spark.read.parquet(s"$path/data").count()
+    val all = Tables.events(spark, sf0001).count()
+    assert(dataRows === all)
+    assert(got.values.sum < all)
+  }
+
+  test("merge_into applies update, delete, and insert arms exactly once each") {
+    val out = AnalyticsOps.mergeInto(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    val base = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byKey = out.map(t => t._1 -> t).toMap
+    assert(out.length === byKey.size, "duplicate keys in merged output")
+    base.foreach { case (k, st, price) =>
+      (k % 10) match {
+        case 7 => assert(!byKey.contains(k), s"deleted key $k survived")
+        case 3 =>
+          val m = byKey(k)
+          assert(m._4 == "updated" && m._2 == st)
+          assert(math.abs(m._3 - BigDecimal(price).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble * 1.1) < 0.011)
+        case 1 =>
+          assert(byKey(k)._4 == "kept")
+          val ins = byKey(k + 100000000L)
+          assert(ins._4 == "inserted" && ins._2 == "N")
+        case _ =>
+          val m = byKey(k)
+          assert(m._4 == "kept" && m._2 == st && m._3 == price)
+      }
+    }
+    // no unexplained rows: every output key is a base key or base+10^8
+    val baseKeys = base.map(_._1).toSet
+    out.foreach { case (k, _, _, act) =>
+      assert(baseKeys.contains(k) ||
+        (act == "inserted" && baseKeys.contains(k - 100000000L)))
+    }
+  }
+
+  test("dedup_latest equals the window row_number form") {
+    val native = AnalyticsOps.dedupLatest(spark, sf0001).collect()
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(desc("us"), desc("event_id"))
+    val window = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn").orderBy("user_id", "event_type").collect()
+    assert(native.length === window.length)
+    native.zip(window).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("stats_moments matches a direct double computation") {
+    val rows = StatsOps.statsMoments(spark, sf0001).collect()
+    val vals = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    rows.foreach { r =>
+      val xs = vals(r.getString(0)).map(_._2)
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      def cm(p: Int) = xs.map(x => math.pow(x - m, p)).sum / n
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - m) < 1e-4, s"mean ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - cm(3) / math.pow(cm(2), 1.5)) < 1e-4,
+        s"skew ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - (cm(4) / (cm(2) * cm(2)) - 3)) < 1e-4,
+        s"kurt ${r.getString(0)}")
+    }
+  }
+
+  test("feature_split_gain finds the brute-force best threshold per feature") {
+    val out = MiningOps.featureSplitGain(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set("quantity", "discount", "tax"))
+    // brute force on the quantity histogram
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_quantity").cast("int").as("bin"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val bins = li.groupBy(_._1).map { case (b, rs) =>
+      (b, rs.length.toLong, rs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val nt = bins.map(_._2).sum; val st = bins.map(_._3).sum
+    def imp(s: Long, n: Long) = s.toDouble * (n - s) / n
+    val gains = bins.scanLeft((0L, 0L)) { case ((n, s), (_, bn, bs)) =>
+      (n + bn, s + bs)
+    }.tail.zip(bins.map(_._1)).filter(_._1._1 < nt).map {
+      case ((nl, sl), bin) =>
+        (bin, imp(st, nt) - imp(sl, nl) - imp(st - sl, nt - nl))
+    }
+    val best = gains.maxBy { case (bin, g) => (g, -bin) }
+    assert(out("quantity")._1 === best._1)
+    assert(math.abs(out("quantity")._4 - best._2) < 1e-6)
+    // Gini decrease is non-negative by concavity — all reported gains are
+    out.values.foreach { case (_, nl, nr, g) =>
+      assert(g >= 0 && nl > 0 && nr > 0)
+    }
+  }
+}
