@@ -366,7 +366,63 @@ object MiningOps {
       .orderBy("feature")
   }
 
+  // ── ABC / Pareto classification: rank parts by revenue and split the
+  // catalog at 80% / 95% of cumulative revenue mass (class A / B / C) —
+  // the inventory-analysis staple. The interesting part is the
+  // CUMULATIVE SUM AT SCALE: a naive rank-ordered cumsum is one global
+  // window = a single-partition sort cliff on a 10⁹-part catalog. This
+  // runs the textbook TWO-LEVEL DISTRIBUTED PREFIX SUM instead: each
+  // part lands in a revenue BAND (integer division by a data-derived
+  // width — floor is monotone, so band-major order ≡ global revenue
+  // order); per-band totals (≤ ~1025 rows) cum-sum on the driver side
+  // of a broadcast; within-band cumsums run as windows PARTITIONED by
+  // band — parallel, bounded state. band_offset + within-band = exactly
+  // the global cumsum (DECIMAL arithmetic, associative), which is why
+  // the oracle can be the naive single-window form. Class thresholds
+  // compare 10·cum ≤ 8·total and 20·cum ≤ 19·total in DECIMAL — no
+  // cross-engine division anywhere. ──
+  def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .as("rev"))
+      // integer micro-units: the revenue term has scale 6, so ×10⁶ is
+      // integral and the long cast carries NO fraction — truncate-vs-
+      // round cast semantics can never diverge between engines
+      .withColumn("revc", (col("rev") * 1000000).cast("long"))
+    val width = rev.agg(greatest(lit(1L),
+        floor(max(col("revc")) / 1024).cast("long")).as("w"),
+      sum(col("revc")).cast("decimal(38,0)").as("total"))
+    val banded = rev.crossJoin(broadcast(width))
+      .withColumn("band", (col("revc") / col("w")).cast("long"))
+    // level 1: per-band totals, cum-summed over the ≤ ~1025 band rows
+    val bandCum = banded.groupBy(col("band"))
+      .agg(sum(col("revc").cast("decimal(38,0)")).as("bsum"))
+      .withColumn("boff",
+        coalesce(sum(col("bsum")).over(
+          Window.orderBy(desc("band"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast("decimal(38,0)")))
+      .select(col("band"), col("boff"))
+    // level 2: within-band windows, partitioned (parallel at any scale)
+    val wIn = Window.partitionBy(col("band"))
+      .orderBy(desc("revc"), col("l_partkey"))
+    banded.join(broadcast(bandCum), Seq("band"))
+      .withColumn("cum",
+        col("boff") + sum(col("revc").cast("decimal(38,0)")).over(wIn))
+      .withColumn("cls",
+        when(col("cum") * 10 <= col("total") * 8, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise(lit("C")))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        (sum(col("revc").cast("decimal(38,0)")).cast("double") / 1000000)
+          .as("class_revenue"))
+      .orderBy("cls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pareto_abc"         -> paretoAbc _,
     "feature_split_gain" -> featureSplitGain _,
     "graph_kcore"        -> graphKcore _,
     "assoc_rules"        -> assocRules _,
@@ -378,6 +434,28 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the NAIVE single-window cumsum — the banded two-level prefix sum
+    // equals it exactly (floor-banding is monotone, DECIMAL sums are
+    // associative), which is the point of the oracle
+    "pareto_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 1000000
+        |      AS BIGINT) AS revc
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(CAST(revc AS HUGEINT)) AS total FROM rev),
+        |c AS (SELECT l_partkey, revc,
+        |    sum(CAST(revc AS HUGEINT))
+        |      OVER (ORDER BY revc DESC, l_partkey) AS cum
+        |  FROM rev)
+        |SELECT CASE WHEN cum * 10 <= total * 8 THEN 'A'
+        |            WHEN cum * 20 <= total * 19 THEN 'B'
+        |            ELSE 'C' END AS cls,
+        |  count(*) AS n_parts,
+        |  CAST(sum(CAST(revc AS HUGEINT)) AS DOUBLE) / 1000000
+        |    AS class_revenue
+        |FROM c, t GROUP BY 1 ORDER BY cls""".stripMargin,
     // HUGEINT prefix sums cast to BIGINT/DOUBLE at the boundary; the
     // gain expression is op-for-op the Spark form
     "feature_split_gain" ->

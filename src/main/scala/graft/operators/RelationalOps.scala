@@ -150,6 +150,42 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  // ── Bloom-index data skipping for a point lookup on a HIGH-
+  // CARDINALITY key: "all events of user 7" opens only the file(s)
+  // whose bloom bitmap contains the user's 4 probe bits — min/max
+  // stats can't skip here because a hash-clustered file's user_id
+  // range spans the domain ([[graft.sources.Layout
+  // .ensureEventsBloomIdx]] builds the store; LayoutSpec pins that
+  // fewer files than exist are opened). The candidate-file resolution
+  // is DISTRIBUTED (a 4-bit semi-match aggregate over the index
+  // relation — at a million files the index is itself a table, never
+  // driver state); only the matching file NAMES come back, then the
+  // scan reads those files and re-applies the exact predicate (bloom
+  // false positives are filtered, never answered). Safety: a key whose
+  // bits match nothing falls back to the full store scan — a bloom can
+  // produce false positives, never false negatives, so an EMPTY match
+  // list only happens for an absent key and the fallback still returns
+  // the correct (empty) result. ──
+  def scanBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsBloomIdx(spark, dir)
+    val target = 7L
+    val bits = graft.sources.Layout.BloomIdxSeeds
+      .map(j => graft.sources.Layout.bloomIdxBit(target, j))
+    val files = spark.read.parquet(s"$path/index")
+      .filter(col("bit").isin(bits: _*))
+      .groupBy(col("file"))
+      .agg(countDistinct(col("bit")).as("hits"))
+      .filter(col("hits") === bits.distinct.length)
+      .select(col("file")).collect().map(_.getString(0))
+    val data =
+      if (files.nonEmpty) spark.read.parquet(files.toIndexedSeq: _*)
+      else spark.read.parquet(s"$path/data")
+    data.filter(col("user_id") === target)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ── Snapshot time travel: two commits into the manifest-versioned store
   // (sources/Versioned — immutable data files, atomic manifest-pointer
   // commits), then BOTH snapshots read back and aggregated side by side.
@@ -569,6 +605,7 @@ object RelationalOps {
     "scan_pruned_day"   -> scanPrunedDay _,
     "scan_zorder"       -> scanZorder _,
     "scan_delete_vectors" -> scanDeleteVectors _,
+    "scan_bloom_skip"   -> scanBloomSkip _,
     "scan_time_travel"  -> scanTimeTravel _,
     "scan_snapshot_diff" -> scanSnapshotDiff _,
     "scan_jsonl"        -> scanJsonl _,
@@ -588,6 +625,11 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     // the store's documented tombstone rule applied to the raw table —
     // the Spark side reads only (file, pos) tombstones, never this rule
+    "scan_bloom_skip" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id = 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_delete_vectors" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -147,6 +147,32 @@ object SqlSurfaceOps {
       .orderBy("event_id")
   }
 
+  // ── Randomized-response private counts (Warner 1965 — the local-DP
+  // mechanism production telemetry actually ships): each row reports
+  // its sensitive bit (value > 100) TRUTHFULLY with probability p =
+  // 3/4, flipped otherwise; the aggregate debiases the observed rate by
+  // π̂ = (r/n − (1−p)) / (2p−1). No row's true bit is recoverable, yet
+  // the population estimate is unbiased — ε = ln(p/(1−p)) = ln 3 local
+  // DP. The coin is the repo's PORTABLE integer uniform (Knuth hash of
+  // event_id reduced mod 2³¹, the sample_weighted device) and p·2³¹ =
+  // 3·2²⁹ is EXACT, so both engines replay every flip bit-identically —
+  // which is what makes a DP mechanism oracle-checkable at all. Plain
+  // keyed agg: one scan, map-side partials, group-sized state. ──
+  def privacyRrCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CASE WHEN value > 100 THEN 1L ELSE 0L END").as("y"),
+        expr("pmod(pmod(event_id, 2147483648) * 2654435761, 2147483648)")
+          .as("u31"))
+      .withColumn("reported",
+        expr("CASE WHEN u31 < 1610612736 THEN y ELSE 1 - y END"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("reported")).as("r"))
+      .select(col("event_type"), col("n"), col("r"),
+        expr("round((cast(r as double) / n - 0.25) / 0.5, 6) + 0.0d")
+          .as("estimate"))
+      .orderBy("event_type")
+
   // ── rolling exact median: a PERCENTILE as a framed window aggregate —
   // trailing-50-event median of `value` per event type, the robust
   // rolling baseline every monitoring pipeline wants (rolling mean is
@@ -776,6 +802,7 @@ object SqlSurfaceOps {
     "join_range"      -> joinRange _,
     "window_cumsum"   -> windowCumsum _,
     "window_ratio_to_report" -> windowRatioToReport _,
+    "privacy_rr_counts" -> privacyRrCounts _,
     "window_rolling_median" -> windowRollingMedian _,
     "window_ntile"    -> windowNtile _,
     "conditional_agg" -> conditionalAgg _,
@@ -926,6 +953,20 @@ object SqlSurfaceOps {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |    AS DOUBLE) AS revenue_to_date
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "privacy_rr_counts" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CASE WHEN "value" > 100 THEN 1 ELSE 0 END AS y,
+        |    ((event_id % 2147483648) * 2654435761) % 2147483648 AS u31
+        |  FROM events),
+        |f AS (SELECT event_type,
+        |        CASE WHEN u31 < 1610612736 THEN y ELSE 1 - y END AS rep
+        |      FROM b)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(rep) AS BIGINT) AS r,
+        |  round((CAST(sum(rep) AS DOUBLE) / count(*) - 0.25) / 0.5, 6)
+        |    + 0.0 AS estimate
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     "window_ratio_to_report" ->
       """SELECT event_id, event_type, "value",
         |  round("value" /

@@ -134,6 +134,55 @@ object Layout {
     path
   }
 
+  /** Bloom-index sizing for [[ensureEventsBloomIdx]]: 8192 bits / 4
+    * probes per key. Files are clustered by `user_id` (hash
+    * repartition), so each file holds ~1/16 of the users; at ≤ a few
+    * hundred set bits per file the false-file probability is ≲1e-6. */
+  private[sources] val BloomIdxBits = 8192L
+  private[graft] val BloomIdxSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L)
+
+  /** Probe bit `j` for key `u` — driver-side twin of the Column form in
+    * [[ensureEventsBloomIdx]] (same Knuth-hash arithmetic on the same
+    * positive domain, so the results are identical by construction). */
+  private[graft] def bloomIdxBit(u: Long, j: Long): Long =
+    math.floorMod(
+      math.floorMod(u, 2147483648L) * (2654435761L + j * 40503L),
+      BloomIdxBits)
+
+  /** File-level BLOOM INDEX over `user_id`: the data-skipping structure
+    * for HIGH-CARDINALITY POINT predicates, where min/max row-group
+    * stats (scan_pruned_day) and Z-order rectangles (scan_zorder) don't
+    * help because every file's [min,max] spans the whole key domain.
+    * Layout: `data/` hash-clustered by user_id into 16 files (each user
+    * lives in exactly one file — clustering is what makes the bloom
+    * selective); `index/` holds distinct (file, bit) rows — the unrolled
+    * bitmap form, mergeable by plain append when files are added. The
+    * reader ([[graft.operators.RelationalOps.scanBloomSkip]]) matches a
+    * key's 4 probe bits against the index and opens ONLY passing files.
+    * Index completion marker is written last, same rule as the MOR
+    * store. */
+  def ensureEventsBloomIdx(spark: SparkSession, dir: String): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_bloomidx_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/index/_SUCCESS"))) {
+      Tables.events(spark, dir)
+        .repartition(16, col("user_id"))
+        .write.mode("overwrite").parquet(s"$path/data")
+      val bits = BloomIdxSeeds.map(j =>
+        pmod(pmod(col("user_id"), lit(2147483648L)) *
+          lit(2654435761L + j * 40503L), lit(BloomIdxBits)))
+      spark.read.parquet(s"$path/data")
+        .select(col("_metadata.file_path").as("file"),
+          explode(array(bits: _*)).as("bit"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$path/index")
+    }
+    path
+  }
+
   def ensureEventsCsv(spark: SparkSession, dir: String): String = {
     val tag = Fingerprint.tag(dir, "events")
     val wh = spark.conf.get("spark.sql.warehouse.dir")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AnalyticsOps, MiningOps, RelationalOps, StatsOps}
+import graft.operators.{AnalyticsOps, MiningOps, RelationalOps, SqlSurfaceOps, StatsOps}
 import graft.sources.Tables
 
 /** Invariant checks for the round-7 lakehouse/CDC/ML-split additions:
@@ -94,6 +94,74 @@ class LakehouseOpsSpec extends SparkSuite {
         s"skew ${r.getString(0)}")
       assert(math.abs(r.getDouble(4) - (cm(4) / (cm(2) * cm(2)) - 3)) < 1e-4,
         s"kurt ${r.getString(0)}")
+    }
+  }
+
+  test("scan_bloom_skip opens fewer files than the store holds and loses no rows") {
+    val got = RelationalOps.scanBloomSkip(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf0001).filter(col("user_id") === 7)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the pruning actually happened: the index admits strictly fewer
+    // data files than exist (user 7 is hash-clustered into one file;
+    // bloom false positives could add a couple, never all 16)
+    val path = graft.sources.Layout.ensureEventsBloomIdx(spark, sf0001)
+    val total = spark.read.parquet(s"$path/data").inputFiles.length
+    val bits = graft.sources.Layout.BloomIdxSeeds
+      .map(j => graft.sources.Layout.bloomIdxBit(7L, j))
+    val passing = spark.read.parquet(s"$path/index")
+      .filter(col("bit").isin(bits: _*))
+      .groupBy(col("file")).agg(countDistinct(col("bit")).as("h"))
+      .filter(col("h") === bits.distinct.length).count()
+    assert(passing < total, s"$passing of $total files passed the bloom")
+    assert(passing >= 1)
+  }
+
+  test("pareto_abc equals the naive global-cumsum classification") {
+    val got = MiningOps.paretoAbc(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // brute force: exact per-part revenue micro-units, one sorted pass
+    val rev = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_partkey"))
+      .agg((sum(graft.functions.Exact.revenueTerm(
+        col("l_extendedprice"), col("l_discount"))) * 1000000)
+        .cast("long").as("revc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, rc) => (-rc, k) }
+    val total = rev.map(r => BigInt(r._2)).sum
+    var cum = BigInt(0)
+    val classed = rev.map { case (_, rc) =>
+      cum += rc
+      val cls = if (cum * 10 <= total * 8) "A"
+        else if (cum * 20 <= total * 19) "B" else "C"
+      (cls, rc)
+    }
+    val want = classed.groupBy(_._1).map { case (c, xs) =>
+      (c, xs.length.toLong,
+        xs.map(x => BigInt(x._2)).sum.toDouble / 1000000)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq.map(t => (t._1, t._2)) === want.map(t => (t._1, t._2)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-6) }
+    // ABC sanity: A captures ≤80% of mass with the fewest parts
+    assert(got.map(_._2).sum === rev.length.toLong)
+  }
+
+  test("privacy_rr_counts debiases to within sampling noise of the true rate") {
+    val out = SqlSurfaceOps.privacyRrCounts(spark, sf0001).collect()
+    val truth = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(avg(when(col("value") > 100, 1.0).otherwise(0.0)).as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      val (et, n, est) = (r.getString(0), r.getLong(1), r.getDouble(3))
+      // RR estimator variance at p=3/4: se ≈ sqrt(3/4·1/4/(2p-1)²/n)·…
+      // use a generous 6σ band — the point is debiasing, not precision
+      val se = math.sqrt(1.0 / n) * 2
+      assert(math.abs(est - truth(et)) < 6 * se,
+        s"$et: est $est vs true ${truth(et)} (n=$n)")
     }
   }
 
