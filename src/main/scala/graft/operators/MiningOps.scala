@@ -421,7 +421,54 @@ object MiningOps {
       .orderBy("cls")
   }
 
+  // ── 2-D SKYLINE (the published Börzsönyi et al. 2001 operator): the
+  // Pareto front of parts over (cheapest observed price ↓ better,
+  // total ordered volume ↑ better) — a (cost, qty) pair survives
+  // iff no other pair is ≤ on cost AND ≥ on qty with at least one
+  // strict. On pairs sorted (cost asc, qty desc) that reduces to "qty
+  // strictly above the running max of all preceding rows" — a PREFIX
+  // MAX, distributed with the same two-level banding as pareto_abc
+  // (integer cost bands are order-monotone; per-band maxima broadcast
+  // as offsets; within-band windows partition by band — no global
+  // sort). Cost is exact integer cents (min of a 2-dp decimal), so
+  // banding and every comparison are engine-neutral; the oracle runs
+  // the naive single-window sweep, which the banded form equals by
+  // construction. Dominance is evaluated on DISTINCT pairs, so
+  // same-cost ties resolve by the strict-qty rule identically in both
+  // forms. ──
+  def skyline2d(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg((min(Exact.money(col("l_extendedprice"))) * 100).cast("long")
+        .as("cost_c"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .groupBy(col("cost_c"), col("qty"))
+      .agg(count(lit(1)).as("n_parts"))
+    val width = pairs.agg(greatest(lit(1L),
+      floor(max(col("cost_c")) / 1024).cast("long")).as("w"))
+    val banded = pairs.crossJoin(broadcast(width))
+      .withColumn("band", (col("cost_c") / col("w")).cast("long"))
+    val bandMax = banded.groupBy(col("band"))
+      .agg(max(col("qty")).as("bmax"))
+      .withColumn("boff", max(col("bmax")).over(
+        Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("band"), col("boff"))
+    val wIn = Window.partitionBy(col("band"))
+      .orderBy(col("cost_c"), desc("qty"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    banded.join(broadcast(bandMax), Seq("band"))
+      .withColumn("pmax",
+        greatest(coalesce(max(col("qty")).over(wIn), lit(Long.MinValue)),
+          coalesce(col("boff"), lit(Long.MinValue))))
+      .filter(col("qty") > col("pmax"))
+      .select((col("cost_c").cast("double") / 100).as("min_cost"),
+        col("qty"), col("n_parts"))
+      .orderBy("min_cost")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skyline_2d"         -> skyline2d _,
     "pareto_abc"         -> paretoAbc _,
     "feature_split_gain" -> featureSplitGain _,
     "graph_kcore"        -> graphKcore _,
@@ -434,6 +481,23 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the naive single-window skyline sweep; the banded prefix max
+    // equals it because integer cost bands are order-monotone
+    "skyline_2d" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cost_c,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (SELECT cost_c, qty, count(*) AS n_parts FROM pp GROUP BY 1, 2),
+        |s AS (SELECT cost_c, qty, n_parts,
+        |    max(qty) OVER (ORDER BY cost_c, qty DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM pr)
+        |SELECT CAST(cost_c AS DOUBLE) / 100 AS min_cost, qty, n_parts
+        |FROM s WHERE pmax IS NULL OR qty > pmax
+        |ORDER BY min_cost""".stripMargin,
     // the NAIVE single-window cumsum — the banded two-level prefix sum
     // equals it exactly (floor-banding is monotone, DECIMAL sums are
     // associative), which is the point of the oracle

@@ -149,6 +149,24 @@ class LakehouseOpsSpec extends SparkSuite {
     assert(got.map(_._2).sum === rev.length.toLong)
   }
 
+  test("skyline_2d equals the quadratic dominance check") {
+    val got = MiningOps.skyline2d(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    val pairs = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_partkey"))
+      .agg((min(graft.functions.Exact.money(col("l_extendedprice"))) * 100)
+        .cast("long").as("c"),
+        sum(col("l_quantity").cast("long")).as("q"))
+      .groupBy(col("c"), col("q")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val front = pairs.filter { case (c, q, _) =>
+      !pairs.exists { case (c2, q2, _) =>
+        (c2, q2) != (c, q) && c2 <= c && q2 >= q }
+    }.map { case (c, q, n) => (c.toDouble / 100, q, n) }.toSet
+    assert(got === front)
+    assert(got.nonEmpty)
+  }
+
   test("privacy_rr_counts debiases to within sampling noise of the true rate") {
     val out = SqlSurfaceOps.privacyRrCounts(spark, sf0001).collect()
     val truth = Tables.events(spark, sf0001)
