@@ -50,6 +50,43 @@ object AdvancedOps {
       .orderBy("user_id", "session_id")
   }
 
+  // ── interval-UNION coverage: for each day, how many µs were covered
+  // by ≥1 active session — uptime/billing-style "covered time", the
+  // companion gauge to sessions_concurrent's peak (stabbing MAX vs
+  // union LENGTH). Sessions are day-clamped half-open [s, e) slices
+  // (explode over the spanned day numbers), then each day runs the
+  // textbook sorted sweep: order slices by (s, e desc); a slice's NEW
+  // coverage is max(0, e − max(s, prefix-max of e)) — duplicate and
+  // contained slices contribute 0, so the per-day SUM is exactly the
+  // union length and is invariant to tie order among equal starts.
+  // Every window partitions by day (parallel, bounded state); the
+  // explode fans a session into its spanned days only. All arithmetic
+  // is integer µs — the oracle replays it exactly. ──
+  def sessionsCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val sess = sessionize(spark, dir)
+      .select(col("start_us"), (col("end_us") + 1).as("end_x"))
+    val clamped = sess
+      .select(col("start_us"), col("end_x"),
+        explode(expr(s"sequence(start_us div ${DayUs}L," +
+          s" (end_x - 1) div ${DayUs}L)")).as("dayno"))
+      .select(col("dayno"),
+        greatest(col("start_us"), col("dayno") * DayUs).as("s"),
+        least(col("end_x"), (col("dayno") + 1) * DayUs).as("e"))
+    val sweep = Window.partitionBy(col("dayno"))
+      .orderBy(col("s"), desc("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    clamped
+      .withColumn("pmax", coalesce(max(col("e")).over(sweep), lit(0L)))
+      .withColumn("cov",
+        greatest(lit(0L), col("e") - greatest(col("s"), col("pmax"))))
+      .groupBy(col("dayno"))
+      .agg(sum(col("cov")).as("covered_us"))
+      .select(col("dayno"), col("covered_us"),
+        round(col("covered_us").cast("double") / DayUs, 6).as("coverage"))
+      .orderBy("dayno")
+  }
+
   // ── concurrent-sessions gauge: how many sessions were simultaneously
   // active, max per day — the interval-stabbing load metric every
   // capacity planner asks of a session store. Each session becomes a
@@ -1024,6 +1061,7 @@ object AdvancedOps {
     "asof_join_tolerance" -> asofJoinTolerance _,
     "asof_join_nearest" -> asofJoinNearest _,
     "sessions_concurrent" -> sessionsConcurrent _,
+    "sessions_coverage" -> sessionsCoverage _,
     "join_interval_overlap" -> joinIntervalOverlap _,
     "rollup_agg"       -> rollupAgg _,
     "distinct_agg"     -> distinctAgg _,
@@ -1054,6 +1092,43 @@ object AdvancedOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical day-clamped sweep — integer µs arithmetic replays
+    // bit-for-bit; unnest(generate_series) is Spark's explode(sequence)
+    "sessions_coverage" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |flags AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess0 AS (
+        |  SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flags),
+        |sess AS (
+        |  SELECT min(us) AS start_us, max(us) + 1 AS end_x
+        |  FROM sess0 GROUP BY user_id, session_id),
+        |cl AS (
+        |  SELECT unnest(generate_series(start_us // 86400000000,
+        |           (end_x - 1) // 86400000000)) AS dayno,
+        |    start_us, end_x
+        |  FROM sess),
+        |iv AS (
+        |  SELECT dayno, greatest(start_us, dayno * 86400000000) AS s,
+        |    least(end_x, (dayno + 1) * 86400000000) AS e
+        |  FROM cl),
+        |sw AS (
+        |  SELECT dayno, s, e,
+        |    coalesce(max(e) OVER (PARTITION BY dayno ORDER BY s, e DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pmax
+        |  FROM iv),
+        |cov AS (
+        |  SELECT dayno, greatest(0, e - greatest(s, pmax)) AS c FROM sw)
+        |SELECT dayno, CAST(sum(c) AS BIGINT) AS covered_us,
+        |  round(CAST(sum(c) AS DOUBLE) / 86400000000, 6) AS coverage
+        |FROM cov GROUP BY dayno ORDER BY dayno""".stripMargin,
     "sessionize" ->
       """WITH seq AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -982,7 +982,58 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── Exact WEIGHTED median per group (lower weighted median: the
+  // first value whose cumulative weight reaches half the total) —
+  // weighted medians are how a corpus-weighted pipeline summarizes
+  // "typical price per unit sold" instead of per line. At scale the
+  // naive per-group cumulative sort is a 3-task cliff on a 10⁹-row
+  // fact table, so this runs the bucket-then-refine two-pass: integer
+  // price-cent BANDS (≤1025) carry per-(group, band) weight sums; the
+  // tiny band frame locates each group's BOUNDARY band and its
+  // carry-in offset; only boundary-band rows (1/1024 of the table)
+  // enter a window — partitioned by (group, band), bounded state. The
+  // first row with 2·(offset + running weight) ≥ total weight is the
+  // same row the naive global cumulative picks (band cums decompose
+  // exactly), which is what the oracle runs. All weights and
+  // comparisons are integer — no cross-engine arithmetic anywhere. ──
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("g"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("pc"),
+      col("l_quantity").cast("long").as("wt"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("tb"))
+    val width = li.agg(greatest(lit(1L),
+      floor(max(col("pc")) / 1024).cast("long")).as("w"))
+    val banded = li.crossJoin(broadcast(width))
+      .withColumn("band", (col("pc") / col("w")).cast("long"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("band"))
+    val wAll = Window.partitionBy(col("g"))
+    val targets = banded.groupBy(col("g"), col("band"))
+      .agg(sum(col("wt")).as("bw"))
+      .withColumn("cum", sum(col("bw")).over(wCum))
+      .withColumn("tw", sum(col("bw")).over(wAll))
+      .filter(col("cum") * 2 >= col("tw"))
+      .withColumn("rn", row_number().over(wCum))
+      .filter(col("rn") === 1)
+      .select(col("g"), col("band"), (col("cum") - col("bw")).as("off"),
+        col("tw"))
+    val wIn = Window.partitionBy(col("g"), col("band"))
+      .orderBy(col("pc"), col("tb"))
+    banded.join(broadcast(targets), Seq("g", "band"))
+      .withColumn("cumw", col("off") + sum(col("wt")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cumw") * 2 >= col("tw"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === 1)
+      .select(col("g").as("l_returnflag"),
+        (col("pc").cast("double") / 100).as("med_price"),
+        col("tw").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_median"       -> weightedMedian _,
     "stats_moments"         -> statsMoments _,
     "anomaly_seasonal"      -> anomalySeasonal _,
     "forecast_holt"         -> forecastHolt _,
@@ -1013,6 +1064,25 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the naive per-group cumulative-weight scan; the banded refine
+    // picks the same first-qualifying row because band cums decompose
+    "weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS pc,
+        |    CAST(l_quantity AS BIGINT) AS wt,
+        |    l_orderkey * 8 + l_linenumber AS tb
+        |  FROM lineitem),
+        |t AS (SELECT g, sum(wt) AS tw FROM li GROUP BY 1),
+        |c AS (SELECT g, pc, wt, tb,
+        |    sum(wt) OVER (PARTITION BY g ORDER BY pc, tb) AS cum FROM li),
+        |q AS (SELECT c.g, pc, cum, tw,
+        |    row_number() OVER (PARTITION BY c.g ORDER BY pc, tb) AS rn
+        |  FROM c JOIN t ON c.g = t.g WHERE 2 * cum >= tw)
+        |SELECT g AS l_returnflag, CAST(pc AS DOUBLE) / 100 AS med_price,
+        |  CAST(tw AS BIGINT) AS total_weight
+        |FROM q WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     // HUGEINT power sums = Spark's DECIMAL(38,0) (both exact 128-bit);
     // the double combination below is op-for-op the Spark expression
     "stats_moments" ->

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AnalyticsOps, MiningOps, RelationalOps, SqlSurfaceOps, StatsOps}
+import graft.operators.{AdvancedOps, AnalyticsOps, MiningOps, RelationalOps, SqlSurfaceOps, StatsOps}
 import graft.sources.Tables
 
 /** Invariant checks for the round-7 lakehouse/CDC/ML-split additions:
@@ -147,6 +147,53 @@ class LakehouseOpsSpec extends SparkSuite {
       assert(math.abs(g._3 - w._3) < 1e-6) }
     // ABC sanity: A captures ≤80% of mass with the fewest parts
     assert(got.map(_._2).sum === rev.length.toLong)
+  }
+
+  test("weighted_median equals the naive cumulative-weight pick") {
+    val rows = Tables.lineitem(spark, sf0001).select(
+      col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+      col("l_quantity").cast("long"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val res = StatsOps.weightedMedian(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._4))
+      val tw = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { x => cum += x._3; 2 * cum >= tw }.get._2
+      assert(res(g)._1 === med.toDouble / 100, s"group $g")
+      assert(res(g)._2 === tw)
+    }
+    assert(res.size === 3)
+  }
+
+  test("sessions_coverage is a true interval-union length per day") {
+    val out = AdvancedOps.sessionsCoverage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val DayUs = 86400000000L
+    // brute force: merge all day-clamped slices per day
+    val sess = AdvancedOps.sessionize(spark, sf0001)
+      .select(col("start_us"), (col("end_us") + 1).as("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = sess.flatMap { case (s, e) =>
+      (s / DayUs to (e - 1) / DayUs).map { d =>
+        d -> (math.max(s, d * DayUs), math.min(e, (d + 1) * DayUs)) }
+    }.groupBy(_._1)
+    val want = byDay.map { case (d, ivs) =>
+      val merged = ivs.map(_._2).sortBy(iv => (iv._1, -iv._2))
+      var cov = 0L; var hi = 0L
+      merged.foreach { case (s, e) =>
+        cov += math.max(0L, e - math.max(s, hi)); hi = math.max(hi, e) }
+      d -> cov
+    }
+    assert(out.map(o => o._1 -> o._2).toMap === want)
+    out.foreach { case (_, cov, frac) =>
+      assert(cov >= 0 && cov <= DayUs)
+      assert(math.abs(frac - cov.toDouble / DayUs) < 1e-5)
+    }
   }
 
   test("skyline_2d equals the quadratic dominance check") {
