@@ -51,6 +51,10 @@ object Bench {
       graft.sources.Layout.ensureEventsZOrdered(spark, sfDir)
     if (runsKey("scan_jsonl"))
       graft.sources.Layout.ensureEventsJsonl(spark, sfDir)
+    if (runsKey("scan_delete_vectors"))
+      graft.sources.Layout.ensureEventsMor(spark, sfDir)
+    if (runsKey("scan_bloom_skip"))
+      graft.sources.Layout.ensureEventsBloomIdx(spark, sfDir)
     if (runsKey("scan_csv"))
       graft.sources.Layout.ensureEventsCsv(spark, sfDir)
     if (runsKey("scan_schema_evolution"))
