@@ -253,6 +253,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The fixed disjunctive query [[textBm25]] scores — mid-frequency
+    * corpus terms so idf, tf saturation, and length normalization all
+    * engage. */
+  private val Bm25Terms = Seq("spark", "join", "vector")
+
+  // ── BM25 ranking (Robertson-Sparck-Jones, the Okapi/Lucene formula
+  // with the +1 idf floor): the RETRIEVAL twin of text_tfidf's term
+  // weighting — score every document for a fixed query, return the
+  // top 20. k1 = 1.2 (tf saturation), b = 0.75 (length normalization
+  // vs the corpus mean). Two scans: corpus statistics (N, Σdl, per-term
+  // df — ONE model-sized aggregate, the "index build" a real engine
+  // runs offline) broadcast into a scoring scan whose top-20 is a
+  // TakeOrderedAndProject (per-partition heaps, no global sort). The
+  // scores carry libm `ln`, so the ranking uses text_tfidf's 1e-9 GRID
+  // SNAP with doc_id as tiebreak — cross-engine ln differs by ~1 ULP,
+  // far inside the grid. ──
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        Bm25Terms.map(t =>
+          expr(s"size(filter(toks, x -> x = '$t'))").cast("long")
+            .as(s"tf_$t")): _*)
+    val statAggs =
+      Seq(sum(col("dl")).as("sum_dl")) ++
+        Bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+    val score = Bm25Terms.map(t =>
+      s"ln((cast(n_docs as double) - df_$t + 0.5) / (df_$t + 0.5) + 1)" +
+        s" * (tf_$t * 2.2) / (tf_$t + 1.2 * (0.25 + 0.75" +
+        s" * (dl / (cast(sum_dl as double) / n_docs))))").mkString(" + ")
+    base.crossJoin(broadcast(stats))
+      .withColumn("bm25", expr(s"round($score, 9)"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("dl"), col("bm25"))
+  }
+
   /** Email-shaped token pattern, deliberately RE2-safe (no backrefs, no
     * lookaround) so Java regex (Spark) and RE2 (DuckDB) agree exactly.
     * (?i) because PII hides in mixed case — John.Smith@Example.COM must
@@ -751,6 +790,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25"             -> textBm25 _,
     "text_lm_score"         -> textLmScore _,
     "text_collocations"     -> textCollocations _,
     "source_overlap"        -> sourceOverlap _,
@@ -1033,6 +1073,37 @@ object TextOps {
         |  regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS clean_text,
         |  CAST(len(string_split_regex(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) - 1 AS INTEGER) AS n_redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical formula text, op for op; len()/list_filter() are the
+    // tokenizer twins; ln agreement is inside the 1e-9 snap
+    "text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x = 'spark')) AS tf_spark,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x = 'join')) AS tf_join,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x = 'vector')) AS tf_vector
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+        |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        |    sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+        |  FROM d)
+        |SELECT doc_id, dl,
+        |  round(
+        |    ln((CAST(n_docs AS DOUBLE) - df_spark + 0.5) / (df_spark + 0.5) + 1)
+        |      * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75
+        |      * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |  + ln((CAST(n_docs AS DOUBLE) - df_join + 0.5) / (df_join + 0.5) + 1)
+        |      * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75
+        |      * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |  + ln((CAST(n_docs AS DOUBLE) - df_vector + 0.5) / (df_vector + 0.5) + 1)
+        |      * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75
+        |      * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))),
+        |  9) AS bm25
+        |FROM d, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "text_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

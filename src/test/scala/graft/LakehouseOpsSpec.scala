@@ -196,6 +196,37 @@ class LakehouseOpsSpec extends SparkSuite {
     }
   }
 
+  test("text_bm25 matches a direct Scala computation of the Okapi formula") {
+    val got = graft.operators.TextOps.queries("text_bm25")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val terms = Seq("spark", "join", "vector")
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+    val df = terms.map(t =>
+      t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val scored = toks.map { case (id, ts) =>
+      val dl = ts.length.toDouble
+      val s = terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+      }.sum
+      (id, ts.length.toLong, s)
+    }.sortBy(x => (-x._3, x._1)).take(20)
+    assert(got.map(_._1).toSeq === scored.map(_._1).toSeq)
+    got.zip(scored).foreach { case (g, w) =>
+      assert(g._2 === w._2)
+      assert(math.abs(g._3 - w._3) < 1e-6, s"doc ${g._1}")
+    }
+    // the top hit actually contains at least one query term
+    assert(got.head._3 > 0)
+  }
+
   test("skyline_2d equals the quadratic dominance check") {
     val got = MiningOps.skyline2d(spark, sf0001).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
