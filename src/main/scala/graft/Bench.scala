@@ -55,6 +55,11 @@ object Bench {
       graft.sources.Layout.ensureEventsMor(spark, sfDir)
     if (runsKey("scan_bloom_skip"))
       graft.sources.Layout.ensureEventsBloomIdx(spark, sfDir)
+    if (runsKey("scan_partition_evolution"))
+      graft.sources.Layout.ensureEventsPartEvo(spark, sfDir,
+        graft.operators.RelationalOps.TtSplitUs)
+    if (runsKey("scan_corrupt_tolerant"))
+      graft.sources.Layout.ensureEventsCorrupt(spark, sfDir)
     if (runsKey("scan_csv"))
       graft.sources.Layout.ensureEventsCsv(spark, sfDir)
     if (runsKey("scan_schema_evolution"))

@@ -186,6 +186,51 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  // ── PARTITION EVOLUTION read: the store changed partitioning scheme
+  // mid-life (gen1 day-partitioned, gen2 month-partitioned — old files
+  // never rewritten, the Iceberg partition-spec-evolution reality) and
+  // a time-ranged query must prune EACH generation under its own
+  // scheme: gen1 by day-directory string range (exact — the window is
+  // midnight-aligned), gen2 by month directory plus a residual ts
+  // predicate inside the coarser partitions. Both sides push
+  // PartitionFilters; the union then aggregates model-sized state. The
+  // oracle runs the same window on the raw table — layout can never
+  // change the answer. ──
+  def scanPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsPartEvo(spark, dir, TtSplitUs)
+    val startUs = 1704844800000000L // 2024-01-10 UTC
+    val endUs = 1706400000000000L // 2024-01-28 UTC
+    val g1 = spark.read.parquet(s"$path/gen1")
+      .filter(col("day") >= "2024-01-10" && col("day") < "2024-01-28")
+      .select(col("event_type"), col("value"))
+    val g2 = spark.read.parquet(s"$path/gen2")
+      .filter(col("month") >= "2024-01" && col("month") <= "2024-01" &&
+        col("ts") >= timestamp_micros(lit(startUs)) &&
+        col("ts") < timestamp_micros(lit(endUs)))
+      .select(col("event_type"), col("value"))
+    g1.unionByName(g2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // ── Corrupt-file-TOLERANT scan: the store contains a torn write
+  // (`zz_corrupt.parquet` — PAR1 magic, garbage footer); the read opts
+  // into `ignoreCorruptFiles` so one bad member costs its own rows,
+  // never the job. A plain read of the same store fails loudly
+  // (LayoutSpec pins both behaviors), which is the right DEFAULT —
+  // silent skipping must be a per-read decision, not global config.
+  // The oracle aggregates the raw table: the junk file carried no rows,
+  // so tolerance loses nothing here — the spec is what proves the
+  // plain read would have died. ──
+  def scanCorruptTolerant(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsCorrupt(spark, dir)
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ── Snapshot time travel: two commits into the manifest-versioned store
   // (sources/Versioned — immutable data files, atomic manifest-pointer
   // commits), then BOTH snapshots read back and aggregated side by side.
@@ -606,6 +651,8 @@ object RelationalOps {
     "scan_zorder"       -> scanZorder _,
     "scan_delete_vectors" -> scanDeleteVectors _,
     "scan_bloom_skip"   -> scanBloomSkip _,
+    "scan_partition_evolution" -> scanPartitionEvolution _,
+    "scan_corrupt_tolerant" -> scanCorruptTolerant _,
     "scan_time_travel"  -> scanTimeTravel _,
     "scan_snapshot_diff" -> scanSnapshotDiff _,
     "scan_jsonl"        -> scanJsonl _,
@@ -625,6 +672,18 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     // the store's documented tombstone rule applied to the raw table —
     // the Spark side reads only (file, pos) tombstones, never this rule
+    "scan_partition_evolution" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= 1704844800000000
+        |  AND epoch_us(CAST(ts AS TIMESTAMP)) < 1706400000000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_corrupt_tolerant" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_bloom_skip" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

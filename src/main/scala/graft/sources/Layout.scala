@@ -183,6 +183,65 @@ object Layout {
     path
   }
 
+  /** PARTITION-EVOLUTION store: generation 1 (events before `splitUs`)
+    * is day-partitioned, generation 2 (the rest) is MONTH-partitioned —
+    * the layout change a growing table actually makes when daily dirs
+    * get too numerous (Iceberg's partition-spec evolution). Old data is
+    * NOT rewritten; readers must prune each generation under its own
+    * scheme ([[graft.operators.RelationalOps.scanPartitionEvolution]]).
+    * Marker = gen2's _SUCCESS, written last. */
+  def ensureEventsPartEvo(spark: SparkSession, dir: String,
+      splitUs: Long): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_partevo_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen2/_SUCCESS"))) {
+      val ev = Tables.events(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+      ev.filter(col("us") < splitUs)
+        .withColumn("day", to_date(col("ts")).cast("string"))
+        .drop("us")
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$path/gen1")
+      ev.filter(col("us") >= splitUs)
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+        .drop("us")
+        .repartition(col("month"))
+        .write.mode("overwrite").partitionBy("month").parquet(s"$path/gen2")
+    }
+    path
+  }
+
+  /** Store with one poisoned member: valid parquet files plus
+    * `zz_corrupt.parquet` holding garbage bytes — the reality of any
+    * large ingest directory (truncated upload, torn write). Readers opt
+    * into skipping it ([[graft.operators.RelationalOps
+    * .scanCorruptTolerant]]); a plain read fails loudly. The junk file
+    * is written AFTER the parquet commit and checked separately, like
+    * the CSV store's bad lines. */
+  def ensureEventsCorrupt(spark: SparkSession, dir: String): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_corrupt_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
+      Tables.events(spark, dir)
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(path)
+    val junk = new org.apache.hadoop.fs.Path(s"$path/zz_corrupt.parquet")
+    if (!fs.exists(junk)) {
+      val out = fs.create(junk)
+      // PAR1 magic then garbage: passes the extension check, fails the
+      // footer parse — the torn-write shape
+      try out.write(("PAR1" + "not a real parquet footer").getBytes("UTF-8"))
+      finally out.close()
+    }
+    path
+  }
+
   def ensureEventsCsv(spark: SparkSession, dir: String): String = {
     val tag = Fingerprint.tag(dir, "events")
     val wh = spark.conf.get("spark.sql.warehouse.dir")

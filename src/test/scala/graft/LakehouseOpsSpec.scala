@@ -196,6 +196,42 @@ class LakehouseOpsSpec extends SparkSuite {
     }
   }
 
+  test("scan_corrupt_tolerant skips the torn file; a plain read dies on it") {
+    val path = graft.sources.Layout.ensureEventsCorrupt(spark, sf0001)
+    val got = RelationalOps.scanCorruptTolerant(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf0001)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the default read must fail loudly on the same store
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(path).count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("scan_partition_evolution prunes each generation under its own scheme") {
+    val got = RelationalOps.scanPartitionEvolution(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Tables.events(spark, sf0001)
+      .filter(unix_micros(col("ts")) >= 1704844800000000L &&
+        unix_micros(col("ts")) < 1706400000000000L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want)
+    // both generations contribute rows (the window straddles the split)
+    val path = graft.sources.Layout
+      .ensureEventsPartEvo(spark, sf0001, RelationalOps.TtSplitUs)
+    val g1 = spark.read.parquet(s"$path/gen1")
+      .filter(col("day") >= "2024-01-10" && col("day") < "2024-01-28").count()
+    val g2 = spark.read.parquet(s"$path/gen2").count()
+    assert(g1 > 0 && g2 > 0)
+    // gen1's day pruning touches fewer directories than the generation holds
+    val allG1 = spark.read.parquet(s"$path/gen1").count()
+    assert(g1 < allG1)
+  }
+
   test("text_bm25 matches a direct Scala computation of the Okapi formula") {
     val got = graft.operators.TextOps.queries("text_bm25")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
