@@ -467,7 +467,49 @@ object MiningOps {
       .orderBy("min_cost")
   }
 
+  // ── BFS / unweighted shortest hops (3 synchronous frontier rounds)
+  // from the DATA-DERIVED seed (the max-degree part, min id on ties) —
+  // the reachability-distance member of the graph family (pagerank =
+  // influence, label_prop = communities, kcore = cohesion, triangles =
+  // closure, BFS = distance). Per round, the hop table (|nodes|-sized)
+  // joins the cached symmetric edge list pre-partitioned on its key —
+  // the pagerank shuffle shape: edges shuffle ONCE at build, each
+  // round moves only the hop vector. min(hop) is the synchronous
+  // relaxation, so round r holds exact distances ≤ r under ANY
+  // partitioning, and the oracle can replay the rounds verbatim.
+  // localCheckpoint per round truncates the growing lineage (the kcore
+  // lesson). Output: parts per hop level. ──
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val und = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val edges = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")).cache()
+    // the seed is ONE driver scalar (TakeOrdered of the degree frame) —
+    // model-sized by construction
+    val seed = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .orderBy(desc("d"), col("u")).limit(1)
+      .collect()(0).getLong(0)
+    var dist = spark.range(1)
+      .select(lit(seed).as("node"), lit(0L).as("hop"))
+    (1 to 3).foreach { _ =>
+      val next = edges.join(dist.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), (col("hop") + 1).as("hop"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    op.unpersist()
+    dist.groupBy(col("hop")).agg(count(lit(1)).as("n_parts"))
+      .orderBy("hop")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs"          -> graphBfs _,
     "skyline_2d"         -> skyline2d _,
     "pareto_abc"         -> paretoAbc _,
     "feature_split_gain" -> featureSplitGain _,
@@ -481,6 +523,34 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same 3 frontier rounds unrolled; min(hop) relaxation makes
+    // every round partitioning-independent
+    "graph_bfs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+        |seed AS (SELECT u FROM deg ORDER BY d DESC, u LIMIT 1),
+        |d0 AS (SELECT u AS node, CAST(0 AS BIGINT) AS hop FROM seed),
+        |d1 AS (SELECT node, min(hop) AS hop FROM (
+        |        SELECT node, hop FROM d0
+        |        UNION ALL
+        |        SELECT e.v AS node, d0.hop + 1 AS hop
+        |        FROM edges e JOIN d0 ON e.u = d0.node) x GROUP BY 1),
+        |d2 AS (SELECT node, min(hop) AS hop FROM (
+        |        SELECT node, hop FROM d1
+        |        UNION ALL
+        |        SELECT e.v AS node, d1.hop + 1 AS hop
+        |        FROM edges e JOIN d1 ON e.u = d1.node) x GROUP BY 1),
+        |d3 AS (SELECT node, min(hop) AS hop FROM (
+        |        SELECT node, hop FROM d2
+        |        UNION ALL
+        |        SELECT e.v AS node, d2.hop + 1 AS hop
+        |        FROM edges e JOIN d2 ON e.u = d2.node) x GROUP BY 1)
+        |SELECT CAST(hop AS BIGINT) AS hop, count(*) AS n_parts
+        |FROM d3 GROUP BY 1 ORDER BY hop""".stripMargin,
     // the naive single-window skyline sweep; the banded prefix max
     // equals it because integer cost bands are order-monotone
     "skyline_2d" ->

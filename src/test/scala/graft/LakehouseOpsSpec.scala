@@ -196,6 +196,32 @@ class LakehouseOpsSpec extends SparkSuite {
     }
   }
 
+  test("graph_bfs hop counts match a driver-side BFS") {
+    val got = MiningOps.queries("graph_bfs")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { grp =>
+      val ps: Seq[Long] = grp.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val deg = adj.map { case (k, v) => k -> v.size }
+    val seed = deg.toSeq.minBy { case (n, d) => (-d, n) }._1
+    var frontier = Set(seed)
+    var dist = Map(seed -> 0L)
+    (1 to 3).foreach { h =>
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h.toLong)
+    }
+    val want = dist.values.groupBy(identity)
+      .map { case (h, xs) => h -> xs.size.toLong }
+    assert(got === want)
+    assert(got(0L) === 1L)
+  }
+
   test("scan_corrupt_tolerant skips the torn file; a plain read dies on it") {
     val path = graft.sources.Layout.ensureEventsCorrupt(spark, sf0001)
     val got = RelationalOps.scanCorruptTolerant(spark, sf0001)
