@@ -49,6 +49,37 @@ object SqlSurfaceOps {
 
   // ── EXCEPT (set semantics): users who clicked but never purchased —
   // left-anti join over distincts. ──
+  // ── MULTISET set operations (EXCEPT ALL / INTERSECT ALL): the
+  // count-sensitive semantics analysts reach for when "how many more
+  // times" matters — a user who clicked 5× and purchased 2× keeps 3
+  // click rows under EXCEPT ALL where DISTINCT except keeps 0 or 1.
+  // Spark implements both as a counted aggregation (one shuffle on the
+  // row value, difference/min of per-side counts) — no row explosion.
+  // except_all subtracts ONE occurrence per distinct pair (the
+  // "remove each first sighting" multiset), so surviving counts are
+  // original−1; intersect_all pairs each user's click stream against
+  // their view stream and keeps min(#clicks, #views) rows. Outputs
+  // aggregate the surviving multiset so multiplicities are visible. ──
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+    e.exceptAll(e.distinct())
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id", "event_type")
+  }
+
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"))
+    clicks.intersectAll(views)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .orderBy("user_id")
+  }
+
   def setExcept(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.filter(col("event_type") === "click").select(col("user_id"))
@@ -798,6 +829,8 @@ object SqlSurfaceOps {
     "grouping_sets"   -> groupingSetsAgg _,
     "set_intersect"   -> setIntersect _,
     "set_except"      -> setExcept _,
+    "set_except_all"  -> setExceptAll _,
+    "set_intersect_all" -> setIntersectAll _,
     "join_full_outer" -> joinFullOuter _,
     "join_range"      -> joinRange _,
     "window_cumsum"   -> windowCumsum _,
@@ -917,6 +950,19 @@ object SqlSurfaceOps {
         |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin,
+    "set_except_all" ->
+      """SELECT user_id, event_type, count(*) AS cnt FROM (
+        |  SELECT user_id, event_type FROM events
+        |  EXCEPT ALL
+        |  SELECT DISTINCT user_id, event_type FROM events) t
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT user_id, count(*) AS cnt FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'view') t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "set_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT
