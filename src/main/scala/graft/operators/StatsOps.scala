@@ -1032,7 +1032,85 @@ object StatsOps {
       .orderBy("l_returnflag")
   }
 
+  /** Daily DECIMAL-exact value sums per event_type with an integer day
+    * index — the group-sized series the residual-diagnostic keys
+    * ([[statsDw]], [[statsRuns]]) analyze. The 100 TB fact table
+    * reduces to ≤|days| rows per group FIRST; everything after runs on
+    * model-sized frames. */
+  private def dailySeries(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"),
+        expr("us div 86400000000").as("dayno"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+
+  // ── Durbin-Watson residual autocorrelation: fit the per-type OLS
+  // trend (the regr_trend builtins), then DW = Σ(eᵢ−eᵢ₋₁)²/Σeᵢ² over
+  // the daily residuals — THE "is the trend model missing serial
+  // structure" diagnostic (DW≈2 independent, →0 positive
+  // autocorrelation). Residuals are snapped to 6 dp and accumulated in
+  // DECIMAL: the two sums are order-independent, so the statistic
+  // can't flake on partition order; regr_slope/intercept agree
+  // cross-engine far inside the snap (regr_trend's green row is the
+  // precedent). All windows partition by event_type over ≤|days|
+  // rows. ──
+  def statsDw(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailySeries(spark, dir)
+    val fit = daily.groupBy(col("event_type"))
+      .agg(expr("regr_slope(v, CAST(dayno AS DOUBLE))").as("b"),
+        expr("regr_intercept(v, CAST(dayno AS DOUBLE))").as("a"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dayno"))
+    daily.join(broadcast(fit), Seq("event_type"))
+      .withColumn("e",
+        expr("CAST(round(v - (a + b * CAST(dayno AS DOUBLE)), 6)" +
+          " AS DECIMAL(24,6))"))
+      .withColumn("de", col("e") - lag(col("e"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        (sum(col("de") * col("de")).cast("double") /
+          sum(col("e") * col("e")).cast("double")).as("raw"))
+      .select(col("event_type"), col("n"),
+        r6(col("raw")).as("dw"))
+      .orderBy("event_type")
+  }
+
+  // ── Wald-Wolfowitz RUNS test on the daily series: are above-median /
+  // below-median days randomly interleaved, or does the metric move in
+  // streaks? The median is the explicit middle-pair rule (engine-
+  // neutral); days equal to the median drop (standard treatment); the
+  // run count R and the n₊/n₋ totals are pure integers, and the
+  // normal approximation z = (R − μ)/σ divides exact integers in
+  // double with one sqrt — bit-identical cross-engine. Group-sized
+  // frames throughout. ──
+  def statsRuns(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailySeries(spark, dir)
+    val med = explicitMedian(daily.select(col("event_type"), col("v")),
+      "v", Seq("event_type"))
+      .withColumnRenamed("v", "med")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dayno"))
+    daily.join(broadcast(med), Seq("event_type"))
+      .filter(col("v") =!= col("med"))
+      .withColumn("s", when(col("v") > col("med"), 1L).otherwise(0L))
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("chg")).as("runs"), sum(col("s")).as("n_plus"),
+        (count(lit(1)) - sum(col("s"))).as("n_minus"))
+      .select(col("event_type"), col("runs"), col("n_plus"), col("n_minus"),
+        r6(expr("""(runs - (1 + 2.0 * n_plus * n_minus
+              / (n_plus + n_minus)))
+            / sqrt(2.0 * n_plus * n_minus
+              * (2.0 * n_plus * n_minus - (n_plus + n_minus))
+              / (CAST(n_plus + n_minus AS DOUBLE)
+                 * (n_plus + n_minus) * (n_plus + n_minus - 1)))"""))
+          .as("z"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_dw"              -> statsDw _,
+    "stats_runs"            -> statsRuns _,
     "weighted_median"       -> weightedMedian _,
     "stats_moments"         -> statsMoments _,
     "anomaly_seasonal"      -> anomalySeasonal _,
@@ -1064,6 +1142,65 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // residuals snapped to 6 dp then DECIMAL-summed — order-free; the
+    // regr_* builtins agree cross-engine far inside the snap
+    "stats_dw" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayno,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |fit AS (SELECT event_type,
+        |    regr_slope(v, CAST(dayno AS DOUBLE)) AS b,
+        |    regr_intercept(v, CAST(dayno AS DOUBLE)) AS a,
+        |    count(*) AS n
+        |  FROM daily GROUP BY 1),
+        |r AS (SELECT d.event_type, dayno, n,
+        |    CAST(round(v - (a + b * CAST(dayno AS DOUBLE)), 6)
+        |      AS DECIMAL(24,6)) AS e
+        |  FROM daily d JOIN fit USING (event_type)),
+        |x AS (SELECT event_type, n, e,
+        |    e - lag(e) OVER (PARTITION BY event_type ORDER BY dayno) AS de
+        |  FROM r)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  round(CAST(sum(de * de) AS DOUBLE) / CAST(sum(e * e) AS DOUBLE),
+        |    6) + 0.0 AS dw
+        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // integer run/sign counts; one double division + sqrt at the end
+    "stats_runs" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayno,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, avg(v) AS med FROM (
+        |    SELECT event_type, v,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS m
+        |    FROM daily) t
+        |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |  GROUP BY 1),
+        |f AS (SELECT d.event_type, dayno,
+        |    CASE WHEN v > med THEN 1 ELSE 0 END AS s
+        |  FROM daily d JOIN med USING (event_type)
+        |  WHERE v <> med),
+        |c AS (SELECT event_type, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w <> s
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY dayno)),
+        |g AS (SELECT event_type, CAST(sum(chg) AS BIGINT) AS runs,
+        |    CAST(sum(s) AS BIGINT) AS n_plus,
+        |    CAST(count(*) - sum(s) AS BIGINT) AS n_minus
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, runs, n_plus, n_minus,
+        |  round((runs - (1 + 2.0 * n_plus * n_minus / (n_plus + n_minus)))
+        |    / sqrt(2.0 * n_plus * n_minus
+        |      * (2.0 * n_plus * n_minus - (n_plus + n_minus))
+        |      / (CAST(n_plus + n_minus AS DOUBLE)
+        |         * (n_plus + n_minus) * (n_plus + n_minus - 1))),
+        |    6) + 0.0 AS z
+        |FROM g ORDER BY event_type""".stripMargin,
     // the naive per-group cumulative-weight scan; the banded refine
     // picks the same first-qualifying row because band cums decompose
     "weighted_median" ->

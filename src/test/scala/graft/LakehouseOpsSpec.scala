@@ -196,6 +196,47 @@ class LakehouseOpsSpec extends SparkSuite {
     }
   }
 
+  test("stats_dw and stats_runs match direct computations on the daily series") {
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val dw = StatsOps.queries("stats_dw")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val runs = StatsOps.queries("stats_runs")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    daily.foreach { case (et, rows) =>
+      val s = rows.sortBy(_._2).map(x => (x._2.toDouble, x._3))
+      val n = s.length.toDouble
+      val sx = s.map(_._1).sum; val sy = s.map(_._2).sum
+      val sxx = s.map(x => x._1 * x._1).sum
+      val sxy = s.map(x => x._1 * x._2).sum
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = sy / n - b * sx / n
+      val e = s.map { case (x, y) =>
+        BigDecimal(y - (a + b * x)).setScale(6,
+          BigDecimal.RoundingMode.HALF_EVEN).toDouble }
+      val num = e.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum
+      val den = e.map(x => x * x).sum
+      assert(math.abs(dw(et) - num / den) < 1e-4, s"dw $et")
+      // runs: signs vs the explicit middle-pair median
+      val vs = s.map(_._2).sorted
+      val m = vs.length
+      val med = (vs((m + 1) / 2 - 1) + vs((m + 2) / 2 - 1)) / 2
+      val signs = s.map(_._2).filter(_ != med).map(_ > med)
+      val r = 1 + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      assert(runs(et)._1 === r.toLong, s"runs $et")
+      val np = signs.count(identity).toDouble
+      val nm = signs.length - np
+      val mu = 1 + 2.0 * np * nm / (np + nm)
+      val sg = math.sqrt(2.0 * np * nm * (2.0 * np * nm - (np + nm)) /
+        ((np + nm) * (np + nm) * (np + nm - 1)))
+      assert(math.abs(runs(et)._2 - (r - mu) / sg) < 1e-4, s"z $et")
+    }
+  }
+
   test("graph_bfs hop counts match a driver-side BFS") {
     val got = MiningOps.queries("graph_bfs")(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

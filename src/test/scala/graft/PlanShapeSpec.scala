@@ -268,7 +268,12 @@ class PlanShapeSpec extends SparkSuite {
       "text_collocations", // 1-row corpus token-total broadcast
       // session-6 scalar/tiny broadcasts:
       "anomaly_seasonal",     // 1-row median + 1-row MAD broadcasts
-      "sample_epoch_shuffle") // 2-row epoch frame broadcast
+      "sample_epoch_shuffle", // 2-row epoch frame broadcast
+      // session-7 scalar/band-frame broadcasts (audited in scaladoc):
+      "pareto_abc",      // 1-row (width,total) + ≤1025-row band-offset frame
+      "skyline_2d",      // 1-row width + ≤1025-row band-max frame
+      "weighted_median", // 1-row width broadcast (targets join is equi)
+      "text_bm25")       // 1-row corpus-statistics broadcast
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
