@@ -1097,18 +1097,42 @@ object StatsOps {
       .groupBy(col("event_type"))
       .agg(sum(col("chg")).as("runs"), sum(col("s")).as("n_plus"),
         (count(lit(1)) - sum(col("s"))).as("n_minus"))
+      // exact INTEGER products, then one explicit double division per
+      // term — a bare `2.0 * …/ …` would be DECIMAL division in Spark
+      // SQL vs double in DuckDB (the jarque_bera lesson)
       .select(col("event_type"), col("runs"), col("n_plus"), col("n_minus"),
-        r6(expr("""(runs - (1 + 2.0 * n_plus * n_minus
+        r6(expr("""(runs - (1 + CAST(2 * n_plus * n_minus AS DOUBLE)
               / (n_plus + n_minus)))
-            / sqrt(2.0 * n_plus * n_minus
-              * (2.0 * n_plus * n_minus - (n_plus + n_minus))
+            / sqrt(CAST(2 * n_plus * n_minus
+                * (2 * n_plus * n_minus - (n_plus + n_minus)) AS DOUBLE)
               / (CAST(n_plus + n_minus AS DOUBLE)
                  * (n_plus + n_minus) * (n_plus + n_minus - 1)))"""))
           .as("z"))
       .orderBy("event_type")
   }
 
+  // ── Jarque-Bera normality test per group: JB = n/6·(S² + K²/4) from
+  // [[statsMoments]]' exact-sum skewness and excess kurtosis — the
+  // "can I use z-tables on this metric" gate. Computed from the
+  // 6-dp-rounded moments (both engines hold identical values there, so
+  // the derived statistic is trivially identical); reject at the χ²₂
+  // 5% critical value 5.991. ──
+  def statsJarqueBera(spark: SparkSession, dir: String): DataFrame =
+    statsMoments(spark, dir)
+      // CAST-first double arithmetic: a bare `n / 6.0` would parse as
+      // DECIMAL division in Spark SQL (6.0 is a decimal literal) while
+      // DuckDB divides in double — ~1e-6 divergence that round(…, 6)
+      // cannot absorb
+      .withColumn("jb_raw",
+        expr("cast(n as double) / 6 *" +
+          " (skewness * skewness + kurtosis * kurtosis / 4)"))
+      .select(col("event_type"), col("n"),
+        r6(col("jb_raw")).as("jb"),
+        (col("jb_raw") > 5.991d).as("reject_normal"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_jarque_bera"     -> statsJarqueBera _,
     "stats_dw"              -> statsDw _,
     "stats_runs"            -> statsRuns _,
     "weighted_median"       -> weightedMedian _,
@@ -1141,7 +1165,57 @@ object StatsOps {
     "stats_bootstrap"   -> statsBootstrap _,
   )
 
+  /** The stats_moments oracle, shared verbatim by stats_jarque_bera
+    * (which derives JB from the rounded moments). */
+  private val MomentsSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS iv
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(iv AS HUGEINT)) AS s1,
+      |    sum(CAST(iv * iv AS HUGEINT)) AS s2,
+      |    sum(CAST(iv * iv * iv AS HUGEINT)) AS s3,
+      |    sum(CAST(iv * iv AS HUGEINT) * (iv * iv)) AS s4
+      |  FROM b GROUP BY 1)
+      |SELECT event_type, n,
+      |  round(CAST(s1 AS DOUBLE) / n / 100, 6) + 0.0 AS mean,
+      |  round(
+      |    (CAST(s3 AS DOUBLE) / n
+      |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+      |      + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+      |          * (CAST(s1 AS DOUBLE) / n))
+      |    / ((CAST(s2 AS DOUBLE) / n
+      |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |       * sqrt(CAST(s2 AS DOUBLE) / n
+      |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
+      |    6) + 0.0 AS skewness,
+      |  round(
+      |    (CAST(s4 AS DOUBLE) / n
+      |      - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+      |      + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+      |          * (CAST(s2 AS DOUBLE) / n)
+      |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+      |          * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |    / ((CAST(s2 AS DOUBLE) / n
+      |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |       * (CAST(s2 AS DOUBLE) / n
+      |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+      |    - 3, 6) + 0.0 AS kurtosis
+      |FROM s ORDER BY event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "stats_jarque_bera" ->
+      s"""WITH m AS ($MomentsSql)
+         |SELECT event_type, n,
+         |  round(CAST(n AS DOUBLE) / 6
+         |      * (skewness * skewness + kurtosis * kurtosis / 4),
+         |    6) + 0.0 AS jb,
+         |  CAST(n AS DOUBLE) / 6
+         |      * (skewness * skewness + kurtosis * kurtosis / 4) > 5.991
+         |    AS reject_normal
+         |FROM m ORDER BY event_type""".stripMargin,
     // residuals snapped to 6 dp then DECIMAL-summed — order-free; the
     // regr_* builtins agree cross-engine far inside the snap
     "stats_dw" ->
@@ -1194,9 +1268,10 @@ object StatsOps {
         |    CAST(count(*) - sum(s) AS BIGINT) AS n_minus
         |  FROM c GROUP BY 1)
         |SELECT event_type, runs, n_plus, n_minus,
-        |  round((runs - (1 + 2.0 * n_plus * n_minus / (n_plus + n_minus)))
-        |    / sqrt(2.0 * n_plus * n_minus
-        |      * (2.0 * n_plus * n_minus - (n_plus + n_minus))
+        |  round((runs - (1 + CAST(2 * n_plus * n_minus AS DOUBLE)
+        |      / (n_plus + n_minus)))
+        |    / sqrt(CAST(2 * n_plus * n_minus
+        |        * (2 * n_plus * n_minus - (n_plus + n_minus)) AS DOUBLE)
         |      / (CAST(n_plus + n_minus AS DOUBLE)
         |         * (n_plus + n_minus) * (n_plus + n_minus - 1))),
         |    6) + 0.0 AS z
@@ -1222,43 +1297,7 @@ object StatsOps {
         |FROM q WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     // HUGEINT power sums = Spark's DECIMAL(38,0) (both exact 128-bit);
     // the double combination below is op-for-op the Spark expression
-    "stats_moments" ->
-      """WITH b AS (
-        |  SELECT event_type,
-        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS iv
-        |  FROM events),
-        |s AS (
-        |  SELECT event_type, count(*) AS n,
-        |    sum(CAST(iv AS HUGEINT)) AS s1,
-        |    sum(CAST(iv * iv AS HUGEINT)) AS s2,
-        |    sum(CAST(iv * iv * iv AS HUGEINT)) AS s3,
-        |    sum(CAST(iv * iv AS HUGEINT) * (iv * iv)) AS s4
-        |  FROM b GROUP BY 1)
-        |SELECT event_type, n,
-        |  round(CAST(s1 AS DOUBLE) / n / 100, 6) + 0.0 AS mean,
-        |  round(
-        |    (CAST(s3 AS DOUBLE) / n
-        |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
-        |      + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
-        |          * (CAST(s1 AS DOUBLE) / n))
-        |    / ((CAST(s2 AS DOUBLE) / n
-        |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-        |       * sqrt(CAST(s2 AS DOUBLE) / n
-        |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
-        |    6) + 0.0 AS skewness,
-        |  round(
-        |    (CAST(s4 AS DOUBLE) / n
-        |      - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
-        |      + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
-        |          * (CAST(s2 AS DOUBLE) / n)
-        |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
-        |          * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-        |    / ((CAST(s2 AS DOUBLE) / n
-        |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-        |       * (CAST(s2 AS DOUBLE) / n
-        |         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
-        |    - 3, 6) + 0.0 AS kurtosis
-        |FROM s ORDER BY event_type""".stripMargin,
+    "stats_moments" -> MomentsSql,
     // the identical Holt recursion replayed as a recursive CTE: same
     // init (l₁=y₁, b₁=y₂−y₁), same literals, same operation order — the
     // doubles stay bit-equal until the single boundary round

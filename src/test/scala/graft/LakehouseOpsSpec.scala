@@ -237,6 +237,19 @@ class LakehouseOpsSpec extends SparkSuite {
     }
   }
 
+  test("stats_jarque_bera derives exactly from the rounded moments") {
+    val m = StatsOps.statsMoments(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val jb = StatsOps.queries("stats_jarque_bera")(spark, sf0001).collect()
+    jb.foreach { r =>
+      val (n, s, k) = m(r.getString(0))
+      val want = n.toDouble / 6 * (s * s + k * k / 4)
+      assert(math.abs(r.getDouble(2) - want) < 1e-6, r.getString(0))
+      assert(r.getBoolean(3) === (want > 5.991))
+    }
+  }
+
   test("graph_bfs hop counts match a driver-side BFS") {
     val got = MiningOps.queries("graph_bfs")(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
