@@ -381,7 +381,11 @@ object MiningOps {
   // the oracle can be the naive single-window form. Class thresholds
   // compare 10·cum ≤ 8·total and 20·cum ≤ 19·total in DECIMAL — no
   // cross-engine division anywhere. ──
-  def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-part revenue in exact micro-units with its rank-ordered
+    * (revc desc, partkey) DECIMAL cumulative sum, computed by the
+    * two-level banded prefix device — shared by [[paretoAbc]] and
+    * [[budgetWaterfall]]. Columns: l_partkey, revc, total, cum. */
+  private def bandedRevCum(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
@@ -410,6 +414,11 @@ object MiningOps {
     banded.join(broadcast(bandCum), Seq("band"))
       .withColumn("cum",
         col("boff") + sum(col("revc").cast("decimal(38,0)")).over(wIn))
+      .select(col("l_partkey"), col("revc"), col("total"), col("cum"))
+  }
+
+  def paretoAbc(spark: SparkSession, dir: String): DataFrame =
+    bandedRevCum(spark, dir)
       .withColumn("cls",
         when(col("cum") * 10 <= col("total") * 8, "A")
           .when(col("cum") * 20 <= col("total") * 19, "B")
@@ -419,7 +428,26 @@ object MiningOps {
         (sum(col("revc").cast("decimal(38,0)")).cast("double") / 1000000)
           .as("class_revenue"))
       .orderBy("cls")
-  }
+
+  // ── Budget WATERFALL: fund parts greedily by revenue rank until a
+  // fixed budget (10% of total mass) is exhausted — the FP&A
+  // allocation primitive (and the greedy knapsack that backs "fill the
+  // context window with the best docs"). Reuses [[bandedRevCum]]'s
+  // distributed prefix sum; the three outcomes are pure DECIMAL
+  // comparisons against 10·cum (no division anywhere): fully funded
+  // while 10·cum ≤ total, exactly one straddling part partial, the
+  // rest unfunded. ──
+  def budgetWaterfall(spark: SparkSession, dir: String): DataFrame =
+    bandedRevCum(spark, dir)
+      .withColumn("status",
+        when(col("cum") * 10 <= col("total"), "funded")
+          .when((col("cum") - col("revc")) * 10 < col("total"), "partial")
+          .otherwise(lit("unfunded")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_parts"),
+        (sum(col("revc").cast("decimal(38,0)")).cast("double") / 1000000)
+          .as("class_revenue"))
+      .orderBy("status")
 
   // ── 2-D SKYLINE (the published Börzsönyi et al. 2001 operator): the
   // Pareto front of parts over (cheapest observed price ↓ better,
@@ -512,6 +540,7 @@ object MiningOps {
     "graph_bfs"          -> graphBfs _,
     "skyline_2d"         -> skyline2d _,
     "pareto_abc"         -> paretoAbc _,
+    "budget_waterfall"   -> budgetWaterfall _,
     "feature_split_gain" -> featureSplitGain _,
     "graph_kcore"        -> graphKcore _,
     "assoc_rules"        -> assocRules _,
@@ -568,6 +597,25 @@ object MiningOps {
         |SELECT CAST(cost_c AS DOUBLE) / 100 AS min_cost, qty, n_parts
         |FROM s WHERE pmax IS NULL OR qty > pmax
         |ORDER BY min_cost""".stripMargin,
+    "budget_waterfall" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 1000000
+        |      AS BIGINT) AS revc
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(CAST(revc AS HUGEINT)) AS total FROM rev),
+        |c AS (SELECT l_partkey, revc,
+        |    sum(CAST(revc AS HUGEINT))
+        |      OVER (ORDER BY revc DESC, l_partkey) AS cum
+        |  FROM rev)
+        |SELECT CASE WHEN cum * 10 <= total THEN 'funded'
+        |            WHEN (cum - revc) * 10 < total THEN 'partial'
+        |            ELSE 'unfunded' END AS status,
+        |  count(*) AS n_parts,
+        |  CAST(sum(CAST(revc AS HUGEINT)) AS DOUBLE) / 1000000
+        |    AS class_revenue
+        |FROM c, t GROUP BY 1 ORDER BY status""".stripMargin,
     // the NAIVE single-window cumsum — the banded two-level prefix sum
     // equals it exactly (floor-banding is monotone, DECIMAL sums are
     // associative), which is the point of the oracle

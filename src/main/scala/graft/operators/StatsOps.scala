@@ -1131,7 +1131,53 @@ object StatsOps {
         (col("jb_raw") > 5.991d).as("reject_normal"))
       .orderBy("event_type")
 
+  // ── Levene/Brown-Forsythe variance-homogeneity test: do the event
+  // types share a spread, or is one metric noisier? (The assumption
+  // behind stats_anova's F.) Deviations are from the per-group MEDIAN
+  // (the robust Brown-Forsythe form), and the median comes from the
+  // exact 2-dp VALUE GRID (the stats_ks device) — cumulative counts
+  // over ≤|distinct values| rows per group, never a fact-table sort.
+  // The trick that keeps both engines bit-equal: with m1/m2 the two
+  // middle grid values, the deviation |v − med| scales to the EXACT
+  // INTEGER |2·iv − (m1+m2)| — F is scale-invariant, so the ×200 never
+  // needs undoing and every sum below it is DECIMAL-exact. The F ratio
+  // itself is cast-first double arithmetic; per-group squared-sum
+  // terms snap to 6 dp and sum in DECIMAL (order-free). ──
+  def statsLevene(spark: SparkSession, dir: String): DataFrame = {
+    val b = ev(spark, dir).select(col("event_type"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("iv"))
+    val grid = b.groupBy(col("event_type"), col("iv"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("iv"))))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+    val meds = grid.groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("iv")))
+        .as("m1"),
+        min(when(col("cum") >= expr("(n + 2) div 2"), col("iv"))).as("m2"))
+    val z = b.join(broadcast(meds), Seq("event_type"))
+      .select(col("event_type"),
+        abs(col("iv") * 2 - (col("m1") + col("m2"))).as("z"))
+    val per = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nj"),
+        sum(col("z").cast("decimal(38,0)")).as("sj"),
+        sum((col("z") * col("z")).cast("decimal(38,0)")).as("ssj"))
+      .select(col("nj"), col("sj"), col("ssj"),
+        expr("cast(round(cast(sj as double) * cast(sj as double) / nj, 6)" +
+          " as decimal(24,6))").as("tj"))
+    per.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+        sum(col("sj")).as("s"), sum(col("ssj")).as("ss"),
+        sum(col("tj")).as("b1"))
+      .select(col("k"), col("n"),
+        r6(expr("""((cast(b1 as double)
+              - cast(s as double) * cast(s as double) / n) / (k - 1))
+            / ((cast(ss as double) - cast(b1 as double)) / (n - k))"""))
+          .as("f_stat"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_levene"          -> statsLevene _,
     "stats_jarque_bera"     -> statsJarqueBera _,
     "stats_dw"              -> statsDw _,
     "stats_runs"            -> statsRuns _,
@@ -1206,6 +1252,48 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the identical grid-median + integer-deviation pipeline; HUGEINT
+    // sums mirror DECIMAL(38,0)
+    "stats_levene" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS iv
+        |  FROM events),
+        |grid AS (
+        |  SELECT event_type, iv, count(*) AS c FROM b GROUP BY 1, 2),
+        |g2 AS (
+        |  SELECT event_type, iv, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY iv) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM grid),
+        |meds AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN iv END) AS m1,
+        |    min(CASE WHEN cum >= (n + 2) // 2 THEN iv END) AS m2
+        |  FROM g2 GROUP BY 1),
+        |z AS (
+        |  SELECT b.event_type, abs(iv * 2 - (m1 + m2)) AS z
+        |  FROM b JOIN meds USING (event_type)),
+        |per AS (
+        |  SELECT event_type, count(*) AS nj,
+        |    sum(CAST(z AS HUGEINT)) AS sj,
+        |    sum(CAST(z * z AS HUGEINT)) AS ssj
+        |  FROM z GROUP BY 1),
+        |p2 AS (
+        |  SELECT nj, sj, ssj,
+        |    CAST(round(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj, 6)
+        |      AS DECIMAL(24,6)) AS tj
+        |  FROM per),
+        |t AS (
+        |  SELECT count(*) AS k, sum(nj) AS n, sum(sj) AS s,
+        |    sum(ssj) AS ss, sum(tj) AS b1
+        |  FROM p2)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  round(((CAST(b1 AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
+        |    / ((CAST(ss AS DOUBLE) - CAST(b1 AS DOUBLE)) / (n - k)),
+        |    6) + 0.0 AS f_stat
+        |FROM t""".stripMargin,
     "stats_jarque_bera" ->
       s"""WITH m AS ($MomentsSql)
          |SELECT event_type, n,

@@ -237,6 +237,41 @@ class LakehouseOpsSpec extends SparkSuite {
     }
   }
 
+  test("stats_levene matches a direct Brown-Forsythe computation") {
+    val r = StatsOps.queries("stats_levene")(spark, sf0001).collect().head
+    val vals = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).groupBy(_._1)
+    val zs = vals.map { case (_, xs) =>
+      val s = xs.map(_._2).sorted
+      val m = s.length
+      val mm = s((m + 1) / 2 - 1) + s((m + 2) / 2 - 1)
+      xs.map(x => math.abs(2 * x._2 - mm).toDouble)
+    }
+    val k = zs.size.toDouble
+    val n = zs.map(_.length).sum.toDouble
+    val gm = zs.flatten.sum / n
+    val between = zs.map(g => g.length *
+      math.pow(g.sum / g.length - gm, 2)).sum
+    val within = zs.map(g => {
+      val m = g.sum / g.length; g.map(z => (z - m) * (z - m)).sum }).sum
+    val f = (between / (k - 1)) / (within / (n - k))
+    assert(r.getLong(0) === k.toLong && r.getLong(1) === n.toLong)
+    assert(math.abs(r.getDouble(2) - f) < 1e-3, s"f ${r.getDouble(2)} vs $f")
+  }
+
+  test("budget_waterfall funds greedily with exactly one straddling part") {
+    val rows = MiningOps.queries("budget_waterfall")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("partial")._1 === 1L)
+    val total = rows.values.map(_._2).sum
+    // funded mass is within one part of 10% of total
+    assert(rows("funded")._2 <= total / 10 + 1e-6)
+    assert(rows("funded")._2 + rows("partial")._2 > total / 10)
+  }
+
   test("stats_jarque_bera derives exactly from the rounded moments") {
     val m = StatsOps.statsMoments(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3),
