@@ -271,6 +271,7 @@ class PlanShapeSpec extends SparkSuite {
       "sample_epoch_shuffle", // 2-row epoch frame broadcast
       // session-7 scalar/band-frame broadcasts (audited in scaladoc):
       "pareto_abc",      // 1-row (width,total) + ≤1025-row band-offset frame
+      "budget_waterfall", // same bandedRevCum broadcasts as pareto_abc
       "skyline_2d",      // 1-row width + ≤1025-row band-max frame
       "weighted_median", // 1-row width broadcast (targets join is equi)
       "text_bm25")       // 1-row corpus-statistics broadcast
