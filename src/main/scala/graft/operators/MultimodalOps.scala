@@ -202,7 +202,35 @@ object MultimodalOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ── Audio-style ENERGY PROFILE over the opaque payload: treat the
+  // bytes as 8-bit PCM, split the clip into 8 equal segments, sample 16
+  // evenly-spaced bytes per segment, and report each segment's summed
+  // amplitude |b − 96| plus a silence flag — the segment-level
+  // feature-extraction shape (VAD / silence trimming) an audio pipeline
+  // runs before transcription. Like multimodal_phash, the byte math is
+  // ALL integer (ascii of 1-byte substrings at integer-division sample
+  // positions), so the whole pipeline is SQL-expressible and fully
+  // oracled — no codec stub involved. Per-row work is O(128) regardless
+  // of clip length; clips shorter than one analysis window (64 bytes)
+  // are skipped, documented. One scan, no shuffle before the final
+  // sort. ──
+  def multimodalAudioEnergy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").as("s"),
+        length(col("text")).as("n"))
+      .filter(col("n") >= 64)
+      .select(col("doc_id"), col("s"), col("n"),
+        explode(expr("sequence(0, 7)")).as("seg"))
+      .withColumn("energy", expr(
+        "aggregate(sequence(0, 15), 0L, (acc, j) -> acc +" +
+          " abs(ascii(substring(s, CAST(1 + seg * (n div 8)" +
+          " + (j * ((n div 8) - 1)) div 15 AS INT), 1)) - 96))"))
+      .select(col("doc_id"), col("seg").cast("long").as("seg"),
+        col("energy"), (col("energy") < 160L).as("is_quiet"))
+      .orderBy("doc_id", "seg")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio_energy" -> multimodalAudioEnergy _,
     "multimodal_phash"    -> multimodalPhash _,
     "multimodal_decode"   -> multimodalDecode _,
     "multimodal_features" -> multimodalFeatures _,
@@ -211,6 +239,24 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical integer byte sampling; list_sum/list_transform are
+    // the aggregate/sequence twins
+    "multimodal_audio_energy" ->
+      """WITH d AS (
+        |  SELECT doc_id, text AS s, length(text) AS n FROM documents
+        |  WHERE length(text) >= 64),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, 8)) AS seg, s, n FROM d),
+        |g AS (
+        |  SELECT doc_id, seg,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      abs(ascii(substring(s,
+        |        CAST(1 + seg * (n // 8) + (j * ((n // 8) - 1)) // 15
+        |          AS BIGINT), 1)) - 96))) AS BIGINT) AS energy
+        |  FROM e)
+        |SELECT doc_id, CAST(seg AS BIGINT) AS seg, energy,
+        |  energy < 160 AS is_quiet
+        |FROM g ORDER BY doc_id, seg""".stripMargin,
     // the identical dHash (hex-slice byte comparisons, same sampled
     // positions, same bit weights) + the same 15-bit banding and radius
     "multimodal_phash" ->

@@ -237,6 +237,27 @@ class LakehouseOpsSpec extends SparkSuite {
     }
   }
 
+  test("multimodal_audio_energy equals a direct byte-sampling computation") {
+    val got = graft.operators.MultimodalOps
+      .queries("multimodal_audio_energy")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 64)
+    docs.take(20).foreach { case (id, s) =>
+      val n = s.length
+      (0 until 8).foreach { seg =>
+        val e = (0 until 16).map { j =>
+          val p = 1 + seg * (n / 8) + (j * ((n / 8) - 1)) / 15
+          math.abs(s.charAt(p - 1).toInt - 96).toLong
+        }.sum
+        assert(got((id, seg.toLong)) === e, s"doc $id seg $seg")
+      }
+    }
+    assert(got.size === docs.length * 8)
+  }
+
   test("stats_levene matches a direct Brown-Forsythe computation") {
     val r = StatsOps.queries("stats_levene")(spark, sf0001).collect().head
     val vals = Tables.events(spark, sf0001)
