@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming sessionization with explicit keyed state
@@ -40,6 +41,57 @@ object Sessionize {
           }
           state.update(st)
           out.iterator
+      }
+  }
+
+  final case class TsEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp)
+  final case class EvictState(startUs: Long, lastUs: Long)
+
+  /** [[assign]] with STATE EVICTION — the missing piece for an unbounded
+    * user population: `NoTimeout` keeps 16 bytes per EVER-SEEN user
+    * forever (160 GB of state at 10¹⁰ lifetime users), while this form
+    * registers an event-time timeout at lastSeen + gap and REMOVES the
+    * state when the watermark passes it. Eviction is semantics-free by
+    * construction: a user can only return after the timeout if their gap
+    * exceeded `gapUs`, which would have started a new session anyway.
+    * The one design change that makes eviction safe is the session ID:
+    * a per-user COUNTER would restart at 1 after eviction and collide
+    * with history, so the id is the session's START µs — globally
+    * stable, no state needed beyond the live session. Input must carry
+    * a watermarked `ts` TimestampType column (µs = `unix_micros(ts)`).
+    * SessionizeSpec drives a MemoryStream through a timeout and asserts
+    * `numRowsTotal` in the state store actually DROPS. */
+  def assignEvicting(events: DataFrame, gapUs: Long): Dataset[SessionAssign] = {
+    implicit val inEnc = Encoders.product[TsEvent]
+    implicit val stateEnc = Encoders.product[EvictState]
+    implicit val outEnc = Encoders.product[SessionAssign]
+    implicit val keyEnc = Encoders.scalaLong
+    events.select(col("user_id"), col("event_id"), col("ts")).as[TsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[TsEvent], state: GroupState[EvictState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + gap: the session can never be
+            // extended — drop the 16 bytes
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.map(e =>
+                (e.user_id, e.event_id, e.ts.getTime * 1000))
+              .toIndexedSeq.sortBy(e => (e._3, e._2))
+            var st = state.getOption.getOrElse(
+              EvictState(Long.MinValue, Long.MinValue))
+            val out = sorted.map { case (_, eventId, us) =>
+              val isNew = st.lastUs == Long.MinValue || us - st.lastUs > gapUs
+              st = EvictState(if (isNew) us else st.startUs, us)
+              SessionAssign(user, st.startUs, eventId)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000L + 1L)
+            out.iterator
+          }
       }
   }
 }

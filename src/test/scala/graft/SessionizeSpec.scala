@@ -35,6 +35,44 @@ class SessionizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("evicting sessionizer drops timed-out state and never collides ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sessionize.TsEvent]
+    // offset well past epoch 0: a row AT the initial watermark would be
+    // dropped as late before any state is built
+    def ev(u: Long, id: Long, min: Long) =
+      Sessionize.TsEvent(u, id,
+        new java.sql.Timestamp((1000 + min) * 60000L))
+    val q = Sessionize.assignEvicting(
+        stream.toDF().withWatermark("ts", "0 seconds"), gapUs = 30 * M)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("esessions").start()
+    try {
+      // batch 1: users 1 and 2 open sessions
+      stream.addData(ev(1, 10, 0), ev(1, 11, 5), ev(2, 20, 0))
+      q.processAllAvailable()
+      // batch 2: user 2 keeps active, advancing the watermark far past
+      // user 1's (last + gap) timeout → user 1's state must evict
+      stream.addData(ev(2, 21, 200))
+      q.processAllAvailable()
+      stream.addData(ev(2, 22, 201))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after === 1L, s"state rows after timeout: $after")
+      // user 1 returns: a FRESH session whose id is its own start µs —
+      // no collision with the evicted session's id
+      stream.addData(ev(1, 12, 300))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM esessions").as[SessionAssign]
+        .collect().map(a => a.event_id -> a.session_id).toMap
+      val base = 1000L * 60000000L
+      assert(got(10L) === base && got(11L) === base)
+      assert(got(12L) === base + 300L * 60000000L)
+      assert(got(20L) === base)
+      assert(got(21L) === base + 200L * 60000000L)
+    } finally q.stop()
+  }
+
   test("streaming state machine agrees with the batch window form on sf0.001") {
     val batch = AdvancedOps.sessionize(spark, sf0001)
       .select($"user_id", $"session_id", $"n_events")
