@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -214,7 +215,10 @@ object MultimodalOps {
   // of clip length; clips shorter than one analysis window (64 bytes)
   // are skipped, documented. One scan, no shuffle before the final
   // sort. ──
-  def multimodalAudioEnergy(spark: SparkSession, dir: String): DataFrame =
+  /** (doc_id, seg 0-7, energy): the shared 8-segment × 16-sample integer
+    * energy frame behind [[multimodalAudioEnergy]] and
+    * [[multimodalSceneCut]]. */
+  private def segmentEnergy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").as("s"),
         length(col("text")).as("n"))
@@ -226,11 +230,36 @@ object MultimodalOps {
           " abs(ascii(substring(s, CAST(1 + seg * (n div 8)" +
           " + (j * ((n div 8) - 1)) div 15 AS INT), 1)) - 96))"))
       .select(col("doc_id"), col("seg").cast("long").as("seg"),
-        col("energy"), (col("energy") < 160L).as("is_quiet"))
+        col("energy"))
+
+  def multimodalAudioEnergy(spark: SparkSession, dir: String): DataFrame =
+    segmentEnergy(spark, dir)
+      .select(col("doc_id"), col("seg"), col("energy"),
+        (col("energy") < 160L).as("is_quiet"))
       .orderBy("doc_id", "seg")
+
+  // ── SCENE-CUT detection — the video twin of the audio profile: treat
+  // the 8 segments as consecutive frames; a cut is a frame-to-frame
+  // signature jump above the p90-scale threshold (|Δenergy| > 160).
+  // The shot-boundary-detection shape every video pipeline runs before
+  // frame sampling: per-item windows partition by doc_id (bounded,
+  // parallel), all arithmetic integer, fully oracled. Output: cuts per
+  // item + the largest jump — the "how dynamic is this clip" gauge
+  // that drives sampling density downstream. ──
+  def multimodalSceneCut(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("seg"))
+    segmentEnergy(spark, dir)
+      .withColumn("jump",
+        abs(col("energy") - lag(col("energy"), 1).over(w)))
+      .groupBy(col("doc_id"))
+      .agg(count(when(col("jump") > 160L, 1)).as("n_cuts"),
+        max(col("jump")).as("max_jump"))
+      .orderBy("doc_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_audio_energy" -> multimodalAudioEnergy _,
+    "multimodal_scene_cut" -> multimodalSceneCut _,
     "multimodal_phash"    -> multimodalPhash _,
     "multimodal_decode"   -> multimodalDecode _,
     "multimodal_features" -> multimodalFeatures _,
@@ -257,6 +286,28 @@ object MultimodalOps {
         |SELECT doc_id, CAST(seg AS BIGINT) AS seg, energy,
         |  energy < 160 AS is_quiet
         |FROM g ORDER BY doc_id, seg""".stripMargin,
+    "multimodal_scene_cut" ->
+      """WITH d AS (
+        |  SELECT doc_id, text AS s, length(text) AS n FROM documents
+        |  WHERE length(text) >= 64),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, 8)) AS seg, s, n FROM d),
+        |g AS (
+        |  SELECT doc_id, seg,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      abs(ascii(substring(s,
+        |        CAST(1 + seg * (n // 8) + (j * ((n // 8) - 1)) // 15
+        |          AS BIGINT), 1)) - 96))) AS BIGINT) AS energy
+        |  FROM e),
+        |l AS (
+        |  SELECT doc_id,
+        |    abs(energy - lag(energy)
+        |      OVER (PARTITION BY doc_id ORDER BY seg)) AS jump
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(count(CASE WHEN jump > 160 THEN 1 END) AS BIGINT) AS n_cuts,
+        |  max(jump) AS max_jump
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the identical dHash (hex-slice byte comparisons, same sampled
     // positions, same bit weights) + the same 15-bit banding and radius
     "multimodal_phash" ->

@@ -258,6 +258,25 @@ class LakehouseOpsSpec extends SparkSuite {
     assert(got.size === docs.length * 8)
   }
 
+  test("multimodal_scene_cut agrees with cuts recomputed from the energy profile") {
+    val energy = graft.operators.MultimodalOps
+      .queries("multimodal_audio_energy")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = graft.operators.MultimodalOps
+      .queries("multimodal_scene_cut")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    energy.foreach { case (id, rows) =>
+      val es = rows.sortBy(_._2).map(_._3)
+      val jumps = es.sliding(2).map(p => math.abs(p(1) - p(0))).toSeq
+      assert(got(id)._1 === jumps.count(_ > 160).toLong, s"doc $id")
+      assert(got(id)._2 === jumps.max, s"doc $id")
+    }
+    assert(got.size === energy.size)
+    // cuts exist somewhere but not everywhere (threshold is meaningful)
+    assert(got.values.exists(_._1 > 0) && got.values.exists(_._1 == 0))
+  }
+
   test("stats_levene matches a direct Brown-Forsythe computation") {
     val r = StatsOps.queries("stats_levene")(spark, sf0001).collect().head
     val vals = Tables.events(spark, sf0001)
