@@ -404,7 +404,38 @@ object AnalyticsOps {
       .orderBy("o_orderkey")
   }
 
+  // ── Cohort LTV curves: cumulative purchase revenue per user by
+  // cohort age — the revenue companion of [[cohortRetention]]'s count
+  // grid (the curve a growth team reads payback periods from). The
+  // fact table reduces to the (cohort, age) grid FIRST with
+  // DECIMAL-exact revenue; the cumulative runs as a window PARTITIONED
+  // by cohort over grid-sized rows (≤ |days|² cells forever); cohort
+  // sizes broadcast back for the per-user normalization. Sparse ages
+  // (no purchases that day) are simply absent, documented — the oracle
+  // produces the same sparse grid. ──
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+    val base = ev(spark, dir)
+      .select(col("user_id"), col("day"), col("event_type"), col("value"))
+      .withColumn("cohort", min(col("day")).over(perUser))
+      .withColumn("age_d", datediff(col("day"), col("cohort")).cast("long"))
+    val sizes = base.groupBy(col("cohort"))
+      .agg(countDistinct(col("user_id")).as("users"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("age_d"))
+    base.filter(col("event_type") === "purchase")
+      .groupBy(col("cohort"), col("age_d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .select(col("cohort"), col("age_d"), col("users"),
+        col("cum_rev").cast("double").as("cum_revenue"),
+        (round(col("cum_rev").cast("double") / col("users"), 6) + lit(0.0d))
+          .as("ltv_per_user"))
+      .orderBy("cohort", "age_d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_ltv"       -> cohortLtv _,
     "dedup_latest"     -> dedupLatest _,
     "merge_into"       -> mergeInto _,
     "dq_profile"       -> dqProfile _,
@@ -468,6 +499,26 @@ object AnalyticsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    event_type, "value" FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+        |s AS (SELECT cohort, count(DISTINCT user_id) AS users
+        |      FROM c GROUP BY 1),
+        |r AS (SELECT c.cohort, e.day - c.cohort AS age_d,
+        |        sum(CAST("value" AS DECIMAL(18,2))) AS rev
+        |      FROM e JOIN c USING (user_id) WHERE event_type = 'purchase'
+        |      GROUP BY 1, 2),
+        |g AS (SELECT cohort, CAST(age_d AS BIGINT) AS age_d, rev,
+        |        sum(rev) OVER (PARTITION BY cohort ORDER BY age_d)
+        |          AS cum_rev
+        |      FROM r)
+        |SELECT g.cohort, g.age_d, CAST(s.users AS BIGINT) AS users,
+        |  CAST(cum_rev AS DOUBLE) AS cum_revenue,
+        |  round(CAST(cum_rev AS DOUBLE) / s.users, 6) + 0.0
+        |    AS ltv_per_user
+        |FROM g JOIN s USING (cohort) ORDER BY cohort, age_d""".stripMargin,
     "dedup_latest" ->
       """SELECT user_id, event_type, event_id, us, "value" FROM (
         |  SELECT user_id, event_type, event_id,

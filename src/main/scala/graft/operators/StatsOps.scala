@@ -1176,7 +1176,38 @@ object StatsOps {
           .as("f_stat"))
   }
 
+  // ── Cramér's V effect size: chi2 says WHETHER type and weekday are
+  // associated; V = √(χ²/(n·min(r−1,c−1))) says HOW MUCH on a 0..1
+  // scale — the report a drift dashboard actually shows. Same
+  // observed/expected grid as stats_chi2; V derives from the ROUNDED
+  // χ² (the jarque_bera discipline), one sqrt, cast-first division. ──
+  def statsCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val o = ev(spark, dir)
+      .select(col("event_type"),
+        expr("pmod(datediff(day, DATE'1970-01-01'), 7)").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = o.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+    val colT = o.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+    val n = o.agg(sum(col("o")).as("n"))
+    val grid = rowT.crossJoin(colT).crossJoin(broadcast(n))
+      .join(o, Seq("event_type", "dow"), "left")
+      .select(coalesce(col("o"), lit(0L)).as("o"),
+        (col("rt").cast("double") * col("ct") / col("n")).as("e"),
+        col("event_type"), col("dow"), col("n"))
+    grid.agg(
+        (round(sum((col("o") - col("e")) * (col("o") - col("e")) /
+          col("e")), 6) + lit(0.0d)).as("chi2"),
+        countDistinct(col("event_type")).as("r"),
+        countDistinct(col("dow")).as("c"),
+        first(col("n")).as("n"))
+      .select(col("chi2"), col("n"),
+        r6(expr("sqrt(chi2 / (cast(n as double) * least(r - 1, c - 1)))"))
+          .as("v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cramers_v"       -> statsCramersV _,
     "stats_levene"          -> statsLevene _,
     "stats_jarque_bera"     -> statsJarqueBera _,
     "stats_dw"              -> statsDw _,
@@ -1252,6 +1283,32 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the stats_chi2 grid + V from the ROUNDED chi2
+    "stats_cramers_v" ->
+      """WITH e0 AS (
+        |  SELECT event_type,
+        |    ((CAST(ts AS DATE) - DATE '1970-01-01') % 7 + 7) % 7 AS dow
+        |  FROM events),
+        |o AS (SELECT event_type, CAST(dow AS INTEGER) AS dow,
+        |        count(*) AS o FROM e0 GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |grid AS (
+        |  SELECT rt.event_type, ct.dow,
+        |    CAST(COALESCE(o.o, 0) AS BIGINT) AS o,
+        |    CAST(rt.rt AS DOUBLE) * ct.ct / n.n AS e
+        |  FROM rt CROSS JOIN ct CROSS JOIN n
+        |  LEFT JOIN o ON o.event_type = rt.event_type AND o.dow = ct.dow),
+        |t AS (
+        |  SELECT round(sum((o - e) * (o - e) / e), 6) + 0.0 AS chi2,
+        |    count(DISTINCT event_type) AS r, count(DISTINCT dow) AS c,
+        |    any_value(n.n) AS n
+        |  FROM grid, n)
+        |SELECT chi2, CAST(n AS BIGINT) AS n,
+        |  round(sqrt(chi2 / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6)
+        |    + 0.0 AS v
+        |FROM t""".stripMargin,
     // the identical grid-median + integer-deviation pipeline; HUGEINT
     // sums mirror DECIMAL(38,0)
     "stats_levene" ->

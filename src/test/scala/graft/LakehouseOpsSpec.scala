@@ -312,6 +312,41 @@ class LakehouseOpsSpec extends SparkSuite {
     assert(rows("funded")._2 + rows("partial")._2 > total / 10)
   }
 
+  test("cohort_ltv is per-cohort monotone and normalizes by cohort size") {
+    val rows = AnalyticsOps.queries("cohort_ltv")(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1)._4 >= p(0)._4, s"cum_revenue not monotone in $cohort")
+      }
+      sorted.foreach { r =>
+        assert(math.abs(r._5 - r._4 / r._3) < 1e-5)
+      }
+    }
+    // user totals reconcile with the direct purchase sum
+    val direct = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .collect().head.getDouble(0)
+    val lastPerCohort = rows.groupBy(_._1).values
+      .map(_.maxBy(_._2)._4).sum
+    assert(math.abs(lastPerCohort - direct) < 1e-4)
+  }
+
+  test("stats_cramers_v lies in [0,1] and derives from the chi2 output") {
+    val v = StatsOps.queries("stats_cramers_v")(spark, sf0001)
+      .collect().head
+    val chi2 = StatsOps.queries("stats_chi2")(spark, sf0001)
+      .collect().head.getDouble(0)
+    assert(v.getDouble(0) === chi2)
+    val want = math.sqrt(chi2 / (v.getLong(1).toDouble * 4)) // min(5-1, 7-1)
+    assert(math.abs(v.getDouble(2) - want) < 1e-6)
+    assert(v.getDouble(2) >= 0 && v.getDouble(2) <= 1)
+  }
+
   test("stats_jarque_bera derives exactly from the rounded moments") {
     val m = StatsOps.statsMoments(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3),
