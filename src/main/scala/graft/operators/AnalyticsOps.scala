@@ -434,7 +434,63 @@ object AnalyticsOps {
       .orderBy("cohort", "age_d")
   }
 
+  // ── Conversion LATENCY distribution: per user, time from first view
+  // to the first purchase after it; report converted count + exact
+  // median/p90 latency in seconds — the "how long does the funnel
+  // take" companion to funnel_steps' "how many make it". Two user-
+  // keyed aggregations + one co-partitioned join (user-sized frames);
+  // the exact percentiles are Spark's `percentile` aggregate (map-side
+  // counts-map partials — no sort cliff), which is the established
+  // green pairing with DuckDB's percentile_cont. ──
+  def funnelTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("tv"))
+      .groupBy(col("user_id"))
+      .agg((min(col("us")) - first(col("tv"))).as("lat_us"))
+    lat.agg(count(lit(1)).as("n_converted"),
+      round(expr("percentile(lat_us, 0.5) / 1000000"), 6).as("median_s"),
+      round(expr("percentile(lat_us, 0.9) / 1000000"), 6).as("p90_s"))
+  }
+
+  // ── Spearman rank correlation of the daily click vs purchase volume
+  // series — the robust (monotone, outlier-tolerant) twin of
+  // rolling_corr's Pearson. The engine-neutral device: DOUBLED average
+  // ranks are exact INTEGERS (2r = 2·rank + ties − 1, rank/ties from
+  // the |days|-row frame — tiny, the sessions_concurrent convention),
+  // and ρ is Pearson over those integers: integer moment sums, ONE
+  // sqrt, cast-first double division — bit-identical cross-engine.
+  // Scaling ranks by 2 leaves ρ unchanged (correlation is scale-
+  // invariant). ──
+  def statsSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .groupBy(col("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("c"),
+        count(when(col("event_type") === "purchase", 1)).as("p"))
+    val rc = daily
+      .withColumn("rx",
+        rank().over(Window.orderBy(col("c"))) * 2 +
+          count(lit(1)).over(Window.partitionBy(col("c"))) - 1)
+      .withColumn("ry",
+        rank().over(Window.orderBy(col("p"))) * 2 +
+          count(lit(1)).over(Window.partitionBy(col("p"))) - 1)
+    rc.agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"),
+        sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("n"),
+        (round(expr("cast(n * sxy - sx * sy as double)" +
+          " / sqrt(cast(n * sxx - sx * sx as double)" +
+          " * (n * syy - sy * sy))"), 6) + lit(0.0d)).as("rho"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_time_to_convert" -> funnelTimeToConvert _,
+    "stats_spearman"   -> statsSpearman _,
     "cohort_ltv"       -> cohortLtv _,
     "dedup_latest"     -> dedupLatest _,
     "merge_into"       -> mergeInto _,
@@ -499,6 +555,44 @@ object AnalyticsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "funnel_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS tv FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |lat AS (
+        |  SELECT e.user_id, min(e.us) - min(v.tv) AS lat_us
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > v.tv
+        |  GROUP BY e.user_id)
+        |SELECT count(*) AS n_converted,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lat_us)
+        |    / 1000000, 6) AS median_s,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lat_us)
+        |    / 1000000, 6) AS p90_s
+        |FROM lat""".stripMargin,
+    // doubled average ranks are exact integers; ρ is Pearson on them
+    "stats_spearman" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS c,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS p
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT
+        |    rank() OVER (ORDER BY c) * 2
+        |      + count(*) OVER (PARTITION BY c) - 1 AS rx,
+        |    rank() OVER (ORDER BY p) * 2
+        |      + count(*) OVER (PARTITION BY p) - 1 AS ry
+        |  FROM daily),
+        |t AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |    sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+        |    sum(rx * ry) AS sxy FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * (n * syy - sy * sy)),
+        |    6) + 0.0 AS rho
+        |FROM t""".stripMargin,
     "cohort_ltv" ->
       """WITH e AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

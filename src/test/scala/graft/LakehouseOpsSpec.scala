@@ -312,6 +312,59 @@ class LakehouseOpsSpec extends SparkSuite {
     assert(rows("funded")._2 + rows("partial")._2 > total / 10)
   }
 
+  test("stats_spearman matches a direct tie-averaged rank correlation") {
+    val r = AnalyticsOps.queries("stats_spearman")(spark, sf0001)
+      .collect().head
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("c"),
+        count(when(col("event_type") === "purchase", 1)).as("p"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    def avgRanks(xs: Seq[Long]): Seq[Double] = {
+      val sorted = xs.sorted
+      xs.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val rx = avgRanks(daily.map(_._1).toSeq)
+    val ry = avgRanks(daily.map(_._2).toSeq)
+    val n = rx.length.toDouble
+    val mx = rx.sum / n; val my = ry.sum / n
+    val num = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum *
+      ry.map(b => (b - my) * (b - my)).sum)
+    assert(r.getLong(0) === daily.length.toLong)
+    assert(math.abs(r.getDouble(1) - num / den) < 1e-6)
+  }
+
+  test("funnel_time_to_convert matches per-user first-view-to-purchase latencies") {
+    val r = AnalyticsOps.queries("funnel_time_to_convert")(spark, sf0001)
+      .collect().head
+    val evts = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1)
+    val lats = evts.values.flatMap { rows =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val ps = rows.filter(x => x._2 == "purchase" && x._3 > tv).map(_._3)
+        if (ps.isEmpty) None else Some(ps.min - tv)
+      }
+    }.toSeq.sorted
+    assert(r.getLong(0) === lats.length.toLong)
+    def pct(q: Double): Double = {
+      val h = (lats.length - 1) * q
+      val lo = lats(h.toInt); val hi = lats(math.ceil(h).toInt)
+      lo + (h - h.toInt) * (hi - lo)
+    }
+    assert(math.abs(r.getDouble(1) - pct(0.5) / 1e6) < 1e-4)
+    assert(math.abs(r.getDouble(2) - pct(0.9) / 1e6) < 1e-4)
+  }
+
   test("cohort_ltv is per-cohort monotone and normalizes by cohort size") {
     val rows = AnalyticsOps.queries("cohort_ltv")(spark, sf0001).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
