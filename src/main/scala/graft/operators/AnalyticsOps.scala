@@ -488,7 +488,40 @@ object AnalyticsOps {
           " * (n * syy - sy * sy))"), 6) + lit(0.0d)).as("rho"))
   }
 
+  // ── Kendall τ-b of the daily click vs purchase series — the
+  // concordance companion of [[statsSpearman]] (τ reads as a
+  // probability: P(concordant) − P(discordant), with the τ-b tie
+  // correction). The fact table reduces to the |days|-row grid FIRST;
+  // the O(|days|²/2) pair enumeration (the stats_theilsen convention)
+  // is ~465 rows at a month of days — bounded forever, since pairs
+  // live on the aggregated series, never on facts. All counts integer;
+  // one sqrt, cast-first. ──
+  def statsKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .groupBy(col("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("c"),
+        count(when(col("event_type") === "purchase", 1)).as("p"))
+    val a = daily.select(col("day").as("d1"), col("c").as("c1"),
+      col("p").as("p1"))
+    val b = daily.select(col("day").as("d2"), col("c").as("c2"),
+      col("p").as("p2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .select(
+        ((col("c1") - col("c2")) * (col("p1") - col("p2"))).as("prod"),
+        (col("c1") === col("c2")).cast("long").as("tie_c"),
+        (col("p1") === col("p2")).cast("long").as("tie_p"))
+    pairs.agg(count(lit(1)).as("n0"),
+        sum((col("prod") > 0).cast("long")).as("conc"),
+        sum((col("prod") < 0).cast("long")).as("disc"),
+        sum(col("tie_c")).as("n1"), sum(col("tie_p")).as("n2"))
+      .select(col("n0"), col("conc"), col("disc"),
+        (round(expr("cast(conc - disc as double)" +
+          " / sqrt(cast(n0 - n1 as double) * (n0 - n2))"), 6) + lit(0.0d))
+          .as("tau_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_kendall_tau" -> statsKendallTau _,
     "funnel_time_to_convert" -> funnelTimeToConvert _,
     "stats_spearman"   -> statsSpearman _,
     "cohort_ltv"       -> cohortLtv _,
@@ -555,6 +588,27 @@ object AnalyticsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "stats_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS c,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS p
+        |  FROM events GROUP BY 1),
+        |pr AS (
+        |  SELECT (a.c - b.c) * (a.p - b.p) AS prod,
+        |    CASE WHEN a.c = b.c THEN 1 ELSE 0 END AS tie_c,
+        |    CASE WHEN a.p = b.p THEN 1 ELSE 0 END AS tie_p
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |t AS (SELECT count(*) AS n0,
+        |    sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS conc,
+        |    sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS disc,
+        |    sum(tie_c) AS n1, sum(tie_p) AS n2 FROM pr)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(conc AS BIGINT) AS conc,
+        |  CAST(disc AS BIGINT) AS disc,
+        |  round(CAST(conc - disc AS DOUBLE)
+        |    / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)), 6) + 0.0
+        |    AS tau_b
+        |FROM t""".stripMargin,
     "funnel_time_to_convert" ->
       """WITH e AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -312,6 +312,30 @@ class LakehouseOpsSpec extends SparkSuite {
     assert(rows("funded")._2 + rows("partial")._2 > total / 10)
   }
 
+  test("stats_kendall_tau matches a direct concordance count") {
+    val r = AnalyticsOps.queries("stats_kendall_tau")(spark, sf0001)
+      .collect().head
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("c"),
+        count(when(col("event_type") === "purchase", 1)).as("p"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    var conc = 0L; var disc = 0L; var n1 = 0L; var n2 = 0L; var n0 = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      n0 += 1
+      val prod = (daily(i)._1 - daily(j)._1) * (daily(i)._2 - daily(j)._2)
+      if (prod > 0) conc += 1 else if (prod < 0) disc += 1
+      if (daily(i)._1 == daily(j)._1) n1 += 1
+      if (daily(i)._2 == daily(j)._2) n2 += 1
+    }
+    assert(r.getLong(0) === n0 && r.getLong(1) === conc &&
+      r.getLong(2) === disc)
+    val want = (conc - disc).toDouble /
+      math.sqrt((n0 - n1).toDouble * (n0 - n2))
+    assert(math.abs(r.getDouble(3) - want) < 1e-6)
+    assert(r.getDouble(3) >= -1 && r.getDouble(3) <= 1)
+  }
+
   test("stats_spearman matches a direct tie-averaged rank correlation") {
     val r = AnalyticsOps.queries("stats_spearman")(spark, sf0001)
       .collect().head
