@@ -520,7 +520,45 @@ object AnalyticsOps {
           .as("tau_b"))
   }
 
+  // ── Wilcoxon SIGNED-RANK test, week-over-week: pair each day with
+  // the same weekday one week later, test whether daily revenue
+  // shifted — the PAIRED companion of stats_mannwhitney's unpaired U
+  // (kendall/spearman = association, wilcoxon = level shift). Exact
+  // integer devices throughout: revenue diffs in cents, DOUBLED
+  // average ranks of |diff| (2r = 2·rank + ties − 1), W₂ = Σ2r over
+  // positive diffs, and the tie-corrected normal approximation written
+  // so 4·(W−μ) = 2·W₂ − n(n+1) and 16σ² = (2n(n+1)(2n+1) − Σ(t³−t))/3
+  // divide ONCE in double. Day pairing is an equi-join on date+7; all
+  // frames are |days|-sized. ──
+  def statsWilcoxonSigned(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .groupBy(col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val pairs = daily.select(col("day").as("d1"), col("revc").as("r1"))
+      .join(daily.select(col("day").as("d2"), col("revc").as("r2")),
+        col("d2") === date_add(col("d1"), 7))
+      .select((col("r2") - col("r1")).as("diff"))
+      .filter(col("diff") =!= 0L)
+      .withColumn("ad", abs(col("diff")))
+    val ranked = pairs
+      .withColumn("r2x",
+        rank().over(Window.orderBy(col("ad"))) * 2 +
+          count(lit(1)).over(Window.partitionBy(col("ad"))) - 1)
+    val ties = ranked.groupBy(col("ad")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("tsum"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(when(col("diff") > 0, col("r2x")).otherwise(0L)).as("w2"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), (col("w2") / 2).cast("double").as("w_plus"),
+        (round(expr("cast(2 * w2 - n * (n + 1) as double)" +
+          " / sqrt(cast(2 * n * (n + 1) * (2 * n + 1) - tsum as double)" +
+          " / 3)"), 6) + lit(0.0d)).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_wilcoxon_signed" -> statsWilcoxonSigned _,
     "stats_kendall_tau" -> statsKendallTau _,
     "funnel_time_to_convert" -> funnelTimeToConvert _,
     "stats_spearman"   -> statsSpearman _,
@@ -588,6 +626,30 @@ object AnalyticsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "stats_wilcoxon_signed" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS revc
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT b.revc - a.revc AS diff, abs(b.revc - a.revc) AS ad
+        |  FROM daily a JOIN daily b ON b.day = a.day + 7
+        |  WHERE b.revc - a.revc <> 0),
+        |rk AS (SELECT diff, ad,
+        |    rank() OVER (ORDER BY ad) * 2
+        |      + count(*) OVER (PARTITION BY ad) - 1 AS r2x
+        |  FROM p),
+        |tt AS (SELECT COALESCE(sum(t * t * t - t), 0) AS tsum FROM
+        |       (SELECT count(*) AS t FROM rk GROUP BY ad) g),
+        |w AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN diff > 0 THEN r2x ELSE 0 END) AS w2 FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(w2 AS DOUBLE) / 2 AS w_plus,
+        |  round(CAST(2 * w2 - n * (n + 1) AS DOUBLE)
+        |    / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tsum AS DOUBLE)
+        |      / 3),
+        |    6) + 0.0 AS z
+        |FROM w, tt""".stripMargin,
     "stats_kendall_tau" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

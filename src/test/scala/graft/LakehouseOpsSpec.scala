@@ -312,6 +312,35 @@ class LakehouseOpsSpec extends SparkSuite {
     assert(rows("funded")._2 + rows("partial")._2 > total / 10)
   }
 
+  test("stats_wilcoxon_signed matches a direct signed-rank computation") {
+    val r = AnalyticsOps.queries("stats_wilcoxon_signed")(spark, sf0001)
+      .collect().head
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+      .collect().map(x => (x.getDate(0).toLocalDate, x.getLong(1))).toMap
+    val diffs = daily.toSeq.flatMap { case (d, v) =>
+      daily.get(d.plusDays(7)).map(_ - v)
+    }.filter(_ != 0L)
+    val n = diffs.length
+    val sortedAbs = diffs.map(math.abs).sorted
+    def avgRank(a: Long): Double = {
+      val lo = sortedAbs.indexOf(a) + 1
+      val hi = sortedAbs.lastIndexOf(a) + 1
+      (lo + hi) / 2.0
+    }
+    val wPlus = diffs.filter(_ > 0).map(d => avgRank(math.abs(d))).sum
+    assert(r.getLong(0) === n.toLong)
+    assert(math.abs(r.getDouble(1) - wPlus) < 1e-9)
+    val mu = n * (n + 1) / 4.0
+    val tsum = diffs.map(math.abs).groupBy(identity)
+      .map { case (_, g) =>
+        val t = g.size.toLong; t * t * t - t }.sum
+    val sigma = math.sqrt((2.0 * n * (n + 1) * (2 * n + 1) - tsum) / 3) / 4
+    assert(math.abs(r.getDouble(2) - (wPlus - mu) / sigma) < 1e-4)
+  }
+
   test("stats_kendall_tau matches a direct concordance count") {
     val r = AnalyticsOps.queries("stats_kendall_tau")(spark, sf0001)
       .collect().head

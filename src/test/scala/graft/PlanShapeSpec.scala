@@ -258,6 +258,7 @@ class PlanShapeSpec extends SparkSuite {
       "stats_chi2",        // |event_types|×7 marginal grid (~35 rows)
       "stats_cramers_v",   // the same chi2 grid + 1-row n broadcast
       "stats_kendall_tau", // |days|²/2 pair join on the day-grid frame
+      "stats_wilcoxon_signed", // 1-row tie-correction broadcast
       "stats_ks",          // 1-row total-counts broadcast
       "stats_mannwhitney", // 1-row totals (n1, n2, tie3) broadcast
       "dq_profile",        // four 1-row per-table assertion frames
