@@ -789,7 +789,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── Zipf-law fit over the corpus token-frequency distribution — the
+  // classic sanity check on a training corpus's naturalness (natural text
+  // has log-log slope ≈ −1; scraped boilerplate or synthetic spam bends
+  // the curve). One shuffle to the vocabulary-sized count table, a
+  // TakeOrdered top-100, then the engine's codegen'd regression moments
+  // (regr_slope/intercept/r2) over ln rank × ln count. The row_number
+  // window runs on ≤100 rows (model-sized single partition — same waiver
+  // class as the codebook collects); at 100 TB the only corpus-scale
+  // stage is the token groupBy, which partial-aggregates map-side. ──
+  def textZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.documents(spark, dir)
+      .select(explode(toksCol).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val vocab = cnts.agg(count(lit(1)).as("vocab_n"))
+    val ord = Seq(col("cnt").desc, col("token").asc)
+    val top = cnts.orderBy(ord: _*).limit(100)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    top.agg(count(lit(1)).as("n_fit"),
+        (round(expr("regr_slope(y, x)"), 6) + lit(0.0d)).as("slope"),
+        (round(expr("regr_intercept(y, x)"), 6) + lit(0.0d)).as("intercept"),
+        (round(expr("regr_r2(y, x)"), 6) + lit(0.0d)).as("r2"))
+      .crossJoin(broadcast(vocab))
+      .select(col("vocab_n"), col("n_fit"), col("slope"),
+        col("intercept"), col("r2"))
+  }
+
+  // ── Within-document duplicated-n-gram coverage — the RefinedWeb /
+  // Gopher repetition signal: what fraction of a doc's trigram
+  // OCCURRENCES belong to a trigram that repeats inside the same doc.
+  // (text_repetition measures token- and top-bigram repetition; this is
+  // the n-gram-coverage variant those filters pair with.) Per-doc work
+  // only: the (doc_id, gram) groupBy partial-aggregates map-side and the
+  // second groupBy reuses the same doc_id-clustered shuffle output, so
+  // at 100 TB this is one pass over the corpus with no cross-doc joins. ──
+  def textDupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val trigrams =
+      "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2)," +
+        " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))" +
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .select(col("doc_id"), explode(expr(trigrams)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+          .as("dup_occurrences"))
+      .withColumn("dup_frac",
+        round(col("dup_occurrences").cast("double") / col("n_trigrams"), 6)
+          + lit(0.0d))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_fit"         -> textZipfFit _,
+    "text_dup_ngram_coverage" -> textDupNgramCoverage _,
     "text_bm25"             -> textBm25 _,
     "text_lm_score"         -> textLmScore _,
     "text_collocations"     -> textCollocations _,
@@ -1016,6 +1075,34 @@ object TextOps {
         |        / count(*), 6) AS novelty
         |FROM sh s JOIN df d USING (shingle)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |            FROM documents),
+        |cnts AS (SELECT token, count(*) AS cnt FROM tok
+        |         WHERE token <> '' GROUP BY 1),
+        |top AS (SELECT
+        |    ln(CAST(row_number() OVER (ORDER BY cnt DESC, token) AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM cnts ORDER BY cnt DESC, token LIMIT 100)
+        |SELECT (SELECT count(*) FROM cnts) AS vocab_n, count(*) AS n_fit,
+        |  round(regr_slope(y, x), 6) + 0.0 AS slope,
+        |  round(regr_intercept(y, x), 6) + 0.0 AS intercept,
+        |  round(regr_r2(y, x), 6) + 0.0 AS r2
+        |FROM top""".stripMargin,
+    "text_dup_ngram_coverage" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM t),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS dup_occurrences,
+        |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+        |        / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS dup_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "decontaminate" -> DecontaminateSql,
     // the Bloom form is exact by construction (no false negatives; every
     // positive re-verified), so it is held to the SAME oracle — the
