@@ -1206,7 +1206,73 @@ object StatsOps {
           .as("v"))
   }
 
+  // ── Ljung-Box portmanteau test: Q = n(n+2) Σ_{k=1..7} ρ_k²/(n−k) over
+  // the daily-series ACF — "is there ANY autocorrelation structure",
+  // the whiteness gate run before trusting i.i.d. assumptions in the
+  // other tests. ρ_k comes from the IDENTICAL decimal-moment pipeline
+  // as stats_acf and is ROUNDED before entering Q, so both engines sum
+  // the same 6-dp terms; n is the day count (1-row broadcast — plan
+  // audit). Reject at the χ²(7) 5% critical value on the rounded Q. ──
+  def statsLjungBox(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    val lagged = daily
+      .withColumn("lag", explode(sequence(lit(1), lit(7))))
+      .withColumn("prev_day", date_sub(col("day"), col("lag")))
+      .join(daily.select(col("day").as("prev_day"), col("v").as("pv")),
+        "prev_day")
+    val x = col("v").cast("decimal(18,2)")
+    val y = col("pv").cast("decimal(18,2)")
+    val nD = col("n").cast("double")
+    val acf = lagged.groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(col("lag"),
+        r6((nD * col("sxy") - col("sx") * col("sy")) /
+          sqrt((nD * col("sxx") - col("sx") * col("sx")) *
+            (nD * col("syy") - col("sy") * col("sy")))).as("acf"))
+    acf.crossJoin(broadcast(nDays))
+      .groupBy(col("n_days"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("acf") * col("acf") /
+          (col("n_days") - col("lag")).cast("double")).as("s"))
+      .select(col("n_days"), col("df"),
+        r6(col("n_days").cast("double") *
+          (col("n_days") + 2).cast("double") * col("s")).as("q_stat"))
+      .withColumn("reject_5pct", col("q_stat") > 14.06714)
+  }
+
+  // ── Bollinger bands on the per-type daily series: 7-day trailing
+  // mean ± 2σ, breakout = today's total outside the ROUNDED bands (both
+  // engines branch on identical 6-dp values — the windowRollingZscore
+  // discipline). Entity-partitioned frame (event_type) so the window
+  // never single-partitions at scale; only full 7-day windows emit. ──
+  def windowBollinger(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w7 = wOrd.rowsBetween(-6, 0)
+    daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("m", avg(col("v")).over(w7))
+      .withColumn("s", stddev_samp(col("v")).over(w7))
+      .filter(col("rn") >= 7 && col("s") > 0)
+      .select(col("event_type"), col("day"), col("v"),
+        r6(col("m")).as("ma7"), r6(col("s")).as("sd7"),
+        r6(col("m") + lit(2) * col("s")).as("upper"),
+        r6(col("m") - lit(2) * col("s")).as("lower"))
+      .withColumn("is_break",
+        col("v") > col("upper") || col("v") < col("lower"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ljung_box"       -> statsLjungBox _,
+    "window_bollinger"      -> windowBollinger _,
     "stats_cramers_v"       -> statsCramersV _,
     "stats_levene"          -> statsLevene _,
     "stats_jarque_bera"     -> statsJarqueBera _,
@@ -1737,6 +1803,60 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "stats_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT l.lag, a.v, b.v AS pv
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN daily b ON b.day = a.day - CAST(l.lag AS INTEGER)),
+        |m AS (
+        |  SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(pv AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(pv AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(pv AS DECIMAL(18,2)) * CAST(pv AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lagged GROUP BY 1),
+        |acf AS (
+        |  SELECT lag,
+        |    round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |          sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |               (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0 AS acf
+        |  FROM m),
+        |nd AS (SELECT count(*) AS n_days FROM daily)
+        |SELECT n_days, count(*) AS df,
+        |  round(CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) *
+        |        sum(acf * acf / CAST(n_days - lag AS DOUBLE)), 6) + 0.0
+        |    AS q_stat,
+        |  (round(CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE) *
+        |         sum(acf * acf / CAST(n_days - lag AS DOUBLE)), 6) + 0.0
+        |   > 14.06714) AS reject_5pct
+        |FROM acf CROSS JOIN nd GROUP BY n_days""".stripMargin,
+    "window_bollinger" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    row_number() OVER wo AS rn,
+        |    avg(v) OVER w AS m,
+        |    stddev_samp(v) OVER w AS s
+        |  FROM daily
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |    w AS (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, v,
+        |  round(m, 6) + 0.0 AS ma7, round(s, 6) + 0.0 AS sd7,
+        |  round(m + 2 * s, 6) + 0.0 AS upper,
+        |  round(m - 2 * s, 6) + 0.0 AS lower,
+        |  (v > round(m + 2 * s, 6) + 0.0 OR
+        |   v < round(m - 2 * s, 6) + 0.0) AS is_break
+        |FROM r WHERE rn >= 7 AND s > 0
+        |ORDER BY event_type, day""".stripMargin,
     "stats_acf" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

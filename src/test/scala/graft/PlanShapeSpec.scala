@@ -278,7 +278,8 @@ class PlanShapeSpec extends SparkSuite {
       "skyline_2d",      // 1-row width + ≤1025-row band-max frame
       "weighted_median", // 1-row width broadcast (targets join is equi)
       "text_bm25",       // 1-row corpus-statistics broadcast
-      "text_zipf_fit")   // 1-row vocabulary-count broadcast vs 1-row fit
+      "text_zipf_fit",   // 1-row vocabulary-count broadcast vs 1-row fit
+      "stats_ljung_box") // 1-row day-count broadcast vs 7-row ACF frame
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
