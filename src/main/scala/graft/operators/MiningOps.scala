@@ -536,7 +536,48 @@ object MiningOps {
       .orderBy("hop")
   }
 
+  // ── link prediction on the part co-purchase graph: for every
+  // non-adjacent pair at distance 2, common-neighbor count, Jaccard
+  // (|CN| / |N(u) ∪ N(v)|), and Adamic-Adar (Σ 1/ln deg w) — the three
+  // classic "which edge appears next" scores. Wedges are generated by a
+  // self-join of the adjacency on the MIDDLE vertex, which costs
+  // deg(w)² per middle; the d ≤ 64 hub cap bounds that fan-out (the
+  // standard at-scale approximation: super-hub intermediaries carry
+  // near-zero Adamic-Adar weight anyway — scores still use FULL
+  // degrees). Candidates anti-join the edge set; top-50 by CN via
+  // TakeOrdered, never a global sort. ──
+  def graphCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val und = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct().cache()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d")).cache()
+    val mid = adj.join(broadcast(deg), "node").filter(col("d") <= 64)
+      .select(col("node").as("w"), col("nbr"), col("d").as("dw"))
+    val wedges = mid.select(col("w"), col("nbr").as("cu"), col("dw"))
+      .join(mid.select(col("w"), col("nbr").as("cv")), "w")
+      .filter(col("cu") < col("cv"))
+    wedges.groupBy(col("cu"), col("cv"))
+      .agg(count(lit(1)).as("cn"),
+        sum(lit(1.0) / log(col("dw").cast("double"))).as("aa"))
+      .select(col("cu").as("u"), col("cv").as("v"), col("cn"), col("aa"))
+      .join(und, Seq("u", "v"), "left_anti")
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))),
+        "v")
+      .select(col("u"), col("v"), col("cn"),
+        r6(col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn"))).as("jaccard"),
+        r6(col("aa")).as("adamic_adar"), col("du"), col("dv"))
+      .orderBy(col("cn").desc, col("u"), col("v")).limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_common_neighbors" -> graphCommonNeighbors _,
     "graph_bfs"          -> graphBfs _,
     "skyline_2d"         -> skyline2d _,
     "pareto_abc"         -> paretoAbc _,
@@ -552,6 +593,31 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_common_neighbors" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS node, v AS nbr FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY 1),
+        |mid AS (SELECT a.node AS w, a.nbr, deg.d AS dw
+        |        FROM adj a JOIN deg ON a.node = deg.node WHERE deg.d <= 64),
+        |wedges AS (SELECT a.nbr AS u, b.nbr AS v, a.dw
+        |           FROM mid a JOIN mid b ON a.w = b.w AND a.nbr < b.nbr),
+        |cand AS (SELECT u, v, count(*) AS cn,
+        |                sum(1.0 / ln(CAST(dw AS DOUBLE))) AS aa
+        |         FROM wedges GROUP BY 1, 2),
+        |nonedge AS (SELECT c.* FROM cand c
+        |            ANTI JOIN und ON c.u = und.u AND c.v = und.v)
+        |SELECT n.u, n.v, CAST(n.cn AS BIGINT) AS cn,
+        |  round(n.cn / CAST(du.d + dv.d - n.cn AS DOUBLE), 6) + 0.0
+        |    AS jaccard,
+        |  round(n.aa, 6) + 0.0 AS adamic_adar,
+        |  du.d AS du, dv.d AS dv
+        |FROM nonedge n
+        |JOIN deg du ON n.u = du.node JOIN deg dv ON n.v = dv.node
+        |ORDER BY cn DESC, n.u, n.v LIMIT 50""".stripMargin,
     // the same 3 frontier rounds unrolled; min(hop) relaxation makes
     // every round partitioning-independent
     "graph_bfs" ->

@@ -1270,7 +1270,44 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  // ── Jensen-Shannon drift per event_type between the stats_psi
+  // reference/current halves (same PsiSplitUs cut): JSD term
+  // ½p·ln(p/m) + ½q·ln(q/m), m = (p+q)/2 — always finite, so unlike
+  // KL/PSI it needs NO smoothing and a type absent on one side still
+  // contributes a bounded term. Shares p, q are exact bigint/total
+  // divisions; the term is rounded once. Counts partial-aggregate
+  // map-side; the 1-row totals frame broadcasts (plan audit). ──
+  def statsJsd(spark: SparkSession, dir: String): DataFrame = {
+    val c = ev(spark, dir)
+      .groupBy(col("event_type"), (col("us") < PsiSplitUs).as("is_ref"))
+      .agg(count(lit(1)).as("c"))
+    val totals = c.agg(
+      sum(when(col("is_ref"), col("c")).otherwise(lit(0L))).as("tr"),
+      sum(when(!col("is_ref"), col("c")).otherwise(lit(0L))).as("tc"))
+    val types = c.select(col("event_type")).distinct()
+    val shares = types
+      .join(c.filter(col("is_ref"))
+        .select(col("event_type"), col("c").as("cr")),
+        Seq("event_type"), "left")
+      .join(c.filter(!col("is_ref"))
+        .select(col("event_type"), col("c").as("cc")),
+        Seq("event_type"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("event_type"),
+        (coalesce(col("cr"), lit(0L)).cast("double") / col("tr")).as("p"),
+        (coalesce(col("cc"), lit(0L)).cast("double") / col("tc")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+    shares.select(col("event_type"),
+        r6(col("p")).as("p"), r6(col("q")).as("q"),
+        r6(when(col("p") > 0, col("p") * log(col("p") / col("m")))
+            .otherwise(lit(0.0d)) / 2 +
+          when(col("q") > 0, col("q") * log(col("q") / col("m")))
+            .otherwise(lit(0.0d)) / 2).as("jsd_term"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_jsd"             -> statsJsd _,
     "stats_ljung_box"       -> statsLjungBox _,
     "window_bollinger"      -> windowBollinger _,
     "stats_cramers_v"       -> statsCramersV _,
@@ -1803,6 +1840,32 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "stats_jsd" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) < 1705363200000000 AS is_ref,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN is_ref THEN c ELSE 0 END) AS BIGINT) AS tr,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN c ELSE 0 END) AS BIGINT) AS tc
+        |  FROM c),
+        |s AS (
+        |  SELECT ty.event_type,
+        |    COALESCE(r.c, 0) / CAST(t.tr AS DOUBLE) AS p,
+        |    COALESCE(u.c, 0) / CAST(t.tc AS DOUBLE) AS q
+        |  FROM (SELECT DISTINCT event_type FROM c) ty
+        |  LEFT JOIN (SELECT event_type, c FROM c WHERE is_ref) r
+        |    USING (event_type)
+        |  LEFT JOIN (SELECT event_type, c FROM c WHERE NOT is_ref) u
+        |    USING (event_type)
+        |  CROSS JOIN t)
+        |SELECT event_type, round(p, 6) + 0.0 AS p, round(q, 6) + 0.0 AS q,
+        |  round(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+        |             ELSE 0.0 END / 2 +
+        |        CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))
+        |             ELSE 0.0 END / 2, 6) + 0.0 AS jsd_term
+        |FROM s ORDER BY event_type""".stripMargin,
     "stats_ljung_box" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
