@@ -1306,7 +1306,72 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── Gaussian kernel density estimate of `value` on a 64-point grid:
+  // Silverman bandwidth h = 1.06·σ·n^(−1/5) (rounded to 6 dp so both
+  // engines share the exact h), density = Σ K((x−g)/h) / (n·h·√2π).
+  // The kernel terms are rounded to 9 dp and summed in DECIMAL (the
+  // text_lm_score discipline) — a raw double sum over n·64 terms would
+  // be order-dependent beyond what round(…,6) absorbs. The 64-row
+  // grid broadcasts (plan audit); the expansion is map-side only and
+  // partial-aggregates into 64 groups, so at 100 TB the shuffle is 64
+  // rows per task regardless of corpus size. ──
+  def histKde(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("value"))
+    val d2 = col("value").cast("decimal(18,2)")
+    val st = e.agg(
+        min(col("value")).cast("double").as("lo"),
+        max(col("value")).cast("double").as("hi"),
+        count(lit(1)).as("n"),
+        sum(d2).cast("double").as("sx"),
+        sum(d2 * d2).cast("double").as("sxx"))
+      .withColumn("sigma", sqrt((col("sxx") -
+        col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+      .withColumn("h", round(lit(1.06) * col("sigma") *
+        pow(col("n").cast("double"), lit(-0.2)), 6))
+    val grid = st
+      .select(col("n"), col("h"), col("lo"), col("hi"),
+        explode(sequence(lit(0), lit(63))).as("j"))
+      .withColumn("gx",
+        col("lo") + (col("hi") - col("lo")) * col("j").cast("double") / 63)
+    e.crossJoin(broadcast(grid))
+      .withColumn("z", (col("value") - col("gx")) / col("h"))
+      .withColumn("term",
+        round(exp(col("z") * col("z") / -2), 9).cast("decimal(18,9)"))
+      .groupBy(col("j"), col("gx"), col("n"), col("h"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("j").cast("int").as("grid_id"), r6(col("gx")).as("x"),
+        r6(col("s").cast("double") /
+          (col("n").cast("double") * col("h") * lit(2.5066282746310002)))
+          .as("density"))
+      .orderBy("grid_id")
+  }
+
+  // ── QQ table: per-type deciles of `value` against the GLOBAL deciles
+  // — "which segment's distribution is shifted, and where in the
+  // body/tail". Exact interpolated percentiles on both engines (the
+  // stats_psi parity), rounded before the diff so the comparison is
+  // 6-dp arithmetic. Two keyed aggregations + a 9-row broadcast join
+  // on decile (equi — hash, not nested loop). ──
+  def statsQq(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    def qCols = (1 to 9).map(i =>
+      r6(expr(s"percentile(value, 0.$i)")).as(s"q$i"))
+    val stackExpr = "stack(9, " +
+      (1 to 9).map(i => s"$i, q$i").mkString(", ") + ") as (decile, q)"
+    val typed = e.groupBy(col("event_type")).agg(qCols.head, qCols.tail: _*)
+      .select(col("event_type"), expr(stackExpr))
+      .withColumnRenamed("q", "q_type")
+    val glob = e.agg(qCols.head, qCols.tail: _*)
+      .select(expr(stackExpr)).withColumnRenamed("q", "q_global")
+    typed.join(broadcast(glob), "decile")
+      .select(col("event_type"), col("decile"), col("q_type"),
+        col("q_global"), r6(col("q_type") - col("q_global")).as("shift"))
+      .orderBy("event_type", "decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hist_kde"              -> histKde _,
+    "stats_qq"              -> statsQq _,
     "stats_jsd"             -> statsJsd _,
     "stats_ljung_box"       -> statsLjungBox _,
     "window_bollinger"      -> windowBollinger _,
@@ -1840,6 +1905,52 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "hist_kde" ->
+      """WITH st AS (
+        |  SELECT CAST(min("value") AS DOUBLE) AS lo,
+        |    CAST(max("value") AS DOUBLE) AS hi, count(*) AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2)) *
+        |             CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM events),
+        |p AS (SELECT *, round(1.06 * sqrt((sxx - sx * sx / n) / (n - 1)) *
+        |                      pow(CAST(n AS DOUBLE), -0.2), 6) AS h
+        |      FROM st),
+        |grid AS (SELECT p.*, CAST(j AS BIGINT) AS j,
+        |    lo + (hi - lo) * CAST(j AS DOUBLE) / 63 AS gx
+        |  FROM p CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+        |terms AS (SELECT g.j, g.gx, g.n, g.h,
+        |    CAST(round(exp((("value" - g.gx) / g.h) *
+        |                   (("value" - g.gx) / g.h) / -2), 9)
+        |         AS DECIMAL(18,9)) AS term
+        |  FROM events CROSS JOIN grid g)
+        |SELECT CAST(j AS INT) AS grid_id, round(gx, 6) + 0.0 AS x,
+        |  round(CAST(sum(term) AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * h * 2.5066282746310002), 6) + 0.0
+        |    AS density
+        |FROM terms GROUP BY j, gx, n, h ORDER BY grid_id""".stripMargin,
+    "stats_qq" -> {
+      val sq = (1 to 9)
+        .map(i => s"round(quantile_cont(\"value\", 0.$i), 6) + 0.0 AS q$i")
+        .mkString(",\n        |    ")
+      val pick = (1 to 9).map(i => s"WHEN $i THEN q$i").mkString(" ")
+      s"""WITH t AS (SELECT event_type,
+        |    $sq
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT
+        |    $sq
+        |  FROM events),
+        |d AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS decile),
+        |ts AS (SELECT event_type, decile,
+        |         CASE decile $pick END AS q_type
+        |       FROM t CROSS JOIN d),
+        |gs AS (SELECT decile, CASE decile $pick END AS q_global
+        |       FROM g CROSS JOIN d)
+        |SELECT ts.event_type, ts.decile, ts.q_type, gs.q_global,
+        |  round(ts.q_type - gs.q_global, 6) + 0.0 AS shift
+        |FROM ts JOIN gs USING (decile)
+        |ORDER BY event_type, decile""".stripMargin
+    },
     "stats_jsd" ->
       """WITH c AS (
         |  SELECT event_type,
