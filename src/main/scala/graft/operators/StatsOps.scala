@@ -1369,7 +1369,44 @@ object StatsOps {
       .orderBy("event_type", "decile")
   }
 
+  // ── RSI-14 (Cutler's simple-average form — window-pure, unlike
+  // Wilder's recursive smoothing) on the per-type daily series:
+  // rsi = 100·Σgains / (Σgains + Σlosses) over the trailing 14 deltas.
+  // Day-over-day deltas are exact DECIMAL(·,2) differences and the
+  // window sums stay decimal, so the single double division at the end
+  // is the only float op — order-independent by construction. Deltas
+  // are filtered non-null BEFORE the frame is applied so both engines
+  // window over identical row sets; only full 14-delta windows with
+  // movement emit. ──
+  def windowRsi(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w14 = wo.rowsBetween(-13, 0)
+    daily
+      .withColumn("delta", col("v") - lag(col("v"), 1).over(wo))
+      .filter(col("delta").isNotNull)
+      .withColumn("rn", row_number().over(wo))
+      // CASE, not greatest(): DuckDB's greatest() promotes DECIMAL
+      // arguments to DOUBLE (measured), which would turn the window sum
+      // into an order-dependent float sum — CASE keeps decimal on both
+      // engines, and the typed zero keeps Spark's branch coercion
+      // decimal too
+      .withColumn("sg", sum(when(col("delta") > 0, col("delta"))
+        .otherwise(expr("CAST(0 AS DECIMAL(18,2))"))).over(w14))
+      .withColumn("sl", sum(when(col("delta") < 0, -col("delta"))
+        .otherwise(expr("CAST(0 AS DECIMAL(18,2))"))).over(w14))
+      .filter(col("rn") >= 14 && (col("sg") + col("sl")) > 0)
+      .select(col("event_type"), col("day"),
+        col("sg").cast("double").as("sum_gain"),
+        col("sl").cast("double").as("sum_loss"),
+        r6(lit(100) * col("sg").cast("double") /
+          (col("sg") + col("sl")).cast("double")).as("rsi14"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rsi"            -> windowRsi _,
     "hist_kde"              -> histKde _,
     "stats_qq"              -> statsQq _,
     "stats_jsd"             -> statsJsd _,
@@ -1905,6 +1942,30 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "window_rsi" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, v - lag(v) OVER wo AS delta FROM daily
+        |      WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+        |f AS (SELECT * FROM d WHERE delta IS NOT NULL),
+        |r AS (SELECT event_type, day,
+        |    row_number() OVER wo AS rn,
+        |    sum(CASE WHEN delta > 0 THEN delta
+        |             ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS sg,
+        |    sum(CASE WHEN delta < 0 THEN -delta
+        |             ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w AS sl
+        |  FROM f
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |    w AS (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day,
+        |  CAST(sg AS DOUBLE) AS sum_gain, CAST(sl AS DOUBLE) AS sum_loss,
+        |  round(100 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE), 6)
+        |    + 0.0 AS rsi14
+        |FROM r WHERE rn >= 14 AND sg + sl > 0
+        |ORDER BY event_type, day""".stripMargin,
     "hist_kde" ->
       """WITH st AS (
         |  SELECT CAST(min("value") AS DOUBLE) AS lo,

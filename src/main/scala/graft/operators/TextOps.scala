@@ -846,7 +846,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── Sliding-window chunk manifest (the RAG / context-window prep
+  // companion to pack_sequences): each doc splits into 32-token chunks
+  // at stride 24 (8-token overlap), last chunk takes the remainder.
+  // Pure per-row integer arithmetic + explode — embarrassingly
+  // parallel, no shuffle at all (the orderBy is presentation-only).
+  // ceil((n−W)/S) is computed in INTEGER form (n−9) div 24 wrapped in
+  // greatest(0, …): Spark `div` truncates toward zero while DuckDB
+  // `//` floors, so a negative numerator would diverge without the
+  // clamp. ──
+  def textChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (32, 24)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toksCol).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        lit(1) + greatest(lit(0), expr(s"(n - ${w - s + 1}) div $s")))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("k"))
+      .select(col("doc_id"), col("k").cast("int").as("chunk_id"),
+        (col("k") * s).cast("long").as("start_tok"),
+        least(lit(w), col("n") - col("k") * s).cast("long").as("chunk_len"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_overlap"    -> textChunkOverlap _,
     "text_zipf_fit"         -> textZipfFit _,
     "text_dup_ngram_coverage" -> textDupNgramCoverage _,
     "text_bm25"             -> textBm25 _,
@@ -1075,6 +1100,17 @@ object TextOps {
         |        / count(*), 6) AS novelty
         |FROM sh s JOIN df d USING (shingle)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "text_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, n, 1 + greatest(0, (n - 9) // 24) AS n_chunks
+        |      FROM t WHERE n > 0),
+        |c AS (SELECT doc_id, n, unnest(range(0, n_chunks)) AS k FROM f)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+        |  CAST(k * 24 AS BIGINT) AS start_tok,
+        |  CAST(least(32, n - k * 24) AS BIGINT) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_zipf_fit" ->
       """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |            FROM documents),
