@@ -576,8 +576,45 @@ object MiningOps {
       .orderBy(col("cn").desc, col("u"), col("v")).limit(50)
   }
 
+  // ── degree assortativity of the co-purchase graph: Pearson r of
+  // (deg u, deg v) over the DIRECTED edge list (each undirected edge
+  // counted both ways — the standard Newman convention). Degrees are
+  // integers, so every moment is an exact int64 sum and the single
+  // double division at the end is engine-independent — no rounding
+  // discipline needed beyond the final r6. The |nodes|-sized degree
+  // table broadcasts to both endpoints; nothing fact-sized shuffles
+  // twice. ──
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val und = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val adj = und.union(und.select(col("v"), col("u"))).toDF("u", "v")
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val e = adj
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))),
+        "v")
+    e.agg(count(lit(1)).as("n_edges_directed"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+      .select(col("n_edges_directed"),
+        r6((col("n_edges_directed").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")) /
+          sqrt((col("n_edges_directed").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")) *
+            (col("n_edges_directed").cast("double") * col("syy") -
+              col("sy").cast("double") * col("sy"))))
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_common_neighbors" -> graphCommonNeighbors _,
+    "graph_assortativity"    -> graphAssortativity _,
     "graph_bfs"          -> graphBfs _,
     "skyline_2d"         -> skyline2d _,
     "pareto_abc"         -> paretoAbc _,
@@ -593,6 +630,28 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY 1),
+        |e AS (SELECT du.d AS du, dv.d AS dv FROM adj
+        |      JOIN deg du ON adj.u = du.node
+        |      JOIN deg dv ON adj.v = dv.node),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dv) AS BIGINT) AS sy,
+        |    CAST(sum(du * dv) AS BIGINT) AS sxy,
+        |    CAST(sum(du * du) AS BIGINT) AS sxx,
+        |    CAST(sum(dv * dv) AS BIGINT) AS syy
+        |  FROM e)
+        |SELECT n AS n_edges_directed,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |        sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |             (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+        |        6) + 0.0 AS assortativity
+        |FROM m""".stripMargin,
     "graph_common_neighbors" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |           FROM lineitem),

@@ -870,7 +870,33 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // ── Heaps-law vocabulary growth: cumulative distinct vocabulary vs
+  // cumulative token count, sampled at every doc in doc_id order — the
+  // "is the corpus still adding new words" saturation curve (paired
+  // with text_zipf_fit's frequency view). Each token's first-occurrence
+  // doc is a single min-aggregation, so the curve needs NO per-prefix
+  // distinct counting — vocabulary introduced at doc d is just the
+  // count of tokens whose min(doc_id) = d, and both cumulatives are
+  // prefix sums. The ordered prefix window runs over the doc-count-
+  // sized frame (one row per doc), not the corpus. ──
+  def textHeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .filter(col("tok") =!= "")
+    val nv = f.groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nv"))
+    val nt = f.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    nt.join(nv, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        sum(col("nt")).over(w).as("cum_tokens"),
+        sum(coalesce(col("nv"), lit(0L))).over(w).as("cum_vocab"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heaps_law"        -> textHeapsLaw _,
     "text_chunk_overlap"    -> textChunkOverlap _,
     "text_zipf_fit"         -> textZipfFit _,
     "text_dup_ngram_coverage" -> textDupNgramCoverage _,
@@ -1100,6 +1126,21 @@ object TextOps {
         |        / count(*), 6) AS novelty
         |FROM sh s JOIN df d USING (shingle)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "text_heaps_law" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+        |fd AS (SELECT tok, min(doc_id) AS doc_id FROM f GROUP BY 1),
+        |nv AS (SELECT doc_id, count(*) AS nv FROM fd GROUP BY 1),
+        |nt AS (SELECT doc_id, count(*) AS nt FROM f GROUP BY 1)
+        |SELECT nt.doc_id,
+        |  CAST(sum(nt.nt) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(sum(COALESCE(nv.nv, 0)) OVER w AS BIGINT) AS cum_vocab
+        |FROM nt LEFT JOIN nv USING (doc_id)
+        |WINDOW w AS (ORDER BY nt.doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
     "text_chunk_overlap" ->
       """WITH t AS (SELECT doc_id,
         |  len(string_split_regex(trim(lower(text)), '\s+')) AS n
