@@ -1405,7 +1405,66 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  // ── single changepoint location (binary-segmentation first split) on
+  // the daily series: argmax_t |S_t − (t/n)·S_n|. The statistic is
+  // compared SCALED BY n — |n·S_t − t·S_n| is an exact decimal
+  // (decimal × int), so the argmax is picked by integer-exact
+  // comparison and no float ever decides between candidate days; the
+  // reported magnitude divides back by n once at the end. Prefix sums
+  // ride the ordered day frame (one row per day); the 1-row (n, S_n)
+  // totals broadcast (plan audit). ──
+  def statsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("st", sum(col("v")).over(w))
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("v")).as("sn"))
+    pre.crossJoin(broadcast(tot))
+      .filter(col("t") < col("n"))
+      .select(col("day"), col("t"), col("n"),
+        abs(col("st") * col("n") - col("sn") * col("t")).as("cn"))
+      .orderBy(col("cn").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("change_day"), col("t").cast("long").as("t"),
+        col("n").as("n_days"),
+        r6(col("cn").cast("double") / col("n")).as("cusum_stat"))
+  }
+
+  // ── k-anonymity audit over the quasi-identifier tuple
+  // (event_type, day-of-week, value bucketed to 100s) — "how many rows
+  // could be singled out if this event log were released". One keyed
+  // aggregation to group sizes, then a 1-row integer summary: group and
+  // row counts under k = 5 and k = 10. All-integer arithmetic except
+  // the two final rounded percentages. ──
+  def privacyKanon(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .groupBy(col("event_type"),
+        expr("pmod(datediff(day, DATE'1970-01-01'), 7)").as("dow"),
+        floor(col("value") / 100).as("vb"))
+      .agg(count(lit(1)).as("k"))
+    g.agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"),
+        sum((col("k") < 5).cast("long")).as("groups_lt_5"),
+        sum(when(col("k") < 5, col("k")).otherwise(lit(0L)))
+          .as("rows_lt_5"),
+        sum((col("k") < 10).cast("long")).as("groups_lt_10"),
+        sum(when(col("k") < 10, col("k")).otherwise(lit(0L)))
+          .as("rows_lt_10"))
+      .select(col("n_groups"), col("n_rows"),
+        col("groups_lt_5"), col("rows_lt_5"),
+        r6(col("rows_lt_5").cast("double") / col("n_rows"))
+          .as("pct_rows_lt_5"),
+        col("groups_lt_10"), col("rows_lt_10"),
+        r6(col("rows_lt_10").cast("double") / col("n_rows"))
+          .as("pct_rows_lt_10"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_changepoint"     -> statsChangepoint _,
+    "privacy_kanon"         -> privacyKanon _,
     "window_rsi"            -> windowRsi _,
     "hist_kde"              -> histKde _,
     "stats_qq"              -> statsQq _,
@@ -1942,6 +2001,47 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "stats_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1),
+        |pre AS (SELECT day, v,
+        |    row_number() OVER (ORDER BY day) AS t,
+        |    sum(v) OVER (ORDER BY day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS st
+        |  FROM daily),
+        |tot AS (SELECT count(*) AS n, sum(v) AS sn FROM daily)
+        |SELECT day AS change_day, CAST(t AS BIGINT) AS t,
+        |  n AS n_days,
+        |  round(CAST(abs(st * n - sn * t) AS DOUBLE) / n, 6) + 0.0
+        |    AS cusum_stat
+        |FROM pre CROSS JOIN tot
+        |WHERE t < n
+        |ORDER BY abs(st * n - sn * t) DESC, day LIMIT 1""".stripMargin,
+    "privacy_kanon" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(((CAST(ts AS DATE) - DATE '1970-01-01') % 7 + 7) % 7
+        |         AS INTEGER) AS dow,
+        |    CAST(floor("value" / 100) AS BIGINT) AS vb,
+        |    count(*) AS k
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_groups, CAST(sum(k) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_lt_5,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_lt_5,
+        |  round(sum(CASE WHEN k < 5 THEN k ELSE 0 END)
+        |        / CAST(sum(k) AS DOUBLE), 6) + 0.0 AS pct_rows_lt_5,
+        |  CAST(sum(CASE WHEN k < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_lt_10,
+        |  CAST(sum(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_lt_10,
+        |  round(sum(CASE WHEN k < 10 THEN k ELSE 0 END)
+        |        / CAST(sum(k) AS DOUBLE), 6) + 0.0 AS pct_rows_lt_10
+        |FROM g""".stripMargin,
     "window_rsi" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -281,7 +281,8 @@ class PlanShapeSpec extends SparkSuite {
       "text_zipf_fit",   // 1-row vocabulary-count broadcast vs 1-row fit
       "stats_ljung_box", // 1-row day-count broadcast vs 7-row ACF frame
       "stats_jsd",       // 1-row ref/cur-totals broadcast vs type frame
-      "hist_kde")        // 64-row grid broadcast vs the fact scan
+      "hist_kde",        // 64-row grid broadcast vs the fact scan
+      "stats_changepoint") // 1-row (n, S_n) totals broadcast vs day frame
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
