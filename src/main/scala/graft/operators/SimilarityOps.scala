@@ -251,7 +251,35 @@ object SimilarityOps {
       .orderBy("label", "rn")
   }
 
+  // ── per-dimension embedding hygiene: n / min / max / mean / std for
+  // every coordinate — the "is dimension 17 dead, saturated, or
+  // drifting" table read before trusting any downstream ANN or PCA.
+  // Coordinates enter the moment sums as DECIMAL(18,9) (the
+  // embed_centroid discipline: float→double is exact, the 9-dp decimal
+  // quantization is identical on both engines, and the decimal sum is
+  // order-independent), so mean/std are a single double op at the end.
+  // One posexplode + one keyed aggregation, partial map-side; the
+  // result is d rows regardless of corpus size. ──
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val d9 = col("x").cast("decimal(18,9)")
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        (round(min(col("x")), 6) + lit(0.0d)).as("dim_min"),
+        (round(max(col("x")), 6) + lit(0.0d)).as("dim_max"),
+        sum(d9).cast("double").as("sx"),
+        sum(d9 * d9).cast("double").as("sxx"))
+      .select(col("pos"), col("n"), col("dim_min"), col("dim_max"),
+        (round(col("sx") / col("n"), 6) + lit(0.0d)).as("dim_mean"),
+        (round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1)), 6) + lit(0.0d)).as("dim_std"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_dim_stats" -> embedDimStats _,
     "embed_outlier" -> embedOutlier _,
     "embed_align"    -> embedAlign _,
     "embed_knn_graph" -> embedKnnGraph _,
@@ -263,6 +291,22 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "embed_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |ex AS (SELECT CAST(generate_subscripts(v, 1) - 1 AS INTEGER)
+        |         AS pos, unnest(v) AS x FROM e),
+        |m AS (SELECT pos, count(*) AS n,
+        |    round(min(x), 6) + 0.0 AS dim_min,
+        |    round(max(x), 6) + 0.0 AS dim_max,
+        |    CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)))
+        |         AS DOUBLE) AS sxx
+        |  FROM ex GROUP BY 1)
+        |SELECT pos, n, dim_min, dim_max,
+        |  round(sx / n, 6) + 0.0 AS dim_mean,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) + 0.0 AS dim_std
+        |FROM m ORDER BY pos""".stripMargin,
     "embed_outlier" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ex AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM e),

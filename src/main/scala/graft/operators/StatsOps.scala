@@ -1462,7 +1462,37 @@ object StatsOps {
           .as("pct_rows_lt_10"))
   }
 
+  // ── forecast-accuracy backtest: per event_type, the MAE of the
+  // seasonal-naive forecast (v[day−7]) against the MAE of the plain
+  // naive (v[day−1]) over every day where both calendar lags exist —
+  // MASE < 1 means weekly structure beats persistence, i.e. the
+  // forecast_holt_winters seasonal machinery is earning its keep.
+  // Calendar joins (the stats_acf discipline), NOT row-lags, so gap
+  // days drop out identically on both engines; absolute errors are
+  // exact decimals and each reported ratio is ONE double division. ──
+  def forecastMase(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val d1 = daily.select(col("event_type"),
+      date_add(col("day"), 1).as("day"), col("v").as("v1"))
+    val d7 = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("v").as("v7"))
+    daily.join(d1, Seq("event_type", "day"))
+      .join(d7, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("v") - col("v1"))).as("sn"),
+        sum(abs(col("v") - col("v7"))).as("ss"))
+      .select(col("event_type"), col("n_eval"),
+        r6(col("sn").cast("double") / col("n_eval")).as("mae_naive"),
+        r6(col("ss").cast("double") / col("n_eval")).as("mae_snaive"),
+        r6(col("ss").cast("double") / col("sn").cast("double"))
+          .as("mase"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_mase"         -> forecastMase _,
     "stats_changepoint"     -> statsChangepoint _,
     "privacy_kanon"         -> privacyKanon _,
     "window_rsi"            -> windowRsi _,
@@ -2001,6 +2031,25 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "forecast_mase" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.v, b.v AS v1, c.v AS v7
+        |      FROM daily a
+        |      JOIN daily b ON a.event_type = b.event_type
+        |        AND b.day = a.day - 1
+        |      JOIN daily c ON a.event_type = c.event_type
+        |        AND c.day = a.day - 7)
+        |SELECT event_type, count(*) AS n_eval,
+        |  round(CAST(sum(abs(v - v1)) AS DOUBLE) / count(*), 6) + 0.0
+        |    AS mae_naive,
+        |  round(CAST(sum(abs(v - v7)) AS DOUBLE) / count(*), 6) + 0.0
+        |    AS mae_snaive,
+        |  round(CAST(sum(abs(v - v7)) AS DOUBLE) /
+        |        CAST(sum(abs(v - v1)) AS DOUBLE), 6) + 0.0 AS mase
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "stats_changepoint" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
