@@ -257,7 +257,27 @@ object CoreOps {
       .orderBy("r_name")
   }
 
+  // ── multi-aggregate pivot: day × event_type grid carrying TWO
+  // measures per cell (decimal-exact revenue sum + row count) — the
+  // "wide daily report" shape pivot_matrix's single-agg form can't
+  // express. Explicit value list (same §7.4 stance); Spark names the
+  // cells {value}_{aggAlias} and the oracle's FILTER aggregations use
+  // the identical names. Counts are coalesced to 0 so an empty cell
+  // agrees with SQL's COUNT; empty-cell sums stay NULL on both
+  // engines. ──
+  def pivotMulti(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(sumMoney(col("value")).as("rev"), count(col("value")).as("n"))
+    val cols = col("day") +: types.flatMap(t => Seq(col(s"${t}_rev"),
+      coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n")))
+    p.select(cols: _*).orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_multi"      -> pivotMulti _,
     "scan_events"      -> scanEvents _,
     "json_flatten"     -> jsonFlatten _,
     "null_filter"      -> nullFilter _,
@@ -285,6 +305,18 @@ object CoreOps {
     // column names (closing the §7.4 "pivot has no oracle" compromise);
     // avgMoney per cell = decimal sum / count, NULL when the cell is empty
     // in both engines
+    "pivot_multi" -> {
+      val cells = Seq("click", "error", "purchase", "signup", "view")
+        .map { t =>
+          s"""CAST(sum(CAST("value" AS DECIMAL(18,2)))
+             |  FILTER (WHERE event_type = '$t') AS DOUBLE) AS ${t}_rev,
+             |count("value") FILTER (WHERE event_type = '$t') AS ${t}_n"""
+            .stripMargin
+        }.mkString(",\n")
+      s"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |$cells
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+    },
     "pivot_matrix" -> {
       val cells = Seq("click", "error", "purchase", "signup", "view").map { t =>
         s"""CAST(sum(CAST("value" AS DECIMAL(18,2))) FILTER (WHERE event_type = '$t') AS DOUBLE)

@@ -282,7 +282,8 @@ class PlanShapeSpec extends SparkSuite {
       "stats_ljung_box", // 1-row day-count broadcast vs 7-row ACF frame
       "stats_jsd",       // 1-row ref/cur-totals broadcast vs type frame
       "hist_kde",        // 64-row grid broadcast vs the fact scan
-      "stats_changepoint") // 1-row (n, S_n) totals broadcast vs day frame
+      "stats_changepoint", // 1-row (n, S_n) totals broadcast vs day frame
+      "stats_hodges_lehmann") // 1-row count frame × 1-row median frame
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
