@@ -612,9 +612,64 @@ object MiningOps {
           .as("assortativity"))
   }
 
+  // ── local clustering coefficient per node: 2·T(v) / (d(v)·(d(v)−1))
+  // — "how clique-like is each part's co-purchase neighborhood". Reuses
+  // the graph_triangles edge-iterator shape (degree-ordered
+  // orientation, O(√E)-bounded out-adjacency, intersection per base
+  // edge) but EXPLODES each closing vertex instead of counting, so
+  // every triangle credits its three members exactly once — per-node
+  // counts then are one keyed aggregation, never a per-node wedge
+  // enumeration. Ratio is 2.0·int/int: one double op, no rounding
+  // discipline needed beyond the final r6. ──
+  def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val und = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct().cache()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d")).cache()
+    val withDeg = und
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))),
+        "v")
+    val dir2 = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("dst")).cache()
+    val adj = dir2.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    // cached: the credit union reads this frame three times
+    val triVerts = dir2
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")),
+        col("src") === col("u"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")),
+        col("dst") === col("v"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      .cache()
+    val credits = triVerts.select(col("src").as("node"))
+      .union(triVerts.select(col("dst").as("node")))
+      .union(triVerts.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("d") >= 2)
+      .join(credits, Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        r6(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+          (col("d") * (col("d") - 1))).as("coeff"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_common_neighbors" -> graphCommonNeighbors _,
     "graph_assortativity"    -> graphAssortativity _,
+    "graph_clustering_coeff" -> graphClusteringCoeff _,
     "graph_bfs"          -> graphBfs _,
     "skyline_2d"         -> skyline2d _,
     "pareto_abc"         -> paretoAbc _,
@@ -630,6 +685,37 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_clustering_coeff" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |          SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY 1),
+        |dir AS (
+        |  SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v)
+        |              THEN und.u ELSE und.v END AS src,
+        |         CASE WHEN (du.d, und.u) < (dv.d, und.v)
+        |              THEN und.v ELSE und.u END AS dst
+        |  FROM und
+        |  JOIN deg du ON und.u = du.node
+        |  JOIN deg dv ON und.v = dv.node),
+        |dr AS (SELECT dir.src, dir.dst, deg.d AS dd
+        |       FROM dir JOIN deg ON dir.dst = deg.node),
+        |t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |      FROM dr e1
+        |      JOIN dr e2 ON e1.src = e2.src
+        |        AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+        |      JOIN dir e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |cr AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |       UNION ALL SELECT c FROM t),
+        |tc AS (SELECT node, count(*) AS tri FROM cr GROUP BY 1)
+        |SELECT deg.node, deg.d, COALESCE(tc.tri, 0) AS tri,
+        |  round(2.0 * COALESCE(tc.tri, 0) / (deg.d * (deg.d - 1)), 6)
+        |    + 0.0 AS coeff
+        |FROM deg LEFT JOIN tc USING (node)
+        |WHERE deg.d >= 2 ORDER BY node""".stripMargin,
     "graph_assortativity" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |           FROM lineitem),

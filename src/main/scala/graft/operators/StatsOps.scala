@@ -1517,7 +1517,40 @@ object StatsOps {
         r6(col("walsh")).as("hl_estimate"))
   }
 
+  // ── inter-event gap histogram: per-user think-time deltas bucketed
+  // on a log-ish ladder (<1 s, <10 s, <1 min, <10 min, <1 h, ≥1 h) —
+  // the distribution that justifies (or indicts) the sessionizer's
+  // 30-minute timeout. Gaps are integer-second floors of µs
+  // differences (`div`, truncating; both engines floor the same
+  // nonnegative values), buckets and counts are pure integers, and the
+  // share divides by the 6-row frame's own window total. ──
+  def sessionGapHist(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val g = ev(spark, dir)
+      .select(col("user_id"), col("us"), col("event_id"))
+      .withColumn("prev", lag(col("us"), 1).over(wo))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_s", expr("(us - prev) div 1000000"))
+      .withColumn("b",
+        when(col("gap_s") < 1, 0).when(col("gap_s") < 10, 1)
+          .when(col("gap_s") < 60, 2).when(col("gap_s") < 600, 3)
+          .when(col("gap_s") < 3600, 4).otherwise(5))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    g.withColumn("bucket",
+        when(col("b") === 0, "lt_1s").when(col("b") === 1, "lt_10s")
+          .when(col("b") === 2, "lt_1m").when(col("b") === 3, "lt_10m")
+          .when(col("b") === 4, "lt_1h").otherwise("ge_1h"))
+      .withColumn("share",
+        r6(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy(lit(1)))))
+      .select(col("b").cast("int").as("b"), col("bucket"), col("cnt"),
+        col("share"))
+      .orderBy("b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_gap_hist"      -> sessionGapHist _,
     "stats_hodges_lehmann"  -> statsHodgesLehmann _,
     "forecast_mase"         -> forecastMase _,
     "stats_changepoint"     -> statsChangepoint _,
@@ -2058,6 +2091,30 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "session_gap_hist" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |g0 AS (SELECT user_id, us,
+        |    lag(us) OVER (PARTITION BY user_id
+        |                  ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |g AS (SELECT (us - prev) // 1000000 AS gap_s FROM g0
+        |      WHERE prev IS NOT NULL),
+        |b AS (SELECT CASE WHEN gap_s < 1 THEN 0 WHEN gap_s < 10 THEN 1
+        |             WHEN gap_s < 60 THEN 2 WHEN gap_s < 600 THEN 3
+        |             WHEN gap_s < 3600 THEN 4 ELSE 5 END AS b
+        |      FROM g),
+        |c AS (SELECT CAST(b AS INT) AS b, count(*) AS cnt
+        |      FROM b GROUP BY 1)
+        |SELECT b,
+        |  CASE b WHEN 0 THEN 'lt_1s' WHEN 1 THEN 'lt_10s'
+        |         WHEN 2 THEN 'lt_1m' WHEN 3 THEN 'lt_10m'
+        |         WHEN 4 THEN 'lt_1h' ELSE 'ge_1h' END AS bucket,
+        |  cnt,
+        |  round(cnt / CAST(sum(cnt) OVER () AS DOUBLE), 6) + 0.0 AS share
+        |FROM c ORDER BY b""".stripMargin,
     "stats_hodges_lehmann" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
