@@ -1549,7 +1549,42 @@ object StatsOps {
       .orderBy("b")
   }
 
+  // ── partial correlation r_xy·z = (r_xy − r_xz·r_yz) /
+  // √((1−r_xz²)(1−r_yz²)) for the lineitem measure pairs, controlling
+  // for discount — "is the qty↔price association real or
+  // discount-driven". The pairwise r's come from the engine's corr()
+  // and are ROUNDED to 6 dp before entering the formula (the
+  // stats_corr_matrix parity: corr is scale-invariant so pop/sample
+  // forms agree), so the partial is 6-dp arithmetic both engines
+  // reproduce bit-for-bit. One scan, one 1-row moment frame. ──
+  def statsPartialCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val m = li.agg(
+      r6(corr(col("l_quantity"), col("l_extendedprice"))).as("r_qp"),
+      r6(corr(col("l_quantity"), col("l_tax"))).as("r_qt"),
+      r6(corr(col("l_extendedprice"), col("l_tax"))).as("r_pt"),
+      r6(corr(col("l_quantity"), col("l_discount"))).as("r_qd"),
+      r6(corr(col("l_extendedprice"), col("l_discount"))).as("r_pd"),
+      r6(corr(col("l_tax"), col("l_discount"))).as("r_td"))
+    def partial(rxy: Column, rxz: Column, ryz: Column): Column =
+      r6((rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)))
+    m.withColumn("pqp", partial(col("r_qp"), col("r_qd"), col("r_pd")))
+      .withColumn("pqt", partial(col("r_qt"), col("r_qd"), col("r_td")))
+      .withColumn("ppt", partial(col("r_pt"), col("r_pd"), col("r_td")))
+      .select(expr("stack(3, " +
+        "'l_quantity', 'l_extendedprice', r_qp, pqp, " +
+        "'l_quantity', 'l_tax', r_qt, pqt, " +
+        "'l_extendedprice', 'l_tax', r_pt, ppt) " +
+        "as (x, y, r_xy, r_partial)"),
+        lit("l_discount").as("control"))
+      .select(col("x"), col("y"), col("control"), col("r_xy"),
+        col("r_partial"))
+      .orderBy("x", "y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_partial_corr"    -> statsPartialCorr _,
     "session_gap_hist"      -> sessionGapHist _,
     "stats_hodges_lehmann"  -> statsHodgesLehmann _,
     "forecast_mase"         -> forecastMase _,
@@ -2091,6 +2126,27 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "stats_partial_corr" ->
+      """WITH m AS (SELECT
+        |    round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS r_qp,
+        |    round(corr(l_quantity, l_tax), 6) + 0.0 AS r_qt,
+        |    round(corr(l_extendedprice, l_tax), 6) + 0.0 AS r_pt,
+        |    round(corr(l_quantity, l_discount), 6) + 0.0 AS r_qd,
+        |    round(corr(l_extendedprice, l_discount), 6) + 0.0 AS r_pd,
+        |    round(corr(l_tax, l_discount), 6) + 0.0 AS r_td
+        |  FROM lineitem),
+        |rows_ AS (
+        |  SELECT 'l_quantity' AS x, 'l_extendedprice' AS y,
+        |    r_qp AS r_xy, r_qd AS r_xz, r_pd AS r_yz FROM m
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax', r_qt, r_qd, r_td FROM m
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax', r_pt, r_pd, r_td FROM m)
+        |SELECT x, y, 'l_discount' AS control, r_xy,
+        |  round((r_xy - r_xz * r_yz) /
+        |        sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) + 0.0
+        |    AS r_partial
+        |FROM rows_ ORDER BY x, y""".stripMargin,
     "session_gap_hist" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

@@ -895,7 +895,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── multinomial naive-Bayes language classifier, trained and scored
+  // in pure SQL-expressible arithmetic (resubstitution protocol — the
+  // classic "can a unigram model separate the langs" diagnostic that
+  // text_lang_id's heuristic markers approximate): add-one-smoothed
+  // token likelihoods ln((c+1)/(T_l+V)), log-priors, per-(doc, lang)
+  // score = prior + Σ token log-probs. Log terms are rounded to 9 dp
+  // and summed in DECIMAL (the text_lm_score discipline), so the
+  // argmax compares exact decimals — no float ever picks the winner;
+  // ties break to the alphabetically first lang. The per-lang token
+  // table is vocabulary-sized (broadcasts at scale); scoring is one
+  // map-side join + a (doc, lang) aggregation. The tiny lang frame
+  // cross-joins the doc tokens (plan audit). ──
+  def textNbLang(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toksCol).as("tok"))
+      .filter(col("tok") =!= "").cache()
+    val priors = Tables.documents(spark, dir)
+      .groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
+      .withColumn("ntot",
+        sum(col("nd")).over(Window.partitionBy(lit(1))))
+      .withColumn("logprior",
+        round(log(col("nd").cast("double") / col("ntot")), 9)
+          .cast("decimal(18,9)"))
+    val vocab = f.agg(countDistinct(col("tok")).as("v"))
+    val totals = f.groupBy(col("lang").as("l"))
+      .agg(count(lit(1)).as("tl"))
+    val counts = f.groupBy(col("lang").as("l"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val langs = priors.select(col("l")).crossJoin(broadcast(vocab))
+      .join(totals, "l")
+    val scored = f.select(col("doc_id"), col("lang"), col("tok"))
+      .crossJoin(broadcast(langs))
+      .join(broadcast(counts), Seq("l", "tok"), "left")
+      .withColumn("logp",
+        round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("tl") + col("v"))), 9).cast("decimal(18,9)"))
+      .groupBy(col("doc_id"), col("lang"), col("l"))
+      .agg(sum(col("logp")).as("s"))
+      .join(broadcast(priors.select(col("l"), col("logprior"))), "l")
+      .withColumn("score", col("s") + col("logprior"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("l"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("l").as("pred_lang"),
+        (col("l") === col("lang")).as("correct"),
+        col("score").cast("double").as("nb_score"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_nb_lang"          -> textNbLang _,
     "text_heaps_law"        -> textHeapsLaw _,
     "text_chunk_overlap"    -> textChunkOverlap _,
     "text_zipf_fit"         -> textZipfFit _,
@@ -1126,6 +1178,39 @@ object TextOps {
         |        / count(*), 6) AS novelty
         |FROM sh s JOIN df d USING (shingle)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "text_nb_lang" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |ff AS (SELECT * FROM f WHERE tok <> ''),
+        |pr AS (SELECT lang AS l, count(*) AS nd FROM documents GROUP BY 1),
+        |pr2 AS (SELECT l,
+        |    CAST(round(ln(nd / CAST(sum(nd) OVER () AS DOUBLE)), 9)
+        |         AS DECIMAL(18,9)) AS logprior
+        |  FROM pr),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM ff),
+        |tl AS (SELECT lang AS l, count(*) AS tl FROM ff GROUP BY 1),
+        |c AS (SELECT lang AS l, tok, count(*) AS c FROM ff GROUP BY 1, 2),
+        |langs AS (SELECT pr2.l, pr2.logprior, tl.tl, v.v
+        |          FROM pr2 JOIN tl USING (l) CROSS JOIN v),
+        |sc AS (
+        |  SELECT ff.doc_id, ff.lang, langs.l, langs.logprior,
+        |    CAST(round(ln((COALESCE(c.c, 0) + 1) /
+        |                  CAST(langs.tl + langs.v AS DOUBLE)), 9)
+        |         AS DECIMAL(18,9)) AS logp
+        |  FROM ff CROSS JOIN langs
+        |  LEFT JOIN c ON c.l = langs.l AND c.tok = ff.tok),
+        |s AS (SELECT doc_id, lang, l,
+        |        sum(logp) + logprior AS score
+        |      FROM sc GROUP BY doc_id, lang, l, logprior),
+        |r AS (SELECT doc_id, lang, l, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, l) AS rn
+        |      FROM s)
+        |SELECT doc_id, lang AS true_lang, l AS pred_lang,
+        |  l = lang AS correct, CAST(score AS DOUBLE) AS nb_score
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "text_heaps_law" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
