@@ -666,10 +666,44 @@ object MiningOps {
       .orderBy("node")
   }
 
+  // ── item-item collaborative filtering: cosine over binary order
+  // baskets, cos(u,v) = |orders with both| / √(|orders u|·|orders v|),
+  // top-3 neighbors per item — the classic "customers also bought"
+  // table (assoc_rules' confidences are directional; this is the
+  // symmetric-normalized variant recommenders rank by). Pair counts
+  // come from the order-keyed self-join (fan-out bounded per order,
+  // never across orders); item totals broadcast; ranking compares the
+  // ROUNDED score so both engines break ties at identical values, then
+  // by neighbor id. ──
+  def recsysItemKnn(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val cnt = op.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
+    val pairs = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+    val scored = pairs
+      .join(broadcast(cnt.select(col("item").as("u"), col("n").as("nu"))),
+        "u")
+      .join(broadcast(cnt.select(col("item").as("v"), col("n").as("nv"))),
+        "v")
+      .withColumn("cos",
+        r6(col("c").cast("double") /
+          sqrt((col("nu") * col("nv")).cast("double"))))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("cos").desc, col("v"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("u").as("item"), col("rn"), col("v").as("neighbor"),
+        col("c").as("cooc"), col("cos"))
+      .orderBy("item", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_common_neighbors" -> graphCommonNeighbors _,
     "graph_assortativity"    -> graphAssortativity _,
     "graph_clustering_coeff" -> graphClusteringCoeff _,
+    "recsys_item_knn"        -> recsysItemKnn _,
     "graph_bfs"          -> graphBfs _,
     "skyline_2d"         -> skyline2d _,
     "pareto_abc"         -> paretoAbc _,
@@ -685,6 +719,24 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "recsys_item_knn" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |cnt AS (SELECT p AS item, count(*) AS n FROM op GROUP BY 1),
+        |pairs AS (SELECT a.p AS u, b.p AS v, count(*) AS c
+        |          FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+        |          GROUP BY 1, 2),
+        |sc AS (SELECT pairs.u, pairs.v, pairs.c,
+        |    round(pairs.c / sqrt(CAST(cu.n * cv.n AS DOUBLE)), 6) + 0.0
+        |      AS cos
+        |  FROM pairs
+        |  JOIN cnt cu ON pairs.u = cu.item
+        |  JOIN cnt cv ON pairs.v = cv.item),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY u
+        |                ORDER BY cos DESC, v) AS rn FROM sc)
+        |SELECT u AS item, CAST(rn AS INT) AS rn, v AS neighbor,
+        |  CAST(c AS BIGINT) AS cooc, cos
+        |FROM r WHERE rn <= 3 ORDER BY item, rn""".stripMargin,
     "graph_clustering_coeff" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |           FROM lineitem),

@@ -1583,7 +1583,38 @@ object StatsOps {
       .orderBy("x", "y")
   }
 
+  // ── Cohen's d effect size for every event_type pair: the
+  // magnitude companion to stats_ttest's p-values (a tiny p with
+  // d ≈ 0 is noise at scale, not signal). Per-group (n, Σv, Σv²)
+  // decimal sums → sample variances; pooled SD and d are identical
+  // double chains on both engines. The 5-row moment frame self-joins
+  // on a < b (plan audit: group-domain frame, never fact-sized). ──
+  def statsCohensD(spark: SparkSession, dir: String): DataFrame = {
+    val d2 = col("value").cast("decimal(18,2)")
+    val m = ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(d2).cast("double").as("sx"),
+        sum(d2 * d2).cast("double").as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1)).as("var"))
+    val a = m.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("mean").as("ma"), col("var").as("va"))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("mean").as("mb"), col("var").as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        r6(col("ma")).as("mean_a"), r6(col("mb")).as("mean_b"),
+        r6((col("ma") - col("mb")) /
+          sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb"))
+            / (col("na") + col("nb") - 2))).as("cohens_d"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cohens_d"        -> statsCohensD _,
     "stats_partial_corr"    -> statsPartialCorr _,
     "session_gap_hist"      -> sessionGapHist _,
     "stats_hodges_lehmann"  -> statsHodgesLehmann _,
@@ -2126,6 +2157,25 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "stats_cohens_d" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2)) *
+        |             CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT event_type, n, sx / n AS mean,
+        |        (sxx - sx * sx / n) / (n - 1) AS var
+        |      FROM m)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.n AS na, b.n AS nb,
+        |  round(a.mean, 6) + 0.0 AS mean_a,
+        |  round(b.mean, 6) + 0.0 AS mean_b,
+        |  round((a.mean - b.mean) /
+        |        sqrt(((a.n - 1) * a.var + (b.n - 1) * b.var) /
+        |             (a.n + b.n - 2)), 6) + 0.0 AS cohens_d
+        |FROM s a JOIN s b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "stats_partial_corr" ->
       """WITH m AS (SELECT
         |    round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS r_qp,

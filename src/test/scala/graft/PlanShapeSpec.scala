@@ -284,7 +284,8 @@ class PlanShapeSpec extends SparkSuite {
       "hist_kde",        // 64-row grid broadcast vs the fact scan
       "stats_changepoint", // 1-row (n, S_n) totals broadcast vs day frame
       "stats_hodges_lehmann", // 1-row count frame × 1-row median frame
-      "text_nb_lang")    // |langs|-row model frame broadcast vs doc tokens
+      "text_nb_lang",    // |langs|-row model frame broadcast vs doc tokens
+      "stats_cohens_d")  // 5-row moment frame self-pair on a < b
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
