@@ -1613,7 +1613,60 @@ object StatsOps {
       .orderBy("type_a", "type_b")
   }
 
+  // ── empirical CDF per event_type, evaluated on ONE shared 21-point
+  // global grid (so the 5 curves are directly comparable — the visual
+  // twin of stats_ks's max-gap statistic). F(g) = |v ≤ g| / n is pure
+  // integer counting; the grid points are the identical double chain
+  // on both engines, and the ≤ comparisons branch on identical
+  // doubles. The 21-row grid broadcasts (plan audit); the expansion is
+  // map-side and collapses into 105 output rows. ──
+  def statsEcdf(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("event_type"), col("value"))
+    val st = e.agg(min(col("value")).cast("double").as("lo"),
+      max(col("value")).cast("double").as("hi"))
+    val grid = st.select(col("lo"), col("hi"),
+        explode(sequence(lit(0), lit(20))).as("j"))
+      .withColumn("gx",
+        col("lo") + (col("hi") - col("lo")) * col("j").cast("double") / 20)
+    e.crossJoin(broadcast(grid))
+      .groupBy(col("event_type"), col("j"), col("gx"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") <= col("gx")).cast("long")).as("c"))
+      .select(col("event_type"), col("j").cast("int").as("grid_id"),
+        r6(col("gx")).as("x"),
+        r6(col("c").cast("double") / col("n")).as("ecdf"))
+      .orderBy("event_type", "grid_id")
+  }
+
+  // ── effective sample size under importance reweighting to a UNIFORM
+  // event-type mix: w_t = n/(k·c_t), ESS = (Σw)²/Σw² — the one number
+  // that says whether rebalancing by weighting (sample_temperature's
+  // alternative) would collapse onto a handful of rare-class rows.
+  // Weights are ROUNDED before use so the 3.0 clip branches
+  // identically; Σ's run over the k-row class frame, not the corpus.
+  // The 1-row totals broadcast (plan audit). ──
+  def sampleEss(spark: SparkSession, dir: String): DataFrame = {
+    val c = ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ct"))
+    val tot = c.agg(sum(col("ct")).as("n"), count(lit(1)).as("k"))
+    val w = c.crossJoin(broadcast(tot))
+      .withColumn("w",
+        r6(col("n").cast("double") / (col("k") * col("ct"))))
+      .withColumn("wc", least(col("w"), lit(3.0)))
+    w.groupBy(col("n"), col("k"))
+      .agg(sum(col("ct") * col("w")).as("sw"),
+        sum(col("ct") * col("w") * col("w")).as("sww"),
+        sum(col("ct") * col("wc")).as("scw"),
+        sum(col("ct") * col("wc") * col("wc")).as("scww"))
+      .select(col("n"), col("k").cast("int").as("n_types"),
+        r6(col("sw") * col("sw") / col("sww")).as("ess_raw"),
+        r6(col("scw") * col("scw") / col("scww")).as("ess_clipped"),
+        r6(col("sw") * col("sw") / col("sww") / col("n")).as("ess_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ecdf"            -> statsEcdf _,
+    "sample_ess"            -> sampleEss _,
     "stats_cohens_d"        -> statsCohensD _,
     "stats_partial_corr"    -> statsPartialCorr _,
     "session_gap_hist"      -> sessionGapHist _,
@@ -2157,6 +2210,37 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "stats_ecdf" ->
+      """WITH st AS (SELECT CAST(min("value") AS DOUBLE) AS lo,
+        |                   CAST(max("value") AS DOUBLE) AS hi
+        |            FROM events),
+        |grid AS (SELECT CAST(j AS BIGINT) AS j,
+        |    lo + (hi - lo) * CAST(j AS DOUBLE) / 20 AS gx
+        |  FROM st CROSS JOIN (SELECT unnest(range(0, 21)) AS j))
+        |SELECT event_type, CAST(j AS INT) AS grid_id,
+        |  round(gx, 6) + 0.0 AS x,
+        |  round(sum(CASE WHEN "value" <= gx THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 6) + 0.0 AS ecdf
+        |FROM events CROSS JOIN grid
+        |GROUP BY event_type, j, gx
+        |ORDER BY event_type, grid_id""".stripMargin,
+    "sample_ess" ->
+      """WITH c AS (SELECT event_type, count(*) AS ct
+        |           FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n, count(*) AS k
+        |        FROM c),
+        |w AS (SELECT c.ct, tot.n, tot.k,
+        |    round(n / CAST(k * ct AS DOUBLE), 6) + 0.0 AS w
+        |  FROM c CROSS JOIN tot),
+        |w2 AS (SELECT *, least(w, 3.0) AS wc FROM w)
+        |SELECT n, CAST(k AS INT) AS n_types,
+        |  round(sum(ct * w) * sum(ct * w) / sum(ct * w * w), 6) + 0.0
+        |    AS ess_raw,
+        |  round(sum(ct * wc) * sum(ct * wc) / sum(ct * wc * wc), 6) + 0.0
+        |    AS ess_clipped,
+        |  round(sum(ct * w) * sum(ct * w) / sum(ct * w * w) / n, 6) + 0.0
+        |    AS ess_frac
+        |FROM w2 GROUP BY n, k""".stripMargin,
     "stats_cohens_d" ->
       """WITH m AS (
         |  SELECT event_type, count(*) AS n,

@@ -285,7 +285,9 @@ class PlanShapeSpec extends SparkSuite {
       "stats_changepoint", // 1-row (n, S_n) totals broadcast vs day frame
       "stats_hodges_lehmann", // 1-row count frame × 1-row median frame
       "text_nb_lang",    // |langs|-row model frame broadcast vs doc tokens
-      "stats_cohens_d")  // 5-row moment frame self-pair on a < b
+      "stats_cohens_d",  // 5-row moment frame self-pair on a < b
+      "stats_ecdf",      // 21-row grid broadcast vs the fact scan
+      "sample_ess")      // 1-row totals broadcast vs the class frame
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
