@@ -1664,7 +1664,55 @@ object StatsOps {
         r6(col("sw") * col("sw") / col("sww") / col("n")).as("ess_frac"))
   }
 
+  // ── growth-rate table: per-type daily revenue with day-over-day and
+  // week-over-week percentage change via CALENDAR joins (gap days give
+  // NULL growth on both engines, never a wrong row-lag). The decimal
+  // daily sums are cast to double once and each rate is one subtraction
+  // + one division on identical doubles. ──
+  def windowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    val d1 = daily.select(col("event_type"),
+      date_add(col("day"), 1).as("day"), col("v").as("v1"))
+    val d7 = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("v").as("v7"))
+    daily.join(d1, Seq("event_type", "day"), "left")
+      .join(d7, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("v").as("rev"),
+        r6((col("v") - col("v1")) / col("v1") * 100).as("dod_pct"),
+        r6((col("v") - col("v7")) / col("v7") * 100).as("wow_pct"))
+      .orderBy("event_type", "day")
+  }
+
+  // ── order-fulfilment backlog curve: lines placed vs lines shipped,
+  // cumulated over the calendar — the operational "are we falling
+  // behind" series. Two keyed day-counts full-outer-joined on the day
+  // spine, integer prefix sums over the |days|-sized frame (the fact
+  // table never enters a window). ──
+  def backlogCurve(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_d"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ord_d")),
+        col("l_orderkey") === col("o_orderkey"))
+    val placed = li.groupBy(col("ord_d").as("day"))
+      .agg(count(lit(1)).as("placed"))
+    val shipped = li.groupBy(col("ship_d").as("day"))
+      .agg(count(lit(1)).as("shipped"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    placed.join(shipped, Seq("day"), "full_outer")
+      .select(col("day"), coalesce(col("placed"), lit(0L)).as("placed"),
+        coalesce(col("shipped"), lit(0L)).as("shipped"))
+      .withColumn("cum_placed", sum(col("placed")).over(w))
+      .withColumn("cum_shipped", sum(col("shipped")).over(w))
+      .withColumn("backlog", col("cum_placed") - col("cum_shipped"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_growth"         -> windowGrowth _,
+    "backlog_curve"         -> backlogCurve _,
     "stats_ecdf"            -> statsEcdf _,
     "sample_ess"            -> sampleEss _,
     "stats_cohens_d"        -> statsCohensD _,
@@ -2210,6 +2258,40 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "window_growth" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, a.day, a.v AS rev,
+        |  round((a.v - b.v) / b.v * 100, 6) + 0.0 AS dod_pct,
+        |  round((a.v - c.v) / c.v * 100, 6) + 0.0 AS wow_pct
+        |FROM daily a
+        |LEFT JOIN daily b ON a.event_type = b.event_type
+        |  AND b.day = a.day - 1
+        |LEFT JOIN daily c ON a.event_type = c.event_type
+        |  AND c.day = a.day - 7
+        |ORDER BY a.event_type, a.day""".stripMargin,
+    "backlog_curve" ->
+      """WITH li AS (
+        |  SELECT CAST(l.l_shipdate AS DATE) AS ship_d,
+        |         CAST(o.o_orderdate AS DATE) AS ord_d
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |p AS (SELECT ord_d AS day, count(*) AS placed FROM li GROUP BY 1),
+        |s AS (SELECT ship_d AS day, count(*) AS shipped FROM li GROUP BY 1),
+        |j AS (SELECT COALESCE(p.day, s.day) AS day,
+        |        COALESCE(p.placed, 0) AS placed,
+        |        COALESCE(s.shipped, 0) AS shipped
+        |      FROM p FULL OUTER JOIN s ON p.day = s.day)
+        |SELECT day, placed, shipped,
+        |  CAST(sum(placed) OVER w AS BIGINT) AS cum_placed,
+        |  CAST(sum(shipped) OVER w AS BIGINT) AS cum_shipped,
+        |  CAST(sum(placed) OVER w - sum(shipped) OVER w AS BIGINT)
+        |    AS backlog
+        |FROM j
+        |WINDOW w AS (ORDER BY day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "stats_ecdf" ->
       """WITH st AS (SELECT CAST(min("value") AS DOUBLE) AS lo,
         |                   CAST(max("value") AS DOUBLE) AS hi
