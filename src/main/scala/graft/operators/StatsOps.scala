@@ -1710,7 +1710,74 @@ object StatsOps {
       .orderBy("day")
   }
 
+  // ── Granger-style predictive test: does yesterday's CLICK volume
+  // help predict today's PURCHASE revenue beyond purchase's own lag?
+  // Uses the partial-correlation identity — F(1, n−3) =
+  // (n−3)·r²_p/(1−r²_p) with r_p = corr(y_t, x_{t−1} | y_{t−1}) — so
+  // the whole test is three pairwise correlations (ROUNDED, the
+  // stats_partial_corr parity) and pure 6-dp arithmetic; no normal
+  // equations, no matrix solve. Lags are calendar joins on the
+  // two-series day frame. Reject at the F(1,60) ≈ 4.00 5% line on the
+  // rounded statistic. ──
+  def statsGranger(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    val y = daily.filter(col("event_type") === "purchase")
+      .select(col("day"), col("v").as("y"))
+    val x = daily.filter(col("event_type") === "click")
+      .select(col("day"), col("v").as("x"))
+    val frame = y
+      .join(y.select(date_add(col("day"), 1).as("day"),
+        col("y").as("ylag")), "day")
+      .join(x.select(date_add(col("day"), 1).as("day"),
+        col("x").as("xlag")), "day")
+    val m = frame.agg(count(lit(1)).as("n"),
+      r6(corr(col("y"), col("xlag"))).as("r_yx"),
+      r6(corr(col("y"), col("ylag"))).as("r_yy"),
+      r6(corr(col("xlag"), col("ylag"))).as("r_xy"))
+    m.select(col("n"),
+        r6((col("r_yx") - col("r_yy") * col("r_xy")) /
+          sqrt((lit(1.0) - col("r_yy") * col("r_yy")) *
+            (lit(1.0) - col("r_xy") * col("r_xy")))).as("r_partial"),
+        col("r_yx"), col("r_yy"))
+      .withColumn("f_stat",
+        r6((col("n") - 3).cast("double") * col("r_partial") *
+          col("r_partial") /
+          (lit(1.0) - col("r_partial") * col("r_partial"))))
+      .withColumn("reject_5pct", col("f_stat") > 4.0)
+      .select(col("n"), col("r_yx"), col("r_yy"), col("r_partial"),
+        col("f_stat"), col("reject_5pct"))
+  }
+
+  // ── data-volume anomaly days: daily row counts against the robust
+  // median ± 3.5·MAD band (the anomaly_mad discipline applied to the
+  // PIPELINE itself — a day whose ingest volume collapses or doubles
+  // is a data incident before it is a statistics incident). Counts
+  // are integers; median and MAD are explicit middle pairs; the band
+  // compares the integer count against the ROUNDED threshold so both
+  // engines flag identical days. ──
+  def dqVolumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val c = ev(spark, dir).groupBy(col("day"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val med = explicitMedian(c.select(col("cnt")), "cnt", Nil)
+      .select(col("cnt").as("med"))
+    val dev = c.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("cnt") - col("med")))
+    val mad = explicitMedian(dev.select(col("dev")), "dev", Nil)
+      .select(col("dev").as("mad"))
+    c.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("day"), col("cnt").cast("long").as("n_rows"),
+        r6(col("med")).as("med"), r6(col("mad")).as("mad"),
+        (abs(col("cnt") - col("med")) >
+          r6(lit(3.5) * col("mad"))).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_granger"         -> statsGranger _,
+    "dq_volume_anomaly"     -> dqVolumeAnomaly _,
     "window_growth"         -> windowGrowth _,
     "backlog_curve"         -> backlogCurve _,
     "stats_ecdf"            -> statsEcdf _,
@@ -2258,6 +2325,52 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "stats_granger" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |y AS (SELECT day, v AS y FROM daily WHERE event_type = 'purchase'),
+        |x AS (SELECT day, v AS x FROM daily WHERE event_type = 'click'),
+        |f AS (SELECT a.day, a.y, b.y AS ylag, c.x AS xlag
+        |      FROM y a JOIN y b ON b.day = a.day - 1
+        |      JOIN x c ON c.day = a.day - 1),
+        |m AS (SELECT count(*) AS n,
+        |    round(corr(y, xlag), 6) + 0.0 AS r_yx,
+        |    round(corr(y, ylag), 6) + 0.0 AS r_yy,
+        |    round(corr(xlag, ylag), 6) + 0.0 AS r_xy
+        |  FROM f),
+        |p AS (SELECT n, r_yx, r_yy,
+        |    round((r_yx - r_yy * r_xy) /
+        |          sqrt((1.0 - r_yy * r_yy) * (1.0 - r_xy * r_xy)), 6)
+        |      + 0.0 AS r_partial
+        |  FROM m),
+        |q AS (SELECT *,
+        |    round(CAST(n - 3 AS DOUBLE) * r_partial * r_partial /
+        |          (1.0 - r_partial * r_partial), 6) + 0.0 AS f_stat
+        |  FROM p)
+        |SELECT n, r_yx, r_yy, r_partial, f_stat,
+        |  f_stat > 4.0 AS reject_5pct
+        |FROM q""".stripMargin,
+    "dq_volume_anomaly" ->
+      """WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS cnt FROM events GROUP BY 1),
+        |mr AS (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
+        |              count(*) OVER () AS m FROM c),
+        |med AS (SELECT avg(cnt) AS med FROM mr
+        |        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2),
+        |dv AS (SELECT abs(c.cnt - med.med) AS dev
+        |       FROM c CROSS JOIN med),
+        |dr AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn,
+        |              count(*) OVER () AS m FROM dv),
+        |mad AS (SELECT avg(dev) AS mad FROM dr
+        |        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2)
+        |SELECT c.day, CAST(c.cnt AS BIGINT) AS n_rows,
+        |  round(med.med, 6) + 0.0 AS med, round(mad.mad, 6) + 0.0 AS mad,
+        |  abs(c.cnt - med.med) > round(3.5 * mad.mad, 6) + 0.0
+        |    AS is_anomaly
+        |FROM c CROSS JOIN med CROSS JOIN mad ORDER BY day""".stripMargin,
     "window_growth" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -287,7 +287,8 @@ class PlanShapeSpec extends SparkSuite {
       "text_nb_lang",    // |langs|-row model frame broadcast vs doc tokens
       "stats_cohens_d",  // 5-row moment frame self-pair on a < b
       "stats_ecdf",      // 21-row grid broadcast vs the fact scan
-      "sample_ess")      // 1-row totals broadcast vs the class frame
+      "sample_ess",      // 1-row totals broadcast vs the class frame
+      "dq_volume_anomaly") // 1-row median + 1-row MAD broadcasts
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
