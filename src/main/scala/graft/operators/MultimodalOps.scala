@@ -257,7 +257,37 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  // ── caption↔embedding training manifest: the contrastive-pair
+  // prep step that joins the text table to its media-embedding twin
+  // (doc_id ≡ vec_id), carrying caption stats, the embedding L2 norm
+  // (sequential-fold dot product — the sim_search parity), and the
+  // SAME portable-hash split split_train_eval assigns, so a pair
+  // never straddles train/eval. Equi join on the id, one pass each
+  // side. ──
+  def multimodalCaptionManifest(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("n_toks"),
+        expr("pmod(pmod(doc_id, 2147483648) * 2654435761, 2147483648)" +
+          " % 1000000").as("u"))
+      .withColumn("split",
+        when(col("u") < 980000, "train")
+          .when(col("u") < 990000, "val").otherwise("test"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("label"),
+        (round(sqrt(DedupOps.dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))), 6) + lit(0.0d))
+          .as("emb_norm"))
+    docs.join(vecs, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("label"),
+        col("emb_norm"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_caption_manifest" -> multimodalCaptionManifest _,
     "multimodal_audio_energy" -> multimodalAudioEnergy _,
     "multimodal_scene_cut" -> multimodalSceneCut _,
     "multimodal_phash"    -> multimodalPhash _,
@@ -268,6 +298,25 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "multimodal_caption_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks,
+        |    ((doc_id % 2147483648) * 2654435761 % 2147483648) % 1000000
+        |      AS u
+        |  FROM documents),
+        |ds AS (SELECT doc_id, lang, CAST(n_toks AS INT) AS n_toks,
+        |    CASE WHEN u < 980000 THEN 'train'
+        |         WHEN u < 990000 THEN 'val' ELSE 'test' END AS split
+        |  FROM d),
+        |v AS (SELECT vec_id AS doc_id, label,
+        |    round(sqrt(list_aggregate(
+        |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        |      'sum')), 6) + 0.0 AS emb_norm
+        |  FROM embeddings)
+        |SELECT ds.doc_id, ds.lang, ds.n_toks, v.label, v.emb_norm,
+        |  ds.split
+        |FROM ds JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the identical integer byte sampling; list_sum/list_transform are
     // the aggregate/sequence twins
     "multimodal_audio_energy" ->

@@ -554,11 +554,35 @@ object IngestPipeline {
       .orderBy("hour_s", "event_type")
   }
 
+  // ── exact distinct users per tumbling hour — the batch twin of the
+  // streaming dropDuplicates(h, user) → windowed count pipeline
+  // (IngestPipelineSpec pins the file-stream form equal). countDistinct
+  // is unsupported inside a streaming aggregation, so the STREAM
+  // expresses it as dedup-then-count; this batch form is the semantics
+  // both must agree on. In production the stream carries a watermark so
+  // the dedup state ages out with the window. ──
+  def streamTumblingUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_s"),
+        col("users"), col("cnt"))
+      .orderBy("hour_s")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_avg" -> streamTumblingAvg _,
+    "stream_tumbling_users" -> streamTumblingUsers _,
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_tumbling_users" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_s,
+        |  count(DISTINCT user_id) AS users, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY hour_s""".stripMargin,
     "stream_tumbling_avg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
         |  event_type, count(*) AS cnt,

@@ -159,6 +159,45 @@ class IngestPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-stream dedup-then-count equals the batch tumbling-users key") {
+    // countDistinct is unsupported in a streaming aggregation; the
+    // streaming form is dropDuplicates(hour, user) → windowed count.
+    // This pins that rewrite equal to the batch countDistinct key.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val landing = java.nio.file.Files.createTempDirectory("graft_landing_u")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      landing.resolve("batch-000.parquet"))
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream0 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val agg = stream
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .dropDuplicates("h", "user_id")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("users"))
+      .select(col("window.start").as("h"), col("users"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("stream_users").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM stream_users")
+        .as[(java.sql.Timestamp, Long)].collect()
+        .map(r => r._1.toInstant.toString -> r._2).toMap
+      val batch = graft.streaming.IngestPipeline
+        .streamTumblingUsers(spark, sf0001)
+        .select(to_timestamp(col("hour_s")).as("h"), col("users"))
+        .as[(java.sql.Timestamp, Long)].collect()
+        .map(r => r._1.toInstant.toString -> r._2).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("file-stream hopping window equals the batch window_hopping key") {
     // window(ts, 15m, 5m) is the SAME generator in both execution modes —
     // a backfill via RelationalOps.windowHopping and the live stream must
