@@ -1775,7 +1775,74 @@ object StatsOps {
       .orderBy("day")
   }
 
+  // ── mutual information between event_type and the value's 100-band
+  // bucket, with the normalized variant NMI = I/√(H_t·H_b) — the
+  // dependence measure stats_chi2 tests but doesn't quantify in bits.
+  // Every probability is an exact bigint ratio; each log argument is a
+  // ratio of exact integer PRODUCTS (c·n vs r·s, both inside int64),
+  // so the two engines feed ln identical doubles and the ≤35-term sums
+  // round at 6 dp. Marginals join back equi (hash); the 1-row total
+  // broadcasts (plan audit). ──
+  def statsMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val j = ev(spark, dir)
+      .groupBy(col("event_type"), floor(col("value") / 100).as("vb"))
+      .agg(count(lit(1)).as("c")).cache()
+    val rT = j.groupBy(col("event_type")).agg(sum(col("c")).as("r"))
+    val cT = j.groupBy(col("vb")).agg(sum(col("c")).as("s"))
+    val n = j.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    val mi = j.join(rT, "event_type").join(cT, "vb")
+      .crossJoin(broadcast(n))
+      .agg(r6(sum((col("c").cast("double") / col("n")) *
+        log((col("c") * col("n")).cast("double") /
+          (col("r") * col("s")).cast("double")))).as("mi_nats"))
+    val hT = rT.crossJoin(broadcast(n.select(col("n"))))
+      .agg(r6(-sum((col("r").cast("double") / col("n")) *
+        log(col("r").cast("double") / col("n")))).as("h_type"))
+    val hB = cT.crossJoin(broadcast(n.select(col("n"))))
+      .agg(r6(-sum((col("s").cast("double") / col("n")) *
+        log(col("s").cast("double") / col("n")))).as("h_bucket"))
+    n.crossJoin(broadcast(mi)).crossJoin(broadcast(hT))
+      .crossJoin(broadcast(hB))
+      .select(col("n"), col("n_cells"), col("mi_nats"),
+        col("h_type"), col("h_bucket"),
+        r6(col("mi_nats") / sqrt(col("h_type") * col("h_bucket")))
+          .as("nmi"))
+  }
+
+  // ── Lorenz curve of user spend: users ranked by (spend, id) into 10
+  // explicit integer deciles — ((rn−1)·10) div m + 1, never ntile() —
+  // each decile's user count and DECIMAL-exact spend, and the running
+  // cumulative share. The rank runs over the user-dimension frame (the
+  // stats_gini waiver class: |users|, not |events|); everything until
+  // the two share divisions is integer/decimal-exact. ──
+  def distLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val spend = ev(spark, dir).groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val wo = Window.orderBy(col("v"), col("user_id"))
+    val m = Window.partitionBy(lit(1))
+    val ranked = spend
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("tot", sum(col("v")).over(m))
+      .withColumn("decile", expr("((rn - 1) * 10) div m + 1"))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v")).as("spend"), first(col("tot")).as("tot"))
+      .withColumn("cum_spend",
+        sum(col("spend")).over(Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile").cast("int").as("decile"), col("n_users"),
+        col("spend").cast("double").as("spend"),
+        r6(col("spend").cast("double") / col("tot").cast("double"))
+          .as("share"),
+        r6(col("cum_spend").cast("double") / col("tot").cast("double"))
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mutual_info"     -> statsMutualInfo _,
+    "dist_lorenz"           -> distLorenz _,
     "stats_granger"         -> statsGranger _,
     "dq_volume_anomaly"     -> dqVolumeAnomaly _,
     "window_growth"         -> windowGrowth _,
@@ -2325,6 +2392,49 @@ object StatsOps {
         |  round(((sg - t * t / nn) / (k - 1)) /
         |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
         |FROM t""".stripMargin,
+    "stats_mutual_info" ->
+      """WITH j AS (SELECT event_type,
+        |    CAST(floor("value" / 100) AS BIGINT) AS vb, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS r
+        |      FROM j GROUP BY 1),
+        |s AS (SELECT vb, CAST(sum(c) AS BIGINT) AS s FROM j GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_cells
+        |      FROM j),
+        |mi AS (SELECT round(sum((c / CAST(n.n AS DOUBLE)) *
+        |         ln(CAST(c * n.n AS DOUBLE) /
+        |            CAST(r.r * s.s AS DOUBLE))), 6) + 0.0 AS mi_nats
+        |       FROM j JOIN r USING (event_type) JOIN s USING (vb)
+        |       CROSS JOIN n),
+        |ht AS (SELECT round(-sum((r / CAST(n.n AS DOUBLE)) *
+        |         ln(r / CAST(n.n AS DOUBLE))), 6) + 0.0 AS h_type
+        |       FROM r CROSS JOIN n),
+        |hb AS (SELECT round(-sum((s / CAST(n.n AS DOUBLE)) *
+        |         ln(s / CAST(n.n AS DOUBLE))), 6) + 0.0 AS h_bucket
+        |       FROM s CROSS JOIN n)
+        |SELECT n.n, n.n_cells, mi.mi_nats, ht.h_type, hb.h_bucket,
+        |  round(mi.mi_nats / sqrt(ht.h_type * hb.h_bucket), 6) + 0.0
+        |    AS nmi
+        |FROM n CROSS JOIN mi CROSS JOIN ht CROSS JOIN hb""".stripMargin,
+    "dist_lorenz" ->
+      """WITH spend AS (SELECT user_id,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, user_id) AS rn,
+        |        count(*) OVER () AS m, sum(v) OVER () AS tot
+        |      FROM spend),
+        |d AS (SELECT ((rn - 1) * 10) // m + 1 AS decile, v, tot FROM r),
+        |g AS (SELECT decile, count(*) AS n_users, sum(v) AS spend,
+        |        any_value(tot) AS tot
+        |      FROM d GROUP BY 1)
+        |SELECT CAST(decile AS INT) AS decile, n_users,
+        |  CAST(spend AS DOUBLE) AS spend,
+        |  round(CAST(spend AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0
+        |    AS share,
+        |  round(CAST(sum(spend) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS cum_share
+        |FROM g ORDER BY decile""".stripMargin,
     "stats_granger" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,

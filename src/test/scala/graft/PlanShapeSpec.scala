@@ -288,7 +288,8 @@ class PlanShapeSpec extends SparkSuite {
       "stats_cohens_d",  // 5-row moment frame self-pair on a < b
       "stats_ecdf",      // 21-row grid broadcast vs the fact scan
       "sample_ess",      // 1-row totals broadcast vs the class frame
-      "dq_volume_anomaly") // 1-row median + 1-row MAD broadcasts
+      "dq_volume_anomaly", // 1-row median + 1-row MAD broadcasts
+      "stats_mutual_info") // 1-row total/entropy frames combined
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .foreach { case (name, fn) =>
