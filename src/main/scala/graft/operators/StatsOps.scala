@@ -1840,7 +1840,76 @@ object StatsOps {
       .orderBy("decile")
   }
 
+  // ── Kruskal–Wallis H: does `value`'s LOCATION differ across event
+  // types — the k-group nonparametric ANOVA (stats_anova assumes
+  // normality; stats_mannwhitney compares exactly two groups; this is
+  // the k-group rank form between them). The rank device is the grid
+  // trick, not a global sort: values collapse to exact CENTS, doubled
+  // average ranks come from the distinct-cents frame (2r = 2·F + t + 1
+  // with F = count below, t = ties at the value) — the cents grid is
+  // bounded (≤100k rows) FOREVER, so the only window in the plan runs
+  // on a fixed-size frame no matter how many events exist. Per-group
+  // rank sums S2_g and counts are exact int64 (S2 ≤ 2N·n_g, inside
+  // 2^53, so the double cast before squaring is exact); the tie term
+  // Σ(t³−t) accumulates in DECIMAL(38,0) because a concentrated value
+  // can push t³ past int64 at corpus scale. One double division per
+  // output column, cast-first on both engines. ──
+  def statsKruskal(spark: SparkSession, dir: String): DataFrame = {
+    val j = ev(spark, dir)
+      .groupBy(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("c")).cache()
+    val t = j.groupBy(col("cents")).agg(sum(col("c")).as("t"))
+    val f = t.withColumn("fb",
+      sum(col("t")).over(Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, 0)) - col("t"))
+    val g = j.join(f, "cents")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(col("c") * (col("fb") * 2 + col("t") + 1)).as("s2"))
+    val tc = t.agg(sum(col("t").cast("decimal(38,0)") * col("t") * col("t")
+      - col("t")).as("tsum"))
+    g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(expr("cast(s2 as double) * cast(s2 as double) / n_g")).as("q"))
+      .crossJoin(broadcast(tc))
+      .select(col("k"), col("n"),
+        r6(expr("3.0 * q / (cast(n as double) * (n + 1)) - 3.0 * (n + 1)"))
+          .as("h"),
+        r6(expr("1.0 - cast(tsum as double)" +
+          " / (cast(n as double) * n * n - n)")).as("tie_c"),
+        r6(expr("(3.0 * q / (cast(n as double) * (n + 1)) - 3.0 * (n + 1))" +
+          " / (1.0 - cast(tsum as double)" +
+          " / (cast(n as double) * n * n - n))")).as("h_adj"))
+  }
+
+  // ── ingest freshness audit: per event type, when did data last
+  // arrive, how far it lags the corpus watermark (the max timestamp any
+  // type reached), and whether the lag breaches a 60-minute SLA — the
+  // staleness companion of [[dqVolumeAnomaly]]'s volume check (a feed
+  // can keep its volume and still be replaying yesterday). All
+  // arithmetic is integer µs (exact on both engines); the 1-row
+  // watermark broadcasts (scalar-broadcast idiom); one shuffle, keyed
+  // by type. ──
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val wm = e.agg(max(col("us")).as("wm"))
+    e.crossJoin(broadcast(wm))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("us")).as("last_us"),
+        first(col("wm")).as("wm"),
+        sum(when(col("us") >= col("wm") - lit(86400000000L), 1L)
+          .otherwise(0L)).as("n_last_24h"))
+      .select(col("event_type"), col("n_events"), col("last_us"),
+        expr("(wm - last_us) div 60000000").as("lag_min"),
+        col("n_last_24h"),
+        (expr("(wm - last_us) div 60000000") >= 60L).as("is_stale"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_kruskal"         -> statsKruskal _,
+    "dq_freshness"          -> dqFreshness _,
     "stats_mutual_info"     -> statsMutualInfo _,
     "dist_lorenz"           -> distLorenz _,
     "stats_granger"         -> statsGranger _,
@@ -1938,6 +2007,47 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_kruskal" ->
+      """WITH j AS (SELECT event_type,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT cents, CAST(sum(c) AS BIGINT) AS t FROM j GROUP BY 1),
+        |f AS (SELECT cents, t,
+        |    CAST(sum(t) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+        |      AS BIGINT) AS fb
+        |  FROM t),
+        |g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g,
+        |    CAST(sum(c * (fb * 2 + t + 1)) AS BIGINT) AS s2
+        |  FROM j JOIN f USING (cents) GROUP BY 1),
+        |tc AS (SELECT sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tsum
+        |       FROM t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n_g) AS q
+        |  FROM g)
+        |SELECT k, n,
+        |  round(3.0 * q / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1), 6)
+        |    + 0.0 AS h,
+        |  round(1.0 - CAST(tsum AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n * n - n), 6) + 0.0 AS tie_c,
+        |  round((3.0 * q / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+        |    / (1.0 - CAST(tsum AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * n * n - n)), 6) + 0.0 AS h_adj
+        |FROM tot, tc""".stripMargin,
+    "dq_freshness" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w AS (SELECT max(us) AS wm FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(us) AS BIGINT) AS last_us,
+        |  CAST((any_value(wm) - max(us)) // 60000000 AS BIGINT) AS lag_min,
+        |  CAST(sum(CASE WHEN us >= wm - 86400000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_last_24h,
+        |  (any_value(wm) - max(us)) // 60000000 >= 60 AS is_stale
+        |FROM e CROSS JOIN w
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the stats_chi2 grid + V from the ROUNDED chi2
     "stats_cramers_v" ->
       """WITH e0 AS (
