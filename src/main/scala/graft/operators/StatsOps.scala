@@ -1907,7 +1907,90 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── two-regressor OLS: daily revenue (whole dollars — floor(cents/
+  // 100) keeps y an EXACT integer whose squared moments stay inside
+  // int64 at any achievable SF, where cents² · days overflows at 10×)
+  // on daily click and view counts, solved in closed form by Cramer's
+  // rule on the centered normal equations — the multi-feature step up
+  // from regr_trend's single regressor. Raw moments are exact int64
+  // sums on the |days| grid; centered combinations (n·Sxx − Sx²) stay
+  // int64; the determinant and coefficients cast each EXACT moment to
+  // double once and share one expression tree with the oracle, so both
+  // engines feed IEEE math identical inputs in identical order. R² =
+  // (b1·S1y + b2·S2y)/(n·Syy − Sy²) — the /n in SSR and SST cancels. ──
+  def statsOlsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .groupBy(col("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x1"),
+        count(when(col("event_type") === "view", 1)).as("x2"),
+        floor(sum(col("value").cast("decimal(18,2)"))).cast("long").as("y"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11r"),
+      sum(col("x2") * col("x2")).as("s22r"),
+      sum(col("x1") * col("x2")).as("s12r"),
+      sum(col("x1") * col("y")).as("s1yr"),
+      sum(col("x2") * col("y")).as("s2yr"),
+      sum(col("y") * col("y")).as("syyr"))
+    m.select(col("n"),
+        expr("n * s11r - sx1 * sx1").as("c11"),
+        expr("n * s22r - sx2 * sx2").as("c22"),
+        expr("n * s12r - sx1 * sx2").as("c12"),
+        expr("n * s1yr - sx1 * sy").as("c1y"),
+        expr("n * s2yr - sx2 * sy").as("c2y"),
+        expr("n * syyr - sy * sy").as("cyy"),
+        col("sx1"), col("sx2"), col("sy"))
+      .select(col("n"),
+        r6(expr("(cast(c1y as double) * c22 - cast(c2y as double) * c12)" +
+          " / (cast(c11 as double) * c22 - cast(c12 as double) * c12)"))
+          .as("b1"),
+        r6(expr("(cast(c2y as double) * c11 - cast(c1y as double) * c12)" +
+          " / (cast(c11 as double) * c22 - cast(c12 as double) * c12)"))
+          .as("b2"),
+        r6(expr("(cast(sy as double)" +
+          " - ((cast(c1y as double) * c22 - cast(c2y as double) * c12)" +
+          "    / (cast(c11 as double) * c22 - cast(c12 as double) * c12))" +
+          "   * sx1" +
+          " - ((cast(c2y as double) * c11 - cast(c1y as double) * c12)" +
+          "    / (cast(c11 as double) * c22 - cast(c12 as double) * c12))" +
+          "   * sx2) / n")).as("b0"),
+        r6(expr("(((cast(c1y as double) * c22 - cast(c2y as double) * c12)" +
+          "    / (cast(c11 as double) * c22 - cast(c12 as double) * c12))" +
+          "   * c1y" +
+          " + ((cast(c2y as double) * c11 - cast(c1y as double) * c12)" +
+          "    / (cast(c11 as double) * c22 - cast(c12 as double) * c12))" +
+          "   * c2y) / cast(cyy as double)")).as("r2"))
+  }
+
+  // ── Wilson score interval for the daily purchase rate: per day,
+  // k = purchase events over n = all events, 95% CI by the Wilson
+  // formula — the interval that stays inside [0,1] and behaves at
+  // small n where the naive ±z√(p(1−p)/n) fails (the standard for
+  // conversion dashboards). k and n are exact integers; p and the
+  // interval are ONE shared double expression tree (cast-first, z²
+  // written as cast(1.96 as double) on both engines so no decimal-
+  // literal arithmetic sneaks in). Grid-sized output, keyed shuffle. ──
+  def statsWilsonCi(spark: SparkSession, dir: String): DataFrame = {
+    val z2 = "(cast(1.96 as double) * cast(1.96 as double))"
+    val p = "(cast(k as double) / n)"
+    val s = s"sqrt($p * (1 - $p) / n + $z2 / (4 * n * n))"
+    val den = s"(1 + $z2 / n)"
+    ev(spark, dir).groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", 1)).as("k"))
+      .select(col("day"), col("n"), col("k"),
+        r6(expr(p)).as("p_hat"),
+        r6(expr(s"($p + $z2 / (2 * n) - cast(1.96 as double) * $s) / $den"))
+          .as("ci_lo"),
+        r6(expr(s"($p + $z2 / (2 * n) + cast(1.96 as double) * $s) / $den"))
+          .as("ci_hi"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ols_multi"       -> statsOlsMulti _,
+    "stats_wilson_ci"       -> statsWilsonCi _,
     "stats_kruskal"         -> statsKruskal _,
     "dq_freshness"          -> dqFreshness _,
     "stats_mutual_info"     -> statsMutualInfo _,
@@ -2007,6 +2090,76 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_ols_multi" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS x1,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS x2,
+        |    CAST(floor(sum(CAST("value" AS DECIMAL(18,2)))) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11r,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22r,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12r,
+        |    CAST(sum(x1 * y) AS BIGINT) AS s1yr,
+        |    CAST(sum(x2 * y) AS BIGINT) AS s2yr,
+        |    CAST(sum(y * y) AS BIGINT) AS syyr
+        |  FROM daily),
+        |c AS (SELECT n, sx1, sx2, sy,
+        |    n * s11r - sx1 * sx1 AS c11, n * s22r - sx2 * sx2 AS c22,
+        |    n * s12r - sx1 * sx2 AS c12, n * s1yr - sx1 * sy AS c1y,
+        |    n * s2yr - sx2 * sy AS c2y, n * syyr - sy * sy AS cyy
+        |  FROM m)
+        |SELECT n,
+        |  round((CAST(c1y AS DOUBLE) * c22 - CAST(c2y AS DOUBLE) * c12)
+        |    / (CAST(c11 AS DOUBLE) * c22 - CAST(c12 AS DOUBLE) * c12), 6)
+        |    + 0.0 AS b1,
+        |  round((CAST(c2y AS DOUBLE) * c11 - CAST(c1y AS DOUBLE) * c12)
+        |    / (CAST(c11 AS DOUBLE) * c22 - CAST(c12 AS DOUBLE) * c12), 6)
+        |    + 0.0 AS b2,
+        |  round((CAST(sy AS DOUBLE)
+        |    - ((CAST(c1y AS DOUBLE) * c22 - CAST(c2y AS DOUBLE) * c12)
+        |       / (CAST(c11 AS DOUBLE) * c22 - CAST(c12 AS DOUBLE) * c12))
+        |      * sx1
+        |    - ((CAST(c2y AS DOUBLE) * c11 - CAST(c1y AS DOUBLE) * c12)
+        |       / (CAST(c11 AS DOUBLE) * c22 - CAST(c12 AS DOUBLE) * c12))
+        |      * sx2) / n, 6) + 0.0 AS b0,
+        |  round((((CAST(c1y AS DOUBLE) * c22 - CAST(c2y AS DOUBLE) * c12)
+        |       / (CAST(c11 AS DOUBLE) * c22 - CAST(c12 AS DOUBLE) * c12))
+        |      * c1y
+        |    + ((CAST(c2y AS DOUBLE) * c11 - CAST(c1y AS DOUBLE) * c12)
+        |       / (CAST(c11 AS DOUBLE) * c22 - CAST(c12 AS DOUBLE) * c12))
+        |      * c2y) / CAST(cyy AS DOUBLE), 6) + 0.0 AS r2
+        |FROM c""".stripMargin,
+    "stats_wilson_ci" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY 1)
+        |SELECT day, n, k,
+        |  round(CAST(k AS DOUBLE) / n, 6) + 0.0 AS p_hat,
+        |  round((CAST(k AS DOUBLE) / n
+        |      + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2 * n)
+        |      - CAST(1.96 AS DOUBLE)
+        |        * sqrt((CAST(k AS DOUBLE) / n) * (1 - (CAST(k AS DOUBLE) / n)) / n
+        |          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |            / (4 * n * n)))
+        |    / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n), 6)
+        |    + 0.0 AS ci_lo,
+        |  round((CAST(k AS DOUBLE) / n
+        |      + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2 * n)
+        |      + CAST(1.96 AS DOUBLE)
+        |        * sqrt((CAST(k AS DOUBLE) / n) * (1 - (CAST(k AS DOUBLE) / n)) / n
+        |          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |            / (4 * n * n)))
+        |    / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n), 6)
+        |    + 0.0 AS ci_hi
+        |FROM d ORDER BY day""".stripMargin,
     "stats_kruskal" ->
       """WITH j AS (SELECT event_type,
         |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
