@@ -55,6 +55,8 @@ object Bench {
       graft.sources.Layout.ensureEventsMor(spark, sfDir)
     if (runsKey("scan_bloom_skip"))
       graft.sources.Layout.ensureEventsBloomIdx(spark, sfDir)
+    if (runsKey("scan_minmax_skip"))
+      graft.sources.Layout.ensureEventsMinMax(spark, sfDir)
     if (runsKey("scan_partition_evolution"))
       graft.sources.Layout.ensureEventsPartEvo(spark, sfDir,
         graft.operators.RelationalOps.TtSplitUs)

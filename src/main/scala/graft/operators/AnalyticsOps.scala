@@ -557,7 +557,31 @@ object AnalyticsOps {
           " / 3)"), 6) + lit(0.0d)).as("z"))
   }
 
+  // ── sample-ratio-mismatch guard: assign every user to an A/B arm by
+  // the repo's portable integer hash (pmod-before-multiply Knuth form —
+  // bit-identical in DuckDB, so the ASSIGNMENT itself is replayed by
+  // the oracle, not just the counts) and chi-square the observed split
+  // against 50/50 — the first gate any experimentation platform runs,
+  // because a biased splitter invalidates every downstream metric. For
+  // two arms χ² against equal expectation reduces to (n0−n1)²/N; flag
+  // at 3.841 (p<0.05, 1 df). One distinct + one tiny aggregate; counts
+  // exact int64, one cast-first division. ──
+  def abSrmCheck(spark: SparkSession, dir: String): DataFrame = {
+    ev(spark, dir).select(col("user_id")).distinct()
+      .withColumn("arm",
+        expr("pmod(pmod(user_id, 2147483648) * 2654435761, 2147483648) % 2"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"))
+      .select(col("n_users"), col("n0"), col("n1"),
+        r6(expr("cast((n0 - n1) * (n0 - n1) as double) / n_users"))
+          .as("chi2"),
+        (expr("cast((n0 - n1) * (n0 - n1) as double) / n_users") >
+          lit(3.841d)).as("srm_flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_srm_check"     -> abSrmCheck _,
     "stats_wilcoxon_signed" -> statsWilcoxonSigned _,
     "stats_kendall_tau" -> statsKendallTau _,
     "funnel_time_to_convert" -> funnelTimeToConvert _,
@@ -626,6 +650,20 @@ object AnalyticsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "ab_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT ((user_id % 2147483648) * 2654435761)
+        |        % 2147483648 % 2 AS arm FROM u),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM a)
+        |SELECT n_users, n0, n1,
+        |  round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n_users, 6) + 0.0
+        |    AS chi2,
+        |  CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n_users > 3.841
+        |    AS srm_flag
+        |FROM c""".stripMargin,
     "stats_wilcoxon_signed" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -186,6 +186,33 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  // ── MIN/MAX STATS skip: a narrow RANGE predicate on the clustered
+  // column consults the manifest-sized stats table first and opens only
+  // files whose [lo,hi] intersects [250,260) — on the 16-file range-
+  // clustered store that is 1-2 files, so the scan cost tracks the
+  // SELECTED band, not the table (the zone-map complement of
+  // scan_bloom_skip's point-predicate bloom; [[graft.sources.Layout
+  // .ensureEventsMinMax]] builds the store). The stats collect is
+  // one row per file — manifest-sized forever; the predicate re-applies
+  // inside the surviving files (stats only bound, they don't filter
+  // rows). Empty candidate list falls back to the full store — stats
+  // may only SKIP, never invent emptiness. The oracle runs the same
+  // band on the raw table: layout can never change the answer. ──
+  def scanMinMaxSkip(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsMinMax(spark, dir)
+    val (lo, hi) = (250.0, 260.0)
+    val files = spark.read.parquet(s"$path/stats")
+      .filter(col("lo") < hi && col("hi") >= lo)
+      .select(col("file")).collect().map(_.getString(0))
+    val data =
+      if (files.nonEmpty) spark.read.parquet(files.toIndexedSeq: _*)
+      else spark.read.parquet(s"$path/data")
+    data.filter(col("value") >= lo && col("value") < hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // ── PARTITION EVOLUTION read: the store changed partitioning scheme
   // mid-life (gen1 day-partitioned, gen2 month-partitioned — old files
   // never rewritten, the Iceberg partition-spec-evolution reality) and
@@ -651,6 +678,7 @@ object RelationalOps {
     "scan_zorder"       -> scanZorder _,
     "scan_delete_vectors" -> scanDeleteVectors _,
     "scan_bloom_skip"   -> scanBloomSkip _,
+    "scan_minmax_skip"  -> scanMinMaxSkip _,
     "scan_partition_evolution" -> scanPartitionEvolution _,
     "scan_corrupt_tolerant" -> scanCorruptTolerant _,
     "scan_time_travel"  -> scanTimeTravel _,
@@ -688,6 +716,11 @@ object RelationalOps {
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE user_id = 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_minmax_skip" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE "value" >= 250.0 AND "value" < 260.0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_delete_vectors" ->
       """SELECT event_type, count(*) AS cnt,

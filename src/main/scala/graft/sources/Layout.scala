@@ -183,6 +183,33 @@ object Layout {
     path
   }
 
+  /** MIN/MAX ZONE-MAP store: `data/` range-clustered by `value` into 16
+    * files (range clustering is what makes per-file [min,max] narrow —
+    * on the raw layout every file spans the whole domain and no stats
+    * prune anything), `stats/` one row per file with the file's exact
+    * min/max of the clustered column — the manifest-level stats skipping
+    * Iceberg/Delta do before any file opens, and the RANGE-predicate
+    * member of the skipping family (bloom = point, Z-order = 2-dim,
+    * day-partition = time). Mergeable by append: a new file adds one
+    * stats row. Stats written last = completion marker. */
+  def ensureEventsMinMax(spark: SparkSession, dir: String): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_minmax_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS"))) {
+      Tables.events(spark, dir)
+        .repartitionByRange(16, col("value"))
+        .write.mode("overwrite").parquet(s"$path/data")
+      spark.read.parquet(s"$path/data")
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    }
+    path
+  }
+
   /** PARTITION-EVOLUTION store: generation 1 (events before `splitUs`)
     * is day-partitioned, generation 2 (the rest) is MONTH-partitioned —
     * the layout change a growing table actually makes when daily dirs
