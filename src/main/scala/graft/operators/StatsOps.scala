@@ -1988,7 +1988,85 @@ object StatsOps {
       .orderBy("day")
   }
 
+  // ── Friedman test: do the k event types keep the same revenue
+  // ORDERING day after day — the blocked companion of [[statsKruskal]]
+  // (Kruskal-Wallis pools all observations; Friedman ranks WITHIN each
+  // day, so day-level shocks that lift every type together cancel
+  // instead of inflating the statistic). Blocks are the complete
+  // day×type grid (missing cells as 0 revenue, built identically in
+  // the oracle); within-day midranks use the doubled-rank device over
+  // PER-DAY windows — parallel by block, never a global sort. Rank
+  // sums are exact small ints; Q = 3·ΣS2_j²/(nk(k+1)) − 3n(k+1) is one
+  // cast-first division. ──
+  def statsFriedman(spark: SparkSession, dir: String): DataFrame = {
+    val rev = ev(spark, dir).groupBy(col("day"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val days = rev.select(col("day")).distinct()
+    val types = rev.select(col("event_type")).distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(rev, Seq("day", "event_type"), "left")
+      .withColumn("revc", coalesce(col("revc"), lit(0L)))
+    val ranked = grid.withColumn("r2x",
+      rank().over(Window.partitionBy(col("day")).orderBy(col("revc"))) * 2
+        + count(lit(1)).over(Window.partitionBy(col("day"), col("revc")))
+        - 1)
+    val s = ranked.groupBy(col("event_type"))
+      .agg(sum(col("r2x")).as("s2"), count(lit(1)).as("n"))
+    s.agg(count(lit(1)).as("k"), first(col("n")).as("n_blocks"),
+        sum(col("s2") * col("s2")).as("ss"))
+      .select(col("n_blocks"), col("k"),
+        r6(expr("cast(3 * ss as double)" +
+          " / (cast(n_blocks as double) * k * (k + 1))" +
+          " - cast(3 * n_blocks * (k + 1) as double)")).as("q"))
+  }
+
+  // ── regression influence diagnostics for the daily revenue trend:
+  // per day, the OLS residual, leverage h = 1/n + n(x−x̄)² written as
+  // the exact-integer ratio (n·x−Sx)²/(n·(n·Sxx−Sx²)), and Cook's
+  // distance e²h/(p·s²·(1−h)²) — which days SINGLE-HANDEDLY steer the
+  // trend line regr_trend reports (a launch-day spike can own the
+  // slope; this is the audit that finds it). The fit comes from exact
+  // int64 moments (y in cents, x = epoch day), residuals are snapped
+  // to 6 dp and squared in DECIMAL (the stats_dw device) so SSE is
+  // order-independent on both engines; every double division is
+  // cast-first from exact integers. Flag at the standard 4/n cut. ──
+  def statsInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("y"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val m = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val withFit = daily.crossJoin(broadcast(m))
+      .withColumn("b", expr("cast(n * sxy - sx * sy as double)" +
+        " / (n * sxx - sx * sx)"))
+      .withColumn("a", expr("(cast(sy as double) - b * sx) / n"))
+      .withColumn("ei6", expr(
+        "cast(round((y - (a + b * x)) * 1000000, 0) as bigint)"))
+      .withColumn("h", expr("cast(1 as double) / n" +
+        " + cast((n * x - sx) * (n * x - sx) as double)" +
+        " / (cast(n as double) * (n * sxx - sx * sx))"))
+    val sse = withFit
+      .agg(sum(expr("cast(ei6 as decimal(38,0)) * ei6")).as("ssei"))
+    withFit.crossJoin(broadcast(sse))
+      .withColumn("s2",
+        expr("(cast(ssei as double) / 1000000000000) / (n - 2)"))
+      .withColumn("e2", expr("(cast(ei6 as double) / 1000000)" +
+        " * (cast(ei6 as double) / 1000000)"))
+      .select(col("day"), col("x"), col("y"),
+        r6(expr("cast(ei6 as double) / 1000000")).as("resid"),
+        r6(col("h")).as("leverage"),
+        r6(expr("e2 * h / (2 * s2 * (1 - h) * (1 - h))")).as("cooks_d"),
+        (expr("e2 * h / (2 * s2 * (1 - h) * (1 - h))")
+          > expr("cast(4 as double) / n")).as("influential"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_friedman"        -> statsFriedman _,
+    "stats_influence"       -> statsInfluence _,
     "stats_ols_multi"       -> statsOlsMulti _,
     "stats_wilson_ci"       -> statsWilsonCi _,
     "stats_kruskal"         -> statsKruskal _,
@@ -2090,6 +2168,69 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_friedman" ->
+      """WITH rev AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS revc
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.day, t.event_type, COALESCE(r.revc, 0) AS revc
+        |  FROM (SELECT DISTINCT day FROM rev) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM rev) t
+        |  LEFT JOIN rev r ON r.day = d.day AND r.event_type = t.event_type),
+        |rk AS (SELECT event_type,
+        |    rank() OVER (PARTITION BY day ORDER BY revc) * 2
+        |      + count(*) OVER (PARTITION BY day, revc) - 1 AS r2x
+        |  FROM grid),
+        |s AS (SELECT event_type, CAST(sum(r2x) AS BIGINT) AS s2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM rk GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(any_value(n) AS BIGINT) AS n_blocks,
+        |    CAST(sum(s2 * s2) AS BIGINT) AS ss
+        |  FROM s)
+        |SELECT n_blocks, k,
+        |  round(CAST(3 * ss AS DOUBLE)
+        |    / (CAST(n_blocks AS DOUBLE) * k * (k + 1))
+        |    - CAST(3 * n_blocks * (k + 1) AS DOUBLE), 6) + 0.0 AS q
+        |FROM t""".stripMargin,
+    "stats_influence" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+        |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 3),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM daily),
+        |f AS (SELECT day, x, y, n, sx, sxx,
+        |    CAST(round((y - ((CAST(sy AS DOUBLE)
+        |        - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+        |          * sx) / n
+        |      + (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+        |        * x)) * 1000000, 0) AS BIGINT) AS ei6,
+        |    CAST(1 AS DOUBLE) / n
+        |      + CAST((n * x - sx) * (n * x - sx) AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (n * sxx - sx * sx)) AS h
+        |  FROM daily CROSS JOIN m),
+        |sse AS (SELECT sum(CAST(ei6 AS DECIMAL(38,0)) * ei6) AS ssei
+        |        FROM f),
+        |g AS (SELECT day, x, y, n, h, ei6,
+        |    (CAST(ssei AS DOUBLE) / 1000000000000) / (n - 2) AS s2,
+        |    (CAST(ei6 AS DOUBLE) / 1000000)
+        |      * (CAST(ei6 AS DOUBLE) / 1000000) AS e2
+        |  FROM f CROSS JOIN sse)
+        |SELECT day, x, y,
+        |  round(CAST(ei6 AS DOUBLE) / 1000000, 6) + 0.0 AS resid,
+        |  round(h, 6) + 0.0 AS leverage,
+        |  round(e2 * h / (2 * s2 * (1 - h) * (1 - h)), 6) + 0.0 AS cooks_d,
+        |  e2 * h / (2 * s2 * (1 - h) * (1 - h)) > CAST(4 AS DOUBLE) / n
+        |    AS influential
+        |FROM g ORDER BY day""".stripMargin,
     "stats_ols_multi" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
