@@ -1050,7 +1050,38 @@ object AdvancedOps {
       .orderBy("l_returnflag")
   }
 
+  // ── fulfilment lead time: ship date − order date per line, summarized
+  // per order priority (count, mean, exact-interpolated p50/p90, max) —
+  // the SLA distribution a fulfilment dashboard actually tracks, and the
+  // orders⋈lineitem join in its natural co-partitioned form (both sides
+  // shuffle once on the order key; at 100 TB the bucketed layouts make
+  // it exchange-free). Lead times are exact integer DAYS; the mean is
+  // one cast-first division and the percentiles use the Spark
+  // `percentile` ↔ DuckDB `quantile_cont` pairing (identical linear
+  // interpolation, pinned green since funnel_time_to_convert). ──
+  def leadTimeStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("lead_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        (round(expr("cast(sum(lead_days) as double) / count(lead_days)"), 6)
+          + lit(0.0d)).as("avg_days"),
+        (round(expr("percentile(lead_days, 0.5)"), 6) + lit(0.0d))
+          .as("p50_days"),
+        (round(expr("percentile(lead_days, 0.9)"), 6) + lit(0.0d))
+          .as("p90_days"),
+        max(col("lead_days")).as("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lead_time_stats"  -> leadTimeStats _,
     "stats_corr"       -> statsCorr _,
     "cube_agg"         -> cubeAgg _,
     "window_lead_lag"  -> windowLeadLag _,
@@ -1092,6 +1123,19 @@ object AdvancedOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "lead_time_stats" ->
+      """WITH l AS (
+        |  SELECT o.o_orderpriority,
+        |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+        |      AS BIGINT) AS lead_days
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(CAST(sum(lead_days) AS DOUBLE) / count(lead_days), 6)
+        |    + 0.0 AS avg_days,
+        |  round(quantile_cont(lead_days, 0.5), 6) + 0.0 AS p50_days,
+        |  round(quantile_cont(lead_days, 0.9), 6) + 0.0 AS p90_days,
+        |  max(lead_days) AS max_days
+        |FROM l GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // the identical day-clamped sweep — integer µs arithmetic replays
     // bit-for-bit; unnest(generate_series) is Spark's explode(sequence)
     "sessions_coverage" ->

@@ -2064,7 +2064,29 @@ object StatsOps {
       .orderBy("day")
   }
 
+  // ── 2-D activity histogram: the weekday × hour event-density grid
+  // (the heatmap behind every "when are users active" panel) — the
+  // 2-dim member of the histogram family (width_bucket = 1-D value,
+  // hist_equidepth = quantile bins, hist_kde = smoothed). BOTH axes
+  // derive from pure integer µs arithmetic (dayno+4 mod 7 anchors
+  // 1=Sunday on the epoch's Thursday; hour = µs div 3600000000 mod
+  // 24) — no calendar function whose week convention could differ
+  // between engines. One keyed aggregation onto a ≤168-row grid; the
+  // 1-row total broadcasts for the share. ──
+  def hist2d(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .select(expr("pmod(us div 86400000000 + 4, 7) + 1").as("dow"),
+        expr("(us div 3600000000) % 24").as("hr"))
+      .groupBy(col("dow"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val tot = g.agg(sum(col("cnt")).as("total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hr"), col("cnt"),
+        r6(expr("cast(cnt as double) / total")).as("share"))
+      .orderBy("dow", "hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hist_2d"               -> hist2d _,
     "stats_friedman"        -> statsFriedman _,
     "stats_influence"       -> statsInfluence _,
     "stats_ols_multi"       -> statsOlsMulti _,
@@ -2168,6 +2190,18 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "hist_2d" ->
+      """WITH e AS (SELECT
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 + 1
+        |      AS dow,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr
+        |  FROM events),
+        |g AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g)
+        |SELECT dow, hr, cnt,
+        |  round(CAST(cnt AS DOUBLE) / total, 6) + 0.0 AS share
+        |FROM g CROSS JOIN t ORDER BY dow, hr""".stripMargin,
     "stats_friedman" ->
       """WITH rev AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
