@@ -2085,7 +2085,37 @@ object StatsOps {
       .orderBy("dow", "hr")
   }
 
+  // ── l-diversity audit: k-anonymity ([[privacyKanon]]) only counts
+  // HOW MANY rows share a quasi-identifier group — if all of them carry
+  // the same sensitive value, the group still leaks it (the homogeneity
+  // attack k-anonymity misses; Machanavajjhala et al. 2007). Same QI
+  // grid as the kanon key minus the sensitive column (weekday ×
+  // value-band), sensitive attribute = event_type; per group l =
+  // distinct sensitive values, summarized as the l<2 / l<3 exposure.
+  // Two keyed aggregations on the bounded QI grid; all counts exact. ──
+  def privacyLDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .groupBy(expr("pmod(datediff(day, DATE'1970-01-01'), 7)").as("dow"),
+        floor(col("value") / 100).as("vb"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("event_type")).as("l"))
+    g.agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"),
+        min(col("l")).as("min_l"),
+        sum((col("l") < 2).cast("long")).as("groups_lt_2"),
+        sum(when(col("l") < 2, col("k")).otherwise(lit(0L)))
+          .as("rows_lt_2"),
+        sum((col("l") < 3).cast("long")).as("groups_lt_3"),
+        sum(when(col("l") < 3, col("k")).otherwise(lit(0L)))
+          .as("rows_lt_3"))
+      .select(col("n_groups"), col("n_rows"), col("min_l"),
+        col("groups_lt_2"), col("rows_lt_2"),
+        col("groups_lt_3"), col("rows_lt_3"),
+        r6(col("rows_lt_3").cast("double") / col("n_rows"))
+          .as("pct_rows_lt_3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_l_diversity"   -> privacyLDiversity _,
     "hist_2d"               -> hist2d _,
     "stats_friedman"        -> statsFriedman _,
     "stats_influence"       -> statsInfluence _,
@@ -2190,6 +2220,28 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "privacy_l_diversity" ->
+      """WITH g AS (
+        |  SELECT (CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |      - DATE '1970-01-01') % 7 AS dow,
+        |    CAST(floor("value" / 100) AS BIGINT) AS vb,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS l
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_lt_2,
+        |  CAST(sum(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_lt_2,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_lt_3,
+        |  CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_lt_3,
+        |  round(CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS DOUBLE)
+        |    / sum(k), 6) + 0.0 AS pct_rows_lt_3
+        |FROM g""".stripMargin,
     "hist_2d" ->
       """WITH e AS (SELECT
         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 + 1

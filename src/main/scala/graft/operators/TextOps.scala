@@ -946,7 +946,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── Gopher-style rule audit: the published heuristic quality FILTER
+  // (Rae et al. 2021 §A1.1) as an explicit per-document rule table —
+  // where [[textQuality]] blends signals into one score, this is the
+  // conjunctive gate curation pipelines actually deploy, with each
+  // rule's measured value AND verdict exposed so a corpus owner can see
+  // WHICH rule drops a document. Rules (bounds scaled to this corpus's
+  // ~16-word docs, same shape as the paper's): word count in [5,1000],
+  // mean word length in [2,12], ≥80% of words contain a letter, <10%
+  // symbol(#)-to-word ratio, ≥2 distinct stopword markers. Everything
+  // is per-row HOF arithmetic on the shared tokenizer — one scan, no
+  // shuffle until the presentation sort. ──
+  def textQualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val markers = EnMarkers.map(m => s"'$m'").mkString(", ")
+    Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("mean_wl",
+        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          col("n_words"), 6))
+      .withColumn("alpha_frac", expr("round(cast(size(filter(toks," +
+        " t -> t rlike '[a-z]')) as double) / n_words, 6)"))
+      .withColumn("sym_ratio", expr("round(cast(length(text)" +
+        " - length(replace(text, '#', '')) as double) / n_words, 6)"))
+      .withColumn("n_stop_distinct",
+        expr(s"size(array_distinct(filter(toks, t -> t IN ($markers))))"))
+      .select(col("doc_id"), col("n_words"), col("mean_wl"),
+        col("alpha_frac"), col("sym_ratio"), col("n_stop_distinct"),
+        (col("n_words") >= 5 && col("n_words") <= 1000).as("r_words"),
+        (col("mean_wl") >= 2.0 && col("mean_wl") <= 12.0).as("r_mwl"),
+        (col("alpha_frac") >= 0.8).as("r_alpha"),
+        (col("sym_ratio") < 0.1).as("r_sym"),
+        (col("n_stop_distinct") >= 2).as("r_stop"))
+      .withColumn("pass", col("r_words") && col("r_mwl") &&
+        col("r_alpha") && col("r_sym") && col("r_stop"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_gopher"   -> textQualityGopher _,
     "text_nb_lang"          -> textNbLang _,
     "text_heaps_law"        -> textHeapsLaw _,
     "text_chunk_overlap"    -> textChunkOverlap _,
@@ -1023,6 +1061,35 @@ object TextOps {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_quality_gopher" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_words,
+         |    round(CAST(length(regexp_replace(text, '\\s', '', 'g'))
+         |      AS DOUBLE) / len(toks), 6) AS mean_wl,
+         |    round(CAST(len(list_filter(toks,
+         |        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |      / len(toks), 6) AS alpha_frac,
+         |    round(CAST(length(text) - length(replace(text, '#', ''))
+         |      AS DOUBLE) / len(toks), 6) AS sym_ratio,
+         |    CAST(len(list_distinct(list_filter(toks,
+         |      x -> x IN ($duckMarkers)))) AS INTEGER) AS n_stop_distinct
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_wl, alpha_frac, sym_ratio,
+         |  n_stop_distinct,
+         |  n_words >= 5 AND n_words <= 1000 AS r_words,
+         |  mean_wl >= 2.0 AND mean_wl <= 12.0 AS r_mwl,
+         |  alpha_frac >= 0.8 AS r_alpha,
+         |  sym_ratio < 0.1 AS r_sym,
+         |  n_stop_distinct >= 2 AS r_stop,
+         |  n_words >= 5 AND n_words <= 1000
+         |    AND mean_wl >= 2.0 AND mean_wl <= 12.0
+         |    AND alpha_frac >= 0.8 AND sym_ratio < 0.1
+         |    AND n_stop_distinct >= 2 AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
     "text_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
