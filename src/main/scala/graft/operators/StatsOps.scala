@@ -2114,7 +2114,39 @@ object StatsOps {
           .as("pct_rows_lt_3"))
   }
 
+  // ── circular statistics of purchase time-of-day: the arithmetic mean
+  // of hours is meaningless on a clock (23h and 1h average to noon);
+  // the circular mean direction and resultant length R̄ (Fisher 1993)
+  // are the right "when do purchases happen / how concentrated" pair.
+  // Per type: reduce to the 24-hour integer grid FIRST (counts exact,
+  // corpus-size-independent), snap sin/cos of the 24 constant angles
+  // to 9 dp DECIMAL (the text_lm_score libm device — JVM and C math
+  // libraries are not bit-identical beyond ~1 ulp; snapping makes the
+  // weighted sums exact decimal arithmetic), and finish with atan2 +
+  // sqrt on the two exact totals. mean_hour is mapped to [0,24). ──
+  def statsCircular(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .groupBy(col("event_type"),
+        expr("(us div 3600000000) % 24").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("s9", expr("cast(round(sin(2 * pi() * hr / cast(24 " +
+        "as double)), 9) as decimal(12,9))"))
+      .withColumn("c9", expr("cast(round(cos(2 * pi() * hr / cast(24 " +
+        "as double)), 9) as decimal(12,9))"))
+    g.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("s9") * col("c")).as("ss"),
+        sum(col("c9") * col("c")).as("sc"))
+      .select(col("event_type"), col("n"),
+        r6(expr("pmod(atan2(cast(ss as double), cast(sc as double))" +
+          " / (2 * pi()) * 24, cast(24 as double))")).as("mean_hour"),
+        r6(expr("sqrt(cast(ss as double) * cast(ss as double)" +
+          " + cast(sc as double) * cast(sc as double)) / n")).as("r_bar"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_circular"        -> statsCircular _,
     "privacy_l_diversity"   -> privacyLDiversity _,
     "hist_2d"               -> hist2d _,
     "stats_friedman"        -> statsFriedman _,
@@ -2220,6 +2252,27 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_circular" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr
+        |  FROM events),
+        |g AS (SELECT event_type, hr, count(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, c,
+        |    CAST(round(sin(2 * pi() * hr / CAST(24 AS DOUBLE)), 9)
+        |      AS DECIMAL(12,9)) AS s9,
+        |    CAST(round(cos(2 * pi() * hr / CAST(24 AS DOUBLE)), 9)
+        |      AS DECIMAL(12,9)) AS c9
+        |  FROM g),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(s9 * c) AS ss, sum(c9 * c) AS sc
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+        |    / (2 * pi()) * 24) % 24 + 24) % 24, 6) + 0.0 AS mean_hour,
+        |  round(sqrt(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |    + CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / n, 6) + 0.0
+        |    AS r_bar
+        |FROM t ORDER BY event_type""".stripMargin,
     "privacy_l_diversity" ->
       """WITH g AS (
         |  SELECT (CAST(CAST(ts AS TIMESTAMP) AS DATE)

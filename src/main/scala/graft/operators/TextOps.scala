@@ -983,7 +983,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── MATTR lexical diversity: plain type-token ratio falls with doc
+  // LENGTH (longer docs repeat words), so corpora can't be compared on
+  // it; the moving-average TTR (Covington & McFall 2010) averages the
+  // distinct-fraction over every 10-token sliding window, making the
+  // number length-invariant — the standard lexical-richness signal next
+  // to [[textHeapsLaw]]'s corpus-level curve. Whole computation is
+  // per-row HOF arithmetic (window distinct counts are exact integers,
+  // summed in the fold; ONE division at the end); docs shorter than the
+  // window fall back to whole-doc TTR. One scan, zero shuffles before
+  // the presentation sort. ──
+  def textMattr(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", toksCol)
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("n_types", expr("size(array_distinct(toks))"))
+      .withColumn("ttr",
+        expr("round(cast(n_types as double) / n_words, 6)"))
+      .withColumn("mattr", expr("round(cast(CASE WHEN n_words < 10" +
+        " THEN cast(n_types as double) / n_words" +
+        " ELSE cast(aggregate(transform(sequence(1, n_words - 9)," +
+        "   i -> size(array_distinct(slice(toks, i, 10))))," +
+        "   0L, (a, x) -> a + x) as double) / (10 * (n_words - 9))" +
+        " END as double), 6)"))
+      .select(col("doc_id"), col("n_words"), col("n_types"),
+        col("ttr"), col("mattr"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mattr"            -> textMattr _,
     "text_quality_gopher"   -> textQualityGopher _,
     "text_nb_lang"          -> textNbLang _,
     "text_heaps_law"        -> textHeapsLaw _,
@@ -1061,6 +1090,27 @@ object TextOps {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_mattr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_words,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_types,
+        |    CASE WHEN len(toks) >= 10 THEN
+        |      CAST(list_aggregate(list_transform(
+        |          generate_series(1, len(toks) - 9),
+        |          i -> len(list_distinct(toks[i:i+9]))), 'sum') AS BIGINT)
+        |    END AS wsum
+        |  FROM t)
+        |SELECT doc_id, n_words, n_types,
+        |  round(CAST(n_types AS DOUBLE) / n_words, 6) + 0.0 AS ttr,
+        |  round(CAST(CASE WHEN n_words < 10
+        |      THEN CAST(n_types AS DOUBLE) / n_words
+        |      ELSE CAST(wsum AS DOUBLE) / (10 * (n_words - 9))
+        |    END AS DOUBLE), 6) + 0.0 AS mattr
+        |FROM f ORDER BY doc_id""".stripMargin,
     "text_quality_gopher" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,
