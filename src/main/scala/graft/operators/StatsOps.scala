@@ -2145,7 +2145,73 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── Herfindahl–Hirschman concentration: per part brand, the supplier
+  // revenue-share HHI Σshareᵢ² — the standard "is this market owned by
+  // one player" gauge (dist_lorenz/stats_gini measure inequality across
+  // a population; HHI measures concentration within a named market).
+  // Supplier revenues are DECIMAL-exact (18,2) sums; Σrᵢ² squares in
+  // DECIMAL (37,4) — exact on both engines — and the single division
+  // casts the two exact totals to double once (den² as the product of
+  // two identical casts, deterministic). The part dim broadcasts;
+  // per-brand supplier counts are bounded, so every aggregate is
+  // keyed + partial. Flag at the DOJ 0.25 threshold. ──
+  def distHhi(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
+      .withColumn("r", col("r").cast("decimal(18,2)"))
+    r.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r")).as("tot"), sum(col("r") * col("r")).as("sq"))
+      .select(col("p_brand"), col("n_suppliers"),
+        col("tot").cast("double").as("total_rev"),
+        r6(expr("cast(sq as double)" +
+          " / (cast(tot as double) * cast(tot as double))")).as("hhi"),
+        (expr("cast(sq as double)" +
+          " / (cast(tot as double) * cast(tot as double))") > lit(0.25d))
+          .as("concentrated"))
+      .orderBy("p_brand")
+  }
+
+  // ── McNemar's paired test: did the SAME users change purchasing
+  // behavior between the first and second half of the window — the
+  // paired binary companion of stats_wilcoxon_signed (that tests a
+  // paired CONTINUOUS shift; this tests a paired YES/NO flip). Only
+  // the discordant users carry information: b = purchased-then-
+  // stopped, c = started; χ² = (b−c)²/(b+c), 1 df (classic form, no
+  // continuity correction — documented). The half-split midpoint is
+  // integer day arithmetic on the observed range (scalar broadcast);
+  // everything else is one keyed boolean aggregate per user. ──
+  def statsMcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val p = ev(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("us div 86400000000").as("dayno"))
+    val span = p.agg(min(col("dayno")).as("lo"), max(col("dayno")).as("hi"))
+    val flags = p.crossJoin(broadcast(span))
+      .withColumn("mid", expr("(lo + hi + 1) div 2"))
+      .groupBy(col("user_id"))
+      .agg(max((col("dayno") < col("mid")).cast("int")).as("p1"),
+        max((col("dayno") >= col("mid")).cast("int")).as("p2"))
+    flags.agg(count(lit(1)).as("n_users"),
+        sum((col("p1") === 1 && col("p2") === 1).cast("long")).as("n_both"),
+        sum((col("p1") === 1 && col("p2") === 0).cast("long")).as("b"),
+        sum((col("p1") === 0 && col("p2") === 1).cast("long")).as("c"))
+      .select(col("n_users"), col("n_both"), col("b"), col("c"),
+        // b + c = 0 (no discordant pair anywhere) leaves χ² undefined —
+        // report NULL, not 0: "no evidence" ≠ "evidence of no change"
+        r6(expr("CASE WHEN b + c > 0 THEN" +
+          " cast((b - c) * (b - c) as double) / (b + c) END")).as("chi2"),
+        expr("CASE WHEN b + c > 0 THEN" +
+          " cast((b - c) * (b - c) as double) / (b + c) > 3.841d" +
+          " ELSE false END").as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dist_hhi"              -> distHhi _,
+    "stats_mcnemar"         -> statsMcnemar _,
     "stats_circular"        -> statsCircular _,
     "privacy_l_diversity"   -> privacyLDiversity _,
     "hist_2d"               -> hist2d _,
@@ -2252,6 +2318,53 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dist_hhi" ->
+      """WITH r AS (
+        |  SELECT p.p_brand, l.l_suppkey,
+        |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS r
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    sum(r) AS tot, sum(r * r) AS sq
+        |  FROM r GROUP BY 1)
+        |SELECT p_brand, n_suppliers,
+        |  CAST(tot AS DOUBLE) AS total_rev,
+        |  round(CAST(sq AS DOUBLE)
+        |    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) + 0.0
+        |    AS hhi,
+        |  CAST(sq AS DOUBLE)
+        |    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) > 0.25
+        |    AS concentrated
+        |FROM g ORDER BY p_brand""".stripMargin,
+    "stats_mcnemar" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayno
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT min(dayno) AS lo, max(dayno) AS hi FROM p),
+        |f AS (SELECT user_id,
+        |    max(CASE WHEN dayno < (lo + hi + 1) // 2 THEN 1 ELSE 0 END)
+        |      AS p1,
+        |    max(CASE WHEN dayno >= (lo + hi + 1) // 2 THEN 1 ELSE 0 END)
+        |      AS p2
+        |  FROM p CROSS JOIN s GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_both,
+        |    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM f)
+        |SELECT n_users, n_both, b, c,
+        |  round(CASE WHEN b + c > 0 THEN
+        |      CAST((b - c) * (b - c) AS DOUBLE) / (b + c) END, 6) + 0.0
+        |    AS chi2,
+        |  CASE WHEN b + c > 0 THEN
+        |      CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.841
+        |    ELSE false END AS significant
+        |FROM t""".stripMargin,
     "stats_circular" ->
       """WITH e AS (SELECT event_type,
         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr
