@@ -699,7 +699,37 @@ object MiningOps {
       .orderBy("item", "rn")
   }
 
+  // ── degree distribution of the co-purchase graph, log₂-binned — the
+  // first diagnostic of any graph's shape (heavy-tailed or not decides
+  // whether hub-capped wedges, skew salts, and top-k pruning are needed
+  // at all; text_zipf_fit asks the same question of the vocabulary).
+  // The bin is the EXACT bit length of the degree (length(bin(d)) − 1
+  // = ⌊log₂ d⌋ with no floating log whose x.9999… at exact powers of
+  // two would misbin on one engine and not the other). Node degrees are
+  // one keyed count; the distribution is |bins|-sized. ──
+  def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val und = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val binned = deg
+      .groupBy((length(expr("bin(d)")) - 1).as("log2_bin"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_deg"),
+        max(col("d")).as("max_deg"), sum(col("d")).as("sum_deg"))
+    val tot = binned.agg(sum(col("n_nodes")).as("total"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("log2_bin"), col("n_nodes"), col("min_deg"),
+        col("max_deg"), col("sum_deg"),
+        r6(expr("cast(n_nodes as double) / total")).as("share"))
+      .orderBy("log2_bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_dist"      -> graphDegreeDist _,
     "graph_common_neighbors" -> graphCommonNeighbors _,
     "graph_assortativity"    -> graphAssortativity _,
     "graph_clustering_coeff" -> graphClusteringCoeff _,
@@ -768,6 +798,24 @@ object MiningOps {
         |    + 0.0 AS coeff
         |FROM deg LEFT JOIN tc USING (node)
         |WHERE deg.d >= 2 ORDER BY node""".stripMargin,
+    "graph_degree_dist" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u FROM und UNION ALL SELECT v AS u FROM und),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(d)) - 1 AS INTEGER) AS log2_bin,
+        |    CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(min(d) AS BIGINT) AS min_deg,
+        |    CAST(max(d) AS BIGINT) AS max_deg,
+        |    CAST(sum(d) AS BIGINT) AS sum_deg
+        |  FROM deg GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS total FROM b)
+        |SELECT log2_bin, n_nodes, min_deg, max_deg, sum_deg,
+        |  round(CAST(n_nodes AS DOUBLE) / total, 6) + 0.0 AS share
+        |FROM b CROSS JOIN t ORDER BY log2_bin""".stripMargin,
     "graph_assortativity" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |           FROM lineitem),

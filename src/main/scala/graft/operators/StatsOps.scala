@@ -2209,7 +2209,40 @@ object StatsOps {
           " ELSE false END").as("significant"))
   }
 
+  // ── Tukey box-plot fences per event type: Q1/Q3 by the percentile ↔
+  // quantile_cont pairing, fences at ±1.5·IQR SNAPPED to 6 dp before
+  // any row compares against them — the snap makes the boundary
+  // decision identical on both engines even if the interpolated
+  // quantiles differ in the last ulp (values have 2 dp, quantile
+  // fractions add 2 more, so 6 dp loses nothing). The quartile pass is
+  // one keyed aggregate; the fence pass re-joins the 5-row threshold
+  // table broadcast — the IQR-rule outlier gauge next to anomaly_mad's
+  // MAD version (fences are the dashboard convention; MAD is the
+  // robust-estimator one). ──
+  def statsTukey(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val q = e.groupBy(col("event_type"))
+      .agg(expr("round(percentile(value, 0.25), 6)").as("q1"),
+        expr("round(percentile(value, 0.75), 6)").as("q3"))
+      .withColumn("lo", expr("round(q1 - 1.5D * (q3 - q1), 6)"))
+      .withColumn("hi", expr("round(q3 + 1.5D * (q3 - q1), 6)"))
+    e.join(broadcast(q), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), first(col("q1")).as("q1"),
+        first(col("q3")).as("q3"), first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        sum((col("value") < col("lo") || col("value") > col("hi"))
+          .cast("long")).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        r6(col("q1")).as("q1"), r6(col("q3")).as("q3"),
+        r6(col("lo")).as("fence_lo"), r6(col("hi")).as("fence_hi"),
+        col("n_outliers"),
+        r6(expr("cast(n_outliers as double) / n")).as("pct_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_tukey"           -> statsTukey _,
     "dist_hhi"              -> distHhi _,
     "stats_mcnemar"         -> statsMcnemar _,
     "stats_circular"        -> statsCircular _,
@@ -2318,6 +2351,28 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_tukey" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    round(quantile_cont("value", 0.25), 6) AS q1,
+        |    round(quantile_cont("value", 0.75), 6) AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1, q3,
+        |    round(q1 - CAST(1.5 AS DOUBLE) * (q3 - q1), 6) AS lo,
+        |    round(q3 + CAST(1.5 AS DOUBLE) * (q3 - q1), 6) AS hi
+        |  FROM q)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(any_value(q1), 6) + 0.0 AS q1,
+        |  round(any_value(q3), 6) + 0.0 AS q3,
+        |  round(any_value(lo), 6) + 0.0 AS fence_lo,
+        |  round(any_value(hi), 6) + 0.0 AS fence_hi,
+        |  CAST(sum(CASE WHEN e."value" < lo OR e."value" > hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN e."value" < lo OR e."value" > hi
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) + 0.0
+        |    AS pct_outliers
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
     "dist_hhi" ->
       """WITH r AS (
         |  SELECT p.p_brand, l.l_suppkey,
