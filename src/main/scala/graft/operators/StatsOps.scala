@@ -2241,7 +2241,36 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── Ulcer Index of the daily revenue series per event type: RMS of
+  // the running-peak drawdown percentage — window_drawdown reports how
+  // DEEP the worst trough went; UI also charges for how LONG the
+  // series sat below its peak (the risk gauge that distinguishes one
+  // bad day from a bad month). The series is DECIMAL-exact daily cents
+  // with a per-type running max (keyed windows, grid-sized frames);
+  // each drawdown% is one double division from exact ints, snapped to
+  // 6 dp DECIMAL(12,6) and SQUARED IN DECIMAL so the mean is order-
+  // independent; sqrt of one exact total closes it. ──
+  def windowUlcer(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val peaked = daily.withColumn("peak",
+      max(col("revc")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dd6", expr("cast(round(100 * cast(peak - revc" +
+        " as double) / peak, 6) as decimal(12,6))"))
+    peaked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("dd6")).cast("double").as("max_drawdown_pct"),
+        sum(col("dd6") * col("dd6")).as("ssq"))
+      .select(col("event_type"), col("n_days"),
+        r6(col("max_drawdown_pct")).as("max_drawdown_pct"),
+        r6(expr("sqrt(cast(ssq as double) / n_days)")).as("ulcer_index"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ulcer"          -> windowUlcer _,
     "stats_tukey"           -> statsTukey _,
     "dist_hhi"              -> distHhi _,
     "stats_mcnemar"         -> statsMcnemar _,
@@ -2351,6 +2380,25 @@ object StatsOps {
       |FROM s ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "window_ulcer" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS revc
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, revc,
+        |    max(revc) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |d AS (SELECT event_type,
+        |    CAST(round(100 * CAST(peak - revc AS DOUBLE) / peak, 6)
+        |      AS DECIMAL(12,6)) AS dd6
+        |  FROM p)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(CAST(max(dd6) AS DOUBLE), 6) + 0.0 AS max_drawdown_pct,
+        |  round(sqrt(CAST(sum(dd6 * dd6) AS DOUBLE) / count(*)), 6) + 0.0
+        |    AS ulcer_index
+        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
     "stats_tukey" ->
       """WITH q AS (
         |  SELECT event_type,

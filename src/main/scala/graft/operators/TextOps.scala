@@ -1011,7 +1011,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── character-bigram entropy per document, in bits — the cheap
+  // compression-ratio proxy the quality literature uses to catch
+  // templated/repetitive text (low entropy ≈ compresses well ≈ likely
+  // boilerplate; the character-level companion of
+  // [[textDupNgramCoverage]]'s word-level repetition). Bigram counts
+  // per doc are exact integers (one corpus-linear shuffle keyed by
+  // doc+bigram); every probability is an exact integer ratio, each
+  // p·ln p term is snapped to 9 dp DECIMAL before the per-doc sum (the
+  // libm/order device — a doc can have hundreds of terms, too many to
+  // trust a raw double sum at 6 dp), and the bits conversion divides
+  // once by ln 2. ──
+  def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("txt"))
+      .filter(length(col("txt")) >= 2)
+      .select(col("doc_id"), (length(col("txt")) - 1).as("n"),
+        explode(expr("transform(sequence(1, length(txt) - 1)," +
+          " i -> substring(txt, i, 2))")).as("bg"))
+    grams.groupBy(col("doc_id"), col("n"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("t9", expr("cast(round((cast(c as double) / n)" +
+        " * ln(cast(c as double) / n), 9) as decimal(18,9))"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("t9")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        (round(expr("-cast(s as double) / ln(cast(2 as double))"), 6)
+          + lit(0.0d)).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_char_entropy"     -> textCharEntropy _,
     "text_mattr"            -> textMattr _,
     "text_quality_gopher"   -> textQualityGopher _,
     "text_nb_lang"          -> textNbLang _,
@@ -1090,6 +1123,26 @@ object TextOps {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_char_entropy" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents
+        |           WHERE length(lower(text)) >= 2),
+        |g AS (SELECT doc_id, length(txt) - 1 AS n,
+        |    unnest(list_transform(generate_series(1, length(txt) - 1),
+        |      i -> substr(txt, i, 2))) AS bg
+        |  FROM d),
+        |c AS (SELECT doc_id, n, bg, count(*) AS c
+        |      FROM g GROUP BY 1, 2, 3),
+        |t AS (SELECT doc_id, n,
+        |    CAST(round((CAST(c AS DOUBLE) / n)
+        |      * ln(CAST(c AS DOUBLE) / n), 9) AS DECIMAL(18,9)) AS t9
+        |  FROM c),
+        |s AS (SELECT doc_id, CAST(any_value(n) AS INTEGER) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct, sum(t9) AS s
+        |  FROM t GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_distinct,
+        |  round(-CAST(s AS DOUBLE) / ln(CAST(2 AS DOUBLE)), 6) + 0.0
+        |    AS entropy_bits
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_mattr" ->
       """WITH t AS (
         |  SELECT doc_id,
