@@ -728,7 +728,46 @@ object MiningOps {
       .orderBy("log2_bin")
   }
 
+  // ── rich-club coefficient: among nodes of degree > k, what fraction
+  // of their possible edges exist — do the hubs of the co-purchase
+  // graph form their own densely-wired club (Colizza et al. 2006), the
+  // hub-STRUCTURE question assortativity's single coefficient can't
+  // answer. Evaluated on a fixed k ladder: the |edges|-sized frame
+  // joins the broadcast degree table once, the 4-row k ladder explodes
+  // against it, and each (k) group reduces to two exact integers; φ is
+  // one cast-first division, NULL below 2 club members. ──
+  def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val und = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d")).cache()
+    val ks = Seq(4, 8, 16, 32)
+    val kCol = explode(array(ks.map(lit): _*)).as("k")
+    val nk = deg.select(col("d"), kCol)
+      .filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_club"))
+    val ek = und
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))),
+        "v")
+      .select(col("du"), col("dv"), kCol)
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_club"))
+    nk.join(ek, Seq("k"), "left")
+      .withColumn("e_club", coalesce(col("e_club"), lit(0L)))
+      .select(col("k"), col("n_club"), col("e_club"),
+        r6(expr("CASE WHEN n_club >= 2 THEN cast(2 * e_club as double)" +
+          " / (n_club * (n_club - 1)) END")).as("phi"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_rich_club"        -> graphRichClub _,
     "graph_degree_dist"      -> graphDegreeDist _,
     "graph_common_neighbors" -> graphCommonNeighbors _,
     "graph_assortativity"    -> graphAssortativity _,
@@ -798,6 +837,28 @@ object MiningOps {
         |    + 0.0 AS coeff
         |FROM deg LEFT JOIN tc USING (node)
         |WHERE deg.d >= 2 ORDER BY node""".stripMargin,
+    "graph_rich_club" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u FROM und UNION ALL SELECT v AS u FROM und),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY 1),
+        |ks AS (SELECT unnest([4, 8, 16, 32]) AS k),
+        |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_club
+        |       FROM deg CROSS JOIN ks WHERE d > k GROUP BY 1),
+        |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_club
+        |       FROM und
+        |       JOIN deg du ON und.u = du.node
+        |       JOIN deg dv ON und.v = dv.node
+        |       CROSS JOIN ks
+        |       WHERE du.d > k AND dv.d > k GROUP BY 1)
+        |SELECT nk.k, n_club, COALESCE(e_club, 0) AS e_club,
+        |  round(CASE WHEN n_club >= 2 THEN
+        |      CAST(2 * COALESCE(e_club, 0) AS DOUBLE)
+        |      / (n_club * (n_club - 1)) END, 6) + 0.0 AS phi
+        |FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k""".stripMargin,
     "graph_degree_dist" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |           FROM lineitem),

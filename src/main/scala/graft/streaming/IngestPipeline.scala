@@ -572,12 +572,41 @@ object IngestPipeline {
         col("users"), col("cnt"))
       .orderBy("hour_s")
 
+  // ── distinct users per 2-hour hopping window sliding hourly — the
+  // overlapping-window twin of [[streamTumblingUsers]] (tumbling
+  // answers "this hour's reach"; hopping answers "trailing-2h reach,
+  // refreshed hourly" — the smoother a live dashboard actually wants).
+  // Same dedup-then-count streaming semantics; each event lands in
+  // exactly 2 windows, so stream state stays 2× the tumbling form. The
+  // oracle replays Spark's window cover rule exactly: starts = the
+  // event's hour floor and the hour before. ──
+  def streamHoppingUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start_s"),
+        col("users"), col("cnt"))
+      .orderBy("win_start_s")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_avg" -> streamTumblingAvg _,
     "stream_tumbling_users" -> streamTumblingUsers _,
+    "stream_hopping_users" -> streamHoppingUsers _,
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_hopping_users" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id
+        |           FROM events),
+        |cov AS (SELECT h AS ws, user_id FROM e
+        |        UNION ALL
+        |        SELECT h - INTERVAL 1 HOUR AS ws, user_id FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start_s,
+        |  count(DISTINCT user_id) AS users, count(*) AS cnt
+        |FROM cov GROUP BY 1 ORDER BY win_start_s""".stripMargin,
     "stream_tumbling_users" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS hour_s,
