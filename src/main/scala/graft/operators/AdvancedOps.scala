@@ -1080,7 +1080,46 @@ object AdvancedOps {
       .orderBy("o_orderpriority")
   }
 
+  // ── entry/exit matrix over gap sessions: which event type OPENS a
+  // session crossed with which type CLOSES it — the landing/exit-page
+  // table of web analytics, and the sanity check on funnel design
+  // (sessions that open on 'error' are an instrumentation bug, sessions
+  // that close on 'purchase' ended satisfied). Rides the same one-
+  // shuffle session assignment as [[sessionize]]; first/last event per
+  // session come from min/max over a (us, event_id, type) struct — the
+  // session's own total order, no second window pass — and the result
+  // is a ≤ k² matrix with exact integer counts and µs durations. ──
+  def sessionsEntryExit(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val running = order.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = seq(spark, dir)
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("event_type"))).as("f"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("l"),
+        count(lit(1)).as("n"))
+    sess.groupBy(col("f.event_type").as("entry_type"),
+        col("l.event_type").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        sum(col("l.us") - col("f.us")).as("dur_us"))
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+        col("n_events"),
+        round(expr("cast(n_events as double) / n_sessions"), 6).+(lit(0.0d))
+          .as("avg_events"),
+        round(expr("cast(dur_us as double) / n_sessions / 1000000"), 6)
+          .+(lit(0.0d)).as("avg_duration_s"))
+      .orderBy("entry_type", "exit_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessions_entry_exit" -> sessionsEntryExit _,
     "lead_time_stats"  -> leadTimeStats _,
     "stats_corr"       -> statsCorr _,
     "cube_agg"         -> cubeAgg _,
@@ -1123,6 +1162,44 @@ object AdvancedOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sessions_entry_exit" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |flags AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flags),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY us, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY us DESC, event_id DESC) AS rl
+        |  FROM sess),
+        |agg AS (
+        |  SELECT user_id, session_id,
+        |    min(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+        |    min(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    max(us) - min(us) AS dur
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, CAST(count(*) AS BIGINT)
+        |    AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) + 0.0 AS avg_events,
+        |  round(CAST(sum(dur) AS DOUBLE) / count(*) / 1000000, 6) + 0.0
+        |    AS avg_duration_s
+        |FROM agg GROUP BY 1, 2 ORDER BY entry_type, exit_type""".stripMargin,
     "lead_time_stats" ->
       """WITH l AS (
         |  SELECT o.o_orderpriority,

@@ -214,7 +214,13 @@ object AnalyticsOps {
   // folded into one min(struct(-count, label)) — both with map-side
   // partials and no windows. localCheckpoint truncates lineage so round k
   // never re-executes rounds 1..k-1. ──
-  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+  /** The LP machinery shared by [[graphLabelProp]] and
+    * [[graphModularity]]: (directed-both-ways edge frame, final labels)
+    * — ONE definition so the partition the modularity key scores is
+    * exactly the partition the community key reports. Caller unpersists
+    * the returned edge frame. */
+  private def lpLabels(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
     val e = Tables.orders(spark, dir)
@@ -239,9 +245,45 @@ object AnalyticsOps {
         .select(col("src").as("node"), col("m").getField("l").as("lbl"))
         .localCheckpoint()
     }
-    labels.groupBy(col("lbl").as("community"))
+    (und, labels)
+  }
+
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val (und, labels) = lpLabels(spark, dir)
+    val out = labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
       .orderBy("community")
+    und.unpersist()
+    out
+  }
+
+  // ── Newman modularity of the LP partition: did label propagation
+  // actually find STRUCTURE, or just relabel noise — Q = Σ_c e_c/A −
+  // Σ_c (d_c/A)² over the directed-both-ways edge list (A = 2m), the
+  // one number that makes a community detector auditable. Exact-integer
+  // device: within-community edge count, per-community degree sums and
+  // Σd_c² are all int64 (Q's two divisions are the only doubles), so
+  // the DuckDB oracle replays the 3 LP rounds AND the score bit-for-
+  // bit. Labels broadcast onto the edge frame twice (node-sized);
+  // everything else is keyed aggregation. ──
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val (und, labels) = lpLabels(spark, dir)
+    val lsrc = labels.select(col("node").as("src"), col("lbl").as("lu"))
+    val ldst = labels.select(col("node").as("dst"), col("lbl").as("lv"))
+    val tagged = und.join(broadcast(lsrc), "src")
+      .join(broadcast(ldst), "dst")
+    val m = tagged.agg(count(lit(1)).as("a"),
+      sum((col("lu") === col("lv")).cast("long")).as("within"))
+    val d2 = tagged.groupBy(col("lu")).agg(count(lit(1)).as("dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("dc") * col("dc")).as("sd2"))
+    val out = m.crossJoin(broadcast(d2))
+      .select(col("n_communities"), col("a").as("n_edges_directed"),
+        col("within").as("within_edges"),
+        r6(expr("cast(within as double) / a" +
+          " - cast(sd2 as double) / (cast(a as double) * a)")).as("q"))
+    und.unpersist()
+    out
   }
 
   // ── CDC / SCD type-2 merge: apply a change batch to a dimension
@@ -580,7 +622,61 @@ object AnalyticsOps {
           lit(3.841d)).as("srm_flag"))
   }
 
+  private val HitsIters = 2
+  private val HitsScale = 1000000L
+
+  // ── HITS (Kleinberg hubs & authorities) on the directed
+  // customer→supplier purchase graph — PageRank scores IMPORTANCE on the
+  // symmetrized graph; HITS keeps the direction and answers the two-
+  // sided question: which customers aggregate the good suppliers (hubs)
+  // and which suppliers are endorsed by the good customers
+  // (authorities). Two mutual-reinforcement rounds in ppm FIXED-POINT:
+  // each half-step is one broadcast-join + keyed sum of int64 scores,
+  // renormalized by the current MAX via integer division (max-norm, the
+  // HITS convention) — bit-replayable, so the oracle unrolls all four
+  // half-steps exactly. Same scale shape as pagerank: node-sized score
+  // vectors broadcast, the edge frame never reshuffles, eager
+  // localCheckpoint keeps the loop linear. Score sums stay < 2⁶³ while
+  // max-degree · Scale² < 9.2e18 (maxdeg ≲ 9e6 at ppm scale — drop
+  // Scale to 1e3 beyond). ──
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val e = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct().cache()
+    var h = e.select(col("cust")).distinct()
+      .withColumn("h", lit(HitsScale))
+    var a = e.select(col("supp")).distinct().withColumn("a", lit(HitsScale))
+    for (_ <- 1 to HitsIters) {
+      val araw = e.join(broadcast(h), "cust")
+        .groupBy(col("supp")).agg(sum(col("h")).as("ar"))
+      a = araw.crossJoin(broadcast(araw.agg(max(col("ar")).as("mx"))))
+        .select(col("supp"), expr(s"ar * $HitsScale div mx").as("a"))
+        .localCheckpoint()
+      val hraw = e.join(broadcast(a), "supp")
+        .groupBy(col("cust")).agg(sum(col("a")).as("hr"))
+      h = hraw.crossJoin(broadcast(hraw.agg(max(col("hr")).as("mx"))))
+        .select(col("cust"), expr(s"hr * $HitsScale div mx").as("h"))
+        .localCheckpoint()
+    }
+    val both = h.select(lit("hub").as("side"), col("cust").as("node"),
+        col("h").as("score"))
+      .union(a.select(lit("authority").as("side"), col("supp").as("node"),
+        col("a").as("score")))
+    val out = both
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("side"))
+        .orderBy(desc("score"), col("node"))))
+      .filter(col("rnk") <= 10)
+      .orderBy("side", "rnk")
+    e.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits"       -> graphHits _,
     "ab_srm_check"     -> abSrmCheck _,
     "stats_wilcoxon_signed" -> statsWilcoxonSigned _,
     "stats_kendall_tau" -> statsKendallTau _,
@@ -595,6 +691,7 @@ object AnalyticsOps {
     "anomaly_mad"      -> anomalyMad _,
     "graph_pagerank"   -> graphPagerank _,
     "graph_label_prop" -> graphLabelProp _,
+    "graph_modularity" -> graphModularity _,
     "attribution"      -> attribution _,
     "cdc_scd2"         -> cdcScd2 _,
     "rolling_active_users" -> rollingActiveUsers _,
@@ -622,10 +719,11 @@ object AnalyticsOps {
        |SELECT node, r FROM it$PrIters ORDER BY node""".stripMargin
   }
 
-  private val lpIterSql: String = {
-    // unrolled synchronous rounds: l0 = own id; it{k}'s label is the
-    // neighbor mode of it{k-1} (count desc, label asc — same total order
-    // as the Spark side's min(struct(-count, label)))
+  /** The unrolled-LP CTE block shared by the graph_label_prop and
+    * graph_modularity oracles: l0 = own id; it{k}'s label is the
+    * neighbor mode of it{k-1} (count desc, label asc — same total order
+    * as the Spark side's min(struct(-count, label))). */
+  private val lpCtes: String = {
     val iters = (1 to LpIters).map { k =>
       val prev = if (k == 1) "l0" else s"it${k - 1}"
       s"""c$k AS (
@@ -643,11 +741,33 @@ object AnalyticsOps {
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |ue AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ue),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private val lpIterSql: String =
+    s"""$lpCtes
        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
        |  min(node) AS min_node
        |FROM it$LpIters GROUP BY 1 ORDER BY community""".stripMargin
-  }
+
+  private val modularitySql: String =
+    s"""$lpCtes,
+       |tagged AS (
+       |  SELECT lu.lbl AS lu, lv.lbl AS lv
+       |  FROM ue JOIN it$LpIters lu ON ue.src = lu.node
+       |          JOIN it$LpIters lv ON ue.dst = lv.node),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN lu = lv THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS within
+       |  FROM tagged),
+       |d2 AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |    CAST(sum(dc * dc) AS BIGINT) AS sd2
+       |  FROM (SELECT lu, CAST(count(*) AS BIGINT) AS dc
+       |        FROM tagged GROUP BY 1))
+       |SELECT n_communities, a AS n_edges_directed, within AS within_edges,
+       |  round(CAST(within AS DOUBLE) / a
+       |    - CAST(sd2 AS DOUBLE) / (CAST(a AS DOUBLE) * a), 6) + 0.0 AS q
+       |FROM m CROSS JOIN d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ab_srm_check" ->
@@ -891,8 +1011,38 @@ object AnalyticsOps {
         |  any_value(m.med) AS med, any_value(m.mad) AS mad
         |FROM events e JOIN mad m USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS ar
+        |        FROM e JOIN h0 USING (cust) GROUP BY 1),
+        |a1 AS (SELECT supp, ar * 1000000 // (SELECT max(ar) FROM a1r)
+        |         AS a FROM a1r),
+        |h1r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS hr
+        |        FROM e JOIN a1 USING (supp) GROUP BY 1),
+        |h1 AS (SELECT cust, hr * 1000000 // (SELECT max(hr) FROM h1r)
+        |         AS h FROM h1r),
+        |a2r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS ar
+        |        FROM e JOIN h1 USING (cust) GROUP BY 1),
+        |a2 AS (SELECT supp, ar * 1000000 // (SELECT max(ar) FROM a2r)
+        |         AS a FROM a2r),
+        |h2r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS hr
+        |        FROM e JOIN a2 USING (supp) GROUP BY 1),
+        |h2 AS (SELECT cust, hr * 1000000 // (SELECT max(hr) FROM h2r)
+        |         AS h FROM h2r),
+        |bo AS (
+        |  SELECT 'hub' AS side, cust AS node, h AS score FROM h2
+        |  UNION ALL
+        |  SELECT 'authority' AS side, supp AS node, a AS score FROM a2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY side
+        |        ORDER BY score DESC, node) AS rnk FROM bo)
+        |SELECT side, node, score, CAST(rnk AS INTEGER) AS rnk FROM r
+        |WHERE rnk <= 10 ORDER BY side, rnk""".stripMargin,
     "graph_pagerank" -> prIterSql,
     "graph_label_prop" -> lpIterSql,
+    "graph_modularity" -> modularitySql,
     "attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, "value",

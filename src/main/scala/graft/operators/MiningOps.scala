@@ -766,7 +766,81 @@ object MiningOps {
       .orderBy("k")
   }
 
+  // ── out-of-fold mean target encoding — the leakage-safe way to turn a
+  // high-cardinality category into a numeric feature (a plain per-
+  // category target mean lets each row see its OWN label through its
+  // category's statistic; encoded-then-trained models overfit exactly
+  // there). Rows are dealt into 5 folds by the portable Knuth hash of
+  // event_id (deterministic, engine-independent, and stable under
+  // repartitioning — the split_train_eval rule); fold f's encoding for a
+  // category uses ONLY the other folds' rows, shrunk toward the global
+  // prior with weight m=20 (micro-categories collapse to the prior
+  // instead of memorizing noise). ONE scan → a (category × fold) grid of
+  // integer counts; totals arrive by grid-sized windows — at 100 TB the
+  // shuffled state is |categories|·5 rows. Every input to the final
+  // division is an exact integer (prior enters as the identical
+  // pt/nt ratio in both engines), so enc matches bit-for-bit. ──
+  def featureTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val rows = ev(spark, dir).select(col("event_type"),
+      expr("pmod(pmod(event_id, 2147483648) * 2654435761, 2147483648) % 5")
+        .as("fold"),
+      when(col("value") > 50, 1L).otherwise(0L).as("y"))
+    val grid = rows.groupBy(col("event_type"), col("fold"))
+      .agg(count(lit(1)).as("n_cf"), sum(col("y")).as("pos_cf"))
+    val wCat = Window.partitionBy(col("event_type"))
+    val wAll = Window.partitionBy(lit(1))
+    grid
+      .withColumn("n_cat", sum(col("n_cf")).over(wCat))
+      .withColumn("pos_cat", sum(col("pos_cf")).over(wCat))
+      .withColumn("nt", sum(col("n_cf")).over(wAll))
+      .withColumn("pt", sum(col("pos_cf")).over(wAll))
+      .select(col("event_type"), col("fold"),
+        (col("n_cat") - col("n_cf")).as("n_oof"),
+        (col("pos_cat") - col("pos_cf")).as("pos_oof"),
+        r6(expr("(pos_cat - pos_cf + 20 * (cast(pt as double) / nt))" +
+          " / (n_cat - n_cf + 20)")).as("enc"))
+      .orderBy("event_type", "fold")
+  }
+
+  // ── weight-of-evidence binning + information value: per value band,
+  // WoE = ln of (share of positives / share of negatives) landing there
+  // — the credit-scoring encoding that makes a feature's class
+  // separation READABLE bin by bin, and IV = Σ (Δshare·WoE) the one-
+  // number screen for whether the feature is worth keeping (IV < 0.02:
+  // useless; > 0.5: suspicious). Bins are integer value bands (floor
+  // div — no engine quantile drift), counts are exact integers with the
+  // standard +0.5 continuity correction so empty cells stay finite, and
+  // the IV terms cross the oracle boundary as 9-dp-snapped DECIMAL sums
+  // (every row carries the feature-level total — grid-sized window).
+  // One scan; |bins| rows of state thereafter. ──
+  def featureWoe(spark: SparkSession, dir: String): DataFrame = {
+    val binned = ev(spark, dir).select(
+      floor(col("value") / 50).cast("long").as("bin"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val hist = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .withColumn("neg", col("n") - col("pos"))
+    val wAll = Window.partitionBy(lit(1))
+    hist
+      .withColumn("pt", sum(col("pos")).over(wAll))
+      .withColumn("nt", sum(col("neg")).over(wAll))
+      .withColumn("woe9", expr(
+        """round(ln(((cast(pos as double) + 0.5) / pt)
+          |       / ((cast(neg as double) + 0.5) / nt)), 9)""".stripMargin))
+      .withColumn("ivt", expr(
+        """CAST(round(((cast(pos as double) + 0.5) / pt
+          |      - (cast(neg as double) + 0.5) / nt) * woe9, 9)
+          |     AS DECIMAL(18,9))""".stripMargin))
+      .withColumn("iv", sum(col("ivt")).over(wAll))
+      .select(col("bin"), col("n"), col("pos"), col("neg"),
+        r6(col("woe9")).as("woe"),
+        r6(col("iv").cast("double")).as("iv_total"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feature_target_encode"  -> featureTargetEncode _,
+    "feature_woe"            -> featureWoe _,
     "graph_rich_club"        -> graphRichClub _,
     "graph_degree_dist"      -> graphDegreeDist _,
     "graph_common_neighbors" -> graphCommonNeighbors _,
@@ -788,6 +862,54 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "feature_target_encode" ->
+      """WITH rows_ AS (
+        |  SELECT event_type,
+        |    ((event_id % 2147483648) * 2654435761 % 2147483648) % 5
+        |      AS fold,
+        |    CAST(CASE WHEN "value" > 50 THEN 1 ELSE 0 END AS BIGINT) AS y
+        |  FROM events),
+        |grid AS (SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n_cf,
+        |    CAST(sum(y) AS BIGINT) AS pos_cf
+        |  FROM rows_ GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(sum(n_cf) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_cat,
+        |    CAST(sum(pos_cf) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS pos_cat,
+        |    CAST(sum(n_cf) OVER () AS BIGINT) AS nt,
+        |    CAST(sum(pos_cf) OVER () AS BIGINT) AS pt
+        |  FROM grid)
+        |SELECT event_type, fold, n_cat - n_cf AS n_oof,
+        |  pos_cat - pos_cf AS pos_oof,
+        |  round((pos_cat - pos_cf + 20 * (CAST(pt AS DOUBLE) / nt))
+        |    / (n_cat - n_cf + 20), 6) + 0.0 AS enc
+        |FROM w ORDER BY event_type, fold""".stripMargin,
+    "feature_woe" ->
+      """WITH binned AS (
+        |  SELECT CAST(floor("value" / 50) AS BIGINT) AS bin,
+        |    CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |         AS BIGINT) AS y
+        |  FROM events),
+        |hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+        |  FROM binned GROUP BY 1),
+        |w AS (SELECT *, CAST(sum(pos) OVER () AS BIGINT) AS pt,
+        |    CAST(sum(neg) OVER () AS BIGINT) AS nt
+        |  FROM hist),
+        |t AS (SELECT *,
+        |    round(ln(((CAST(pos AS DOUBLE) + 0.5) / pt)
+        |          / ((CAST(neg AS DOUBLE) + 0.5) / nt)), 9) AS woe9
+        |  FROM w),
+        |iv AS (SELECT *,
+        |    sum(CAST(round(((CAST(pos AS DOUBLE) + 0.5) / pt
+        |          - (CAST(neg AS DOUBLE) + 0.5) / nt) * woe9, 9)
+        |        AS DECIMAL(18,9))) OVER () AS ivs
+        |  FROM t)
+        |SELECT bin, n, pos, neg, round(woe9, 6) + 0.0 AS woe,
+        |  round(CAST(ivs AS DOUBLE), 6) + 0.0 AS iv_total
+        |FROM iv ORDER BY bin""".stripMargin,
     "recsys_item_knn" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |           FROM lineitem),

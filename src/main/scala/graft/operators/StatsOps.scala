@@ -2269,7 +2269,360 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── t-closeness audit, completing the k/l/t privacy triad
+  // ([[privacyKanon]] counts group sizes, [[privacyLDiversity]] counts
+  // distinct sensitive values; this measures how far each group's
+  // sensitive DISTRIBUTION sits from the corpus-wide one — a group can
+  // be large and diverse yet still 90% 'purchase' against a 20% base
+  // rate, which IS the leak). Distance = total variation (the standard
+  // for categorical sensitive attributes): per QI group, TVD·(2·n_g·N)
+  // = Σ_t |c_gt·N − C_t·n_g| is EXACT int64 over the complete
+  // group×type grid (missing cells as 0), so both engines compare and
+  // divide identical integers. Summary = worst group + the t>0.2
+  // exposure. ──
+  def privacyTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ev(spark, dir)
+      .groupBy(expr("pmod(datediff(day, DATE'1970-01-01'), 7)").as("dow"),
+        floor(col("value") / 100).as("vb"), col("event_type"))
+      .agg(count(lit(1)).as("c")).cache()
+    val glob = cells.groupBy(col("event_type")).agg(sum(col("c")).as("ct"))
+    val tot = glob.agg(sum(col("ct")).as("n"))
+    val groups = cells.groupBy(col("dow"), col("vb"))
+      .agg(sum(col("c")).as("ng"))
+    val grid = groups.crossJoin(broadcast(glob))
+      .join(cells, Seq("dow", "vb", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val tvd = grid.groupBy(col("dow"), col("vb"))
+      .agg(first(col("ng")).as("ng"), first(col("n")).as("n"),
+        sum(abs(col("c") * col("n") - col("ct") * col("ng"))).as("num"))
+      .withColumn("t", expr("cast(num as double) / (2 * ng * n)"))
+    tvd.agg(count(lit(1)).as("n_groups"), sum(col("ng")).as("n_rows"),
+        r6(max(col("t"))).as("max_t"),
+        sum((col("t") > 0.2).cast("long")).as("groups_gt_02"),
+        sum(when(col("t") > 0.2, col("ng")).otherwise(lit(0L)))
+          .as("rows_gt_02"))
+      .select(col("n_groups"), col("n_rows"), col("max_t"),
+        col("groups_gt_02"), col("rows_gt_02"),
+        r6(expr("cast(rows_gt_02 as double) / n_rows")).as("pct_rows_gt_02"))
+  }
+
+  // ── survival analysis over the event stream: per user, hours from
+  // FIRST activity to first high-value purchase (value ≥ 80); users who
+  // never convert are right-CENSORED at the corpus horizon — the
+  // "time-to-convert with censoring done right" upgrade of
+  // funnel_time_to_convert, which silently drops non-converters and so
+  // overstates conversion speed. One row per user (keyed aggregation of
+  // the 100 TB stream), then every curve/test below runs on the
+  // time-grid-sized frame (≤ distinct hours — group-sized state, the
+  // stats_ecdf convention for its windows). Durations are pure int64
+  // epoch-µs arithmetic, bit-equal in any engine. ──
+  private def survSubjects(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val subj = e.groupBy(col("user_id"))
+      .agg(min(col("us")).as("t0"),
+        min(when(col("event_type") === "purchase" && col("value") >= 80,
+          col("us"))).as("tp"))
+    val mx = e.agg(max(col("us")).as("mxus"))
+    subj.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("observed"),
+        expr("(coalesce(tp, mxus) - t0) div 3600000000").as("t"))
+  }
+
+  // ── Kaplan–Meier product-limit curve of the conversion survival
+  // function. n_risk(t) = subjects with T ≥ t (the standard convention:
+  // censored-at-t still at risk at t), and S(t) multiplies (1 − d/n)
+  // over event times ≤ t. The product crosses the oracle boundary as a
+  // 9-dp-snapped DECIMAL sum of ln terms (the text_lm_score device —
+  // libm's ~1 ulp can't move a 1e-9 grid), exp'd and rounded at the
+  // very end; full extinction (d = n_risk, ln 0 diverges between
+  // engines) short-circuits to exactly 0. ──
+  def statsKaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val s = survSubjects(spark, dir)
+    val byT = s.groupBy(col("t"))
+      .agg(sum(col("observed")).as("d"),
+        sum(lit(1L) - col("observed")).as("c"))
+    val w = Window.orderBy(col("t"))
+    val curve = byT
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("term", expr(
+        """CASE WHEN d > 0 AND d < n_risk
+          |THEN CAST(round(ln(1.0 - cast(d as double) / n_risk), 9)
+          |          AS DECIMAL(18,9)) END""".stripMargin))
+      .withColumn("cuml",
+        sum(col("term")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .filter(col("d") > 0)
+    curve.select(col("t").as("t_hours"), col("n_risk"),
+        col("d").as("d_events"), col("c").as("c_censored"),
+        r6(expr("CASE WHEN d = n_risk THEN 0.0" +
+          " ELSE exp(cast(cuml as double)) END")).as("survival"))
+      .orderBy("t_hours")
+  }
+
+  // ── two-sample log-rank test: does the hash-A/B split (the
+  // ab_srm_check coin — portable Knuth hash of user_id, so both engines
+  // and any rerun deal the same groups) convert at the same RATE over
+  // time, the censoring-aware alternative to comparing raw conversion
+  // fractions. At each pooled event time, group 1's expected events
+  // E₁ = d·n₁/n and the hypergeometric variance accumulate as
+  // 9-dp-snapped DECIMAL sums; χ² = (ΣO−E)²/ΣV is two exact sums and
+  // one final division. Same subjects frame as the KM curve — the two
+  // keys share one user-level reduction shape. ──
+  def statsLogrank(spark: SparkSession, dir: String): DataFrame = {
+    val s = survSubjects(spark, dir).withColumn("g",
+      expr("pmod(pmod(user_id, 2147483648) * 2654435761, 2147483648) % 2"))
+    val byT = s.groupBy(col("t"))
+      .agg(count(lit(1)).as("a"), sum(col("observed")).as("d"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("a1"),
+        sum(when(col("g") === 1, col("observed")).otherwise(0L)).as("d1"))
+    val w = Window.orderBy(col("t"))
+    val terms = byT
+      .withColumn("n", sum(col("a")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("n1", sum(col("a1")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("d") > 0)
+      .withColumn("ome", expr(
+        """CAST(round(d1 - cast(d as double) * n1 / n, 9)
+          |     AS DECIMAL(18,9))""".stripMargin))
+      .withColumn("v", expr(
+        """CASE WHEN n > 1 THEN CAST(round(
+          |  cast(d as double) * n1 / n * (1.0 - cast(n1 as double) / n)
+          |    * (n - d) / (n - 1), 9) AS DECIMAL(18,9))
+          |ELSE CAST(0 AS DECIMAL(18,9)) END""".stripMargin))
+    val grp = s.agg(
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1_subj"),
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0_subj"),
+      sum(when(col("g") === 1, col("observed")).otherwise(0L)).as("o1"),
+      sum(when(col("g") === 0, col("observed")).otherwise(0L)).as("o0"))
+    terms.agg(sum(col("ome")).as("ome"), sum(col("v")).as("v"))
+      .crossJoin(broadcast(grp))
+      .select(col("n1_subj"), col("n0_subj"), col("o1"), col("o0"),
+        r6(col("ome").cast("double")).as("o_minus_e"),
+        r6(col("v").cast("double")).as("var_sum"),
+        r6(expr("CASE WHEN cast(v as double) > 0 THEN" +
+          " cast(ome as double) * cast(ome as double)" +
+          " / cast(v as double) END")).as("chi2"))
+  }
+
+  // ── Cochran's Q — the k-treatment extension of stats_mcnemar's
+  // paired flip test: across the k event types, do USERS (the blocks)
+  // participate at the same rate, judged on the within-user binary
+  // profile rather than raw totals (a few hyperactive users can't fake
+  // a difference, and user-level correlation is conditioned away).
+  // X_ij = "user i emitted a HIGH-VALUE (>150) event of type j" — the
+  // plain any-event mark saturates (every user touches every type, k·T
+  // = ΣR², denominator 0), so the mark must be selective to carry
+  // information; degenerate saturation still guards to NULL. The
+  // whole statistic
+  // is the closed form (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²) — every
+  // term an exact int64 from two keyed aggregations (per-type column
+  // sums, per-user row sums), ONE final division. All-zero / all-one
+  // users cancel between numerator and denominator, so no block
+  // filtering is needed — the fact table reduces to |users|+k rows of
+  // state no matter the scale. ──
+  def statsCochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val pres = ev(spark, dir)
+      .filter(col("value") > 150)
+      .select(col("user_id"), col("event_type")).distinct()
+    val rowsSq = pres.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("r"))
+      .agg(sum(col("r")).as("t"), sum(col("r") * col("r")).as("sr2"),
+        count(lit(1)).as("n_subjects"))
+    val colsSq = pres.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("k"), sum(col("c") * col("c")).as("sc2"))
+    rowsSq.crossJoin(broadcast(colsSq))
+      .select(col("n_subjects"), col("k"), col("t").as("total_marks"),
+        (col("k") - 1).as("df"),
+        r6(expr("CASE WHEN k * t - sr2 > 0 THEN" +
+          " cast((k - 1) * (k * sc2 - t * t) as double)" +
+          " / (k * t - sr2) END")).as("q_stat"))
+  }
+
+  // ── Page's L trend test — Friedman asks "do the treatments differ
+  // AT ALL"; Page asks the sharper ordered question "does daily revenue
+  // INCREASE along a hypothesized treatment order" (here the event
+  // types in name order — the test's order input is a modeling choice;
+  // any fixed order replays identically). Within each day-block, types
+  // get DOUBLED average ranks on exact cent revenue (the stats_friedman
+  // tie device — integers even under ties), L accumulates as the pure
+  // int64 Σ_j j·R2_j (halved at the very end), and the normal
+  // approximation z = (L − Nk(k+1)²/4) / √(Nk²(k+1)(k²−1)/144) is
+  // arithmetic on those integers (classic untied-variance form; ties
+  // make it conservative — documented, matched in the oracle). Block
+  // grid is |days|×k — group-sized forever. ──
+  def statsPageTrend(spark: SparkSession, dir: String): DataFrame = {
+    val rev = ev(spark, dir).groupBy(col("day"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val days = rev.select(col("day")).distinct()
+    val types = rev.select(col("event_type")).distinct()
+      .withColumn("j", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("event_type"))))
+    val grid = days.crossJoin(broadcast(types))
+      .join(rev, Seq("day", "event_type"), "left")
+      .withColumn("revc", coalesce(col("revc"), lit(0L)))
+    val ranked = grid.withColumn("r2x",
+      rank().over(Window.partitionBy(col("day")).orderBy(col("revc"))) * 2
+        + count(lit(1)).over(Window.partitionBy(col("day"), col("revc")))
+        - 1)
+    val perType = ranked.groupBy(col("j"))
+      .agg(sum(col("r2x")).as("r2"), count(lit(1)).as("n"))
+    perType.agg(count(lit(1)).as("k"), first(col("n")).as("n_blocks"),
+        sum(col("j") * col("r2")).as("l2"))
+      .select(col("n_blocks"), col("k"),
+        r6(expr("cast(l2 as double) / 2")).as("l_stat"),
+        r6(expr("(cast(l2 as double) / 2" +
+          " - cast(n_blocks * k * (k + 1) * (k + 1) as double) / 4)" +
+          " / sqrt(cast(n_blocks * k * k * (k + 1) as double)" +
+          " * (k * k - 1) / 144)")).as("z"))
+  }
+
+  // ── central-DP Laplace release of the event-type histogram — the
+  // third privacy mechanism next to privacy_rr_counts (local DP, noise
+  // at the client) and the k/l/t audits (no noise, just measurement):
+  // a trusted curator adds Laplace(1/ε) to each count (sensitivity 1
+  // for a histogram under add/remove-one adjacency) and releases ONLY
+  // the noisy values. The noise is inverse-CDF Laplace driven by the
+  // portable Knuth-hash uniform seeded on the category's name-order
+  // index — like privacy_rr_counts' coin, a REPLAYABLE pseudo-noise
+  // (auditable, bit-identical in both engines, and exactly what a
+  // seeded production PRNG does); swap in a real entropy source for an
+  // actual release. ln snaps to the 1e-9 grid; counts are one keyed
+  // aggregation of the fact table — k rows of state. ──
+  def privacyDpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val counts = ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("j", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("event_type"))).cast("long"))
+    counts
+      .withColumn("u", expr(
+        "(pmod(pmod(j, 2147483648) * 2654435761, 2147483648) + 1)" +
+          " / 2147483649.0"))
+      .withColumn("noise", expr(
+        """CASE WHEN u < 0.5
+          |THEN round(ln(2.0 * u), 9)
+          |ELSE -round(ln(2.0 * (1.0 - u)), 9) END""".stripMargin))
+      .select(col("event_type"), lit(1.0d).as("epsilon"),
+        r6(col("c") + col("noise")).as("noisy_count"))
+      .orderBy("event_type")
+  }
+
+  // ── Hill tail-index estimator: how heavy is the right tail of order
+  // values — α ≈ 1 means Zipf-like (means barely exist; a top-sample
+  // IS the mass), α > 3 means thin enough that averages are honest.
+  // stats_benford audits digit plausibility and dist_lorenz measures
+  // overall inequality; this estimates the tail EXPONENT itself, the
+  // number that decides whether p99-based capacity planning works. The
+  // estimator only touches the top k+1 = 101 order statistics — at any
+  // corpus size that is ONE TakeOrderedAndProject (per-partition heaps,
+  // driver merge, deterministic price-then-key total order), then a
+  // 101-row frame: H = mean ln(xᵢ/x₍ₖ₊₁₎) over the top k, α = 1/H,
+  // with ln terms 9-dp-snapped and DECIMAL-summed. ──
+  def statsHillTail(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("x"), col("o_orderkey"))
+      .orderBy(desc("x"), col("o_orderkey"))
+      .limit(101)
+    val w = Window.partitionBy(lit(1))
+      .orderBy(desc("x"), col("o_orderkey"))
+    top
+      .withColumn("rn", row_number().over(w))
+      .withColumn("thr", min(col("x")).over(Window.partitionBy(lit(1))))
+      .filter(col("rn") <= 100)
+      .withColumn("term", expr(
+        "CAST(round(ln(x / thr), 9) AS DECIMAL(18,9))"))
+      .agg(count(lit(1)).as("k"), min(col("thr")).as("x_threshold"),
+        sum(col("term")).as("s"))
+      .select(col("k"), col("x_threshold"),
+        r6(expr("cast(s as double) / k")).as("hill_h"),
+        r6(expr("cast(k as double) / cast(s as double)")).as("alpha"))
+  }
+
+  // ── stochastic oscillator (%K/%D) on daily revenue — window_rsi asks
+  // "how one-sided were the last 14 changes"; this asks the complement
+  // "WHERE in the last-14-day range does today close": %K = 100·(C −
+  // L14)/(H14 − L14) positions today between the trailing low and high,
+  // %D smooths %K over 3 days. Daily revenue reduces to exact int64
+  // CENTS first (the window_rsi device), so L14/H14 are integer window
+  // min/max and %K is one cast-first division; %D snaps %K to a 6-dp
+  // DECIMAL and averages THOSE (3-row frame — exact sum, one division),
+  // so no order-dependent double accumulation anywhere. Flat 14-day
+  // ranges (H = L) yield NULL, not 0/0. Per-type windows — parallel,
+  // bounded state, the series frame is group-sized at any corpus. ──
+  def windowStochastic(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w14 = wOrd.rowsBetween(-13, 0)
+    val w3 = wOrd.rowsBetween(-2, 0)
+    daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("l14", min(col("revc")).over(w14))
+      .withColumn("h14", max(col("revc")).over(w14))
+      .withColumn("k6", expr(
+        """CASE WHEN h14 > l14 THEN
+          |CAST(round(100.0 * cast(revc - l14 as double) / (h14 - l14), 6)
+          |     AS DECIMAL(12,6)) END""".stripMargin))
+      .withColumn("ks", sum(col("k6")).over(w3))
+      .withColumn("kn", count(col("k6")).over(w3))
+      .filter(col("rn") >= 14)
+      .select(col("event_type"), col("day"),
+        r6(col("k6").cast("double")).as("pct_k"),
+        r6(expr("CASE WHEN kn > 0 THEN cast(ks as double) / kn END"))
+          .as("pct_d"))
+      .orderBy("event_type", "day")
+  }
+
+  // ── Cochran–Armitage trend test: does the purchase RATE rise
+  // monotonically across the ordered day-of-week groups (scores w =
+  // 0..6) — stats_chi2 detects ANY association at k−1 df; spending its
+  // single df on the ordered alternative makes this strictly more
+  // powerful when a trend is the hypothesis. The χ² form
+  // N·(N·Σwr − R·Σwn)² / (R·(N−R)·(N·Σw²n − (Σwn)²)) is evaluated on
+  // five exact int64 sums from ONE keyed aggregation; the products run
+  // in DECIMAL (≤1e37 — no int64 wrap at any corpus size) and exactly
+  // one final double division crosses the oracle boundary. trend_dir is
+  // the sign of the numerator: +1 = rate rising over the week. ──
+  def statsPropTrend(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .groupBy(expr("pmod(datediff(day, DATE'1970-01-01'), 7)").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("r"))
+    g.agg(sum(col("n")).as("nt"), sum(col("r")).as("rt"),
+        sum(col("w") * col("n")).as("swn"),
+        sum(col("w") * col("w") * col("n")).as("sw2n"),
+        sum(col("w") * col("r")).as("swr"))
+      .withColumn("num", expr(
+        "cast(nt as decimal(18,0)) * swr - cast(rt as decimal(18,0)) * swn"))
+      .withColumn("den1", expr("cast(rt as decimal(18,0)) * (nt - rt)"))
+      .withColumn("den2", expr(
+        "cast(nt as decimal(18,0)) * sw2n" +
+          " - cast(swn as decimal(18,0)) * swn"))
+      .select(col("nt").as("n_total"), col("rt").as("r_total"),
+        expr("cast(sign(cast(num as double)) as int)").as("trend_dir"),
+        r6(expr("cast(num as double) * cast(num as double)" +
+          " * nt / (cast(den1 as double) * cast(den2 as double))"))
+          .as("chi2_trend"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_prop_trend"      -> statsPropTrend _,
+    "window_stochastic"     -> windowStochastic _,
+    "privacy_dp_counts"     -> privacyDpCounts _,
+    "stats_hill_tail"       -> statsHillTail _,
+    "stats_cochran_q"       -> statsCochranQ _,
+    "stats_page_trend"      -> statsPageTrend _,
+    "stats_kaplan_meier"    -> statsKaplanMeier _,
+    "stats_logrank"         -> statsLogrank _,
+    "privacy_t_closeness"   -> privacyTCloseness _,
     "window_ulcer"          -> windowUlcer _,
     "stats_tukey"           -> statsTukey _,
     "dist_hhi"              -> distHhi _,
@@ -2379,7 +2732,253 @@ object StatsOps {
       |    - 3, 6) + 0.0 AS kurtosis
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** Shared subject-level CTE block of the survival keys: one row per
+    * user with (observed, t hours), censoring at the corpus horizon —
+    * the SQL twin of [[survSubjects]]. */
+  private val survCtes: String =
+    """WITH mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mxus
+      |           FROM events),
+      |subj AS (
+      |  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' AND "value" >= 80
+      |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tp
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT user_id,
+      |        CAST(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |          AS observed,
+      |        (COALESCE(tp, mxus) - t0) // 3600000000 AS t
+      |      FROM subj CROSS JOIN mx)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "stats_prop_trend" ->
+      """WITH g AS (
+        |  SELECT ((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |       - DATE '1970-01-01') % 7 + 7) % 7 AS w,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS r
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(r) AS BIGINT) AS rt,
+        |    CAST(sum(w * n) AS BIGINT) AS swn,
+        |    CAST(sum(w * w * n) AS BIGINT) AS sw2n,
+        |    CAST(sum(w * r) AS BIGINT) AS swr
+        |  FROM g),
+        |t AS (SELECT *,
+        |    CAST(nt AS DECIMAL(18,0)) * swr
+        |      - CAST(rt AS DECIMAL(18,0)) * swn AS num,
+        |    CAST(rt AS DECIMAL(18,0)) * (nt - rt) AS den1,
+        |    CAST(nt AS DECIMAL(18,0)) * sw2n
+        |      - CAST(swn AS DECIMAL(18,0)) * swn AS den2
+        |  FROM s)
+        |SELECT nt AS n_total, rt AS r_total,
+        |  CAST(sign(CAST(num AS DOUBLE)) AS INTEGER) AS trend_dir,
+        |  round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * nt
+        |    / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE)), 6) + 0.0
+        |    AS chi2_trend
+        |FROM t""".stripMargin,
+    "window_stochastic" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS revc
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, revc,
+        |    row_number() OVER wo AS rn,
+        |    min(revc) OVER (wo ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |      AS l14,
+        |    max(revc) OVER (wo ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |      AS h14
+        |  FROM daily
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+        |k AS (SELECT *,
+        |    CASE WHEN h14 > l14 THEN
+        |      CAST(round(100.0 * CAST(revc - l14 AS DOUBLE) / (h14 - l14),
+        |                 6) AS DECIMAL(12,6)) END AS k6
+        |  FROM w),
+        |d AS (SELECT *,
+        |    sum(k6) OVER (wo ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |      AS ks,
+        |    count(k6) OVER (wo ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |      AS kn
+        |  FROM k WINDOW wo AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, round(CAST(k6 AS DOUBLE), 6) + 0.0
+        |    AS pct_k,
+        |  round(CASE WHEN kn > 0 THEN CAST(ks AS DOUBLE) / kn END, 6)
+        |    + 0.0 AS pct_d
+        |FROM d WHERE rn >= 14 ORDER BY event_type, day""".stripMargin,
+    "privacy_dp_counts" ->
+      """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS j
+        |  FROM events GROUP BY event_type),
+        |u AS (SELECT *,
+        |    ((j % 2147483648) * 2654435761 % 2147483648 + 1)
+        |      / 2147483649.0 AS u
+        |  FROM c),
+        |n AS (SELECT *, CASE WHEN u < 0.5 THEN round(ln(2.0 * u), 9)
+        |    ELSE -round(ln(2.0 * (1.0 - u)), 9) END AS noise
+        |  FROM u)
+        |SELECT event_type, CAST(1.0 AS DOUBLE) AS epsilon,
+        |  round(c + noise, 6) + 0.0 AS noisy_count
+        |FROM n ORDER BY event_type""".stripMargin,
+    "stats_hill_tail" ->
+      """WITH top AS (SELECT o_totalprice AS x, o_orderkey FROM orders
+        |             ORDER BY x DESC, o_orderkey LIMIT 101),
+        |r AS (SELECT x,
+        |    row_number() OVER (ORDER BY x DESC, o_orderkey) AS rn,
+        |    min(x) OVER () AS thr
+        |  FROM top),
+        |t AS (SELECT x, thr,
+        |    CAST(round(ln(x / thr), 9) AS DECIMAL(18,9)) AS term
+        |  FROM r WHERE rn <= 100)
+        |SELECT CAST(count(*) AS BIGINT) AS k, min(thr) AS x_threshold,
+        |  round(CAST(sum(term) AS DOUBLE) / count(*), 6) + 0.0 AS hill_h,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(term) AS DOUBLE), 6)
+        |    + 0.0 AS alpha
+        |FROM t""".stripMargin,
+    "stats_cochran_q" ->
+      """WITH pres AS (SELECT DISTINCT user_id, event_type FROM events
+        |             WHERE "value" > 150),
+        |r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS r
+        |      FROM pres GROUP BY 1),
+        |rs AS (SELECT CAST(sum(r) AS BIGINT) AS t,
+        |    CAST(sum(r * r) AS BIGINT) AS sr2,
+        |    CAST(count(*) AS BIGINT) AS n_subjects FROM r),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+        |      FROM pres GROUP BY 1),
+        |cs AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(c * c) AS BIGINT) AS sc2 FROM c)
+        |SELECT n_subjects, k, t AS total_marks, k - 1 AS df,
+        |  round(CASE WHEN k * t - sr2 > 0 THEN
+        |      CAST((k - 1) * (k * sc2 - t * t) AS DOUBLE)
+        |      / (k * t - sr2) END, 6) + 0.0 AS q_stat
+        |FROM rs CROSS JOIN cs""".stripMargin,
+    "stats_page_trend" ->
+      """WITH rev AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS revc
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM rev),
+        |types AS (SELECT event_type,
+        |    CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS j
+        |  FROM (SELECT DISTINCT event_type FROM rev)),
+        |grid AS (SELECT d.day, t.event_type, t.j,
+        |    COALESCE(r.revc, 0) AS revc
+        |  FROM days d CROSS JOIN types t
+        |  LEFT JOIN rev r ON r.day = d.day AND r.event_type = t.event_type),
+        |ranked AS (SELECT j,
+        |    CAST(rank() OVER (PARTITION BY day ORDER BY revc) * 2
+        |      + count(*) OVER (PARTITION BY day, revc) - 1 AS BIGINT)
+        |      AS r2x
+        |  FROM grid),
+        |pt AS (SELECT j, CAST(sum(r2x) AS BIGINT) AS r2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ranked GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(min(n) AS BIGINT) AS n_blocks,
+        |    CAST(sum(j * r2) AS BIGINT) AS l2 FROM pt)
+        |SELECT n_blocks, k, round(CAST(l2 AS DOUBLE) / 2, 6) + 0.0
+        |    AS l_stat,
+        |  round((CAST(l2 AS DOUBLE) / 2
+        |      - CAST(n_blocks * k * (k + 1) * (k + 1) AS DOUBLE) / 4)
+        |    / sqrt(CAST(n_blocks * k * k * (k + 1) AS DOUBLE)
+        |      * (k * k - 1) / 144), 6) + 0.0 AS z
+        |FROM s""".stripMargin,
+    "stats_kaplan_meier" ->
+      s"""$survCtes,
+         |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS a,
+         |    CAST(sum(observed) AS BIGINT) AS d,
+         |    CAST(sum(1 - observed) AS BIGINT) AS c
+         |  FROM s GROUP BY 1),
+         |r AS (SELECT *, sum(a) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+         |        AND UNBOUNDED FOLLOWING) AS n_risk FROM byt),
+         |tm AS (SELECT *, CASE WHEN d > 0 AND d < n_risk
+         |    THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+         |         AS DECIMAL(18,9)) END AS term FROM r),
+         |cm AS (SELECT *, sum(term) OVER (ORDER BY t
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuml
+         |  FROM tm)
+         |SELECT t AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+         |  d AS d_events, c AS c_censored,
+         |  round(CASE WHEN d = n_risk THEN 0.0
+         |    ELSE exp(CAST(cuml AS DOUBLE)) END, 6) + 0.0 AS survival
+         |FROM cm WHERE d > 0 ORDER BY t_hours""".stripMargin,
+    "stats_logrank" ->
+      s"""$survCtes,
+         |sg AS (SELECT *, ((user_id % 2147483648) * 2654435761
+         |         % 2147483648) % 2 AS g FROM s),
+         |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS a,
+         |    CAST(sum(observed) AS BIGINT) AS d,
+         |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         |    CAST(sum(CASE WHEN g = 1 THEN observed ELSE 0 END) AS BIGINT)
+         |      AS d1
+         |  FROM sg GROUP BY 1),
+         |r AS (SELECT *,
+         |    sum(a) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+         |      AND UNBOUNDED FOLLOWING) AS n,
+         |    sum(a1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+         |      AND UNBOUNDED FOLLOWING) AS n1
+         |  FROM byt),
+         |tm AS (SELECT
+         |    CAST(round(d1 - CAST(d AS DOUBLE) * n1 / n, 9)
+         |      AS DECIMAL(18,9)) AS ome,
+         |    CASE WHEN n > 1 THEN CAST(round(
+         |      CAST(d AS DOUBLE) * n1 / n * (1.0 - CAST(n1 AS DOUBLE) / n)
+         |        * (n - d) / (n - 1), 9) AS DECIMAL(18,9))
+         |    ELSE CAST(0 AS DECIMAL(18,9)) END AS v
+         |  FROM r WHERE d > 0),
+         |grp AS (SELECT
+         |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1_subj,
+         |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0_subj,
+         |    CAST(sum(CASE WHEN g = 1 THEN observed ELSE 0 END) AS BIGINT)
+         |      AS o1,
+         |    CAST(sum(CASE WHEN g = 0 THEN observed ELSE 0 END) AS BIGINT)
+         |      AS o0
+         |  FROM sg)
+         |SELECT n1_subj, n0_subj, o1, o0,
+         |  round(CAST(sum(ome) AS DOUBLE), 6) + 0.0 AS o_minus_e,
+         |  round(CAST(sum(v) AS DOUBLE), 6) + 0.0 AS var_sum,
+         |  round(CASE WHEN CAST(sum(v) AS DOUBLE) > 0 THEN
+         |      CAST(sum(ome) AS DOUBLE) * CAST(sum(ome) AS DOUBLE)
+         |      / CAST(sum(v) AS DOUBLE) END, 6) + 0.0 AS chi2
+         |FROM tm CROSS JOIN grp
+         |GROUP BY n1_subj, n0_subj, o1, o0""".stripMargin,
+    "privacy_t_closeness" ->
+      """WITH cells AS (
+        |  SELECT ((CAST(ts AS DATE) - DATE '1970-01-01') % 7 + 7) % 7
+        |      AS dow,
+        |    CAST(floor("value" / 100) AS BIGINT) AS vb, event_type,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |gtyp AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS ct
+        |         FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM gtyp),
+        |groups AS (SELECT dow, vb, CAST(sum(c) AS BIGINT) AS ng
+        |           FROM cells GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.dow, g.vb, g.ng, gl.ct, COALESCE(c.c, 0) AS c, t.n
+        |  FROM groups g CROSS JOIN gtyp gl
+        |  LEFT JOIN cells c ON c.dow = g.dow AND c.vb = g.vb
+        |    AND c.event_type = gl.event_type
+        |  CROSS JOIN tot t),
+        |tvd AS (SELECT dow, vb, any_value(ng) AS ng, any_value(n) AS n,
+        |    CAST(sum(abs(c * n - ct * ng)) AS BIGINT) AS num
+        |  FROM grid GROUP BY 1, 2),
+        |s AS (SELECT ng, CAST(num AS DOUBLE) / (2 * ng * n) AS t
+        |      FROM tvd)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(ng) AS BIGINT) AS n_rows,
+        |  round(max(t), 6) + 0.0 AS max_t,
+        |  CAST(sum(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_gt_02,
+        |  CAST(sum(CASE WHEN t > 0.2 THEN ng ELSE 0 END) AS BIGINT)
+        |    AS rows_gt_02,
+        |  round(CAST(sum(CASE WHEN t > 0.2 THEN ng ELSE 0 END) AS DOUBLE)
+        |    / sum(ng), 6) + 0.0 AS pct_rows_gt_02
+        |FROM s""".stripMargin,
     "window_ulcer" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
