@@ -318,6 +318,34 @@ object AnalyticsOps {
     closed.union(current).orderBy("o_orderkey", "version")
   }
 
+  // ── point-in-time (temporal) join against the SCD2 history that
+  // [[cdcScd2]] builds: every line item of a CHANGED order resolves the
+  // dimension version that was valid on its ship date — the query shape
+  // every SCD2 warehouse must answer ("what did this order's status
+  // look like WHEN the line shipped", not what it looks like now).
+  // Plan: equi-join on the dimension KEY (co-partitioned, the shuffle
+  // the fact table needs anyway), then the [valid_from, valid_to)
+  // half-open validity filter — correct because SCD2 fan-out per key is
+  // the version count (2 here); a high-churn dimension would swap in
+  // the asof_join window device instead (documented trade, same
+  // result). Lines shipping before the first version match nothing and
+  // are dropped (inner semantics, the warehouse convention). ──
+  def joinScd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val hist = cdcScd2(spark, dir)
+    val probes = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_day"))
+    probes.join(hist, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("valid_from") <= col("ship_day") &&
+        (col("valid_to").isNull || col("ship_day") < col("valid_to")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("ship_day"),
+        col("version"), col("o_orderstatus"), col("valid_from"))
+      // (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+      // ship_day+version complete the total order
+      .orderBy("l_orderkey", "l_linenumber", "ship_day", "version")
+  }
+
   // ── data-quality profile: the assertion sweep a production pipeline
   // runs before publishing a dataset — null rates, domain violations,
   // duplicate keys, referential orphans, future timestamps — emitted as
@@ -360,6 +388,51 @@ object AnalyticsOps {
   }
 
   private def r6(c: Column): Column = round(c, 6) + lit(0.0d)
+
+  // ── referential-integrity audit across the whole star schema —
+  // dq_profile samples per-table value sanity; this sweeps every FK
+  // edge (7 anti-join orphan counts) and every dimension PK (4
+  // count-vs-distinct checks) into one 11-row report with bad-row
+  // RATES, the pre-flight a join-heavy pipeline runs before trusting
+  // its own results (an orphan rate > 0 silently deflates every inner
+  // join downstream). Scale shape: each FK check is a LEFT ANTI join
+  // that broadcasts the smaller parent key set (dims) or co-partitions
+  // on the key (lineitem→orders); each PK check is one count/distinct
+  // aggregate. All counts exact int64; one division per row. ──
+  def dqReferential(spark: SparkSession, dir: String): DataFrame = {
+    def fk(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key))
+        .join(parent.select(col(pkey)), col(key) === col(pkey),
+          "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .crossJoin(child.agg(count(lit(1)).as("n_total")))
+        .select(lit(name).as("check"), col("n_bad"), col("n_total"))
+    def pk(name: String, t: DataFrame, key: String): DataFrame =
+      t.agg((count(lit(1)) - countDistinct(col(key))).as("n_bad"),
+          count(lit(1)).as("n_total"))
+        .select(lit(name).as("check"), col("n_bad"), col("n_total"))
+    val o = Tables.orders(spark, dir); val li = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir); val s = Tables.supplier(spark, dir)
+    val p = Tables.part(spark, dir); val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    Seq(
+      fk("fk_orders_custkey", o, "o_custkey", c, "c_custkey"),
+      fk("fk_lineitem_orderkey", li, "l_orderkey", o, "o_orderkey"),
+      fk("fk_lineitem_partkey", li, "l_partkey", p, "p_partkey"),
+      fk("fk_lineitem_suppkey", li, "l_suppkey", s, "s_suppkey"),
+      fk("fk_customer_nationkey", c, "c_nationkey", n, "n_nationkey"),
+      fk("fk_supplier_nationkey", s, "s_nationkey", n, "n_nationkey"),
+      fk("fk_nation_regionkey", n, "n_regionkey", r, "r_regionkey"),
+      pk("pk_orders", o, "o_orderkey"),
+      pk("pk_customer", c, "c_custkey"),
+      pk("pk_part", p, "p_partkey"),
+      pk("pk_supplier", s, "s_suppkey"))
+      .reduce(_ union _)
+      .select(col("check"), col("n_bad"), col("n_total"),
+        r6(expr("cast(n_bad as double) / n_total")).as("bad_rate"))
+      .orderBy("check")
+  }
 
   // ── rolling engagement: DAU, trailing-7-day WAU, and stickiness
   // (DAU/WAU) per day. The sliding DISTINCT is deliberately NOT a window
@@ -686,6 +759,8 @@ object AnalyticsOps {
     "dedup_latest"     -> dedupLatest _,
     "merge_into"       -> mergeInto _,
     "dq_profile"       -> dqProfile _,
+    "dq_referential"   -> dqReferential _,
+    "join_scd2_asof"   -> joinScd2Asof _,
     "cohort_retention" -> cohortRetention _,
     "funnel_steps"     -> funnelSteps _,
     "anomaly_mad"      -> anomalyMad _,
@@ -922,6 +997,67 @@ object AnalyticsOps {
         |FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.k
         |WHERE s.act IS NULL OR s.act <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+    "dq_referential" ->
+      """WITH fko AS (SELECT 'fk_orders_custkey' AS check_,
+        |    CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |      AS BIGINT) AS n_bad,
+        |    CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_total),
+        |fkl1 AS (SELECT 'fk_lineitem_orderkey',
+        |    CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      AS BIGINT),
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)),
+        |fkl2 AS (SELECT 'fk_lineitem_partkey',
+        |    CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |      AS BIGINT),
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)),
+        |fkl3 AS (SELECT 'fk_lineitem_suppkey',
+        |    CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |      AS BIGINT),
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)),
+        |fkc AS (SELECT 'fk_customer_nationkey',
+        |    CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |      AS BIGINT),
+        |    CAST((SELECT count(*) FROM customer) AS BIGINT)),
+        |fks AS (SELECT 'fk_supplier_nationkey',
+        |    CAST((SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |      AS BIGINT),
+        |    CAST((SELECT count(*) FROM supplier) AS BIGINT)),
+        |fkn AS (SELECT 'fk_nation_regionkey',
+        |    CAST((SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |      AS BIGINT),
+        |    CAST((SELECT count(*) FROM nation) AS BIGINT)),
+        |pko AS (SELECT 'pk_orders',
+        |    CAST((SELECT count(*) - count(DISTINCT o_orderkey)
+        |          FROM orders) AS BIGINT),
+        |    CAST((SELECT count(*) FROM orders) AS BIGINT)),
+        |pkc AS (SELECT 'pk_customer',
+        |    CAST((SELECT count(*) - count(DISTINCT c_custkey)
+        |          FROM customer) AS BIGINT),
+        |    CAST((SELECT count(*) FROM customer) AS BIGINT)),
+        |pkp AS (SELECT 'pk_part',
+        |    CAST((SELECT count(*) - count(DISTINCT p_partkey)
+        |          FROM part) AS BIGINT),
+        |    CAST((SELECT count(*) FROM part) AS BIGINT)),
+        |pks AS (SELECT 'pk_supplier',
+        |    CAST((SELECT count(*) - count(DISTINCT s_suppkey)
+        |          FROM supplier) AS BIGINT),
+        |    CAST((SELECT count(*) FROM supplier) AS BIGINT)),
+        |u AS (SELECT * FROM fko UNION ALL SELECT * FROM fkl1
+        |  UNION ALL SELECT * FROM fkl2 UNION ALL SELECT * FROM fkl3
+        |  UNION ALL SELECT * FROM fkc UNION ALL SELECT * FROM fks
+        |  UNION ALL SELECT * FROM fkn UNION ALL SELECT * FROM pko
+        |  UNION ALL SELECT * FROM pkc UNION ALL SELECT * FROM pkp
+        |  UNION ALL SELECT * FROM pks)
+        |SELECT check_ AS "check", n_bad, n_total,
+        |  round(CAST(n_bad AS DOUBLE) / n_total, 6) + 0.0 AS bad_rate
+        |FROM u ORDER BY check_""".stripMargin,
     "dq_profile" ->
       """WITH li AS (
         |  SELECT
@@ -1084,6 +1220,36 @@ object AnalyticsOps {
         |  round(CAST(d.dau AS DOUBLE) / w.wau7, 6) + 0.0 AS stickiness
         |FROM dau d JOIN wau w ON w.cday = d.day
         |ORDER BY d.day""".stripMargin,
+    "join_scd2_asof" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS eff
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+        |         * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE)
+        |      AS o_totalprice,
+        |    eff + 30 AS eff
+        |  FROM base WHERE o_orderkey % 7 = 0),
+        |hist AS (
+        |  SELECT b.o_orderkey, CAST(1 AS BIGINT) AS version,
+        |    b.o_orderstatus, b.eff AS valid_from, c.eff AS valid_to
+        |  FROM base b LEFT JOIN changes c USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, o_orderstatus, eff, CAST(NULL AS DATE)
+        |  FROM changes),
+        |probes AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_shipdate AS DATE) AS ship_day
+        |  FROM lineitem WHERE l_orderkey % 7 = 0)
+        |SELECT p.l_orderkey, p.l_linenumber, p.ship_day, h.version,
+        |  h.o_orderstatus, h.valid_from
+        |FROM probes p JOIN hist h ON h.o_orderkey = p.l_orderkey
+        |WHERE h.valid_from <= p.ship_day
+        |  AND (h.valid_to IS NULL OR p.ship_day < h.valid_to)
+        |ORDER BY l_orderkey, l_linenumber, ship_day, version"""
+        .stripMargin,
     "cdc_scd2" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -838,7 +838,51 @@ object MiningOps {
       .orderBy("bin")
   }
 
+  // ── shortest-path COUNTING (the σ of Brandes' betweenness): BFS from
+  // the max-degree hub like [[graphBfs]], but each frontier node also
+  // accumulates HOW MANY distinct shortest paths reach it — σ(v) =
+  // Σ σ(u) over its distance-(k−1) neighbors. Distances alone say the
+  // graph is small-world; path multiplicities say how REDUNDANTLY wired
+  // it is (σ ≫ 1 at hop 2-3 = many parallel routes = robust
+  // co-purchase structure), and σ is the integer half of betweenness
+  // centrality. Same scale shape as the BFS: edge frame cached
+  // pre-partitioned on the join key, frontier-sized joins, eager
+  // localCheckpoint per round; multiplicities are exact int64, so the
+  // oracle unrolls all three rounds bit-for-bit. ──
+  def graphPathCounts(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val und = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val edges = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")).cache()
+    val seed = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .orderBy(desc("d"), col("u")).limit(1)
+      .collect()(0).getLong(0)
+    var state = spark.range(1)
+      .select(lit(seed).as("node"), lit(0L).as("hop"), lit(1L).as("sigma"))
+    (1 to 3).foreach { k =>
+      val frontier = state.filter(col("hop") === k - 1)
+        .select(col("node").as("u"), col("sigma"))
+      val cand = edges.join(frontier, "u")
+        .groupBy(col("v")).agg(sum(col("sigma")).as("sigma"))
+        .select(col("v").as("node"), col("sigma"))
+      val nw = cand
+        .join(state.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("hop"), col("sigma"))
+      state = state.unionByName(nw).localCheckpoint(true)
+    }
+    edges.unpersist(); op.unpersist()
+    state.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("sigma")).as("n_paths"),
+        max(col("sigma")).as("max_paths"))
+      .orderBy("hop")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_path_counts"      -> graphPathCounts _,
     "feature_target_encode"  -> featureTargetEncode _,
     "feature_woe"            -> featureWoe _,
     "graph_rich_club"        -> graphRichClub _,
@@ -862,6 +906,35 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_path_counts" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+        |seed AS (SELECT u FROM deg ORDER BY d DESC, u LIMIT 1),
+        |s0 AS (SELECT u AS node, CAST(0 AS BIGINT) AS hop,
+        |         CAST(1 AS BIGINT) AS sigma FROM seed),
+        |n1 AS (SELECT e.v AS node, CAST(1 AS BIGINT) AS hop,
+        |         CAST(sum(s.sigma) AS BIGINT) AS sigma
+        |       FROM edges e JOIN s0 s ON e.u = s.node
+        |       WHERE e.v NOT IN (SELECT node FROM s0) GROUP BY 1),
+        |s1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM n1),
+        |n2 AS (SELECT e.v AS node, CAST(2 AS BIGINT) AS hop,
+        |         CAST(sum(s.sigma) AS BIGINT) AS sigma
+        |       FROM edges e JOIN n1 s ON e.u = s.node
+        |       WHERE e.v NOT IN (SELECT node FROM s1) GROUP BY 1),
+        |s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM n2),
+        |n3 AS (SELECT e.v AS node, CAST(3 AS BIGINT) AS hop,
+        |         CAST(sum(s.sigma) AS BIGINT) AS sigma
+        |       FROM edges e JOIN n2 s ON e.u = s.node
+        |       WHERE e.v NOT IN (SELECT node FROM s2) GROUP BY 1),
+        |s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM n3)
+        |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(sigma) AS BIGINT) AS n_paths,
+        |  CAST(max(sigma) AS BIGINT) AS max_paths
+        |FROM s3 GROUP BY 1 ORDER BY hop""".stripMargin,
     "feature_target_encode" ->
       """WITH rows_ AS (
         |  SELECT event_type,

@@ -312,6 +312,23 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  // ── ORC source surface: Spark's second built-in columnar format
+  // (the Hive/Trino interchange), proven lossless the scan_jsonl way —
+  // the derived store is written once (content-keyed), read back
+  // through the native ORC reader, and the oracle runs the identical
+  // aggregate on the parquet original, so a pass IS the round-trip
+  // proof. ORC brings its own footer schema, predicate pushdown and
+  // stripe statistics, so the engine's scan discipline (pushed
+  // filters, pruned columns) carries over unchanged. ──
+  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.ensureEventsOrc(spark, dir)
+    graft.sources.Layout.readEventsOrc(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avgMoney(col("value")).as("avg_value"),
+        max(col("ts")).as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
   // ── CSV source surface with a QUARANTINE path: the lowest-common-
   // denominator feed format, read with an explicit schema in PERMISSIVE
   // mode so the fixture's deliberately poisoned lines
@@ -687,6 +704,7 @@ object RelationalOps {
     "scan_csv"          -> scanCsv _,
     "scan_schema_evolution" -> scanSchemaEvolution _,
     "ivm_refresh"       -> ivmRefresh _,
+    "scan_orc"          -> scanOrc _,
     "scan_pruned_dpp"   -> scanPrunedDpp _,
     "join_semi"         -> joinSemi _,
     "join_anti"         -> joinAnti _,
@@ -786,6 +804,12 @@ object RelationalOps {
         |  AND epoch_us(CAST(ts AS TIMESTAMP))
         |      BETWEEN 1705276800000000 AND 1705708800000000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_orc" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value")
+        |    AS avg_value,
+        |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_jsonl" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count("value")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -278,7 +279,105 @@ object SimilarityOps {
       .orderBy("pos")
   }
 
+  // ── hard-triplet mining for metric learning — the training-data step
+  // that makes contrastive fine-tuning work: for each anchor, the
+  // HARDEST positive (same label, LOWEST cosine — the pair the model
+  // most needs pulled together) and the HARDEST negative (other label,
+  // HIGHEST cosine — the pair it most needs pushed apart), plus the
+  // margin and a violation flag (negative closer than positive = the
+  // triplet contributes loss). Anchors are a deterministic 20-row
+  // hash-ordered sample (the PqIndex-init lesson: hash order, not id
+  // order, so the sample is unbiased yet replayable); the broadcast
+  // anchor set makes mining ONE corpus scan of 20·N codegen'd dot
+  // products — the sim_search probe shape, linear at any corpus size.
+  // Argmin/argmax via (rounded-cos, id) struct extrema — total order,
+  // engine-independent. ──
+  def embedTripletMine(spark: SparkSession, dir: String): DataFrame = {
+    val anchors = vecs(spark, dir)
+      .orderBy(expr("pmod(pmod(vec_id, 2147483648) * 2654435761," +
+        " 2147483648)"), col("vec_id"))
+      .limit(20)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("v").as("a_v"), col("norm").as("a_norm"))
+    val scored = vecs(spark, dir)
+      .join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+        (round(DedupOps.dot(col("v"), col("a_v")) /
+          (col("norm") * col("a_norm")), 6) + lit(0.0d)).as("cos6"))
+    scored.groupBy(col("a_id"), col("a_label"))
+      .agg(
+        min(when(col("label") === col("a_label"),
+          struct(col("cos6"), col("vec_id")))).as("hp"),
+        max(when(col("label") =!= col("a_label"),
+          struct(col("cos6"), (-col("vec_id")).as("nid")))).as("hn"))
+      .select(col("a_id").as("anchor_id"),
+        col("a_label").as("anchor_label"),
+        col("hp.vec_id").as("pos_id"), col("hp.cos6").as("pos_cos"),
+        (-col("hn.nid")).as("neg_id"), col("hn.cos6").as("neg_cos"),
+        (round(col("hp.cos6") - col("hn.cos6"), 6) + lit(0.0d))
+          .as("margin"),
+        (col("hn.cos6") > col("hp.cos6")).as("is_violation"))
+      .orderBy("anchor_id")
+  }
+
+  // ── ANN quality harness: recall@10 / MRR / nDCG@10 of the coarse-cell
+  // (same-label) ANN against the exact brute-force top-10, measured
+  // over the 20 hash-sampled anchors — the evaluation loop every ANN
+  // deployment needs BEFORE trusting sim_search_ann-shaped pruning
+  // (PqIndexSpec pins recall in tests at one setting; this ships the
+  // measurement as an operator over any corpus). One scored frame
+  // (anchors broadcast, 20·N dot products) feeds BOTH rankings: the
+  // exact rank is a per-anchor window over all candidates, the ANN
+  // rank a window over the label-restricted subset; relevance is
+  // membership in the exact top-10, and the nDCG log terms snap to the
+  // 1e-9 grid before their DECIMAL sum (IDCG derived from the same
+  // formula over 1..10, not a pasted constant). ──
+  def evalAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val anchors = vecs(spark, dir)
+      .orderBy(expr("pmod(pmod(vec_id, 2147483648) * 2654435761," +
+        " 2147483648)"), col("vec_id"))
+      .limit(20)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("v").as("a_v"), col("norm").as("a_norm"))
+    val scored = vecs(spark, dir)
+      .join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+        (round(DedupOps.dot(col("v"), col("a_v")) /
+          (col("norm") * col("a_norm")), 6) + lit(0.0d)).as("cos6"))
+      .withColumn("rn_ex", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(desc("cos6"), col("vec_id"))))
+    val ap = scored.filter(col("label") === col("a_label"))
+      .withColumn("rn_ap", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(desc("cos6"), col("vec_id"))))
+      .filter(col("rn_ap") <= 10)
+      .withColumn("rel", (col("rn_ex") <= 10).cast("long"))
+    ap.groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_returned"), sum(col("rel")).as("hits"),
+        max(when(col("rel") === 1, expr("1.0D / rn_ap"))).as("mrr0"),
+        sum(when(col("rel") === 1, expr(
+          "CAST(round(1.0D / log2(rn_ap + 1), 9) AS DECIMAL(18,9))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(18,9))"))).as("dcg"))
+      .withColumn("idcg", expr(
+        """aggregate(sequence(1, 10), CAST(0 AS DECIMAL(18,9)),
+          |  (a, i) -> CAST(a + CAST(round(1.0D / log2(i + 1), 9)
+          |                 AS DECIMAL(18,9)) AS DECIMAL(18,9)))"""
+          .stripMargin))
+      .select(col("a_id").as("anchor_id"), col("n_returned"),
+        col("hits"),
+        (round(expr("cast(hits as double) / 10"), 6) + lit(0.0d))
+          .as("recall_at_10"),
+        (round(coalesce(col("mrr0"), lit(0.0d)), 6) + lit(0.0d))
+          .as("mrr"),
+        (round(expr("cast(dcg as double) / cast(idcg as double)"), 6)
+          + lit(0.0d)).as("ndcg_at_10"))
+      .orderBy("anchor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_ann_recall"    -> evalAnnRecall _,
+    "embed_triplet_mine" -> embedTripletMine _,
     "embed_dim_stats" -> embedDimStats _,
     "embed_outlier" -> embedOutlier _,
     "embed_align"    -> embedAlign _,
@@ -291,6 +390,69 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "eval_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, label AS a_label, v AS a_v FROM e
+        |      ORDER BY (vec_id % 2147483648) * 2654435761 % 2147483648,
+        |        vec_id
+        |      LIMIT 20),
+        |sc AS (SELECT a.a_id, a.a_label, e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.v, a.a_v), 6) + 0.0 AS cos6
+        |  FROM e, a WHERE e.vec_id <> a.a_id),
+        |ex AS (SELECT *, row_number() OVER (PARTITION BY a_id
+        |        ORDER BY cos6 DESC, vec_id) AS rn_ex FROM sc),
+        |ap AS (SELECT *, row_number() OVER (PARTITION BY a_id
+        |        ORDER BY cos6 DESC, vec_id) AS rn_ap
+        |       FROM ex WHERE label = a_label),
+        |k AS (SELECT a_id, rn_ap,
+        |    CAST(CASE WHEN rn_ex <= 10 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS rel
+        |  FROM ap WHERE rn_ap <= 10),
+        |g AS (SELECT a_id, CAST(count(*) AS BIGINT) AS n_returned,
+        |    CAST(sum(rel) AS BIGINT) AS hits,
+        |    max(CASE WHEN rel = 1 THEN CAST(1 AS DOUBLE) / rn_ap END)
+        |      AS mrr0,
+        |    sum(CASE WHEN rel = 1
+        |        THEN CAST(round(CAST(1 AS DOUBLE) / log2(rn_ap + 1), 9)
+        |             AS DECIMAL(18,9))
+        |        ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg
+        |  FROM k GROUP BY 1),
+        |i AS (SELECT CAST(sum(CAST(round(CAST(1 AS DOUBLE) / log2(x + 1), 9)
+        |        AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS idcg
+        |      FROM (SELECT unnest(range(1, 11)) AS x))
+        |SELECT a_id AS anchor_id, n_returned, hits,
+        |  round(CAST(hits AS DOUBLE) / 10, 6) + 0.0 AS recall_at_10,
+        |  round(COALESCE(mrr0, 0.0), 6) + 0.0 AS mrr,
+        |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) + 0.0
+        |    AS ndcg_at_10
+        |FROM g CROSS JOIN i ORDER BY anchor_id""".stripMargin,
+    "embed_triplet_mine" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, label AS a_label, v AS a_v FROM e
+        |      ORDER BY (vec_id % 2147483648) * 2654435761 % 2147483648,
+        |        vec_id
+        |      LIMIT 20),
+        |sc AS (SELECT a.a_id, a.a_label, e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.v, a.a_v), 6) + 0.0 AS cos6
+        |  FROM e, a WHERE e.vec_id <> a.a_id),
+        |hp AS (SELECT a_id, vec_id AS pos_id, cos6 AS pos_cos,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY cos6, vec_id)
+        |      AS rn
+        |  FROM sc WHERE label = a_label),
+        |hn AS (SELECT a_id, vec_id AS neg_id, cos6 AS neg_cos,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cos6 DESC, vec_id) AS rn
+        |  FROM sc WHERE label <> a_label)
+        |SELECT a.a_id AS anchor_id, a.a_label AS anchor_label,
+        |  hp.pos_id, hp.pos_cos, hn.neg_id, hn.neg_cos,
+        |  round(hp.pos_cos - hn.neg_cos, 6) + 0.0 AS margin,
+        |  hn.neg_cos > hp.pos_cos AS is_violation
+        |FROM a
+        |LEFT JOIN hp ON hp.a_id = a.a_id AND hp.rn = 1
+        |LEFT JOIN hn ON hn.a_id = a.a_id AND hn.rn = 1
+        |ORDER BY anchor_id""".stripMargin,
     "embed_dim_stats" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -437,6 +437,61 @@ object SqlSurfaceOps {
   /** [[sampleMixture]] target language shares, in integer TENTHS (Σ = 10)
     * — the language-balance knob of a pretraining corpus. Integer weights
     * keep every sizing step exact in any engine. */
+  // ── Horvitz–Thompson estimation from an UNEQUAL-probability sample —
+  // the estimator that makes stratified/importance sampling honest:
+  // each event type is kept with its own inclusion probability π_t
+  // (rare-but-valuable purchases oversampled, noisy views decimated via
+  // the portable Knuth-hash coin), and totals are recovered by
+  // inverse-probability weighting Σ y/π. The corpus reduces to 5
+  // per-type rows (sampled count + DECIMAL-exact sampled revenue);
+  // each row's weighted term snaps to a 6-dp DECIMAL before the final
+  // exact sum, so the estimate is engine-identical. True totals ride
+  // along — the output row shows estimate vs truth and the achieved
+  // sampling fraction in one glance. ──
+  private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c, 6) + lit(0.0d)
+
+  private val HtPpm: Map[String, Long] = Map(
+    "purchase" -> 800000L, "signup" -> 400000L, "click" -> 200000L,
+    "view" -> 100000L, "error" -> 50000L)
+
+  def sampleHorvitzThompson(spark: SparkSession, dir: String): DataFrame = {
+    val piCol = HtPpm.foldLeft(lit(25000L)) { case (acc, (t, p)) =>
+      when(col("event_type") === t, lit(p)).otherwise(acc)
+    }
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        piCol.as("pi_ppm"))
+      .withColumn("u", expr(
+        "pmod(pmod(event_id, 2147483648) * 2654435761, 2147483648)" +
+          " % 1000000"))
+    val perType = e
+      .groupBy(col("event_type"), col("pi_ppm"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("value").cast("decimal(18,2)")).as("sv_true"),
+        sum(when(col("u") < col("pi_ppm"), 1L).otherwise(0L))
+          .as("n_samp"),
+        sum(when(col("u") < col("pi_ppm"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(BigDecimal(0)))).as("sv_samp"))
+      .withColumn("cnt_term", expr(
+        """CAST(round(cast(n_samp as double) * 1000000 / pi_ppm, 6)
+          |     AS DECIMAL(28,6))""".stripMargin))
+      .withColumn("rev_term", expr(
+        """CAST(round(cast(sv_samp as double) * 1000000 / pi_ppm, 6)
+          |     AS DECIMAL(28,6))""".stripMargin))
+    perType.agg(sum(col("n_samp")).as("n_sampled"),
+        sum(col("n_true")).as("n_true"),
+        sum(col("cnt_term")).as("ce"), sum(col("rev_term")).as("re"),
+        sum(col("sv_true")).as("svt"))
+      .select(col("n_sampled"), col("n_true"),
+        r6(expr("cast(ce as double)")).as("est_count"),
+        r6(expr("cast(re as double)")).as("est_revenue"),
+        expr("cast(svt as double)").as("true_revenue"),
+        r6(expr("cast(re as double) / cast(svt as double) - 1.0"))
+          .as("rev_rel_err"))
+  }
+
   private val MixtureWeights: Map[String, Long] =
     Map("en" -> 4L, "de" -> 2L, "fr" -> 2L, "es" -> 1L, "zh" -> 1L)
 
@@ -840,6 +895,7 @@ object SqlSurfaceOps {
     "window_ntile"    -> windowNtile _,
     "conditional_agg" -> conditionalAgg _,
     "string_agg"      -> stringAgg _,
+    "sample_horvitz_thompson" -> sampleHorvitzThompson _,
     "sample_hash"     -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "sample_weighted"   -> sampleWeighted _,
@@ -1062,6 +1118,38 @@ object SqlSurfaceOps {
         |            1.0 / GREATEST(n_chars, 1)), 9) AS es_key
         |FROM documents
         |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
+    "sample_horvitz_thompson" ->
+      """WITH e AS (
+        |  SELECT event_type, "value",
+        |    CASE event_type WHEN 'purchase' THEN 800000
+        |      WHEN 'signup' THEN 400000 WHEN 'click' THEN 200000
+        |      WHEN 'view' THEN 100000 WHEN 'error' THEN 50000
+        |      ELSE 25000 END AS pi_ppm,
+        |    ((event_id % 2147483648) * 2654435761 % 2147483648)
+        |      % 1000000 AS u
+        |  FROM events),
+        |pt AS (
+        |  SELECT event_type, pi_ppm, CAST(count(*) AS BIGINT) AS n_true,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS sv_true,
+        |    CAST(sum(CASE WHEN u < pi_ppm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_samp,
+        |    sum(CASE WHEN u < pi_ppm THEN CAST("value" AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS sv_samp
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |    CAST(round(CAST(n_samp AS DOUBLE) * 1000000 / pi_ppm, 6)
+        |         AS DECIMAL(28,6)) AS cnt_term,
+        |    CAST(round(CAST(sv_samp AS DOUBLE) * 1000000 / pi_ppm, 6)
+        |         AS DECIMAL(28,6)) AS rev_term
+        |  FROM pt)
+        |SELECT CAST(sum(n_samp) AS BIGINT) AS n_sampled,
+        |  CAST(sum(n_true) AS BIGINT) AS n_true,
+        |  round(CAST(sum(cnt_term) AS DOUBLE), 6) + 0.0 AS est_count,
+        |  round(CAST(sum(rev_term) AS DOUBLE), 6) + 0.0 AS est_revenue,
+        |  CAST(sum(sv_true) AS DOUBLE) AS true_revenue,
+        |  round(CAST(sum(rev_term) AS DOUBLE)
+        |    / CAST(sum(sv_true) AS DOUBLE) - 1.0, 6) + 0.0 AS rev_rel_err
+        |FROM t""".stripMargin,
     "sample_mixture" ->
       """WITH w AS (SELECT * FROM (VALUES ('en', 4), ('de', 2), ('fr', 2),
         |             ('es', 1), ('zh', 1)) AS t(lang, wt)),

@@ -2613,7 +2613,297 @@ object StatsOps {
           .as("chi2_trend"))
   }
 
+  // ── peaks-over-threshold EVT fit — stats_hill_tail estimates the tail
+  // EXPONENT; this fits the full generalized-Pareto excess model the
+  // capacity planner actually simulates from (P(X−u > y | X > u) ≈
+  // GPD(ξ, σ)). Threshold u = the 51st order statistic under the
+  // deterministic (price desc, orderkey) total order — a rank threshold,
+  // not an engine quantile, so both engines select the identical excess
+  // set via ONE TakeOrderedAndProject. Excesses snap to exact int64
+  // CENTS (prices are 2-dp); mean and variance come from integer
+  // Σy/Σy² via the n·Σy²−(Σy)² form, and the ξ/σ method-of-moments
+  // (ξ = ½(1−m²/s²), σ = ½m(m²/s²+1)) is pure arithmetic on those two
+  // exact numbers, in identical textual order in the oracle. ──
+  def anomalyPot(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("x"), col("o_orderkey"))
+      .orderBy(desc("x"), col("o_orderkey"))
+      .limit(51)
+    val w = Window.partitionBy(lit(1))
+      .orderBy(desc("x"), col("o_orderkey"))
+    top
+      .withColumn("rn", row_number().over(w))
+      .withColumn("u", min(col("x")).over(Window.partitionBy(lit(1))))
+      .filter(col("rn") <= 50)
+      .withColumn("yc", expr("CAST(round((x - u) * 100, 0) AS BIGINT)"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n"), sum(col("yc")).as("sy"),
+        sum(col("yc") * col("yc")).as("sy2"))
+      .withColumn("m", expr("cast(sy as double) / 100 / n"))
+      .withColumn("s2", expr(
+        "cast(n * sy2 - sy * sy as double) / (n * (n - 1)) / 10000"))
+      .withColumn("rr", expr("m * m / s2"))
+      .select(col("n").as("n_exceed"), col("u").as("threshold"),
+        r6(col("m")).as("mean_excess"),
+        r6(expr("0.5 * (1.0 - rr)")).as("xi"),
+        r6(expr("0.5 * m * (rr + 1.0)")).as("sigma"))
+  }
+
+  // ── SES hyperparameter grid search — forecast_holt runs ONE fixed
+  // smoothing constant; real forecasting picks α by backtest. Each α in
+  // the grid folds the same group-sized daily series through the
+  // s ← αy + (1−α)s recursion accumulating the one-step-ahead SSE
+  // (e_t = y_t − s_{t−1}), the standard selection criterion; the
+  // winner is flagged by exact (rounded-SSE, α) rank. The corpus
+  // reduces to ONE daily series once, then the 4-point grid explodes
+  // against it — adding grid points costs |grid| folds over an
+  // in-memory array, never another corpus scan. The oracle replays
+  // every fold step bit-for-bit as a recursive CTE carrying α. ──
+  def forecastSesGrid(spark: SparkSession, dir: String): DataFrame = {
+    val series = ev(spark, dir)
+      .groupBy(col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("s"))
+      .filter(size(col("s")) >= 2)
+    val grid = series.select(col("s"),
+      explode(expr("array(0.2D, 0.4D, 0.6D, 0.8D)")).as("alpha"))
+    val folded = grid.withColumn("st", expr(
+      """aggregate(
+        |  slice(s, 2, size(s) - 1),
+        |  named_struct('sv', s[0].y, 'sse', 0D),
+        |  (st, p) -> named_struct(
+        |    'sv', alpha * p.y + (1.0D - alpha) * st.sv,
+        |    'sse', st.sse + (p.y - st.sv) * (p.y - st.sv)))""".stripMargin))
+      .select(col("alpha"), size(col("s")).cast("long").as("n_days"),
+        r6(col("st.sv")).as("level"), r6(col("st.sse")).as("sse"))
+    folded
+      .withColumn("is_best", (row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("sse"), col("alpha"))) === 1))
+      .orderBy("alpha")
+  }
+
+  // ── Lincoln–Petersen / Chapman capture–recapture: estimate the TOTAL
+  // user population from two one-week sighting windows — the ecology
+  // estimator that answers "how many users exist that we have not seen
+  // yet" from overlap alone (approx_distinct counts who DID appear;
+  // this extrapolates to who exists). Windows are the first and second
+  // 7-day spans from the corpus min day (data-derived, integer day
+  // arithmetic); n₁, n₂ and the recapture overlap m reduce to per-user
+  // presence flags — ONE scan, |users| rows of state. Both the classic
+  // n₁n₂/m and the small-sample Chapman form (with its standard error)
+  // are pure arithmetic on three exact integers, and the ACTUAL
+  // two-window distinct count rides along so the estimate is audited
+  // against truth in the same row. ──
+  def statsLincolnPetersen(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val mn = e.agg(min(col("day")).as("d0"))
+    val flags = e.crossJoin(broadcast(mn))
+      .withColumn("off", datediff(col("day"), col("d0")))
+      .filter(col("off") < 14)
+      .groupBy(col("user_id"))
+      .agg(max((col("off") < 7).cast("long")).as("in_a"),
+        max((col("off") >= 7).cast("long")).as("in_b"))
+    flags.agg(sum(col("in_a")).as("n1"), sum(col("in_b")).as("n2"),
+        sum(col("in_a") * col("in_b")).as("m"),
+        count(lit(1)).as("n_seen"))
+      .select(col("n1"), col("n2"), col("m"), col("n_seen"),
+        r6(expr("CASE WHEN m > 0 THEN" +
+          " cast(n1 as double) * n2 / m END")).as("n_hat_lp"),
+        r6(expr("cast((n1 + 1) as double) * (n2 + 1) / (m + 1) - 1.0"))
+          .as("n_hat_chapman"),
+        r6(expr("sqrt(cast((n1 + 1) as double) * (n2 + 1) * (n1 - m)" +
+          " * (n2 - m) / (cast((m + 1) as double) * (m + 1) * (m + 2)))"))
+          .as("se_chapman"))
+  }
+
+  // ── overdispersion check + negative-binomial fit on per-user event
+  // counts: a Poisson process has variance ≈ mean; real user activity
+  // clumps (sessions, bursts), and the dispersion index D = s²/m says
+  // HOW badly the Poisson assumption fails — with the method-of-moments
+  // NB parameters (r = m²/(s²−m), p = m/s²) as the distribution you
+  // should be simulating load with instead. Counts reduce to exact
+  // int64 (Σk, Σk²) in one keyed-then-global aggregation; sample
+  // variance uses the n·Σk²−(Σk)² form (no mean subtraction, no
+  // cancellation), and every output is one double op on those integers.
+  // Equidispersed data (s² ≤ m) yields NULL NB parameters, not a
+  // division blow-up. ──
+  def statsOverdispersion(spark: SparkSession, dir: String): DataFrame = {
+    val counts = ev(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("k"))
+    counts.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("k") * col("k")).as("sk2"))
+      .withColumn("m", expr("cast(sk as double) / n"))
+      .withColumn("s2", expr(
+        "cast(n * sk2 - sk * sk as double) / (cast(n as double) * (n - 1))"))
+      .select(col("n").as("n_users"), r6(col("m")).as("mean_events"),
+        r6(col("s2")).as("var_events"),
+        r6(expr("s2 / m")).as("dispersion"),
+        r6(expr("CASE WHEN s2 > m THEN m * m / (s2 - m) END")).as("nb_r"),
+        r6(expr("CASE WHEN s2 > m THEN m / s2 END")).as("nb_p"),
+        expr("s2 <= 1.5 * m").as("near_poisson"))
+  }
+
+  // ── time-decayed engagement score over IRREGULAR event times —
+  // window_ewma decays per ROW, which treats a 5-second burst like a
+  // 5-day absence; this decays by the ACTUAL gap (τ = 6 h half-life
+  // scale): score = Σᵢ vᵢ·e^{−(T_last−tᵢ)/τ}. The recursion
+  // s ← v + e^{−Δt/τ}·s unrolls exactly to that weighted sum (the
+  // exponentials compose), so NO sequential fold is needed: one
+  // per-user window max for T_last, then a keyed aggregation whose
+  // terms snap to the 1e-9 grid before an exact DECIMAL sum — scan
+  // speed at any corpus size, and the one libm call per row (exp)
+  // is absorbed by the snap. The freshness-weighted user-value score
+  // a ranking feature store recomputes continuously. ──
+  def windowEwmaTimedecay(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+    ev(spark, dir)
+      .withColumn("last_us", max(col("us")).over(perUser))
+      .withColumn("term", expr(
+        """CAST(round(value
+          |  * exp(-(cast(last_us - us as double) / 21600000000.0D)), 9)
+          |  AS DECIMAL(28,9))""".stripMargin))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        r6(sum(col("term")).cast("double")).as("decayed_score"))
+      .orderBy("user_id")
+  }
+
+  // ── Nelson–Aalen cumulative hazard over the same censored
+  // conversion-time frame as [[statsKaplanMeier]]: H(t) = Σ dᵢ/nᵢ —
+  // the hazard-scale view (KM answers "what fraction survives";
+  // the hazard increments answer "how INTENSE is conversion pressure
+  // at each age", and Breslow's e^{−H} is the estimator that stays
+  // defined past full extinction). Same one-pass subjects reduction;
+  // the d/n increments snap to the 1e-9 grid and cumulate as an exact
+  // DECIMAL window sum over the time-grid-sized frame. ──
+  def statsNelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val s = survSubjects(spark, dir)
+    val byT = s.groupBy(col("t"))
+      .agg(sum(col("observed")).as("d"),
+        sum(lit(1L) - col("observed")).as("c"))
+    val w = Window.orderBy(col("t"))
+    byT
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("h_term", expr(
+        """CASE WHEN d > 0
+          |THEN CAST(round(cast(d as double) / n_risk, 9)
+          |          AS DECIMAL(18,9))
+          |ELSE CAST(0 AS DECIMAL(18,9)) END""".stripMargin))
+      .withColumn("ch",
+        sum(col("h_term")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .filter(col("d") > 0)
+      .select(col("t").as("t_hours"), col("n_risk"),
+        col("d").as("d_events"),
+        r6(col("ch").cast("double")).as("cum_hazard"),
+        r6(expr("exp(-cast(ch as double))")).as("s_breslow"))
+      .orderBy("t_hours")
+  }
+
+  // ── difference-in-proportions confidence interval for the hash-A/B
+  // purchase rate — ab_srm_check validates the SPLIT, stats_wilson_ci
+  // bounds each arm alone; the decision quantity is Δ = p₁ − p₀ with
+  // its Wald 95% interval, plus the Newcombe hybrid (Wilson bounds per
+  // arm, combined) that stays honest at extreme rates. Counts are four
+  // exact int64s from one keyed pass over the deterministic split;
+  // every interval bound is textual-identical arithmetic on them. The
+  // "ship it / no difference" row an experimentation platform emits
+  // per metric. ──
+  def statsTwoPropCi(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .groupBy(expr(
+        "pmod(pmod(user_id, 2147483648) * 2654435761, 2147483648) % 2")
+        .as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("r"))
+    val wide = g.agg(
+      sum(when(col("g") === 0, col("n"))).as("n0"),
+      sum(when(col("g") === 0, col("r"))).as("r0"),
+      sum(when(col("g") === 1, col("n"))).as("n1"),
+      sum(when(col("g") === 1, col("r"))).as("r1"))
+    wide
+      .withColumn("p0", expr("cast(r0 as double) / n0"))
+      .withColumn("p1", expr("cast(r1 as double) / n1"))
+      .withColumn("se", expr(
+        "sqrt(p0 * (1.0 - p0) / n0 + p1 * (1.0 - p1) / n1)"))
+      // Wilson bounds per arm (z = 1.96), the stats_wilson_ci device
+      .withColumn("w0l", expr(
+        "(p0 + 1.9208D / n0 - 1.96 * sqrt(p0 * (1.0 - p0) / n0" +
+          " + 0.9604D / (cast(n0 as double) * n0))) / (1.0 + 3.8416D / n0)"))
+      .withColumn("w0u", expr(
+        "(p0 + 1.9208D / n0 + 1.96 * sqrt(p0 * (1.0 - p0) / n0" +
+          " + 0.9604D / (cast(n0 as double) * n0))) / (1.0 + 3.8416D / n0)"))
+      .withColumn("w1l", expr(
+        "(p1 + 1.9208D / n1 - 1.96 * sqrt(p1 * (1.0 - p1) / n1" +
+          " + 0.9604D / (cast(n1 as double) * n1))) / (1.0 + 3.8416D / n1)"))
+      .withColumn("w1u", expr(
+        "(p1 + 1.9208D / n1 + 1.96 * sqrt(p1 * (1.0 - p1) / n1" +
+          " + 0.9604D / (cast(n1 as double) * n1))) / (1.0 + 3.8416D / n1)"))
+      .select(col("n0"), col("r0"), col("n1"), col("r1"),
+        r6(expr("p1 - p0")).as("delta"),
+        r6(expr("p1 - p0 - 1.96 * se")).as("wald_lo"),
+        r6(expr("p1 - p0 + 1.96 * se")).as("wald_hi"),
+        r6(expr("p1 - p0 - sqrt((p1 - w1l) * (p1 - w1l)" +
+          " + (w0u - p0) * (w0u - p0))")).as("newcombe_lo"),
+        r6(expr("p1 - p0 + sqrt((w1u - p1) * (w1u - p1)" +
+          " + (p0 - w0l) * (p0 - w0l))")).as("newcombe_hi"))
+  }
+
+  // ── Neyman-optimal stratified-sample allocation: given a 1,000-row
+  // budget over the event-type strata, n_h ∝ N_h·S_h — big AND noisy
+  // strata get the rows, tiny/homogeneous ones don't waste them (the
+  // design step BEFORE sample_stratified's fixed rates; proportional
+  // allocation rides along to show what naive stratification would
+  // do). Per-stratum S_h comes from exact int64 cent moments
+  // (n·Σx²−(Σx)² — the stats_overdispersion form); allocations use
+  // floor(budget·share) with the remainder going to the largest
+  // fractional parts (largest-remainder rounding, deterministic by
+  // (frac desc, type)), so Σn_h = budget exactly in both engines. ──
+  def sampleNeymanAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val strata = ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("sx"),
+        sum(expr(
+          "cast(cast(value as decimal(18,2)) * 100 as bigint)" +
+            " * cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+          .as("sx2"))
+      .withColumn("sh", expr(
+        "sqrt(cast(nh * sx2 - sx * sx as double)" +
+          " / (cast(nh as double) * (nh - 1))) / 100"))
+      .withColumn("w", expr(
+        "CAST(round(nh * sh, 6) AS DECIMAL(28,6))"))
+    val tot = strata.agg(sum(col("w")).as("tw"), sum(col("nh")).as("tn"))
+    val alloc = strata.crossJoin(broadcast(tot))
+      .withColumn("share", expr("cast(w as double) / cast(tw as double)"))
+      .withColumn("n_base", expr("CAST(floor(1000 * share) AS BIGINT)"))
+      .withColumn("frac", expr("1000 * share - n_base"))
+    val short = alloc.agg((lit(1000L) - sum(col("n_base"))).as("rem"))
+    alloc.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(desc("frac"), col("event_type"))))
+      .select(col("event_type"), col("nh").as("n_stratum"),
+        r6(col("sh")).as("stddev_value"),
+        r6(col("share")).as("neyman_share"),
+        (col("n_base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+          .as("n_alloc"),
+        expr("CAST(round(1000 * cast(nh as double) / tn, 0) AS BIGINT)")
+          .as("n_proportional"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_two_prop_ci"     -> statsTwoPropCi _,
+    "sample_neyman_alloc"   -> sampleNeymanAlloc _,
+    "window_ewma_timedecay" -> windowEwmaTimedecay _,
+    "stats_nelson_aalen"    -> statsNelsonAalen _,
+    "stats_overdispersion"  -> statsOverdispersion _,
+    "stats_lincoln_petersen" -> statsLincolnPetersen _,
+    "anomaly_pot"           -> anomalyPot _,
+    "forecast_ses_grid"     -> forecastSesGrid _,
     "stats_prop_trend"      -> statsPropTrend _,
     "window_stochastic"     -> windowStochastic _,
     "privacy_dp_counts"     -> privacyDpCounts _,
@@ -2750,6 +3040,211 @@ object StatsOps {
       |      FROM subj CROSS JOIN mx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_two_prop_ci" ->
+      """WITH g AS (
+        |  SELECT ((user_id % 2147483648) * 2654435761 % 2147483648) % 2
+        |      AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS r
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT
+        |    CAST(sum(CASE WHEN g = 0 THEN n END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN g = 0 THEN r END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN g = 1 THEN n END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN g = 1 THEN r END) AS BIGINT) AS r1
+        |  FROM g),
+        |p AS (SELECT *, CAST(r0 AS DOUBLE) / n0 AS p0,
+        |    CAST(r1 AS DOUBLE) / n1 AS p1 FROM w),
+        |se AS (SELECT *,
+        |    sqrt(p0 * (1.0 - p0) / n0 + p1 * (1.0 - p1) / n1) AS se,
+        |    (p0 + CAST(1.9208 AS DOUBLE) / n0
+        |      - 1.96 * sqrt(p0 * (1.0 - p0) / n0
+        |        + CAST(0.9604 AS DOUBLE) / (CAST(n0 AS DOUBLE) * n0)))
+        |      / (1.0 + CAST(3.8416 AS DOUBLE) / n0) AS w0l,
+        |    (p0 + CAST(1.9208 AS DOUBLE) / n0
+        |      + 1.96 * sqrt(p0 * (1.0 - p0) / n0
+        |        + CAST(0.9604 AS DOUBLE) / (CAST(n0 AS DOUBLE) * n0)))
+        |      / (1.0 + CAST(3.8416 AS DOUBLE) / n0) AS w0u,
+        |    (p1 + CAST(1.9208 AS DOUBLE) / n1
+        |      - 1.96 * sqrt(p1 * (1.0 - p1) / n1
+        |        + CAST(0.9604 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1)))
+        |      / (1.0 + CAST(3.8416 AS DOUBLE) / n1) AS w1l,
+        |    (p1 + CAST(1.9208 AS DOUBLE) / n1
+        |      + 1.96 * sqrt(p1 * (1.0 - p1) / n1
+        |        + CAST(0.9604 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1)))
+        |      / (1.0 + CAST(3.8416 AS DOUBLE) / n1) AS w1u
+        |  FROM p)
+        |SELECT n0, r0, n1, r1,
+        |  round(p1 - p0, 6) + 0.0 AS delta,
+        |  round(p1 - p0 - 1.96 * se, 6) + 0.0 AS wald_lo,
+        |  round(p1 - p0 + 1.96 * se, 6) + 0.0 AS wald_hi,
+        |  round(p1 - p0 - sqrt((p1 - w1l) * (p1 - w1l)
+        |    + (w0u - p0) * (w0u - p0)), 6) + 0.0 AS newcombe_lo,
+        |  round(p1 - p0 + sqrt((w1u - p1) * (w1u - p1)
+        |    + (p0 - w0l) * (p0 - w0l)), 6) + 0.0 AS newcombe_hi
+        |FROM se""".stripMargin,
+    "sample_neyman_alloc" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+        |    CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         * CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS sx2
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT *,
+        |    sqrt(CAST(nh * sx2 - sx * sx AS DOUBLE)
+        |      / (CAST(nh AS DOUBLE) * (nh - 1))) / 100 AS sh
+        |  FROM s),
+        |ww AS (SELECT *, CAST(round(nh * sh, 6) AS DECIMAL(28,6)) AS w
+        |       FROM d),
+        |t AS (SELECT sum(w) AS tw, CAST(sum(nh) AS BIGINT) AS tn FROM ww),
+        |al AS (SELECT ww.*, t.tn,
+        |    CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS share
+        |  FROM ww CROSS JOIN t),
+        |ab AS (SELECT *, CAST(floor(1000 * share) AS BIGINT) AS n_base,
+        |    1000 * share - CAST(floor(1000 * share) AS BIGINT) AS frac
+        |  FROM al),
+        |sh2 AS (SELECT CAST(1000 - sum(n_base) AS BIGINT) AS rem FROM ab),
+        |rk AS (SELECT ab.*, sh2.rem,
+        |    row_number() OVER (ORDER BY frac DESC, event_type) AS rk
+        |  FROM ab CROSS JOIN sh2)
+        |SELECT event_type, nh AS n_stratum,
+        |  round(sh, 6) + 0.0 AS stddev_value,
+        |  round(share, 6) + 0.0 AS neyman_share,
+        |  n_base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS n_alloc,
+        |  CAST(round(1000 * CAST(nh AS DOUBLE) / tn, 0) AS BIGINT)
+        |    AS n_proportional
+        |FROM rk ORDER BY event_type""".stripMargin,
+    "window_ewma_timedecay" ->
+      """WITH e AS (SELECT user_id, "value",
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w AS (SELECT *, max(us) OVER (PARTITION BY user_id) AS last_us
+        |      FROM e),
+        |t AS (SELECT user_id,
+        |    CAST(round("value"
+        |      * exp(-(CAST(last_us - us AS DOUBLE) / 21600000000.0)), 9)
+        |      AS DECIMAL(28,9)) AS term
+        |  FROM w)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(term) AS DOUBLE), 6) + 0.0 AS decayed_score
+        |FROM t GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "stats_nelson_aalen" ->
+      s"""$survCtes,
+         |byt AS (SELECT t, CAST(sum(observed) AS BIGINT) AS d,
+         |    CAST(sum(1 - observed) AS BIGINT) AS c
+         |  FROM s GROUP BY 1),
+         |r AS (SELECT *, CAST(sum(d + c) OVER (ORDER BY t
+         |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |      AS BIGINT) AS n_risk FROM byt),
+         |tm AS (SELECT *, CASE WHEN d > 0
+         |    THEN CAST(round(CAST(d AS DOUBLE) / n_risk, 9)
+         |         AS DECIMAL(18,9))
+         |    ELSE CAST(0 AS DECIMAL(18,9)) END AS h_term FROM r),
+         |cm AS (SELECT *, sum(h_term) OVER (ORDER BY t
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+         |  FROM tm)
+         |SELECT t AS t_hours, n_risk, d AS d_events,
+         |  round(CAST(ch AS DOUBLE), 6) + 0.0 AS cum_hazard,
+         |  round(exp(-CAST(ch AS DOUBLE)), 6) + 0.0 AS s_breslow
+         |FROM cm WHERE d > 0 ORDER BY t_hours""".stripMargin,
+    "stats_overdispersion" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+        |           FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(k) AS BIGINT) AS sk,
+        |    CAST(sum(k * k) AS BIGINT) AS sk2 FROM c),
+        |m AS (SELECT n, CAST(sk AS DOUBLE) / n AS m,
+        |    CAST(n * sk2 - sk * sk AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (n - 1)) AS s2
+        |  FROM s)
+        |SELECT n AS n_users, round(m, 6) + 0.0 AS mean_events,
+        |  round(s2, 6) + 0.0 AS var_events,
+        |  round(s2 / m, 6) + 0.0 AS dispersion,
+        |  round(CASE WHEN s2 > m THEN m * m / (s2 - m) END, 6) + 0.0
+        |    AS nb_r,
+        |  round(CASE WHEN s2 > m THEN m / s2 END, 6) + 0.0 AS nb_p,
+        |  s2 <= 1.5 * m AS near_poisson
+        |FROM m""".stripMargin,
+    "stats_lincoln_petersen" ->
+      """WITH mn AS (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+        |           FROM events),
+        |f AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) - d0
+        |        < 7 THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+        |    CAST(max(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) - d0
+        |        >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+        |  FROM events CROSS JOIN mn
+        |  WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) - d0 < 14
+        |  GROUP BY user_id),
+        |s AS (SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+        |    CAST(sum(in_b) AS BIGINT) AS n2,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS m,
+        |    CAST(count(*) AS BIGINT) AS n_seen
+        |  FROM f)
+        |SELECT n1, n2, m, n_seen,
+        |  round(CASE WHEN m > 0 THEN CAST(n1 AS DOUBLE) * n2 / m END, 6)
+        |    + 0.0 AS n_hat_lp,
+        |  round(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0, 6)
+        |    + 0.0 AS n_hat_chapman,
+        |  round(sqrt(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) * (n1 - m)
+        |    * (n2 - m) / (CAST((m + 1) AS DOUBLE) * (m + 1) * (m + 2))),
+        |    6) + 0.0 AS se_chapman
+        |FROM s""".stripMargin,
+    "anomaly_pot" ->
+      """WITH top AS (SELECT o_totalprice AS x, o_orderkey FROM orders
+        |             ORDER BY x DESC, o_orderkey LIMIT 51),
+        |r AS (SELECT x,
+        |    row_number() OVER (ORDER BY x DESC, o_orderkey) AS rn,
+        |    min(x) OVER () AS u
+        |  FROM top),
+        |c AS (SELECT u, CAST(round((x - u) * 100, 0) AS BIGINT) AS yc
+        |      FROM r WHERE rn <= 50),
+        |a AS (SELECT u, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(yc) AS BIGINT) AS sy,
+        |    CAST(sum(yc * yc) AS BIGINT) AS sy2
+        |  FROM c GROUP BY u),
+        |m AS (SELECT *, CAST(sy AS DOUBLE) / 100 / n AS m,
+        |    CAST(n * sy2 - sy * sy AS DOUBLE) / (n * (n - 1)) / 10000
+        |      AS s2
+        |  FROM a),
+        |f AS (SELECT *, m * m / s2 AS rr FROM m)
+        |SELECT n AS n_exceed, u AS threshold,
+        |  round(m, 6) + 0.0 AS mean_excess,
+        |  round(0.5 * (1.0 - rr), 6) + 0.0 AS xi,
+        |  round(0.5 * m * (rr + 1.0), 6) + 0.0 AS sigma
+        |FROM f""".stripMargin,
+    "forecast_ses_grid" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT y, row_number() OVER (ORDER BY day) AS t,
+        |    count(*) OVER () AS n
+        |  FROM d),
+        |al AS (SELECT CAST(a AS DOUBLE) AS alpha
+        |       FROM (VALUES (0.2), (0.4), (0.6), (0.8)) AS v(a)),
+        |rec AS (
+        |  SELECT alpha, n, 1 AS t,
+        |    (SELECT y FROM s WHERE s.t = 1) AS sv,
+        |    CAST(0 AS DOUBLE) AS sse
+        |  FROM al CROSS JOIN (SELECT DISTINCT n FROM s) q
+        |  UNION ALL
+        |  SELECT r.alpha, r.n, r.t + 1,
+        |    r.alpha * p.y + (1.0 - r.alpha) * r.sv,
+        |    r.sse + (p.y - r.sv) * (p.y - r.sv)
+        |  FROM rec r JOIN s p ON p.t = r.t + 1
+        |  WHERE r.t < r.n),
+        |fin AS (
+        |  SELECT alpha, CAST(n AS BIGINT) AS n_days,
+        |    round(sv, 6) + 0.0 AS level, round(sse, 6) + 0.0 AS sse
+        |  FROM rec WHERE t = n AND n >= 2),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY sse, alpha) AS rn
+        |       FROM fin)
+        |SELECT alpha, n_days, level, sse, rn = 1 AS is_best
+        |FROM rk ORDER BY alpha""".stripMargin,
     "stats_prop_trend" ->
       """WITH g AS (
         |  SELECT ((CAST(CAST(ts AS TIMESTAMP) AS DATE)

@@ -1043,7 +1043,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── sentence segmentation profile: per document, how many sentences
+  // ([.!?]+ boundaries, fragments without an alphanumeric discarded),
+  // their mean length in characters, and the longest one — the
+  // structural signal the flat token counters miss (a 2,000-char doc
+  // that is ONE run-on "sentence" is usually boilerplate or a table
+  // dump, and RAG chunkers that split on sentences need this
+  // distribution before choosing chunk sizes). Everything is per-row
+  // array arithmetic (split → filter → fold) inside whole-stage
+  // codegen: no explode, no shuffle — the corpus is scanned once and
+  // only the 4-column profile survives. The regex class is shared
+  // verbatim with the oracle (both engines are re-flavor-compatible on
+  // a plain character class). ──
+  def textSentences(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("sents", expr(
+        """filter(transform(split(text, '[.!?]+'), x -> trim(x)),
+          |       x -> x rlike '[A-Za-z0-9]')""".stripMargin))
+      .withColumn("n_sentences", size(col("sents")).cast("long"))
+      .withColumn("tot_chars", expr(
+        "aggregate(sents, 0L, (a, x) -> a + length(x))"))
+      .select(col("doc_id"), col("n_sentences"),
+        (round(expr("CASE WHEN n_sentences > 0 THEN" +
+          " cast(tot_chars as double) / n_sentences END"), 6) + lit(0.0d))
+          .as("avg_sent_chars"),
+        expr("aggregate(sents, 0L," +
+          " (a, x) -> greatest(a, cast(length(x) as bigint)))")
+          .as("max_sent_chars"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sentences"        -> textSentences _,
     "text_char_entropy"     -> textCharEntropy _,
     "text_mattr"            -> textMattr _,
     "text_quality_gopher"   -> textQualityGopher _,
@@ -1123,6 +1153,27 @@ object TextOps {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_sentences" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |                     x -> trim(x)),
+        |      x -> regexp_matches(x, '[A-Za-z0-9]')) AS sents
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(sents, x -> length(x)))
+        |         AS BIGINT) AS tot_chars,
+        |    CAST(list_max(list_transform(sents, x -> length(x)))
+        |         AS BIGINT) AS max_chars
+        |  FROM s)
+        |SELECT doc_id, n_sentences,
+        |  round(CASE WHEN n_sentences > 0
+        |    THEN CAST(tot_chars AS DOUBLE) / n_sentences END, 6) + 0.0
+        |    AS avg_sent_chars,
+        |  COALESCE(max_chars, 0) AS max_sent_chars
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_char_entropy" ->
       """WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents
         |           WHERE length(lower(text)) >= 2),

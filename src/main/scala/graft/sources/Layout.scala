@@ -85,6 +85,31 @@ object Layout {
     spark.read.schema(schema).json(path)
   }
 
+  /** ORC twin of the events table — the OTHER columnar interchange
+    * format (Hive/Trino ecosystems), exercised through Spark's built-in
+    * ORC source. `ts` ships as the µs epoch long (the
+    * [[ensureEventsJsonl]] rationale: no timestamp-vintage or tz drift
+    * across writers); content-keyed, written once. */
+  def ensureEventsOrc(spark: SparkSession, dir: String): String = {
+    val tag = Fingerprint.tag(dir, "events")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$wh/graft_events_orc_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      Tables.events(spark, dir)
+        .withColumn("ts", unix_micros(col("ts")))
+        .write.orc(path)
+    }
+    path
+  }
+
+  /** ORC is self-describing (schema in the file footer, like parquet),
+    * so no explicit schema is needed — the format carries its types. */
+  def readEventsOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** CSV twin of the events table (content-keyed derived store, written
     * once) — the lowest-common-denominator interchange format raw feeds
     * actually arrive in. `ts` ships as the µs epoch long (same rationale

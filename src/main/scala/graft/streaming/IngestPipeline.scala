@@ -591,13 +591,65 @@ object IngestPipeline {
         col("users"), col("cnt"))
       .orderBy("win_start_s")
 
+  // ── per-user SESSION windows via the native `session_window`
+  // generator — the third window family next to tumbling and hopping:
+  // data-driven extents (a session ends only when the user goes quiet
+  // for 30 min), which is what Structured Streaming's session-window
+  // state store computes incrementally. This batch form is the
+  // semantics contract: window.start = first event, window.end = last
+  // event + gap, events chain while consecutive gaps stay ≤ the
+  // 30-min gap — exactly the [[graft.operators.AdvancedOps.sessionize]]
+  // rule, so the oracle replays gap sessionization and derives the
+  // window bounds arithmetically (a cross-check that Spark's native
+  // operator and the classic lag/cumsum construction agree row for
+  // row). Grouping keys partition the state — per-user, bounded,
+  // parallel. ──
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("sess_start_s"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end_s"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start_s")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_avg" -> streamTumblingAvg _,
     "stream_tumbling_users" -> streamTumblingUsers _,
     "stream_hopping_users" -> streamHoppingUsers _,
+    "stream_session_window" -> streamSessionWindow _,
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_session_window" ->
+      """WITH seq AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "value",
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |flags AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS is_new
+        |  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM flags)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start_s,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |    AS sess_end_s,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_s""".stripMargin,
     "stream_hopping_users" ->
       """WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id
         |           FROM events),

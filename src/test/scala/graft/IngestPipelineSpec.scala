@@ -236,6 +236,48 @@ class IngestPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-stream session window equals the batch stream_session_window key") {
+    // session_window is the third window generator whose batch/stream
+    // agreement the engine claims (after tumbling and hopping): the
+    // file-streamed per-user 30-min gap sessions must reproduce the
+    // batch key frame for frame — start, end (= last event + gap),
+    // count and decimal-exact value sum
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val landing = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      landing.resolve("batch-000.parquet"))
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream0 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val agg = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("e"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("stream_sessions").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM stream_sessions")
+        .as[(Long, String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+      val batch = graft.streaming.IngestPipeline
+        .streamSessionWindow(spark, sf0001)
+        .as[(Long, String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops at-least-once redeliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]

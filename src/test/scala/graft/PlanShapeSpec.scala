@@ -154,6 +154,10 @@ class PlanShapeSpec extends SparkSuite {
     def groupSizedPhys(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p match {
         case a if a.nodeName.contains("Aggregate") => true
+        // a Limit bounds its output by construction (top-k order
+        // statistics: anomaly_pot / stats_hill_tail window over ≤101
+        // rows) — as group-sized as an Aggregate
+        case l if l.nodeName.contains("Limit") => true
         // AQE wraps the real plan as a childless node; unwrap it
         case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           groupSizedPhys(aqe.executedPlan)
@@ -166,6 +170,9 @@ class PlanShapeSpec extends SparkSuite {
       }
     def groupSized(p: logical.LogicalPlan): Boolean = p match {
       case _: logical.Aggregate => true
+      // the logical twin of the physical Limit rule above
+      case _: logical.GlobalLimit => true
+      case _: logical.LocalLimit => true
       // a cached frame is group-sized iff the plan it materializes is —
       // the relation itself is a leaf, so walk its build plan
       // (anomaly_seasonal caches its |days|-row residual frame)
@@ -289,13 +296,38 @@ class PlanShapeSpec extends SparkSuite {
       "stats_ecdf",      // 21-row grid broadcast vs the fact scan
       "sample_ess",      // 1-row totals broadcast vs the class frame
       "dq_volume_anomaly", // 1-row median + 1-row MAD broadcasts
-      "stats_mutual_info") // 1-row total/entropy frames combined
-    SparkEntry.queries.toSeq.sortBy(_._1)
+      "stats_mutual_info", // 1-row total/entropy frames combined
+      // session-8/9 scalar/grid broadcasts (each audited: build side is
+      // a 1-row aggregate or a frame bounded by a tiny group domain):
+      "dq_freshness",      // 1-row corpus-max-ts broadcast vs type frame
+      "graph_degree_dist", // 1-row total-node-count broadcast vs bins
+      "hist_2d",           // 1-row totals broadcast vs the 7×24 grid
+      "stats_friedman",    // |days|×|types| zero-filled grid crossJoin
+      "stats_influence",   // 1-row regression-moment broadcast vs days
+      "stats_kruskal",     // 1-row totals broadcast vs the value grid
+      "stats_mcnemar",     // 1-row discordant-pair counts combined
+      // session-10 scalar/tiny broadcasts (audited in scaladoc):
+      "graph_modularity",  // 1-row (a, within) × 1-row (k, Σd²) frames
+      "privacy_t_closeness", // |types|-row global-distribution broadcast
+      "stats_kaplan_meier",  // 1-row corpus-horizon (max ts) broadcast
+      "stats_logrank",       // same horizon broadcast + 1-row group frame
+      "stats_nelson_aalen",  // same subjects-frame horizon broadcast
+      "stats_cochran_q",     // 1-row column-sum frame × 1-row row-sum frame
+      "stats_page_trend",    // |days|×|types| grid (the friedman shape)
+      "stats_lincoln_petersen", // 1-row min-day broadcast
+      "dq_referential",      // eleven 1-row count frames combined
+      "embed_triplet_mine",  // 20-row hash-anchor broadcast, ≠-join
+      "eval_ann_recall",     // the same 20-row anchor broadcast
+      "sample_neyman_alloc") // 1-row (Σw, Σn) + 1-row remainder frames
+    // collect ALL offenders before asserting — a failure names every
+    // key that needs auditing, not just the alphabetically first
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
-      .foreach { case (name, fn) =>
+      .flatMap { case (name, fn) =>
         val plan = planOf(fn(spark, sf0001))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name:\n${plan.take(1500)}")
+        if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
       }
+    assert(offenders.isEmpty, s"BNLJ outside the audited allowlist: " +
+      offenders.mkString(", "))
   }
 }
