@@ -51,6 +51,8 @@ object Bench {
       graft.sources.Layout.ensureEventsZOrdered(spark, sfDir)
     if (runsKey("scan_jsonl"))
       graft.sources.Layout.ensureEventsJsonl(spark, sfDir)
+    if (runsKey("scan_orc"))
+      graft.sources.Layout.ensureEventsOrc(spark, sfDir)
     if (runsKey("scan_delete_vectors"))
       graft.sources.Layout.ensureEventsMor(spark, sfDir)
     if (runsKey("scan_bloom_skip"))
