@@ -881,7 +881,91 @@ object MiningOps {
       .orderBy("hop")
   }
 
+  // ── supervised-learning lag-feature matrix: per (user, active day),
+  // yesterday's spend, the spend exactly 7 days back, the trailing-week
+  // sum/count, and TOMORROW's spend as the label — the feature table a
+  // daily-forecast or churn model trains on, built leakage-free (every
+  // feature strictly precedes the label). Calendar correctness WITHOUT
+  // a dense spine: windows use RANGE frames over the integer epoch-day
+  // ORDER key, so "7 days back" means calendar days even when a user
+  // skips days (a ROWS frame would silently mean "7 active days").
+  // Everything stays exact int64 cents end to end; per-user windows —
+  // one shuffle, bounded state, keys parallelize. ──
+  def featureLagMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("user_id"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("rev_c"), count(lit(1)).as("n_ev"))
+      .withColumn("dayno", expr("datediff(day, DATE'1970-01-01')"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("dayno"))
+    daily
+      .withColumn("lag1_c",
+        sum(col("rev_c")).over(ord.rangeBetween(-1, -1)))
+      .withColumn("lag7_c",
+        sum(col("rev_c")).over(ord.rangeBetween(-7, -7)))
+      .withColumn("trail7_c",
+        sum(col("rev_c")).over(ord.rangeBetween(-7, -1)))
+      .withColumn("trail7_days",
+        count(col("rev_c")).over(ord.rangeBetween(-7, -1)))
+      .withColumn("target_next_c",
+        sum(col("rev_c")).over(ord.rangeBetween(1, 1)))
+      .select(col("user_id"), col("day"), col("rev_c"), col("n_ev"),
+        col("lag1_c"), col("lag7_c"), col("trail7_c"),
+        col("trail7_days"), col("target_next_c"))
+      .orderBy("user_id", "day")
+  }
+
+  // ── recommender coverage & exposure concentration — the aggregate
+  // health check on [[recsysItemKnn]]'s top-3 lists (eval_ann_recall
+  // judges per-query quality; this judges the CATALOG: a recommender
+  // that only ever surfaces 5% of items is a popularity echo chamber
+  // no per-query metric will flag). Coverage = distinct recommended
+  // items over the full catalog AND over the active (co-purchased)
+  // set; concentration = exposure Gini over appearance counts (the
+  // stats_gini closed rank form on the item-sized exposure frame —
+  // its rank window runs over an Aggregate, group-sized). Same pair
+  // join as the kNN key; everything integer until three final
+  // divisions. ──
+  def evalRecsysCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val cnt = op.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
+    val pairs = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+    val scored = pairs
+      .join(broadcast(cnt.select(col("item").as("u"), col("n").as("nu"))),
+        "u")
+      .join(broadcast(cnt.select(col("item").as("v"), col("n").as("nv"))),
+        "v")
+      .withColumn("cos",
+        r6(col("c").cast("double") /
+          sqrt((col("nu") * col("nv")).cast("double"))))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("cos").desc, col("v"))
+    val recs = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select(col("v"))
+    val expo = recs.groupBy(col("v")).agg(count(lit(1)).as("x"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("x"), col("v"))))
+    val gini = expo.agg(count(lit(1)).as("nr"), sum(col("x")).as("sx"),
+      sum(col("rk") * col("x")).as("srx"))
+    val catalog = Tables.part(spark, dir).agg(count(lit(1)).as("n_catalog"))
+    val active = op.select(col("p")).distinct()
+      .agg(count(lit(1)).as("n_active"))
+    val out = gini.crossJoin(broadcast(catalog)).crossJoin(broadcast(active))
+      .select(col("n_catalog"), col("n_active"),
+        col("nr").as("n_recommended"),
+        r6(expr("cast(nr as double) / n_catalog")).as("coverage_catalog"),
+        r6(expr("cast(nr as double) / n_active")).as("coverage_active"),
+        r6(expr("2.0 * srx / (cast(nr as double) * sx)" +
+          " - cast(nr + 1 as double) / nr")).as("exposure_gini"))
+    op.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_recsys_coverage"   -> evalRecsysCoverage _,
+    "feature_lag_matrix"     -> featureLagMatrix _,
     "graph_path_counts"      -> graphPathCounts _,
     "feature_target_encode"  -> featureTargetEncode _,
     "feature_woe"            -> featureWoe _,
@@ -906,6 +990,61 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "eval_recsys_coverage" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |cnt AS (SELECT p AS item, count(*) AS n FROM op GROUP BY 1),
+        |pairs AS (SELECT a.p AS u, b.p AS v, count(*) AS c
+        |          FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+        |          GROUP BY 1, 2),
+        |sc AS (SELECT pairs.u, pairs.v,
+        |    round(pairs.c / sqrt(CAST(cu.n * cv.n AS DOUBLE)), 6) + 0.0
+        |      AS cos
+        |  FROM pairs
+        |  JOIN cnt cu ON pairs.u = cu.item
+        |  JOIN cnt cv ON pairs.v = cv.item),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY u
+        |                ORDER BY cos DESC, v) AS rn FROM sc),
+        |recs AS (SELECT v FROM r WHERE rn <= 3),
+        |expo AS (SELECT v, CAST(count(*) AS BIGINT) AS x
+        |         FROM recs GROUP BY 1),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY x, v)
+        |         AS BIGINT) AS rk FROM expo),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(rk * x) AS BIGINT) AS srx FROM rk),
+        |cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM part),
+        |act AS (SELECT CAST(count(DISTINCT p) AS BIGINT) AS n_active
+        |        FROM op)
+        |SELECT n_catalog, n_active, nr AS n_recommended,
+        |  round(CAST(nr AS DOUBLE) / n_catalog, 6) + 0.0
+        |    AS coverage_catalog,
+        |  round(CAST(nr AS DOUBLE) / n_active, 6) + 0.0
+        |    AS coverage_active,
+        |  round(2.0 * srx / (CAST(nr AS DOUBLE) * sx)
+        |    - CAST(nr + 1 AS DOUBLE) / nr, 6) + 0.0 AS exposure_gini
+        |FROM g CROSS JOIN cat CROSS JOIN act""".stripMargin,
+    "feature_lag_matrix" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_c,
+        |    CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, day - DATE '1970-01-01' AS dayno FROM daily)
+        |SELECT user_id, day, rev_c, n_ev,
+        |  CAST(sum(rev_c) OVER (w RANGE BETWEEN 1 PRECEDING
+        |    AND 1 PRECEDING) AS BIGINT) AS lag1_c,
+        |  CAST(sum(rev_c) OVER (w RANGE BETWEEN 7 PRECEDING
+        |    AND 7 PRECEDING) AS BIGINT) AS lag7_c,
+        |  CAST(sum(rev_c) OVER (w RANGE BETWEEN 7 PRECEDING
+        |    AND 1 PRECEDING) AS BIGINT) AS trail7_c,
+        |  CAST(count(rev_c) OVER (w RANGE BETWEEN 7 PRECEDING
+        |    AND 1 PRECEDING) AS BIGINT) AS trail7_days,
+        |  CAST(sum(rev_c) OVER (w RANGE BETWEEN 1 FOLLOWING
+        |    AND 1 FOLLOWING) AS BIGINT) AS target_next_c
+        |FROM d WINDOW w AS (PARTITION BY user_id ORDER BY dayno)
+        |ORDER BY user_id, day""".stripMargin,
     "graph_path_counts" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -2895,7 +2895,58 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // One shared set of smoothing constants, stringified from the SAME
+  // Scala doubles the oracle interpolates — Scala's Double.toString is
+  // the shortest round-trip representation, so both engines parse the
+  // bit-identical constant.
+  private val MacdD12 = (11.0 / 13.0).toString
+  private val MacdA12 = (2.0 / 13.0).toString
+  private val MacdD26 = (25.0 / 27.0).toString
+  private val MacdA26 = (2.0 / 27.0).toString
+  private val MacdD9 = (0.8).toString
+  private val MacdA9 = (0.2).toString
+
+  // ── MACD(12, 26, 9) on daily revenue — the trend-vs-momentum
+  // completion of the TA family (RSI positions within the recent range,
+  // Bollinger bands the level, MACD reads the CROSSOVER of two decay
+  // horizons). Each EMA is the pandas adjust=true closed form — a
+  // geometric-weighted mean over a bounded trailing frame (the
+  // window_ewma device: finite window, exact partial-window
+  // normalization (1−dⁿ)/α). MACD snaps to 6 dp BEFORE the signal
+  // EMA consumes it, so the second smoothing stage reads provably
+  // identical inputs in both engines. Per-type windows; the series
+  // frame is day-grid-sized at any corpus. ──
+  def windowMacd(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    def ema(h: String, d: String, a: String): String =
+      s"""aggregate(transform($h, (x, i) -> x * pow($d, size($h) - 1 - i)),
+         |  0D, (acc, t) -> acc + t)
+         |/ ((1.0D - pow($d, cast(size($h) as double))) / $a)""".stripMargin
+    val staged = daily
+      .withColumn("h12",
+        collect_list(col("revc").cast("double")).over(
+          wOrd.rowsBetween(-11, 0)))
+      .withColumn("h26",
+        collect_list(col("revc").cast("double")).over(
+          wOrd.rowsBetween(-25, 0)))
+      .withColumn("macd", round(
+        expr(ema("h12", MacdD12, MacdA12)) -
+          expr(ema("h26", MacdD26, MacdA26)), 6) + lit(0.0d))
+    staged
+      .withColumn("h9",
+        collect_list(col("macd")).over(wOrd.rowsBetween(-8, 0)))
+      .withColumn("signal",
+        round(expr(ema("h9", MacdD9, MacdA9)), 6) + lit(0.0d))
+      .select(col("event_type"), col("day"), col("macd"), col("signal"),
+        r6(col("macd") - col("signal")).as("histogram"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_macd"           -> windowMacd _,
     "stats_two_prop_ci"     -> statsTwoPropCi _,
     "sample_neyman_alloc"   -> sampleNeymanAlloc _,
     "window_ewma_timedecay" -> windowEwmaTimedecay _,
@@ -3039,7 +3090,43 @@ object StatsOps {
       |        (COALESCE(tp, mxus) - t0) // 3600000000 AS t
       |      FROM subj CROSS JOIN mx)""".stripMargin
 
+  /** Duck-side EMA over a window-listed history `h` — identical element
+    * order, weights and sequential summation as the Spark fold. */
+  private def duckEma(h: String, d: String, a: String): String =
+    s"""list_sum(list_transform(range(1, len($h) + 1),
+       |    k -> $h[k] * pow($d, len($h) - k)))
+       |/ ((1.0 - pow($d, CAST(len($h) AS DOUBLE))) / $a)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "window_macd" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |      AS revc
+         |  FROM events GROUP BY 1, 2),
+         |h AS (SELECT event_type, day,
+         |    list(CAST(revc AS DOUBLE))
+         |      OVER (wo ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+         |      AS h12,
+         |    list(CAST(revc AS DOUBLE))
+         |      OVER (wo ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+         |      AS h26
+         |  FROM daily
+         |  WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+         |m AS (SELECT event_type, day,
+         |    round(${duckEma("h12", MacdD12, MacdA12)}
+         |      - ${duckEma("h26", MacdD26, MacdA26)}, 6) + 0.0 AS macd
+         |  FROM h),
+         |s AS (SELECT event_type, day, macd,
+         |    list(macd) OVER (wo ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+         |      AS h9
+         |  FROM m WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+         |f AS (SELECT event_type, day, macd,
+         |    round(${duckEma("h9", MacdD9, MacdA9)}, 6) + 0.0 AS signal
+         |  FROM s)
+         |SELECT event_type, day, macd, signal,
+         |  round(macd - signal, 6) + 0.0 AS histogram
+         |FROM f ORDER BY event_type, day""".stripMargin,
     "stats_two_prop_ci" ->
       """WITH g AS (
         |  SELECT ((user_id % 2147483648) * 2654435761 % 2147483648) % 2

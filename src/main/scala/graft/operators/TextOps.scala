@@ -21,6 +21,8 @@ object TextOps {
   /** Lowercased whitespace tokens of `text`. */
   private def toksCol = split(trim(lower(col("text"))), "\\s+")
 
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0d)
+
   /** Fraction of tokens (column `toks`) that are English stopword markers,
     * rounded to 6 dp — the ONE definition shared by lang-ID, quality
     * scoring and the cleaning pipeline (and mirrored verbatim in each
@@ -1072,7 +1074,45 @@ object TextOps {
           .as("max_sent_chars"))
       .orderBy("doc_id")
 
+  // ── token-frequency drift between corpus halves: which words are
+  // RISING or FALLING when the corpus is split by doc_id median — the
+  // vocabulary-level drift detector (stats_jsd scores the event-type
+  // distribution; this names the exact tokens moving, which is what a
+  // data curator acts on when a crawl's character changes between
+  // dumps). Shares are exact integer ratios per half; the top-20
+  // movers by |Δshare| (ppm-scaled integer tiebreak, then token) come
+  // out of ONE TakeOrderedAndProject over the vocabulary-sized count
+  // frame. Halves split at the median doc_id (data-derived via an
+  // exact percentile on the doc frame — broadcast scalar). ──
+  def textFreqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mid = docs.agg(
+      // explicit floor: DuckDB CAST(DOUBLE AS BIGINT) rounds while
+      // Spark's cast truncates — floor is the same in both
+      expr("CAST(floor(percentile(doc_id, 0.5)) AS BIGINT)").as("mid"))
+    val toks = docs.crossJoin(broadcast(mid))
+      .select((col("doc_id") <= col("mid")).as("is_a"),
+        explode(toksCol).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy(col("tok"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_a", expr("cast(ca as double) / ta"))
+      .withColumn("share_b", expr("cast(cb as double) / tb"))
+      .withColumn("dppm", expr(
+        "abs(cb * 1000000 div tb - ca * 1000000 div ta)"))
+      .orderBy(desc("dppm"), col("tok"))
+      .limit(20)
+      .select(col("tok"), col("ca"), col("cb"),
+        r6(col("share_a")).as("share_a"),
+        r6(col("share_b")).as("share_b"),
+        r6(expr("share_b - share_a")).as("delta_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_freq_drift"       -> textFreqDrift _,
     "text_sentences"        -> textSentences _,
     "text_char_entropy"     -> textCharEntropy _,
     "text_mattr"            -> textMattr _,
@@ -1153,6 +1193,27 @@ object TextOps {
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_freq_drift" ->
+      """WITH mid AS (SELECT CAST(floor(quantile_cont(doc_id, 0.5))
+        |             AS BIGINT) AS mid FROM documents),
+        |t AS (SELECT d.doc_id <= m.mid AS is_a,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents d CROSS JOIN mid m),
+        |c AS (SELECT tok,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM t WHERE tok <> '' GROUP BY tok),
+        |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+        |    CAST(sum(cb) AS BIGINT) AS tb FROM c),
+        |s AS (SELECT c.*, tt.ta, tt.tb,
+        |    CAST(ca AS DOUBLE) / ta AS share_a,
+        |    CAST(cb AS DOUBLE) / tb AS share_b,
+        |    abs(cb * 1000000 // tb - ca * 1000000 // ta) AS dppm
+        |  FROM c CROSS JOIN tt)
+        |SELECT tok, ca, cb, round(share_a, 6) + 0.0 AS share_a,
+        |  round(share_b, 6) + 0.0 AS share_b,
+        |  round(share_b - share_a, 6) + 0.0 AS delta_share
+        |FROM s ORDER BY dppm DESC, tok LIMIT 20""".stripMargin,
     "text_sentences" ->
       """WITH s AS (
         |  SELECT doc_id,
