@@ -2945,7 +2945,98 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  // ── Breusch–Pagan heteroscedasticity test on the daily revenue
+  // trend: stats_dw asks whether the trend's residuals are serially
+  // correlated; this asks whether their VARIANCE grows along the trend
+  // (fan-shaped residuals make every OLS standard error a lie, which
+  // is exactly when regr_trend's r² overstates confidence). The
+  // auxiliary regression e² ~ day reduces to the closed R² form on
+  // exact sums: residuals snap to 6 dp (the stats_dw device), e²
+  // snaps to integer µ-units, and all five moments accumulate in
+  // DECIMAL — LM = n·R² is one double expression at the end, flagged
+  // against the χ²(1) 5% critical value. ──
+  def statsBreuschPagan(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailySeries(spark, dir)
+    val fit = daily.groupBy(col("event_type"))
+      .agg(expr("regr_slope(v, CAST(dayno AS DOUBLE))").as("b"),
+        expr("regr_intercept(v, CAST(dayno AS DOUBLE))").as("a"))
+    daily.join(broadcast(fit), Seq("event_type"))
+      .withColumn("e", expr(
+        "CAST(round(v - (a + b * CAST(dayno AS DOUBLE)), 6)" +
+          " AS DECIMAL(24,6))"))
+      .withColumn("e2m", expr(
+        "CAST(round(cast(e as double) * cast(e as double) * 1000000, 0)" +
+          " AS DECIMAL(18,0))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(dayno AS DECIMAL(18,0))")).as("sx"),
+        sum(expr("CAST(dayno AS DECIMAL(18,0))" +
+          " * CAST(dayno AS DECIMAL(18,0))")).as("sx2"),
+        sum(col("e2m")).as("se"),
+        sum(expr("CAST(e2m AS DECIMAL(28,0)) * e2m")).as("se2"),
+        sum(expr("CAST(dayno AS DECIMAL(18,0)) * e2m")).as("sxe"))
+      .withColumn("r2", expr(
+        """(cast(n * sxe - sx * se as double)
+          |  * cast(n * sxe - sx * se as double))
+          |/ (cast(n * sx2 - sx * sx as double)
+          |  * cast(n * se2 - se * se as double))""".stripMargin))
+      .select(col("event_type"), col("n"),
+        r6(expr("n * r2")).as("lm_stat"),
+        expr("n * r2 > 3.841459").as("heteroscedastic"))
+      .orderBy("event_type")
+  }
+
+  private val CrostonA = (0.1).toString
+
+  // ── Croston's method for INTERMITTENT demand — Holt/Holt-Winters
+  // assume a dense series; per-part order quantities are mostly-zero
+  // spiky series where exponential smoothing of the raw signal decays
+  // to noise between spikes. Croston smooths two things separately at
+  // demand OCCURRENCES only: the nonzero demand size z and the
+  // inter-arrival gap p; the per-day forecast is z/p. No dense spine
+  // is ever materialized — the fold walks the occurrence list
+  // (group-sized per part) carrying (z, p, prev-day) state, exactly
+  // the forecast_holt scale shape, and the oracle replays the
+  // recursion per part as a recursive CTE. Init pinned: z from the
+  // first two demands, p from their gap. Top-50 series by occurrence
+  // count via TakeOrderedAndProject. ──
+  def forecastCroston(spark: SparkSession, dir: String): DataFrame = {
+    val dem = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_partkey").as("part"),
+        expr("datediff(to_date(o_orderdate), DATE'1970-01-01')")
+          .cast("long").as("dayno"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("d"))
+    val a = CrostonA
+    val folded = dem.groupBy(col("part"))
+      .agg(sort_array(collect_list(struct(col("dayno"), col("d"))))
+        .as("s"))
+      .filter(size(col("s")) >= 3)
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(s, 3, size(s) - 2),
+           |  named_struct(
+           |    'z', ${a}D * s[1].d + (1.0D - ${a}D) * s[0].d,
+           |    'p', CAST(s[1].dayno - s[0].dayno AS DOUBLE),
+           |    'pt', s[1].dayno),
+           |  (st, pp) -> named_struct(
+           |    'z', ${a}D * pp.d + (1.0D - ${a}D) * st.z,
+           |    'p', ${a}D * CAST(pp.dayno - st.pt AS DOUBLE)
+           |           + (1.0D - ${a}D) * st.p,
+           |    'pt', pp.dayno))""".stripMargin))
+    folded
+      .select(col("part"), size(col("s")).cast("long").as("n_points"),
+        r6(col("st.z")).as("z_size"), r6(col("st.p")).as("p_interval"),
+        r6(expr("st.z / st.p")).as("rate_per_day"))
+      .orderBy(desc("n_points"), col("part"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_croston"      -> forecastCroston _,
+    "stats_breusch_pagan"   -> statsBreuschPagan _,
     "window_macd"           -> windowMacd _,
     "stats_two_prop_ci"     -> statsTwoPropCi _,
     "sample_neyman_alloc"   -> sampleNeymanAlloc _,
@@ -3098,6 +3189,79 @@ object StatsOps {
        |/ ((1.0 - pow($d, CAST(len($h) AS DOUBLE))) / $a)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "forecast_croston" ->
+      s"""WITH RECURSIVE dem AS (
+         |  SELECT l_partkey AS part,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |         AS BIGINT) AS dayno,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS d
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |s AS (SELECT part, dayno, d,
+         |    row_number() OVER (PARTITION BY part ORDER BY dayno) AS t,
+         |    count(*) OVER (PARTITION BY part) AS n
+         |  FROM dem),
+         |el AS (SELECT * FROM s WHERE n >= 3),
+         |rec AS (
+         |  SELECT part, n, 2 AS t,
+         |    CAST($CrostonA AS DOUBLE) * max(CASE WHEN t = 2 THEN d END)
+         |      + (1.0 - CAST($CrostonA AS DOUBLE))
+         |        * max(CASE WHEN t = 1 THEN d END) AS z,
+         |    CAST(max(CASE WHEN t = 2 THEN dayno END)
+         |      - max(CASE WHEN t = 1 THEN dayno END) AS DOUBLE) AS p,
+         |    max(CASE WHEN t = 2 THEN dayno END) AS pt
+         |  FROM el GROUP BY part, n
+         |  UNION ALL
+         |  SELECT r.part, r.n, r.t + 1,
+         |    CAST($CrostonA AS DOUBLE) * pp.d
+         |      + (1.0 - CAST($CrostonA AS DOUBLE)) * r.z,
+         |    CAST($CrostonA AS DOUBLE) * CAST(pp.dayno - r.pt AS DOUBLE)
+         |      + (1.0 - CAST($CrostonA AS DOUBLE)) * r.p,
+         |    pp.dayno
+         |  FROM rec r JOIN el pp
+         |    ON pp.part = r.part AND pp.t = r.t + 1
+         |  WHERE r.t < r.n),
+         |fin AS (SELECT part, CAST(n AS BIGINT) AS n_points,
+         |    round(z, 6) + 0.0 AS z_size, round(p, 6) + 0.0 AS p_interval,
+         |    round(z / p, 6) + 0.0 AS rate_per_day
+         |  FROM rec WHERE t = n)
+         |SELECT part, n_points, z_size, p_interval, rate_per_day
+         |FROM fin ORDER BY n_points DESC, part LIMIT 50""".stripMargin,
+    "stats_breusch_pagan" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayno,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |fit AS (SELECT event_type,
+        |    regr_slope(v, CAST(dayno AS DOUBLE)) AS b,
+        |    regr_intercept(v, CAST(dayno AS DOUBLE)) AS a
+        |  FROM daily GROUP BY 1),
+        |e AS (SELECT d.event_type, d.dayno,
+        |    CAST(round(d.v - (f.a + f.b * CAST(d.dayno AS DOUBLE)), 6)
+        |         AS DECIMAL(24,6)) AS e
+        |  FROM daily d JOIN fit f USING (event_type)),
+        |m AS (SELECT event_type, dayno,
+        |    CAST(round(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * 1000000,
+        |               0) AS DECIMAL(18,0)) AS e2m
+        |  FROM e),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(dayno AS DECIMAL(18,0))) AS sx,
+        |    sum(CAST(dayno AS DECIMAL(18,0))
+        |      * CAST(dayno AS DECIMAL(18,0))) AS sx2,
+        |    sum(e2m) AS se,
+        |    sum(CAST(e2m AS DECIMAL(28,0)) * e2m) AS se2,
+        |    sum(CAST(dayno AS DECIMAL(18,0)) * e2m) AS sxe
+        |  FROM m GROUP BY 1),
+        |r AS (SELECT *,
+        |    (CAST(n * sxe - sx * se AS DOUBLE)
+        |      * CAST(n * sxe - sx * se AS DOUBLE))
+        |    / (CAST(n * sx2 - sx * sx AS DOUBLE)
+        |      * CAST(n * se2 - se * se AS DOUBLE)) AS r2
+        |  FROM s)
+        |SELECT event_type, n, round(n * r2, 6) + 0.0 AS lm_stat,
+        |  n * r2 > 3.841459 AS heteroscedastic
+        |FROM r ORDER BY event_type""".stripMargin,
     "window_macd" ->
       s"""WITH daily AS (
          |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
