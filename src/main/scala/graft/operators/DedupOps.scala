@@ -192,6 +192,70 @@ object DedupOps {
       .filter(col("jaccard") >= 0.3)
   }
 
+  // ── precision/recall harness for the MinHash LSH candidate stage —
+  // the eval loop that justifies the (16 bands × 2 rows) knob choice:
+  // predicted = RAW band-bucket candidate pairs (BEFORE exact
+  // verification — the set whose size is the cost and whose misses are
+  // unrecoverable), truth = every pair with exact Jaccard ≥ 0.3 (the
+  // shared-shingle enumeration is COMPLETE for J ≥ 0.3: such pairs
+  // share a shingle by definition). Both sides reuse the exact frames
+  // the dedup keys run — this measures the production candidate
+  // generator, not a reimplementation. Precision says how much exact
+  // verification work banding wastes; recall says what the cascade can
+  // never recover; F1 summarizes the (b, r) operating point. Three
+  // 1-row aggregates combined — pair-set-sized work, same as the dedup
+  // keys themselves. ──
+  def evalDedupPr(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val dict = shingleDict(sh)
+    val cand = minhashCandidates(sh.join(broadcast(dict), "shingle"))
+      .cache()
+    val truth = ngramPairs(sh).select(col("doc_a"), col("doc_b")).cache()
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val tp = cand.join(truth, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("tp"))
+    nc.crossJoin(broadcast(nt)).crossJoin(broadcast(tp))
+      .withColumn("p", expr("cast(tp as double) / n_cand"))
+      .withColumn("r", expr("cast(tp as double) / n_true"))
+      .select(col("n_cand"), col("n_true"), col("tp"),
+        round(col("p"), 6).+(lit(0.0d)).as("precision"),
+        round(col("r"), 6).+(lit(0.0d)).as("recall"),
+        (round(expr("CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)" +
+          " ELSE 0.0 END"), 6) + lit(0.0d)).as("f1"))
+  }
+
+  // ── LSH S-curve audit: the MEASURED capture rate of the band-bucket
+  // stage per exact-Jaccard bucket, next to the textbook prediction
+  // P(candidate | s) = 1 − (1 − s^r)^b for this config's (b=16, r=2) —
+  // the plot every LSH tuning session draws, shipped as a relation.
+  // Buckets are exact-arithmetic Jaccard decades ≥ 0.3 (the truth set
+  // is complete there, same argument as eval_dedup_pr); where measured
+  // capture sags under theory, the minhash signatures are too few or
+  // the stop-shingle cap is biting — the two knobs this table
+  // separates. Theory is pure per-row arithmetic on the bucket
+  // midpoint; both engines compute it from the same literals. ──
+  def evalLshCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val dict = shingleDict(sh)
+    val cand = minhashCandidates(sh.join(broadcast(dict), "shingle"))
+      .withColumn("captured", lit(1L))
+    val truth = ngramPairs(sh)
+    truth
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket", floor(col("jaccard") * 10).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("captured"), lit(0L))).as("n_captured"))
+      .withColumn("mid", expr("(bucket + 0.5) / 10.0"))
+      .select(col("bucket"), col("n_true"), col("n_captured"),
+        (round(expr("cast(n_captured as double) / n_true"), 6)
+          + lit(0.0d)).as("capture_rate"),
+        (round(expr("1.0 - pow(1.0 - pow(mid, 2.0), 16.0)"), 6)
+          + lit(0.0d)).as("theory_rate"))
+      .orderBy("bucket")
+  }
+
   // ── asymmetric CONTAINMENT dedup: C = |A∩B| / min(|A|,|B|) — the
   // measure that catches a short document quoted inside a much longer
   // one, where resemblance (Jaccard |∩|/|∪|) stays low because the union
@@ -679,6 +743,8 @@ object DedupOps {
            |  ELSE p_name END""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_dedup_pr" -> evalDedupPr _,
+    "eval_lsh_curve" -> evalLshCurve _,
     "record_linkage" -> recordLinkage _,
     "dedup_canonical" -> dedupCanonical _,
     "dedup_pipeline"     -> dedupPipeline _,
@@ -888,6 +954,84 @@ object DedupOps {
         |FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
         |WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "eval_dedup_pr" -> (duckShingles +
+      """,
+        |hashed AS (SELECT doc_id, i, ((2*i + 1) * sid + 17*i + 7) % 2147483647 AS h
+        |           FROM ws, (SELECT unnest(range(0, 32)) AS i)),
+        |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |            min(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+        |            min(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+        |          FROM sig GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
+        |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
+        |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |               AND a.doc_id < b.doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |          FROM scand JOIN sh sa ON doc_a = sa.doc_id
+        |                     JOIN sh sb ON doc_b = sb.doc_id
+        |                          AND sa.shingle = sb.shingle
+        |          GROUP BY doc_a, doc_b),
+        |truth AS (SELECT doc_a, doc_b
+        |          FROM inter JOIN sizes za ON doc_a = za.doc_id
+        |                     JOIN sizes zb ON doc_b = zb.doc_id
+        |          WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6)
+        |                >= 0.3),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        |tp AS (SELECT CAST(count(*) AS BIGINT) AS tp
+        |       FROM cand JOIN truth USING (doc_a, doc_b)),
+        |pr AS (SELECT n_cand, n_true, tp,
+        |    CAST(tp AS DOUBLE) / n_cand AS p,
+        |    CAST(tp AS DOUBLE) / n_true AS r
+        |  FROM nc CROSS JOIN nt CROSS JOIN tp)
+        |SELECT n_cand, n_true, tp, round(p, 6) + 0.0 AS precision,
+        |  round(r, 6) + 0.0 AS recall,
+        |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+        |        ELSE 0.0 END, 6) + 0.0 AS f1
+        |FROM pr""".stripMargin),
+    "eval_lsh_curve" -> (duckShingles +
+      """,
+        |hashed AS (SELECT doc_id, i, ((2*i + 1) * sid + 17*i + 7) % 2147483647 AS h
+        |           FROM ws, (SELECT unnest(range(0, 32)) AS i)),
+        |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |            min(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+        |            min(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+        |          FROM sig GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
+        |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
+        |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |               AND a.doc_id < b.doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |          FROM scand JOIN sh sa ON doc_a = sa.doc_id
+        |                     JOIN sh sb ON doc_b = sb.doc_id
+        |                          AND sa.shingle = sb.shingle
+        |          GROUP BY doc_a, doc_b),
+        |truth AS (SELECT doc_a, doc_b,
+        |      round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) AS jaccard
+        |    FROM inter JOIN sizes za ON doc_a = za.doc_id
+        |               JOIN sizes zb ON doc_b = zb.doc_id
+        |    WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) >= 0.3),
+        |j AS (SELECT t.doc_a, t.doc_b,
+        |    CAST(floor(t.jaccard * 10) AS BIGINT) AS bucket,
+        |    CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS captured
+        |  FROM truth t LEFT JOIN cand c
+        |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_true,
+        |    CAST(sum(captured) AS BIGINT) AS n_captured,
+        |    (bucket + 0.5) / 10.0 AS mid
+        |  FROM j GROUP BY bucket)
+        |SELECT bucket, n_true, n_captured,
+        |  round(CAST(n_captured AS DOUBLE) / n_true, 6) + 0.0
+        |    AS capture_rate,
+        |  round(1.0 - pow(1.0 - pow(mid, 2.0), 16.0), 6) + 0.0
+        |    AS theory_rate
+        |FROM g ORDER BY bucket""".stripMargin),
     "dedup_minhash" -> (duckShingles +
       """,
         |hashed AS (SELECT doc_id, i, ((2*i + 1) * sid + 17*i + 7) % 2147483647 AS h
