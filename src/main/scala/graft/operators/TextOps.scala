@@ -1111,7 +1111,68 @@ object TextOps {
         r6(expr("share_b - share_a")).as("delta_share"))
   }
 
+  // ── per-class evaluation of the NB language classifier — the
+  // confusion summary that turns text_nb_lang's per-doc verdicts into
+  // the table a model owner reads: per language, support, predicted
+  // count, true positives, precision/recall/F1, with overall accuracy
+  // alongside (grid-window over the |langs|-row frame). Reuses the
+  // classifier key itself, so this measures the shipped model path;
+  // all metrics are exact-integer ratios. ──
+  def evalNbConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val preds = textNbLang(spark, dir)
+      .select(col("true_lang"), col("pred_lang"))
+    val tpf = preds.groupBy(col("true_lang").as("lang"))
+      .agg(count(lit(1)).as("n_true"),
+        sum((col("pred_lang") === col("true_lang")).cast("long")).as("tp"))
+    val pf = preds.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_pred"))
+    tpf
+      .join(pf, col("lang") === col("pred_lang"), "left")
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .withColumn("acc", expr(
+        "cast(sum(tp) over () as double) / sum(n_true) over ()"))
+      .withColumn("p", expr(
+        "CASE WHEN n_pred > 0 THEN cast(tp as double) / n_pred END"))
+      .withColumn("r", expr("cast(tp as double) / n_true"))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+        r6(col("p")).as("precision"), r6(col("r")).as("recall"),
+        r6(expr("CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END"))
+          .as("f1"),
+        r6(col("acc")).as("overall_accuracy"))
+      .orderBy("lang")
+  }
+
+  // ── Matthews correlation of the marker-ratio language gate
+  // (text_lang_id's en-vs-rest heuristic) against the true labels —
+  // MCC is the single-number binary-classifier grade that stays honest
+  // under class imbalance (accuracy flatters a gate that predicts the
+  // majority class; a skewed corpus is exactly where language gates
+  // run). Four exact int64 confusion cells from ONE scan; the product
+  // under the root runs in double (the cells are exact, the root is
+  // one expression), NULL when any marginal is empty. ──
+  def evalLangidMcc(spark: SparkSession, dir: String): DataFrame = {
+    val preds = textLangId(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select((col("pred_lang") === "en").as("ppos"),
+        (col("lang") === "en").as("apos"))
+    preds.agg(
+        sum((col("ppos") && col("apos")).cast("long")).as("tp"),
+        sum((col("ppos") && !col("apos")).cast("long")).as("fp"),
+        sum((!col("ppos") && col("apos")).cast("long")).as("fn"),
+        sum((!col("ppos") && !col("apos")).cast("long")).as("tn"))
+      .withColumn("den", expr(
+        "sqrt(cast(tp + fp as double) * (tp + fn) * (tn + fp) * (tn + fn))"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        r6(expr("cast(tp + tn as double) / (tp + fp + fn + tn)"))
+          .as("accuracy"),
+        r6(expr("CASE WHEN den > 0 THEN" +
+          " (cast(tp as double) * tn - cast(fp as double) * fn) / den" +
+          " END")).as("mcc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_nb_confusion"     -> evalNbConfusion _,
+    "eval_langid_mcc"       -> evalLangidMcc _,
     "text_freq_drift"       -> textFreqDrift _,
     "text_sentences"        -> textSentences _,
     "text_char_entropy"     -> textCharEntropy _,
@@ -1192,7 +1253,70 @@ object TextOps {
       |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
       |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin
 
+  /** The NB classifier's shared CTE block (train + score + argmax) —
+    * reused verbatim by text_nb_lang and eval_nb_confusion so the
+    * evaluated model IS the shipped model. */
+  private val duckNbCtes: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |ff AS (SELECT * FROM f WHERE tok <> ''),
+      |pr AS (SELECT lang AS l, count(*) AS nd FROM documents GROUP BY 1),
+      |pr2 AS (SELECT l,
+      |    CAST(round(ln(nd / CAST(sum(nd) OVER () AS DOUBLE)), 9)
+      |         AS DECIMAL(18,9)) AS logprior
+      |  FROM pr),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM ff),
+      |tl AS (SELECT lang AS l, count(*) AS tl FROM ff GROUP BY 1),
+      |c AS (SELECT lang AS l, tok, count(*) AS c FROM ff GROUP BY 1, 2),
+      |langs AS (SELECT pr2.l, pr2.logprior, tl.tl, v.v
+      |          FROM pr2 JOIN tl USING (l) CROSS JOIN v),
+      |sc AS (
+      |  SELECT ff.doc_id, ff.lang, langs.l, langs.logprior,
+      |    CAST(round(ln((COALESCE(c.c, 0) + 1) /
+      |                  CAST(langs.tl + langs.v AS DOUBLE)), 9)
+      |         AS DECIMAL(18,9)) AS logp
+      |  FROM ff CROSS JOIN langs
+      |  LEFT JOIN c ON c.l = langs.l AND c.tok = ff.tok),
+      |s AS (SELECT doc_id, lang, l,
+      |        sum(logp) + logprior AS score
+      |      FROM sc GROUP BY doc_id, lang, l, logprior),
+      |r AS (SELECT doc_id, lang, l, score,
+      |        row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY score DESC, l) AS rn
+      |      FROM s)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "eval_langid_mcc" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |p AS (SELECT lang = 'en' AS apos,
+         |    round(CAST(len(list_filter(toks, x -> x IN ($duckMarkers)))
+         |          AS DOUBLE) / len(toks), 6) >= 0.10 AS ppos
+         |  FROM t),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN ppos AND apos THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN ppos AND NOT apos THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT ppos AND apos THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT ppos AND NOT apos THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS tn
+         |  FROM p),
+         |d AS (SELECT *,
+         |    sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp)
+         |      * (tn + fn)) AS den
+         |  FROM c)
+         |SELECT tp, fp, fn, tn,
+         |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) + 0.0
+         |    AS accuracy,
+         |  round(CASE WHEN den > 0 THEN
+         |      (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) / den
+         |    END, 6) + 0.0 AS mcc
+         |FROM d""".stripMargin,
     "text_freq_drift" ->
       """WITH mid AS (SELECT CAST(floor(quantile_cont(doc_id, 0.5))
         |             AS BIGINT) AS mid FROM documents),
@@ -1460,39 +1584,36 @@ object TextOps {
         |        / count(*), 6) AS novelty
         |FROM sh s JOIN df d USING (shingle)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
-    "text_nb_lang" ->
-      """WITH f AS (
-        |  SELECT doc_id, lang,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents),
-        |ff AS (SELECT * FROM f WHERE tok <> ''),
-        |pr AS (SELECT lang AS l, count(*) AS nd FROM documents GROUP BY 1),
-        |pr2 AS (SELECT l,
-        |    CAST(round(ln(nd / CAST(sum(nd) OVER () AS DOUBLE)), 9)
-        |         AS DECIMAL(18,9)) AS logprior
-        |  FROM pr),
-        |v AS (SELECT count(DISTINCT tok) AS v FROM ff),
-        |tl AS (SELECT lang AS l, count(*) AS tl FROM ff GROUP BY 1),
-        |c AS (SELECT lang AS l, tok, count(*) AS c FROM ff GROUP BY 1, 2),
-        |langs AS (SELECT pr2.l, pr2.logprior, tl.tl, v.v
-        |          FROM pr2 JOIN tl USING (l) CROSS JOIN v),
-        |sc AS (
-        |  SELECT ff.doc_id, ff.lang, langs.l, langs.logprior,
-        |    CAST(round(ln((COALESCE(c.c, 0) + 1) /
-        |                  CAST(langs.tl + langs.v AS DOUBLE)), 9)
-        |         AS DECIMAL(18,9)) AS logp
-        |  FROM ff CROSS JOIN langs
-        |  LEFT JOIN c ON c.l = langs.l AND c.tok = ff.tok),
-        |s AS (SELECT doc_id, lang, l,
-        |        sum(logp) + logprior AS score
-        |      FROM sc GROUP BY doc_id, lang, l, logprior),
-        |r AS (SELECT doc_id, lang, l, score,
-        |        row_number() OVER (PARTITION BY doc_id
-        |                           ORDER BY score DESC, l) AS rn
-        |      FROM s)
+    "text_nb_lang" -> (duckNbCtes +
+      """
         |SELECT doc_id, lang AS true_lang, l AS pred_lang,
         |  l = lang AS correct, CAST(score AS DOUBLE) AS nb_score
-        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "eval_nb_confusion" -> (duckNbCtes +
+      """,
+        |preds AS (SELECT lang AS true_lang, l AS pred_lang
+        |          FROM r WHERE rn = 1),
+        |tpf AS (SELECT true_lang AS lang,
+        |    CAST(count(*) AS BIGINT) AS n_true,
+        |    CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS tp
+        |  FROM preds GROUP BY 1),
+        |pf AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_pred
+        |       FROM preds GROUP BY 1),
+        |j AS (SELECT tpf.lang, tpf.n_true,
+        |    COALESCE(pf.n_pred, 0) AS n_pred, tpf.tp,
+        |    CAST(sum(tpf.tp) OVER () AS DOUBLE)
+        |      / sum(tpf.n_true) OVER () AS acc,
+        |    CASE WHEN COALESCE(pf.n_pred, 0) > 0
+        |      THEN CAST(tpf.tp AS DOUBLE) / pf.n_pred END AS p,
+        |    CAST(tpf.tp AS DOUBLE) / tpf.n_true AS r_
+        |  FROM tpf LEFT JOIN pf ON tpf.lang = pf.pred_lang)
+        |SELECT lang, n_true, n_pred, tp,
+        |  round(p, 6) + 0.0 AS precision, round(r_, 6) + 0.0 AS recall,
+        |  round(CASE WHEN p + r_ > 0 THEN 2.0 * p * r_ / (p + r_) END, 6)
+        |    + 0.0 AS f1,
+        |  round(acc, 6) + 0.0 AS overall_accuracy
+        |FROM j ORDER BY lang""".stripMargin),
     "text_heaps_law" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
