@@ -318,7 +318,13 @@ class PlanShapeSpec extends SparkSuite {
       "dq_referential",      // eleven 1-row count frames combined
       "embed_triplet_mine",  // 20-row hash-anchor broadcast, ≠-join
       "eval_ann_recall",     // the same 20-row anchor broadcast
-      "sample_neyman_alloc") // 1-row (Σw, Σn) + 1-row remainder frames
+      "sample_neyman_alloc", // 1-row (Σw, Σn) + 1-row remainder frames
+      // late-session-10 scalar broadcasts (audited: every build side is
+      // a 1-row aggregate or the |langs|-row model frame):
+      "text_freq_drift",      // 1-row median-split + 1-row totals frames
+      "eval_dedup_pr",        // three 1-row count frames combined
+      "eval_recsys_coverage", // 1-row gini/catalog/active count frames
+      "eval_nb_confusion")    // |langs|-row model frame (the nb_lang shape)
     // collect ALL offenders before asserting — a failure names every
     // key that needs auditing, not just the alphabetically first
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
