@@ -3034,7 +3034,84 @@ object StatsOps {
       .limit(50)
   }
 
+  // ── normal Q-Q table for daily revenue: empirical deciles of the
+  // standardized series against the STANDARD NORMAL deciles —
+  // stats_jarque_bera gives one number; this shows WHERE normality
+  // fails (tails vs shoulders), which decides between a log transform
+  // and a robust method. Empirical deciles use the established
+  // percentile ↔ quantile_cont pairing on the day-grid frame;
+  // standardization comes from exact cent moments; the reference
+  // quantiles are the published Φ⁻¹ decile constants (a fixed literal
+  // ladder — no erf needed in either engine). ──
+  private val NormalDeciles = Seq(
+    1 -> -1.2815515655446004, 2 -> -0.8416212335729142,
+    3 -> -0.5244005127080407, 4 -> -0.2533471031357997,
+    5 -> 0.0, 6 -> 0.2533471031357997, 7 -> 0.5244005127080407,
+    8 -> 0.8416212335729142, 9 -> 1.2815515655446004)
+
+  def statsQqNormal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val moments = daily.agg(count(lit(1)).as("n"),
+        sum(col("revc")).as("s"),
+        sum(expr("CAST(revc AS DECIMAL(28,0)) * revc")).as("s2"))
+      .withColumn("m", expr("cast(s as double) / n"))
+      .withColumn("sd", expr(
+        "sqrt(cast(n * s2 - CAST(s AS DECIMAL(28,0)) * s as double)" +
+          " / (cast(n as double) * (n - 1)))"))
+    val decCols = (1 to 9).map(d =>
+      expr(s"percentile(revc, 0.$d)").as(s"q$d"))
+    val decs = daily.agg(decCols.head, decCols.tail: _*)
+    decs.crossJoin(broadcast(moments))
+      .select(col("m"), col("sd"),
+        explode(array(NormalDeciles.map { case (d, z) =>
+          struct(lit(d).as("decile"), col(s"q$d").as("q"),
+            lit(z).as("z_normal"))
+        }: _*)).as("e"))
+      .select(col("e.decile").as("decile"),
+        r6(expr("(e.q - m) / sd")).as("z_empirical"),
+        r6(col("e.z_normal")).as("z_normal"),
+        r6(expr("(e.q - m) / sd - e.z_normal")).as("gap"))
+      .orderBy("decile")
+  }
+
+  // ── Grubbs outlier statistic per event type: the most extreme
+  // standardized daily revenue and WHICH day it was — anomaly_mad
+  // flags rows robustly; Grubbs is the classical single-outlier test
+  // a reviewer asks for on small daily panels. Moments are exact
+  // int64/decimal cent sums; the deviation snaps to 6 dp BEFORE the
+  // argmax (so the picked day is engine-identical even at a near-tie),
+  // ties broken by earliest day via the (dev, −dayno) struct max.
+  // Day-grid frames; one scan. ──
+  def statsGrubbs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+      .withColumn("dayno", expr("datediff(day, DATE'1970-01-01')"))
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("revc")).as("s"),
+        sum(expr("CAST(revc AS DECIMAL(28,0)) * revc")).as("s2"))
+      .withColumn("m", expr("cast(s as double) / n"))
+      .withColumn("sd", expr(
+        "sqrt(cast(n * s2 - CAST(s AS DECIMAL(28,0)) * s as double)" +
+          " / (cast(n as double) * (n - 1)))"))
+    daily.join(broadcast(mom), Seq("event_type"))
+      .withColumn("dev", expr(
+        "round(abs(revc - m) / sd, 6)"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_days"),
+        max(struct(col("dev"), (-col("dayno")).as("nd"))).as("mx"))
+      .select(col("event_type"), col("n_days"),
+        r6(col("mx.dev")).as("g_stat"),
+        expr("date_add(DATE'1970-01-01', cast(-mx.nd as int))")
+          .as("outlier_day"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_qq_normal"       -> statsQqNormal _,
+    "stats_grubbs"          -> statsGrubbs _,
     "forecast_croston"      -> forecastCroston _,
     "stats_breusch_pagan"   -> statsBreuschPagan _,
     "window_macd"           -> windowMacd _,
@@ -3188,7 +3265,65 @@ object StatsOps {
        |    k -> $h[k] * pow($d, len($h) - k)))
        |/ ((1.0 - pow($d, CAST(len($h) AS DOUBLE))) / $a)""".stripMargin
 
+  private val duckNormalDeciles: String = NormalDeciles
+    .map { case (d, z) => s"($d, CAST($z AS DOUBLE))" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "stats_qq_normal" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |      AS revc
+         |  FROM events GROUP BY 1),
+         |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(revc) AS BIGINT) AS s,
+         |    sum(CAST(revc AS DECIMAL(28,0)) * revc) AS s2
+         |  FROM daily),
+         |mm AS (SELECT *, CAST(s AS DOUBLE) / n AS m,
+         |    sqrt(CAST(n * s2 - CAST(s AS DECIMAL(28,0)) * s AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+         |  FROM mo),
+         |qs AS (SELECT 1 AS decile, quantile_cont(revc, 0.1) AS q FROM daily
+         |  UNION ALL SELECT 2 AS decile, quantile_cont(revc, 0.2) AS q FROM daily
+         |  UNION ALL SELECT 3 AS decile, quantile_cont(revc, 0.3) AS q FROM daily
+         |  UNION ALL SELECT 4 AS decile, quantile_cont(revc, 0.4) AS q FROM daily
+         |  UNION ALL SELECT 5 AS decile, quantile_cont(revc, 0.5) AS q FROM daily
+         |  UNION ALL SELECT 6 AS decile, quantile_cont(revc, 0.6) AS q FROM daily
+         |  UNION ALL SELECT 7 AS decile, quantile_cont(revc, 0.7) AS q FROM daily
+         |  UNION ALL SELECT 8 AS decile, quantile_cont(revc, 0.8) AS q FROM daily
+         |  UNION ALL SELECT 9 AS decile, quantile_cont(revc, 0.9) AS q FROM daily),
+         |zl AS (SELECT * FROM (VALUES $duckNormalDeciles)
+         |       AS t(decile, z_normal))
+         |SELECT CAST(q.decile AS INTEGER) AS decile,
+         |  round((q.q - mm.m) / mm.sd, 6) + 0.0 AS z_empirical,
+         |  round(zl.z_normal, 6) + 0.0 AS z_normal,
+         |  round((q.q - mm.m) / mm.sd - zl.z_normal, 6) + 0.0 AS gap
+         |FROM qs q JOIN zl ON q.decile = zl.decile CROSS JOIN mm
+         |ORDER BY decile""".stripMargin,
+    "stats_grubbs" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+        |      AS dayno,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS revc
+        |  FROM events GROUP BY 1, 2, 3),
+        |mo AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(revc) AS BIGINT) AS s,
+        |    sum(CAST(revc AS DECIMAL(28,0)) * revc) AS s2
+        |  FROM daily GROUP BY 1),
+        |mm AS (SELECT *, CAST(s AS DOUBLE) / n AS m,
+        |    sqrt(CAST(n * s2 - CAST(s AS DECIMAL(28,0)) * s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+        |  FROM mo),
+        |dv AS (SELECT d.event_type, mm.n, d.dayno,
+        |    round(abs(d.revc - mm.m) / mm.sd, 6) AS dev
+        |  FROM daily d JOIN mm USING (event_type)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY dev DESC, dayno) AS rn FROM dv)
+        |SELECT event_type, n AS n_days, round(dev, 6) + 0.0 AS g_stat,
+        |  DATE '1970-01-01' + CAST(dayno AS INTEGER) AS outlier_day
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "forecast_croston" ->
       s"""WITH RECURSIVE dem AS (
          |  SELECT l_partkey AS part,
