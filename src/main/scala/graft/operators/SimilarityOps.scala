@@ -375,7 +375,101 @@ object SimilarityOps {
       .orderBy("anchor_id")
   }
 
+  /** Class-0 centroid score for every vector, 6-dp-pinned: the shared
+    * probe-classifier input of [[evalAuc]] and [[evalCalibration]]. The
+    * centroid is the nearest-class-mean "model" (components summed in
+    * DECIMAL(18,9) like [[embedCentroid]] — associative, so identical in
+    * both engines), broadcast as a single-row scalar; the score is the
+    * cosine to it. One corpus scan, model-sized broadcast — at 100 TB the
+    * scoring pass is shuffle-free. */
+  private def centroidScored(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e.filter(col("label") === 0)
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
+        count(col("x"))).as("c"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .select(col("cv"), sqrt(DedupOps.dot(col("cv"), col("cv")))
+        .as("c_norm"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"),
+        (round(DedupOps.dot(col("v"), col("cv")) /
+          (col("norm") * col("c_norm")), 6) + lit(0.0d)).as("cos6"))
+  }
+
+  // ── ROC AUC + Brier score of the class-0 centroid scorer — the
+  // threshold-free "is this ranking any good" metric for a probe
+  // classifier over embeddings (companion to eval_nb_confusion's
+  // thresholded view). AUC comes from the tie-corrected rank-sum
+  // identity AUC = U₁/(n₁n₂) on the GROUPED score grid (the
+  // stats_mannwhitney form: a tie group spanning ranks
+  // (cumBefore, cumBefore+t] has average rank cumBefore+(t+1)/2, so no
+  // per-row ranks ever materialize — the cumulative pass runs over ≤
+  // |distinct 6-dp scores| rows). Brier uses p=(cos6+1)/2 min-max-mapped
+  // to [0,1]; the numerator Σ(cos6+1−2y)² is exact DECIMAL (cos6 is
+  // 6 dp), divided once by 4N in double. One scan + a grid-sized
+  // window. ──
+  def evalAuc(spark: SparkSession, dir: String): DataFrame = {
+    val s = centroidScored(spark, dir)
+    val g = s.groupBy(col("cos6"))
+      .agg(sum(col("y")).as("a"), sum(lit(1L) - col("y")).as("b"),
+        sum(expr("CAST((CAST(cos6 AS DECIMAL(9,6)) + 1 - 2 * y)" +
+          " * (CAST(cos6 AS DECIMAL(9,6)) + 1 - 2 * y)" +
+          " AS DECIMAL(28,12))")).as("bn"))
+      .withColumn("t", col("a") + col("b"))
+    val byScore = Window.orderBy(col("cos6"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("cum_before",
+      coalesce(sum(col("t")).over(byScore), lit(0L)))
+    val tot = g.agg(sum(col("a")).as("n_pos"), sum(col("b")).as("n_neg"),
+      sum(col("bn")).as("brier_num"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(col("n_pos"), col("n_neg"), col("brier_num"))
+      .agg(sum(col("a").cast("double") *
+        (col("cum_before") + (col("t") + 1).cast("double") / 2)).as("r1"))
+      .withColumn("u1", col("r1") -
+        col("n_pos").cast("double") * (col("n_pos") + 1) / 2)
+      .withColumn("auc0",
+        col("u1") / (col("n_pos").cast("double") * col("n_neg")))
+      .select(col("n_pos"), col("n_neg"), r6c(col("u1")).as("u_stat"),
+        r6c(col("auc0")).as("auc"),
+        r6c(col("auc0") * 2 - 1).as("gini"),
+        r6c(expr("cast(brier_num as double)" +
+          " / (4 * (n_pos + n_neg))")).as("brier"))
+  }
+
+  // ── reliability table for the same scorer: 10 equal-width bins over
+  // the min-max probability p=(cos6+1)/2, mean predicted vs observed
+  // positive rate per bin — WHERE the scorer is over/under-confident,
+  // which eval_auc's single number can't show. Bin assignment is pure
+  // integer arithmetic on the 6-dp score (micro-units, `div` — no float
+  // boundary can disagree between engines); per-bin means divide exact
+  // integer/decimal sums once. Group-sized output. ──
+  def evalCalibration(spark: SparkSession, dir: String): DataFrame =
+    centroidScored(spark, dir)
+      .withColumn("m",
+        expr("CAST(CAST(cos6 AS DECIMAL(9,6)) * 1000000 AS BIGINT)"))
+      .withColumn("bin",
+        least(expr("(m + 1000000) div 200000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("m") + 1000000L).as("psum_micro"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        r6c(expr("cast(psum_micro as double) / (2000000 * n)"))
+          .as("avg_p"),
+        r6c(expr("cast(n_pos as double) / n")).as("frac_pos"),
+        r6c(expr("cast(psum_micro as double) / (2000000 * n)" +
+          " - cast(n_pos as double) / n")).as("gap"))
+      .orderBy("bin")
+
+  private def r6c(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_auc"           -> evalAuc _,
+    "eval_calibration"   -> evalCalibration _,
     "eval_ann_recall"    -> evalAnnRecall _,
     "embed_triplet_mine" -> embedTripletMine _,
     "embed_dim_stats" -> embedDimStats _,
@@ -389,7 +483,71 @@ object SimilarityOps {
     "embed_quantize" -> embedQuantize _,
   )
 
+  /** Shared oracle prelude for the centroid-probe classifier keys: 6-dp
+    * class-0 centroid cosine + binary truth, mirroring
+    * [[centroidScored]]. */
+  private val duckCentroidScored: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |ce AS (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x
+      |       FROM e WHERE label = 0),
+      |cp AS (SELECT pos,
+      |         CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(x)
+      |           AS c
+      |       FROM ce GROUP BY 1),
+      |cv AS (SELECT list(c ORDER BY pos) AS cv FROM cp),
+      |sc AS (SELECT e.vec_id,
+      |         CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y,
+      |         round(list_cosine_similarity(e.v, cv.cv), 6) + 0.0 AS cos6
+      |       FROM e, cv),
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "eval_auc" -> (duckCentroidScored +
+      """g AS (SELECT cos6, CAST(sum(y) AS BIGINT) AS a,
+        |        CAST(sum(1 - y) AS BIGINT) AS b,
+        |        sum(CAST((CAST(cos6 AS DECIMAL(9,6)) + 1 - 2 * y)
+        |            * (CAST(cos6 AS DECIMAL(9,6)) + 1 - 2 * y)
+        |            AS DECIMAL(28,12))) AS bn
+        |      FROM sc GROUP BY 1),
+        |gt AS (SELECT *, a + b AS t FROM g),
+        |r AS (SELECT *, COALESCE(sum(t) OVER (ORDER BY cos6
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS cum_before
+        |      FROM gt),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n_pos,
+        |          CAST(sum(b) AS BIGINT) AS n_neg,
+        |          sum(bn) AS brier_num FROM gt),
+        |agg AS (SELECT n_pos, n_neg, brier_num,
+        |          sum(CAST(a AS DOUBLE) *
+        |              (cum_before + CAST(t + 1 AS DOUBLE) / 2)) AS r1
+        |        FROM r, tot GROUP BY 1, 2, 3),
+        |u AS (SELECT n_pos, n_neg, brier_num,
+        |        r1 - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2 AS u1,
+        |        (r1 - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+        |          / (CAST(n_pos AS DOUBLE) * n_neg) AS auc0
+        |      FROM agg)
+        |SELECT n_pos, n_neg, round(u1, 6) + 0.0 AS u_stat,
+        |  round(auc0, 6) + 0.0 AS auc,
+        |  round(auc0 * 2 - 1, 6) + 0.0 AS gini,
+        |  round(CAST(brier_num AS DOUBLE) / (4 * (n_pos + n_neg)), 6)
+        |    + 0.0 AS brier
+        |FROM u""".stripMargin),
+    "eval_calibration" -> (duckCentroidScored +
+      """mb AS (SELECT y,
+        |         CAST(CAST(cos6 AS DECIMAL(9,6)) * 1000000 AS BIGINT)
+        |           AS m
+        |       FROM sc),
+        |bb AS (SELECT least((m + 1000000) // 200000, 9) AS bin, y, m
+        |       FROM mb)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(m + 1000000) AS DOUBLE) / (2000000 * count(*)),
+        |    6) + 0.0 AS avg_p,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) + 0.0 AS frac_pos,
+        |  round(CAST(sum(m + 1000000) AS DOUBLE) / (2000000 * count(*))
+        |    - CAST(sum(y) AS DOUBLE) / count(*), 6) + 0.0 AS gap
+        |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin),
     "eval_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
