@@ -3109,7 +3109,95 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── Mann–Kendall trend test per event type: S = Σ_{i<j} sign(xⱼ−xᵢ)
+  // over the daily-revenue series, tie-corrected variance, and Kendall's
+  // tau-a — THE classical "is there a monotone trend" test that
+  // complements stats_theilsen's slope ESTIMATE and stats_page_trend's
+  // ordered-alternative test. Pairwise self-join runs on the GROUP-SIZED
+  // daily frame (≤|days|² per type, the theilsen shape — never the fact
+  // table); S and the tie term are pure int64 (exact cents comparisons),
+  // divided once in double for z and tau. ──
+  def statsMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+      .withColumn("dayno", expr("datediff(day, DATE'1970-01-01')"))
+      .cache()
+    val a = daily.alias("a")
+    val b = daily.alias("b")
+    val s = a.join(b, col("a.event_type") === col("b.event_type") &&
+        col("b.dayno") > col("a.dayno"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.revc") - col("a.revc")).cast("long"))
+        .as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("revc"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+    val out = s.join(ties, "event_type")
+      .withColumn("var_s", expr(
+        "cast(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term" +
+          " as double) / 18"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        r6(col("var_s")).as("var_s"),
+        r6(expr("cast(2 * s_stat as double) / (n_days * (n_days - 1))"))
+          .as("tau_a"),
+        r6(expr("CASE WHEN s_stat > 0" +
+          " THEN cast(s_stat - 1 as double) / sqrt(var_s)" +
+          " WHEN s_stat < 0" +
+          " THEN cast(s_stat + 1 as double) / sqrt(var_s)" +
+          " ELSE 0.0D END")).as("z"))
+      .orderBy("event_type")
+    daily.unpersist()
+    out
+  }
+
+  // ── Pettitt changepoint test per event type: the rank-based
+  // single-changepoint detector (stats_changepoint's CUSUM cousin,
+  // robust to outliers because only SIGNS enter). U_t accumulates
+  // V_t = Σ_{j≠t} sign(xⱼ−x_t) — the O(n²) pair pass collapses to one
+  // group-sized self-join plus ONE cumulative window, instead of
+  // materializing U for every split point separately. K = max|U_t| is
+  // exact int64; the earliest argmax day comes from the (|U|, −dayno)
+  // struct-max (the stats_grubbs tie discipline); the approximate
+  // significance 2·exp(−6K²/(n³+n²)) is one closed-form double. ──
+  def statsPettitt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+      .withColumn("dayno", expr("datediff(day, DATE'1970-01-01')"))
+      .cache()
+    val a = daily.alias("a")
+    val b = daily.alias("b")
+    val v = a.join(b, col("a.event_type") === col("b.event_type") &&
+        col("b.dayno") =!= col("a.dayno"))
+      .groupBy(col("a.event_type").as("event_type"),
+        col("a.dayno").as("dayno"))
+      .agg(sum(signum(col("b.revc") - col("a.revc")).cast("long")).as("vt"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("dayno"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val u = v.withColumn("ut", sum(col("vt")).over(byDay))
+    val n = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val out = u.groupBy(col("event_type"))
+      .agg(max(struct(abs(col("ut")).as("k"), (-col("dayno")).as("nd")))
+        .as("mx"))
+      .join(n, "event_type")
+      .select(col("event_type"), col("n_days"),
+        col("mx.k").as("k_stat"),
+        expr("date_add(DATE'1970-01-01', cast(-mx.nd as int))")
+          .as("cp_day"),
+        r6(expr("least(2 * exp(cast(-6 * mx.k * mx.k as double)" +
+          " / (cast(n_days as double) * n_days * n_days" +
+          " + cast(n_days as double) * n_days)), 1.0D)")).as("p_approx"))
+      .orderBy("event_type")
+    daily.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mann_kendall"    -> statsMannKendall _,
+    "stats_pettitt"         -> statsPettitt _,
     "stats_qq_normal"       -> statsQqNormal _,
     "stats_grubbs"          -> statsGrubbs _,
     "forecast_croston"      -> forecastCroston _,
@@ -3268,7 +3356,75 @@ object StatsOps {
   private val duckNormalDeciles: String = NormalDeciles
     .map { case (d, z) => s"($d, CAST($z AS DOUBLE))" }.mkString(", ")
 
+  /** Shared daily-cents-per-type oracle CTE for the trend/changepoint
+    * tests (mirrors the grouped frame in [[statsMannKendall]] /
+    * [[statsPettitt]]). */
+  private val duckDailyTyped: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+      |      AS dayno,
+      |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS revc
+      |  FROM events GROUP BY 1, 2, 3),
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "stats_mann_kendall" -> (duckDailyTyped +
+      """s AS (SELECT a.event_type,
+        |        CAST(sum(CASE WHEN b.revc > a.revc THEN 1
+        |                      WHEN b.revc < a.revc THEN -1
+        |                      ELSE 0 END) AS BIGINT) AS s_stat
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND b.dayno > a.dayno
+        |      GROUP BY 1),
+        |tg AS (SELECT event_type, revc, CAST(count(*) AS BIGINT) AS t
+        |       FROM daily GROUP BY 1, 2),
+        |ti AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |           AS tie_term
+        |       FROM tg GROUP BY 1),
+        |v AS (SELECT s.event_type, ti.n_days, s.s_stat,
+        |        CAST(ti.n_days * (ti.n_days - 1) * (2 * ti.n_days + 5)
+        |             - ti.tie_term AS DOUBLE) / 18 AS var_s
+        |      FROM s JOIN ti USING (event_type))
+        |SELECT event_type, n_days, s_stat,
+        |  round(var_s, 6) + 0.0 AS var_s,
+        |  round(CAST(2 * s_stat AS DOUBLE) / (n_days * (n_days - 1)), 6)
+        |    + 0.0 AS tau_a,
+        |  round(CASE WHEN s_stat > 0
+        |          THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |        WHEN s_stat < 0
+        |          THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |        ELSE 0.0 END, 6) + 0.0 AS z
+        |FROM v ORDER BY event_type""".stripMargin),
+    "stats_pettitt" -> (duckDailyTyped +
+      """v AS (SELECT a.event_type, a.dayno,
+        |        CAST(sum(CASE WHEN b.revc > a.revc THEN 1
+        |                      WHEN b.revc < a.revc THEN -1
+        |                      ELSE 0 END) AS BIGINT) AS vt
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND b.dayno <> a.dayno
+        |      GROUP BY 1, 2),
+        |u AS (SELECT event_type, dayno,
+        |        sum(vt) OVER (PARTITION BY event_type ORDER BY dayno
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS ut
+        |      FROM v),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |      FROM daily GROUP BY 1),
+        |rk AS (SELECT event_type, dayno, abs(ut) AS k,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY abs(ut) DESC, dayno) AS rn
+        |       FROM u)
+        |SELECT rk.event_type, n.n_days, CAST(rk.k AS BIGINT) AS k_stat,
+        |  DATE '1970-01-01' + CAST(rk.dayno AS INTEGER) AS cp_day,
+        |  round(least(2 * exp(CAST(-6 * rk.k * rk.k AS DOUBLE)
+        |    / (CAST(n.n_days AS DOUBLE) * n.n_days * n.n_days
+        |       + CAST(n.n_days AS DOUBLE) * n.n_days)), 1.0), 6) + 0.0
+        |    AS p_approx
+        |FROM rk JOIN n USING (event_type) WHERE rk.rn = 1
+        |ORDER BY event_type""".stripMargin),
     "stats_qq_normal" ->
       s"""WITH daily AS (
          |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
