@@ -3195,7 +3195,68 @@ object StatsOps {
     out
   }
 
+  /** User-spend-in-cents frame shared by the entropy-inequality keys:
+    * positive totals only (log/reciprocal domains), exact int64. */
+  private def userSpendPos(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir).groupBy(col("user_id"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("xc"))
+      .filter(col("xc") > 0)
+
+  // ── Theil T and L inequality indices of user spend — the
+  // entropy-based decomposable cousins of dist_lorenz/stats_gini
+  // (Theil is additive across subgroups, which Gini is not — the index
+  // a fairness report aggregates per region then rolls up). Per-user
+  // log terms are snapped to 9 dp and summed in DECIMAL — associative,
+  // so the |users|-sized reduce is partitioning-invariant — with the
+  // scalar mean broadcast (one scan + one model-sized agg). ──
+  def distTheil(spark: SparkSession, dir: String): DataFrame = {
+    val spend = userSpendPos(spark, dir)
+    val tot = spend.agg(count(lit(1)).as("n"), sum(col("xc")).as("s"))
+      .withColumn("mu", expr("cast(s as double) / n"))
+    spend.crossJoin(broadcast(tot))
+      .select(col("n"), col("mu"),
+        expr("CAST(round(xc / mu * ln(xc / mu), 9)" +
+          " AS DECIMAL(18,9))").as("tt"),
+        expr("CAST(round(ln(mu / xc), 9) AS DECIMAL(18,9))").as("tl"))
+      .groupBy(col("n"), col("mu"))
+      .agg(sum(col("tt")).as("st"), sum(col("tl")).as("sl"))
+      .select(col("n").as("n_users"), r6(col("mu")).as("mean_cents"),
+        r6(expr("cast(st as double) / n")).as("theil_t"),
+        r6(expr("cast(sl as double) / n")).as("theil_l"))
+  }
+
+  // ── Atkinson inequality indices at ε ∈ {0.5, 1, 2} — the
+  // welfare-weighted family: ε dials how much the bottom of the
+  // distribution matters (ε→0 ~ mean-preserving, ε=2 ~ harmonic-mean
+  // driven). ε=1 uses the geometric mean, ε=2 the reciprocal mean in
+  // the O(1)-magnitude μ/x form (1/x in raw cents would underflow the
+  // 9-dp snap). Same associative decimal-term discipline and broadcast
+  // scalar mean as [[distTheil]]; one scan. ──
+  def distAtkinson(spark: SparkSession, dir: String): DataFrame = {
+    val spend = userSpendPos(spark, dir)
+    val tot = spend.agg(count(lit(1)).as("n"), sum(col("xc")).as("s"))
+      .withColumn("mu", expr("cast(s as double) / n"))
+    spend.crossJoin(broadcast(tot))
+      .select(col("n"), col("mu"),
+        expr("CAST(round(sqrt(xc / mu), 9) AS DECIMAL(18,9))").as("th"),
+        expr("CAST(round(ln(cast(xc as double)), 9)" +
+          " AS DECIMAL(18,9))").as("tg"),
+        expr("CAST(round(mu / xc, 9) AS DECIMAL(18,9))").as("tr"))
+      .groupBy(col("n"), col("mu"))
+      .agg(sum(col("th")).as("sh"), sum(col("tg")).as("sg"),
+        sum(col("tr")).as("sr"))
+      .select(col("n").as("n_users"), r6(col("mu")).as("mean_cents"),
+        r6(expr("1 - cast(sh as double) / n * (cast(sh as double) / n)"))
+          .as("a_eps_half"),
+        r6(expr("1 - exp(cast(sg as double) / n) / mu")).as("a_eps_1"),
+        r6(expr("1 - cast(n as double) / cast(sr as double)"))
+          .as("a_eps_2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dist_theil"            -> distTheil _,
+    "dist_atkinson"         -> distAtkinson _,
     "stats_mann_kendall"    -> statsMannKendall _,
     "stats_pettitt"         -> statsPettitt _,
     "stats_qq_normal"       -> statsQqNormal _,
@@ -3369,7 +3430,46 @@ object StatsOps {
       |  FROM events GROUP BY 1, 2, 3),
       |""".stripMargin
 
+  /** Shared user-spend oracle CTE (mirrors [[userSpendPos]]). */
+  private val duckUserSpendPos: String =
+    """WITH spend AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS xc
+      |  FROM events GROUP BY 1 HAVING
+      |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT) > 0),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |          CAST(sum(xc) AS BIGINT) AS s,
+      |          CAST(sum(xc) AS DOUBLE) / count(*) AS mu
+      |        FROM spend),
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dist_theil" -> (duckUserSpendPos +
+      """t AS (SELECT n, mu,
+        |        CAST(round(xc / mu * ln(xc / mu), 9) AS DECIMAL(18,9))
+        |          AS tt,
+        |        CAST(round(ln(mu / xc), 9) AS DECIMAL(18,9)) AS tl
+        |      FROM spend, tot)
+        |SELECT n AS n_users, round(mu, 6) + 0.0 AS mean_cents,
+        |  round(CAST(sum(tt) AS DOUBLE) / n, 6) + 0.0 AS theil_t,
+        |  round(CAST(sum(tl) AS DOUBLE) / n, 6) + 0.0 AS theil_l
+        |FROM t GROUP BY n, mu""".stripMargin),
+    "dist_atkinson" -> (duckUserSpendPos +
+      """t AS (SELECT n, mu,
+        |        CAST(round(sqrt(xc / mu), 9) AS DECIMAL(18,9)) AS th,
+        |        CAST(round(ln(CAST(xc AS DOUBLE)), 9) AS DECIMAL(18,9))
+        |          AS tg,
+        |        CAST(round(mu / xc, 9) AS DECIMAL(18,9)) AS tr
+        |      FROM spend, tot)
+        |SELECT n AS n_users, round(mu, 6) + 0.0 AS mean_cents,
+        |  round(1 - CAST(sum(th) AS DOUBLE) / n
+        |    * (CAST(sum(th) AS DOUBLE) / n), 6) + 0.0 AS a_eps_half,
+        |  round(1 - exp(CAST(sum(tg) AS DOUBLE) / n) / mu, 6) + 0.0
+        |    AS a_eps_1,
+        |  round(1 - CAST(n AS DOUBLE) / CAST(sum(tr) AS DOUBLE), 6)
+        |    + 0.0 AS a_eps_2
+        |FROM t GROUP BY n, mu""".stripMargin),
     "stats_mann_kendall" -> (duckDailyTyped +
       """s AS (SELECT a.event_type,
         |        CAST(sum(CASE WHEN b.revc > a.revc THEN 1
