@@ -3254,7 +3254,75 @@ object StatsOps {
           .as("a_eps_2"))
   }
 
+  // ── Bartlett's test for homogeneity of variance across event types —
+  // the parametric companion to stats_levene (Bartlett is the likelihood
+  // -ratio test under normality; Levene is its robust cousin — a report
+  // quotes both). Per-group moments are DECIMAL-exact one-scan sums (the
+  // stats_anova frame); the k-row reduction snaps each log/reciprocal
+  // term to fixed-dp DECIMAL before summing, so the tiny cross-group sum
+  // is associative too. χ²-distributed with k−1 df under H₀. ──
+  def statsBartlett(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s1"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("double").as("s2"))
+      .withColumn("vi",
+        (col("n") * col("s2") - col("s1") * col("s1")) /
+          (col("n").cast("double") * (col("n") - 1)))
+    g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(expr("CAST(round((n - 1) * vi, 6) AS DECIMAL(18,6))"))
+          .as("sp_num"),
+        sum(expr("CAST(round((n - 1) * ln(vi), 9) AS DECIMAL(18,9))"))
+          .as("t_lnv"),
+        sum(expr("CAST(round(1.0D / (n - 1), 12) AS DECIMAL(18,12))"))
+          .as("c_sum"))
+      .withColumn("sp2", expr("cast(sp_num as double) / (nn - k)"))
+      .select(col("k"), col("nn").as("n"), r6(col("sp2")).as("pooled_var"),
+        r6(expr("(nn - k) * ln(sp2) - cast(t_lnv as double)")).as("t_stat"),
+        r6(expr("1 + (cast(c_sum as double) - 1.0D / (nn - k))" +
+          " / (3 * (k - 1))")).as("c_factor"),
+        r6(expr("((nn - k) * ln(sp2) - cast(t_lnv as double))" +
+          " / (1 + (cast(c_sum as double) - 1.0D / (nn - k))" +
+          " / (3 * (k - 1)))")).as("stat"))
+  }
+
+  // ── 1-D Wasserstein (earth-mover) distance between the same two
+  // value distributions stats_ks and stats_mannwhitney compare — the
+  // drift metric that weighs HOW FAR mass moved, not just whether the
+  // CDFs separate (KS) or shifted (U). W₁ = Σ|F₁−F₂|·Δv over the
+  // GROUPED value grid: one cumulative window on ≤|distinct values|
+  // rows, each trapezoid term snapped to 9 dp DECIMAL so the grid-sized
+  // sum is associative. ──
+  def statsWasserstein(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .filter(col("event_type").isin(KsTypeA, KsTypeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === KsTypeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === KsTypeB, 1L).otherwise(0L)).as("b"))
+    val byVal = Window.orderBy(col("value"))
+    val cum = g
+      .withColumn("ca", sum(col("a")).over(
+        byVal.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cb", sum(col("b")).over(
+        byVal.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nextv", lead(col("value"), 1).over(byVal))
+    val tot = g.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("nextv").isNotNull)
+      .select(col("n1"), col("n2"),
+        expr("CAST(round(abs(cast(ca as double) / n1" +
+          " - cast(cb as double) / n2) * (nextv - value), 9)" +
+          " AS DECIMAL(18,9))").as("term"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("term")).as("w1"))
+      .select(col("n1"), col("n2"),
+        r6(expr("cast(w1 as double)")).as("w1_dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_bartlett"        -> statsBartlett _,
+    "stats_wasserstein"     -> statsWasserstein _,
     "dist_theil"            -> distTheil _,
     "dist_atkinson"         -> distAtkinson _,
     "stats_mann_kendall"    -> statsMannKendall _,
@@ -3445,6 +3513,58 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_bartlett" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))
+        |             * CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT *, (n * s2 - s1 * s1)
+        |        / (CAST(n AS DOUBLE) * (n - 1)) AS vi FROM g),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(n) AS BIGINT) AS nn,
+        |        sum(CAST(round((n - 1) * vi, 6) AS DECIMAL(18,6)))
+        |          AS sp_num,
+        |        sum(CAST(round((n - 1) * ln(vi), 9) AS DECIMAL(18,9)))
+        |          AS t_lnv,
+        |        sum(CAST(round(CAST(1 AS DOUBLE) / (n - 1), 12)
+        |            AS DECIMAL(18,12))) AS c_sum
+        |      FROM v),
+        |s AS (SELECT *, CAST(sp_num AS DOUBLE) / (nn - k) AS sp2 FROM t)
+        |SELECT k, nn AS n, round(sp2, 6) + 0.0 AS pooled_var,
+        |  round((nn - k) * ln(sp2) - CAST(t_lnv AS DOUBLE), 6) + 0.0
+        |    AS t_stat,
+        |  round(1 + (CAST(c_sum AS DOUBLE) - CAST(1 AS DOUBLE) / (nn - k))
+        |    / (3 * (k - 1)), 6) + 0.0 AS c_factor,
+        |  round(((nn - k) * ln(sp2) - CAST(t_lnv AS DOUBLE))
+        |    / (1 + (CAST(c_sum AS DOUBLE) - CAST(1 AS DOUBLE) / (nn - k))
+        |       / (3 * (k - 1))), 6) + 0.0 AS stat
+        |FROM s""".stripMargin,
+    "stats_wasserstein" ->
+      """WITH g AS (
+        |  SELECT "value" AS value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |c AS (SELECT value,
+        |        sum(a) OVER (ORDER BY value
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |        sum(b) OVER (ORDER BY value
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |        lead(value) OVER (ORDER BY value) AS nextv
+        |      FROM g),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |          CAST(sum(b) AS BIGINT) AS n2 FROM g),
+        |tm AS (SELECT n1, n2,
+        |         CAST(round(abs(CAST(ca AS DOUBLE) / n1
+        |           - CAST(cb AS DOUBLE) / n2) * (nextv - value), 9)
+        |           AS DECIMAL(18,9)) AS term
+        |       FROM c, tot WHERE nextv IS NOT NULL)
+        |SELECT n1, n2,
+        |  round(CAST(sum(term) AS DOUBLE), 6) + 0.0 AS w1_dist
+        |FROM tm GROUP BY 1, 2""".stripMargin,
     "dist_theil" -> (duckUserSpendPos +
       """t AS (SELECT n, mu,
         |        CAST(round(xc / mu * ln(xc / mu), 9) AS DECIMAL(18,9))
