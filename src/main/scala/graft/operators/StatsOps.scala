@@ -3320,7 +3320,82 @@ object StatsOps {
         r6(expr("cast(w1 as double)")).as("w1_dist"))
   }
 
+  // ── Average True Range (14-day) per event type: the volatility
+  // gauge the Bollinger/RSI/MACD family is missing — TR folds intraday
+  // range AND overnight gap (|high−prev_close| / |low−prev_close|)
+  // into one number. The daily OHLC-ish bar is built in exact cents
+  // (high/low = max/min of value; close = last event of the day by the
+  // unique (us, event_id) order, via struct-max — no argmax ambiguity);
+  // TR is a greatest() of INTEGER differences, so every input to the
+  // 14-row mean is engine-identical. Entity-partitioned windows; only
+  // full frames emit. ──
+  def windowAtr(spark: SparkSession, dir: String): DataFrame = {
+    val bars = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("vc")).as("h"), min(col("vc")).as("l"),
+        max(struct(col("us"), col("event_id"), col("vc")))
+          .getField("vc").as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val withTr = bars
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("pc", lag(col("c"), 1).over(wOrd))
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("pc")), abs(col("l") - col("pc"))))
+    withTr
+      .withColumn("atr_c",
+        sum(col("tr")).over(wOrd.rowsBetween(-13, 0)))
+      .filter(col("rn") >= 15)
+      .select(col("event_type"), col("day"),
+        r6(expr("cast(h as double) / 100")).as("high"),
+        r6(expr("cast(l as double) / 100")).as("low"),
+        r6(expr("cast(c as double) / 100")).as("close"),
+        r6(expr("cast(tr as double) / 100")).as("true_range"),
+        r6(expr("cast(atr_c as double) / 1400")).as("atr14"))
+      .orderBy("event_type", "day")
+  }
+
+  // ── Aroon oscillator (14-period) on the per-type daily revenue: how
+  // recently the trailing-14 high/low printed — a trend-freshness
+  // signal orthogonal to level-based bands (window_bollinger) and
+  // momentum (window_rsi). The in-window argmax/argmin use struct
+  // max/min on (revenue, row-index) — exact integers, latest-bar ties
+  // by lexicographic order in BOTH engines — so periods-since is pure
+  // row arithmetic; the only doubles are the two final 100·(14−ps)/14
+  // maps. Entity-partitioned, full frames only. ──
+  def windowAroon(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w14 = wOrd.rowsBetween(-13, 0)
+    daily
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("hi",
+        max(struct(col("revc"), col("rn"))).over(w14))
+      .withColumn("lo",
+        // (revc, −rn): min picks the smallest revenue, ties resolved to
+        // the LATEST bar (most negative −rn) — same freshest-bar
+        // convention as the struct-max on the high side
+        min(struct(col("revc"), (-col("rn")).as("nrn"))).over(w14))
+      .filter(col("rn") >= 14)
+      .select(col("event_type"), col("day"), col("revc"),
+        (col("rn") - col("hi.rn")).as("ps_high"),
+        (col("rn") + col("lo.nrn")).as("ps_low"),
+        r6(expr("100 * cast(14 - (rn - hi.rn) as double) / 14"))
+          .as("aroon_up"),
+        r6(expr("100 * cast(14 - (rn + lo.nrn) as double) / 14"))
+          .as("aroon_down"),
+        r6(expr("100 * (cast(14 - (rn - hi.rn) as double) / 14" +
+          " - cast(14 - (rn + lo.nrn) as double) / 14)"))
+          .as("aroon_osc"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_atr"            -> windowAtr _,
+    "window_aroon"          -> windowAroon _,
     "stats_bartlett"        -> statsBartlett _,
     "stats_wasserstein"     -> statsWasserstein _,
     "dist_theil"            -> distTheil _,
@@ -3513,6 +3588,57 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "window_atr" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |bars AS (SELECT event_type, day,
+        |    CAST(max(vc) AS BIGINT) AS h, CAST(min(vc) AS BIGINT) AS l,
+        |    max({'us': us, 'event_id': event_id, 'vc': vc}).vc AS c
+        |  FROM e GROUP BY 1, 2),
+        |tr AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn,
+        |    lag(c) OVER (PARTITION BY event_type ORDER BY day) AS pc
+        |  FROM bars),
+        |t2 AS (SELECT *,
+        |    greatest(h - l, abs(h - pc), abs(l - pc)) AS tr FROM tr),
+        |t3 AS (SELECT *,
+        |    sum(tr) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS atr_c
+        |  FROM t2)
+        |SELECT event_type, day,
+        |  round(CAST(h AS DOUBLE) / 100, 6) + 0.0 AS high,
+        |  round(CAST(l AS DOUBLE) / 100, 6) + 0.0 AS low,
+        |  round(CAST(c AS DOUBLE) / 100, 6) + 0.0 AS close,
+        |  round(CAST(tr AS DOUBLE) / 100, 6) + 0.0 AS true_range,
+        |  round(CAST(atr_c AS DOUBLE) / 1400, 6) + 0.0 AS atr14
+        |FROM t3 WHERE rn >= 15 ORDER BY event_type, day""".stripMargin,
+    "window_aroon" -> (duckDailyTyped +
+      """r AS (SELECT event_type, day, revc,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS rn
+        |  FROM daily),
+        |w AS (SELECT *,
+        |    max({'revc': revc, 'rn': rn}) OVER (PARTITION BY event_type
+        |      ORDER BY rn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |      AS hi,
+        |    min({'revc': revc, 'nrn': -rn}) OVER (PARTITION BY event_type
+        |      ORDER BY rn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |      AS lo
+        |  FROM r)
+        |SELECT event_type, day, revc,
+        |  rn - hi.rn AS ps_high, rn + lo.nrn AS ps_low,
+        |  round(100 * CAST(14 - (rn - hi.rn) AS DOUBLE) / 14, 6) + 0.0
+        |    AS aroon_up,
+        |  round(100 * CAST(14 - (rn + lo.nrn) AS DOUBLE) / 14, 6) + 0.0
+        |    AS aroon_down,
+        |  round(100 * (CAST(14 - (rn - hi.rn) AS DOUBLE) / 14
+        |    - CAST(14 - (rn + lo.nrn) AS DOUBLE) / 14), 6) + 0.0
+        |    AS aroon_osc
+        |FROM w WHERE rn >= 14 ORDER BY event_type, day""".stripMargin),
     "stats_bartlett" ->
       """WITH g AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
