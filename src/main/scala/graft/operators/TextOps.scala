@@ -1170,7 +1170,66 @@ object TextOps {
           " END")).as("mcc"))
   }
 
+  // ── Flesch reading ease + Flesch–Kincaid grade per document — the
+  // classical readability scores a curation pipeline buckets on when
+  // "quality" must be explainable to a human (text_quality's ratios
+  // rank; these map to school-grade units reviewers recognize). All
+  // three counts are per-row HOF arithmetic inside whole-stage codegen
+  // (no explode, no shuffle): words from the shared whitespace
+  // tokenizer, sentences from the text_sentences [.!?]+ class,
+  // syllables ≈ [aeiouy]+ vowel groups (min 1 per word, the standard
+  // heuristic). The two rate divisions are cast-first doubles; both
+  // formulas share them verbatim with the oracle. ──
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x <> '')"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_sentences", greatest(lit(1L), size(expr(
+        """filter(transform(split(text, '[.!?]+'), x -> trim(x)),
+          |       x -> x rlike '[A-Za-z0-9]')""".stripMargin))
+        .cast("long")))
+      .withColumn("n_syllables", expr(
+        "aggregate(toks, 0L, (a, x) ->" +
+          " a + greatest(1L, cast(regexp_count(x, '[aeiouy]+') as bigint)))"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (round(expr("206.835D - 1.015D * (cast(n_words as double)" +
+          " / n_sentences) - 84.6D * (cast(n_syllables as double)" +
+          " / n_words)"), 6) + lit(0.0d)).as("flesch"),
+        (round(expr("0.39D * (cast(n_words as double) / n_sentences)" +
+          " + 11.8D * (cast(n_syllables as double) / n_words) - 15.59D"),
+          6) + lit(0.0d)).as("fk_grade"))
+      .orderBy("doc_id")
+
+  // ── hapax/dis legomena corpus profile: how much of the vocabulary
+  // (and of the token mass) is words seen once or twice — the
+  // Zipf-tail diagnostic that predicts how fast text_heaps_law's vocab
+  // curve keeps growing, and the quickest OCR-noise smell test (junk
+  // corpora have hapax_vocab_share near 1). One explode + ONE
+  // vocabulary-keyed count, then a frequency-of-frequencies reduction
+  // to a single row — the 100 TB shape is two map-side-combined
+  // aggregations, nothing else. ──
+  def textHapax(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toksCol).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col("n_tokens"), col("vocab"), col("hapax"), col("dis"),
+        (round(expr("cast(hapax as double) / vocab"), 6) + lit(0.0d))
+          .as("hapax_vocab_share"),
+        (round(expr("cast(hapax as double) / n_tokens"), 6) + lit(0.0d))
+          .as("hapax_token_share"),
+        (round(expr("cast(dis as double) / vocab"), 6) + lit(0.0d))
+          .as("dis_vocab_share"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability"      -> textReadability _,
+    "text_hapax"            -> textHapax _,
     "eval_nb_confusion"     -> evalNbConfusion _,
     "eval_langid_mcc"       -> evalLangidMcc _,
     "text_freq_drift"       -> textFreqDrift _,
@@ -1288,6 +1347,49 @@ object TextOps {
       |      FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_readability" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    greatest(1, CAST(len(list_filter(
+        |      list_transform(string_split_regex(text, '[.!?]+'),
+        |        x -> trim(x)),
+        |      x -> regexp_matches(x, '[A-Za-z0-9]'))) AS BIGINT))
+        |      AS n_sentences,
+        |    CAST(list_sum(list_transform(toks, x ->
+        |      greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+        |      AS BIGINT) AS n_syllables
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) + 0.0
+        |    AS flesch,
+        |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+        |    + 0.0 AS fk_grade
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    "text_hapax" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS tok FROM documents),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t
+        |      WHERE tok <> '' GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |        CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS hapax,
+        |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS dis
+        |      FROM f)
+        |SELECT n_tokens, vocab, hapax, dis,
+        |  round(CAST(hapax AS DOUBLE) / vocab, 6) + 0.0
+        |    AS hapax_vocab_share,
+        |  round(CAST(hapax AS DOUBLE) / n_tokens, 6) + 0.0
+        |    AS hapax_token_share,
+        |  round(CAST(dis AS DOUBLE) / vocab, 6) + 0.0 AS dis_vocab_share
+        |FROM g""".stripMargin,
     "eval_langid_mcc" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |    string_split_regex(trim(lower(text)), '\\s+') AS toks
