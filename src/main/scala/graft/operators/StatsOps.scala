@@ -3393,7 +3393,87 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  // ── Cliff's delta between the click/purchase value distributions —
+  // the ordinal effect SIZE that says how big the stats_mannwhitney
+  // shift actually is (δ = P(x>y) − P(x<y); U tells you it's
+  // significant, δ tells you whether anyone should care). Dominance
+  // counts come from ONE cumulative pass over the grouped value grid
+  // (#(x>y) = Σ aᵥ·cum_b_before — the U-statistic identity), all
+  // int64-exact; the single division and the standard
+  // 0.147/0.33/0.474 magnitude fences branch on the 6-dp value. ──
+  def statsCliffDelta(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .filter(col("event_type").isin(KsTypeA, KsTypeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === KsTypeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === KsTypeB, 1L).otherwise(0L)).as("b"))
+    val byVal = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("cb_before",
+        coalesce(sum(col("b")).over(byVal), lit(0L)))
+      .withColumn("cb_thru",
+        coalesce(sum(col("b")).over(byVal), lit(0L)) + col("b"))
+    val tot = g.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("a") * col("cb_before")).as("n_gt"),
+        sum(col("a") * (col("n2") - col("cb_thru"))).as("n_lt"))
+      .withColumn("delta6", r6(expr(
+        "cast(n_gt - n_lt as double) / (n1 * n2)")))
+      .select(col("n1"), col("n2"), col("n_gt"), col("n_lt"),
+        col("delta6").as("delta"),
+        when(abs(col("delta6")) < 0.147, "negligible")
+          .when(abs(col("delta6")) < 0.33, "small")
+          .when(abs(col("delta6")) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  // ── Mood's median test across ALL event types: are the k per-type
+  // value distributions centered on the same median — the quick-and-
+  // robust k-group location screen (stats_kruskal ranks everything;
+  // this only asks above/below the GRAND median, so it survives wild
+  // tails and censoring). The grand median is the explicit middle pair
+  // read off the grouped value grid's cumulative counts (no global
+  // row sort — grid-sized window only); the 2×k χ² is then pure
+  // integer-count arithmetic with one double division per cell. ──
+  def statsMoodMedian(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("event_type"), col("value"))
+    val g = e.groupBy(col("value")).agg(count(lit(1)).as("t"))
+    val cum = g.withColumn("cum", sum(col("t")).over(
+      Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = g.agg(sum(col("t")).as("nn"))
+    val med = cum.crossJoin(broadcast(tot))
+      .select(col("value"), col("cum"), col("nn"),
+        expr("(nn + 1) div 2").as("p1"), expr("(nn + 2) div 2").as("p2"))
+      .agg(min(when(col("cum") >= col("p1"), col("value"))).as("v1"),
+        min(when(col("cum") >= col("p2"), col("value"))).as("v2"))
+      .select(((col("v1") + col("v2")) / 2).as("med"))
+    val counts = e.crossJoin(broadcast(med))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") > col("med")).cast("long")).as("above"))
+    val ct = counts.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("above")).as("ta"))
+    counts.crossJoin(broadcast(ct))
+      .select(col("k"), col("nn"), col("ta"), col("n"), col("above"),
+        expr("cast(n * ta as double) / nn").as("e_above"),
+        expr("cast(n * (nn - ta) as double) / nn").as("e_below"))
+      .groupBy(col("k"), col("nn"), col("ta"))
+      .agg(sum(expr("CAST(round((above - e_above) * (above - e_above)" +
+          " / e_above + ((n - above) - e_below)" +
+          " * ((n - above) - e_below) / e_below, 9)" +
+          " AS DECIMAL(18,9))")).as("chi2d"))
+      .crossJoin(broadcast(med))
+      .select(col("k"), col("nn").as("n"), r6(col("med")).as("grand_median"),
+        col("ta").as("n_above"),
+        r6(expr("cast(chi2d as double)")).as("chi2"),
+        (col("k") - 1).as("df"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cliff_delta"     -> statsCliffDelta _,
+    "stats_mood_median"     -> statsMoodMedian _,
     "window_atr"            -> windowAtr _,
     "window_aroon"          -> windowAroon _,
     "stats_bartlett"        -> statsBartlett _,
@@ -3588,6 +3668,72 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_cliff_delta" ->
+      """WITH g AS (
+        |  SELECT "value" AS value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |c AS (SELECT *,
+        |    COALESCE(sum(b) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb_before,
+        |    COALESCE(sum(b) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + b
+        |      AS cb_thru
+        |  FROM g),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |          CAST(sum(b) AS BIGINT) AS n2 FROM g),
+        |d AS (SELECT n1, n2,
+        |        CAST(sum(a * cb_before) AS BIGINT) AS n_gt,
+        |        CAST(sum(a * (n2 - cb_thru)) AS BIGINT) AS n_lt
+        |      FROM c, tot GROUP BY 1, 2),
+        |f AS (SELECT *,
+        |        round(CAST(n_gt - n_lt AS DOUBLE) / (n1 * n2), 6) + 0.0
+        |          AS delta
+        |      FROM d)
+        |SELECT n1, n2, n_gt, n_lt, delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33 THEN 'small'
+        |       WHEN abs(delta) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM f""".stripMargin,
+    "stats_mood_median" ->
+      """WITH g AS (SELECT "value" AS value, count(*) AS t
+        |           FROM events GROUP BY 1),
+        |c AS (SELECT value,
+        |        sum(t) OVER (ORDER BY value
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum
+        |      FROM g),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS nn FROM g),
+        |med AS (SELECT (min(CASE WHEN cum >= (nn + 1) // 2
+        |            THEN value END)
+        |          + min(CASE WHEN cum >= (nn + 2) // 2 THEN value END))
+        |          / 2 AS med
+        |        FROM c, tot),
+        |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(CASE WHEN "value" > med.med THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS above
+        |        FROM events, med GROUP BY 1),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(sum(above) AS BIGINT) AS ta FROM cnt),
+        |cell AS (SELECT k, nn, ta, n, above,
+        |           CAST(n * ta AS DOUBLE) / nn AS e_above,
+        |           CAST(n * (nn - ta) AS DOUBLE) / nn AS e_below
+        |         FROM cnt, ct),
+        |x AS (SELECT k, nn, ta,
+        |        sum(CAST(round((above - e_above) * (above - e_above)
+        |          / e_above + ((n - above) - e_below)
+        |          * ((n - above) - e_below) / e_below, 9)
+        |          AS DECIMAL(18,9))) AS chi2d
+        |      FROM cell GROUP BY 1, 2, 3)
+        |SELECT k, nn AS n, round(med.med, 6) + 0.0 AS grand_median,
+        |  ta AS n_above, round(CAST(chi2d AS DOUBLE), 6) + 0.0 AS chi2,
+        |  k - 1 AS df
+        |FROM x, med""".stripMargin,
     "window_atr" ->
       """WITH e AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
