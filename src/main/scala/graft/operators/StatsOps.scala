@@ -3471,7 +3471,66 @@ object StatsOps {
         (col("k") - 1).as("df"))
   }
 
+  // ── on-balance volume per event type: running Σ of ±(daily event
+  // count) signed by whether the daily close (last value of the day by
+  // the unique (us, event_id) order, same bar as window_atr) rose or
+  // fell — the flow-confirms-price indicator: OBV diverging from the
+  // revenue level flags moves without participation. Sign and volume
+  // are exact integers, so the running sum is int64 end to end; one
+  // keyed aggregation + one entity-partitioned window. ──
+  def windowObv(spark: SparkSession, dir: String): DataFrame = {
+    val bars = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("vol"),
+        max(struct(col("us"), col("event_id"), col("vc")))
+          .getField("vc").as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    bars
+      .withColumn("pc", lag(col("c"), 1).over(wOrd))
+      .withColumn("flow",
+        when(col("pc").isNull, 0L)
+          .when(col("c") > col("pc"), col("vol"))
+          .when(col("c") < col("pc"), -col("vol"))
+          .otherwise(0L))
+      .withColumn("obv", sum(col("flow")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_type"), col("day"), col("vol"),
+        r6(expr("cast(c as double) / 100")).as("close"),
+        col("flow"), col("obv"))
+      .orderBy("event_type", "day")
+  }
+
+  // ── cumulative VWAP per event type: running Σ(value·1)/Σ(1) where
+  // each event is one "trade" — the benchmark price an execution desk
+  // compares fills against, and the drift-free denominator for the
+  // daily close (window_macd smooths price; VWAP anchors it to
+  // participation). Numerator stays exact int64 cents cumulatively;
+  // ONE division per emitted row. Also emits the day's own VWAP.
+  // Grouped to daily first — the 100 TB fact table never enters a
+  // window. ──
+  def windowVwap(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("vol"), sum(col("vc")).as("pv"))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum_pv", sum(col("pv")).over(cumW))
+      .withColumn("cum_vol", sum(col("vol")).over(cumW))
+      .select(col("event_type"), col("day"), col("vol"),
+        r6(expr("cast(pv as double) / (100 * vol)")).as("day_vwap"),
+        r6(expr("cast(cum_pv as double) / (100 * cum_vol)"))
+          .as("cum_vwap"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_obv"            -> windowObv _,
+    "window_vwap"           -> windowVwap _,
     "stats_cliff_delta"     -> statsCliffDelta _,
     "stats_mood_median"     -> statsMoodMedian _,
     "window_atr"            -> windowAtr _,
@@ -3668,6 +3727,48 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "window_obv" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |bars AS (SELECT event_type, day,
+        |    CAST(count(*) AS BIGINT) AS vol,
+        |    max({'us': us, 'event_id': event_id, 'vc': vc}).vc AS c
+        |  FROM e GROUP BY 1, 2),
+        |fl AS (SELECT *,
+        |    lag(c) OVER (PARTITION BY event_type ORDER BY day) AS pc
+        |  FROM bars),
+        |f2 AS (SELECT *,
+        |    CASE WHEN pc IS NULL THEN 0
+        |         WHEN c > pc THEN vol WHEN c < pc THEN -vol
+        |         ELSE 0 END AS flow
+        |  FROM fl)
+        |SELECT event_type, day, vol,
+        |  round(CAST(c AS DOUBLE) / 100, 6) + 0.0 AS close,
+        |  CAST(flow AS BIGINT) AS flow,
+        |  CAST(sum(flow) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS obv
+        |FROM f2 ORDER BY event_type, day""".stripMargin,
+    "window_vwap" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS vol,
+        |    CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS pv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    sum(pv) OVER w AS cum_pv, sum(vol) OVER w AS cum_vol
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, vol,
+        |  round(CAST(pv AS DOUBLE) / (100 * vol), 6) + 0.0 AS day_vwap,
+        |  round(CAST(cum_pv AS DOUBLE) / (100 * cum_vol), 6) + 0.0
+        |    AS cum_vwap
+        |FROM c ORDER BY event_type, day""".stripMargin,
     "stats_cliff_delta" ->
       """WITH g AS (
         |  SELECT "value" AS value,
