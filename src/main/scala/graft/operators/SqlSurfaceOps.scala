@@ -872,7 +872,63 @@ object SqlSurfaceOps {
           ",").as("non_browse"))
       .orderBy("user_id")
 
+  // ── per-class balanced downsample: cap every lang at the MINORITY
+  // class's count, members chosen by the portable hash order — the
+  // class-rebalancing step before training a classifier on skewed
+  // labels (sample_stratified rebalances by fixed RATES; this derives
+  // the cap from the data). The hash rank is per-lang (row_number over
+  // an entity partition, heap-friendly under TopKRewrite's idiom) and
+  // the 1-row minority count broadcasts — membership is reproducible
+  // from doc_id alone under any partitioning. ──
+  def sampleClassBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("u",
+        expr("pmod(pmod(doc_id, 2147483648) * 2654435761, 2147483648)"))
+    val minc = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("cap"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("u"), col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(minc))
+      .withColumn("kept", col("rn") <= col("cap"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_orig"), first(col("cap")).as("cap"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy("lang")
+  }
+
+  // ── deterministic k-fold assignment (k=5) with a fold-balance audit:
+  // fold = portable-hash(doc_id) mod 5 — every doc in exactly one fold,
+  // stable under corpus growth (the split_train_eval property, k-way),
+  // reproducible with no stored fold table. Output is the per-fold
+  // profile a CV harness checks before trusting the folds: sizes, char
+  // mass, lang coverage, and each fold's χ² contribution against the
+  // uniform-size null. One scan, k-row output. ──
+  def sampleKfold(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("fold",
+        expr("pmod(pmod(doc_id, 2147483648) * 2654435761, 2147483648)" +
+          " % 5"))
+    val folds = d.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+    val tot = folds.agg(sum(col("n_docs")).as("nn"))
+    folds.crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_docs"), col("n_chars"), col("n_langs"),
+        (round(expr("cast(n_docs as double) / nn"), 6) + lit(0.0d))
+          .as("share"),
+        (round(expr("(n_docs - cast(nn as double) / 5)" +
+          " * (n_docs - cast(nn as double) / 5)" +
+          " / (cast(nn as double) / 5)"), 6) + lit(0.0d))
+          .as("chi2_term"))
+      .orderBy("fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_class_balance" -> sampleClassBalance _,
+    "sample_kfold"       -> sampleKfold _,
     "window_rank_family" -> windowRankFamily _,
     "window_rank_family_scaled" -> windowRankFamilyScaled _,
     "array_funcs"        -> arrayFuncs _,
@@ -924,6 +980,36 @@ object SqlSurfaceOps {
       |FROM events ORDER BY event_type, event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_class_balance" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    (doc_id % 2147483648) * 2654435761 % 2147483648 AS u
+        |  FROM documents),
+        |minc AS (SELECT CAST(min(n) AS BIGINT) AS cap FROM
+        |  (SELECT lang, count(*) AS n FROM d GROUP BY 1)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY u, doc_id) AS rn FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_orig,
+        |  minc.cap AS cap,
+        |  CAST(sum(CASE WHEN rn <= minc.cap THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= minc.cap THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS kept_chars
+        |FROM r, minc GROUP BY 1, 3 ORDER BY lang""".stripMargin,
+    "sample_kfold" ->
+      """WITH d AS (SELECT *,
+        |    (doc_id % 2147483648) * 2654435761 % 2147483648 % 5 AS fold
+        |  FROM documents),
+        |f AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |      FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM f)
+        |SELECT fold, n_docs, n_chars, n_langs,
+        |  round(CAST(n_docs AS DOUBLE) / nn, 6) + 0.0 AS share,
+        |  round((n_docs - CAST(nn AS DOUBLE) / 5)
+        |    * (n_docs - CAST(nn AS DOUBLE) / 5)
+        |    / (CAST(nn AS DOUBLE) / 5), 6) + 0.0 AS chi2_term
+        |FROM f, tot ORDER BY fold""".stripMargin,
     "sample_negatives" ->
       """WITH np AS (SELECT count(*) AS np FROM part),
         |purchased AS (
