@@ -324,7 +324,19 @@ class PlanShapeSpec extends SparkSuite {
       "text_freq_drift",      // 1-row median-split + 1-row totals frames
       "eval_dedup_pr",        // three 1-row count frames combined
       "eval_recsys_coverage", // 1-row gini/catalog/active count frames
-      "eval_nb_confusion")    // |langs|-row model frame (the nb_lang shape)
+      "eval_nb_confusion",    // |langs|-row model frame (the nb_lang shape)
+      // session-11 scalar broadcasts (audited in scaladoc: every build
+      // side is a 1-row aggregate or a fixed literal ladder):
+      "stats_qq_normal",      // 1-row moment + 1-row decile frames
+      "eval_auc",             // 1-row centroid + 1-row totals broadcasts
+      "eval_calibration",     // the same 1-row centroid broadcast
+      "dist_theil",           // 1-row (n, s, mu) totals broadcast
+      "dist_atkinson",        // the same 1-row totals broadcast
+      "stats_wasserstein",    // 1-row (n1, n2) totals broadcast vs grid
+      "stats_cliff_delta",    // the same 1-row totals broadcast
+      "stats_mood_median",    // 1-row grand-median + 1-row 2×k totals
+      "sample_class_balance", // 1-row minority-cap broadcast
+      "sample_kfold")         // 1-row fold-total broadcast vs k rows
     // collect ALL offenders before asserting — a failure names every
     // key that needs auditing, not just the alphabetically first
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
