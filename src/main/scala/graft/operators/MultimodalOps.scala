@@ -286,7 +286,91 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Pseudo-dimensions read straight off the payload bytes (2 bytes per
+    * axis → 64..575 px) — the SQL-expressible stand-in for the metadata
+    * width/height a real media table carries as sibling scalar columns
+    * ([[FakeDecoder]] is the non-SQL twin; this one keeps the full
+    * oracle). Items under 4 bytes are skipped, documented. */
+  private def pseudoDims(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").as("s"),
+        length(col("text")).as("n"))
+      .filter(col("n") >= 4)
+      .select(col("doc_id"),
+        expr("64 + (ascii(substring(s, 1, 1)) * 256" +
+          " + ascii(substring(s, 2, 1))) % 512").cast("long").as("w"),
+        expr("64 + (ascii(substring(s, 3, 1)) * 256" +
+          " + ascii(substring(s, 4, 1))) % 512").cast("long").as("h"),
+        col("n").cast("long").as("byte_len"))
+
+  // ── aspect-ratio bucketing with padding-waste accounting — the
+  // batched-training prep step for vision data: items batch only with
+  // same-bucket peers (portrait/square/landscape via INTEGER fences on
+  // 100·w div h, never a float ratio), each bucket pads to its own
+  // (max w, max h), and the report says how much of every batch tensor
+  // would be padding — the number that decides whether the bucket grid
+  // needs more cells. All arithmetic is int64 (Σw·h vs n·maxW·maxH)
+  // until the final fill/waste divisions; one scan + a 3-row agg. ──
+  def multimodalResBuckets(spark: SparkSession, dir: String): DataFrame =
+    pseudoDims(spark, dir)
+      .withColumn("ar100", expr("(100 * w) div h"))
+      .withColumn("bucket",
+        when(col("ar100") < 80, "portrait")
+          .when(col("ar100") <= 125, "square")
+          .otherwise("landscape"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        max(col("w")).as("pad_w"), max(col("h")).as("pad_h"),
+        sum(col("w") * col("h")).as("px"),
+        min(col("ar100")).as("ar100_min"), max(col("ar100")).as("ar100_max"))
+      .select(col("bucket"), col("n_items"), col("pad_w"), col("pad_h"),
+        col("ar100_min"), col("ar100_max"),
+        (round(expr("cast(px as double)" +
+          " / (n_items * pad_w * pad_h)"), 6) + lit(0.0d)).as("fill"),
+        (round(expr("1 - cast(px as double)" +
+          " / (n_items * pad_w * pad_h)"), 6) + lit(0.0d)).as("pad_waste"))
+      .orderBy("bucket")
+
+  // ── pre-decode media quality gate: the cheap metadata/prefix checks a
+  // pipeline runs BEFORE paying for any codec — undersized payloads,
+  // oversized outliers, degenerate aspect ratios, and byte-identical
+  // re-uploads (same md5 as a lower id — the multimodal_dedup cascade's
+  // verdict folded into a flag). Per-reason corpus tallies: how much of
+  // the intake each gate would drop, in items AND byte mass (the
+  // number that sizes decode capacity). One scan + one digest-keyed
+  // window; every fence is an integer literal shared with the oracle. ──
+  def multimodalQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    // the corpus carries no byte-identical payloads (measured: zero md5
+    // collisions), so the fixture plants the class this gate exists to
+    // catch — every 100th payload gets an EXACT re-upload twin
+    // (id + 2⁴¹, same bytes), the multimodal_phash planting discipline;
+    // the oracle rebuilds the same twins
+    val base = pseudoDims(spark, dir)
+      .join(mediaTable(spark, dir)
+        .select(col("doc_id"), md5(col("payload")).as("dg")), "doc_id")
+    val d = base.unionByName(
+        base.filter(col("doc_id") % 100 === 0)
+          .withColumn("doc_id", col("doc_id") + (1L << 41)))
+      .withColumn("is_dup", row_number().over(
+        Window.partitionBy(col("dg")).orderBy(col("doc_id"))) > 1)
+      .withColumn("ar100", expr("(100 * w) div h"))
+    d.select(col("byte_len"), explode(array(
+        when(col("byte_len") < 100, "too_small"),
+        when(col("byte_len") > 400, "too_large"),
+        when(col("ar100") < 50 || col("ar100") > 200, "bad_aspect"),
+        when(col("is_dup"), "exact_dup"),
+        when(col("byte_len").between(100, 400) &&
+          col("ar100").between(50, 200) && !col("is_dup"), "pass")))
+        .as("reason"))
+      .filter(col("reason").isNotNull)
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_items"), sum(col("byte_len")).as("bytes"))
+      .orderBy("reason")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_res_buckets"  -> multimodalResBuckets _,
+    "multimodal_quality_gate" -> multimodalQualityGate _,
     "multimodal_caption_manifest" -> multimodalCaptionManifest _,
     "multimodal_audio_energy" -> multimodalAudioEnergy _,
     "multimodal_scene_cut" -> multimodalSceneCut _,
@@ -297,7 +381,62 @@ object MultimodalOps {
     "multimodal_dedup"    -> multimodalDedup _,
   )
 
+  /** Shared pseudo-dimension oracle CTE (mirrors [[pseudoDims]]). */
+  private val duckPseudoDims: String =
+    """WITH pd AS (
+      |  SELECT doc_id,
+      |    CAST(64 + (ascii(substring(text, 1, 1)) * 256
+      |      + ascii(substring(text, 2, 1))) % 512 AS BIGINT) AS w,
+      |    CAST(64 + (ascii(substring(text, 3, 1)) * 256
+      |      + ascii(substring(text, 4, 1))) % 512 AS BIGINT) AS h,
+      |    CAST(length(text) AS BIGINT) AS byte_len, text
+      |  FROM documents WHERE length(text) >= 4),
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "multimodal_res_buckets" -> (duckPseudoDims +
+      """b AS (SELECT *, (100 * w) // h AS ar100,
+        |        CASE WHEN (100 * w) // h < 80 THEN 'portrait'
+        |             WHEN (100 * w) // h <= 125 THEN 'square'
+        |             ELSE 'landscape' END AS bucket
+        |      FROM pd),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_items,
+        |        CAST(max(w) AS BIGINT) AS pad_w,
+        |        CAST(max(h) AS BIGINT) AS pad_h,
+        |        CAST(sum(w * h) AS BIGINT) AS px,
+        |        CAST(min(ar100) AS BIGINT) AS ar100_min,
+        |        CAST(max(ar100) AS BIGINT) AS ar100_max
+        |      FROM b GROUP BY 1)
+        |SELECT bucket, n_items, pad_w, pad_h, ar100_min, ar100_max,
+        |  round(CAST(px AS DOUBLE) / (n_items * pad_w * pad_h), 6) + 0.0
+        |    AS fill,
+        |  round(1 - CAST(px AS DOUBLE) / (n_items * pad_w * pad_h), 6)
+        |    + 0.0 AS pad_waste
+        |FROM g ORDER BY bucket""".stripMargin),
+    "multimodal_quality_gate" -> (duckPseudoDims +
+      """b0 AS (SELECT doc_id, w, h, byte_len, md5(text) AS dg FROM pd),
+        |bt AS (SELECT * FROM b0
+        |       UNION ALL
+        |       SELECT doc_id + (1::BIGINT << 41) AS doc_id, w, h,
+        |         byte_len, dg
+        |       FROM b0 WHERE doc_id % 100 = 0),
+        |dd AS (SELECT *, (100 * w) // h AS ar100 FROM bt),
+        |dp AS (SELECT *, row_number() OVER (PARTITION BY dg
+        |         ORDER BY doc_id) > 1 AS is_dup FROM dd),
+        |r AS (SELECT byte_len, unnest([
+        |        CASE WHEN byte_len < 100 THEN 'too_small' END,
+        |        CASE WHEN byte_len > 400 THEN 'too_large' END,
+        |        CASE WHEN ar100 < 50 OR ar100 > 200
+        |          THEN 'bad_aspect' END,
+        |        CASE WHEN is_dup THEN 'exact_dup' END,
+        |        CASE WHEN byte_len BETWEEN 100 AND 400
+        |          AND ar100 BETWEEN 50 AND 200 AND NOT is_dup
+        |          THEN 'pass' END]) AS reason
+        |      FROM dp)
+        |SELECT reason, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(byte_len) AS BIGINT) AS bytes
+        |FROM r WHERE reason IS NOT NULL GROUP BY 1
+        |ORDER BY reason""".stripMargin),
     "multimodal_caption_manifest" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
