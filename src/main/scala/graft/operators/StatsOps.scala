@@ -3528,7 +3528,107 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  // ── Welch's heteroscedastic one-way ANOVA across event types — the
+  // F-test to reach for when stats_bartlett REJECTS equal variances
+  // (classic ANOVA's pooled denominator is then wrong; Welch weights
+  // each group by n/s²). Group moments are the DECIMAL-exact
+  // stats_anova frame; the k-row weight reduction snaps each term to
+  // fixed-dp DECIMAL (associative), with the weight-sum broadcast back
+  // for the second pass. Welch–Satterthwaite df₂ comes from the same
+  // Σ(1−wᵢ/W)²/(nᵢ−1) term as the denominator. ──
+  def statsWelchAnova(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s1"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("double").as("s2"))
+      .withColumn("xb", expr("s1 / n"))
+      .withColumn("vi", expr(
+        "(n * s2 - s1 * s1) / (cast(n as double) * (n - 1))"))
+      // the 9-dp snap makes wi identical in both engines BEFORE any
+      // cross-group arithmetic reuses it
+      .withColumn("wi", expr("cast(CAST(round(n / vi, 9)" +
+        " AS DECIMAL(18,9)) as double)"))
+    val tot = g.agg(count(lit(1)).as("k"),
+      sum(expr("CAST(round(wi, 9) AS DECIMAL(18,9))")).as("wsum"),
+      sum(expr("CAST(round(wi * xb, 6) AS DECIMAL(28,6))")).as("wxsum"))
+      .withColumn("mw", expr("cast(wxsum as double) / cast(wsum as double)"))
+    g.crossJoin(broadcast(tot))
+      .groupBy(col("k"), col("wsum"), col("mw"))
+      .agg(sum(expr("CAST(round(wi * (xb - mw) * (xb - mw), 6)" +
+          " AS DECIMAL(28,6))")).as("a_num"),
+        sum(expr("CAST(round((1 - wi / cast(wsum as double))" +
+          " * (1 - wi / cast(wsum as double))" +
+          " / (n - 1), 12) AS DECIMAL(18,12))")).as("lam"))
+      .select(col("k"), r6(col("mw")).as("weighted_mean"),
+        r6(expr("(cast(a_num as double) / (k - 1))" +
+          " / (1 + 2 * cast(k - 2 as double) / (cast(k as double) * k - 1)" +
+          " * cast(lam as double))")).as("f_stat"),
+        (col("k") - 1).as("df1"),
+        r6(expr("(cast(k as double) * k - 1)" +
+          " / (3 * cast(lam as double))")).as("df2"))
+  }
+
+  // ── Ansari–Bradley two-sample SCALE test between the click/purchase
+  // value distributions — do the two distributions differ in SPREAD
+  // around a common median (mannwhitney asks about location; KS about
+  // shape; this isolates dispersion). Symmetric scores min(r, N+1−r)
+  // with midrank ties are computed PER TIE GROUP in closed form on the
+  // grouped value grid: the score-sum over ranks (lo..hi] is two
+  // arithmetic series clamped at the fold point — exact int64 — and
+  // the tie group's members each take S/t. T = Σ_A scores; the z uses
+  // the finite-population linear-rank moments E[T] = n₁·s̄ and
+  // Var[T] = n₁n₂/(N(N−1))·Σ(sᵢ−s̄)², with Σsᵢ² = Σ S²/t per group.
+  // One cumulative pass, grid-sized. ──
+  def statsAnsariBradley(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .filter(col("event_type").isin(KsTypeA, KsTypeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === KsTypeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === KsTypeB, 1L).otherwise(0L)).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val byVal = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = g.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+      (sum(col("a")) + sum(col("b"))).as("nn"))
+    val ranked = g.withColumn("lo",
+        coalesce(sum(col("t")).over(byVal), lit(0L)) + 1)
+      .withColumn("hi",
+        coalesce(sum(col("t")).over(byVal), lit(0L)) + col("t"))
+      .crossJoin(broadcast(tot))
+      // Σ_{r=lo..hi} min(r, N+1−r): ascending arm r ≤ (N+1) div 2 plus
+      // descending arm N+1−r beyond it, each a clamped integer series
+      .withColumn("m", expr("(nn + 1) div 2"))
+      .withColumn("ua", least(col("hi"), col("m")))
+      .withColumn("sasc", expr(
+        "CASE WHEN ua >= lo THEN (lo + ua) * (ua - lo + 1) div 2" +
+          " ELSE 0 END"))
+      .withColumn("lb", greatest(col("lo"), col("m") + 1))
+      .withColumn("sdesc", expr(
+        "CASE WHEN hi >= lb THEN (nn + 1) * (hi - lb + 1)" +
+          " - (lb + hi) * (hi - lb + 1) div 2 ELSE 0 END"))
+      .withColumn("s", col("sasc") + col("sdesc"))
+    ranked
+      .groupBy(col("n1"), col("n2"), col("nn"))
+      .agg(sum(expr("CAST(round(a * (cast(s as double) / t), 9)" +
+          " AS DECIMAL(28,9))")).as("t_a"),
+        sum(col("s")).as("s_all"),
+        sum(expr("CAST(round(cast(s as double) * s / t, 9)" +
+          " AS DECIMAL(28,9))")).as("s2_all"))
+      .withColumn("sbar", expr("cast(s_all as double) / nn"))
+      .withColumn("varsum", expr(
+        "cast(s2_all as double) - nn * sbar * sbar"))
+      .select(col("n1"), col("n2"),
+        r6(expr("cast(t_a as double)")).as("ab_stat"),
+        r6(expr("n1 * sbar")).as("expected"),
+        r6(expr("(cast(t_a as double) - n1 * sbar)" +
+          " / sqrt(cast(n1 as double) * n2 / (cast(nn as double)" +
+          " * (nn - 1)) * varsum)")).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_welch_anova"     -> statsWelchAnova _,
+    "stats_ansari_bradley"  -> statsAnsariBradley _,
     "window_obv"            -> windowObv _,
     "window_vwap"           -> windowVwap _,
     "stats_cliff_delta"     -> statsCliffDelta _,
@@ -3727,6 +3827,86 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_welch_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))
+        |             * CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT *, s1 / n AS xb,
+        |        (n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1)) AS vi
+        |      FROM g),
+        |w AS (SELECT *, CAST(CAST(round(n / vi, 9) AS DECIMAL(18,9))
+        |        AS DOUBLE) AS wi FROM v),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(round(wi, 9) AS DECIMAL(18,9))) AS wsum,
+        |    sum(CAST(round(wi * xb, 6) AS DECIMAL(28,6))) AS wxsum
+        |  FROM w),
+        |tm AS (SELECT *, CAST(wxsum AS DOUBLE) / CAST(wsum AS DOUBLE)
+        |        AS mw FROM tot),
+        |agg AS (SELECT k, wsum, mw,
+        |    sum(CAST(round(wi * (xb - mw) * (xb - mw), 6)
+        |        AS DECIMAL(28,6))) AS a_num,
+        |    sum(CAST(round((1 - wi / CAST(wsum AS DOUBLE))
+        |        * (1 - wi / CAST(wsum AS DOUBLE)) / (n - 1), 12)
+        |        AS DECIMAL(18,12))) AS lam
+        |  FROM w, tm GROUP BY 1, 2, 3)
+        |SELECT k, round(mw, 6) + 0.0 AS weighted_mean,
+        |  round((CAST(a_num AS DOUBLE) / (k - 1))
+        |    / (1 + 2 * CAST(k - 2 AS DOUBLE)
+        |       / (CAST(k AS DOUBLE) * k - 1) * CAST(lam AS DOUBLE)), 6)
+        |    + 0.0 AS f_stat,
+        |  k - 1 AS df1,
+        |  round((CAST(k AS DOUBLE) * k - 1)
+        |    / (3 * CAST(lam AS DOUBLE)), 6) + 0.0 AS df2
+        |FROM agg""".stripMargin,
+    "stats_ansari_bradley" ->
+      """WITH g AS (
+        |  SELECT "value" AS value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |gt AS (SELECT *, a + b AS t FROM g),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |          CAST(sum(b) AS BIGINT) AS n2,
+        |          CAST(sum(a) + sum(b) AS BIGINT) AS nn FROM g),
+        |r AS (SELECT *,
+        |    COALESCE(sum(t) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      AS lo,
+        |    COALESCE(sum(t) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t
+        |      AS hi
+        |  FROM gt),
+        |s AS (SELECT r.*, tot.n1, tot.n2, tot.nn,
+        |    (tot.nn + 1) // 2 AS m FROM r, tot),
+        |s2 AS (SELECT *, least(hi, m) AS ua,
+        |    greatest(lo, m + 1) AS lb FROM s),
+        |s3 AS (SELECT *,
+        |    CASE WHEN ua >= lo THEN (lo + ua) * (ua - lo + 1) // 2
+        |         ELSE 0 END
+        |    + CASE WHEN hi >= lb THEN (nn + 1) * (hi - lb + 1)
+        |        - (lb + hi) * (hi - lb + 1) // 2 ELSE 0 END AS sc
+        |  FROM s2),
+        |agg AS (SELECT n1, n2, nn,
+        |    sum(CAST(round(a * (CAST(sc AS DOUBLE) / t), 9)
+        |        AS DECIMAL(28,9))) AS t_a,
+        |    CAST(sum(sc) AS BIGINT) AS s_all,
+        |    sum(CAST(round(CAST(sc AS DOUBLE) * sc / t, 9)
+        |        AS DECIMAL(28,9))) AS s2_all
+        |  FROM s3 GROUP BY 1, 2, 3),
+        |f AS (SELECT *, CAST(s_all AS DOUBLE) / nn AS sbar,
+        |    CAST(s2_all AS DOUBLE) - nn * (CAST(s_all AS DOUBLE) / nn)
+        |      * (CAST(s_all AS DOUBLE) / nn) AS varsum
+        |  FROM agg)
+        |SELECT n1, n2, round(CAST(t_a AS DOUBLE), 6) + 0.0 AS ab_stat,
+        |  round(n1 * sbar, 6) + 0.0 AS expected,
+        |  round((CAST(t_a AS DOUBLE) - n1 * sbar)
+        |    / sqrt(CAST(n1 AS DOUBLE) * n2
+        |      / (CAST(nn AS DOUBLE) * (nn - 1)) * varsum), 6) + 0.0 AS z
+        |FROM f""".stripMargin,
     "window_obv" ->
       """WITH e AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
