@@ -3626,7 +3626,93 @@ object StatsOps {
           " * (nn - 1)) * varsum)")).as("z"))
   }
 
+  /** [[forecastTheta]] SES smoothing constant (shared with the oracle). */
+  private val ThetaA = "0.3"
+
+  // ── Theta-method forecast (θ=2, the M3-competition configuration):
+  // average of the LS trend line (θ=0) and an SES fold over the
+  // double-curvature theta line zₜ = 2yₜ − (a + b·t) — the
+  // deceptively-simple method that beat every entrant at M3. The OLS
+  // moments are EXACT int64 (daily cents × integer t, with Σt and Σt²
+  // in closed form), so a and b are engine-identical doubles; the SES
+  // recursion is one codegen'd aggregate fold carrying (i, l) state
+  // (the forecast_holt shape — fact table reduces to a group-sized
+  // series first). F(7) = ½(a + b(n+7)) + ½·l_n. ──
+  def forecastTheta(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("yc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("yc")).as("syc"),
+        sort_array(collect_list(struct(col("day"), col("yc")))).as("s"))
+      .filter(col("n") >= 2)
+      // Σt·yc via an indexed fold (the array is day-sorted, t = 1-based
+      // position); Σt, Σt² in closed form — every moment exact int64
+      .withColumn("styc", expr(
+        "aggregate(s, named_struct('i', 0L, 'a', 0L)," +
+          " (st, x) -> named_struct('i', st.i + 1," +
+          " 'a', st.a + (st.i + 1) * x.yc)).a"))
+      .withColumn("stt", expr("n * (n + 1) div 2"))
+      .withColumn("st2", expr("n * (n + 1) * (2 * n + 1) div 6"))
+      .withColumn("bc", expr("cast(n * styc - stt * syc as double)" +
+        " / cast(n * st2 - stt * stt as double)"))
+      .withColumn("ac", expr("(syc - bc * stt) / n"))
+      .withColumn("lz", expr(
+        s"""aggregate(
+           |  slice(s, 2, greatest(size(s) - 1, 0)),
+           |  named_struct('i', 1L, 'l', 2.0D * s[0].yc - (ac + bc)),
+           |  (st, x) -> named_struct('i', st.i + 1,
+           |    'l', $ThetaA * (2.0D * x.yc - (ac + bc * (st.i + 1)))
+           |         + (1.0D - $ThetaA) * st.l)).l""".stripMargin))
+      .select(col("event_type"), col("n").as("n_days"),
+        r6(expr("bc / 100")).as("slope"),
+        r6(expr("lz / 100")).as("ses_level"),
+        r6(expr("(0.5D * (ac + bc * (n + 7)) + 0.5D * lz) / 100"))
+          .as("forecast_7"))
+      .orderBy("event_type")
+
+  /** [[forecastDamped]] parameters (shared with the oracle): the
+    * forecast_holt α/β plus the damping φ. */
+  private val DampA = "0.5"
+  private val DampB = "0.3"
+  private val DampP = "0.9"
+
+  // ── damped-trend Holt: the forecast_holt recursion with the trend
+  // damped by φ at every step AND in the forecast horizon — the fix
+  // for linear-trend extrapolation marching off to infinity (Gardner &
+  // McKenzie; the default "safe" trender in practice). Same one-fold
+  // group-sized shape as forecast_holt; F(7) sums the geometric
+  // φ+φ²+…+φ⁷ in closed form, shared verbatim with the oracle. ──
+  def forecastDamped(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("s"))
+      .filter(size(col("s")) >= 2)
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(s, 3, greatest(size(s) - 2, 0)),
+           |  named_struct('l', s[0].y, 'b', s[1].y - s[0].y),
+           |  (st, p) -> named_struct(
+           |    'l', $DampA * p.y
+           |         + (1.0D - $DampA) * (st.l + $DampP * st.b),
+           |    'b', $DampB * (($DampA * p.y + (1.0D - $DampA)
+           |           * (st.l + $DampP * st.b)) - st.l)
+           |         + (1.0D - $DampB) * $DampP * st.b))""".stripMargin))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n_days"),
+        r6(col("st.l")).as("level"),
+        r6(col("st.b")).as("trend"),
+        r6(expr(s"st.l + st.b * ($DampP * (1.0D - pow($DampP, 7))" +
+          s" / (1.0D - $DampP))")).as("forecast_7"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_theta"        -> forecastTheta _,
+    "forecast_damped"       -> forecastDamped _,
     "stats_welch_anova"     -> statsWelchAnova _,
     "stats_ansari_bradley"  -> statsAnsariBradley _,
     "window_obv"            -> windowObv _,
@@ -3827,6 +3913,76 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "forecast_theta" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS yc
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, yc,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM d),
+        |m AS (
+        |  SELECT event_type, n, CAST(sum(yc) AS BIGINT) AS syc,
+        |    CAST(sum(t * yc) AS BIGINT) AS styc,
+        |    n * (n + 1) // 2 AS stt,
+        |    n * (n + 1) * (2 * n + 1) // 6 AS st2
+        |  FROM s WHERE n >= 2 GROUP BY 1, 2),
+        |coef AS (
+        |  SELECT event_type, n,
+        |    CAST(n * styc - stt * syc AS DOUBLE)
+        |      / CAST(n * st2 - stt * stt AS DOUBLE) AS bc, syc, stt
+        |  FROM m),
+        |c2 AS (SELECT *, (syc - bc * stt) / n AS ac FROM coef),
+        |rec AS (
+        |  SELECT s.event_type, s.n, CAST(1 AS BIGINT) AS t,
+        |    2.0 * s.yc - (c2.ac + c2.bc) AS l, c2.ac, c2.bc
+        |  FROM s JOIN c2 USING (event_type) WHERE s.t = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, r.t + 1,
+        |    0.3 * (2.0 * p.yc - (r.ac + r.bc * (r.t + 1)))
+        |      + (1.0 - 0.3) * r.l, r.ac, r.bc
+        |  FROM rec r JOIN s p
+        |    ON p.event_type = r.event_type AND p.t = r.t + 1
+        |  WHERE r.t < r.n)
+        |SELECT event_type, n AS n_days,
+        |  round(bc / 100, 6) + 0.0 AS slope,
+        |  round(l / 100, 6) + 0.0 AS ses_level,
+        |  round((0.5 * (ac + bc * (n + 7)) + 0.5 * l) / 100, 6) + 0.0
+        |    AS forecast_7
+        |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
+    "forecast_damped" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |rec AS (
+        |  SELECT event_type, n, 2 AS t,
+        |    max(CASE WHEN t = 1 THEN y END) AS l,
+        |    max(CASE WHEN t = 2 THEN y END) -
+        |      max(CASE WHEN t = 1 THEN y END) AS b
+        |  FROM s GROUP BY event_type, n
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, r.t + 1,
+        |    0.5 * p.y + (1.0 - 0.5) * (r.l + 0.9 * r.b),
+        |    0.3 * ((0.5 * p.y + (1.0 - 0.5) * (r.l + 0.9 * r.b)) - r.l)
+        |      + (1.0 - 0.3) * 0.9 * r.b
+        |  FROM rec r JOIN s p
+        |    ON p.event_type = r.event_type AND p.t = r.t + 1
+        |  WHERE r.t < r.n)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
+        |  round(l + b * (0.9 * (1.0 - pow(0.9, 7)) / (1.0 - 0.9)), 6)
+        |    + 0.0 AS forecast_7
+        |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
     "stats_welch_anova" ->
       """WITH g AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
