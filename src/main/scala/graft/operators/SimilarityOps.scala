@@ -467,7 +467,74 @@ object SimilarityOps {
 
   private def r6c(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0d)
 
+  // ── ROC operating points at the 10 calibration-bin thresholds: the
+  // (FPR, TPR, precision, F1) table behind eval_auc's single number —
+  // which THRESHOLD a deployment should actually pick. Confusion
+  // counts at every threshold come from ONE cumulative pass over the
+  // eval_calibration micro-unit bins (a per-threshold re-scan would be
+  // 10 corpus passes); threshold membership is integer arithmetic on
+  // the 6-dp score, so the counts are engine-exact. ──
+  def evalRocPoints(spark: SparkSession, dir: String): DataFrame = {
+    val binned = centroidScored(spark, dir)
+      .withColumn("m",
+        expr("CAST(CAST(cos6 AS DECIMAL(9,6)) * 1000000 AS BIGINT)"))
+      .withColumn("bin",
+        least(expr("(m + 1000000) div 200000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("q"))
+    // cumulative from the TOP bin down: predictions at threshold b are
+    // "positive iff bin >= b"
+    val byBinDesc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = binned
+      .withColumn("tp", sum(col("p")).over(byBinDesc))
+      .withColumn("fp", sum(col("q")).over(byBinDesc))
+    val tot = binned.agg(sum(col("p")).as("np"), sum(col("q")).as("nq"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("bin").as("threshold_bin"), col("tp"), col("fp"),
+        (col("np") - col("tp")).as("fn"),
+        r6c(expr("cast(tp as double) / np")).as("tpr"),
+        r6c(expr("cast(fp as double) / nq")).as("fpr"),
+        r6c(expr("cast(tp as double) / (tp + fp)")).as("precision"),
+        r6c(expr("cast(2 * tp as double) / (2 * tp + fp + (np - tp))"))
+          .as("f1"))
+      .orderBy(col("threshold_bin").desc)
+  }
+
+  // ── cumulative gains / lift by score decile — the campaign-targeting
+  // read of the same scorer: if you action the top k/10 of the corpus
+  // by score, what share of all positives do you capture, and at what
+  // multiple of random? Deciles are EXPLICIT integer ranks
+  // (((rn−1)·10) div n + 1 — the dist_lorenz device, never ntile),
+  // ranked by (score, vec_id) for a total order. All counts int64; two
+  // divisions per decile row. ──
+  def evalLift(spark: SparkSession, dir: String): DataFrame = {
+    val s = centroidScored(spark, dir)
+    val w = Window.orderBy(col("cos6").desc, col("vec_id"))
+    val m = Window.partitionBy(lit(1))
+    val ranked = s.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(m))
+      .withColumn("np", sum(col("y")).over(m))
+      .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("n_pos"),
+        first(col("n")).as("n"), first(col("np")).as("np"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_rows", sum(col("n_rows")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        r6c(expr("cast(cum_pos as double) / np")).as("gain"),
+        r6c(expr("(cast(cum_pos as double) / np)" +
+          " / (cast(cum_rows as double) / n)")).as("lift"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_roc_points"    -> evalRocPoints _,
+    "eval_lift"          -> evalLift _,
     "eval_auc"           -> evalAuc _,
     "eval_calibration"   -> evalCalibration _,
     "eval_ann_recall"    -> evalAnnRecall _,
@@ -503,6 +570,56 @@ object SimilarityOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "eval_roc_points" -> (duckCentroidScored +
+      """mb AS (SELECT y,
+        |         least((CAST(CAST(cos6 AS DECIMAL(9,6)) * 1000000
+        |           AS BIGINT) + 1000000) // 200000, 9) AS bin
+        |       FROM sc),
+        |b AS (SELECT bin, CAST(sum(y) AS BIGINT) AS p,
+        |        CAST(sum(1 - y) AS BIGINT) AS q
+        |      FROM mb GROUP BY 1),
+        |c AS (SELECT *,
+        |        sum(p) OVER (ORDER BY bin DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS tp,
+        |        sum(q) OVER (ORDER BY bin DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS fp
+        |      FROM b),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+        |          CAST(sum(q) AS BIGINT) AS nq FROM b)
+        |SELECT bin AS threshold_bin, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(np - tp AS BIGINT) AS fn,
+        |  round(CAST(tp AS DOUBLE) / np, 6) + 0.0 AS tpr,
+        |  round(CAST(fp AS DOUBLE) / nq, 6) + 0.0 AS fpr,
+        |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) + 0.0 AS precision,
+        |  round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + (np - tp)), 6)
+        |    + 0.0 AS f1
+        |FROM c, tot ORDER BY threshold_bin DESC""".stripMargin),
+    "eval_lift" -> (duckCentroidScored +
+      """r AS (SELECT *,
+        |        row_number() OVER (ORDER BY cos6 DESC, vec_id) AS rn,
+        |        count(*) OVER () AS n, sum(y) OVER () AS np
+        |      FROM sc),
+        |d AS (SELECT ((rn - 1) * 10) // n + 1 AS decile,
+        |        CAST(count(*) AS BIGINT) AS n_rows,
+        |        CAST(sum(y) AS BIGINT) AS n_pos,
+        |        CAST(max(n) AS BIGINT) AS n, CAST(max(np) AS BIGINT)
+        |          AS np
+        |      FROM r GROUP BY 1),
+        |c AS (SELECT *,
+        |        sum(n_pos) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_pos,
+        |        sum(n_rows) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_rows
+        |      FROM d)
+        |SELECT decile, n_rows, n_pos,
+        |  round(CAST(cum_pos AS DOUBLE) / np, 6) + 0.0 AS gain,
+        |  round((CAST(cum_pos AS DOUBLE) / np)
+        |    / (CAST(cum_rows AS DOUBLE) / n), 6) + 0.0 AS lift
+        |FROM c ORDER BY decile""".stripMargin),
     "eval_auc" -> (duckCentroidScored +
       """g AS (SELECT cos6, CAST(sum(y) AS BIGINT) AS a,
         |        CAST(sum(1 - y) AS BIGINT) AS b,
