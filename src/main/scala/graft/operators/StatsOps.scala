@@ -3710,7 +3710,82 @@ object StatsOps {
           s" / (1.0D - $DampP))")).as("forecast_7"))
       .orderBy("event_type")
 
+  // ── Kaufman adaptive moving average (10/2/30) on the per-type daily
+  // revenue: the smoother that SPEEDS UP in trends and flattens in
+  // chop — efficiency ratio ER = |10-day net move| / Σ|daily moves|
+  // gates the EMA constant between the fast(2) and slow(30) bounds.
+  // ER is exact int64 cents (window sums of integer |diffs|); the
+  // squared smoothing constant and the varying-coefficient recursion
+  // kamaₜ = kamaₜ₋₁ + scₜ(yₜ−kamaₜ₋₁) run as ONE codegen'd fold over
+  // the collected (day, y, sc) series (the forecast_holt shape —
+  // windows do the O(1)-state parts, the fold does the one genuinely
+  // sequential part). Emits the LAST bar per type with its full
+  // adaptive state. ──
+  def windowKama(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("yc"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val er = daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("net",
+        abs(col("yc") - lag(col("yc"), 10).over(wOrd)))
+      .withColumn("vol", sum(abs(col("yc") - lag(col("yc"), 1).over(wOrd)))
+        .over(wOrd.rowsBetween(-9, 0)))
+      .withColumn("sc", expr(
+        "CASE WHEN rn >= 11 THEN" +
+          " pow((CASE WHEN vol > 0 THEN cast(net as double) / vol" +
+          " ELSE 0.0D END) * (2.0D / 3 - 2.0D / 31) + 2.0D / 31, 2)" +
+          " END"))
+    er.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("yc"), col("sc"),
+          col("rn")))).as("s"))
+      .filter(col("n_days") >= 11)
+      .withColumn("kama", expr(
+        """aggregate(
+          |  filter(s, x -> x.rn >= 12),
+          |  CAST(s[10].yc AS DOUBLE),
+          |  (k, x) -> k + x.sc * (x.yc - k))""".stripMargin))
+      .select(col("event_type"), col("n_days"),
+        r6(expr("element_at(s, -1).yc / 100.0D")).as("last_close"),
+        r6(expr("element_at(s, -1).sc")).as("last_sc"),
+        r6(expr("kama / 100.0D")).as("kama"))
+      .orderBy("event_type")
+  }
+
+  // ── calendar-gap scan per event type: which series have HOLES — the
+  // data-quality twin of dq_freshness (freshness asks "is the tail
+  // recent"; this asks "is the middle continuous", the property every
+  // window/forecast key above silently assumes). Consecutive-day
+  // deltas come from one lag over the grouped day grid; the whole
+  // profile is integer date arithmetic (span+1 − observed = missing,
+  // max gap, gap count). ──
+  def dqGapScan(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_ev"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("gap", datediff(col("day"),
+        lag(col("day"), 1).over(wOrd)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        sum(when(col("gap") > 1, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(when(col("gap") > 1, col("gap") - 1)), lit(0))
+          .cast("long").as("longest_gap"))
+      .withColumn("span_days",
+        datediff(col("last_day"), col("first_day")).cast("long") + 1)
+      .select(col("event_type"), col("n_days"), col("first_day"),
+        col("last_day"), col("span_days"),
+        (col("span_days") - col("n_days")).as("n_missing"),
+        col("n_gaps"), col("longest_gap"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_kama"           -> windowKama _,
+    "dq_gap_scan"           -> dqGapScan _,
     "forecast_theta"        -> forecastTheta _,
     "forecast_damped"       -> forecastDamped _,
     "stats_welch_anova"     -> statsWelchAnova _,
@@ -3913,6 +3988,59 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "window_kama" -> ("WITH RECURSIVE " + duckDailyTyped.drop(5) +
+      """s0 AS (SELECT event_type, day, revc AS yc,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n,
+        |    abs(revc - lag(revc, 10) OVER w) AS net,
+        |    abs(revc - lag(revc, 1) OVER w) AS d1
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |s AS (SELECT *, sum(d1) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol
+        |  FROM s0),
+        |s2 AS (SELECT *, CASE WHEN rn >= 11 THEN
+        |    pow((CASE WHEN vol > 0 THEN CAST(net AS DOUBLE) / vol
+        |      ELSE 0.0 END) * (2.0 / 3 - 2.0 / 31) + 2.0 / 31, 2)
+        |    END AS sc
+        |  FROM s),
+        |rec AS (
+        |  SELECT event_type, n, rn, CAST(yc AS DOUBLE) AS kama
+        |  FROM s2 WHERE rn = 11
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, p.rn,
+        |    r.kama + p.sc * (p.yc - r.kama)
+        |  FROM rec r JOIN s2 p
+        |    ON p.event_type = r.event_type AND p.rn = r.rn + 1
+        |  WHERE r.rn < r.n),
+        |lastbar AS (SELECT event_type, yc, sc FROM s2
+        |            WHERE rn = n)
+        |SELECT rec.event_type, rec.n AS n_days,
+        |  round(lastbar.yc / 100.0, 6) + 0.0 AS last_close,
+        |  round(lastbar.sc, 6) + 0.0 AS last_sc,
+        |  round(rec.kama / 100.0, 6) + 0.0 AS kama
+        |FROM rec JOIN lastbar USING (event_type)
+        |WHERE rec.rn = rec.n AND rec.n >= 11
+        |ORDER BY event_type""".stripMargin),
+    "dq_gap_scan" -> (duckDailyTyped +
+      """g AS (SELECT event_type, day,
+        |    day - lag(day, 1) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS gap
+        |  FROM daily),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    min(day) AS first_day, max(day) AS last_day,
+        |    CAST(sum(CASE WHEN gap > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_gaps,
+        |    CAST(COALESCE(max(CASE WHEN gap > 1 THEN gap - 1 END), 0)
+        |      AS BIGINT) AS longest_gap
+        |  FROM g GROUP BY 1)
+        |SELECT event_type, n_days, first_day, last_day,
+        |  CAST(last_day - first_day + 1 AS BIGINT) AS span_days,
+        |  CAST(last_day - first_day + 1 - n_days AS BIGINT) AS n_missing,
+        |  n_gaps, longest_gap
+        |FROM a ORDER BY event_type""".stripMargin),
     "forecast_theta" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
