@@ -963,7 +963,89 @@ object MiningOps {
     out
   }
 
+  // ── bounded-hop harmonic closeness from the 5 highest-degree hubs:
+  // HC(s) = Σ_{0<d(s,v)≤3} 1/d — the "how central is this node really"
+  // score that, unlike classic closeness, is defined even when the
+  // graph is disconnected (unreachable nodes contribute 0, not ∞).
+  // Multi-source BFS: ONE (seed, node, hop) frontier frame relaxed 3
+  // rounds (the graph_bfs synchronous-min discipline, ×5 seeds in the
+  // same joins — never 5 separate traversals); the 3-hop bound is the
+  // honest at-scale form (full closeness on a 100 TB graph is a
+  // research problem; 3 hops covers the influence horizon). Seeds are
+  // a broadcast 5-row frame, no collect. Per-hop counts are exact
+  // int64; HC = c₁ + c₂/2 + c₃/3 with cast-first divisions. ──
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val und = op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val edges = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")).cache()
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(desc("d"), col("u")).limit(5)
+      .select(col("u").as("seed"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    var dist = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0).as("hop"))
+    (1 to 3).foreach { _ =>
+      val next = edges.join(dist.withColumnRenamed("node", "u"), "u")
+        .select(col("seed"), col("v").as("node"),
+          (col("hop") + 1).as("hop"))
+      dist = dist.unionByName(next)
+        .groupBy(col("seed"), col("node"))
+        .agg(min(col("hop")).as("hop"))
+        .localCheckpoint(true)
+    }
+    val out = dist.filter(col("hop") > 0)
+      .groupBy(col("seed"))
+      .agg(sum(when(col("hop") === 1, 1L).otherwise(0L)).as("n_hop1"),
+        sum(when(col("hop") === 2, 1L).otherwise(0L)).as("n_hop2"),
+        sum(when(col("hop") === 3, 1L).otherwise(0L)).as("n_hop3"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("seed"), col("n_hop1"), col("n_hop2"), col("n_hop3"),
+        r6(expr("cast(n_hop1 as double) + cast(n_hop2 as double) / 2" +
+          " + cast(n_hop3 as double) / 3")).as("harmonic_3"),
+        r6(expr("cast(n_hop1 + n_hop2 + n_hop3 as double)" +
+          " / (n_nodes - 1)")).as("reach_share_3"))
+      .orderBy("seed")
+    edges.unpersist(); op.unpersist()
+    out
+  }
+
+  // ── entropy rate of the user-journey Markov chain — ONE number for
+  // "how predictable is the next event": H = −(1/N)Σᵢⱼ cᵢⱼ·ln(cᵢⱼ/cᵢ.)
+  // over markov_transitions' count matrix (empirical stationary
+  // weights), with perplexity exp(H) as the "effective branching
+  // factor". Counts are exact int64; each cell's term snaps to 9-dp
+  // DECIMAL before the ≤|types|²-row sum (associative), one exp at the
+  // boundary. ──
+  def markovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tl = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val trans = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+      .withColumn("dst", lead(col("event_type"), 1).over(tl))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("crow",
+        sum(col("c")).over(Window.partitionBy(col("src"))))
+    trans.agg(sum(col("c")).as("n_transitions"),
+        countDistinct(col("src")).as("n_states"),
+        sum(expr("CAST(round(c * ln(cast(c as double) / crow), 9)" +
+          " AS DECIMAL(28,9))")).as("hs"))
+      .select(col("n_transitions"), col("n_states"),
+        r6(expr("-cast(hs as double) / n_transitions"))
+          .as("entropy_rate_nats"),
+        r6(expr("exp(-cast(hs as double) / n_transitions)"))
+          .as("perplexity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_closeness"        -> graphCloseness _,
+    "markov_entropy"         -> markovEntropy _,
     "eval_recsys_coverage"   -> evalRecsysCoverage _,
     "feature_lag_matrix"     -> featureLagMatrix _,
     "graph_path_counts"      -> graphPathCounts _,
@@ -990,6 +1072,69 @@ object MiningOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_closeness" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |seeds AS (SELECT u AS seed FROM deg ORDER BY d DESC, u LIMIT 5),
+        |d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS hop
+        |       FROM seeds),
+        |d1 AS (SELECT seed, node, min(hop) AS hop FROM (
+        |        SELECT seed, node, hop FROM d0
+        |        UNION ALL
+        |        SELECT d0.seed, e.v AS node, d0.hop + 1 AS hop
+        |        FROM edges e JOIN d0 ON e.u = d0.node) x GROUP BY 1, 2),
+        |d2 AS (SELECT seed, node, min(hop) AS hop FROM (
+        |        SELECT seed, node, hop FROM d1
+        |        UNION ALL
+        |        SELECT d1.seed, e.v AS node, d1.hop + 1 AS hop
+        |        FROM edges e JOIN d1 ON e.u = d1.node) x GROUP BY 1, 2),
+        |d3 AS (SELECT seed, node, min(hop) AS hop FROM (
+        |        SELECT seed, node, hop FROM d2
+        |        UNION ALL
+        |        SELECT d2.seed, e.v AS node, d2.hop + 1 AS hop
+        |        FROM edges e JOIN d2 ON e.u = d2.node) x GROUP BY 1, 2),
+        |h AS (SELECT seed,
+        |        CAST(sum(CASE WHEN hop = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_hop1,
+        |        CAST(sum(CASE WHEN hop = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_hop2,
+        |        CAST(sum(CASE WHEN hop = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_hop3
+        |      FROM d3 WHERE hop > 0 GROUP BY 1)
+        |SELECT seed, n_hop1, n_hop2, n_hop3,
+        |  round(CAST(n_hop1 AS DOUBLE) + CAST(n_hop2 AS DOUBLE) / 2
+        |    + CAST(n_hop3 AS DOUBLE) / 3, 6) + 0.0 AS harmonic_3,
+        |  round(CAST(n_hop1 + n_hop2 + n_hop3 AS DOUBLE) / (n_nodes - 1),
+        |    6) + 0.0 AS reach_share_3
+        |FROM h, nn ORDER BY seed""".stripMargin,
+    "markov_entropy" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |t AS (SELECT event_type AS src,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS dst
+        |      FROM e),
+        |c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+        |      FROM t WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |cr AS (SELECT *, sum(c) OVER (PARTITION BY src) AS crow FROM c),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_transitions,
+        |        CAST(count(DISTINCT src) AS BIGINT) AS n_states,
+        |        sum(CAST(round(c * ln(CAST(c AS DOUBLE) / crow), 9)
+        |            AS DECIMAL(28,9))) AS hs
+        |      FROM cr)
+        |SELECT n_transitions, n_states,
+        |  round(-CAST(hs AS DOUBLE) / n_transitions, 6) + 0.0
+        |    AS entropy_rate_nats,
+        |  round(exp(-CAST(hs AS DOUBLE) / n_transitions), 6) + 0.0
+        |    AS perplexity
+        |FROM a""".stripMargin,
     "eval_recsys_coverage" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |           FROM lineitem),
