@@ -3783,7 +3783,99 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Standard-normal CDF as a SQL snippet — Abramowitz & Stegun 7.1.26
+    * (max abs error 1.5e-7, well inside the 6-dp compare): the SAME
+    * string is embedded in the Spark expr and the DuckDB oracle, so the
+    * arithmetic is token-identical in both engines. `x` must be a plain
+    * column reference or parenthesized expression. */
+  private def phiSql(x: String): String = {
+    val z = s"(abs($x) / sqrt(2.0))"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $z))"
+    val poly = s"($t * (0.254829592 + $t * (-0.284496736 + $t *" +
+      s" (1.421413741 + $t * (-1.453152027 + $t * 1.061405429)))))"
+    s"(0.5 * (1.0 + (CASE WHEN $x < 0 THEN -1.0 ELSE 1.0 END)" +
+      s" * (1.0 - $poly * exp(-$z * $z))))"
+  }
+
+  // ── TOST equivalence test between the click and purchase mean
+  // values: stats_ttest asks "are they different"; TOST asks the
+  // question a migration sign-off actually needs — "are they the SAME
+  // to within ±δ" (two one-sided Welch t's against a ±5%-of-pooled-mean
+  // margin; equivalence requires BOTH to reject). Group moments are the
+  // DECIMAL-exact frames; the one-sided p's go through the shared
+  // token-identical Φ polynomial, and the verdict branches on the 6-dp
+  // p (both engines compare identical values). ──
+  def statsTost(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .filter(col("event_type").isin(KsTypeA, KsTypeB))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s1"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("double").as("s2"))
+      .withColumn("m", expr("s1 / n"))
+      .withColumn("vi", expr(
+        "(n * s2 - s1 * s1) / (cast(n as double) * (n - 1))"))
+    val a = g.filter(col("event_type") === KsTypeA)
+      .select(col("n").as("n1"), col("m").as("m1"), col("vi").as("v1"))
+    val b = g.filter(col("event_type") === KsTypeB)
+      .select(col("n").as("n2"), col("m").as("m2"), col("vi").as("v2"))
+    a.crossJoin(broadcast(b))
+      .withColumn("d", expr("m1 - m2"))
+      .withColumn("delta", expr("abs(0.05D * (m1 + m2) / 2)"))
+      .withColumn("se", expr("sqrt(v1 / n1 + v2 / n2)"))
+      .withColumn("tl", expr("(d + delta) / se"))
+      .withColumn("tu", expr("(delta - d) / se"))
+      .withColumn("pmax6", r6(expr(
+        s"greatest(1.0 - ${phiSql("tl")}, 1.0 - ${phiSql("tu")})")))
+      .select(col("n1"), col("n2"), r6(col("d")).as("diff"),
+        r6(col("delta")).as("margin"), r6(col("se")).as("se"),
+        r6(col("tl")).as("t_lower"), r6(col("tu")).as("t_upper"),
+        col("pmax6").as("p_max"),
+        (col("pmax6") < 0.05).as("equivalent"))
+  }
+
+  // ── Bayesian A/B readout on user-level purchase conversion: the same
+  // portable-hash arms as ab_srm_check, Beta(x+1, n−x+1) posteriors,
+  // and P(B > A) by the normal approximation to the posterior
+  // difference — the "probability B is actually better" number a
+  // decision memo quotes instead of a p-value. Counts are exact int64;
+  // posterior moments are closed-form rationals of them; the single Φ
+  // goes through the shared token-identical polynomial. One user-level
+  // distinct + one flag aggregation. ──
+  def abBayesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val u = ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase").cast("long"))
+        .as("converted"))
+      .withColumn("arm",
+        expr("pmod(pmod(user_id, 2147483648) * 2654435761, 2147483648)" +
+          " % 2"))
+    u.agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L, col("converted")).otherwise(0L))
+          .as("x_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L, col("converted")).otherwise(0L))
+          .as("x_b"))
+      .withColumn("ma", expr("cast(x_a + 1 as double) / (n_a + 2)"))
+      .withColumn("mb", expr("cast(x_b + 1 as double) / (n_b + 2)"))
+      .withColumn("va", expr("cast(x_a + 1 as double) * (n_a - x_a + 1)" +
+        " / (cast(n_a + 2 as double) * (n_a + 2) * (n_a + 3))"))
+      .withColumn("vb", expr("cast(x_b + 1 as double) * (n_b - x_b + 1)" +
+        " / (cast(n_b + 2 as double) * (n_b + 2) * (n_b + 3))"))
+      .withColumn("zs", expr("(mb - ma) / sqrt(va + vb)"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        r6(expr("cast(x_a as double) / n_a")).as("cr_a"),
+        r6(expr("cast(x_b as double) / n_b")).as("cr_b"),
+        r6(expr("(cast(x_b as double) / n_b)" +
+          " / (cast(x_a as double) / n_a) - 1")).as("rel_lift"),
+        r6(expr(phiSql("zs"))).as("p_b_beats_a"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_tost"            -> statsTost _,
+    "ab_bayes_approx"       -> abBayesApprox _,
     "window_kama"           -> windowKama _,
     "dq_gap_scan"           -> dqGapScan _,
     "forecast_theta"        -> forecastTheta _,
@@ -3988,6 +4080,73 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_tost" ->
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST("value" AS DECIMAL(18,2))
+         |             * CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s2
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1),
+         |v AS (SELECT *, s1 / n AS m,
+         |        (n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1)) AS vi
+         |      FROM g),
+         |ab AS (SELECT
+         |    max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+         |    max(CASE WHEN event_type = 'click' THEN m END) AS m1,
+         |    max(CASE WHEN event_type = 'click' THEN vi END) AS v1,
+         |    max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+         |    max(CASE WHEN event_type = 'purchase' THEN m END) AS m2,
+         |    max(CASE WHEN event_type = 'purchase' THEN vi END) AS v2
+         |  FROM v),
+         |c AS (SELECT *, m1 - m2 AS d,
+         |        abs(0.05 * (m1 + m2) / 2) AS delta,
+         |        sqrt(v1 / n1 + v2 / n2) AS se
+         |      FROM ab),
+         |t AS (SELECT *, (d + delta) / se AS tl, (delta - d) / se AS tu
+         |      FROM c),
+         |p AS (SELECT *,
+         |        round(greatest(1.0 - ${phiSql("tl")},
+         |          1.0 - ${phiSql("tu")}), 6) + 0.0 AS pmax6
+         |      FROM t)
+         |SELECT n1, n2, round(d, 6) + 0.0 AS diff,
+         |  round(delta, 6) + 0.0 AS margin, round(se, 6) + 0.0 AS se,
+         |  round(tl, 6) + 0.0 AS t_lower, round(tu, 6) + 0.0 AS t_upper,
+         |  pmax6 AS p_max, pmax6 < 0.05 AS equivalent
+         |FROM p""".stripMargin,
+    "ab_bayes_approx" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted,
+         |    (user_id % 2147483648) * 2654435761 % 2147483648 % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS x_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS x_b
+         |  FROM u),
+         |m AS (SELECT *,
+         |    CAST(x_a + 1 AS DOUBLE) / (n_a + 2) AS ma,
+         |    CAST(x_b + 1 AS DOUBLE) / (n_b + 2) AS mb,
+         |    CAST(x_a + 1 AS DOUBLE) * (n_a - x_a + 1)
+         |      / (CAST(n_a + 2 AS DOUBLE) * (n_a + 2) * (n_a + 3)) AS va,
+         |    CAST(x_b + 1 AS DOUBLE) * (n_b - x_b + 1)
+         |      / (CAST(n_b + 2 AS DOUBLE) * (n_b + 2) * (n_b + 3)) AS vb
+         |  FROM c),
+         |z AS (SELECT *, (mb - ma) / sqrt(va + vb) AS zs FROM m)
+         |SELECT n_a, x_a, n_b, x_b,
+         |  round(CAST(x_a AS DOUBLE) / n_a, 6) + 0.0 AS cr_a,
+         |  round(CAST(x_b AS DOUBLE) / n_b, 6) + 0.0 AS cr_b,
+         |  round((CAST(x_b AS DOUBLE) / n_b)
+         |    / (CAST(x_a AS DOUBLE) / n_a) - 1, 6) + 0.0 AS rel_lift,
+         |  round(${phiSql("zs")}, 6) + 0.0 AS p_b_beats_a
+         |FROM z""".stripMargin,
     "window_kama" -> ("WITH RECURSIVE " + duckDailyTyped.drop(5) +
       """s0 AS (SELECT event_type, day, revc AS yc,
         |    CAST(row_number() OVER w AS BIGINT) AS rn,
