@@ -3873,7 +3873,82 @@ object StatsOps {
         r6(expr(phiSql("zs"))).as("p_b_beats_a"))
   }
 
+  // ── Weibull fit of the conversion-time distribution, by linearized
+  // regression on the Kaplan–Meier curve: ln(−ln S(t)) is LINEAR in
+  // ln t exactly when T ~ Weibull, so the OLS slope IS the shape k
+  // (k<1 infant-mortality, k>1 wear-out) and exp(−intercept/k) the
+  // scale — the parametric summary stats_kaplan_meier's curve points
+  // at. The regression consumes the 6-dp-SNAPPED survival (already
+  // engine-pinned by the KM ln-sum device), so every (x, y) point is
+  // identical cross-engine; moments are 9-dp DECIMAL term sums over
+  // the grid-sized curve. Points need 0 < S < 1 and t ≥ 1 h. ──
+  def statsWeibullFit(spark: SparkSession, dir: String): DataFrame = {
+    val s = survSubjects(spark, dir)
+    val byT = s.groupBy(col("t"))
+      .agg(sum(col("observed")).as("d"),
+        sum(lit(1L) - col("observed")).as("c"))
+    val w = Window.orderBy(col("t"))
+    val pts = byT
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("term", expr(
+        """CASE WHEN d > 0 AND d < n_risk
+          |THEN CAST(round(ln(1.0 - cast(d as double) / n_risk), 9)
+          |          AS DECIMAL(18,9)) END""".stripMargin))
+      .withColumn("cuml",
+        sum(col("term")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .filter(col("d") > 0 && col("d") < col("n_risk") && col("t") >= 1)
+      .withColumn("s6", r6(expr("exp(cast(cuml as double))")))
+      .filter(col("s6") > 0 && col("s6") < 1)
+      .select(expr("ln(cast(t as double))").as("x"),
+        expr("ln(-ln(s6))").as("y"))
+    pts.agg(count(lit(1)).as("n_points"),
+        sum(expr("CAST(round(x, 9) AS DECIMAL(18,9))")).as("sx"),
+        sum(expr("CAST(round(y, 9) AS DECIMAL(18,9))")).as("sy"),
+        sum(expr("CAST(round(x * y, 9) AS DECIMAL(18,9))")).as("sxy"),
+        sum(expr("CAST(round(x * x, 9) AS DECIMAL(18,9))")).as("sxx"))
+      .withColumn("k", expr(
+        "(n_points * cast(sxy as double) - cast(sx as double)" +
+          " * cast(sy as double)) / (n_points * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double))"))
+      .withColumn("a", expr(
+        "(cast(sy as double) - k * cast(sx as double)) / n_points"))
+      .select(col("n_points"), r6(col("k")).as("shape_k"),
+        r6(expr("exp(-a / k)")).as("scale_hours"),
+        r6(col("a")).as("intercept"))
+  }
+
+  // ── negative-binomial method-of-moments fit of per-user event counts
+  // per type — stats_overdispersion DETECTS var > mean; this fits the
+  // (r, p) the detection implies, the distribution a capacity planner
+  // simulates arrivals from (Poisson underestimates tails whenever the
+  // dispersion index exceeds 1). Moments are exact int64 (counts of
+  // counts); r = m²/(v−m), p = m/v are closed forms, nulled when the
+  // data is UNDER-dispersed and NB degenerates. One user-level
+  // reduction + one k-row pass. ──
+  def statsNegbinFit(spark: SparkSession, dir: String): DataFrame = {
+    val u = ev(spark, dir).groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("k"))
+    u.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("k")).as("sk"),
+        sum(col("k") * col("k")).as("sk2"))
+      .withColumn("m", expr("cast(sk as double) / n_users"))
+      .withColumn("v", expr(
+        "cast(n_users * sk2 - CAST(sk AS DECIMAL(28,0)) * sk as double)" +
+          " / (cast(n_users as double) * (n_users - 1))"))
+      .select(col("event_type"), col("n_users"),
+        r6(col("m")).as("mean"), r6(col("v")).as("variance"),
+        r6(expr("v / m")).as("dispersion"),
+        r6(expr("CASE WHEN v > m THEN m * m / (v - m) END")).as("r_fit"),
+        r6(expr("CASE WHEN v > m THEN m / v END")).as("p_fit"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_weibull_fit"     -> statsWeibullFit _,
+    "stats_negbin_fit"      -> statsNegbinFit _,
     "stats_tost"            -> statsTost _,
     "ab_bayes_approx"       -> abBayesApprox _,
     "window_kama"           -> windowKama _,
@@ -4080,6 +4155,81 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_weibull_fit" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, "value"
+        |  FROM events),
+        |subj AS (SELECT user_id, min(us) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' AND "value" >= 80
+        |        THEN us END) AS tp
+        |  FROM e GROUP BY 1),
+        |mx AS (SELECT max(us) AS mxus FROM e),
+        |s AS (SELECT CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END
+        |        AS observed,
+        |    (COALESCE(tp, mxus) - t0) // 3600000000 AS t
+        |  FROM subj, mx),
+        |byt AS (SELECT t, CAST(sum(observed) AS BIGINT) AS d,
+        |    CAST(sum(1 - observed) AS BIGINT) AS c
+        |  FROM s GROUP BY 1),
+        |cv AS (SELECT *,
+        |    sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS n_risk
+        |  FROM byt),
+        |tm AS (SELECT *,
+        |    CASE WHEN d > 0 AND d < n_risk
+        |      THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+        |           AS DECIMAL(18,9)) END AS term
+        |  FROM cv),
+        |cm AS (SELECT *,
+        |    sum(term) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuml
+        |  FROM tm),
+        |pt AS (SELECT ln(CAST(t AS DOUBLE)) AS x,
+        |    ln(-ln(round(exp(CAST(cuml AS DOUBLE)), 6) + 0.0)) AS y
+        |  FROM cm
+        |  WHERE d > 0 AND d < n_risk AND t >= 1
+        |    AND round(exp(CAST(cuml AS DOUBLE)), 6) + 0.0 > 0
+        |    AND round(exp(CAST(cuml AS DOUBLE)), 6) + 0.0 < 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS sx,
+        |    sum(CAST(round(y, 9) AS DECIMAL(18,9))) AS sy,
+        |    sum(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS sxy,
+        |    sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS sxx
+        |  FROM pt),
+        |k AS (SELECT *,
+        |    (n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |      * CAST(sy AS DOUBLE)) / (n_points * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS kk
+        |  FROM agg),
+        |a AS (SELECT *,
+        |    (CAST(sy AS DOUBLE) - kk * CAST(sx AS DOUBLE)) / n_points
+        |      AS aa
+        |  FROM k)
+        |SELECT n_points, round(kk, 6) + 0.0 AS shape_k,
+        |  round(exp(-aa / kk), 6) + 0.0 AS scale_hours,
+        |  round(aa, 6) + 0.0 AS intercept
+        |FROM a""".stripMargin,
+    "stats_negbin_fit" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(k) AS BIGINT) AS sk,
+        |    CAST(sum(k * k) AS BIGINT) AS sk2
+        |  FROM u GROUP BY 1),
+        |m AS (SELECT *, CAST(sk AS DOUBLE) / n_users AS m,
+        |    CAST(n_users * sk2 - CAST(sk AS DECIMAL(28,0)) * sk
+        |      AS DOUBLE) / (CAST(n_users AS DOUBLE) * (n_users - 1))
+        |      AS v
+        |  FROM g)
+        |SELECT event_type, n_users, round(m, 6) + 0.0 AS mean,
+        |  round(v, 6) + 0.0 AS variance,
+        |  round(v / m, 6) + 0.0 AS dispersion,
+        |  round(CASE WHEN v > m THEN m * m / (v - m) END, 6) + 0.0
+        |    AS r_fit,
+        |  round(CASE WHEN v > m THEN m / v END, 6) + 0.0 AS p_fit
+        |FROM m ORDER BY event_type""".stripMargin,
     "stats_tost" ->
       s"""WITH g AS (
          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
