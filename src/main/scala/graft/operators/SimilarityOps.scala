@@ -504,28 +504,45 @@ object SimilarityOps {
   // ── cumulative gains / lift by score decile — the campaign-targeting
   // read of the same scorer: if you action the top k/10 of the corpus
   // by score, what share of all positives do you capture, and at what
-  // multiple of random? Deciles are EXPLICIT integer ranks
-  // (((rn−1)·10) div n + 1 — the dist_lorenz device, never ntile),
-  // ranked by (score, vec_id) for a total order. All counts int64; two
-  // divisions per decile row. ──
+  // multiple of random? NO global row rank: the corpus reduces to the
+  // 6-dp score GRID first (map-side combine), each grid row spans an
+  // exact integer rank range, and a tie group straddling a decile
+  // boundary attributes its positives PRO-RATA (the unordered-tie
+  // semantics — a per-row rank would attribute them by arbitrary id).
+  // Decile boundaries are the explicit ((r−1)·10) div n fences; only
+  // grid-sized windows run. ──
   def evalLift(spark: SparkSession, dir: String): DataFrame = {
-    val s = centroidScored(spark, dir)
-    val w = Window.orderBy(col("cos6").desc, col("vec_id"))
-    val m = Window.partitionBy(lit(1))
-    val ranked = s.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(m))
-      .withColumn("np", sum(col("y")).over(m))
-      .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
-    ranked.groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("n_pos"),
+    val g = centroidScored(spark, dir)
+      .groupBy(col("cos6"))
+      .agg(count(lit(1)).as("t"), sum(col("y")).as("p"))
+    val byScore = Window.orderBy(col("cos6").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = g
+      .withColumn("lo", coalesce(sum(col("t")).over(byScore), lit(0L)) + 1)
+      .withColumn("hi",
+        coalesce(sum(col("t")).over(byScore), lit(0L)) + col("t"))
+    val tot = g.agg(sum(col("t")).as("n"), sum(col("p")).as("np"))
+    val alloc = spans.crossJoin(broadcast(tot))
+      .select(col("t"), col("p"), col("lo"), col("hi"), col("n"),
+        col("np"), explode(expr("sequence(1L, 10L)")).as("d"))
+      .withColumn("dlo", expr("((d - 1) * n + 9) div 10 + 1"))
+      .withColumn("dhi", expr("(d * n - 1) div 10 + 1"))
+      .withColumn("ov", expr(
+        "greatest(0L, least(hi, dhi) - greatest(lo, dlo) + 1)"))
+      .filter(col("ov") > 0)
+    alloc.groupBy(col("d"))
+      .agg(sum(col("ov")).as("n_rows"),
+        sum(expr("CAST(round(p * (cast(ov as double) / t), 9)" +
+          " AS DECIMAL(28,9))")).as("pos"),
         first(col("n")).as("n"), first(col("np")).as("np"))
-      .withColumn("cum_pos", sum(col("n_pos")).over(
-        Window.orderBy(col("decile"))
+      .withColumn("cum_pos", sum(col("pos")).over(
+        Window.orderBy(col("d"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("cum_rows", sum(col("n_rows")).over(
-        Window.orderBy(col("decile"))
+        Window.orderBy(col("d"))
           .rowsBetween(Window.unboundedPreceding, 0)))
-      .select(col("decile"), col("n_rows"), col("n_pos"),
+      .select(col("d").as("decile"), col("n_rows"),
+        r6c(expr("cast(pos as double)")).as("n_pos"),
         r6c(expr("cast(cum_pos as double) / np")).as("gain"),
         r6c(expr("(cast(cum_pos as double) / np)" +
           " / (cast(cum_rows as double) / n)")).as("lift"))
@@ -597,25 +614,44 @@ object SimilarityOps {
         |    + 0.0 AS f1
         |FROM c, tot ORDER BY threshold_bin DESC""".stripMargin),
     "eval_lift" -> (duckCentroidScored +
-      """r AS (SELECT *,
-        |        row_number() OVER (ORDER BY cos6 DESC, vec_id) AS rn,
-        |        count(*) OVER () AS n, sum(y) OVER () AS np
-        |      FROM sc),
-        |d AS (SELECT ((rn - 1) * 10) // n + 1 AS decile,
-        |        CAST(count(*) AS BIGINT) AS n_rows,
-        |        CAST(sum(y) AS BIGINT) AS n_pos,
-        |        CAST(max(n) AS BIGINT) AS n, CAST(max(np) AS BIGINT)
-        |          AS np
-        |      FROM r GROUP BY 1),
+      """g AS (SELECT cos6, CAST(count(*) AS BIGINT) AS t,
+        |        CAST(sum(y) AS BIGINT) AS p
+        |      FROM sc GROUP BY 1),
+        |sp AS (SELECT *,
+        |        COALESCE(sum(t) OVER (ORDER BY cos6 DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          + 1 AS lo,
+        |        COALESCE(sum(t) OVER (ORDER BY cos6 DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          + t AS hi
+        |      FROM g),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |          CAST(sum(p) AS BIGINT) AS np FROM g),
+        |al AS (SELECT sp.t, sp.p, sp.lo, sp.hi, tot.n, tot.np,
+        |         dd.d,
+        |         ((dd.d - 1) * tot.n + 9) // 10 + 1 AS dlo,
+        |         (dd.d * tot.n - 1) // 10 + 1 AS dhi
+        |       FROM sp, tot,
+        |         (SELECT unnest(range(1, 11)) AS d) dd),
+        |ov AS (SELECT *, greatest(0, least(hi, dhi)
+        |         - greatest(lo, dlo) + 1) AS ov
+        |       FROM al),
+        |ag AS (SELECT d, CAST(sum(ov) AS BIGINT) AS n_rows,
+        |         sum(CAST(round(p * (CAST(ov AS DOUBLE) / t), 9)
+        |             AS DECIMAL(28,9))) AS pos,
+        |         CAST(max(n) AS BIGINT) AS n,
+        |         CAST(max(np) AS BIGINT) AS np
+        |       FROM ov WHERE ov > 0 GROUP BY 1),
         |c AS (SELECT *,
-        |        sum(n_pos) OVER (ORDER BY decile
+        |        sum(pos) OVER (ORDER BY d
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |          AS cum_pos,
-        |        sum(n_rows) OVER (ORDER BY decile
+        |        sum(n_rows) OVER (ORDER BY d
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |          AS cum_rows
-        |      FROM d)
-        |SELECT decile, n_rows, n_pos,
+        |      FROM ag)
+        |SELECT CAST(d AS BIGINT) AS decile, n_rows,
+        |  round(CAST(pos AS DOUBLE), 6) + 0.0 AS n_pos,
         |  round(CAST(cum_pos AS DOUBLE) / np, 6) + 0.0 AS gain,
         |  round((CAST(cum_pos AS DOUBLE) / np)
         |    / (CAST(cum_rows AS DOUBLE) / n), 6) + 0.0 AS lift

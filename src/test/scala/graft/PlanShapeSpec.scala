@@ -336,7 +336,15 @@ class PlanShapeSpec extends SparkSuite {
       "stats_cliff_delta",    // the same 1-row totals broadcast
       "stats_mood_median",    // 1-row grand-median + 1-row 2×k totals
       "sample_class_balance", // 1-row minority-cap broadcast
-      "sample_kfold")         // 1-row fold-total broadcast vs k rows
+      "sample_kfold",         // 1-row fold-total broadcast vs k rows
+      // later-session-11 scalar broadcasts (audited in scaladoc):
+      "eval_roc_points",      // 1-row centroid + 1-row totals broadcasts
+      "eval_lift",            // the same centroid/totals broadcasts
+      "graph_closeness",      // 1-row node-count broadcast vs 5 seeds
+      "stats_ansari_bradley", // 1-row (n1,n2,N) totals broadcast vs grid
+      "stats_tost",           // 1-row moment frame × 1-row moment frame
+      "stats_welch_anova",    // 1-row weight-sum broadcast vs k rows
+      "stats_weibull_fit")    // 1-row corpus-horizon (max us) broadcast
     // collect ALL offenders before asserting — a failure names every
     // key that needs auditing, not just the alphabetically first
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
