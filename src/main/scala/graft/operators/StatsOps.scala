@@ -3946,7 +3946,114 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── Hurst exponent (rescaled-range, block sizes 16 and 32) of the
+  // per-type daily revenue: H>0.5 trending/persistent, H<0.5
+  // mean-reverting — the long-memory diagnostic that says whether
+  // window_ewma-style momentum or contrarian logic fits this series.
+  // Per (type, size): full blocks only, R = range of the cumulative
+  // deviation from the block mean (int cumsums minus k·mean — exact
+  // inputs), S = population σ from exact block moments; H = the
+  // two-point log-log slope ln(RS₁₆/RS₈)/ln 2. Block R/S terms snap
+  // to 9-dp DECIMAL before the cross-block mean. Everything runs on
+  // the grouped day grid. ──
+  def statsHurst(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("yc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+    val sized = daily.select(col("event_type"), col("yc"), col("rn"),
+      explode(array(lit(8), lit(16))).as("sz"))
+      .withColumn("b", expr("(rn - 1) div sz"))
+      .withColumn("k", expr("(rn - 1) % sz + 1"))
+    val blocks = sized.groupBy(col("event_type"), col("sz"), col("b"))
+      .agg(count(lit(1)).as("nb"), sum(col("yc")).as("s1"),
+        sum(expr("CAST(yc AS DECIMAL(28,0)) * yc")).as("s2"))
+      .filter(col("nb") === col("sz"))
+      .withColumn("mean", expr("cast(s1 as double) / sz"))
+      .withColumn("sd", expr(
+        "sqrt(cast(sz * s2 - CAST(s1 AS DECIMAL(28,0)) * s1 as double))" +
+          " / sz"))
+    val withCum = sized.join(blocks.select(col("event_type"), col("sz"),
+        col("b"), col("mean"), col("sd")), Seq("event_type", "sz", "b"))
+      .withColumn("cum", sum(col("yc")).over(
+        Window.partitionBy(col("event_type"), col("sz"), col("b"))
+          .orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dev", expr("cum - k * mean"))
+    val rs = withCum.groupBy(col("event_type"), col("sz"), col("b"))
+      .agg((max(col("dev")) - min(col("dev"))).as("r"),
+        first(col("sd")).as("sd"))
+      .filter(col("sd") > 0)
+      .groupBy(col("event_type"), col("sz"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("CAST(round(r / sd, 9) AS DECIMAL(18,9))")).as("rss"))
+      .withColumn("rs", expr("cast(rss as double) / n_blocks"))
+    val p8 = rs.filter(col("sz") === 8)
+      .select(col("event_type"), col("rs").as("rsa"),
+        col("n_blocks").as("blocks_8"))
+    val p16 = rs.filter(col("sz") === 16)
+      .select(col("event_type"), col("rs").as("rsb"),
+        col("n_blocks").as("blocks_16"))
+    p8.join(p16, "event_type")
+      .select(col("event_type"), col("blocks_8"), col("blocks_16"),
+        r6(col("rsa")).as("rs_8"), r6(col("rsb")).as("rs_16"),
+        r6(expr("ln(rsb / rsa) / ln(2.0D)")).as("hurst"))
+      .orderBy("event_type")
+  }
+
+  // ── sample entropy (m=2, r=0.2σ) of the per-type daily revenue —
+  // the regularity score anomaly hunters read BEFORE trusting a
+  // forecast: low SampEn = repeating patterns (forecastable), high =
+  // irregular. A = template pairs matching on 3 consecutive points, B
+  // on 2; SampEn = −ln(A/B). The O(n²) template join runs on the
+  // GROUP-SIZED day grid per type (the theilsen pair-join class, never
+  // the fact table); matches compare exact int64 cents against the
+  // 6-dp-snapped tolerance, so the pair counts are engine-identical
+  // integers and the single ln is the only float. ──
+  def statsSampleEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("yc"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("y1", lead(col("yc"), 1).over(wOrd))
+      .withColumn("y2", lead(col("yc"), 2).over(wOrd))
+      .filter(col("y2").isNotNull)
+    val tol = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("yc")).as("s1"),
+        sum(expr("CAST(yc AS DECIMAL(28,0)) * yc")).as("s2"))
+      .withColumn("r_tol", expr(
+        "round(0.2D * sqrt(cast(n * s2 - CAST(s1 AS DECIMAL(28,0)) * s1" +
+          " as double)) / n, 6)"))
+      .select(col("event_type"), col("n"), col("r_tol"))
+    val a = daily.alias("a")
+    val b = daily.alias("b")
+    val pairs = a.join(b, col("a.event_type") === col("b.event_type") &&
+        col("b.rn") > col("a.rn"))
+      .join(broadcast(tol.select(col("event_type").as("tet"), col("r_tol"))),
+        col("a.event_type") === col("tet"))
+      .select(col("a.event_type").as("et"),
+        (abs(col("a.yc") - col("b.yc")) <= col("r_tol")).as("m0"),
+        (abs(col("a.y1") - col("b.y1")) <= col("r_tol")).as("m1"),
+        (abs(col("a.y2") - col("b.y2")) <= col("r_tol")).as("m2"))
+    pairs.groupBy(col("et").as("event_type"))
+      .agg(sum((col("m0") && col("m1")).cast("long")).as("b_pairs"),
+        sum((col("m0") && col("m1") && col("m2")).cast("long"))
+          .as("a_pairs"))
+      .join(broadcast(tol), "event_type")
+      .select(col("event_type"), col("n").as("n_templates"),
+        r6(col("r_tol") / 100).as("tolerance"),
+        col("b_pairs"), col("a_pairs"),
+        r6(expr("CASE WHEN a_pairs > 0 AND b_pairs > 0" +
+          " THEN -ln(cast(a_pairs as double) / b_pairs) END"))
+          .as("sampen"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_hurst"           -> statsHurst _,
+    "stats_sample_entropy"  -> statsSampleEntropy _,
     "stats_weibull_fit"     -> statsWeibullFit _,
     "stats_negbin_fit"      -> statsNegbinFit _,
     "stats_tost"            -> statsTost _,
@@ -4155,6 +4262,82 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_hurst" -> (duckDailyTyped +
+      """dr AS (SELECT event_type, revc AS yc,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS rn
+        |  FROM daily),
+        |sz AS (SELECT dr.*, s.sz, (rn - 1) // s.sz AS b,
+        |    (rn - 1) % s.sz + 1 AS k
+        |  FROM dr, (SELECT unnest([8, 16]) AS sz) s),
+        |bl AS (SELECT event_type, sz, b,
+        |    CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(yc) AS BIGINT) AS s1,
+        |    sum(CAST(yc AS DECIMAL(28,0)) * yc) AS s2
+        |  FROM sz GROUP BY 1, 2, 3),
+        |bf AS (SELECT *, CAST(s1 AS DOUBLE) / sz AS mean,
+        |    sqrt(CAST(sz * s2 - CAST(s1 AS DECIMAL(28,0)) * s1
+        |      AS DOUBLE)) / sz AS sd
+        |  FROM bl WHERE nb = sz),
+        |wc AS (SELECT sz.event_type, sz.sz, sz.b, sz.k, sz.yc,
+        |    bf.mean, bf.sd,
+        |    sum(sz.yc) OVER (PARTITION BY sz.event_type, sz.sz, sz.b
+        |      ORDER BY sz.k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - sz.k * bf.mean AS dev
+        |  FROM sz JOIN bf ON sz.event_type = bf.event_type
+        |    AND sz.sz = bf.sz AND sz.b = bf.b),
+        |rb AS (SELECT event_type, sz, b,
+        |    max(dev) - min(dev) AS r, max(sd) AS sd
+        |  FROM wc GROUP BY 1, 2, 3),
+        |rs AS (SELECT event_type, sz,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CAST(round(r / sd, 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) / count(*) AS rs
+        |  FROM rb WHERE sd > 0 GROUP BY 1, 2)
+        |SELECT p16.event_type,
+        |  p16.n_blocks AS blocks_8, p32.n_blocks AS blocks_16,
+        |  round(p16.rs, 6) + 0.0 AS rs_8,
+        |  round(p32.rs, 6) + 0.0 AS rs_16,
+        |  round(ln(p32.rs / p16.rs) / ln(2.0), 6) + 0.0 AS hurst
+        |FROM (SELECT * FROM rs WHERE sz = 8) p16
+        |JOIN (SELECT * FROM rs WHERE sz = 16) p32
+        |  USING (event_type)
+        |ORDER BY event_type""".stripMargin),
+    "stats_sample_entropy" -> (duckDailyTyped +
+      """dr AS (SELECT event_type, revc AS yc,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    lead(revc, 1) OVER w AS y1, lead(revc, 2) OVER w AS y2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |df AS (SELECT * FROM dr WHERE y2 IS NOT NULL),
+        |tol AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    round(0.2 * sqrt(CAST(count(*) *
+        |      sum(CAST(yc AS DECIMAL(28,0)) * yc)
+        |      - CAST(sum(yc) AS DECIMAL(28,0)) * sum(yc) AS DOUBLE))
+        |      / count(*), 6) AS r_tol
+        |  FROM df GROUP BY 1),
+        |pr AS (SELECT a.event_type,
+        |    abs(a.yc - b.yc) <= t.r_tol AS m0,
+        |    abs(a.y1 - b.y1) <= t.r_tol AS m1,
+        |    abs(a.y2 - b.y2) <= t.r_tol AS m2
+        |  FROM df a JOIN df b
+        |    ON a.event_type = b.event_type AND b.rn > a.rn
+        |  JOIN tol t ON a.event_type = t.event_type),
+        |c AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN m0 AND m1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b_pairs,
+        |    CAST(sum(CASE WHEN m0 AND m1 AND m2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a_pairs
+        |  FROM pr GROUP BY 1)
+        |SELECT c.event_type, tol.n AS n_templates,
+        |  round(tol.r_tol / 100, 6) + 0.0 AS tolerance,
+        |  c.b_pairs, c.a_pairs,
+        |  round(CASE WHEN a_pairs > 0 AND b_pairs > 0
+        |    THEN -ln(CAST(a_pairs AS DOUBLE) / b_pairs) END, 6) + 0.0
+        |    AS sampen
+        |FROM c JOIN tol USING (event_type)
+        |ORDER BY event_type""".stripMargin),
     "stats_weibull_fit" ->
       """WITH e AS (SELECT user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, "value"
