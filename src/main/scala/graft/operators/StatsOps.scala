@@ -4051,7 +4051,86 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── central-DP mean with contribution clipping — the release
+  // mechanism for a NUMERIC statistic (privacy_dp_counts handles
+  // histograms): clip each value to [0, C] so one user moves the sum
+  // by at most C, add Laplace(C/ε) to the clipped sum and Laplace(1/ε)
+  // to the count, release noisy_sum/noisy_count. The clip bound is the
+  // entire sensitivity argument — emitted alongside so an auditor can
+  // check it. Same replayable inverse-CDF Laplace coin as
+  // privacy_dp_counts (hash of the category index; seeds 1/2 for the
+  // two releases); clipped sums are DECIMAL-exact. ──
+  def privacyDpMean(spark: SparkSession, dir: String): DataFrame = {
+    // CASE, not least/greatest: DuckDB's greatest() promotes DECIMAL to
+    // DOUBLE, which would turn the exact clipped sum order-dependent
+    val counts = ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        sum(expr("CASE WHEN CAST(value AS DECIMAL(18,2)) < 0" +
+          " THEN CAST(0 AS DECIMAL(18,2))" +
+          " WHEN CAST(value AS DECIMAL(18,2)) > 200" +
+          " THEN CAST(200 AS DECIMAL(18,2))" +
+          " ELSE CAST(value AS DECIMAL(18,2)) END"))
+          .cast("double").as("clipped_sum"))
+      .withColumn("j", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("event_type"))).cast("long"))
+    def lap(seed: Int, scale: String) = expr(
+      s"""CASE WHEN (pmod(pmod(j * 2 + $seed, 2147483648) * 2654435761,
+         |  2147483648) + 1) / 2147483649.0 < 0.5
+         |THEN $scale * round(ln(2.0 * ((pmod(pmod(j * 2 + $seed,
+         |  2147483648) * 2654435761, 2147483648) + 1) / 2147483649.0)),
+         |  9)
+         |ELSE -$scale * round(ln(2.0 * (1.0 - (pmod(pmod(j * 2 + $seed,
+         |  2147483648) * 2654435761, 2147483648) + 1) / 2147483649.0)),
+         |  9) END""".stripMargin)
+    counts
+      .withColumn("noisy_sum", col("clipped_sum") + lap(0, "200.0"))
+      .withColumn("noisy_n", col("c") + lap(1, "1.0"))
+      .select(col("event_type"), lit(1.0d).as("epsilon"),
+        lit(200.0d).as("clip_bound"),
+        r6(col("noisy_sum")).as("noisy_sum"),
+        r6(col("noisy_n")).as("noisy_count"),
+        r6(expr("noisy_sum / noisy_n")).as("dp_mean"))
+      .orderBy("event_type")
+  }
+
+  // ── small-cell suppression of the (event type × weekday) release
+  // table — the statistical-disclosure-control step every public data
+  // release runs: cells under the k=10 threshold are withheld
+  // (privacy_kanon MEASURES k-anonymity; this ENFORCES it on a
+  // marginal release), plus per-type complementary suppression of the
+  // minimum remaining cell whenever exactly one cell was withheld —
+  // otherwise the row total reveals it by subtraction. Weekday is
+  // epoch-day mod 7 (engine-neutral); the audit columns report how
+  // much mass suppression withheld. ──
+  def privacySuppression(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ev(spark, dir)
+      .groupBy(col("event_type"),
+        pmod(expr("datediff(day, DATE'1970-01-01')"), lit(7)).cast("long")
+          .as("dow"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("primary_sup", col("n") < 10)
+    val byType = Window.partitionBy(col("event_type"))
+    val marked = cells
+      .withColumn("n_sup", sum(col("primary_sup").cast("long")).over(byType))
+      .withColumn("min_ok", min(when(!col("primary_sup"), col("n")))
+        .over(byType))
+      .withColumn("secondary_sup",
+        col("n_sup") === 1 && !col("primary_sup") && col("n") === col("min_ok"))
+      // complementary rule ties: suppress the LOWEST dow among equal-n
+      .withColumn("min_dow", min(when(!col("primary_sup") &&
+        (col("n") === col("min_ok")), col("dow"))).over(byType))
+      .withColumn("suppressed", col("primary_sup") ||
+        (col("secondary_sup") && col("dow") === col("min_dow")))
+    marked.select(col("event_type"), col("dow"),
+        when(!col("suppressed"), col("n")).as("released_n"),
+        col("suppressed"),
+        col("primary_sup").as("is_primary"))
+      .orderBy("event_type", "dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_dp_mean"       -> privacyDpMean _,
+    "privacy_suppression"   -> privacySuppression _,
     "stats_hurst"           -> statsHurst _,
     "stats_sample_entropy"  -> statsSampleEntropy _,
     "stats_weibull_fit"     -> statsWeibullFit _,
@@ -4262,6 +4341,66 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "privacy_dp_mean" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN CAST("value" AS DECIMAL(18,2)) < 0
+        |      THEN CAST(0 AS DECIMAL(18,2))
+        |      WHEN CAST("value" AS DECIMAL(18,2)) > 200
+        |      THEN CAST(200 AS DECIMAL(18,2))
+        |      ELSE CAST("value" AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      AS clipped_sum
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT *, CAST(row_number() OVER (ORDER BY event_type)
+        |        AS BIGINT) AS j FROM c),
+        |u AS (SELECT *,
+        |    ((j * 2 + 0) % 2147483648 * 2654435761 % 2147483648 + 1)
+        |      / 2147483649.0 AS u0,
+        |    ((j * 2 + 1) % 2147483648 * 2654435761 % 2147483648 + 1)
+        |      / 2147483649.0 AS u1
+        |  FROM j),
+        |n AS (SELECT *,
+        |    clipped_sum + (CASE WHEN u0 < 0.5
+        |      THEN 200.0 * round(ln(2.0 * u0), 9)
+        |      ELSE -200.0 * round(ln(2.0 * (1.0 - u0)), 9) END)
+        |      AS noisy_sum,
+        |    c + (CASE WHEN u1 < 0.5 THEN 1.0 * round(ln(2.0 * u1), 9)
+        |      ELSE -1.0 * round(ln(2.0 * (1.0 - u1)), 9) END)
+        |      AS noisy_n
+        |  FROM u)
+        |SELECT event_type, CAST(1.0 AS DOUBLE) AS epsilon,
+        |  CAST(200.0 AS DOUBLE) AS clip_bound,
+        |  round(noisy_sum, 6) + 0.0 AS noisy_sum,
+        |  round(noisy_n, 6) + 0.0 AS noisy_count,
+        |  round(noisy_sum / noisy_n, 6) + 0.0 AS dp_mean
+        |FROM n ORDER BY event_type""".stripMargin,
+    "privacy_suppression" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')
+        |      % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT *, n < 10 AS primary_sup FROM cells),
+        |w AS (SELECT *,
+        |    sum(CASE WHEN primary_sup THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type) AS n_sup,
+        |    min(CASE WHEN NOT primary_sup THEN n END)
+        |      OVER (PARTITION BY event_type) AS min_ok
+        |  FROM m),
+        |w2 AS (SELECT *,
+        |    n_sup = 1 AND NOT primary_sup AND n = min_ok
+        |      AS secondary_sup,
+        |    min(CASE WHEN NOT primary_sup AND n = min_ok THEN dow END)
+        |      OVER (PARTITION BY event_type) AS min_dow
+        |  FROM w),
+        |f AS (SELECT *, primary_sup OR
+        |        (secondary_sup AND dow = min_dow) AS suppressed
+        |      FROM w2)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |  CASE WHEN NOT suppressed THEN n END AS released_n,
+        |  suppressed, primary_sup AS is_primary
+        |FROM f ORDER BY event_type, dow""".stripMargin,
     "stats_hurst" -> (duckDailyTyped +
       """dr AS (SELECT event_type, revc AS yc,
         |    CAST(row_number() OVER (PARTITION BY event_type
