@@ -4128,7 +4128,71 @@ object StatsOps {
       .orderBy("event_type", "dow")
   }
 
+  // ── process-capability indices Cp/Cpk of `value` per event type
+  // against fixed spec limits [10, 190] — the SPC summary that says
+  // whether a metric pipeline stays inside its contract (Cp = spec
+  // width over 6σ ignores centering; Cpk penalizes a drifted mean;
+  // < 1.33 is the classic "process not capable" fence). Pure
+  // moment arithmetic on the DECIMAL-exact group sums — one scan, one
+  // k-row pass; the capability verdict branches on the 6-dp Cpk. ──
+  def statsCpk(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s1"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("double").as("s2"))
+      .withColumn("m", expr("s1 / n"))
+      .withColumn("sd", expr(
+        "sqrt((n * s2 - s1 * s1) / (cast(n as double) * (n - 1)))"))
+      .withColumn("cpk6", r6(expr(
+        "least((190.0D - m) / (3 * sd), (m - 10.0D) / (3 * sd))")))
+      .select(col("event_type"), col("n"), r6(col("m")).as("mean"),
+        r6(col("sd")).as("sd"),
+        r6(expr("(190.0D - 10.0D) / (6 * sd)")).as("cp"),
+        col("cpk6").as("cpk"),
+        (col("cpk6") >= 1.33).as("capable"))
+      .orderBy("event_type")
+
+  // ── X̄ control chart on daily subgroups: each day's mean value per
+  // type against the grand mean ± 3σ/√n_day limits — the monitoring
+  // twin of stats_cpk (capability says CAN it stay in spec; the chart
+  // says IS it in control today). Limits derive from the same exact
+  // grand moments broadcast back to the |days|-grid; per-day means are
+  // exact cents/count divisions and the violation flag compares the
+  // 6-dp z so both engines flag identical days. Emits the full chart
+  // with per-day flags plus each type's violation totals. ──
+  def statsXbarChart(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("nd"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+          .as("sc"))
+    val grand = ev(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s1"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("double").as("s2"))
+      .withColumn("gm", expr("s1 / n"))
+      .withColumn("gsd", expr(
+        "sqrt((n * s2 - s1 * s1) / (cast(n as double) * (n - 1)))"))
+      .select(col("event_type"), col("gm"), col("gsd"))
+    val z = daily.join(broadcast(grand), "event_type")
+      .withColumn("xbar", expr("cast(sc as double) / (100 * nd)"))
+      .withColumn("z6", r6(expr(
+        "(xbar - gm) / (gsd / sqrt(cast(nd as double)))")))
+      .withColumn("violation", abs(col("z6")) > 3.0)
+    val days = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("violation").cast("long")).as("n_violations"))
+    z.join(days, "event_type")
+      .select(col("event_type"), col("day"), col("nd").as("n_obs"),
+        r6(col("xbar")).as("xbar"), col("z6").as("z"),
+        col("violation"), col("n_days"), col("n_violations"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cpk"             -> statsCpk _,
+    "stats_xbar_chart"      -> statsXbarChart _,
     "privacy_dp_mean"       -> privacyDpMean _,
     "privacy_suppression"   -> privacySuppression _,
     "stats_hurst"           -> statsHurst _,
@@ -4341,6 +4405,57 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_cpk" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))
+        |             * CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT *, s1 / n AS m,
+        |        sqrt((n * s2 - s1 * s1)
+        |          / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+        |      FROM g),
+        |c AS (SELECT *,
+        |        round(least((190.0 - m) / (3 * sd),
+        |          (m - 10.0) / (3 * sd)), 6) + 0.0 AS cpk6
+        |      FROM v)
+        |SELECT event_type, n, round(m, 6) + 0.0 AS mean,
+        |  round(sd, 6) + 0.0 AS sd,
+        |  round((190.0 - 10.0) / (6 * sd), 6) + 0.0 AS cp,
+        |  cpk6 AS cpk, cpk6 >= 1.33 AS capable
+        |FROM c ORDER BY event_type""".stripMargin,
+    "stats_xbar_chart" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS sc
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))
+        |             * CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |gr AS (SELECT event_type, s1 / n AS gm,
+        |    sqrt((n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1)))
+        |      AS gsd
+        |  FROM g),
+        |z AS (SELECT d.*, gr.gm, gr.gsd,
+        |    CAST(d.sc AS DOUBLE) / (100 * d.nd) AS xbar,
+        |    round((CAST(d.sc AS DOUBLE) / (100 * d.nd) - gr.gm)
+        |      / (gr.gsd / sqrt(CAST(d.nd AS DOUBLE))), 6) + 0.0 AS z6
+        |  FROM daily d JOIN gr USING (event_type)),
+        |zz AS (SELECT *, abs(z6) > 3.0 AS violation FROM z),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN violation THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations
+        |  FROM zz GROUP BY 1)
+        |SELECT zz.event_type, zz.day, zz.nd AS n_obs,
+        |  round(zz.xbar, 6) + 0.0 AS xbar, zz.z6 AS z,
+        |  zz.violation, t.n_days, t.n_violations
+        |FROM zz JOIN t USING (event_type)
+        |ORDER BY zz.event_type, zz.day""".stripMargin,
     "privacy_dp_mean" ->
       """WITH c AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS c,
