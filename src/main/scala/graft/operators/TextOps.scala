@@ -1332,7 +1332,87 @@ object TextOps {
     out
   }
 
+  /** RAKE stopword fence (Rose et al. 2010 uses a full stoplist; this
+    * fixed 24-word core is shared verbatim with the oracle). */
+  private val RakeStops = Seq("the", "a", "an", "and", "or", "but", "of",
+    "in", "on", "at", "to", "for", "with", "by", "from", "as", "is",
+    "are", "was", "were", "be", "this", "that", "it")
+
+  // ── RAKE keyphrase extraction over the corpus (Rose et al. 2010):
+  // candidate phrases are maximal stopword-free token runs (capped at
+  // 4 words), each word scores degree/frequency (degree = Σ length of
+  // phrases it appears in — co-occurrence reach; frequency demotes
+  // ubiquitous words), and a phrase scores the sum of its word
+  // scores — the zero-training keyword extractor curation pipelines
+  // run to label what a corpus is ABOUT. Phrase segmentation is one
+  // doc-partitioned running count of stopword boundaries (no UDF, no
+  // per-doc loop); word stats are two corpus-keyed aggregations;
+  // phrase scores sum 9-dp DECIMAL terms (associative). Top 30 via
+  // TakeOrderedAndProject. ──
+  def textKeyphraseRake(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = RakeStops.map(s => s"'$s'").mkString(", ")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(expr(
+        "filter(split(trim(lower(text)), '[^a-z0-9]+'), x -> x <> '')"))
+        .as(Seq("pos", "tok")))
+      .withColumn("is_stop", expr(s"array_contains(array($stopArr), tok)"))
+      .withColumn("pid", sum(col("is_stop").cast("long")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(!col("is_stop"))
+    val phrases = toks.groupBy(col("doc_id"), col("pid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, tok)))," +
+        " s -> s.tok)").as("ws"))
+      .filter(size(col("ws")).between(1, 4))
+      .withColumn("plen", size(col("ws")).cast("long"))
+      .withColumn("phrase", array_join(col("ws"), " "))
+    val words = phrases.select(col("doc_id"), col("pid"), col("plen"),
+      explode(col("ws")).as("w"))
+    val wscore = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wsc", expr("cast(deg as double) / freq"))
+    val scored = words.join(wscore.select(col("w"), col("wsc")), "w")
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(sum(expr("CAST(round(wsc, 9) AS DECIMAL(18,9))")).as("psc"))
+    phrases.select(col("doc_id"), col("pid"), col("phrase"))
+      .join(scored, Seq("doc_id", "pid"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(expr("cast(psc as double)")).as("sc"))
+      .select(col("phrase"), col("n_occurrences"),
+        (round(col("sc"), 6) + lit(0.0d)).as("score"))
+      .orderBy(desc("score"), col("phrase"))
+      .limit(30)
+  }
+
+  // ── out-of-vocabulary rate per document against a fixed top-32
+  // corpus vocabulary — the tokenizer-coverage audit run before
+  // committing to a vocab size: a doc whose tokens mostly fall outside
+  // the head vocabulary will fragment into many subword pieces
+  // (expensive) or <unk> (lossy). The vocab is ONE corpus-keyed count
+  // → top-32 by (freq desc, token) → broadcast; per-doc coverage is a
+  // map-side semi-membership count. At 100 TB the vocab aggregation is
+  // the only shuffle. ──
+  def textOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok")).limit(32)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        (round(expr("cast(n_oov as double) / n_toks"), 6) + lit(0.0d))
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyphrase_rake"   -> textKeyphraseRake _,
+    "text_oov_rate"         -> textOovRate _,
     "decontaminate_near"    -> decontaminateNear _,
     "decontaminate_report"  -> decontaminateReport _,
     "text_readability"      -> textReadability _,
@@ -1482,7 +1562,60 @@ object TextOps {
       |  WHERE len(toks) >= 5),
       |""".stripMargin
 
+  private val duckRakeStops: String =
+    RakeStops.map(s => s"'$s'").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "text_keyphrase_rake" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)),
+         |      '[^a-z0-9]+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, i AS pos, toks[i] AS tok
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1))
+         |    AS i)),
+         |st AS (SELECT *, tok IN ($duckRakeStops) AS is_stop FROM tk),
+         |pp AS (SELECT *,
+         |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS pid
+         |  FROM st),
+         |nf AS (SELECT * FROM pp WHERE NOT is_stop),
+         |ph AS (SELECT doc_id, pid,
+         |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |    CAST(count(*) AS BIGINT) AS plen
+         |  FROM nf GROUP BY 1, 2 HAVING count(*) BETWEEN 1 AND 4),
+         |wd AS (SELECT nf.doc_id, nf.pid, ph.plen, nf.tok AS w
+         |  FROM nf JOIN ph USING (doc_id, pid)),
+         |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(plen) AS BIGINT) AS deg
+         |  FROM wd GROUP BY 1),
+         |sc AS (SELECT wd.doc_id, wd.pid,
+         |    sum(CAST(round(CAST(ws.deg AS DOUBLE) / ws.freq, 9)
+         |        AS DECIMAL(18,9))) AS psc
+         |  FROM wd JOIN ws USING (w) GROUP BY 1, 2),
+         |f AS (SELECT ph.phrase,
+         |    CAST(count(*) AS BIGINT) AS n_occurrences,
+         |    max(CAST(sc.psc AS DOUBLE)) AS s
+         |  FROM ph JOIN sc USING (doc_id, pid) GROUP BY 1)
+         |SELECT phrase, n_occurrences, round(s, 6) + 0.0 AS score
+         |FROM f ORDER BY score DESC, phrase LIMIT 30""".stripMargin,
+    "text_oov_rate" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT * FROM tk WHERE tok <> ''),
+        |v AS (SELECT tok FROM
+        |    (SELECT tok, count(*) AS c FROM f GROUP BY 1
+        |     ORDER BY c DESC, tok LIMIT 32))
+        |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) + 0.0 AS oov_rate
+        |FROM f LEFT JOIN v ON f.tok = v.tok
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "decontaminate_near" -> (duckSh5 +
       """ts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
         |       FROM sht GROUP BY 1),
