@@ -4190,7 +4190,86 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  // ── 10% trimmed and winsorized means of `value` per event type —
+  // the robust-location pair a metrics report quotes when stats_ttest's
+  // plain mean is hostage to tails (trimming DROPS the extreme k=⌊n/10⌋
+  // each side; winsorizing CLAMPS them to the surviving extremes). Both
+  // are EXACT on the grouped cents grid: each tie group spans an
+  // integer rank range, the trim window [k+1, n−k] intersects it in
+  // closed form (the eval_lift span-overlap device), and the clamp
+  // values are the grid rows covering ranks k+1 and n−k — int64
+  // arithmetic to the final divisions. ──
+  def statsTrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("t"))
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = g
+      .withColumn("lo", coalesce(sum(col("t")).over(byVal), lit(0L)) + 1)
+      .withColumn("hi",
+        coalesce(sum(col("t")).over(byVal), lit(0L)) + col("t"))
+    val tot = g.groupBy(col("event_type"))
+      .agg(sum(col("t")).as("n"), sum(col("t") * col("vc")).as("sv"))
+      .withColumn("k", expr("n div 10"))
+    spans.join(broadcast(tot), "event_type")
+      .withColumn("ov", expr(
+        "greatest(0L, least(hi, n - k) - greatest(lo, k + 1) + 1)"))
+      .groupBy(col("event_type"), col("n"), col("k"), col("sv"))
+      .agg(sum(expr("ov * vc")).as("trim_sum"),
+        sum(col("ov")).as("n_kept"),
+        min(when(col("hi") >= col("k") + 1, col("vc"))).as("v_lo"),
+        min(when(col("hi") >= expr("n - k"), col("vc"))).as("v_hi"))
+      .select(col("event_type"), col("n"),
+        r6(expr("cast(sv as double) / (100 * n)")).as("mean"),
+        r6(expr("cast(trim_sum as double) / (100 * n_kept)"))
+          .as("trimmed_mean_10"),
+        r6(expr("cast(trim_sum + k * (v_lo + v_hi) as double)" +
+          " / (100 * n)")).as("winsor_mean_10"),
+        r6(expr("cast(v_lo as double) / 100")).as("clamp_lo"),
+        r6(expr("cast(v_hi as double) / 100")).as("clamp_hi"))
+      .orderBy("event_type")
+  }
+
+  // ── Tukey boxplot fences per event type: Q1/Q3 (the established
+  // percentile ↔ quantile_cont interpolation pairing), IQR, the
+  // 1.5·IQR inner and 3·IQR outer fences, and HOW MANY observations
+  // fall outside each — the outlier budget that decides between
+  // anomaly_mad's robust band and a plain threshold. Fences snap to
+  // 6 dp BEFORE the comparison pass, so both engines count identical
+  // outlier sets. Two scans (quantiles, then counts vs the broadcast
+  // fences). ──
+  def statsIqrFences(spark: SparkSession, dir: String): DataFrame = {
+    val q = ev(spark, dir).groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25D)").as("q1"),
+        expr("percentile(value, 0.75D)").as("q3"))
+      .withColumn("iqr", expr("q3 - q1"))
+      .withColumn("lo_in", r6(expr("q1 - 1.5D * iqr")))
+      .withColumn("hi_in", r6(expr("q3 + 1.5D * iqr")))
+      .withColumn("lo_out", r6(expr("q1 - 3.0D * iqr")))
+      .withColumn("hi_out", r6(expr("q3 + 3.0D * iqr")))
+    ev(spark, dir).join(broadcast(q), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), first(col("q1")).as("q1d"),
+        first(col("q3")).as("q3d"), first(col("lo_in")).as("li"),
+        first(col("hi_in")).as("hi"), first(col("lo_out")).as("lo"),
+        first(col("hi_out")).as("ho"),
+        sum(((col("value") < col("lo_in")) ||
+          (col("value") > col("hi_in"))).cast("long")).as("n_mild"),
+        sum(((col("value") < col("lo_out")) ||
+          (col("value") > col("hi_out"))).cast("long")).as("n_extreme"))
+      .select(col("event_type"), col("n"),
+        r6(col("q1d")).as("q1"), r6(col("q3d")).as("q3"),
+        col("li").as("fence_lo"), col("hi").as("fence_hi"),
+        col("n_mild"), col("n_extreme"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_trimmed_mean"    -> statsTrimmedMean _,
+    "stats_iqr_fences"      -> statsIqrFences _,
     "stats_cpk"             -> statsCpk _,
     "stats_xbar_chart"      -> statsXbarChart _,
     "privacy_dp_mean"       -> privacyDpMean _,
@@ -4405,6 +4484,66 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_trimmed_mean" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT *,
+        |    COALESCE(sum(t) OVER (PARTITION BY event_type ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      AS lo,
+        |    COALESCE(sum(t) OVER (PARTITION BY event_type ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t
+        |      AS hi
+        |  FROM g),
+        |tot AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(t * vc) AS BIGINT) AS sv,
+        |    CAST(sum(t) AS BIGINT) // 10 AS k
+        |  FROM g GROUP BY 1),
+        |ov AS (SELECT sp.*, tot.n, tot.sv, tot.k,
+        |    greatest(0, least(sp.hi, tot.n - tot.k)
+        |      - greatest(sp.lo, tot.k + 1) + 1) AS ov
+        |  FROM sp JOIN tot USING (event_type)),
+        |a AS (SELECT event_type, n, k, sv,
+        |    CAST(sum(ov * vc) AS BIGINT) AS trim_sum,
+        |    CAST(sum(ov) AS BIGINT) AS n_kept,
+        |    min(CASE WHEN hi >= k + 1 THEN vc END) AS v_lo,
+        |    min(CASE WHEN hi >= n - k THEN vc END) AS v_hi
+        |  FROM ov GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n,
+        |  round(CAST(sv AS DOUBLE) / (100 * n), 6) + 0.0 AS mean,
+        |  round(CAST(trim_sum AS DOUBLE) / (100 * n_kept), 6) + 0.0
+        |    AS trimmed_mean_10,
+        |  round(CAST(trim_sum + k * (v_lo + v_hi) AS DOUBLE)
+        |    / (100 * n), 6) + 0.0 AS winsor_mean_10,
+        |  round(CAST(v_lo AS DOUBLE) / 100, 6) + 0.0 AS clamp_lo,
+        |  round(CAST(v_hi AS DOUBLE) / 100, 6) + 0.0 AS clamp_hi
+        |FROM a ORDER BY event_type""".stripMargin,
+    "stats_iqr_fences" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_cont("value", 0.25) AS q1,
+        |    quantile_cont("value", 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT *, q3 - q1 AS iqr,
+        |    round(q1 - 1.5 * (q3 - q1), 6) + 0.0 AS lo_in,
+        |    round(q3 + 1.5 * (q3 - q1), 6) + 0.0 AS hi_in,
+        |    round(q1 - 3.0 * (q3 - q1), 6) + 0.0 AS lo_out,
+        |    round(q3 + 3.0 * (q3 - q1), 6) + 0.0 AS hi_out
+        |  FROM q)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(f.q1, 6) + 0.0 AS q1, round(f.q3, 6) + 0.0 AS q3,
+        |  f.lo_in AS fence_lo, f.hi_in AS fence_hi,
+        |  CAST(sum(CASE WHEN e."value" < f.lo_in
+        |    OR e."value" > f.hi_in THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mild,
+        |  CAST(sum(CASE WHEN e."value" < f.lo_out
+        |    OR e."value" > f.hi_out THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_extreme
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY 1, 3, 4, 5, 6 ORDER BY e.event_type""".stripMargin,
     "stats_cpk" ->
       """WITH g AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
