@@ -4267,7 +4267,101 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── tabular two-sided CUSUM chart (k=0.5σ slack, h=4σ decision
+  // interval, reset-on-alarm) on the standardized daily revenue —
+  // window_cusum plots the raw cumulative deviation; THIS is the
+  // SPC-grade detector with the slack that ignores noise and the
+  // decision limit that fires on a sustained small shift (the case
+  // ±3σ X̄ charts are blind to). The genuinely sequential recursion
+  // C⁺ₜ = max(0, C⁺ₜ₋₁ + zₜ − k) runs as one codegen'd fold per type
+  // (the forecast_holt shape); z comes from exact grand moments
+  // broadcast into the fold. Emits each type's final state + alarm
+  // count. ──
+  def statsCusumChart(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("yc"))
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("yc")).as("s1"),
+        sum(expr("CAST(yc AS DECIMAL(28,0)) * yc")).as("s2"))
+      .withColumn("mu", expr("cast(s1 as double) / n"))
+      .withColumn("sd", expr(
+        "sqrt(cast(n * s2 - CAST(s1 AS DECIMAL(28,0)) * s1 as double)" +
+          " / (cast(n as double) * (n - 1)))"))
+      .select(col("event_type"), col("mu"), col("sd"))
+    daily.join(broadcast(mom), "event_type")
+      .withColumn("z", expr("(yc - mu) / sd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("z")))).as("s"))
+      .withColumn("st", expr(
+        """aggregate(s,
+          |  named_struct('cp', 0.0D, 'cn', 0.0D, 'al', 0L),
+          |  (st, x) -> IF(
+          |    greatest(0.0D, st.cp + x.z - 0.5D) > 4.0D OR
+          |    least(0.0D, st.cn + x.z + 0.5D) < -4.0D,
+          |    named_struct('cp', 0.0D, 'cn', 0.0D, 'al', st.al + 1),
+          |    named_struct('cp', greatest(0.0D, st.cp + x.z - 0.5D),
+          |      'cn', least(0.0D, st.cn + x.z + 0.5D), 'al', st.al)))"""
+          .stripMargin))
+      .select(col("event_type"), col("n_days"),
+        r6(col("st.cp")).as("cusum_pos"),
+        r6(col("st.cn")).as("cusum_neg"),
+        col("st.al").as("n_alarms"))
+      .orderBy("event_type")
+  }
+
+  // ── Page–Hinkley drift detector (δ=0.1, λ=5, standardized units) —
+  // the ONLINE change detector a streaming ingest pipeline embeds
+  // (stats_pettitt is the offline retrospective twin): mₜ accumulates
+  // deviations from the RUNNING mean, PH = m − min m fires when the
+  // recent level drifts up relative to history. The whole
+  // (count, sum, m, min m, alarm) state advances in one sequential
+  // fold per type; the recursion is replayed verbatim by the oracle's
+  // recursive CTE. ──
+  def statsPageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("yc"))
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("yc")).as("s1"),
+        sum(expr("CAST(yc AS DECIMAL(28,0)) * yc")).as("s2"))
+      .withColumn("mu", expr("cast(s1 as double) / n"))
+      .withColumn("sd", expr(
+        "sqrt(cast(n * s2 - CAST(s1 AS DECIMAL(28,0)) * s1 as double)" +
+          " / (cast(n as double) * (n - 1)))"))
+      .select(col("event_type"), col("mu"), col("sd"))
+    daily.join(broadcast(mom), "event_type")
+      .withColumn("z", expr("(yc - mu) / sd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("z")))).as("s"))
+      .withColumn("st", expr(
+        """aggregate(s,
+          |  named_struct('i', 0L, 'sm', 0.0D, 'm', 0.0D,
+          |    'mn', 0.0D, 'al', 0L),
+          |  (st, x) -> named_struct(
+          |    'i', st.i + 1,
+          |    'sm', st.sm + x.z,
+          |    'm', st.m + x.z - (st.sm + x.z) / (st.i + 1) - 0.1D,
+          |    'mn', least(st.mn,
+          |      st.m + x.z - (st.sm + x.z) / (st.i + 1) - 0.1D),
+          |    'al', st.al + IF(st.m + x.z - (st.sm + x.z) / (st.i + 1)
+          |      - 0.1D - least(st.mn, st.m + x.z - (st.sm + x.z)
+          |      / (st.i + 1) - 0.1D) > 5.0D, 1L, 0L)))""".stripMargin))
+      .select(col("event_type"), col("n_days"),
+        r6(col("st.m")).as("m_stat"),
+        r6(col("st.mn")).as("m_min"),
+        r6(expr("st.m - st.mn")).as("ph_stat"),
+        (round(expr("st.m - st.mn"), 6) + lit(0.0d) > 5.0)
+          .as("drift_flag"),
+        col("st.al").as("n_alarm_days"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cusum_chart"     -> statsCusumChart _,
+    "stats_page_hinkley"    -> statsPageHinkley _,
     "stats_trimmed_mean"    -> statsTrimmedMean _,
     "stats_iqr_fences"      -> statsIqrFences _,
     "stats_cpk"             -> statsCpk _,
@@ -4483,7 +4577,86 @@ object StatsOps {
       |        FROM spend),
       |""".stripMargin
 
+  /** Standardized daily series + row numbers for the sequential drift
+    * oracles (appended to the daily CTE, recursion-ready). */
+  private val duckZSeries: String =
+    """mo AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(revc) AS BIGINT) AS s1,
+      |    sum(CAST(revc AS DECIMAL(28,0)) * revc) AS s2
+      |  FROM daily GROUP BY 1),
+      |mm AS (SELECT event_type, CAST(s1 AS DOUBLE) / n AS mu,
+      |    sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(28,0)) * s1 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+      |  FROM mo),
+      |zs AS (SELECT d.event_type,
+      |    (d.revc - mm.mu) / mm.sd AS z,
+      |    CAST(row_number() OVER (PARTITION BY d.event_type
+      |      ORDER BY d.day) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY d.event_type) AS BIGINT)
+      |      AS n
+      |  FROM daily d JOIN mm USING (event_type)),
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "stats_cusum_chart" -> ("WITH RECURSIVE " + duckDailyTyped.drop(5) +
+      duckZSeries +
+      """rec AS (
+        |  SELECT event_type, n, rn,
+        |    CASE WHEN greatest(0.0, z - 0.5) > 4.0
+        |      OR least(0.0, z + 0.5) < -4.0 THEN 0.0
+        |      ELSE greatest(0.0, z - 0.5) END AS cp,
+        |    CASE WHEN greatest(0.0, z - 0.5) > 4.0
+        |      OR least(0.0, z + 0.5) < -4.0 THEN 0.0
+        |      ELSE least(0.0, z + 0.5) END AS cn,
+        |    CASE WHEN greatest(0.0, z - 0.5) > 4.0
+        |      OR least(0.0, z + 0.5) < -4.0 THEN 1 ELSE 0 END
+        |      AS al
+        |  FROM zs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, p.rn,
+        |    CASE WHEN greatest(0.0, r.cp + p.z - 0.5) > 4.0
+        |      OR least(0.0, r.cn + p.z + 0.5) < -4.0 THEN 0.0
+        |      ELSE greatest(0.0, r.cp + p.z - 0.5) END,
+        |    CASE WHEN greatest(0.0, r.cp + p.z - 0.5) > 4.0
+        |      OR least(0.0, r.cn + p.z + 0.5) < -4.0 THEN 0.0
+        |      ELSE least(0.0, r.cn + p.z + 0.5) END,
+        |    r.al + CASE WHEN greatest(0.0, r.cp + p.z - 0.5) > 4.0
+        |      OR least(0.0, r.cn + p.z + 0.5) < -4.0 THEN 1 ELSE 0 END
+        |  FROM rec r JOIN zs p
+        |    ON p.event_type = r.event_type AND p.rn = r.rn + 1
+        |  WHERE r.rn < r.n)
+        |SELECT event_type, n AS n_days,
+        |  round(cp, 6) + 0.0 AS cusum_pos,
+        |  round(cn, 6) + 0.0 AS cusum_neg,
+        |  CAST(al AS BIGINT) AS n_alarms
+        |FROM rec WHERE rn = n ORDER BY event_type""".stripMargin),
+    "stats_page_hinkley" -> ("WITH RECURSIVE " + duckDailyTyped.drop(5) +
+      duckZSeries +
+      """rec AS (
+        |  SELECT event_type, n, rn, CAST(1 AS BIGINT) AS i,
+        |    z AS sm, z - z / 1 - 0.1 AS m,
+        |    least(0.0, z - z / 1 - 0.1) AS mn,
+        |    CAST(CASE WHEN z - z / 1 - 0.1
+        |      - least(0.0, z - z / 1 - 0.1) > 5.0
+        |      THEN 1 ELSE 0 END AS BIGINT) AS al
+        |  FROM zs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, p.rn, r.i + 1,
+        |    r.sm + p.z,
+        |    r.m + p.z - (r.sm + p.z) / (r.i + 1) - 0.1,
+        |    least(r.mn, r.m + p.z - (r.sm + p.z) / (r.i + 1) - 0.1),
+        |    r.al + CASE WHEN r.m + p.z - (r.sm + p.z) / (r.i + 1)
+        |      - 0.1 - least(r.mn, r.m + p.z - (r.sm + p.z)
+        |      / (r.i + 1) - 0.1) > 5.0 THEN 1 ELSE 0 END
+        |  FROM rec r JOIN zs p
+        |    ON p.event_type = r.event_type AND p.rn = r.rn + 1
+        |  WHERE r.rn < r.n)
+        |SELECT event_type, n AS n_days,
+        |  round(m, 6) + 0.0 AS m_stat, round(mn, 6) + 0.0 AS m_min,
+        |  round(m - mn, 6) + 0.0 AS ph_stat,
+        |  round(m - mn, 6) + 0.0 > 5.0 AS drift_flag,
+        |  al AS n_alarm_days
+        |FROM rec WHERE rn = n ORDER BY event_type""".stripMargin),
     "stats_trimmed_mean" ->
       """WITH g AS (
         |  SELECT event_type,
