@@ -4359,7 +4359,233 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── restricted mean survival time per hash arm — the censoring-robust
+  // A/B effect measure when proportional hazards fails (stats_logrank
+  // tests the event RATE over time; THIS reports expected event-free
+  // hours up to a shared horizon τ = the smaller arm's own follow-up
+  // limit, so neither arm extrapolates beyond what it observed). Area
+  // under each arm's KM step curve: S is snapped to a 9-dp DECIMAL the
+  // moment it leaves exp(), and every interval contribution S·Δt is
+  // DECIMAL × integer hours — the accumulated area is exact, so
+  // summation order can't diverge between engines. Median survival =
+  // first event time where the snapped S ≤ 0.5 (NULL when the curve
+  // never crosses — itself a deterministic fact). Same subject frame
+  // and arm coin as stats_logrank: the survival family shares ONE
+  // user-level reduction however many diagnostics read it. ──
+  def statsRmst(spark: SparkSession, dir: String): DataFrame = {
+    val s = survSubjects(spark, dir).withColumn("g",
+      expr("pmod(pmod(user_id, 2147483648) * 2654435761, 2147483648) % 2"))
+    val tau = s.groupBy(col("g")).agg(max(col("t")).as("mxt"))
+      .agg(min(col("mxt")).as("tau"))
+    val byT = s.groupBy(col("g"), col("t"))
+      .agg(sum(col("observed")).as("d"),
+        sum(lit(1L) - col("observed")).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("t"))
+    val curve = byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("term", expr(
+        """CASE WHEN d > 0 AND d < n_risk
+          |THEN CAST(round(ln(1.0 - cast(d as double) / n_risk), 9)
+          |          AS DECIMAL(18,9)) END""".stripMargin))
+      .withColumn("cuml", sum(col("term")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("d") > 0)
+      .withColumn("s9", expr(
+        """CASE WHEN d = n_risk THEN CAST(0 AS DECIMAL(18,9))
+          |ELSE CAST(round(exp(cast(cuml as double)), 9)
+          |     AS DECIMAL(18,9)) END""".stripMargin))
+      .crossJoin(broadcast(tau))
+      .withColumn("tn",
+        least(coalesce(lead(col("t"), 1).over(w), col("tau")), col("tau")))
+    val ar = curve.groupBy(col("g"), col("tau"))
+      .agg(min(col("t")).as("t1"),
+        sum(expr("s9 * CAST(greatest(0L, tn - t) AS DECIMAL(10,0))"))
+          .as("area_ev"),
+        min(expr("CASE WHEN s9 <= 0.5 THEN t END")).as("median_t"))
+    val grp = s.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_subj"), sum(col("observed")).as("n_events"))
+    ar.join(broadcast(grp), "g")
+      .select(col("g"), col("n_subj"), col("n_events"),
+        col("tau").as("tau_hours"), col("median_t").as("median_t_hours"),
+        r6(expr("cast(least(t1, tau) + area_ev as double)"))
+          .as("rmst_hours"),
+        r6(expr("cast(least(t1, tau) + area_ev as double) / tau"))
+          .as("rmst_frac"))
+      .orderBy("g")
+  }
+
+  // ── actuarial (weekly-interval) life table on the same conversion
+  // cohort: the grouped-time presentation an ops review reads when the
+  // exact KM curve has too many rows. Subjects censored inside an
+  // interval count as half an exposure (the classical n′ = n − c/2
+  // adjustment, carried as the EXACT integer 2n − c so no engine ever
+  // divides early); q̂ = 2d / (2n − c) and the survival-to-interval-start
+  // column multiplies (1 − q̂) via the repo's 9-dp-snapped Σln device,
+  // collapsing to exactly 0 past any interval that exhausts its risk
+  // set. One keyed aggregation to weekly bins (≈ dozens of rows at any
+  // corpus size) + one tiny window pass. ──
+  def statsLifeTable(spark: SparkSession, dir: String): DataFrame = {
+    val byI = survSubjects(spark, dir)
+      .groupBy(expr("t div 168").as("wk"))
+      .agg(sum(col("observed")).as("d"),
+        sum(lit(1L) - col("observed")).as("c"))
+    val w = Window.orderBy(col("wk"))
+    byI
+      .withColumn("n_enter", sum(col("d") + col("c")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("n2", expr("2 * n_enter - c"))
+      .withColumn("term", expr(
+        """CASE WHEN 2 * d < n2
+          |THEN CAST(round(ln(1.0 - cast(2 * d as double) / n2), 9)
+          |          AS DECIMAL(18,9)) END""".stripMargin))
+      .withColumn("cuml", sum(col("term")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("extinct", coalesce(
+        max(expr("CASE WHEN 2 * d >= n2 THEN 1 ELSE 0 END")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .select(col("wk").as("interval_wk"),
+        (col("wk") * 168).as("t_lo_hours"),
+        col("n_enter"), col("d").as("d_events"), col("c").as("c_censored"),
+        r6(expr("cast(2 * d as double) / n2")).as("q_hat"),
+        r6(expr(
+          """CASE WHEN extinct = 1 THEN 0.0D
+            |WHEN cuml IS NULL THEN 1.0D
+            |ELSE exp(cast(cuml as double)) END""".stripMargin))
+          .as("surv_start"))
+      .orderBy("interval_wk")
+  }
+
+  // ── Kendall's coefficient of concordance W — stats_friedman answers
+  // "is the day-to-day type ordering non-random"; W answers "HOW MUCH
+  // do the days agree" on a calibrated 0..1 scale (1 = every day ranks
+  // the k types identically), with the standard tie correction
+  // m²(k³−k) − m·ΣT so the zero-filled grid cells can't inflate
+  // agreement. Same complete day×type grid and doubled-midrank device
+  // as Friedman (rank sums stay exact int64); the tie term Σ(t³−t)
+  // reduces per (day, value) group. Both W and its χ² = m(k−1)·W are
+  // ONE cast-first division from exact integers. ──
+  def statsKendallW(spark: SparkSession, dir: String): DataFrame = {
+    val rev = ev(spark, dir).groupBy(col("day"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val days = rev.select(col("day")).distinct()
+    val types = rev.select(col("event_type")).distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(rev, Seq("day", "event_type"), "left")
+      .withColumn("revc", coalesce(col("revc"), lit(0L)))
+    val ranked = grid.withColumn("r2x",
+      rank().over(Window.partitionBy(col("day")).orderBy(col("revc"))) * 2
+        + count(lit(1)).over(Window.partitionBy(col("day"), col("revc")))
+        - 1)
+    val rs = ranked.groupBy(col("event_type"))
+      .agg(sum(col("r2x")).as("r2"), count(lit(1)).as("m"))
+    val km = rs.agg(count(lit(1)).as("k"), first(col("m")).as("m0"))
+    val s2 = rs.crossJoin(broadcast(km))
+      .agg(first(col("k")).as("k"), first(col("m0")).as("m"),
+        sum(expr("(r2 - m0 * (k + 1)) * (r2 - m0 * (k + 1))")).as("s2c"))
+    val ties = grid.groupBy(col("day"), col("revc"))
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * t * t - t")).as("tt"))
+    s2.crossJoin(broadcast(ties))
+      .select(col("m").as("n_blocks"), col("k"), col("tt").as("ties_term"),
+        r6(expr("cast(3 * s2c as double)" +
+          " / (cast(m as double) * (m * (k * k * k - k) - tt))")).as("w"),
+        r6(expr("cast(3 * s2c * (k - 1) as double)" +
+          " / (m * (k * k * k - k) - tt)")).as("chi2"))
+  }
+
+  // ── Theil's uncertainty coefficient U on the documents lang×source
+  // contingency — the DIRECTIONAL companion of stats_cramers_v /
+  // stats_mutual_info: U(lang|source) = I/H(lang) reads "what fraction
+  // of language uncertainty does knowing the source remove", and the
+  // asymmetry between the two conditionals is itself the diagnostic (a
+  // source that pins its language vs a language spread over sources).
+  // One contingency aggregation (cells are corpus-reduced: |langs| ×
+  // |sources| rows regardless of scale), marginals re-aggregated from
+  // the CACHED cells, every ln argument a ratio of exact int64
+  // products (the stats_mutual_info device), ≤ dozens of terms summed
+  // then 6-dp-snapped before the three ratio divisions. ──
+  def statsTheilU(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      .cache()
+    val rT = j.groupBy(col("lang")).agg(sum(col("c")).as("r"))
+    val cT = j.groupBy(col("source")).agg(sum(col("c")).as("s"))
+    val n = j.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    val mi = j.join(rT, "lang").join(cT, "source").crossJoin(broadcast(n))
+      .agg(r6(sum((col("c").cast("double") / col("n")) *
+        log((col("c") * col("n")).cast("double") /
+          (col("r") * col("s")).cast("double")))).as("mi_nats"))
+    val hL = rT.crossJoin(broadcast(n.select(col("n"))))
+      .agg(r6(-sum((col("r").cast("double") / col("n")) *
+        log(col("r").cast("double") / col("n")))).as("h_lang"))
+    val hS = cT.crossJoin(broadcast(n.select(col("n"))))
+      .agg(r6(-sum((col("s").cast("double") / col("n")) *
+        log(col("s").cast("double") / col("n")))).as("h_source"))
+    n.crossJoin(broadcast(mi)).crossJoin(broadcast(hL))
+      .crossJoin(broadcast(hS))
+      .select(col("n").as("n_docs"), col("n_cells"), col("mi_nats"),
+        col("h_lang"), col("h_source"),
+        r6(col("mi_nats") / col("h_lang")).as("u_lang_given_source"),
+        r6(col("mi_nats") / col("h_source")).as("u_source_given_lang"),
+        r6(lit(2.0d) * col("mi_nats") / (col("h_lang") + col("h_source")))
+          .as("u_symmetric"))
+  }
+
+  // ── ordinal-association panel (Goodman–Kruskal γ, Somers' D both
+  // directions, Kendall τ-b) between the value's 100-band bucket and
+  // the 6-hour shift of day — stats_kendall_tau ranks raw pairs; THIS
+  // is the grid identity for ordinal×ordinal data where ties are the
+  // norm, and the three coefficients differ exactly in which ties they
+  // charge for (γ none, Somers' one side, τ-b both). Concordant /
+  // discordant pair counts come from a ~40-cell contingency self-join
+  // (corpus reduces to the grid first — the O(n²) pair space never
+  // materializes), tie terms from marginals; everything is exact int64
+  // until the three final divisions. τ-b's denominator multiplies the
+  // two tie-adjusted pair counts in DOUBLE (their int64 product can
+  // overflow at corpus scale; one expression, same operands → both
+  // engines compute the identical double). ──
+  def statsOrdinalAssoc(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ev(spark, dir)
+      .select(floor(col("value") / 100).cast("long").as("xb"),
+        expr("((us div 3600000000) % 24) div 6").as("yb"))
+      .groupBy(col("xb"), col("yb")).agg(count(lit(1)).as("m"))
+      .cache()
+    val a = cells.select(col("xb").as("x1"), col("yb").as("y1"),
+      col("m").as("m1"))
+    val b = cells.select(col("xb").as("x2"), col("yb").as("y2"),
+      col("m").as("m2"))
+    val cd = a.join(broadcast(b), col("x2") > col("x1"))
+      .agg(sum(when(col("y2") > col("y1"),
+          col("m1") * col("m2")).otherwise(0L)).as("cp"),
+        sum(when(col("y2") < col("y1"),
+          col("m1") * col("m2")).otherwise(0L)).as("dp"))
+    val nTot = cells.agg(sum(col("m")).as("n"))
+    val tx = cells.groupBy(col("xb")).agg(sum(col("m")).as("r"))
+      .agg(sum(expr("r * (r - 1)")).as("tx2"))
+    val ty = cells.groupBy(col("yb")).agg(sum(col("m")).as("s"))
+      .agg(sum(expr("s * (s - 1)")).as("ty2"))
+    cd.crossJoin(broadcast(nTot)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .withColumn("dx", expr("n * (n - 1) - tx2"))
+      .withColumn("dy", expr("n * (n - 1) - ty2"))
+      .select(col("n"), col("cp").as("c_pairs"), col("dp").as("d_pairs"),
+        expr("tx2 div 2").as("tied_x_pairs"),
+        expr("ty2 div 2").as("tied_y_pairs"),
+        r6(expr("cast(cp - dp as double) / (cp + dp)")).as("gamma"),
+        r6(expr("cast(2 * (cp - dp) as double) / dx")).as("somers_d_yx"),
+        r6(expr("cast(2 * (cp - dp) as double) / dy")).as("somers_d_xy"),
+        r6(expr("cast(2 * (cp - dp) as double)" +
+          " / sqrt(cast(dx as double) * dy)")).as("tau_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_rmst"            -> statsRmst _,
+    "stats_life_table"      -> statsLifeTable _,
+    "stats_kendall_w"       -> statsKendallW _,
+    "stats_theil_u"         -> statsTheilU _,
+    "stats_ordinal_assoc"   -> statsOrdinalAssoc _,
     "stats_cusum_chart"     -> statsCusumChart _,
     "stats_page_hinkley"    -> statsPageHinkley _,
     "stats_trimmed_mean"    -> statsTrimmedMean _,
@@ -4598,6 +4824,168 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stats_ordinal_assoc" ->
+      """WITH cells AS (
+        |  SELECT CAST(floor("value" / 100) AS BIGINT) AS xb,
+        |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24) // 6
+        |      AS yb,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    CAST(sum(CASE WHEN b.yb > a.yb THEN a.m * b.m ELSE 0 END)
+        |      AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN b.yb < a.yb THEN a.m * b.m ELSE 0 END)
+        |      AS BIGINT) AS dp
+        |  FROM cells a JOIN cells b ON b.xb > a.xb),
+        |nn AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM cells),
+        |tx AS (SELECT CAST(sum(r * (r - 1)) AS BIGINT) AS tx2 FROM
+        |       (SELECT CAST(sum(m) AS BIGINT) AS r FROM cells
+        |        GROUP BY xb)),
+        |ty AS (SELECT CAST(sum(s * (s - 1)) AS BIGINT) AS ty2 FROM
+        |       (SELECT CAST(sum(m) AS BIGINT) AS s FROM cells
+        |        GROUP BY yb)),
+        |dd AS (SELECT n, cp, dp, tx2, ty2,
+        |    n * (n - 1) - tx2 AS dx, n * (n - 1) - ty2 AS dy
+        |  FROM cd CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty)
+        |SELECT n, cp AS c_pairs, dp AS d_pairs,
+        |  tx2 // 2 AS tied_x_pairs, ty2 // 2 AS tied_y_pairs,
+        |  round(CAST(cp - dp AS DOUBLE) / (cp + dp), 6) + 0.0 AS gamma,
+        |  round(CAST(2 * (cp - dp) AS DOUBLE) / dx, 6) + 0.0
+        |    AS somers_d_yx,
+        |  round(CAST(2 * (cp - dp) AS DOUBLE) / dy, 6) + 0.0
+        |    AS somers_d_xy,
+        |  round(CAST(2 * (cp - dp) AS DOUBLE)
+        |    / sqrt(CAST(dx AS DOUBLE) * dy), 6) + 0.0 AS tau_b
+        |FROM dd""".stripMargin,
+    "stats_kendall_w" ->
+      """WITH rev AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS revc
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.day, t.event_type, COALESCE(r.revc, 0) AS revc
+        |  FROM (SELECT DISTINCT day FROM rev) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM rev) t
+        |  LEFT JOIN rev r ON r.day = d.day AND r.event_type = t.event_type),
+        |rk AS (SELECT event_type,
+        |    rank() OVER (PARTITION BY day ORDER BY revc) * 2
+        |      + count(*) OVER (PARTITION BY day, revc) - 1 AS r2x
+        |  FROM grid),
+        |rs AS (SELECT event_type, CAST(sum(r2x) AS BIGINT) AS r2,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM rk GROUP BY 1),
+        |km AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(any_value(m) AS BIGINT) AS m0 FROM rs),
+        |s2 AS (SELECT CAST(any_value(k) AS BIGINT) AS k,
+        |    CAST(any_value(m0) AS BIGINT) AS m,
+        |    CAST(sum((r2 - m0 * (k + 1)) * (r2 - m0 * (k + 1)))
+        |      AS BIGINT) AS s2c
+        |  FROM rs CROSS JOIN km),
+        |tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tt FROM
+        |       (SELECT CAST(count(*) AS BIGINT) AS t FROM grid
+        |        GROUP BY day, revc))
+        |SELECT m AS n_blocks, k, tt AS ties_term,
+        |  round(CAST(3 * s2c AS DOUBLE)
+        |    / (CAST(m AS DOUBLE) * (m * (k * k * k - k) - tt)), 6) + 0.0
+        |    AS w,
+        |  round(CAST(3 * s2c * (k - 1) AS DOUBLE)
+        |    / (m * (k * k * k - k) - tt), 6) + 0.0 AS chi2
+        |FROM s2 CROSS JOIN tt""".stripMargin,
+    "stats_theil_u" ->
+      """WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS r FROM j GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(c) AS BIGINT) AS s
+        |  FROM j GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_cells FROM j),
+        |mi AS (SELECT round(sum((CAST(c AS DOUBLE) / n)
+        |      * ln(CAST(c * n AS DOUBLE) / CAST(r * s AS DOUBLE))), 6)
+        |      + 0.0 AS mi_nats
+        |  FROM j JOIN rt USING (lang) JOIN ct USING (source)
+        |  CROSS JOIN nn),
+        |hl AS (SELECT round(-sum((CAST(r AS DOUBLE) / n)
+        |      * ln(CAST(r AS DOUBLE) / n)), 6) + 0.0 AS h_lang
+        |  FROM rt CROSS JOIN nn),
+        |hs AS (SELECT round(-sum((CAST(s AS DOUBLE) / n)
+        |      * ln(CAST(s AS DOUBLE) / n)), 6) + 0.0 AS h_source
+        |  FROM ct CROSS JOIN nn)
+        |SELECT n AS n_docs, n_cells, mi_nats, h_lang, h_source,
+        |  round(mi_nats / h_lang, 6) + 0.0 AS u_lang_given_source,
+        |  round(mi_nats / h_source, 6) + 0.0 AS u_source_given_lang,
+        |  round(2 * mi_nats / (h_lang + h_source), 6) + 0.0 AS u_symmetric
+        |FROM nn CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs""".stripMargin,
+    "stats_rmst" ->
+      s"""$survCtes,
+         |sg AS (SELECT *, ((user_id % 2147483648) * 2654435761
+         |         % 2147483648) % 2 AS g FROM s),
+         |tau AS (SELECT min(mxt) AS tau FROM
+         |         (SELECT g, max(t) AS mxt FROM sg GROUP BY 1)),
+         |byt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS a,
+         |    CAST(sum(observed) AS BIGINT) AS d
+         |  FROM sg GROUP BY 1, 2),
+         |r AS (SELECT *, sum(a) OVER (PARTITION BY g ORDER BY t
+         |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |        AS n_risk FROM byt),
+         |tm AS (SELECT *, CASE WHEN d > 0 AND d < n_risk
+         |    THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+         |         AS DECIMAL(18,9)) END AS term FROM r),
+         |cm AS (SELECT *, sum(term) OVER (PARTITION BY g ORDER BY t
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS cuml FROM tm),
+         |cv AS (SELECT g, t, CASE WHEN d = n_risk
+         |    THEN CAST(0 AS DECIMAL(18,9))
+         |    ELSE CAST(round(exp(CAST(cuml AS DOUBLE)), 9)
+         |         AS DECIMAL(18,9)) END AS s9
+         |  FROM cm WHERE d > 0),
+         |iv AS (SELECT g, t, s9, tau,
+         |    least(COALESCE(lead(t) OVER (PARTITION BY g ORDER BY t),
+         |      tau), tau) AS tn
+         |  FROM cv CROSS JOIN tau),
+         |ar AS (SELECT g, tau, min(t) AS t1,
+         |    sum(s9 * CAST(greatest(0, tn - t) AS DECIMAL(10,0)))
+         |      AS area_ev,
+         |    min(CASE WHEN s9 <= 0.5 THEN t END) AS median_t
+         |  FROM iv GROUP BY 1, 2),
+         |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_subj,
+         |    CAST(sum(observed) AS BIGINT) AS n_events
+         |  FROM sg GROUP BY 1)
+         |SELECT ar.g, n_subj, n_events, tau AS tau_hours,
+         |  median_t AS median_t_hours,
+         |  round(CAST(least(t1, tau) + area_ev AS DOUBLE), 6) + 0.0
+         |    AS rmst_hours,
+         |  round(CAST(least(t1, tau) + area_ev AS DOUBLE) / tau, 6) + 0.0
+         |    AS rmst_frac
+         |FROM ar JOIN grp ON ar.g = grp.g ORDER BY ar.g""".stripMargin,
+    "stats_life_table" ->
+      s"""$survCtes,
+         |byi AS (SELECT t // 168 AS wk,
+         |    CAST(sum(observed) AS BIGINT) AS d,
+         |    CAST(sum(1 - observed) AS BIGINT) AS c
+         |  FROM s GROUP BY 1),
+         |r AS (SELECT *, CAST(sum(d + c) OVER (ORDER BY wk
+         |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |        AS BIGINT) AS n_enter FROM byi),
+         |r2 AS (SELECT *, 2 * n_enter - c AS n2 FROM r),
+         |tm AS (SELECT *, CASE WHEN 2 * d < n2
+         |    THEN CAST(round(ln(1.0 - CAST(2 * d AS DOUBLE) / n2), 9)
+         |         AS DECIMAL(18,9)) END AS term FROM r2),
+         |cm AS (SELECT *,
+         |    sum(term) OVER (ORDER BY wk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cuml,
+         |    COALESCE(max(CASE WHEN 2 * d >= n2 THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY wk
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS extinct
+         |  FROM tm)
+         |SELECT wk AS interval_wk, wk * 168 AS t_lo_hours, n_enter,
+         |  d AS d_events, c AS c_censored,
+         |  round(CAST(2 * d AS DOUBLE) / n2, 6) + 0.0 AS q_hat,
+         |  round(CASE WHEN extinct = 1 THEN 0.0
+         |    WHEN cuml IS NULL THEN 1.0
+         |    ELSE exp(CAST(cuml AS DOUBLE)) END, 6) + 0.0 AS surv_start
+         |FROM cm ORDER BY interval_wk""".stripMargin,
     "stats_cusum_chart" -> ("WITH RECURSIVE " + duckDailyTyped.drop(5) +
       duckZSeries +
       """rec AS (

@@ -1170,6 +1170,36 @@ object TextOps {
           " END")).as("mcc"))
   }
 
+  // ── Cohen's κ of the NB language classifier against gold labels —
+  // chance-corrected agreement, the number that stays honest when one
+  // language dominates (eval_nb_confusion's accuracy flatters a
+  // majority-class guesser; κ subtracts exactly what guessing the
+  // marginals would score). p_e comes from the row×column marginal
+  // products, so κ = (n·Σn_ii − Σr_i·c_i) / (n² − Σr_i·c_i) is pure
+  // int64 until ONE final division — no order-dependent float sum
+  // anywhere. Reuses the shipped textNbLang path (cached: three reads
+  // of one prediction frame). ──
+  def evalCohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val preds = textNbLang(spark, dir)
+      .select(col("true_lang"), col("pred_lang")).cache()
+    val ag = preds.agg(count(lit(1)).as("n"),
+      sum((col("pred_lang") === col("true_lang")).cast("long"))
+        .as("n_agree"))
+    val rt = preds.groupBy(col("true_lang").as("lang"))
+      .agg(count(lit(1)).as("r"))
+    val pt = preds.groupBy(col("pred_lang").as("lang"))
+      .agg(count(lit(1)).as("c"))
+    val ex = rt.join(pt, Seq("lang"), "left")
+      .agg(sum(col("r") * coalesce(col("c"), lit(0L))).as("e"))
+    ag.crossJoin(broadcast(ex))
+      .select(col("n"), col("n_agree"),
+        r6(expr("cast(n_agree as double) / n")).as("p_observed"),
+        r6(expr("cast(e as double) / (cast(n as double) * n)"))
+          .as("p_expected"),
+        r6(expr("cast(n * n_agree - e as double)" +
+          " / (cast(n as double) * n - e)")).as("kappa"))
+  }
+
   // ── Flesch reading ease + Flesch–Kincaid grade per document — the
   // classical readability scores a curation pipeline buckets on when
   // "quality" must be explainable to a human (text_quality's ratios
@@ -1419,6 +1449,7 @@ object TextOps {
     "text_hapax"            -> textHapax _,
     "eval_nb_confusion"     -> evalNbConfusion _,
     "eval_langid_mcc"       -> evalLangidMcc _,
+    "eval_cohen_kappa"      -> evalCohenKappa _,
     "text_freq_drift"       -> textFreqDrift _,
     "text_sentences"        -> textSentences _,
     "text_char_entropy"     -> textCharEntropy _,
@@ -2003,6 +2034,27 @@ object TextOps {
         |SELECT doc_id, lang AS true_lang, l AS pred_lang,
         |  l = lang AS correct, CAST(score AS DOUBLE) AS nb_score
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "eval_cohen_kappa" -> (duckNbCtes +
+      """,
+        |preds AS (SELECT lang AS true_lang, l AS pred_lang
+        |          FROM r WHERE rn = 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_agree
+        |  FROM preds),
+        |rt AS (SELECT true_lang AS lang, CAST(count(*) AS BIGINT) AS r
+        |       FROM preds GROUP BY 1),
+        |pt AS (SELECT pred_lang AS lang, CAST(count(*) AS BIGINT) AS c
+        |       FROM preds GROUP BY 1),
+        |ex AS (SELECT CAST(sum(rt.r * COALESCE(pt.c, 0)) AS BIGINT) AS e
+        |       FROM rt LEFT JOIN pt USING (lang))
+        |SELECT n, n_agree,
+        |  round(CAST(n_agree AS DOUBLE) / n, 6) + 0.0 AS p_observed,
+        |  round(CAST(e AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) + 0.0
+        |    AS p_expected,
+        |  round(CAST(n * n_agree - e AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n - e), 6) + 0.0 AS kappa
+        |FROM ag CROSS JOIN ex""".stripMargin),
     "eval_nb_confusion" -> (duckNbCtes +
       """,
         |preds AS (SELECT lang AS true_lang, l AS pred_lang
