@@ -4580,12 +4580,77 @@ object StatsOps {
           " / sqrt(cast(dx as double) * dy)")).as("tau_b"))
   }
 
+  // ── Commodity Channel Index (20-day) on per-type daily revenue —
+  // window_bollinger standardizes by the rolling STDDEV (outliers
+  // inflate their own yardstick); CCI divides by the rolling MEAN
+  // ABSOLUTE deviation, the robust yardstick the indicator was designed
+  // around. The whole statistic stays integer-exact until one division:
+  // with S = Σ₂₀ revc, TP − SMA = (20·revc − S)/20 and MD =
+  // Σ|20·xᵢ − S|/400, so CCI = (20·revc − S)·20000 / (15·Σ|20·xᵢ − S|)
+  // — the deviation sum runs over the window's COLLECTED list (20
+  // int64s per row, bounded state) because each |xᵢ − SMA_t| depends
+  // on the CURRENT row's mean, not its own. Per-type windows
+  // parallelize; the daily frame is group-sized at any corpus. ──
+  def windowCci(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w20 = wOrd.rowsBetween(-19, 0)
+    daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("s", sum(col("revc")).over(w20))
+      .withColumn("h", collect_list(col("revc")).over(w20))
+      .filter(col("rn") >= 20)
+      .withColumn("a", expr(
+        "aggregate(h, 0L, (acc, x) -> acc + abs(20L * x - s))"))
+      .select(col("event_type"), col("day"),
+        r6(expr("cast(revc as double) / 100")).as("close"),
+        r6(expr("cast(s as double) / 2000")).as("sma20"),
+        r6(expr("cast(a as double) / 40000")).as("mean_dev"),
+        r6(expr("CASE WHEN a > 0 THEN" +
+          " cast(20 * revc - s as double) * 20000 / (15 * a) END"))
+          .as("cci"))
+      .orderBy("event_type", "day")
+  }
+
+  // ── Donchian channel (20-day, EXCLUSIVE of today) with breakout
+  // flags — the rolling high/low envelope window_stochastic positions
+  // within, but with the frame shifted one day back so "today broke
+  // the channel" means today exceeded what any of the PRIOR 20 days
+  // reached (include today and a breakout can never register — today
+  // would be its own channel edge). Channel edges are integer window
+  // min/max over cents, flags are integer comparisons, the two dollar
+  // conversions are the only doubles. ──
+  def windowDonchian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w20x = wOrd.rowsBetween(-20, -1)
+    daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("up", max(col("revc")).over(w20x))
+      .withColumn("lo", min(col("revc")).over(w20x))
+      .filter(col("rn") >= 21)
+      .select(col("event_type"), col("day"),
+        r6(expr("cast(revc as double) / 100")).as("close"),
+        r6(expr("cast(up as double) / 100")).as("channel_hi"),
+        r6(expr("cast(lo as double) / 100")).as("channel_lo"),
+        r6(expr("cast(up - lo as double) / 100")).as("width"),
+        (col("revc") > col("up")).as("breakout_up"),
+        (col("revc") < col("lo")).as("breakout_dn"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_rmst"            -> statsRmst _,
     "stats_life_table"      -> statsLifeTable _,
     "stats_kendall_w"       -> statsKendallW _,
     "stats_theil_u"         -> statsTheilU _,
     "stats_ordinal_assoc"   -> statsOrdinalAssoc _,
+    "window_cci"            -> windowCci _,
+    "window_donchian"       -> windowDonchian _,
     "stats_cusum_chart"     -> statsCusumChart _,
     "stats_page_hinkley"    -> statsPageHinkley _,
     "stats_trimmed_mean"    -> statsTrimmedMean _,
@@ -4824,6 +4889,40 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "window_cci" -> (duckDailyTyped +
+      """w AS (SELECT event_type, day, revc,
+        |    row_number() OVER wt AS rn,
+        |    CAST(sum(revc) OVER w20 AS BIGINT) AS s,
+        |    list(revc) OVER w20 AS h
+        |  FROM daily
+        |  WINDOW wt AS (PARTITION BY event_type ORDER BY day),
+        |    w20 AS (PARTITION BY event_type ORDER BY day
+        |            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |ag AS (SELECT *, CAST(list_sum(list_transform(h,
+        |    x -> abs(20 * x - s))) AS BIGINT) AS dv
+        |  FROM w WHERE rn >= 20)
+        |SELECT event_type, day,
+        |  round(CAST(revc AS DOUBLE) / 100, 6) + 0.0 AS close,
+        |  round(CAST(s AS DOUBLE) / 2000, 6) + 0.0 AS sma20,
+        |  round(CAST(dv AS DOUBLE) / 40000, 6) + 0.0 AS mean_dev,
+        |  round(CASE WHEN dv > 0 THEN CAST(20 * revc - s AS DOUBLE)
+        |    * 20000 / (15 * dv) END, 6) + 0.0 AS cci
+        |FROM ag ORDER BY event_type, day""".stripMargin),
+    "window_donchian" -> (duckDailyTyped +
+      """w AS (SELECT event_type, day, revc,
+        |    row_number() OVER wt AS rn,
+        |    max(revc) OVER w20 AS up, min(revc) OVER w20 AS lo
+        |  FROM daily
+        |  WINDOW wt AS (PARTITION BY event_type ORDER BY day),
+        |    w20 AS (PARTITION BY event_type ORDER BY day
+        |            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day,
+        |  round(CAST(revc AS DOUBLE) / 100, 6) + 0.0 AS close,
+        |  round(CAST(up AS DOUBLE) / 100, 6) + 0.0 AS channel_hi,
+        |  round(CAST(lo AS DOUBLE) / 100, 6) + 0.0 AS channel_lo,
+        |  round(CAST(up - lo AS DOUBLE) / 100, 6) + 0.0 AS width,
+        |  revc > up AS breakout_up, revc < lo AS breakout_dn
+        |FROM w WHERE rn >= 21 ORDER BY event_type, day""".stripMargin),
     "stats_ordinal_assoc" ->
       """WITH cells AS (
         |  SELECT CAST(floor("value" / 100) AS BIGINT) AS xb,
