@@ -1170,6 +1170,57 @@ object TextOps {
           " END")).as("mcc"))
   }
 
+  // ── Yule's K + Simpson's D + Herdan's C — the classical vocabulary-
+  // richness characteristics (text_hapax profiles the Zipf TAIL; these
+  // are the single-number summaries reviewers trend across corpus
+  // snapshots, and K is famously length-invariant where raw TTR is
+  // not). The identity Σ m²·V_m = Σ_types c² reduces everything to one
+  // token-frequency aggregation: N, V, Σc², Σc(c−1) are exact int64,
+  // and each statistic is ONE cast-first double expression (K's 10⁴
+  // scaling multiplies in double — the int64 product would wrap at
+  // corpus scale). ──
+  def textYuleK(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(spark, dir)
+      .select(explode(toksCol).as("tok")).filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    c.agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(col("c") * (col("c") - 1)).as("sp"))
+      .select(col("n").as("n_tokens"), col("v").as("n_types"),
+        r6(expr("cast(s2 - n as double) * 10000" +
+          " / (cast(n as double) * n)")).as("yule_k"),
+        r6(expr("cast(sp as double) / (cast(n as double) * (n - 1))"))
+          .as("simpson_d"),
+        r6(expr("ln(cast(v as double)) / ln(cast(n as double))"))
+          .as("herdan_c"))
+  }
+
+  // ── per-term burstiness for the top-20 collection-frequency terms —
+  // a term that clusters in few documents (high variance-to-mean over
+  // per-doc counts, zeros included) behaves very differently in
+  // dedup/quality pipelines than one spread evenly at the same total
+  // count; Church–Gale burst = cf/df is the "occurrences per containing
+  // doc" companion. VMR folds to the exact-integer identity
+  // (D·Σc² − C²)/(D·C) over one (term, doc) aggregation — per-doc zero
+  // cells never materialize. Top-20 via TakeOrdered with the term as
+  // tie-break, never a global sort. ──
+  def textBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dTot = docs.agg(count(lit(1)).as("d"))
+    val perDoc = docs.select(col("doc_id"), explode(toksCol).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("tok"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("s2"))
+      .crossJoin(broadcast(dTot))
+      .orderBy(desc("cf"), col("tok")).limit(20)
+      .select(col("tok"), col("cf"), col("df"),
+        r6(expr("cast(d * s2 - cf * cf as double) / (d * cf)")).as("vmr"),
+        r6(expr("cast(cf as double) / df")).as("burst"),
+        r6(expr("cast(df as double) / d")).as("doc_coverage"))
+  }
+
   // ── Cohen's κ of the NB language classifier against gold labels —
   // chance-corrected agreement, the number that stays honest when one
   // language dominates (eval_nb_confusion's accuracy flatters a
@@ -1450,6 +1501,8 @@ object TextOps {
     "eval_nb_confusion"     -> evalNbConfusion _,
     "eval_langid_mcc"       -> evalLangidMcc _,
     "eval_cohen_kappa"      -> evalCohenKappa _,
+    "text_yule_k"           -> textYuleK _,
+    "text_burstiness"       -> textBurstiness _,
     "text_freq_drift"       -> textFreqDrift _,
     "text_sentences"        -> textSentences _,
     "text_char_entropy"     -> textCharEntropy _,
@@ -2034,6 +2087,43 @@ object TextOps {
         |SELECT doc_id, lang AS true_lang, l AS pred_lang,
         |  l = lang AS correct, CAST(score AS DOUBLE) AS nb_score
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "text_yule_k" ->
+      """WITH t AS (SELECT
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t
+        |      WHERE tok <> '' GROUP BY 1),
+        |s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(c * c) AS BIGINT) AS s2,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS sp
+        |  FROM c)
+        |SELECT n AS n_tokens, v AS n_types,
+        |  round(CAST(s2 - n AS DOUBLE) * 10000
+        |    / (CAST(n AS DOUBLE) * n), 6) + 0.0 AS yule_k,
+        |  round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+        |    + 0.0 AS simpson_d,
+        |  round(ln(CAST(v AS DOUBLE)) / ln(CAST(n AS DOUBLE)), 6) + 0.0
+        |    AS herdan_c
+        |FROM s""".stripMargin,
+    "text_burstiness" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+        |       FROM t WHERE tok <> '' GROUP BY 1, 2),
+        |ag AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cf,
+        |    CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM pd GROUP BY 1),
+        |dt AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents)
+        |SELECT tok, cf, df,
+        |  round(CAST(d * s2 - cf * cf AS DOUBLE) / (d * cf), 6) + 0.0
+        |    AS vmr,
+        |  round(CAST(cf AS DOUBLE) / df, 6) + 0.0 AS burst,
+        |  round(CAST(df AS DOUBLE) / d, 6) + 0.0 AS doc_coverage
+        |FROM ag CROSS JOIN dt
+        |ORDER BY cf DESC, tok LIMIT 20""".stripMargin,
     "eval_cohen_kappa" -> (duckNbCtes +
       """,
         |preds AS (SELECT lang AS true_lang, l AS pred_lang
