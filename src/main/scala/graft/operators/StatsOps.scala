@@ -4643,7 +4643,113 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  // ── AR(2) fit by Yule–Walker on per-type daily revenue — the
+  // autoregressive companion of forecast_holt's trend smoothing: φ₁/φ₂
+  // capture "tomorrow echoes today AND the day before" (oscillation /
+  // mean-reversion that exponential smoothing can't express). Lag
+  // correlations reuse stats_acf's exact-decimal lagged-pair device
+  // (calendar-day join, DECIMAL(18,2) moments cast once to double,
+  // r snapped to 6 dp), so the YW solve φ₁ = r₁(1−r₂)/(1−r₁²),
+  // φ₂ = (r₂−r₁²)/(1−r₁²) runs on engine-identical inputs; the
+  // one-step forecast reads the last two days via a window rank. The
+  // stationarity triangle check compares 6-dp-snapped φ's, so the flag
+  // can't flap between engines. ──
+  def forecastAr2(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val lagged = daily
+      .withColumn("lag", explode(sequence(lit(1), lit(2))))
+      .withColumn("prev_day", date_sub(col("day"), col("lag")))
+      .join(daily.select(col("event_type"), col("day").as("prev_day"),
+        col("v").as("pv")), Seq("event_type", "prev_day"))
+    val x = col("v").cast("decimal(18,2)")
+    val y = col("pv").cast("decimal(18,2)")
+    val nD = col("n").cast("double")
+    val rk = lagged.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(col("event_type"), col("lag"),
+        r6((nD * col("sxy") - col("sx") * col("sy")) /
+          sqrt((nD * col("sxx") - col("sx") * col("sx")) *
+            (nD * col("syy") - col("sy") * col("sy")))).as("r"))
+    val rr = rk.groupBy(col("event_type"))
+      .agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+        max(when(col("lag") === 2, col("r"))).as("r2"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val last = daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("m",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(first(col("m")).as("n_days"),
+        sum(col("v")).cast("double").as("sv"),
+        max(when(col("rn") === col("m"), col("v"))).cast("double")
+          .as("x_last"),
+        max(when(col("rn") === col("m") - 1, col("v"))).cast("double")
+          .as("x_prev"))
+    rr.join(last, "event_type")
+      .withColumn("mu", expr("sv / n_days"))
+      .withColumn("phi1", expr("r1 * (1.0 - r2) / (1.0 - r1 * r1)"))
+      .withColumn("phi2", expr("(r2 - r1 * r1) / (1.0 - r1 * r1)"))
+      .withColumn("phi1r", r6(col("phi1")))
+      .withColumn("phi2r", r6(col("phi2")))
+      .select(col("event_type"), col("n_days"), col("r1"), col("r2"),
+        col("phi1r").as("phi1"), col("phi2r").as("phi2"),
+        r6(col("mu")).as("mean_rev"),
+        r6(expr("mu + phi1 * (x_last - mu) + phi2 * (x_prev - mu)"))
+          .as("forecast_next"),
+        (abs(col("phi2r")) < 1.0 &&
+          (col("phi1r") + col("phi2r")) < 1.0 &&
+          (col("phi2r") - col("phi1r")) < 1.0).as("stationary"))
+      .orderBy("event_type")
+  }
+
+  // ── Lilliefors test per event type: is the daily revenue NORMAL once
+  // its own mean and sd are estimated from the data — the honest
+  // version of a one-sample KS (using estimated parameters shrinks the
+  // null distribution; the 0.886/√n critical value is the Lilliefors
+  // 5% point, not Kolmogorov's). z comes from exact int64 cents
+  // moments, Φ from the shared token-identical polynomial, the ECDF
+  // rank from a per-type (value, day) total order, so D⁺/D⁻ maxima
+  // compare engine-identical doubles; the verdict compares 6-dp-snapped
+  // D and critical value. Group-sized series frame, parallel by type. ──
+  def statsLilliefors(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("yc"))
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("yc")).as("s1"),
+        sum(expr("CAST(yc AS DECIMAL(28,0)) * yc")).as("s2"))
+      .withColumn("mu", expr("cast(s1 as double) / n"))
+      .withColumn("sd", expr(
+        "sqrt(cast(n * s2 - CAST(s1 AS DECIMAL(28,0)) * s1 as double)" +
+          " / (cast(n as double) * (n - 1)))"))
+      .select(col("event_type"), col("n"), col("mu"), col("sd"))
+    daily.join(broadcast(mom), "event_type")
+      .withColumn("z", expr("(yc - mu) / sd"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("event_type")).orderBy(col("yc"), col("day"))))
+      .withColumn("phi", expr(phiSql("z")))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_days"),
+        max(expr("cast(rn as double) / n - phi")).as("d_plus"),
+        max(expr("phi - cast(rn - 1 as double) / n")).as("d_minus"))
+      .withColumn("d6", r6(greatest(col("d_plus"), col("d_minus"))))
+      .withColumn("crit6", r6(expr(
+        "cast(0.886 as double) / sqrt(cast(n_days as double))")))
+      .select(col("event_type"), col("n_days"),
+        r6(col("d_plus")).as("d_plus"), r6(col("d_minus")).as("d_minus"),
+        col("d6").as("d_stat"), col("crit6").as("crit_05"),
+        (col("d6") > col("crit6")).as("normal_rejected"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_ar2"          -> forecastAr2 _,
+    "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
     "stats_life_table"      -> statsLifeTable _,
     "stats_kendall_w"       -> statsKendallW _,
@@ -4889,6 +4995,94 @@ object StatsOps {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "forecast_ar2" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT a.event_type, l.lag, a.v, b.v AS pv
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 3)) AS lag) l
+        |  JOIN daily b ON b.event_type = a.event_type
+        |    AND b.day = a.day - CAST(l.lag AS INTEGER)),
+        |m AS (
+        |  SELECT event_type, lag, count(*) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(pv AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(pv AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(pv AS DECIMAL(18,2)) * CAST(pv AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS syy
+        |  FROM lg GROUP BY 1, 2),
+        |rk AS (SELECT event_type, lag,
+        |    round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |      sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |           (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0 AS r
+        |  FROM m),
+        |rr AS (SELECT event_type,
+        |    max(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    max(CASE WHEN lag = 2 THEN r END) AS r2
+        |  FROM rk GROUP BY 1),
+        |lx AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM daily),
+        |lastv AS (SELECT event_type, CAST(any_value(m) AS BIGINT)
+        |      AS n_days,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |    CAST(max(CASE WHEN rn = m THEN v END) AS DOUBLE) AS x_last,
+        |    CAST(max(CASE WHEN rn = m - 1 THEN v END) AS DOUBLE)
+        |      AS x_prev
+        |  FROM lx GROUP BY 1),
+        |f AS (SELECT rr.event_type, n_days, r1, r2,
+        |    sv / n_days AS mu,
+        |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2,
+        |    x_last, x_prev
+        |  FROM rr JOIN lastv ON rr.event_type = lastv.event_type)
+        |SELECT event_type, n_days, r1, r2,
+        |  round(phi1, 6) + 0.0 AS phi1, round(phi2, 6) + 0.0 AS phi2,
+        |  round(mu, 6) + 0.0 AS mean_rev,
+        |  round(mu + phi1 * (x_last - mu) + phi2 * (x_prev - mu), 6)
+        |    + 0.0 AS forecast_next,
+        |  (abs(round(phi2, 6) + 0.0) < 1.0
+        |   AND (round(phi1, 6) + 0.0) + (round(phi2, 6) + 0.0) < 1.0
+        |   AND (round(phi2, 6) + 0.0) - (round(phi1, 6) + 0.0) < 1.0)
+        |    AS stationary
+        |FROM f ORDER BY event_type""".stripMargin,
+    "stats_lilliefors" -> (duckDailyTyped +
+      s"""mo AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(revc) AS BIGINT) AS s1,
+         |    sum(CAST(revc AS DECIMAL(28,0)) * revc) AS s2
+         |  FROM daily GROUP BY 1),
+         |mm AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu,
+         |    sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(28,0)) * s1 AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+         |  FROM mo),
+         |zz AS (SELECT d.event_type, mm.n,
+         |    (d.revc - mm.mu) / mm.sd AS z,
+         |    CAST(row_number() OVER (PARTITION BY d.event_type
+         |      ORDER BY d.revc, d.day) AS BIGINT) AS rn
+         |  FROM daily d JOIN mm USING (event_type)),
+         |pp AS (SELECT event_type, n, rn, ${phiSql("z")} AS phi FROM zz),
+         |ag AS (SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_days,
+         |    max(CAST(rn AS DOUBLE) / n - phi) AS d_plus,
+         |    max(phi - CAST(rn - 1 AS DOUBLE) / n) AS d_minus
+         |  FROM pp GROUP BY 1)
+         |SELECT event_type, n_days,
+         |  round(d_plus, 6) + 0.0 AS d_plus,
+         |  round(d_minus, 6) + 0.0 AS d_minus,
+         |  round(greatest(d_plus, d_minus), 6) + 0.0 AS d_stat,
+         |  round(CAST(0.886 AS DOUBLE) / sqrt(CAST(n_days AS DOUBLE)), 6)
+         |    + 0.0 AS crit_05,
+         |  (round(greatest(d_plus, d_minus), 6) + 0.0) >
+         |    (round(CAST(0.886 AS DOUBLE) / sqrt(CAST(n_days AS DOUBLE)),
+         |      6) + 0.0) AS normal_rejected
+         |FROM ag ORDER BY event_type""".stripMargin),
     "window_cci" -> (duckDailyTyped +
       """w AS (SELECT event_type, day, revc,
         |    row_number() OVER wt AS rn,
