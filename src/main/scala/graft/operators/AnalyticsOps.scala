@@ -748,7 +748,50 @@ object AnalyticsOps {
     out
   }
 
+  /** One candidate functional dependency X→Y audited to three numbers:
+    * how many X keys exist, how many map to >1 Y, and the g3 repair
+    * size (minimum rows to delete so the FD holds = n − Σₓ max_y
+    * count). Two keyed aggregations; the (x,y) frame is
+    * dictionary-sized, never |rows|. */
+  private def fdAudit(label: String, df: DataFrame, xc: String,
+      yc: String): DataFrame = {
+    val c = df.groupBy(col(xc).as("x"), col(yc).as("y"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("x"))
+      .agg(count(lit(1)).as("ny"), sum(col("c")).as("nx"),
+        max(col("c")).as("mx"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("ny") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+        sum(col("nx")).as("n_rows"),
+        sum(col("nx") - col("mx")).as("g3_rows"))
+      .select(lit(label).as("fd"), col("n_keys"),
+        col("n_violating_keys"), col("n_rows"), col("g3_rows"),
+        r6(expr("cast(n_violating_keys as double) / n_keys"))
+          .as("key_violation_rate"),
+        r6(expr("cast(g3_rows as double) / n_rows")).as("g3"))
+  }
+
+  // ── functional-dependency audit across four candidate dependencies —
+  // the data-contract check dq_referential doesn't cover: not "does the
+  // foreign key resolve" but "does column X still DETERMINE column Y",
+  // the invariant that silently breaks when an upstream join starts
+  // fanning out or a dimension stops being slowly-changing. Each FD
+  // reports its violating-key rate and Kivinen–Mannila g3 (the fraction
+  // of rows a repair would delete) from exact integer counts; the four
+  // audits union into one frame, each two group-sized aggregations. ──
+  def dqFdViolations(spark: SparkSession, dir: String): DataFrame =
+    fdAudit("events.user_id->event_type", ev(spark, dir),
+        "user_id", "event_type")
+      .unionByName(fdAudit("documents.source->lang",
+        Tables.documents(spark, dir), "source", "lang"))
+      .unionByName(fdAudit("orders.o_custkey->o_orderpriority",
+        Tables.orders(spark, dir), "o_custkey", "o_orderpriority"))
+      .unionByName(fdAudit("customer.c_nationkey->c_mktsegment",
+        Tables.customer(spark, dir), "c_nationkey", "c_mktsegment"))
+      .orderBy("fd")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_fd_violations" -> dqFdViolations _,
     "graph_hits"       -> graphHits _,
     "ab_srm_check"     -> abSrmCheck _,
     "stats_wilcoxon_signed" -> statsWilcoxonSigned _,
@@ -844,7 +887,39 @@ object AnalyticsOps {
        |    - CAST(sd2 AS DOUBLE) / (CAST(a AS DOUBLE) * a), 6) + 0.0 AS q
        |FROM m CROSS JOIN d2""".stripMargin
 
+  /** Duck-side twin of [[fdAudit]] for one X→Y candidate (emits the
+    * pre-ratio integer row; ratios are applied once over the union). */
+  private def duckFd(label: String, table: String, x: String,
+      y: String): String =
+    s"""(WITH c AS (SELECT $x AS x, $y AS y,
+       |    CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 1, 2),
+       |k AS (SELECT x, CAST(count(*) AS BIGINT) AS ny,
+       |    CAST(sum(c) AS BIGINT) AS nx, CAST(max(c) AS BIGINT) AS mx
+       |  FROM c GROUP BY 1)
+       |SELECT '$label' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violating_keys,
+       |  CAST(sum(nx) AS BIGINT) AS n_rows,
+       |  CAST(sum(nx - mx) AS BIGINT) AS g3_rows
+       |FROM k)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dq_fd_violations" ->
+      (s"""SELECT fd, n_keys, n_violating_keys, n_rows, g3_rows,
+          |  round(CAST(n_violating_keys AS DOUBLE) / n_keys, 6) + 0.0
+          |    AS key_violation_rate,
+          |  round(CAST(g3_rows AS DOUBLE) / n_rows, 6) + 0.0 AS g3
+          |FROM (
+          |""".stripMargin +
+        duckFd("events.user_id->event_type", "events",
+          "user_id", "event_type") + "\nUNION ALL\n" +
+        duckFd("documents.source->lang", "documents", "source", "lang") +
+        "\nUNION ALL\n" +
+        duckFd("orders.o_custkey->o_orderpriority", "orders",
+          "o_custkey", "o_orderpriority") + "\nUNION ALL\n" +
+        duckFd("customer.c_nationkey->c_mktsegment", "customer",
+          "c_nationkey", "c_mktsegment") +
+        "\n) ORDER BY fd"),
     "ab_srm_check" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |a AS (SELECT ((user_id % 2147483648) * 2654435761)

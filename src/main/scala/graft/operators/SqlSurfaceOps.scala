@@ -926,7 +926,33 @@ object SqlSurfaceOps {
       .orderBy("fold")
   }
 
+  // ── rank-stride systematic sample of the USER dimension: users
+  // totally ordered by (portable Knuth hash, id), every 20th taken —
+  // where sample_hash's key-modulus rate drifts with the key
+  // distribution (clustered or sparse ids over- or under-shoot 5%),
+  // the rank stride guarantees EXACTLY ⌈n/20⌉ rows whatever the ids
+  // look like, the property a fixed-size eval panel needs. The rank
+  // runs over the user-level frame (the stats_gini waiver class:
+  // |users|, not |events|); spend is the DECIMAL-exact per-user sum.
+  // The hash is the repo's reproducible-coin (ab_srm_check) form, so
+  // the panel is stable across engines AND across reruns. ──
+  def sampleSystematic(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sp"))
+      .withColumn("h",
+        expr("pmod(pmod(user_id, 2147483648) * 2654435761, 2147483648)"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("h"), col("user_id"))))
+      .filter(expr("(rn - 1) % 20 = 0"))
+      .select(col("user_id"), col("n_events"),
+        r6(col("sp").cast("double")).as("spend"),
+        col("rn").cast("long").as("rank_in_frame"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_systematic"  -> sampleSystematic _,
     "sample_class_balance" -> sampleClassBalance _,
     "sample_kfold"       -> sampleKfold _,
     "window_rank_family" -> windowRankFamily _,
@@ -980,6 +1006,20 @@ object SqlSurfaceOps {
       |FROM events ORDER BY event_type, event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_systematic" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS sp
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT *,
+        |    (user_id % 2147483648) * 2654435761 % 2147483648 AS hh
+        |  FROM u),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY hh, user_id)
+        |        AS BIGINT) AS rn
+        |  FROM h)
+        |SELECT user_id, n_events,
+        |  round(CAST(sp AS DOUBLE), 6) + 0.0 AS spend,
+        |  rn AS rank_in_frame
+        |FROM r WHERE (rn - 1) % 20 = 0 ORDER BY user_id""".stripMargin,
     "sample_class_balance" ->
       """WITH d AS (SELECT doc_id, lang, n_chars,
         |    (doc_id % 2147483648) * 2654435761 % 2147483648 AS u
