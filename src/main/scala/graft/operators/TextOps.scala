@@ -1170,6 +1170,87 @@ object TextOps {
           " END")).as("mcc"))
   }
 
+  // ── per-language character-level conditional entropy H(c₂|c₁) and
+  // redundancy — the script-aware compressibility proxy text_char_
+  // entropy reports per document, lifted to the LANGUAGE level where it
+  // becomes a contamination detector (an "en" slice whose conditional
+  // entropy drifts toward zh's is mislabeled or mixed). H(c₂|c₁) =
+  // H(bigram) − H(prefix) via the chain rule; every p·ln p term snaps
+  // to a 9-dp DECIMAL before summation (the KM device), so the two
+  // entropy sums are order-independent exactly. The corpus reduces to
+  // (lang, bigram) cells first — explode is corpus-linear but the
+  // shuffle carries only dictionary-sized cells. ──
+  def textCondEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"), lower(col("text")).as("txt"))
+      .filter(length(col("txt")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(txt) - 1)," +
+          " i -> substring(txt, i, 2))")).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
+      .cache()
+    val nT = cells.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_bg"))
+    val t9 = "cast(round((cast(%s as double) / n)" +
+      " * ln(cast(%s as double) / n), 9) as decimal(18,9))"
+    val hbg = cells.join(broadcast(nT), "lang")
+      .withColumn("t9", expr(t9.format("c", "c")))
+      .groupBy(col("lang")).agg(sum(col("t9")).as("sb"))
+    val hp = cells
+      .groupBy(col("lang"), expr("substring(bg, 1, 1)").as("c1"))
+      .agg(sum(col("c")).as("cp"))
+      .join(broadcast(nT), "lang")
+      .withColumn("t9", expr(t9.format("cp", "cp")))
+      .groupBy(col("lang"))
+      .agg(sum(col("t9")).as("sp"), count(lit(1)).as("n_prefix"))
+    val v2 = cells.select(col("lang"), expr("substring(bg, 2, 1)").as("c2"))
+      .distinct().groupBy(col("lang")).agg(count(lit(1)).as("v2"))
+    nT.join(hbg, "lang").join(hp, "lang").join(v2, "lang")
+      .select(col("lang"), col("n").as("n_bigrams"),
+        col("n_bg").as("n_distinct_bigrams"), col("n_prefix"), col("v2"),
+        r6(expr("-cast(sb as double) / ln(cast(2 as double))"))
+          .as("h_bigram_bits"),
+        r6(expr("cast(sp - sb as double) / ln(cast(2 as double))"))
+          .as("h_cond_bits"),
+        r6(expr("1.0 - cast(sp - sb as double)" +
+          " / ln(cast(v2 as double))")).as("redundancy"))
+      .orderBy("lang")
+  }
+
+  // ── one-round IPF (raking) mix weights over the source×lang grid —
+  // the training-mix planner's answer to "what per-cell sampling weight
+  // makes every SOURCE and every LANGUAGE contribute equally": scale
+  // rows to N/S, then columns to N/L on the row-scaled mass, the
+  // classical iterative-proportional-fitting step. Cell counts are
+  // exact int64; the row factor is one cast-first division, the
+  // column's rescaled mass sums |sources| doubles (≤ a handful — 1e-15
+  // noise against a 6-dp boundary), and the emitted weight/effective-
+  // rows are snapped once. The grid is |sources|×|langs| whatever the
+  // corpus size — the plan reduces first, rakes on the reduced frame. ──
+  def pipelineMixRaking(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      .cache()
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      countDistinct(col("source")).as("s"),
+      countDistinct(col("lang")).as("l"))
+    val rows = cells.groupBy(col("source")).agg(sum(col("n")).as("rn"))
+    val rf = rows.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("cast(nn as double) / s / rn").as("rf"))
+    val scaled = cells.join(broadcast(rf), "source")
+    val cf = scaled.groupBy(col("lang"))
+      .agg(sum(expr("n * rf")).as("cs"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), expr("cast(nn as double) / l / cs").as("cf"))
+    scaled.join(broadcast(cf), "lang")
+      .select(col("source"), col("lang"), col("n"),
+        r6(col("rf")).as("row_factor"), r6(col("cf")).as("col_factor"),
+        r6(expr("rf * cf")).as("weight"),
+        r6(expr("n * rf * cf")).as("eff_rows"))
+      .orderBy("source", "lang")
+  }
+
   // ── Yule's K + Simpson's D + Herdan's C — the classical vocabulary-
   // richness characteristics (text_hapax profiles the Zipf TAIL; these
   // are the single-number summaries reviewers trend across corpus
@@ -1503,6 +1584,8 @@ object TextOps {
     "eval_cohen_kappa"      -> evalCohenKappa _,
     "text_yule_k"           -> textYuleK _,
     "text_burstiness"       -> textBurstiness _,
+    "text_cond_entropy"     -> textCondEntropy _,
+    "pipeline_mix_raking"   -> pipelineMixRaking _,
     "text_freq_drift"       -> textFreqDrift _,
     "text_sentences"        -> textSentences _,
     "text_char_entropy"     -> textCharEntropy _,
@@ -2087,6 +2170,62 @@ object TextOps {
         |SELECT doc_id, lang AS true_lang, l AS pred_lang,
         |  l = lang AS correct, CAST(score AS DOUBLE) AS nb_score
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "text_cond_entropy" ->
+      """WITH d AS (SELECT lang, lower(text) AS txt FROM documents
+        |           WHERE length(lower(text)) >= 2),
+        |g AS (SELECT lang,
+        |    unnest(list_transform(generate_series(1, length(txt) - 1),
+        |      i -> substr(txt, i, 2))) AS bg
+        |  FROM d),
+        |cells AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS c
+        |          FROM g GROUP BY 1, 2),
+        |nt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_bg FROM cells GROUP BY 1),
+        |hb AS (SELECT lang, sum(CAST(round((CAST(c AS DOUBLE) / n)
+        |      * ln(CAST(c AS DOUBLE) / n), 9) AS DECIMAL(18,9))) AS sb
+        |  FROM cells JOIN nt USING (lang) GROUP BY 1),
+        |pr AS (SELECT lang, substr(bg, 1, 1) AS c1,
+        |    CAST(sum(c) AS BIGINT) AS cp
+        |  FROM cells GROUP BY 1, 2),
+        |hp AS (SELECT lang, sum(CAST(round((CAST(cp AS DOUBLE) / n)
+        |      * ln(CAST(cp AS DOUBLE) / n), 9) AS DECIMAL(18,9))) AS sp,
+        |    CAST(count(*) AS BIGINT) AS n_prefix
+        |  FROM pr JOIN nt USING (lang) GROUP BY 1),
+        |v2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS v2 FROM
+        |       (SELECT DISTINCT lang, substr(bg, 2, 1) AS c2 FROM cells)
+        |       GROUP BY 1)
+        |SELECT lang, n AS n_bigrams, n_bg AS n_distinct_bigrams,
+        |  n_prefix, v2,
+        |  round(-CAST(sb AS DOUBLE) / ln(CAST(2 AS DOUBLE)), 6) + 0.0
+        |    AS h_bigram_bits,
+        |  round(CAST(sp - sb AS DOUBLE) / ln(CAST(2 AS DOUBLE)), 6)
+        |    + 0.0 AS h_cond_bits,
+        |  round(1.0 - CAST(sp - sb AS DOUBLE) / ln(CAST(v2 AS DOUBLE)),
+        |    6) + 0.0 AS redundancy
+        |FROM nt JOIN hb USING (lang) JOIN hp USING (lang)
+        |  JOIN v2 USING (lang)
+        |ORDER BY lang""".stripMargin,
+    "pipeline_mix_raking" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |               FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS s,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS l
+        |  FROM cells),
+        |rf AS (SELECT source, CAST(nn AS DOUBLE) / s / rn AS rf FROM
+        |       (SELECT source, CAST(sum(n) AS BIGINT) AS rn
+        |        FROM cells GROUP BY 1) CROSS JOIN tot),
+        |sc AS (SELECT cells.*, rf.rf FROM cells JOIN rf USING (source)),
+        |cf AS (SELECT lang, CAST(nn AS DOUBLE) / l / cs AS cf FROM
+        |       (SELECT lang, sum(n * rf) AS cs FROM sc GROUP BY 1)
+        |       CROSS JOIN tot)
+        |SELECT source, lang, n,
+        |  round(rf, 6) + 0.0 AS row_factor,
+        |  round(cf, 6) + 0.0 AS col_factor,
+        |  round(rf * cf, 6) + 0.0 AS weight,
+        |  round(n * rf * cf, 6) + 0.0 AS eff_rows
+        |FROM sc JOIN cf USING (lang)
+        |ORDER BY source, lang""".stripMargin,
     "text_yule_k" ->
       """WITH t AS (SELECT
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
