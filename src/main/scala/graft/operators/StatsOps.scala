@@ -4747,7 +4747,87 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Shared frame of the estimated-parameter normality tests
+    * ([[statsAndersonDarling]], [[statsCvm]]): per-type daily revenue in
+    * exact cents, z from int64 cents moments, Φ via the token-identical
+    * [[phiSql]] polynomial, ECDF rank over the (revc, day) total order.
+    * Identical to [[statsLilliefors]]'s frame so the three tests are
+    * directly comparable per type. */
+  private def normalityFrame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("yc"))
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("yc")).as("s1"),
+        sum(expr("CAST(yc AS DECIMAL(28,0)) * yc")).as("s2"))
+      .withColumn("mu", expr("cast(s1 as double) / n"))
+      .withColumn("sd", expr(
+        "sqrt(cast(n * s2 - CAST(s1 AS DECIMAL(28,0)) * s1 as double)" +
+          " / (cast(n as double) * (n - 1)))"))
+      .select(col("event_type"), col("n"), col("mu"), col("sd"))
+    daily.join(broadcast(mom), "event_type")
+      .withColumn("z", expr("(yc - mu) / sd"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("event_type")).orderBy(col("yc"), col("day"))))
+      .withColumn("phi", expr(phiSql("z")))
+  }
+
+  // ── Anderson–Darling normality test per event type: the tail-weighted
+  // companion of stats_lilliefors — AD integrates the squared ECDF−Φ gap
+  // with weight 1/(Φ(1−Φ)), so it catches heavy/light TAILS that the
+  // sup-norm D statistic (which peaks mid-distribution) misses. The
+  // order-statistic form A² = −n − (1/n)Σ[(2i−1)lnΦᵢ + (2(n−i)+1)
+  // ln(1−Φᵢ)] needs only each row's own rank, so it is ONE keyed
+  // aggregation over the shared frame — no reverse-index self-join. Each
+  // ln term is snapped to 9 dp and summed as an exact DECIMAL (double
+  // addition isn't associative; the snap makes the sum order-free), Φ is
+  // the shared token-identical polynomial, and the verdict compares the
+  // 6-dp A*² against the 0.752 case-3 (estimated params) 5% point. ──
+  def statsAndersonDarling(spark: SparkSession, dir: String): DataFrame =
+    normalityFrame(spark, dir)
+      .withColumn("term", expr(
+        "CAST(round((2 * rn - 1) * ln(phi)" +
+          " + (2 * (n - rn) + 1) * ln(1.0 - phi), 9) AS DECIMAL(28,9))"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_days"), sum(col("term")).as("tsum"))
+      .withColumn("a2", expr(
+        "-cast(n_days as double) - cast(tsum as double) / n_days"))
+      .withColumn("a2s", r6(expr(
+        "a2 * (1.0 + 0.75 / n_days" +
+          " + 2.25 / (cast(n_days as double) * n_days))")))
+      .select(col("event_type"), col("n_days"), r6(col("a2")).as("a2"),
+        col("a2s").as("a2_star"),
+        expr("CAST(0.752 AS DOUBLE)").as("crit_05"),
+        (col("a2s") > expr("CAST(0.752 AS DOUBLE)")).as("normal_rejected"))
+      .orderBy("event_type")
+
+  // ── Cramér–von Mises normality test per event type: the L²-norm
+  // member of the EDF-test triple (Lilliefors = sup norm, AD = tail-
+  // weighted L²) — W² = 1/(12n) + Σ(Φᵢ − (2i−1)/(2n))² weighs the WHOLE
+  // curve equally, the middle ground a distribution-drift monitor
+  // usually wants. Same shared frame and discipline: each squared gap is
+  // a product of engine-identical doubles snapped to 9 dp, summed as
+  // exact DECIMAL, and the verdict compares the 6-dp size-adjusted
+  // W²(1 + 0.5/n) against the 0.126 estimated-params 5% point. ──
+  def statsCvm(spark: SparkSession, dir: String): DataFrame =
+    normalityFrame(spark, dir)
+      .withColumn("term", expr(
+        "CAST(round((phi - (2 * rn - 1) / (2.0 * n))" +
+          " * (phi - (2 * rn - 1) / (2.0 * n)), 9) AS DECIMAL(28,9))"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_days"), sum(col("term")).as("tsum"))
+      .withColumn("w2", expr(
+        "1.0 / (12.0 * n_days) + cast(tsum as double)"))
+      .withColumn("w2s", r6(expr("w2 * (1.0 + 0.5 / n_days)")))
+      .select(col("event_type"), col("n_days"), r6(col("w2")).as("w2"),
+        col("w2s").as("w2_star"),
+        expr("CAST(0.126 AS DOUBLE)").as("crit_05"),
+        (col("w2s") > expr("CAST(0.126 AS DOUBLE)")).as("normal_rejected"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_anderson_darling" -> statsAndersonDarling _,
+    "stats_cvm"             -> statsCvm _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -4960,6 +5040,28 @@ object StatsOps {
       |  FROM events GROUP BY 1, 2, 3),
       |""".stripMargin
 
+  /** Shared oracle CTE block of the estimated-parameter normality tests
+    * (appended to [[duckDailyTyped]]): mirrors [[normalityFrame]] — int64
+    * cents moments → z → Φ via the token-identical polynomial, ECDF rank
+    * over the (revc, day) total order. Ends at `pp(event_type, n, rn,
+    * phi)`, comma-terminated for the test-specific CTEs to follow. */
+  private lazy val duckNormalityFrame: String =
+    s"""mo AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(revc) AS BIGINT) AS s1,
+       |    sum(CAST(revc AS DECIMAL(28,0)) * revc) AS s2
+       |  FROM daily GROUP BY 1),
+       |mm AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu,
+       |    sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(28,0)) * s1 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+       |  FROM mo),
+       |zz AS (SELECT d.event_type, mm.n,
+       |    (d.revc - mm.mu) / mm.sd AS z,
+       |    CAST(row_number() OVER (PARTITION BY d.event_type
+       |      ORDER BY d.revc, d.day) AS BIGINT) AS rn
+       |  FROM daily d JOIN mm USING (event_type)),
+       |pp AS (SELECT event_type, n, rn, ${phiSql("z")} AS phi FROM zz),
+       |""".stripMargin
+
   /** Shared user-spend oracle CTE (mirrors [[userSpendPos]]). */
   private val duckUserSpendPos: String =
     """WITH spend AS (
@@ -5083,6 +5185,45 @@ object StatsOps {
          |    (round(CAST(0.886 AS DOUBLE) / sqrt(CAST(n_days AS DOUBLE)),
          |      6) + 0.0) AS normal_rejected
          |FROM ag ORDER BY event_type""".stripMargin),
+    "stats_anderson_darling" -> (duckDailyTyped + duckNormalityFrame +
+      s"""tt AS (SELECT event_type, n,
+         |    CAST(round((2 * rn - 1) * ln(phi)
+         |      + (2 * (n - rn) + 1) * ln(1.0 - phi), 9) AS DECIMAL(28,9))
+         |      AS term
+         |  FROM pp),
+         |ag AS (SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_days,
+         |    sum(term) AS tsum
+         |  FROM tt GROUP BY 1),
+         |f AS (SELECT event_type, n_days,
+         |    -CAST(n_days AS DOUBLE) - CAST(tsum AS DOUBLE) / n_days AS a2
+         |  FROM ag)
+         |SELECT event_type, n_days, round(a2, 6) + 0.0 AS a2,
+         |  round(a2 * (1.0 + 0.75 / n_days
+         |    + 2.25 / (CAST(n_days AS DOUBLE) * n_days)), 6) + 0.0
+         |    AS a2_star,
+         |  CAST(0.752 AS DOUBLE) AS crit_05,
+         |  (round(a2 * (1.0 + 0.75 / n_days
+         |    + 2.25 / (CAST(n_days AS DOUBLE) * n_days)), 6) + 0.0)
+         |    > CAST(0.752 AS DOUBLE) AS normal_rejected
+         |FROM f ORDER BY event_type""".stripMargin),
+    "stats_cvm" -> (duckDailyTyped + duckNormalityFrame +
+      s"""tt AS (SELECT event_type, n,
+         |    CAST(round((phi - (2 * rn - 1) / (2.0 * n))
+         |      * (phi - (2 * rn - 1) / (2.0 * n)), 9) AS DECIMAL(28,9))
+         |      AS term
+         |  FROM pp),
+         |ag AS (SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_days,
+         |    sum(term) AS tsum
+         |  FROM tt GROUP BY 1),
+         |f AS (SELECT event_type, n_days,
+         |    1.0 / (12.0 * n_days) + CAST(tsum AS DOUBLE) AS w2
+         |  FROM ag)
+         |SELECT event_type, n_days, round(w2, 6) + 0.0 AS w2,
+         |  round(w2 * (1.0 + 0.5 / n_days), 6) + 0.0 AS w2_star,
+         |  CAST(0.126 AS DOUBLE) AS crit_05,
+         |  (round(w2 * (1.0 + 0.5 / n_days), 6) + 0.0)
+         |    > CAST(0.126 AS DOUBLE) AS normal_rejected
+         |FROM f ORDER BY event_type""".stripMargin),
     "window_cci" -> (duckDailyTyped +
       """w AS (SELECT event_type, day, revc,
         |    row_number() OVER wt AS rn,
