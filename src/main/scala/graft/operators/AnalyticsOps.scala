@@ -199,6 +199,57 @@ object AnalyticsOps {
     ranks.orderBy("node")
   }
 
+  /** Eigenvector-centrality fixed point: ranks in integer units,
+    * re-normalized each round so the max node sits at exactly EcScale —
+    * the normalization (a) keeps magnitudes bounded at ANY graph size
+    * (unnormalized power iteration overflows int64 once λ₁·iters
+    * compounds) and (b) stays bit-replayable: the only non-integer step
+    * would be the division, and `div` floor-division on the int128-wide
+    * product is exact in both engines. */
+  private val EcScale = 1000000000L // 1e9
+  private val EcIters = 4
+
+  // ── eigenvector centrality over the same customer–supplier trade
+  // graph as [[graphPagerank]]: 4 normalized power-iteration rounds of
+  // x ← Ax / max(Ax). PageRank answers "who is visited" under damping;
+  // the eigenvector answers "who is connected to the well-connected" —
+  // the prestige score a marketplace ranks counterparties by. Scale
+  // shape is pagerank's exactly: the static undirected edge frame
+  // shuffles ONCE (cached pre-partitioned on dst, the per-round groupBy
+  // key); each round moves only the |nodes|-sized rank vector
+  // (broadcast) plus ONE scalar max. Sums are int64 (bounded by
+  // d·EcScale), the normalizing product runs in DECIMAL(38,0)/HUGEINT
+  // so it cannot overflow, and floor `div` matches DuckDB `//` on
+  // positives — the oracle replays all 4 rounds bit-exactly. ──
+  def graphEigenCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val e = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = und.repartition(col("dst")).cache()
+    var x = adj.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(EcScale))
+    for (_ <- 1 to EcIters) {
+      val raw = adj.join(broadcast(x), adj("src") === x("node"))
+        .groupBy(col("dst")).agg(sum(col("r")).as("s"))
+      val mx = raw.agg(max(col("s")).as("mx"))
+      x = raw.crossJoin(broadcast(mx))
+        .select(col("dst").as("node"), expr(
+          s"CAST((CAST(s AS DECIMAL(38,0)) * $EcScale) div mx AS BIGINT)")
+          .as("r"))
+        // truncate lineage per round (the pagerank lesson): the broadcast
+        // otherwise re-executes every prior round — O(k²)
+        .localCheckpoint()
+    }
+    adj.unpersist()
+    x.select(col("node"), col("r").as("centrality")).orderBy("node")
+  }
+
   private val LpIters = 3
 
   // ── synchronous label propagation (community detection, Raghavan et al.
@@ -808,6 +859,7 @@ object AnalyticsOps {
     "funnel_steps"     -> funnelSteps _,
     "anomaly_mad"      -> anomalyMad _,
     "graph_pagerank"   -> graphPagerank _,
+    "graph_eigencentrality" -> graphEigenCentrality _,
     "graph_label_prop" -> graphLabelProp _,
     "graph_modularity" -> graphModularity _,
     "attribution"      -> attribution _,
@@ -835,6 +887,31 @@ object AnalyticsOps {
        |r0 AS (SELECT src AS node, CAST($PrScale AS BIGINT) AS r FROM deg),
        |$iters
        |SELECT node, r FROM it$PrIters ORDER BY node""".stripMargin
+  }
+
+  private val ecIterSql: String = {
+    // unrolled normalized power iteration: raw sum, then renormalize so
+    // max(s) ↦ EcScale — HUGEINT product, floor //, exactly the Spark arm
+    val iters = (1 to EcIters).map { k =>
+      val prev = if (k == 1) "r0" else s"n${k - 1}"
+      s"""it$k AS (
+         |  SELECT ue.dst AS node, CAST(sum(p.r) AS BIGINT) AS s
+         |  FROM ue JOIN $prev p ON ue.src = p.node
+         |  GROUP BY 1),
+         |n$k AS (
+         |  SELECT node, CAST(CAST(s AS HUGEINT) * $EcScale
+         |    // (SELECT max(s) FROM it$k) AS BIGINT) AS r
+         |  FROM it$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |ue AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |r0 AS (SELECT DISTINCT src AS node, CAST($EcScale AS BIGINT) AS r
+       |       FROM ue),
+       |$iters
+       |SELECT node, r AS centrality FROM n$EcIters ORDER BY node"""
+      .stripMargin
   }
 
   /** The unrolled-LP CTE block shared by the graph_label_prop and
@@ -1252,6 +1329,7 @@ object AnalyticsOps {
         |SELECT side, node, score, CAST(rnk AS INTEGER) AS rnk FROM r
         |WHERE rnk <= 10 ORDER BY side, rnk""".stripMargin,
     "graph_pagerank" -> prIterSql,
+    "graph_eigencentrality" -> ecIterSql,
     "graph_label_prop" -> lpIterSql,
     "graph_modularity" -> modularitySql,
     "attribution" ->

@@ -356,6 +356,65 @@ object StatsOps {
       .orderBy("lag")
   }
 
+  // ── partial autocorrelation of the same daily series at lags 1..3 —
+  // the AR-order-selection companion of stats_acf: the ACF says "is
+  // there memory", the PACF says "how many AR terms carry it" (φkk ≈ 0
+  // beyond the true order). Lag correlations reuse stats_acf's
+  // exact-decimal lagged-pair device verbatim (calendar join,
+  // DECIMAL(18,2) moments, r snapped to 6 dp); the Durbin–Levinson
+  // recursion through order 3 — φ11 = r1, φ22 = (r2−r1²)/(1−r1²),
+  // φ21 = r1 − φ22·r1, φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 −
+  // φ22·r2) — is then pure scalar arithmetic on a 1-row frame, written
+  // with the SAME token sequence in both engines so every derived
+  // double is bit-identical. The ±2/√n white-noise band gives the
+  // significance flag. ──
+  def statsPacf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    val lagged = daily
+      .withColumn("lag", explode(sequence(lit(1), lit(3))))
+      .withColumn("prev_day", date_sub(col("day"), col("lag")))
+      .join(daily.select(col("day").as("prev_day"), col("v").as("pv")),
+        "prev_day")
+    val x = col("v").cast("decimal(18,2)")
+    val y = col("pv").cast("decimal(18,2)")
+    val nD = col("n").cast("double")
+    val rk = lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(col("lag"),
+        r6((nD * col("sxy") - col("sx") * col("sy")) /
+          sqrt((nD * col("sxx") - col("sx") * col("sx")) *
+            (nD * col("syy") - col("sy") * col("sy")))).as("r"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    rk.agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+        max(when(col("lag") === 2, col("r"))).as("r2"),
+        max(when(col("lag") === 3, col("r"))).as("r3"))
+      .crossJoin(broadcast(nDays))
+      .withColumn("phi22", expr("(r2 - r1 * r1) / (1.0 - r1 * r1)"))
+      .withColumn("phi21", expr("r1 - phi22 * r1"))
+      .withColumn("phi33", expr(
+        "(r3 - phi21 * r2 - phi22 * r1)" +
+          " / (1.0 - phi21 * r1 - phi22 * r2)"))
+      .withColumn("band", r6(expr(
+        "2.0 / sqrt(cast(n_days as double))")))
+      .select(explode(array(
+        struct(lit(1L).as("lag"), col("r1").as("acf"),
+          col("r1").as("pacf")),
+        struct(lit(2L).as("lag"), col("r2").as("acf"),
+          r6(col("phi22")).as("pacf")),
+        struct(lit(3L).as("lag"), col("r3").as("acf"),
+          r6(col("phi33")).as("pacf")))).as("p"),
+        col("n_days"), col("band"))
+      .select(col("p.lag").as("lag"), col("n_days"), col("p.acf").as("acf"),
+        col("p.pacf").as("pacf"), col("band").as("band_95"),
+        (abs(col("p.pacf")) > col("band")).as("significant"))
+      .orderBy("lag")
+  }
+
   // ── CUSUM drift detection per user: the one-sided cumulative-sum
   // statistic S_t = max(0, S_{t-1} + (x_t − μ − k)) — which looks like an
   // un-windowable recurrence but has the exact closed form
@@ -4828,6 +4887,7 @@ object StatsOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_anderson_darling" -> statsAndersonDarling _,
     "stats_cvm"             -> statsCvm _,
+    "stats_pacf"            -> statsPacf _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -5224,6 +5284,59 @@ object StatsOps {
          |  (round(w2 * (1.0 + 0.5 / n_days), 6) + 0.0)
          |    > CAST(0.126 AS DOUBLE) AS normal_rejected
          |FROM f ORDER BY event_type""".stripMargin),
+    "stats_pacf" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT l.lag, a.v, b.v AS pv
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 4)) AS lag) l
+        |  JOIN daily b ON b.day = a.day - CAST(l.lag AS INTEGER)),
+        |m AS (
+        |  SELECT lag, count(*) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(pv AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(pv AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(pv AS DECIMAL(18,2)) * CAST(pv AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS syy
+        |  FROM lagged GROUP BY 1),
+        |rk AS (SELECT lag,
+        |    round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |      sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |           (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0 AS r
+        |  FROM m),
+        |rr AS (SELECT
+        |    max(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    max(CASE WHEN lag = 3 THEN r END) AS r3,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days
+        |  FROM rk),
+        |dl AS (SELECT *,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22,
+        |    round(2.0 / sqrt(CAST(n_days AS DOUBLE)), 6) + 0.0 AS band
+        |  FROM rr),
+        |dl2 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM dl),
+        |dl3 AS (SELECT *,
+        |    (r3 - phi21 * r2 - phi22 * r1)
+        |      / (1.0 - phi21 * r1 - phi22 * r2) AS phi33
+        |  FROM dl2),
+        |rows3 AS (
+        |  SELECT CAST(1 AS BIGINT) AS lag, n_days, r1 AS acf, r1 AS pacf,
+        |    band FROM dl3
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), n_days, r2,
+        |    round(phi22, 6) + 0.0, band FROM dl3
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), n_days, r3,
+        |    round(phi33, 6) + 0.0, band FROM dl3)
+        |SELECT lag, n_days, acf, pacf, band AS band_95,
+        |  abs(pacf) > band AS significant
+        |FROM rows3 ORDER BY lag""".stripMargin,
     "window_cci" -> (duckDailyTyped +
       """w AS (SELECT event_type, day, revc,
         |    row_number() OVER wt AS rn,
