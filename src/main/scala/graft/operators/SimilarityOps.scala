@@ -467,6 +467,80 @@ object SimilarityOps {
 
   private def r6c(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0d)
 
+  /** The eval_calibration 10-bin frame as a reusable input: per-bin
+    * count / positives / exact micro-unit probability sum. Integer bin
+    * assignment on the 6-dp score — shared by [[evalBrierDecomp]] and
+    * [[evalEce]] so all three calibration reads bin identically. */
+  private def calibrationBins(spark: SparkSession, dir: String): DataFrame =
+    centroidScored(spark, dir)
+      .withColumn("m",
+        expr("CAST(CAST(cos6 AS DECIMAL(9,6)) * 1000000 AS BIGINT)"))
+      .withColumn("bin",
+        least(expr("(m + 1000000) div 200000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("m") + 1000000L).as("psum_micro"))
+
+  // ── Murphy decomposition of the binned scorer's Brier score:
+  // reliability (how far each bin's mean prediction sits from its
+  // observed rate — calibration error proper), resolution (how much the
+  // bins separate the base rate — discriminative power), uncertainty
+  // (the base rate's own variance, the no-skill floor), with
+  // brier_binned = rel − res + unc by the exact identity. eval_auc's
+  // single Brier number can't say WHY it is bad; this splits it into
+  // the part recalibration can fix (reliability) and the part only a
+  // better model can (resolution). All bin statistics are ratios of
+  // exact integers; the two cross-bin sums are 9-dp-snapped DECIMALs so
+  // summation order can't leak in. Group-sized (10 bins) after one
+  // corpus scan. ──
+  def evalBrierDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val b = calibrationBins(spark, dir)
+      .withColumn("pbar", expr("cast(psum_micro as double) / (2000000 * n)"))
+      .withColumn("ybar", expr("cast(n_pos as double) / n"))
+    val tot = b.agg(sum(col("n")).as("nt"), sum(col("n_pos")).as("npt"))
+    b.crossJoin(broadcast(tot))
+      .withColumn("ybar_g", expr("cast(npt as double) / nt"))
+      .withColumn("rel_t", expr(
+        "CAST(round(n * (pbar - ybar) * (pbar - ybar), 9)" +
+          " AS DECIMAL(28,9))"))
+      .withColumn("res_t", expr(
+        "CAST(round(n * (ybar - ybar_g) * (ybar - ybar_g), 9)" +
+          " AS DECIMAL(28,9))"))
+      .groupBy(col("nt"), col("npt"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("rel_t")).as("rel_s"), sum(col("res_t")).as("res_s"))
+      .select(col("n_bins"), col("nt").as("n"),
+        r6c(expr("cast(rel_s as double) / nt")).as("reliability"),
+        r6c(expr("cast(res_s as double) / nt")).as("resolution"),
+        r6c(expr("(cast(npt as double) / nt)" +
+          " * (1.0 - cast(npt as double) / nt)")).as("uncertainty"),
+        r6c(expr("(cast(rel_s as double) - cast(res_s as double)) / nt" +
+          " + (cast(npt as double) / nt)" +
+          " * (1.0 - cast(npt as double) / nt)")).as("brier_binned"))
+  }
+
+  // ── expected / maximum calibration error over the same 10 bins: ECE
+  // is the n-weighted mean |gap|, MCE the worst bin — the two numbers a
+  // model card quotes where eval_calibration prints the whole table.
+  // Same discipline: per-bin gaps are doubles derived from exact
+  // integers (token-identical across engines), the weighted sum is
+  // 9-dp-snapped DECIMAL. ──
+  def evalEce(spark: SparkSession, dir: String): DataFrame = {
+    val b = calibrationBins(spark, dir)
+      .withColumn("pbar", expr("cast(psum_micro as double) / (2000000 * n)"))
+      .withColumn("ybar", expr("cast(n_pos as double) / n"))
+      .withColumn("ece_t", expr(
+        "CAST(round(n * abs(pbar - ybar), 9) AS DECIMAL(28,9))"))
+    val tot = b.agg(sum(col("n")).as("nt"))
+    b.crossJoin(broadcast(tot))
+      .groupBy(col("nt"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("ece_t")).as("ece_s"),
+        max(expr("abs(pbar - ybar)")).as("mx"))
+      .select(col("n_bins"), col("nt").as("n"),
+        r6c(expr("cast(ece_s as double) / nt")).as("ece"),
+        r6c(col("mx")).as("mce"))
+  }
+
   // ── ROC operating points at the 10 calibration-bin thresholds: the
   // (FPR, TPR, precision, F1) table behind eval_auc's single number —
   // which THRESHOLD a deployment should actually pick. Confusion
@@ -554,6 +628,8 @@ object SimilarityOps {
     "eval_lift"          -> evalLift _,
     "eval_auc"           -> evalAuc _,
     "eval_calibration"   -> evalCalibration _,
+    "eval_brier_decomp"  -> evalBrierDecomp _,
+    "eval_ece"           -> evalEce _,
     "eval_ann_recall"    -> evalAnnRecall _,
     "embed_triplet_mine" -> embedTripletMine _,
     "embed_dim_stats" -> embedDimStats _,
@@ -701,6 +777,66 @@ object SimilarityOps {
         |  round(CAST(sum(m + 1000000) AS DOUBLE) / (2000000 * count(*))
         |    - CAST(sum(y) AS DOUBLE) / count(*), 6) + 0.0 AS gap
         |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin),
+    "eval_brier_decomp" -> (duckCentroidScored +
+      """mb AS (SELECT y,
+        |         CAST(CAST(cos6 AS DECIMAL(9,6)) * 1000000 AS BIGINT)
+        |           AS m
+        |       FROM sc),
+        |bb AS (SELECT least((m + 1000000) // 200000, 9) AS bin, y, m
+        |       FROM mb),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS BIGINT) AS n_pos,
+        |        CAST(sum(m + 1000000) AS BIGINT) AS psum
+        |      FROM bb GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |        CAST(sum(n_pos) AS BIGINT) AS npt FROM g),
+        |d AS (SELECT g.*, t.nt, t.npt,
+        |        CAST(psum AS DOUBLE) / (2000000 * n) AS pbar,
+        |        CAST(n_pos AS DOUBLE) / n AS ybar,
+        |        CAST(npt AS DOUBLE) / nt AS ybar_g
+        |      FROM g, t),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |        CAST(max(nt) AS BIGINT) AS nt,
+        |        CAST(max(npt) AS BIGINT) AS npt,
+        |        sum(CAST(round(n * (pbar - ybar) * (pbar - ybar), 9)
+        |            AS DECIMAL(28,9))) AS rel_s,
+        |        sum(CAST(round(n * (ybar - ybar_g) * (ybar - ybar_g), 9)
+        |            AS DECIMAL(28,9))) AS res_s
+        |      FROM d)
+        |SELECT n_bins, nt AS n,
+        |  round(CAST(rel_s AS DOUBLE) / nt, 6) + 0.0 AS reliability,
+        |  round(CAST(res_s AS DOUBLE) / nt, 6) + 0.0 AS resolution,
+        |  round((CAST(npt AS DOUBLE) / nt)
+        |    * (1.0 - CAST(npt AS DOUBLE) / nt), 6) + 0.0 AS uncertainty,
+        |  round((CAST(rel_s AS DOUBLE) - CAST(res_s AS DOUBLE)) / nt
+        |    + (CAST(npt AS DOUBLE) / nt)
+        |    * (1.0 - CAST(npt AS DOUBLE) / nt), 6) + 0.0 AS brier_binned
+        |FROM s""".stripMargin),
+    "eval_ece" -> (duckCentroidScored +
+      """mb AS (SELECT y,
+        |         CAST(CAST(cos6 AS DECIMAL(9,6)) * 1000000 AS BIGINT)
+        |           AS m
+        |       FROM sc),
+        |bb AS (SELECT least((m + 1000000) // 200000, 9) AS bin, y, m
+        |       FROM mb),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS BIGINT) AS n_pos,
+        |        CAST(sum(m + 1000000) AS BIGINT) AS psum
+        |      FROM bb GROUP BY 1),
+        |d AS (SELECT bin, n,
+        |        CAST(psum AS DOUBLE) / (2000000 * n) AS pbar,
+        |        CAST(n_pos AS DOUBLE) / n AS ybar
+        |      FROM g),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |        CAST(sum(n) AS BIGINT) AS nt,
+        |        sum(CAST(round(n * abs(pbar - ybar), 9)
+        |            AS DECIMAL(28,9))) AS ece_s,
+        |        max(abs(pbar - ybar)) AS mx
+        |      FROM d)
+        |SELECT n_bins, nt AS n,
+        |  round(CAST(ece_s AS DOUBLE) / nt, 6) + 0.0 AS ece,
+        |  round(mx, 6) + 0.0 AS mce
+        |FROM s""".stripMargin),
     "eval_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
