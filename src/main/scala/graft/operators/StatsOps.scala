@@ -1899,6 +1899,74 @@ object StatsOps {
       .orderBy("decile")
   }
 
+  // ── Palma ratio of user spend: top-10% share over bottom-40% share —
+  // the inequality headline number policy reports quote instead of the
+  // full Lorenz table (the middle 50% is empirically stable, so the
+  // tails' ratio IS the story). Reuses dist_lorenz's explicit-decile
+  // device verbatim (rank over the (v, user_id) total order, integer
+  // decile fences) so the shares reconcile with that key's table
+  // row-for-row; tail sums stay exact DECIMAL until the two final
+  // divisions. Same at-scale note as dist_lorenz: the global rank is
+  // the explicit form — window_rank_family_scaled's bucketed rank
+  // reconstruction is the drop-in when one panel outgrows a window. ──
+  def distPalma(spark: SparkSession, dir: String): DataFrame = {
+    val spend = ev(spark, dir).groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val wo = Window.orderBy(col("v"), col("user_id"))
+    val m = Window.partitionBy(lit(1))
+    spend
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("decile", expr("((rn - 1) * 10) div m + 1"))
+      .agg(count(lit(1)).as("n_users"), sum(col("v")).as("tot"),
+        sum(when(col("decile") === 10, col("v"))).as("top10"),
+        sum(when(col("decile") <= 4, col("v"))).as("bot40"))
+      .select(col("n_users"),
+        r6(expr("cast(top10 as double) / cast(tot as double)"))
+          .as("top10_share"),
+        r6(expr("cast(bot40 as double) / cast(tot as double)"))
+          .as("bot40_share"),
+        r6(expr("cast(top10 as double) / cast(bot40 as double)"))
+          .as("palma_ratio"))
+  }
+
+  // ── quintile share table of user spend (+ the S80/S20 income-share
+  // ratio on the top row's cumulative read): the 5-band summary between
+  // dist_lorenz's 10-row curve and dist_palma's single number — the EU
+  // at-risk-of-inequality format. Same explicit-rank device and exact
+  // DECIMAL band sums; shares divide once at the boundary. ──
+  def distQuintileShares(spark: SparkSession, dir: String): DataFrame = {
+    val spend = ev(spark, dir).groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val wo = Window.orderBy(col("v"), col("user_id"))
+    val m = Window.partitionBy(lit(1))
+    val ranked = spend
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("tot", sum(col("v")).over(m))
+      .withColumn("quintile", expr("((rn - 1) * 5) div m + 1"))
+    val byQ = ranked.groupBy(col("quintile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v")).as("spend"), first(col("tot")).as("tot"))
+    byQ
+      .withColumn("cum_spend",
+        sum(col("spend")).over(Window.orderBy(col("quintile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("q1", sum(when(col("quintile") === 1, col("spend")))
+        .over(m))
+      .withColumn("q5", sum(when(col("quintile") === 5, col("spend")))
+        .over(m))
+      .select(col("quintile").cast("int").as("quintile"), col("n_users"),
+        col("spend").cast("double").as("spend"),
+        r6(col("spend").cast("double") / col("tot").cast("double"))
+          .as("share"),
+        r6(col("cum_spend").cast("double") / col("tot").cast("double"))
+          .as("cum_share"),
+        r6(col("q5").cast("double") / col("q1").cast("double"))
+          .as("s80_s20"))
+      .orderBy("quintile")
+  }
+
   // ── Kruskal–Wallis H: does `value`'s LOCATION differ across event
   // types — the k-group nonparametric ANOVA (stats_anova assumes
   // normality; stats_mannwhitney compares exactly two groups; this is
@@ -4888,6 +4956,8 @@ object StatsOps {
     "stats_anderson_darling" -> statsAndersonDarling _,
     "stats_cvm"             -> statsCvm _,
     "stats_pacf"            -> statsPacf _,
+    "dist_palma"            -> distPalma _,
+    "dist_quintile_shares"  -> distQuintileShares _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -7880,6 +7950,49 @@ object StatsOps {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |        AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS cum_share
         |FROM g ORDER BY decile""".stripMargin,
+    "dist_palma" ->
+      """WITH spend AS (SELECT user_id,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, user_id) AS rn,
+        |        count(*) OVER () AS m
+        |      FROM spend),
+        |d AS (SELECT ((rn - 1) * 10) // m + 1 AS decile, v FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users, sum(v) AS tot,
+        |        sum(CASE WHEN decile = 10 THEN v END) AS top10,
+        |        sum(CASE WHEN decile <= 4 THEN v END) AS bot40
+        |      FROM d)
+        |SELECT n_users,
+        |  round(CAST(top10 AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0
+        |    AS top10_share,
+        |  round(CAST(bot40 AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0
+        |    AS bot40_share,
+        |  round(CAST(top10 AS DOUBLE) / CAST(bot40 AS DOUBLE), 6) + 0.0
+        |    AS palma_ratio
+        |FROM a""".stripMargin,
+    "dist_quintile_shares" ->
+      """WITH spend AS (SELECT user_id,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, user_id) AS rn,
+        |        count(*) OVER () AS m, sum(v) OVER () AS tot
+        |      FROM spend),
+        |d AS (SELECT ((rn - 1) * 5) // m + 1 AS quintile, v, tot FROM r),
+        |g AS (SELECT quintile, CAST(count(*) AS BIGINT) AS n_users,
+        |        sum(v) AS spend, any_value(tot) AS tot
+        |      FROM d GROUP BY 1)
+        |SELECT CAST(quintile AS INT) AS quintile, n_users,
+        |  CAST(spend AS DOUBLE) AS spend,
+        |  round(CAST(spend AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0
+        |    AS share,
+        |  round(CAST(sum(spend) OVER (ORDER BY quintile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS cum_share,
+        |  round(CAST(max(CASE WHEN quintile = 5 THEN spend END) OVER ()
+        |        AS DOUBLE)
+        |    / CAST(max(CASE WHEN quintile = 1 THEN spend END) OVER ()
+        |        AS DOUBLE), 6) + 0.0 AS s80_s20
+        |FROM g ORDER BY quintile""".stripMargin,
     "stats_granger" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
