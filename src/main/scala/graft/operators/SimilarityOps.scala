@@ -623,7 +623,79 @@ object SimilarityOps {
       .orderBy("decile")
   }
 
+  /** Top-5 cosine neighbor frame for the kNN-classifier keys: the 20
+    * hash-sampled anchors (eval_ann_recall's unbiased-order device)
+    * scored against every other vector, ranked per anchor by the
+    * (cos6 desc, vec_id) total order and cut at 5. One broadcast-probe
+    * corpus scan feeds both the k=5 classifier and the k-sweep. */
+  private def knnRanked(spark: SparkSession, dir: String): DataFrame = {
+    val anchors = vecs(spark, dir)
+      .orderBy(expr("pmod(pmod(vec_id, 2147483648) * 2654435761," +
+        " 2147483648)"), col("vec_id"))
+      .limit(20)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("v").as("a_v"), col("norm").as("a_norm"))
+    vecs(spark, dir)
+      .join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+        (round(DedupOps.dot(col("v"), col("a_v")) /
+          (col("norm") * col("a_norm")), 6) + lit(0.0d)).as("cos6"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(desc("cos6"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+  }
+
+  // ── 5-NN majority-vote classification of the hash-sampled anchors —
+  // the non-parametric label predictor every embedding store supports
+  // for free (text_nb_lang learns a model; this just asks the
+  // neighbors). Vote argmax is fully ordered (count desc, nearest rank,
+  // label), so ties can't flap between engines. The scan is the
+  // sim_search shape: anchors broadcast, per-partition top-k, nothing
+  // corpus-sized shuffles — per-probe cost is one pass at any corpus
+  // size. ──
+  def embedKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val votes = knnRanked(spark, dir)
+      .groupBy(col("a_id"), col("a_label"), col("label"))
+      .agg(count(lit(1)).as("c"), min(col("rn")).as("best"))
+    votes
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(desc("c"), col("best"), col("label"))))
+      .filter(col("pick") === 1)
+      .select(col("a_id").as("anchor_id"), col("a_label").as("true_label"),
+        col("label").as("pred_label"), col("c").as("n_votes"),
+        (col("label") === col("a_label")).as("correct"))
+      .orderBy("anchor_id")
+  }
+
+  // ── k-sweep of the same classifier (k ∈ {1, 3, 5}): accuracy as a
+  // function of neighborhood size — the one-table answer to "which k
+  // should the deployment pin". Reuses the SAME ranked frame (the sweep
+  // costs three group-sized aggregations, not three corpus scans). ──
+  def evalKnnSweep(spark: SparkSession, dir: String): DataFrame = {
+    val preds = knnRanked(spark, dir)
+      .select(col("a_id"), col("a_label"), col("label"), col("rn"),
+        explode(expr("array(1, 3, 5)")).as("k"))
+      .filter(col("rn") <= col("k"))
+      .groupBy(col("k"), col("a_id"), col("a_label"), col("label"))
+      .agg(count(lit(1)).as("c"), min(col("rn")).as("best"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("k"), col("a_id"))
+          .orderBy(desc("c"), col("best"), col("label"))))
+      .filter(col("pick") === 1)
+    preds.groupBy(col("k").cast("long").as("k"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum((col("label") === col("a_label")).cast("long"))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        r6c(expr("cast(n_correct as double) / n_anchors")))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_knn_classify" -> embedKnnClassify _,
+    "eval_knn_sweep"     -> evalKnnSweep _,
     "eval_roc_points"    -> evalRocPoints _,
     "eval_lift"          -> evalLift _,
     "eval_auc"           -> evalAuc _,
@@ -646,6 +718,24 @@ object SimilarityOps {
   /** Shared oracle prelude for the centroid-probe classifier keys: 6-dp
     * class-0 centroid cosine + binary truth, mirroring
     * [[centroidScored]]. */
+  /** Oracle CTE block mirroring [[knnRanked]]: 20 hash-ordered anchors,
+    * cosine to every other vector, rank cut at 5. Ends at
+    * `top5(a_id, a_label, vec_id, label, cos6, rn)`, comma-terminated. */
+  private val duckKnnTop5: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |a AS (SELECT vec_id AS a_id, label AS a_label, v AS a_v FROM e
+      |      ORDER BY (vec_id % 2147483648) * 2654435761 % 2147483648,
+      |        vec_id
+      |      LIMIT 20),
+      |sc AS (SELECT a.a_id, a.a_label, e.vec_id, e.label,
+      |    round(list_cosine_similarity(e.v, a.a_v), 6) + 0.0 AS cos6
+      |  FROM e, a WHERE e.vec_id <> a.a_id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY a_id
+      |        ORDER BY cos6 DESC, vec_id) AS rn FROM sc),
+      |top5 AS (SELECT * FROM rk WHERE rn <= 5),
+      |""".stripMargin
+
   private val duckCentroidScored: String =
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
@@ -837,6 +927,35 @@ object SimilarityOps {
         |  round(CAST(ece_s AS DOUBLE) / nt, 6) + 0.0 AS ece,
         |  round(mx, 6) + 0.0 AS mce
         |FROM s""".stripMargin),
+    "embed_knn_classify" -> (duckKnnTop5 +
+      """v AS (SELECT a_id, a_label, label, CAST(count(*) AS BIGINT) AS c,
+        |        min(rn) AS best
+        |      FROM top5 GROUP BY 1, 2, 3),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY a_id
+        |        ORDER BY c DESC, best, label) AS pick
+        |      FROM v)
+        |SELECT a_id AS anchor_id, a_label AS true_label,
+        |  label AS pred_label, c AS n_votes, label = a_label AS correct
+        |FROM p WHERE pick = 1 ORDER BY anchor_id""".stripMargin),
+    "eval_knn_sweep" -> (duckKnnTop5 +
+      """ks AS (SELECT unnest([1, 3, 5]) AS k),
+        |f AS (SELECT ks.k, t.a_id, t.a_label, t.label, t.rn
+        |      FROM top5 t, ks WHERE t.rn <= ks.k),
+        |v AS (SELECT k, a_id, a_label, label, count(*) AS c,
+        |        min(rn) AS best
+        |      FROM f GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY k, a_id
+        |        ORDER BY c DESC, best, label) AS pick
+        |      FROM v),
+        |w AS (SELECT CAST(k AS BIGINT) AS k,
+        |        CAST(count(*) AS BIGINT) AS n_anchors,
+        |        CAST(sum(CASE WHEN label = a_label THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_correct
+        |      FROM p WHERE pick = 1 GROUP BY 1)
+        |SELECT k, n_anchors, n_correct,
+        |  round(CAST(n_correct AS DOUBLE) / n_anchors, 6) + 0.0
+        |    AS accuracy
+        |FROM w ORDER BY k""".stripMargin),
     "eval_ann_recall" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
