@@ -746,6 +746,37 @@ object AnalyticsOps {
           lit(3.841d)).as("srm_flag"))
   }
 
+  // ── A/B power planner from the observed base rate: given this
+  // corpus's user→purchase conversion, what absolute/relative lift is
+  // detectable at α=0.05 / 80% power with the users we HAVE split
+  // 50/50, and how many users per arm would a 5%-relative-lift test
+  // need — the sizing arithmetic every experiment review starts with
+  // (ab_srm_check guards the split; this says whether the test is even
+  // worth running). Two-proportion normal approximation with the
+  // standard z constants as shared literal tokens; the base rate is a
+  // ratio of exact int64 counts, every derived double is the same token
+  // sequence in both engines, and the only boundary op is one ceil.
+  // ONE distinct + ONE tiny aggregate — shuffle is user-sized. ──
+  def abPowerMde(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
+      .withColumn("p", expr("cast(n_converted as double) / n_users"))
+      .withColumn("npa", expr("n_users div 2"))
+      .withColumn("mde_abs", expr(
+        "(1.959964 + 0.841621)" +
+          " * sqrt(2.0 * p * (1.0 - p) / cast(npa as double))"))
+      .select(col("n_users"), col("n_converted"),
+        r6(col("p")).as("p_base"), col("npa").as("n_per_arm"),
+        r6(col("mde_abs")).as("mde_abs"),
+        r6(expr("mde_abs / p")).as("mde_rel"),
+        expr("CAST(ceil(2.0 * p * (1.0 - p)" +
+          " * ((1.959964 + 0.841621) * (1.959964 + 0.841621))" +
+          " / ((0.05 * p) * (0.05 * p))) AS BIGINT)")
+          .as("n_per_arm_5pct_lift"))
+
   private val HitsIters = 2
   private val HitsScale = 1000000L
 
@@ -860,6 +891,7 @@ object AnalyticsOps {
     "anomaly_mad"      -> anomalyMad _,
     "graph_pagerank"   -> graphPagerank _,
     "graph_eigencentrality" -> graphEigenCentrality _,
+    "ab_power_mde"     -> abPowerMde _,
     "graph_label_prop" -> graphLabelProp _,
     "graph_modularity" -> graphModularity _,
     "attribution"      -> attribution _,
@@ -997,6 +1029,31 @@ object AnalyticsOps {
         duckFd("customer.c_nationkey->c_mktsegment", "customer",
           "c_nationkey", "c_mktsegment") +
         "\n) ORDER BY fd"),
+    "ab_power_mde" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(conv) AS BIGINT) AS n_converted
+        |  FROM u),
+        |d AS (SELECT *, CAST(n_converted AS DOUBLE) / n_users AS p,
+        |        n_users // 2 AS npa
+        |      FROM c),
+        |f AS (SELECT *,
+        |        (1.959964 + 0.841621)
+        |          * sqrt(2.0 * p * (1.0 - p) / CAST(npa AS DOUBLE))
+        |          AS mde_abs
+        |      FROM d)
+        |SELECT n_users, n_converted, round(p, 6) + 0.0 AS p_base,
+        |  CAST(npa AS BIGINT) AS n_per_arm,
+        |  round(mde_abs, 6) + 0.0 AS mde_abs,
+        |  round(mde_abs / p, 6) + 0.0 AS mde_rel,
+        |  CAST(ceil(2.0 * p * (1.0 - p)
+        |    * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+        |    / ((0.05 * p) * (0.05 * p))) AS BIGINT)
+        |    AS n_per_arm_5pct_lift
+        |FROM f""".stripMargin,
     "ab_srm_check" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |a AS (SELECT ((user_id % 2147483648) * 2654435761)

@@ -4874,6 +4874,44 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ── paired sign test per event type: did week-over-week daily revenue
+  // SHIFT, asking only the sign of each (day, day+7) difference — the
+  // assumption-free floor under stats_wilcoxon_signed (which adds rank
+  // magnitudes) and forecast-drift monitors: valid under any
+  // distribution, immune to outliers. Pairs come from the calendar
+  // self-join (gap days drop from both engines identically), zero
+  // differences are discarded per the classical test, counts are exact
+  // int64, and the normal-approximation z = (2S − n)/√n and its
+  // two-sided p through the shared token-identical Φ polynomial are
+  // single double expressions; the verdict compares the 6-dp p. ──
+  def statsSignTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    daily.select(col("event_type"), col("day").as("d1"),
+        col("revc").as("r1"))
+      .join(daily.select(col("event_type"), col("day").as("d2"),
+        col("revc").as("r2")),
+        Seq("event_type"))
+      .filter(col("d2") === date_add(col("d1"), 7))
+      .select(col("event_type"), (col("r2") - col("r1")).as("diff"))
+      .filter(col("diff") =!= 0L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("diff") > 0, 1L).otherwise(0L)).as("n_plus"))
+      .withColumn("z", expr(
+        "cast(2 * n_plus - n_pairs as double)" +
+          " / sqrt(cast(n_pairs as double))"))
+      .withColumn("az", abs(col("z")))
+      .withColumn("p2", r6(expr(s"2.0 * (1.0 - ${phiSql("az")})")))
+      .select(col("event_type"), col("n_pairs"), col("n_plus"),
+        (col("n_pairs") - col("n_plus")).as("n_minus"),
+        r6(col("z")).as("z"), col("p2").as("p_two"),
+        (col("z") > 0).as("shift_up"),
+        (col("p2") < lit(0.05d)).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Shared frame of the estimated-parameter normality tests
     * ([[statsAndersonDarling]], [[statsCvm]]): per-type daily revenue in
     * exact cents, z from int64 cents moments, Φ via the token-identical
@@ -4958,6 +4996,7 @@ object StatsOps {
     "stats_pacf"            -> statsPacf _,
     "dist_palma"            -> distPalma _,
     "dist_quintile_shares"  -> distQuintileShares _,
+    "stats_sign_test"       -> statsSignTest _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -5354,6 +5393,34 @@ object StatsOps {
          |  (round(w2 * (1.0 + 0.5 / n_days), 6) + 0.0)
          |    > CAST(0.126 AS DOUBLE) AS normal_rejected
          |FROM f ORDER BY event_type""".stripMargin),
+    "stats_sign_test" -> {
+      val pz = phiSql("az")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |      AS revc
+         |  FROM events GROUP BY 1, 2),
+         |p AS (SELECT a.event_type, b.revc - a.revc AS diff
+         |      FROM daily a JOIN daily b
+         |        ON b.event_type = a.event_type
+         |        AND b.day = a.day + 7
+         |      WHERE b.revc - a.revc <> 0),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         |        CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_plus
+         |      FROM p GROUP BY 1),
+         |zt AS (SELECT *,
+         |        CAST(2 * n_plus - n_pairs AS DOUBLE)
+         |          / sqrt(CAST(n_pairs AS DOUBLE)) AS z
+         |      FROM g),
+         |za AS (SELECT *, abs(z) AS az FROM zt),
+         |pp AS (SELECT *, round(2.0 * (1.0 - $pz), 6) + 0.0 AS p2
+         |       FROM za)
+         |SELECT event_type, n_pairs, n_plus, n_pairs - n_plus AS n_minus,
+         |  round(z, 6) + 0.0 AS z, p2 AS p_two, z > 0 AS shift_up,
+         |  p2 < 0.05 AS significant
+         |FROM pp ORDER BY event_type""".stripMargin
+    },
     "stats_pacf" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
