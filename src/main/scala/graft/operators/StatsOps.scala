@@ -3483,6 +3483,84 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  // ── Williams %R (14-day) per event type: where today's close sits in
+  // the trailing high–low channel, on the window_atr OHLC-ish bar —
+  // the fast stochastic's raw positioning line (−100 = at the channel
+  // low, 0 = at the high). Channel edges are integer window max/min of
+  // exact cents; the single −100·(HH−c)/(HH−LL) map is one double
+  // division, and the +0.0 normalization covers the c = HH bin (a bare
+  // −100·0 would be −0.0). Entity-partitioned, full frames only; flat
+  // channels (HH = LL) are skipped on the INTEGER compare, so both
+  // engines drop identical rows. ──
+  def windowWilliamsR(spark: SparkSession, dir: String): DataFrame = {
+    val bars = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("vc")).as("h"), min(col("vc")).as("l"),
+        max(struct(col("us"), col("event_id"), col("vc")))
+          .getField("vc").as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w14 = wOrd.rowsBetween(-13, 0)
+    bars
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("hh", max(col("h")).over(w14))
+      .withColumn("ll", min(col("l")).over(w14))
+      .filter(col("rn") >= 14 && col("hh") > col("ll"))
+      .select(col("event_type"), col("day"),
+        r6(expr("cast(c as double) / 100")).as("close"),
+        r6(expr("cast(hh as double) / 100")).as("hh14"),
+        r6(expr("cast(ll as double) / 100")).as("ll14"),
+        r6(expr("-100.0 * cast(hh - c as double)" +
+          " / cast(hh - ll as double)")).as("williams_r"))
+      .orderBy("event_type", "day")
+  }
+
+  // ── Money Flow Index (14-day) per event type: volume-weighted RSI —
+  // each bar's 3×typical-price (h+l+c, exact cents) times its trade
+  // count flows into the positive or negative pool by the INTEGER
+  // tpc-vs-prev compare, and MFI = 100·pos/(pos+neg) over 14 bars.
+  // window_rsi weighs price change alone; MFI says whether the moves
+  // carried participation. Pools are int64 sums of integer products
+  // (tpc·vol ≲ 3·10⁵·day-volume — drop the cents scale one decade if a
+  // single key's daily volume approaches 3·10¹³); ONE double division
+  // at the boundary. Unchanged-tpc bars feed neither pool (the
+  // classical convention), and both engines decide that on integers. ──
+  def windowMfi(spark: SparkSession, dir: String): DataFrame = {
+    val bars = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("vc")).as("h"), min(col("vc")).as("l"),
+        max(struct(col("us"), col("event_id"), col("vc")))
+          .getField("vc").as("c"),
+        count(lit(1)).as("vol"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w14 = wOrd.rowsBetween(-13, 0)
+    bars
+      .withColumn("tpc", col("h") + col("l") + col("c"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("ptpc", lag(col("tpc"), 1).over(wOrd))
+      .withColumn("pos",
+        when(col("tpc") > col("ptpc"), col("tpc") * col("vol"))
+          .otherwise(0L))
+      .withColumn("neg",
+        when(col("tpc") < col("ptpc"), col("tpc") * col("vol"))
+          .otherwise(0L))
+      .withColumn("p14", sum(col("pos")).over(w14))
+      .withColumn("n14", sum(col("neg")).over(w14))
+      .filter(col("rn") >= 15 && (col("p14") + col("n14")) > 0)
+      .select(col("event_type"), col("day"), col("vol"),
+        r6(expr("cast(tpc as double) / 300")).as("typical_price"),
+        r6(expr("100.0 * cast(p14 as double)" +
+          " / cast(p14 + n14 as double)")).as("mfi14"),
+        (expr("100.0 * cast(p14 as double)" +
+          " / cast(p14 + n14 as double)") > lit(80.0d)).as("overbought"),
+        (expr("100.0 * cast(p14 as double)" +
+          " / cast(p14 + n14 as double)") < lit(20.0d)).as("oversold"))
+      .orderBy("event_type", "day")
+  }
+
   // ── Aroon oscillator (14-period) on the per-type daily revenue: how
   // recently the trailing-14 high/low printed — a trend-freshness
   // signal orthogonal to level-based bands (window_bollinger) and
@@ -4997,6 +5075,8 @@ object StatsOps {
     "dist_palma"            -> distPalma _,
     "dist_quintile_shares"  -> distQuintileShares _,
     "stats_sign_test"       -> statsSignTest _,
+    "window_williams_r"     -> windowWilliamsR _,
+    "window_mfi"            -> windowMfi _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -6457,6 +6537,67 @@ object StatsOps {
         |  round(CAST(tr AS DOUBLE) / 100, 6) + 0.0 AS true_range,
         |  round(CAST(atr_c AS DOUBLE) / 1400, 6) + 0.0 AS atr14
         |FROM t3 WHERE rn >= 15 ORDER BY event_type, day""".stripMargin,
+    "window_williams_r" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |bars AS (SELECT event_type, day,
+        |    CAST(max(vc) AS BIGINT) AS h, CAST(min(vc) AS BIGINT) AS l,
+        |    max({'us': us, 'event_id': event_id, 'vc': vc}).vc AS c
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    row_number() OVER wo AS rn,
+        |    max(h) OVER w14 AS hh, min(l) OVER w14 AS ll
+        |  FROM bars
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |    w14 AS (PARTITION BY event_type ORDER BY day
+        |            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day,
+        |  round(CAST(c AS DOUBLE) / 100, 6) + 0.0 AS close,
+        |  round(CAST(hh AS DOUBLE) / 100, 6) + 0.0 AS hh14,
+        |  round(CAST(ll AS DOUBLE) / 100, 6) + 0.0 AS ll14,
+        |  round(-100.0 * CAST(hh - c AS DOUBLE)
+        |    / CAST(hh - ll AS DOUBLE), 6) + 0.0 AS williams_r
+        |FROM w WHERE rn >= 14 AND hh > ll
+        |ORDER BY event_type, day""".stripMargin,
+    "window_mfi" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |bars AS (SELECT event_type, day,
+        |    CAST(max(vc) AS BIGINT) AS h, CAST(min(vc) AS BIGINT) AS l,
+        |    max({'us': us, 'event_id': event_id, 'vc': vc}).vc AS c,
+        |    CAST(count(*) AS BIGINT) AS vol
+        |  FROM e GROUP BY 1, 2),
+        |tp AS (SELECT *, h + l + c AS tpc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn,
+        |    lag(h + l + c) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS ptpc
+        |  FROM bars),
+        |fl AS (SELECT *,
+        |    CASE WHEN tpc > ptpc THEN tpc * vol ELSE 0 END AS pos,
+        |    CASE WHEN tpc < ptpc THEN tpc * vol ELSE 0 END AS neg
+        |  FROM tp),
+        |s AS (SELECT *,
+        |    sum(pos) OVER w14 AS p14, sum(neg) OVER w14 AS n14
+        |  FROM fl
+        |  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, vol,
+        |  round(CAST(tpc AS DOUBLE) / 300, 6) + 0.0 AS typical_price,
+        |  round(100.0 * CAST(p14 AS DOUBLE) / CAST(p14 + n14 AS DOUBLE),
+        |    6) + 0.0 AS mfi14,
+        |  100.0 * CAST(p14 AS DOUBLE) / CAST(p14 + n14 AS DOUBLE) > 80.0
+        |    AS overbought,
+        |  100.0 * CAST(p14 AS DOUBLE) / CAST(p14 + n14 AS DOUBLE) < 20.0
+        |    AS oversold
+        |FROM s WHERE rn >= 15 AND p14 + n14 > 0
+        |ORDER BY event_type, day""".stripMargin,
     "window_aroon" -> (duckDailyTyped +
       """r AS (SELECT event_type, day, revc,
         |    CAST(row_number() OVER (PARTITION BY event_type
