@@ -3161,6 +3161,110 @@ object StatsOps {
       .limit(50)
   }
 
+  // ── random-walk-with-drift backtest per event type: one-step
+  // forecasts v̂ₜ₊₁ = vₜ + (vₜ − v₁)/(t−1) with the drift estimated on
+  // the EXPANDING window (no look-ahead — the honest form of the
+  // M-competition drift baseline), scored against the next calendar
+  // day. Rounds out the baseline ladder forecast_mase starts: naive,
+  // seasonal-naive, now drift — a trended series should beat naive
+  // here BEFORE anyone reaches for Holt. Daily totals are exact
+  // decimals; the naive error stays exact decimal, the drift error is
+  // one double expression snapped to 9 dp before its sum; rel_mae < 1
+  // means the drift term earns its keep. ──
+  def forecastDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val f = daily
+      .withColumn("t", row_number().over(wo))
+      .withColumn("v1", first(col("v")).over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("t") >= 2)
+      .select(col("event_type"), date_add(col("day"), 1).as("day"),
+        expr("cast(v as double)" +
+          " + (cast(v as double) - cast(v1 as double)) / (t - 1)")
+          .as("f"),
+        col("v").as("vprev"))
+    daily.join(f, Seq("event_type", "day"))
+      .select(col("event_type"),
+        expr("CAST(round(abs(cast(v as double) - f), 9)" +
+          " AS DECIMAL(28,9))").as("ed"),
+        abs(col("v") - col("vprev")).as("en"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("ed")).as("sd"),
+        sum(col("en")).as("sn"))
+      .select(col("event_type"), col("n_eval"),
+        r6(expr("cast(sd as double) / n_eval")).as("mae_drift"),
+        r6(expr("cast(sn as double) / n_eval")).as("mae_naive"),
+        r6(expr("cast(sd as double) / cast(sn as double)"))
+          .as("rel_mae"))
+      .orderBy("event_type")
+  }
+
+  // ── Syntetos–Boylan approximation + demand classification per part:
+  // Croston's z/p estimator is POSITIVELY biased; the published SBA
+  // correction (1 − α/2)·z/p removes it, and the
+  // Syntetos–Boylan–Kostenko quadrant — mean inter-demand interval
+  // vs CV² of demand sizes against the 1.32 / 0.49 fences — says which
+  // estimator each series should use at all (smooth / intermittent /
+  // erratic / lumpy). Shares forecast_croston's occurrence-list fold
+  // verbatim (same α, same init); the classification moments are exact
+  // DECIMAL sums reduced per part, fences compare 6-dp-snapped values.
+  // Group-sized state; top-50 by occurrence count, never a global
+  // sort. ──
+  def forecastSba(spark: SparkSession, dir: String): DataFrame = {
+    val demD = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_partkey").as("part"),
+        expr("datediff(to_date(o_orderdate), DATE'1970-01-01')")
+          .cast("long").as("dayno"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("dd"))
+    val dem = demD.withColumn("d", col("dd").cast("double"))
+    val a = CrostonA
+    val folded = dem.groupBy(col("part"))
+      .agg(sort_array(collect_list(struct(col("dayno"), col("d"))))
+        .as("s"))
+      .filter(size(col("s")) >= 3)
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(s, 3, size(s) - 2),
+           |  named_struct(
+           |    'z', ${a}D * s[1].d + (1.0D - ${a}D) * s[0].d,
+           |    'p', CAST(s[1].dayno - s[0].dayno AS DOUBLE),
+           |    'pt', s[1].dayno),
+           |  (st, pp) -> named_struct(
+           |    'z', ${a}D * pp.d + (1.0D - ${a}D) * st.z,
+           |    'p', ${a}D * CAST(pp.dayno - st.pt AS DOUBLE)
+           |           + (1.0D - ${a}D) * st.p,
+           |    'pt', pp.dayno))""".stripMargin))
+    val mom = demD.groupBy(col("part"))
+      .agg(count(lit(1)).as("n"), sum(col("dd")).as("s1"),
+        // re-narrow before squaring: a widened decimal sum squared would
+        // pass width 38 (binder error in DuckDB, silent rescale in Spark)
+        sum(col("dd").cast("decimal(18,2)") *
+          col("dd").cast("decimal(18,2)")).as("s2"),
+        min(col("dayno")).as("mn"), max(col("dayno")).as("mx"))
+    folded.join(mom, "part")
+      .withColumn("pbar6",
+        r6(expr("cast(mx - mn as double) / (n - 1)")))
+      .withColumn("cv26", r6(expr(
+        "(cast(n as double) * cast(s2 as double)" +
+          " - cast(s1 as double) * cast(s1 as double))" +
+          " / (cast(n as double) * (n - 1))" +
+          " / ((cast(s1 as double) / n) * (cast(s1 as double) / n))")))
+      .select(col("part"), size(col("s")).cast("long").as("n_points"),
+        r6(expr("st.z / st.p")).as("croston_rate"),
+        r6(expr("0.95 * (st.z / st.p)")).as("sba_rate"),
+        col("pbar6").as("mean_interval"), col("cv26").as("cv2_size"),
+        when(col("pbar6") < 1.32 && col("cv26") < 0.49, "smooth")
+          .when(col("pbar6") >= 1.32 && col("cv26") < 0.49, "intermittent")
+          .when(col("pbar6") < 1.32, "erratic")
+          .otherwise("lumpy").as("demand_class"))
+      .orderBy(desc("n_points"), col("part"))
+      .limit(50)
+  }
+
   // ── normal Q-Q table for daily revenue: empirical deciles of the
   // standardized series against the STANDARD NORMAL deciles —
   // stats_jarque_bera gives one number; this shows WHERE normality
@@ -5077,6 +5181,8 @@ object StatsOps {
     "stats_sign_test"       -> statsSignTest _,
     "window_williams_r"     -> windowWilliamsR _,
     "window_mfi"            -> windowMfi _,
+    "forecast_drift"        -> forecastDrift _,
+    "forecast_sba"          -> forecastSba _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -6846,6 +6952,96 @@ object StatsOps {
          |  FROM rec WHERE t = n)
          |SELECT part, n_points, z_size, p_interval, rate_per_day
          |FROM fin ORDER BY n_points DESC, part LIMIT 50""".stripMargin,
+    "forecast_sba" ->
+      s"""WITH RECURSIVE dem AS (
+         |  SELECT l_partkey AS part,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |         AS BIGINT) AS dayno,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS dd
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |s AS (SELECT part, dayno, CAST(dd AS DOUBLE) AS d,
+         |    row_number() OVER (PARTITION BY part ORDER BY dayno) AS t,
+         |    count(*) OVER (PARTITION BY part) AS n
+         |  FROM dem),
+         |el AS (SELECT * FROM s WHERE n >= 3),
+         |rec AS (
+         |  SELECT part, n, 2 AS t,
+         |    CAST($CrostonA AS DOUBLE) * max(CASE WHEN t = 2 THEN d END)
+         |      + (1.0 - CAST($CrostonA AS DOUBLE))
+         |        * max(CASE WHEN t = 1 THEN d END) AS z,
+         |    CAST(max(CASE WHEN t = 2 THEN dayno END)
+         |      - max(CASE WHEN t = 1 THEN dayno END) AS DOUBLE) AS p,
+         |    max(CASE WHEN t = 2 THEN dayno END) AS pt
+         |  FROM el GROUP BY part, n
+         |  UNION ALL
+         |  SELECT r.part, r.n, r.t + 1,
+         |    CAST($CrostonA AS DOUBLE) * pp.d
+         |      + (1.0 - CAST($CrostonA AS DOUBLE)) * r.z,
+         |    CAST($CrostonA AS DOUBLE) * CAST(pp.dayno - r.pt AS DOUBLE)
+         |      + (1.0 - CAST($CrostonA AS DOUBLE)) * r.p,
+         |    pp.dayno
+         |  FROM rec r JOIN el pp
+         |    ON pp.part = r.part AND pp.t = r.t + 1
+         |  WHERE r.t < r.n),
+         |mom AS (SELECT part, CAST(count(*) AS BIGINT) AS n,
+         |    sum(dd) AS s1,
+         |    sum(CAST(dd AS DECIMAL(18,2)) * CAST(dd AS DECIMAL(18,2)))
+         |      AS s2,
+         |    min(dayno) AS mn, max(dayno) AS mx
+         |  FROM dem GROUP BY 1),
+         |fin AS (SELECT r.part, CAST(r.n AS BIGINT) AS n_points,
+         |    round(z / p, 6) + 0.0 AS croston_rate,
+         |    round(0.95 * (z / p), 6) + 0.0 AS sba_rate,
+         |    round(CAST(mx - mn AS DOUBLE) / (m.n - 1), 6) + 0.0
+         |      AS mean_interval,
+         |    round((CAST(m.n AS DOUBLE) * CAST(s2 AS DOUBLE)
+         |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         |      / (CAST(m.n AS DOUBLE) * (m.n - 1))
+         |      / ((CAST(s1 AS DOUBLE) / m.n)
+         |         * (CAST(s1 AS DOUBLE) / m.n)), 6) + 0.0 AS cv2_size
+         |  FROM rec r JOIN mom m ON m.part = r.part
+         |  WHERE r.t = r.n)
+         |SELECT part, n_points, croston_rate, sba_rate, mean_interval,
+         |  cv2_size,
+         |  CASE WHEN mean_interval < 1.32 AND cv2_size < 0.49
+         |         THEN 'smooth'
+         |       WHEN mean_interval >= 1.32 AND cv2_size < 0.49
+         |         THEN 'intermittent'
+         |       WHEN mean_interval < 1.32 THEN 'erratic'
+         |       ELSE 'lumpy' END AS demand_class
+         |FROM fin ORDER BY n_points DESC, part LIMIT 50""".stripMargin,
+    "forecast_drift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT *, row_number() OVER wo AS t,
+        |    first_value(v) OVER wo2 AS v1
+        |  FROM daily
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |    wo2 AS (PARTITION BY event_type ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT event_type, day + 1 AS day,
+        |    CAST(v AS DOUBLE)
+        |      + (CAST(v AS DOUBLE) - CAST(v1 AS DOUBLE)) / (t - 1) AS f,
+        |    v AS vprev
+        |  FROM p WHERE t >= 2),
+        |j AS (SELECT d.event_type,
+        |    CAST(round(abs(CAST(d.v AS DOUBLE) - f.f), 9)
+        |         AS DECIMAL(28,9)) AS ed,
+        |    abs(d.v - f.vprev) AS en
+        |  FROM daily d JOIN f
+        |    ON f.event_type = d.event_type AND f.day = d.day),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |    sum(ed) AS sd, sum(en) AS sn
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, n_eval,
+        |  round(CAST(sd AS DOUBLE) / n_eval, 6) + 0.0 AS mae_drift,
+        |  round(CAST(sn AS DOUBLE) / n_eval, 6) + 0.0 AS mae_naive,
+        |  round(CAST(sd AS DOUBLE) / CAST(sn AS DOUBLE), 6) + 0.0
+        |    AS rel_mae
+        |FROM g ORDER BY event_type""".stripMargin,
     "stats_breusch_pagan" ->
       """WITH daily AS (
         |  SELECT event_type,
