@@ -3161,6 +3161,107 @@ object StatsOps {
       .limit(50)
   }
 
+  /** Stratified 2×2 table frame shared by [[statsMantelHaenszel]] and
+    * [[statsWoolf]]: stratum = day-of-week, exposure = the portable
+    * user-hash arm (ab_srm_check's replayable assignment), outcome =
+    * purchase event. One keyed aggregation to 7 rows of exact int64
+    * cell counts. */
+  private def strataTables(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("arm", expr(
+        "pmod(pmod(user_id, 2147483648) * 2654435761, 2147483648) % 2"))
+      .withColumn("dow", expr("pmod(datediff(day, DATE'1970-01-01'), 7)"))
+      .withColumn("succ", (col("event_type") === "purchase").cast("long"))
+      .groupBy(col("dow"))
+      .agg(sum(when(col("arm") === 1, col("succ")).otherwise(0L)).as("a"),
+        sum(when(col("arm") === 1, lit(1L) - col("succ")).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === 0, col("succ")).otherwise(0L)).as("c"),
+        sum(when(col("arm") === 0, lit(1L) - col("succ")).otherwise(0L))
+          .as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+
+  // ── Mantel–Haenszel pooled odds ratio + CMH test: does the exposure
+  // arm shift the purchase rate AFTER controlling for day-of-week —
+  // the stratified-confounding answer a raw 2×2 (stats_chi2's shape)
+  // gets wrong whenever traffic mix differs by day. Cell counts are
+  // exact int64; each stratum's a·d/n, b·c/n, E[a] and hypergeometric
+  // variance term is ONE cast-first double expression snapped to 9 dp
+  // before its DECIMAL sum (7-row frame, order can't leak), and the
+  // verdict compares the 6-dp CMH χ² against the 1-df 5% point. ──
+  def statsMantelHaenszel(spark: SparkSession, dir: String): DataFrame =
+    strataTables(spark, dir)
+      .select(
+        expr("CAST(round(cast(a as double) * d / n, 9)" +
+          " AS DECIMAL(28,9))").as("adn"),
+        expr("CAST(round(cast(b as double) * c / n, 9)" +
+          " AS DECIMAL(28,9))").as("bcn"),
+        expr("CAST(round(cast(a + b as double) * (a + c) / n, 9)" +
+          " AS DECIMAL(28,9))").as("ea"),
+        expr("CAST(round(cast(a + b as double) * (c + d) * (a + c)" +
+          " * (b + d) / (cast(n as double) * n * (n - 1)), 9)" +
+          " AS DECIMAL(28,9))").as("va"),
+        col("a"))
+      .agg(count(lit(1)).as("k_strata"), sum(col("a")).as("sa"),
+        sum(col("adn")).as("num"), sum(col("bcn")).as("den"),
+        sum(col("ea")).as("sea"), sum(col("va")).as("sva"))
+      .withColumn("chi2r", r6(expr(
+        "(cast(sa as double) - cast(sea as double))" +
+          " * (cast(sa as double) - cast(sea as double))" +
+          " / cast(sva as double)")))
+      .select(col("k_strata"), col("sa").as("exposed_successes"),
+        r6(expr("cast(sea as double)")).as("expected"),
+        r6(expr("cast(num as double) / cast(den as double)"))
+          .as("or_mh"),
+        col("chi2r").as("chi2_cmh"),
+        (col("chi2r") > lit(3.841d)).as("significant"))
+
+  // ── Woolf homogeneity test over the same strata: is the odds ratio
+  // the SAME on every day-of-week — the check that must pass before
+  // anyone quotes stats_mantel_haenszel's single pooled OR (effect
+  // modification means no one number exists). Haldane +0.5 correction
+  // keeps zero cells finite; per-stratum ln OR and inverse-variance
+  // weight are cast-first double expressions snapped to 9 dp, the
+  // pooled ln OR is a ratio of exact DECIMAL sums, and the χ² against
+  // k−1 df compares at 6 dp. Two group-sized aggregations. ──
+  def statsWoolf(spark: SparkSession, dir: String): DataFrame = {
+    val per = strataTables(spark, dir)
+      .select(col("dow"),
+        expr("CAST(round(ln(((cast(a as double) + 0.5)" +
+          " * (cast(d as double) + 0.5))" +
+          " / ((cast(b as double) + 0.5)" +
+          " * (cast(c as double) + 0.5))), 9) AS DECIMAL(18,9))")
+          .as("lnor"),
+        expr("CAST(round(1.0 / (1.0 / (cast(a as double) + 0.5)" +
+          " + 1.0 / (cast(b as double) + 0.5)" +
+          " + 1.0 / (cast(c as double) + 0.5)" +
+          " + 1.0 / (cast(d as double) + 0.5)), 9) AS DECIMAL(18,9))")
+          .as("w"))
+    val pooled = per
+      .select(col("w"),
+        expr("CAST(round(cast(w as double) * cast(lnor as double), 9)" +
+          " AS DECIMAL(28,9))").as("wl"))
+      .agg(count(lit(1)).as("k_strata"), sum(col("w")).as("sw"),
+        sum(col("wl")).as("swl"))
+      .withColumn("pooled", expr(
+        "cast(swl as double) / cast(sw as double)"))
+    per.crossJoin(broadcast(pooled))
+      .select(col("k_strata"), col("pooled"),
+        expr("CAST(round(cast(w as double)" +
+          " * (cast(lnor as double) - pooled)" +
+          " * (cast(lnor as double) - pooled), 9) AS DECIMAL(28,9))")
+          .as("x2t"))
+      .groupBy(col("k_strata"), col("pooled"))
+      .agg(sum(col("x2t")).as("x2s"))
+      .withColumn("x2r", r6(expr("cast(x2s as double)")))
+      .select(col("k_strata"),
+        r6(col("pooled")).as("ln_or_pooled"),
+        r6(exp(col("pooled"))).as("or_pooled"),
+        col("x2r").as("x2_homogeneity"),
+        (col("k_strata") - 1).as("df"),
+        (col("x2r") <= lit(12.592d)).as("homogeneous"))
+  }
+
   // ── random-walk-with-drift backtest per event type: one-step
   // forecasts v̂ₜ₊₁ = vₜ + (vₜ − v₁)/(t−1) with the drift estimated on
   // the EXPANDING window (no look-ahead — the honest form of the
@@ -5183,6 +5284,8 @@ object StatsOps {
     "window_mfi"            -> windowMfi _,
     "forecast_drift"        -> forecastDrift _,
     "forecast_sba"          -> forecastSba _,
+    "stats_mantel_haenszel" -> statsMantelHaenszel _,
+    "stats_woolf"           -> statsWoolf _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -5395,6 +5498,29 @@ object StatsOps {
       |  FROM events GROUP BY 1, 2, 3),
       |""".stripMargin
 
+  /** Shared oracle CTE block mirroring [[strataTables]]: day-of-week
+    * strata × hash-arm exposure × purchase outcome, exact int64 cells.
+    * Ends at `tn(dow, a, b, c, d, n)`, comma-terminated. */
+  private val duckStrataTables: String =
+    """WITH s0 AS (SELECT
+      |    ((user_id % 2147483648) * 2654435761) % 2147483648 % 2 AS arm,
+      |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') % 7
+      |      AS dow,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+      |  FROM events),
+      |tbl AS (SELECT dow,
+      |    CAST(sum(CASE WHEN arm = 1 THEN succ ELSE 0 END) AS BIGINT)
+      |      AS a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 - succ ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN arm = 0 THEN succ ELSE 0 END) AS BIGINT)
+      |      AS c,
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 - succ ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM s0 GROUP BY 1),
+      |tn AS (SELECT *, a + b + c + d AS n FROM tbl),
+      |""".stripMargin
+
   /** Shared oracle CTE block of the estimated-parameter normality tests
     * (appended to [[duckDailyTyped]]): mirrors [[normalityFrame]] — int64
     * cents moments → z → Φ via the token-identical polynomial, ECDF rank
@@ -5579,6 +5705,69 @@ object StatsOps {
          |  (round(w2 * (1.0 + 0.5 / n_days), 6) + 0.0)
          |    > CAST(0.126 AS DOUBLE) AS normal_rejected
          |FROM f ORDER BY event_type""".stripMargin),
+    "stats_mantel_haenszel" -> (duckStrataTables +
+      """t AS (SELECT
+        |    CAST(round(CAST(a AS DOUBLE) * d / n, 9) AS DECIMAL(28,9))
+        |      AS adn,
+        |    CAST(round(CAST(b AS DOUBLE) * c / n, 9) AS DECIMAL(28,9))
+        |      AS bcn,
+        |    CAST(round(CAST(a + b AS DOUBLE) * (a + c) / n, 9)
+        |      AS DECIMAL(28,9)) AS ea,
+        |    CAST(round(CAST(a + b AS DOUBLE) * (c + d) * (a + c)
+        |      * (b + d) / (CAST(n AS DOUBLE) * n * (n - 1)), 9)
+        |      AS DECIMAL(28,9)) AS va,
+        |    a
+        |  FROM tn),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS k_strata,
+        |    CAST(sum(a) AS BIGINT) AS sa, sum(adn) AS num,
+        |    sum(bcn) AS den, sum(ea) AS sea, sum(va) AS sva
+        |  FROM t),
+        |f AS (SELECT *,
+        |    round((CAST(sa AS DOUBLE) - CAST(sea AS DOUBLE))
+        |      * (CAST(sa AS DOUBLE) - CAST(sea AS DOUBLE))
+        |      / CAST(sva AS DOUBLE), 6) + 0.0 AS chi2r
+        |  FROM g)
+        |SELECT k_strata, sa AS exposed_successes,
+        |  round(CAST(sea AS DOUBLE), 6) + 0.0 AS expected,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0
+        |    AS or_mh,
+        |  chi2r AS chi2_cmh, chi2r > 3.841 AS significant
+        |FROM f""".stripMargin),
+    "stats_woolf" -> (duckStrataTables +
+      """per AS (SELECT dow,
+        |    CAST(round(ln(((CAST(a AS DOUBLE) + 0.5)
+        |      * (CAST(d AS DOUBLE) + 0.5))
+        |      / ((CAST(b AS DOUBLE) + 0.5)
+        |      * (CAST(c AS DOUBLE) + 0.5))), 9) AS DECIMAL(18,9))
+        |      AS lnor,
+        |    CAST(round(1.0 / (1.0 / (CAST(a AS DOUBLE) + 0.5)
+        |      + 1.0 / (CAST(b AS DOUBLE) + 0.5)
+        |      + 1.0 / (CAST(c AS DOUBLE) + 0.5)
+        |      + 1.0 / (CAST(d AS DOUBLE) + 0.5)), 9) AS DECIMAL(18,9))
+        |      AS w
+        |  FROM tn),
+        |po AS (SELECT CAST(count(*) AS BIGINT) AS k_strata,
+        |    sum(w) AS sw,
+        |    sum(CAST(round(CAST(w AS DOUBLE) * CAST(lnor AS DOUBLE), 9)
+        |        AS DECIMAL(28,9))) AS swl
+        |  FROM per),
+        |pl AS (SELECT *, CAST(swl AS DOUBLE) / CAST(sw AS DOUBLE)
+        |    AS pooled FROM po),
+        |x AS (SELECT pl.k_strata, pl.pooled,
+        |    CAST(round(CAST(w AS DOUBLE)
+        |      * (CAST(lnor AS DOUBLE) - pooled)
+        |      * (CAST(lnor AS DOUBLE) - pooled), 9) AS DECIMAL(28,9))
+        |      AS x2t
+        |  FROM per, pl),
+        |g AS (SELECT k_strata, pooled, sum(x2t) AS x2s
+        |      FROM x GROUP BY 1, 2),
+        |f AS (SELECT *, round(CAST(x2s AS DOUBLE), 6) + 0.0 AS x2r
+        |      FROM g)
+        |SELECT k_strata, round(pooled, 6) + 0.0 AS ln_or_pooled,
+        |  round(exp(pooled), 6) + 0.0 AS or_pooled,
+        |  x2r AS x2_homogeneity, k_strata - 1 AS df,
+        |  x2r <= 12.592 AS homogeneous
+        |FROM f""".stripMargin),
     "stats_sign_test" -> {
       val pz = phiSql("az")
       s"""WITH daily AS (

@@ -344,7 +344,24 @@ class PlanShapeSpec extends SparkSuite {
       "stats_ansari_bradley", // 1-row (n1,n2,N) totals broadcast vs grid
       "stats_tost",           // 1-row moment frame × 1-row moment frame
       "stats_welch_anova",    // 1-row weight-sum broadcast vs k rows
-      "stats_weibull_fit")    // 1-row corpus-horizon (max us) broadcast
+      "stats_weibull_fit",    // 1-row corpus-horizon (max us) broadcast
+      // session-12 scalar broadcasts (audited: build sides below):
+      "stats_rmst",           // 1-row horizon (tau) broadcast
+      "stats_life_table",     // the shared survival-horizon broadcast
+      "stats_kendall_w",      // |days|×|types| grid + 1-row tie frame
+      "stats_theil_u",        // 1-row grand-total broadcast vs margins
+      "stats_ordinal_assoc",  // bounded day-grid ≠-join + 1-row totals
+      "text_burstiness",      // 1-row corpus-total broadcast
+      "pipeline_mix_raking",  // 1-row total + margin frames
+      "eval_cohen_kappa",     // 1-row expected-agreement frame
+      // session-13 scalar broadcasts (audited in scaladoc):
+      "embed_knn_classify",   // 20-row hash-anchor broadcast, ≠-join
+      "eval_knn_sweep",       // the same 20-row anchor broadcast
+      "eval_brier_decomp",    // 1-row centroid + 1-row totals broadcasts
+      "eval_ece",             // the same centroid/totals broadcasts
+      "pipeline_dataset_card", // 1-row corpus-totals broadcast
+      "stats_pacf",           // 1-row ACF frame × 1-row day count
+      "stats_woolf")          // 1-row pooled-lnOR broadcast vs 7 strata
     // collect ALL offenders before asserting — a failure names every
     // key that needs auditing, not just the alphabetically first
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
