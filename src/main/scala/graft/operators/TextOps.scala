@@ -42,6 +42,53 @@ object TextOps {
         (sum(col("n_chars")).cast("double") / count(col("n_chars"))).as("avg_chars"))
       .orderBy("lang")
 
+  // ── dataset card: the per-(source, lang) composition manifest every
+  // corpus release ships — doc counts, character mass, corpus shares,
+  // mean length, and the short-doc fraction (the first quality column a
+  // reviewer scans). ONE keyed aggregation over the documents table
+  // plus a broadcast 1-row total; counts and char sums are exact int64,
+  // each share/mean is a single cast-first division. The key composes
+  // the facts text_stats / group_entropy / source_overlap report
+  // separately into the release-artifact shape. ──
+  def pipelineDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum((col("n_chars") < 200).cast("long")).as("n_short"))
+    val tot = g.agg(sum(col("n_docs")).as("td"), sum(col("n_chars")).as("tc"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        r6(expr("cast(n_chars as double) / n_docs")).as("avg_chars"),
+        r6(expr("cast(n_docs as double) / td")).as("doc_share"),
+        r6(expr("cast(n_chars as double) / tc")).as("char_share"),
+        r6(expr("cast(n_short as double) / n_docs")).as("pct_short"))
+      .orderBy("source", "lang")
+  }
+
+  // ── log₂ document-length histogram per language: the length
+  // distribution shape that sets context-window packing and truncation
+  // policy (a lang whose mass sits in the 2¹²⁺ bins packs differently
+  // than one of tweets). The bin is the integer bit-length device
+  // (length(bin(n)) − 1 — no float log at bucket boundaries), shares
+  // divide by the per-lang window total on the binned (≤ lang × 64 row)
+  // frame. One keyed aggregation over the corpus. ──
+  def textLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.documents(spark, dir)
+      .groupBy(col("lang"),
+        (length(expr("bin(n_chars)")) - 1).as("log2_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+    binned
+      .withColumn("lt", sum(col("n_docs")).over(
+        Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("log2_bin"), col("n_docs"),
+        col("min_chars"), col("max_chars"), col("sum_chars"),
+        r6(expr("cast(n_docs as double) / lt")).as("share_in_lang"))
+      .orderBy("lang", "log2_bin")
+  }
+
   // ── tokenize + top-k terms (SURVEY §2.10 text_tokens). explode is
   // Spark's built-in Generator — no custom UDTF. The groupBy shuffles on
   // token (bounded by vocabulary size, not corpus size); top-k is
@@ -1573,6 +1620,8 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dataset_card" -> pipelineDatasetCard _,
+    "text_length_hist"      -> textLengthHist _,
     "text_keyphrase_rake"   -> textKeyphraseRake _,
     "text_oov_rate"         -> textOovRate _,
     "decontaminate_near"    -> decontaminateNear _,
@@ -2485,6 +2534,35 @@ object TextOps {
          |  round(CAST(sum(CAST(stop_ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_stop_ratio
          |FROM scored WHERE n_toks >= 8 AND stop_ratio >= 0.05
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipeline_dataset_card" ->
+      """WITH g AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_short
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+        |        CAST(sum(n_chars) AS BIGINT) AS tc FROM g)
+        |SELECT source, lang, n_docs, n_chars,
+        |  round(CAST(n_chars AS DOUBLE) / n_docs, 6) + 0.0 AS avg_chars,
+        |  round(CAST(n_docs AS DOUBLE) / td, 6) + 0.0 AS doc_share,
+        |  round(CAST(n_chars AS DOUBLE) / tc, 6) + 0.0 AS char_share,
+        |  round(CAST(n_short AS DOUBLE) / n_docs, 6) + 0.0 AS pct_short
+        |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin,
+    "text_length_hist" ->
+      """WITH b AS (
+        |  SELECT lang, CAST(length(bin(n_chars)) - 1 AS INTEGER)
+        |      AS log2_bin,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |    CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, log2_bin, n_docs, min_chars, max_chars, sum_chars,
+        |  round(CAST(n_docs AS DOUBLE)
+        |    / sum(n_docs) OVER (PARTITION BY lang), 6) + 0.0
+        |    AS share_in_lang
+        |FROM b ORDER BY lang, log2_bin""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS cnt,
         |  CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars
