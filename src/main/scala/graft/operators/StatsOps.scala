@@ -3072,6 +3072,97 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  private val KeltD = (19.0 / 21.0).toString
+  private val KeltA = (2.0 / 21.0).toString
+
+  // ── Keltner channel per event type: 20-EMA of the typical price
+  // (h+l+c)/3 banded at ±2·ATR(10) — the volatility-adaptive envelope
+  // (window_bollinger's bands breathe with stddev; Keltner's with true
+  // range, so gaps widen them too). Composes the two audited devices:
+  // the window-listed finite-history EMA (window_macd's fold, summed
+  // in identical element order in both engines) and window_atr's
+  // integer true range. Bands and flags compare 6-dp-snapped values;
+  // entity-partitioned, full frames only. ──
+  def windowKeltner(spark: SparkSession, dir: String): DataFrame = {
+    val bars = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("vc")).as("h"), min(col("vc")).as("l"),
+        max(struct(col("us"), col("event_id"), col("vc")))
+          .getField("vc").as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    def ema(h: String, d: String, a: String): String =
+      s"""aggregate(transform($h, (x, i) -> x * pow($d, size($h) - 1 - i)),
+         |  0D, (acc, t) -> acc + t)
+         |/ ((1.0D - pow($d, cast(size($h) as double))) / $a)""".stripMargin
+    bars
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("pc", lag(col("c"), 1).over(wOrd))
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("pc")), abs(col("l") - col("pc"))))
+      .withColumn("tpd", expr("cast(h + l + c as double) / 3"))
+      .withColumn("h20",
+        collect_list(col("tpd")).over(wOrd.rowsBetween(-19, 0)))
+      .withColumn("atr_c", sum(col("tr")).over(wOrd.rowsBetween(-9, 0)))
+      .filter(col("rn") >= 20)
+      .withColumn("mid6",
+        round(expr(ema("h20", KeltD, KeltA) + "/ 100"), 6) + lit(0.0d))
+      .withColumn("atr6", r6(expr("cast(atr_c as double) / 1000")))
+      .withColumn("up6", r6(col("mid6") + lit(2.0d) * col("atr6")))
+      .withColumn("lo6", r6(col("mid6") - lit(2.0d) * col("atr6")))
+      .select(col("event_type"), col("day"),
+        r6(expr("cast(c as double) / 100")).as("close"),
+        col("mid6").as("mid_ema20"), col("atr6").as("atr10"),
+        col("up6").as("upper"), col("lo6").as("lower"),
+        (expr("cast(c as double) / 100") > col("up6")).as("above_upper"),
+        (expr("cast(c as double) / 100") < col("lo6")).as("below_lower"))
+      .orderBy("event_type", "day")
+  }
+
+  // ── Heikin-Ashi candles per event type: the smoothed OHLC transform
+  // (haClose = mean of the bar, haOpen = midpoint of the PRIOR HA
+  // candle) chart platforms use to de-noise trend runs. The haOpen
+  // recursion unrolls to the exact geometric form haOpen_t =
+  // c₁·½^(t−1) + Σ_{j<t} haClose_j·½^(t−j) — the window-listed
+  // power-weight fold again (summed in identical element order in
+  // both engines), so no sequential scan exists in the plan; ½-powers
+  // of the day-count-bounded history underflow double well past any
+  // real series length. Open is the previous close (first bar: its own
+  // close) since the bars carry no session open. ──
+  def windowHeikinAshi(spark: SparkSession, dir: String): DataFrame = {
+    val bars = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("vc")).as("h"), min(col("vc")).as("l"),
+        max(struct(col("us"), col("event_id"), col("vc")))
+          .getField("vc").as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    bars
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("o", coalesce(lag(col("c"), 1).over(wOrd), col("c")))
+      .withColumn("hc", expr("cast(o + h + l + c as double) / 4"))
+      .withColumn("c1", first(col("c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("hist", collect_list(col("hc")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ho", expr(
+        """cast(c1 as double) * pow(0.5, rn - 1)
+          |+ aggregate(transform(hist,
+          |    (x, i) -> x * pow(0.5, size(hist) - i)),
+          |  0D, (acc, t) -> acc + t)""".stripMargin))
+      .withColumn("ho6", r6(expr("ho / 100")))
+      .withColumn("hc6", r6(expr("hc / 100")))
+      .select(col("event_type"), col("day"),
+        col("ho6").as("ha_open"), col("hc6").as("ha_close"),
+        r6(expr("greatest(cast(h as double), ho, hc) / 100"))
+          .as("ha_high"),
+        r6(expr("least(cast(l as double), ho, hc) / 100")).as("ha_low"),
+        (col("hc6") > col("ho6")).as("bullish"))
+      .orderBy("event_type", "day")
+  }
+
   // ── Breusch–Pagan heteroscedasticity test on the daily revenue
   // trend: stats_dw asks whether the trend's residuals are serially
   // correlated; this asks whether their VARIANCE grows along the trend
@@ -5286,6 +5377,8 @@ object StatsOps {
     "forecast_sba"          -> forecastSba _,
     "stats_mantel_haenszel" -> statsMantelHaenszel _,
     "stats_woolf"           -> statsWoolf _,
+    "window_keltner"        -> windowKeltner _,
+    "window_heikin_ashi"    -> windowHeikinAshi _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -7295,6 +7388,83 @@ object StatsOps {
          |SELECT event_type, day, macd, signal,
          |  round(macd - signal, 6) + 0.0 AS histogram
          |FROM f ORDER BY event_type, day""".stripMargin,
+    "window_keltner" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+         |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+         |  FROM events),
+         |bars AS (SELECT event_type, day,
+         |    CAST(max(vc) AS BIGINT) AS h, CAST(min(vc) AS BIGINT) AS l,
+         |    max({'us': us, 'event_id': event_id, 'vc': vc}).vc AS c
+         |  FROM e GROUP BY 1, 2),
+         |t1 AS (SELECT *, row_number() OVER wo AS rn,
+         |    lag(c) OVER wo AS pc, CAST(h + l + c AS DOUBLE) / 3 AS tpd
+         |  FROM bars
+         |  WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+         |t2 AS (SELECT *,
+         |    greatest(h - l, abs(h - pc), abs(l - pc)) AS tr FROM t1),
+         |t3 AS (SELECT *, list(tpd) OVER w20 AS h20,
+         |    sum(tr) OVER w10 AS atr_c
+         |  FROM t2
+         |  WINDOW w20 AS (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |    w10 AS (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |t4 AS (SELECT *,
+         |    round((${duckEma("h20", KeltD, KeltA)}) / 100, 6) + 0.0
+         |      AS mid6,
+         |    round(CAST(atr_c AS DOUBLE) / 1000, 6) + 0.0 AS atr6
+         |  FROM t3 WHERE rn >= 20),
+         |t5 AS (SELECT *, round(mid6 + 2.0 * atr6, 6) + 0.0 AS up6,
+         |    round(mid6 - 2.0 * atr6, 6) + 0.0 AS lo6
+         |  FROM t4)
+         |SELECT event_type, day,
+         |  round(CAST(c AS DOUBLE) / 100, 6) + 0.0 AS close,
+         |  mid6 AS mid_ema20, atr6 AS atr10, up6 AS upper, lo6 AS lower,
+         |  CAST(c AS DOUBLE) / 100 > up6 AS above_upper,
+         |  CAST(c AS DOUBLE) / 100 < lo6 AS below_lower
+         |FROM t5 ORDER BY event_type, day""".stripMargin,
+    "window_heikin_ashi" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |bars AS (SELECT event_type, day,
+        |    CAST(max(vc) AS BIGINT) AS h, CAST(min(vc) AS BIGINT) AS l,
+        |    max({'us': us, 'event_id': event_id, 'vc': vc}).vc AS c
+        |  FROM e GROUP BY 1, 2),
+        |t1 AS (SELECT *, row_number() OVER wo AS rn,
+        |    COALESCE(lag(c) OVER wo, c) AS o,
+        |    first_value(c) OVER wo2 AS c1
+        |  FROM bars
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |    wo2 AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t2 AS (SELECT *, CAST(o + h + l + c AS DOUBLE) / 4 AS hc
+        |  FROM t1),
+        |t3 AS (SELECT *, list(hc) OVER (PARTITION BY event_type
+        |    ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hist
+        |  FROM t2),
+        |t4 AS (SELECT *,
+        |    CAST(c1 AS DOUBLE) * pow(0.5, rn - 1)
+        |      + CASE WHEN rn = 1 THEN 0.0
+        |          ELSE list_sum(list_transform(range(1, len(hist) + 1),
+        |            k -> hist[k] * pow(0.5, len(hist) - k + 1))) END
+        |      AS ho
+        |  FROM t3),
+        |t5 AS (SELECT *, round(ho / 100, 6) + 0.0 AS ho6,
+        |    round(hc / 100, 6) + 0.0 AS hc6
+        |  FROM t4)
+        |SELECT event_type, day, ho6 AS ha_open, hc6 AS ha_close,
+        |  round(greatest(CAST(h AS DOUBLE), ho, hc) / 100, 6) + 0.0
+        |    AS ha_high,
+        |  round(least(CAST(l AS DOUBLE), ho, hc) / 100, 6) + 0.0
+        |    AS ha_low,
+        |  hc6 > ho6 AS bullish
+        |FROM t5 ORDER BY event_type, day""".stripMargin,
     "stats_two_prop_ci" ->
       """WITH g AS (
         |  SELECT ((user_id % 2147483648) * 2654435761 % 2147483648) % 2
