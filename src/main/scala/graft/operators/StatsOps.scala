@@ -538,6 +538,105 @@ object StatsOps {
                   (col("n1") + col("n2") - 1))))).as("z"))
   }
 
+  // ── Brunner–Munzel test between the click/purchase value
+  // distributions: the rank test that drops Mann–Whitney's hidden
+  // equal-variance assumption (under unequal spreads U's null is wrong
+  // even when medians agree — the Behrens–Fisher problem in rank
+  // form). Everything reduces on the exact-cents value GRID with the
+  // doubled-midrank identity (combined D = 2F+t+1, within-group
+  // Dᵢ = 2Fᵢ+tᵢ+1 — all integers); the rank-variance moments Σc·u,
+  // Σc·u² accumulate in DECIMAL(38,0) so no corpus size overflows
+  // them, and W, the Satterthwaite df and the normal-approximation
+  // two-sided p (df is reported so a reader can judge the t≈Φ step)
+  // are single cast-first expressions. Only grid-sized windows run. ──
+  def statsBrunnerMunzel(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .filter(col("event_type").isin(KsTypeA, KsTypeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === KsTypeA, 1L).otherwise(0L))
+        .as("a"),
+        sum(when(col("event_type") === KsTypeB, 1L).otherwise(0L))
+          .as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val byVal = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g
+      .withColumn("f", coalesce(sum(col("t")).over(byVal), lit(0L)))
+      .withColumn("fa", coalesce(sum(col("a")).over(byVal), lit(0L)))
+      .withColumn("fb", coalesce(sum(col("b")).over(byVal), lit(0L)))
+      .withColumn("dd", expr("2 * f + t + 1"))
+      .withColumn("ua", expr("dd - (2 * fa + a + 1)"))
+      .withColumn("ub", expr("dd - (2 * fb + b + 1)"))
+    val m = r.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+      sum(expr("CAST(a AS DECIMAL(38,0)) * dd")).as("ad"),
+      sum(expr("CAST(b AS DECIMAL(38,0)) * dd")).as("bd"),
+      sum(expr("CAST(a AS DECIMAL(38,0)) * ua")).as("au1"),
+      sum(expr("CAST(a AS DECIMAL(38,0)) * ua * ua")).as("au2"),
+      sum(expr("CAST(b AS DECIMAL(38,0)) * ub")).as("bu1"),
+      sum(expr("CAST(b AS DECIMAL(38,0)) * ub * ub")).as("bu2"))
+    m.withColumn("rbar1", expr("cast(ad as double) / (2 * n1)"))
+      .withColumn("rbar2", expr("cast(bd as double) / (2 * n2)"))
+      .withColumn("ma", expr("cast(ad as double) / n1 - (n1 + 1)"))
+      .withColumn("mb", expr("cast(bd as double) / n2 - (n2 + 1)"))
+      .withColumn("s1", expr(
+        "(cast(au2 as double) - 2 * ma * cast(au1 as double)" +
+          " + n1 * ma * ma) / (4 * (cast(n1 as double) - 1))"))
+      .withColumn("s2", expr(
+        "(cast(bu2 as double) - 2 * mb * cast(bu1 as double)" +
+          " + n2 * mb * mb) / (4 * (cast(n2 as double) - 1))"))
+      .withColumn("w", expr(
+        "cast(n1 as double) * n2 * (rbar2 - rbar1) / (n1 + n2)" +
+          " / sqrt(n1 * s1 + n2 * s2)"))
+      .withColumn("aw", abs(col("w")))
+      .withColumn("p2", r6(expr(s"2.0 * (1.0 - ${phiSql("aw")})")))
+      .select(col("n1"), col("n2"),
+        r6(expr("(rbar2 - (n2 + 1) / 2.0) / n1")).as("p_hat"),
+        r6(col("w")).as("w_stat"),
+        r6(expr(
+          "(n1 * s1 + n2 * s2) * (n1 * s1 + n2 * s2)" +
+            " / ((n1 * s1) * (n1 * s1) / (cast(n1 as double) - 1)" +
+            " + (n2 * s2) * (n2 * s2) / (cast(n2 as double) - 1))"))
+          .as("df"),
+        col("p2").as("p_two"),
+        (col("p2") < lit(0.05d)).as("significant"))
+  }
+
+  // ── distribution-free confidence interval for the per-type daily
+  // revenue MEDIAN: the binomial order-statistic interval (ranks
+  // n/2 ∓ z√n/2) — no normality assumed anywhere, the robust
+  // companion of stats_wilson_ci's proportion interval. Rank fences
+  // floor the SAME double in both engines; the median itself is the
+  // explicit middle pair; endpoint picks are window-free argmax-by-
+  // rank reads on the day-grid frame. ──
+  def statsMedianCi(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val wo = Window.partitionBy(col("event_type"))
+      .orderBy(col("revc"), col("day"))
+    daily
+      .withColumn("rn", row_number().over(wo).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("l", greatest(lit(1L), expr(
+        "CAST(floor((cast(n as double)" +
+          " - 1.959964 * sqrt(cast(n as double))) / 2) AS BIGINT)")))
+      .withColumn("u", col("n") + 1 - col("l"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_days"), first(col("l")).as("rank_lo"),
+        first(col("u")).as("rank_hi"),
+        avg(when(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(n + 2) div 2"), col("revc"))).as("medc"),
+        max(when(col("rn") === col("l"), col("revc"))).as("loc"),
+        max(when(col("rn") === col("u"), col("revc"))).as("hic"))
+      .select(col("event_type"), col("n_days"),
+        r6(expr("medc / 100")).as("median"),
+        col("rank_lo"), col("rank_hi"),
+        r6(expr("cast(loc as double) / 100")).as("ci_lo"),
+        r6(expr("cast(hic as double) / 100")).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
   /** [[statsBootstrap]] resample count and the Poisson(1) CDF in ppm —
     * P(X≤k) for k=0..4, tail folded into weight 5 (P(X≥6) ≈ 6e-4). The
     * SAME integer constants appear in the DuckDB oracle, so the resample
@@ -5379,6 +5478,8 @@ object StatsOps {
     "stats_woolf"           -> statsWoolf _,
     "window_keltner"        -> windowKeltner _,
     "window_heikin_ashi"    -> windowHeikinAshi _,
+    "stats_brunner_munzel"  -> statsBrunnerMunzel _,
+    "stats_median_ci"       -> statsMedianCi _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -5798,6 +5899,96 @@ object StatsOps {
          |  (round(w2 * (1.0 + 0.5 / n_days), 6) + 0.0)
          |    > CAST(0.126 AS DOUBLE) AS normal_rejected
          |FROM f ORDER BY event_type""".stripMargin),
+    "stats_brunner_munzel" -> {
+      val pw = phiSql("aw")
+      s"""WITH g AS (
+         |  SELECT "value" AS v,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS b
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1),
+         |gt AS (SELECT *, a + b AS t FROM g),
+         |r AS (SELECT *,
+         |    COALESCE(sum(t) OVER wb, 0) AS f,
+         |    COALESCE(sum(a) OVER wb, 0) AS fa,
+         |    COALESCE(sum(b) OVER wb, 0) AS fb
+         |  FROM gt
+         |  WINDOW wb AS (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |rr AS (SELECT *, 2 * f + t + 1 AS dd,
+         |    2 * f + t + 1 - (2 * fa + a + 1) AS ua,
+         |    2 * f + t + 1 - (2 * fb + b + 1) AS ub
+         |  FROM r),
+         |m AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+         |    CAST(sum(b) AS BIGINT) AS n2,
+         |    sum(CAST(a AS HUGEINT) * dd) AS ad,
+         |    sum(CAST(b AS HUGEINT) * dd) AS bd,
+         |    sum(CAST(a AS HUGEINT) * ua) AS au1,
+         |    sum(CAST(a AS HUGEINT) * ua * ua) AS au2,
+         |    sum(CAST(b AS HUGEINT) * ub) AS bu1,
+         |    sum(CAST(b AS HUGEINT) * ub * ub) AS bu2
+         |  FROM rr),
+         |d1 AS (SELECT *,
+         |    CAST(ad AS DOUBLE) / (2 * n1) AS rbar1,
+         |    CAST(bd AS DOUBLE) / (2 * n2) AS rbar2,
+         |    CAST(ad AS DOUBLE) / n1 - (n1 + 1) AS ma,
+         |    CAST(bd AS DOUBLE) / n2 - (n2 + 1) AS mb
+         |  FROM m),
+         |d2 AS (SELECT *,
+         |    (CAST(au2 AS DOUBLE) - 2 * ma * CAST(au1 AS DOUBLE)
+         |      + n1 * ma * ma) / (4 * (CAST(n1 AS DOUBLE) - 1)) AS s1,
+         |    (CAST(bu2 AS DOUBLE) - 2 * mb * CAST(bu1 AS DOUBLE)
+         |      + n2 * mb * mb) / (4 * (CAST(n2 AS DOUBLE) - 1)) AS s2
+         |  FROM d1),
+         |d3 AS (SELECT *,
+         |    CAST(n1 AS DOUBLE) * n2 * (rbar2 - rbar1) / (n1 + n2)
+         |      / sqrt(n1 * s1 + n2 * s2) AS w
+         |  FROM d2),
+         |d4 AS (SELECT *, abs(w) AS aw FROM d3),
+         |d5 AS (SELECT *, round(2.0 * (1.0 - $pw), 6) + 0.0 AS p2
+         |  FROM d4)
+         |SELECT n1, n2,
+         |  round((rbar2 - (n2 + 1) / 2.0) / n1, 6) + 0.0 AS p_hat,
+         |  round(w, 6) + 0.0 AS w_stat,
+         |  round((n1 * s1 + n2 * s2) * (n1 * s1 + n2 * s2)
+         |    / ((n1 * s1) * (n1 * s1) / (CAST(n1 AS DOUBLE) - 1)
+         |    + (n2 * s2) * (n2 * s2) / (CAST(n2 AS DOUBLE) - 1)), 6)
+         |    + 0.0 AS df,
+         |  p2 AS p_two, p2 < 0.05 AS significant
+         |FROM d5""".stripMargin
+    },
+    "stats_median_ci" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS revc
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY revc, day) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM daily),
+        |l AS (SELECT *,
+        |    greatest(CAST(1 AS BIGINT), CAST(floor((CAST(n AS DOUBLE)
+        |      - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT))
+        |      AS lo_rank
+        |  FROM r),
+        |g AS (SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_days,
+        |    CAST(any_value(lo_rank) AS BIGINT) AS rank_lo,
+        |    CAST(any_value(n) + 1 - any_value(lo_rank) AS BIGINT)
+        |      AS rank_hi,
+        |    avg(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |        THEN revc END) AS medc,
+        |    max(CASE WHEN rn = lo_rank THEN revc END) AS loc,
+        |    max(CASE WHEN rn = n + 1 - lo_rank THEN revc END) AS hic
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n_days, round(medc / 100, 6) + 0.0 AS median,
+        |  rank_lo, rank_hi,
+        |  round(CAST(loc AS DOUBLE) / 100, 6) + 0.0 AS ci_lo,
+        |  round(CAST(hic AS DOUBLE) / 100, 6) + 0.0 AS ci_hi
+        |FROM g ORDER BY event_type""".stripMargin,
     "stats_mantel_haenszel" -> (duckStrataTables +
       """t AS (SELECT
         |    CAST(round(CAST(a AS DOUBLE) * d / n, 9) AS DECIMAL(28,9))
