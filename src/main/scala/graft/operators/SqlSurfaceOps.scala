@@ -951,7 +951,44 @@ object SqlSurfaceOps {
         col("rn").cast("long").as("rank_in_frame"))
       .orderBy("user_id")
 
+  // ── probability-proportional-to-size systematic sample of the
+  // documents table: k grid points laid midpoint-first across the
+  // cumulative CHARACTER mass (stride T/k, offset T/2k) select each
+  // doc as many times as grid points land in its mass interval —
+  // sample_systematic draws units uniformly; PPS draws them by weight,
+  // which is what a token-budgeted corpus subsample actually wants
+  // (big docs proportionally likelier, n_hits the multiplicity). The
+  // hit count has the closed integer form H(x) = (2kx − T) div 2T + 1,
+  // so selection is pure int64 arithmetic on a doc-ordered prefix sum
+  // (the pareto_abc banded form is the drop-in when one ordered window
+  // can't hold the corpus; the grid math is unchanged). ──
+  def samplePps(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val d = Tables.documents(spark, dir).select(col("doc_id"),
+      col("n_chars"))
+    val wo = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = d.agg(sum(col("n_chars")).as("t"))
+    d.withColumn("c", coalesce(sum(col("n_chars")).over(wo), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("hi", expr(
+        s"CASE WHEN 2 * $k * (c + n_chars) >= t" +
+          s" THEN (2 * $k * (c + n_chars) - t) div (2 * t) + 1" +
+          " ELSE 0 END"))
+      .withColumn("lo", expr(
+        s"CASE WHEN 2 * $k * c >= t" +
+          s" THEN (2 * $k * c - t) div (2 * t) + 1 ELSE 0 END"))
+      .withColumn("n_hits", col("hi") - col("lo"))
+      .filter(col("n_hits") >= 1)
+      .select(col("doc_id"), col("n_chars"), col("c").as("cum_before"),
+        col("n_hits"),
+        r6(expr(s"cast(n_chars as double) * $k / t"))
+          .as("expected_hits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_pps"         -> samplePps _,
     "sample_systematic"  -> sampleSystematic _,
     "sample_class_balance" -> sampleClassBalance _,
     "sample_kfold"       -> sampleKfold _,
@@ -1006,6 +1043,26 @@ object SqlSurfaceOps {
       |FROM events ORDER BY event_type, event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_pps" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t FROM d),
+        |c AS (SELECT doc_id, n_chars,
+        |    CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS c
+        |  FROM d),
+        |h AS (SELECT c.*, t.t,
+        |    CASE WHEN 2 * 20 * (c + n_chars) >= t
+        |      THEN (2 * 20 * (c + n_chars) - t) // (2 * t) + 1
+        |      ELSE 0 END AS hi,
+        |    CASE WHEN 2 * 20 * c >= t
+        |      THEN (2 * 20 * c - t) // (2 * t) + 1 ELSE 0 END AS lo
+        |  FROM c, t)
+        |SELECT doc_id, n_chars, c AS cum_before,
+        |  CAST(hi - lo AS BIGINT) AS n_hits,
+        |  round(CAST(n_chars AS DOUBLE) * 20 / t, 6) + 0.0
+        |    AS expected_hits
+        |FROM h WHERE hi - lo >= 1 ORDER BY doc_id""".stripMargin,
     "sample_systematic" ->
       """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |    sum(CAST("value" AS DECIMAL(18,2))) AS sp

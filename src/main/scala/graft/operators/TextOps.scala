@@ -446,6 +446,56 @@ object TextOps {
     packCore(Tables.documents(spark, dir)
       .select(col("doc_id"), size(toksCol).cast("long").as("n_toks")))
 
+  // ── no-split greedy binning audit: pack_sequences splits documents
+  // across 512-token window boundaries (zero padding by construction);
+  // instruction-tuning and retrieval corpora must keep docs WHOLE, and
+  // then greedy sequential binning pays padding. This key measures that
+  // price per shard — bins, padded tokens, utilization — against the
+  // split-anywhere ideal, plus the oversize docs no bin can hold. The
+  // greedy fill is a true sequential recurrence, so it folds over the
+  // doc-id-ordered occurrence list WITHIN each of the 64 hash-width
+  // shards (forecast_holt's group-sized-fold shape; shard count is the
+  // sizing dial at corpus scale) and the oracle replays each shard's
+  // recurrence as a recursive CTE. All-integer state: fill, bins —
+  // waste is the closed form bins·512 − Σtoks, no float ever enters. ──
+  def packGreedyBins(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toksCol).cast("long").as("n_toks"))
+    // integer shard math (NOT width_bucket): ((id−lo)·64) div span + 1 is
+    // exact in int64, so shard membership can never drift on an fp
+    // boundary between engines
+    val bounds = d.agg(min(col("doc_id")).as("lo"),
+      (max(col("doc_id")) + 1).as("hi"))
+    val b = d.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        expr("((doc_id - lo) * 64) div (hi - lo) + 1"))
+    val over = b.filter(col("n_toks") > budget)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n_oversize"))
+    val fit = b.filter(col("n_toks") <= budget)
+    val folded = fit.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tot_toks"),
+        sort_array(collect_list(struct(col("doc_id"), col("n_toks"))))
+          .as("s"))
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(s, 2, size(s) - 1),
+           |  named_struct('fill', s[0].n_toks, 'bins', 1L),
+           |  (st, d) -> IF(st.fill + d.n_toks <= $budget,
+           |    named_struct('fill', st.fill + d.n_toks,
+           |                 'bins', st.bins),
+           |    named_struct('fill', d.n_toks, 'bins', st.bins + 1L)))"""
+          .stripMargin))
+    folded.join(over, Seq("bkt"), "left")
+      .select(col("bkt").cast("long").as("shard"), col("n_docs"),
+        coalesce(col("n_oversize"), lit(0L)).as("n_oversize"),
+        col("st.bins").as("n_bins"), col("tot_toks"),
+        (col("st.bins") * budget - col("tot_toks")).as("padding_toks"),
+        r6(expr(s"cast(tot_toks as double) / (st.bins * $budget)"))
+          .as("utilization"))
+      .orderBy("shard")
+  }
+
   /** Packing core over any (doc_id, n_toks) set — the distributed
     * prefix-sum + chunk assignment shared by [[packSequences]] and the
     * end of [[pipelineTrainingCorpus]]. */
@@ -1622,6 +1672,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_dataset_card" -> pipelineDatasetCard _,
     "text_length_hist"      -> textLengthHist _,
+    "pack_greedy_bins"      -> packGreedyBins _,
     "text_keyphrase_rake"   -> textKeyphraseRake _,
     "text_oov_rate"         -> textOovRate _,
     "decontaminate_near"    -> decontaminateNear _,
@@ -2451,6 +2502,47 @@ object TextOps {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |  FROM documents) t
         |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+    "pack_greedy_bins" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_toks
+        |  FROM documents),
+        |bd AS (SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+        |        CAST(max(doc_id) + 1 AS BIGINT) AS hi FROM t),
+        |bk AS (SELECT t.*, ((doc_id - lo) * 64) // (hi - lo) + 1 AS bkt
+        |       FROM t, bd),
+        |ov AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_oversize
+        |       FROM bk WHERE n_toks > 512 GROUP BY 1),
+        |fit AS (SELECT *,
+        |    row_number() OVER (PARTITION BY bkt ORDER BY doc_id) AS tt,
+        |    count(*) OVER (PARTITION BY bkt) AS nn
+        |  FROM bk WHERE n_toks <= 512),
+        |rec AS (
+        |  SELECT bkt, nn, 1 AS tt2, n_toks AS fill,
+        |    CAST(1 AS BIGINT) AS bins
+        |  FROM fit WHERE tt = 1
+        |  UNION ALL
+        |  SELECT r.bkt, r.nn, r.tt2 + 1,
+        |    CASE WHEN r.fill + p.n_toks <= 512 THEN r.fill + p.n_toks
+        |         ELSE p.n_toks END,
+        |    CASE WHEN r.fill + p.n_toks <= 512 THEN r.bins
+        |         ELSE r.bins + 1 END
+        |  FROM rec r JOIN fit p ON p.bkt = r.bkt AND p.tt = r.tt2 + 1
+        |  WHERE r.tt2 < r.nn),
+        |fin AS (SELECT bkt, bins FROM rec WHERE tt2 = nn),
+        |ag AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_toks) AS BIGINT) AS tot_toks
+        |       FROM fit GROUP BY 1)
+        |SELECT CAST(a.bkt AS BIGINT) AS shard, a.n_docs,
+        |  COALESCE(o.n_oversize, CAST(0 AS BIGINT)) AS n_oversize,
+        |  CAST(f.bins AS BIGINT) AS n_bins, a.tot_toks,
+        |  CAST(f.bins * 512 - a.tot_toks AS BIGINT) AS padding_toks,
+        |  round(CAST(a.tot_toks AS DOUBLE) / (f.bins * 512), 6) + 0.0
+        |    AS utilization
+        |FROM ag a JOIN fin f ON f.bkt = a.bkt
+        |LEFT JOIN ov o ON o.bkt = a.bkt
+        |ORDER BY shard""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
