@@ -705,6 +705,99 @@ object StatsOps {
       .orderBy("day")
   }
 
+  // ── STL strength-of-components per event type (Hyndman's Fₜ/Fₛ):
+  // ONE number each for "how much of this series is trend" and "how
+  // much is weekly seasonality" — the triage that says whether
+  // forecast_holt (trend) or forecast_holt_winters (seasonal) is the
+  // right model before fitting either. Same decomposition recipe as
+  // seasonal_decompose (centered 7-day trend on full windows, dow-mean
+  // seasonal at 6 dp) but per type, and every component stays an EXACT
+  // DECIMAL (resid = det − seasonal is decimal arithmetic, never a
+  // rounded double), so the three variance moment-sets sum exactly and
+  // each strength is pure IEEE arithmetic at the boundary. ──
+  def statsStlStrength(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w7 = wOrd.rowsBetween(-3, 3)
+    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("vd"))
+    val trended = daily
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .withColumn("trend6",
+        r6(sum(col("vd")).over(w7).cast("double") / 7)
+          .cast("decimal(24,6)"))
+      .filter(col("cnt7") === 7)
+      .withColumn("dow", dayofweek(col("day")))
+      .withColumn("det", expr("CAST(vd - trend6 AS DECIMAL(18,6))"))
+    val seasonal = trended.groupBy(col("event_type"), col("dow"))
+      .agg((round(sum(col("det")).cast("double") / count(lit(1)), 6)
+        + lit(0.0d)).cast("decimal(18,6)").as("seas"))
+    // square at (18,6)×(18,6) = (37,12) — inside Spark's width-38 cap,
+    // so the product keeps scale 12 exactly. (Widening an operand past
+    // 19 digits would push precision over 38 and Spark silently RESCALES
+    // the product to 6 dp while DuckDB keeps 12 — a 1e-6 divergence; the
+    // oracle side instead widens ONE operand to int128 storage, which
+    // DuckDB caps to (38,12) without the int64 runtime overflow.)
+    def mom(c: String) = Seq(
+      sum(col(c)).as(s"s_$c"),
+      sum(expr(s"CAST($c AS DECIMAL(18,6)) * CAST($c AS DECIMAL(18,6))"))
+        .as(s"q_$c"))
+    val comp = trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .withColumn("resid", expr("CAST(det - seas AS DECIMAL(18,6))"))
+      .withColumn("des", expr("CAST(vd - seas AS DECIMAL(18,6))"))
+    def varOf(c: String) = expr(
+      s"(n * cast(q_$c as double) - cast(s_$c as double)" +
+        s" * cast(s_$c as double)) / (cast(n as double) * (n - 1))")
+    comp.groupBy(col("event_type"))
+      .agg((Seq(count(lit(1)).as("n")) ++ mom("resid") ++ mom("det") ++
+        mom("des")).head,
+        (Seq(count(lit(1)).as("n")) ++ mom("resid") ++ mom("det") ++
+          mom("des")).tail: _*)
+      .select(col("event_type"), col("n").as("n_days"),
+        r6(varOf("resid")).as("var_resid"),
+        r6(varOf("det")).as("var_detrended"),
+        r6(varOf("des")).as("var_deseasonalized"),
+        r6(greatest(lit(0.0d),
+          lit(1.0d) - varOf("resid") / varOf("des")))
+          .as("trend_strength"),
+        r6(greatest(lit(0.0d),
+          lit(1.0d) - varOf("resid") / varOf("det")))
+          .as("seasonal_strength"))
+      .orderBy("event_type")
+  }
+
+  // ── floor-trader pivot points per event type: yesterday's bar sets
+  // today's pivot grid (P = (H+L+C)/3, R1/S1 = 2P∓L/H, R2/S2 = P±range)
+  // — the reference-level ladder intraday dashboards draw before the
+  // session opens, on the same integer OHLC-ish bars as window_atr.
+  // Everything is integer cents until the /3-grid maps; the position
+  // flag compares the close against the 6-dp pivot. ──
+  def windowPivotPoints(spark: SparkSession, dir: String): DataFrame = {
+    val bars = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("vc")).as("h"), min(col("vc")).as("l"),
+        max(struct(col("us"), col("event_id"), col("vc")))
+          .getField("vc").as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    bars
+      .withColumn("ph", lag(col("h"), 1).over(wOrd))
+      .withColumn("pl", lag(col("l"), 1).over(wOrd))
+      .withColumn("pc", lag(col("c"), 1).over(wOrd))
+      .filter(col("ph").isNotNull)
+      .withColumn("p", expr("cast(ph + pl + pc as double) / 3"))
+      .withColumn("p6", r6(expr("p / 100")))
+      .select(col("event_type"), col("day"),
+        r6(expr("cast(c as double) / 100")).as("close"),
+        col("p6").as("pivot"),
+        r6(expr("(2 * p - pl) / 100")).as("r1"),
+        r6(expr("(2 * p - ph) / 100")).as("s1"),
+        r6(expr("(p + (ph - pl)) / 100")).as("r2"),
+        r6(expr("(p - (ph - pl)) / 100")).as("s2"),
+        (expr("cast(c as double) / 100") > col("p6")).as("above_pivot"))
+      .orderBy("event_type", "day")
+  }
+
   // ── one-way ANOVA across event types: does mean value differ between
   // groups? Computed entirely from per-group (n, Σv, Σv²) — decimal-exact
   // sums, one keyed aggregation of the fact table, then a k-row reduce —
@@ -5480,6 +5573,8 @@ object StatsOps {
     "window_heikin_ashi"    -> windowHeikinAshi _,
     "stats_brunner_munzel"  -> statsBrunnerMunzel _,
     "stats_median_ci"       -> statsMedianCi _,
+    "stats_stl_strength"    -> statsStlStrength _,
+    "window_pivot_points"   -> windowPivotPoints _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -9660,6 +9755,93 @@ object StatsOps {
         |  round(abs(resid - med) / nullif(mad, 0), 6) + 0.0 AS score,
         |  abs(resid - med) / nullif(mad, 0) > 3.5 AS is_anomaly
         |FROM r0, med, mad ORDER BY day""".stripMargin,
+    "stats_stl_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    sum(CAST("value" AS DECIMAL(18,2))) AS vd
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT *, count(*) OVER w7 AS cnt7,
+        |        CAST(round(CAST(sum(vd) OVER w7 AS DOUBLE) / 7, 6) + 0.0
+        |             AS DECIMAL(24,6)) AS trend6
+        |      FROM daily
+        |      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT *, dayofweek(day) AS dow,
+        |        CAST(vd - trend6 AS DECIMAL(18,6)) AS det
+        |      FROM t WHERE cnt7 = 7),
+        |s AS (SELECT event_type, dow,
+        |        CAST(round(CAST(sum(det) AS DOUBLE) / count(*), 6) + 0.0
+        |             AS DECIMAL(18,6)) AS seas
+        |      FROM f GROUP BY 1, 2),
+        |c AS (SELECT f.event_type,
+        |        CAST(f.det - s.seas AS DECIMAL(18,6)) AS resid,
+        |        f.det AS det,
+        |        CAST(f.vd - s.seas AS DECIMAL(18,6)) AS des
+        |      FROM f JOIN s
+        |        ON s.event_type = f.event_type AND s.dow = f.dow),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(resid) AS s_resid,
+        |    sum(CAST(resid AS DECIMAL(24,6)) * resid) AS q_resid,
+        |    sum(det) AS s_det,
+        |    sum(CAST(det AS DECIMAL(24,6)) * det) AS q_det,
+        |    sum(des) AS s_des,
+        |    sum(CAST(des AS DECIMAL(24,6)) * des) AS q_des
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  round((n * CAST(q_resid AS DOUBLE)
+        |    - CAST(s_resid AS DOUBLE) * CAST(s_resid AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (n - 1)), 6) + 0.0 AS var_resid,
+        |  round((n * CAST(q_det AS DOUBLE)
+        |    - CAST(s_det AS DOUBLE) * CAST(s_det AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (n - 1)), 6) + 0.0 AS var_detrended,
+        |  round((n * CAST(q_des AS DOUBLE)
+        |    - CAST(s_des AS DOUBLE) * CAST(s_des AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (n - 1)), 6) + 0.0
+        |    AS var_deseasonalized,
+        |  round(greatest(CAST(0.0 AS DOUBLE), 1.0
+        |    - ((n * CAST(q_resid AS DOUBLE)
+        |        - CAST(s_resid AS DOUBLE) * CAST(s_resid AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (n - 1)))
+        |      / ((n * CAST(q_des AS DOUBLE)
+        |        - CAST(s_des AS DOUBLE) * CAST(s_des AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (n - 1)))), 6) + 0.0
+        |    AS trend_strength,
+        |  round(greatest(CAST(0.0 AS DOUBLE), 1.0
+        |    - ((n * CAST(q_resid AS DOUBLE)
+        |        - CAST(s_resid AS DOUBLE) * CAST(s_resid AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (n - 1)))
+        |      / ((n * CAST(q_det AS DOUBLE)
+        |        - CAST(s_det AS DOUBLE) * CAST(s_det AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (n - 1)))), 6) + 0.0
+        |    AS seasonal_strength
+        |FROM m ORDER BY event_type""".stripMargin,
+    "window_pivot_points" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |bars AS (SELECT event_type, day,
+        |    CAST(max(vc) AS BIGINT) AS h, CAST(min(vc) AS BIGINT) AS l,
+        |    max({'us': us, 'event_id': event_id, 'vc': vc}).vc AS c
+        |  FROM e GROUP BY 1, 2),
+        |p0 AS (SELECT *,
+        |    lag(h) OVER wo AS ph, lag(l) OVER wo AS pl,
+        |    lag(c) OVER wo AS pc
+        |  FROM bars
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+        |p1 AS (SELECT *, CAST(ph + pl + pc AS DOUBLE) / 3 AS p
+        |       FROM p0 WHERE ph IS NOT NULL),
+        |p2 AS (SELECT *, round(p / 100, 6) + 0.0 AS p6 FROM p1)
+        |SELECT event_type, day,
+        |  round(CAST(c AS DOUBLE) / 100, 6) + 0.0 AS close,
+        |  p6 AS pivot,
+        |  round((2 * p - pl) / 100, 6) + 0.0 AS r1,
+        |  round((2 * p - ph) / 100, 6) + 0.0 AS s1,
+        |  round((p + (ph - pl)) / 100, 6) + 0.0 AS r2,
+        |  round((p - (ph - pl)) / 100, 6) + 0.0 AS s2,
+        |  CAST(c AS DOUBLE) / 100 > p6 AS above_pivot
+        |FROM p2 ORDER BY event_type, day""".stripMargin,
     "seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
