@@ -699,6 +699,58 @@ object MiningOps {
       .orderBy("item", "rn")
   }
 
+  // ── leave-last-out hit rate of the item-kNN recommender: hold the
+  // max-id item out of every multi-item basket, rebuild the
+  // recsys_item_knn top-3 lists on the REMAINING pairs (no
+  // train-on-test leakage), and score a basket as hit when ANY kept
+  // item's list contains the held-out one — the offline quality number
+  // eval_recsys_coverage's catalog view doesn't give. Hold-out choice
+  // is an integer argmax (deterministic), the list rank is the
+  // (cos6 desc, id) total order on 6-dp cosines, and the report is
+  // exact counts per basket size with one division each. Same scale
+  // shapes as the recommender itself: pair counts shuffle on item,
+  // lists are top-3 windows per item. ──
+  def evalRecsysHitrate(spark: SparkSession, dir: String): DataFrame = {
+    val op = baskets(spark, dir).cache()
+    val held = op.groupBy(col("o"))
+      .agg(max(col("p")).as("held"), count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+    val train = op.join(held.select(col("o"), col("held")), Seq("o"),
+        "left")
+      .filter(col("held").isNull || col("p") =!= col("held"))
+      .select(col("o"), col("p"))
+    val cnt = train.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
+    val pairs = train.select(col("o"), col("p").as("u"))
+      .join(train.select(col("o"), col("p").as("v")), "o")
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+    val top3 = pairs
+      .join(broadcast(cnt.select(col("item").as("u"), col("n").as("nu"))),
+        "u")
+      .join(broadcast(cnt.select(col("item").as("v"), col("n").as("nv"))),
+        "v")
+      .withColumn("cos",
+        round(col("c").cast("double") /
+          sqrt((col("nu") * col("nv")).cast("double")), 6) + lit(0.0d))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("cos").desc, col("v"))))
+      .filter(col("rn") <= 3)
+    val kept = train.select(col("o"), col("p").as("kept"))
+    val hits = held.join(kept, "o")
+      .join(top3.select(col("u").as("t_u"), col("v").as("t_v")),
+        col("kept") === col("t_u"))
+      .filter(col("t_v") === col("held"))
+      .select(col("o")).distinct()
+      .withColumn("hit", lit(1L))
+    held.join(hits, Seq("o"), "left")
+      .groupBy(col("sz").as("basket_size"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("hit_rate",
+        round(expr("cast(n_hits as double) / n_orders"), 6) + lit(0.0d))
+      .orderBy("basket_size")
+  }
+
   // ── degree distribution of the co-purchase graph, log₂-binned — the
   // first diagnostic of any graph's shape (heavy-tailed or not decides
   // whether hub-capped wedges, skew salts, and top-k pruning are needed
@@ -1044,6 +1096,7 @@ object MiningOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_recsys_hitrate"    -> evalRecsysHitrate _,
     "graph_closeness"        -> graphCloseness _,
     "markov_entropy"         -> markovEntropy _,
     "eval_recsys_coverage"   -> evalRecsysCoverage _,
@@ -1267,6 +1320,43 @@ object MiningOps {
         |SELECT bin, n, pos, neg, round(woe9, 6) + 0.0 AS woe,
         |  round(CAST(ivs AS DOUBLE), 6) + 0.0 AS iv_total
         |FROM iv ORDER BY bin""".stripMargin,
+    "eval_recsys_hitrate" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |held AS (SELECT o, max(p) AS held,
+        |           CAST(count(*) AS BIGINT) AS sz
+        |         FROM op GROUP BY 1 HAVING count(*) >= 2),
+        |train AS (SELECT op.o, op.p
+        |          FROM op LEFT JOIN held ON held.o = op.o
+        |          WHERE held.held IS NULL OR op.p <> held.held),
+        |cnt AS (SELECT p AS item, count(*) AS n FROM train GROUP BY 1),
+        |pairs AS (SELECT a.p AS u, b.p AS v, count(*) AS c
+        |          FROM train a JOIN train b
+        |            ON a.o = b.o AND a.p <> b.p
+        |          GROUP BY 1, 2),
+        |sc AS (SELECT pairs.u, pairs.v,
+        |    round(pairs.c / sqrt(CAST(cu.n * cv.n AS DOUBLE)), 6) + 0.0
+        |      AS cos
+        |  FROM pairs
+        |  JOIN cnt cu ON pairs.u = cu.item
+        |  JOIN cnt cv ON pairs.v = cv.item),
+        |t3 AS (SELECT u, v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY u
+        |      ORDER BY cos DESC, v) AS rn FROM sc) WHERE rn <= 3),
+        |hits AS (SELECT DISTINCT h.o
+        |         FROM held h
+        |         JOIN train t ON t.o = h.o
+        |         JOIN t3 ON t3.u = t.p
+        |         WHERE t3.v = h.held),
+        |g AS (SELECT h.sz AS basket_size,
+        |        CAST(count(*) AS BIGINT) AS n_orders,
+        |        CAST(sum(CASE WHEN hits.o IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_hits
+        |      FROM held h LEFT JOIN hits ON hits.o = h.o
+        |      GROUP BY 1)
+        |SELECT basket_size, n_orders, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / n_orders, 6) + 0.0 AS hit_rate
+        |FROM g ORDER BY basket_size""".stripMargin,
     "recsys_item_knn" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |           FROM lineitem),

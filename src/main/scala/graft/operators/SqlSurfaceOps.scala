@@ -987,7 +987,47 @@ object SqlSurfaceOps {
       .orderBy("doc_id")
   }
 
+  // ── null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): per-user
+  // dominant event type in the first vs second half of the corpus
+  // window, distribution rows joined so the NULL bucket (inactive that
+  // half) matches ITSELF instead of vanishing — the attribute-drift
+  // read a plain equi-join silently drops (NULL = NULL is never true,
+  // so churned/new users fall out of the comparison exactly when they
+  // matter). Dominant type is a fully-ordered argmax; the null-safe
+  // join runs on the |types|+1-row distribution frames; output keeps
+  // the genuine NULL row and orders by a placeholder key. ──
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val mid = e.agg(expr("(min(us) + max(us)) div 2").as("m"))
+    val halves = e.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("us") < col("m"), 1).otherwise(2))
+      .cache()
+    def dom(h: Int) = halves.filter(col("half") === h)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(desc("c"), col("event_type"))))
+      .filter(col("pick") === 1)
+      .select(col("user_id"), col("event_type").as(s"a$h"))
+    val prof = e.select(col("user_id")).distinct()
+      .join(dom(1), Seq("user_id"), "left")
+      .join(dom(2), Seq("user_id"), "left")
+    val g1 = prof.groupBy(col("a1")).agg(count(lit(1)).as("n_h1"))
+    val g2 = prof.groupBy(col("a2")).agg(count(lit(1)).as("n_h2"))
+    g1.join(g2, g1("a1") <=> g2("a2"), "full")
+      .select(coalesce(col("a1"), col("a2")).as("attr"),
+        coalesce(col("n_h1"), lit(0L)).as("n_h1"),
+        coalesce(col("n_h2"), lit(0L)).as("n_h2"),
+        (coalesce(col("n_h2"), lit(0L)) - coalesce(col("n_h1"), lit(0L)))
+          .as("delta"))
+      .orderBy(coalesce(col("attr"), lit("(null)")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe"     -> joinNullSafe _,
     "sample_pps"         -> samplePps _,
     "sample_systematic"  -> sampleSystematic _,
     "sample_class_balance" -> sampleClassBalance _,
@@ -1043,6 +1083,36 @@ object SqlSurfaceOps {
       |FROM events ORDER BY event_type, event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM e),
+        |h AS (SELECT e.*, CASE WHEN us < m THEN 1 ELSE 2 END AS half
+        |      FROM e, mid),
+        |d1 AS (SELECT user_id, event_type AS a1 FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY count(*) DESC, event_type) AS pick
+        |    FROM h WHERE half = 1 GROUP BY 1, 2) WHERE pick = 1),
+        |d2 AS (SELECT user_id, event_type AS a2 FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY count(*) DESC, event_type) AS pick
+        |    FROM h WHERE half = 2 GROUP BY 1, 2) WHERE pick = 1),
+        |prof AS (SELECT u.user_id, d1.a1, d2.a2
+        |         FROM (SELECT DISTINCT user_id FROM e) u
+        |         LEFT JOIN d1 ON d1.user_id = u.user_id
+        |         LEFT JOIN d2 ON d2.user_id = u.user_id),
+        |g1 AS (SELECT a1, CAST(count(*) AS BIGINT) AS n_h1
+        |       FROM prof GROUP BY 1),
+        |g2 AS (SELECT a2, CAST(count(*) AS BIGINT) AS n_h2
+        |       FROM prof GROUP BY 1)
+        |SELECT COALESCE(a1, a2) AS attr,
+        |  COALESCE(n_h1, 0) AS n_h1, COALESCE(n_h2, 0) AS n_h2,
+        |  COALESCE(n_h2, 0) - COALESCE(n_h1, 0) AS delta
+        |FROM g1 FULL JOIN g2 ON g1.a1 IS NOT DISTINCT FROM g2.a2
+        |ORDER BY COALESCE(COALESCE(a1, a2), '(null)')""".stripMargin,
     "sample_pps" ->
       """WITH d AS (SELECT doc_id, n_chars FROM documents),
         |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t FROM d),
