@@ -777,6 +777,48 @@ object AnalyticsOps {
           " / ((0.05 * p) * (0.05 * p))) AS BIGINT)")
           .as("n_per_arm_5pct_lift"))
 
+  // ── Wald SPRT monitor over the event stream: the sequential log-
+  // likelihood-ratio walk testing the observed purchase-conversion p₀
+  // against a 10%-lifted alternative p₁, with the classic ±ln 19
+  // (α = β = 0.05) decision rails — the always-valid "stop the test
+  // early" machinery fixed-horizon ab_power_mde can't provide. The two
+  // per-trial LLR constants derive from the 6-dp-snapped base rate and
+  // are themselves snapped to 9 dp DECIMALs, so each day's increment
+  // x·c₁ + (m−x)·c₂ and the running sum are EXACT decimal arithmetic —
+  // the walk is bit-replayable and the crossing day cannot flap. One
+  // keyed daily aggregation + a day-grid cumulative window. ──
+  def abSprt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir).groupBy(col("day"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"))
+    val base = daily.agg(sum(col("m")).as("tm"), sum(col("x")).as("tx"))
+      .withColumn("p0", r6(expr("cast(tx as double) / tm")))
+      .withColumn("p1", r6(expr("1.1 * p0")))
+      .withColumn("c1", expr(
+        "CAST(round(ln(p1 / p0), 9) AS DECIMAL(18,9))"))
+      .withColumn("c2", expr(
+        "CAST(round(ln((1.0 - p1) / (1.0 - p0)), 9) AS DECIMAL(18,9))"))
+      .select(col("p0"), col("p1"), col("c1"), col("c2"))
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(base))
+      // counts cast to DECIMAL(12,0) first: a bare long×DECIMAL(18,9)
+      // needs precision 39, which Spark silently rescales to 8 dp —
+      // a 1e-8/day drift the cumulative walk amplifies
+      .withColumn("term", expr(
+        "CAST(x AS DECIMAL(12,0)) * c1" +
+          " + CAST(m - x AS DECIMAL(12,0)) * c2"))
+      .withColumn("llr6", r6(sum(col("term")).over(cum).cast("double")))
+      .select(col("day"), col("m").as("n_trials"),
+        col("x").as("n_success"), col("p0"), col("p1"),
+        col("llr6").as("llr"),
+        when(col("llr6") >= 2.944439, "accept_lift")
+          .when(col("llr6") <= -2.944439, "accept_null")
+          .otherwise("continue").as("decision"))
+      .orderBy("day")
+  }
+
   private val HitsIters = 2
   private val HitsScale = 1000000L
 
@@ -892,6 +934,7 @@ object AnalyticsOps {
     "graph_pagerank"   -> graphPagerank _,
     "graph_eigencentrality" -> graphEigenCentrality _,
     "ab_power_mde"     -> abPowerMde _,
+    "ab_sprt"          -> abSprt _,
     "graph_label_prop" -> graphLabelProp _,
     "graph_modularity" -> graphModularity _,
     "attribution"      -> attribution _,
@@ -1029,6 +1072,38 @@ object AnalyticsOps {
         duckFd("customer.c_nationkey->c_mktsegment", "customer",
           "c_nationkey", "c_mktsegment") +
         "\n) ORDER BY fd"),
+    "ab_sprt" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |b0 AS (SELECT CAST(sum(m) AS BIGINT) AS tm,
+        |        CAST(sum(x) AS BIGINT) AS tx FROM daily),
+        |b1 AS (SELECT *,
+        |        round(CAST(tx AS DOUBLE) / tm, 6) + 0.0 AS p0 FROM b0),
+        |b2 AS (SELECT *, round(1.1 * p0, 6) + 0.0 AS p1 FROM b1),
+        |b3 AS (SELECT *,
+        |    CAST(round(ln(p1 / p0), 9) AS DECIMAL(18,9)) AS c1,
+        |    CAST(round(ln((1.0 - p1) / (1.0 - p0)), 9) AS DECIMAL(18,9))
+        |      AS c2
+        |  FROM b2),
+        |t AS (SELECT d.*, b3.p0, b3.p1,
+        |        CAST(d.x AS DECIMAL(12,0)) * b3.c1
+        |          + CAST(d.m - d.x AS DECIMAL(12,0)) * b3.c2 AS term
+        |      FROM daily d, b3),
+        |c AS (SELECT *,
+        |    round(CAST(sum(term) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE), 6) + 0.0 AS llr6
+        |  FROM t)
+        |SELECT day, m AS n_trials, x AS n_success, p0, p1,
+        |  llr6 AS llr,
+        |  CASE WHEN llr6 >= 2.944439 THEN 'accept_lift'
+        |       WHEN llr6 <= -2.944439 THEN 'accept_null'
+        |       ELSE 'continue' END AS decision
+        |FROM c ORDER BY day""".stripMargin,
     "ab_power_mde" ->
       """WITH u AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -601,6 +601,40 @@ object StatsOps {
         (col("p2") < lit(0.05d)).as("significant"))
   }
 
+  // ── two-sample Poisson rate comparison (click vs purchase arrivals
+  // over the same day exposure): the conditional test — given N = n₁+n₂
+  // events, n₁ ~ Bin(N, ½) under equal rates — reduces to
+  // z = (n₁−n₂)/√N, with the rate ratio and its log-scale Wald CI
+  // alongside (the "is this stream running hot" check a pipeline
+  // monitor wants as one row). Counts are exact int64; z, ln RR and
+  // the CI are single cast-first expressions; p through the shared Φ
+  // polynomial. ──
+  def statsPoissonRate(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .filter(col("event_type").isin(KsTypeA, KsTypeB))
+      .agg(sum(when(col("event_type") === KsTypeA, 1L).otherwise(0L))
+        .as("n1"),
+        sum(when(col("event_type") === KsTypeB, 1L).otherwise(0L))
+          .as("n2"),
+        countDistinct(col("day")).as("n_days"))
+      .withColumn("z", expr(
+        "cast(n1 - n2 as double) / sqrt(cast(n1 + n2 as double))"))
+      .withColumn("az", abs(col("z")))
+      .withColumn("p2", r6(expr(s"2.0 * (1.0 - ${phiSql("az")})")))
+      .withColumn("lnrr", expr(
+        "ln(cast(n1 as double) / cast(n2 as double))"))
+      .withColumn("se", expr(
+        "sqrt(1.0 / cast(n1 as double) + 1.0 / cast(n2 as double))"))
+      .select(col("n1"), col("n2"), col("n_days"),
+        r6(expr("cast(n1 as double) / n_days")).as("rate_1"),
+        r6(expr("cast(n2 as double) / n_days")).as("rate_2"),
+        r6(expr("cast(n1 as double) / cast(n2 as double)"))
+          .as("rate_ratio"),
+        r6(col("z")).as("z"), col("p2").as("p_two"),
+        r6(exp(expr("lnrr - 1.959964 * se"))).as("rr_ci_lo"),
+        r6(exp(expr("lnrr + 1.959964 * se"))).as("rr_ci_hi"),
+        (col("p2") < lit(0.05d)).as("significant"))
+
   // ── distribution-free confidence interval for the per-type daily
   // revenue MEDIAN: the binomial order-statistic interval (ranks
   // n/2 ∓ z√n/2) — no normality assumed anywhere, the robust
@@ -5575,6 +5609,7 @@ object StatsOps {
     "stats_median_ci"       -> statsMedianCi _,
     "stats_stl_strength"    -> statsStlStrength _,
     "window_pivot_points"   -> windowPivotPoints _,
+    "stats_poisson_rate"    -> statsPoissonRate _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -6053,6 +6088,38 @@ object StatsOps {
          |    + 0.0 AS df,
          |  p2 AS p_two, p2 < 0.05 AS significant
          |FROM d5""".stripMargin
+    },
+    "stats_poisson_rate" -> {
+      val pz = phiSql("az")
+      s"""WITH g AS (SELECT
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n2,
+         |    CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+         |      AS BIGINT) AS n_days
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase')),
+         |z AS (SELECT *,
+         |    CAST(n1 - n2 AS DOUBLE) / sqrt(CAST(n1 + n2 AS DOUBLE))
+         |      AS z,
+         |    ln(CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS lnrr,
+         |    sqrt(1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))
+         |      AS se
+         |  FROM g),
+         |za AS (SELECT *, abs(z) AS az FROM z),
+         |pp AS (SELECT *, round(2.0 * (1.0 - $pz), 6) + 0.0 AS p2
+         |       FROM za)
+         |SELECT n1, n2, n_days,
+         |  round(CAST(n1 AS DOUBLE) / n_days, 6) + 0.0 AS rate_1,
+         |  round(CAST(n2 AS DOUBLE) / n_days, 6) + 0.0 AS rate_2,
+         |  round(CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) + 0.0
+         |    AS rate_ratio,
+         |  round(z, 6) + 0.0 AS z, p2 AS p_two,
+         |  round(exp(lnrr - 1.959964 * se), 6) + 0.0 AS rr_ci_lo,
+         |  round(exp(lnrr + 1.959964 * se), 6) + 0.0 AS rr_ci_hi,
+         |  p2 < 0.05 AS significant
+         |FROM pp""".stripMargin
     },
     "stats_median_ci" ->
       """WITH daily AS (
