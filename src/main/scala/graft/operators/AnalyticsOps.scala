@@ -777,6 +777,58 @@ object AnalyticsOps {
           " / ((0.05 * p) * (0.05 * p))) AS BIGINT)")
           .as("n_per_arm_5pct_lift"))
 
+  // ── exact-duplicate row audit of the event log: multiplicity classes
+  // of the full business tuple (user, µs timestamp, type, value) — the
+  // at-least-once-delivery damage report (the reference's blind
+  // insert_one, consumer.py:78, makes replays duplicate rows silently;
+  // this is the number that says whether dedup-on-ingest is needed).
+  // ONE keyed aggregation to multiplicity classes, then a 1-row integer
+  // summary; the only double is the final rate. ──
+  def dqDuplicateRows(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("user_id"), col("us"), col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_classes"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L))
+          .as("n_dup_rows"),
+        max(col("c")).as("max_multiplicity"))
+      .select(col("n_rows"), col("n_distinct"), col("n_dup_classes"),
+        col("n_dup_rows"), col("max_multiplicity"),
+        r6(expr("cast(n_dup_rows as double) / n_rows")).as("dup_rate"))
+
+  // ── out-of-order arrival audit: per user (event_id = arrival order),
+  // how late does event time lag the running event-time maximum — THE
+  // measurement that sizes a streaming watermark (withWatermark's delay
+  // should cover the observed lateness tail; guessing it is how events
+  // get dropped). Lateness is an integer-µs difference against a
+  // per-user running max, bucketed on the session_gap_hist log ladder;
+  // shares are exact counts over the ladder frame. Entity-partitioned
+  // window, no global sort. ──
+  def dqOutOfOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lad = ev(spark, dir)
+      .withColumn("runmax", max(col("us")).over(w))
+      .withColumn("late_s",
+        when(col("runmax").isNotNull && col("us") < col("runmax"),
+          expr("(runmax - us) div 1000000")))
+      .withColumn("b",
+        when(col("late_s").isNull, 0)
+          .when(col("late_s") < 1, 1).when(col("late_s") < 60, 2)
+          .when(col("late_s") < 3600, 3).otherwise(4))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_events"))
+    val tot = lad.agg(sum(col("n_events")).as("t"))
+    lad.crossJoin(broadcast(tot))
+      .select(col("b").cast("int").as("bucket_id"),
+        when(col("b") === 0, "in_order").when(col("b") === 1, "lt_1s")
+          .when(col("b") === 2, "lt_1min").when(col("b") === 3, "lt_1h")
+          .otherwise("ge_1h").as("lateness"),
+        col("n_events"),
+        r6(expr("cast(n_events as double) / t")).as("share"))
+      .orderBy("bucket_id")
+  }
+
   // ── Wald SPRT monitor over the event stream: the sequential log-
   // likelihood-ratio walk testing the observed purchase-conversion p₀
   // against a 10%-lifted alternative p₁, with the classic ±ln 19
@@ -935,6 +987,8 @@ object AnalyticsOps {
     "graph_eigencentrality" -> graphEigenCentrality _,
     "ab_power_mde"     -> abPowerMde _,
     "ab_sprt"          -> abSprt _,
+    "dq_duplicate_rows" -> dqDuplicateRows _,
+    "dq_out_of_order"  -> dqOutOfOrder _,
     "graph_label_prop" -> graphLabelProp _,
     "graph_modularity" -> graphModularity _,
     "attribution"      -> attribution _,
@@ -1072,6 +1126,49 @@ object AnalyticsOps {
         duckFd("customer.c_nationkey->c_mktsegment", "customer",
           "c_nationkey", "c_mktsegment") +
         "\n) ORDER BY fd"),
+    "dq_duplicate_rows" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_type, "value" AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_classes,
+        |    CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_rows,
+        |    CAST(max(c) AS BIGINT) AS max_multiplicity
+        |  FROM g)
+        |SELECT n_rows, n_distinct, n_dup_classes, n_dup_rows,
+        |  max_multiplicity,
+        |  round(CAST(n_dup_rows AS DOUBLE) / n_rows, 6) + 0.0 AS dup_rate
+        |FROM a""".stripMargin,
+    "dq_out_of_order" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |r AS (SELECT *,
+        |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS runmax
+        |  FROM e),
+        |l AS (SELECT *,
+        |    CASE WHEN runmax IS NOT NULL AND us < runmax
+        |      THEN (runmax - us) // 1000000 END AS late_s
+        |  FROM r),
+        |b AS (SELECT CASE WHEN late_s IS NULL THEN 0
+        |        WHEN late_s < 1 THEN 1 WHEN late_s < 60 THEN 2
+        |        WHEN late_s < 3600 THEN 3 ELSE 4 END AS b,
+        |      CAST(count(*) AS BIGINT) AS n_events
+        |  FROM l GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM b)
+        |SELECT CAST(b AS INT) AS bucket_id,
+        |  CASE WHEN b = 0 THEN 'in_order' WHEN b = 1 THEN 'lt_1s'
+        |       WHEN b = 2 THEN 'lt_1min' WHEN b = 3 THEN 'lt_1h'
+        |       ELSE 'ge_1h' END AS lateness,
+        |  n_events,
+        |  round(CAST(n_events AS DOUBLE) / t, 6) + 0.0 AS share
+        |FROM b CROSS JOIN t ORDER BY bucket_id""".stripMargin,
     "ab_sprt" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
