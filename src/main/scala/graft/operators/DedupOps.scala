@@ -192,6 +192,70 @@ object DedupOps {
       .filter(col("jaccard") >= 0.3)
   }
 
+  // ── threshold operating curve for near-dedup: over the EXACT
+  // word-3-gram Jaccard pairs (the frame dedup_ngram ships), how many
+  // pairs survive — and how many documents the remove-higher-id rule
+  // would drop — at every θ from 0.3 to 0.9. eval_dedup_pr grades the
+  // LSH candidate stage at one θ; this is the curve a curator reads to
+  // PICK θ (aggressiveness vs corpus loss). One pair frame computed
+  // once, exploded against the 7-value θ ladder, two exact counts per
+  // θ and one division; removal is the same deterministic
+  // duplicate-of-lower-id convention the dedup keys use. ──
+  def evalDedupThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val pairs = ngramPairs(sh)
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    pairs
+      .select(col("doc_b"), col("jaccard"),
+        explode(expr("array(0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)"))
+          .as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("docs_removed"))
+      .crossJoin(broadcast(nd))
+      .select(col("threshold"), col("n_pairs"), col("docs_removed"),
+        round(expr("cast(docs_removed as double) / n_docs"), 6)
+          .as("removal_rate"))
+      .orderBy("threshold")
+  }
+
+  // ── shingle-universe sizing report: the numbers that dimension every
+  // MinHash deployment BEFORE it runs — distinct-shingle vocabulary
+  // (the dict/broadcast size), doc-shingle row mass (the LSH input),
+  // duplication factor (how much sharing exists at all), the max
+  // doc-frequency and how many shingles the 1000-doc stop-shingle cap
+  // would actually drop (here: whether the skew guard is inert or
+  // load-bearing). Pre-cap frame on purpose — this measures the raw
+  // corpus, the knobs' input. Two keyed aggregations, integer output
+  // plus two divisions. ──
+  def textShingleStats(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("doc_id"),
+        explode(expr(
+          "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2)," +
+            " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))" +
+            " ELSE CAST(array() AS ARRAY<STRING>) END"))
+          .as("shingle"))
+      .distinct()
+    val perSh = raw.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+    val tot = raw.agg(countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_rows"))
+    perSh
+      .agg(count(lit(1)).as("n_distinct_shingles"),
+        max(col("f")).as("max_doc_freq"),
+        sum((col("f") > ShingleDocFreqCap).cast("long"))
+          .as("n_hot_capped"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_docs"), col("n_rows"), col("n_distinct_shingles"),
+        col("max_doc_freq"), col("n_hot_capped"),
+        round(expr("cast(n_rows as double) / n_docs"), 6)
+          .as("avg_shingles_per_doc"),
+        round(expr("cast(n_rows as double) / n_distinct_shingles"), 6)
+          .as("dup_factor"))
+  }
+
   // ── precision/recall harness for the MinHash LSH candidate stage —
   // the eval loop that justifies the (16 bands × 2 rows) knob choice:
   // predicted = RAW band-bucket candidate pairs (BEFORE exact
@@ -754,6 +818,8 @@ object DedupOps {
     "dedup_near"         -> dedupNear _,
     "dedup_incremental"  -> dedupIncremental _,
     "dedup_ngram"        -> dedupNgram _,
+    "eval_dedup_threshold" -> evalDedupThreshold _,
+    "text_shingle_stats" -> textShingleStats _,
     "dedup_containment"  -> dedupContainment _,
     "dedup_minhash"      -> dedupMinhash _,
     "dedup_minhash_fast" -> dedupMinhashFast _,
@@ -947,6 +1013,50 @@ object DedupOps {
         |WHERE rn = 1
         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 10 <> 0)
         |ORDER BY doc_id""".stripMargin,
+    "eval_dedup_threshold" -> (duckShingles + duckCandInter +
+      """,
+        |pj AS (SELECT doc_a, doc_b,
+        |    round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) AS jaccard
+        |  FROM inter JOIN sizes za ON doc_a = za.doc_id
+        |             JOIN sizes zb ON doc_b = zb.doc_id
+        |  WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) >= 0.3),
+        |th AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |         AS threshold),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |g AS (SELECT CAST(th.threshold AS DOUBLE) AS threshold,
+        |        CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(count(DISTINCT doc_b) AS BIGINT) AS docs_removed
+        |      FROM pj JOIN th ON pj.jaccard >= th.threshold
+        |      GROUP BY 1)
+        |SELECT threshold, n_pairs, docs_removed,
+        |  round(CAST(docs_removed AS DOUBLE) / n_docs, 6)
+        |    AS removal_rate
+        |FROM g CROSS JOIN nd ORDER BY threshold""".stripMargin),
+    "text_shingle_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      AS shingle
+        |  FROM t),
+        |p AS (SELECT shingle, CAST(count(*) AS BIGINT) AS f
+        |      FROM sh0 GROUP BY 1),
+        |tt AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        CAST(count(*) AS BIGINT) AS n_rows FROM sh0),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+        |        CAST(max(f) AS BIGINT) AS max_doc_freq,
+        |        CAST(sum(CASE WHEN f > 1000 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_hot_capped
+        |      FROM p)
+        |SELECT n_docs, n_rows, n_distinct_shingles, max_doc_freq,
+        |  n_hot_capped,
+        |  round(CAST(n_rows AS DOUBLE) / n_docs, 6)
+        |    AS avg_shingles_per_doc,
+        |  round(CAST(n_rows AS DOUBLE) / n_distinct_shingles, 6)
+        |    AS dup_factor
+        |FROM a CROSS JOIN tt""".stripMargin,
     "dedup_ngram" -> (duckShingles + duckCandInter +
       """
         |SELECT doc_a, doc_b,
