@@ -966,10 +966,26 @@ object SqlSurfaceOps {
     val k = 20
     val d = Tables.documents(spark, dir).select(col("doc_id"),
       col("n_chars"))
-    val wo = Window.orderBy(col("doc_id"))
+    // banded prefix sum (the pack_sequences device): 64 integer doc-id
+    // shards, per-shard offsets from the shard-sum frame, the window
+    // partitioned BY SHARD — equal to the global running sum but never
+    // a partitionless Window over the fact table
+    val bounds = d.agg(min(col("doc_id")).as("lo"),
+      (max(col("doc_id")) + 1).as("hi"))
+    val b = d.crossJoin(broadcast(bounds))
+      .withColumn("bkt", expr("((doc_id - lo) * 64) div (hi - lo) + 1"))
+    val sums = b.groupBy(col("bkt")).agg(sum(col("n_chars")).as("s"))
+    val offs = sums
+      .join(broadcast(sums.select(col("bkt").as("bkt_o"),
+        col("s").as("s_o"))), col("bkt_o") < col("bkt"), "left")
+      .groupBy(col("bkt")).agg(coalesce(sum(col("s_o")), lit(0L))
+        .as("off"))
+    val wo = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = d.agg(sum(col("n_chars")).as("t"))
-    d.withColumn("c", coalesce(sum(col("n_chars")).over(wo), lit(0L)))
+    b.join(broadcast(offs), "bkt")
+      .withColumn("c",
+        col("off") + coalesce(sum(col("n_chars")).over(wo), lit(0L)))
       .crossJoin(broadcast(tot))
       .withColumn("hi", expr(
         s"CASE WHEN 2 * $k * (c + n_chars) >= t" +

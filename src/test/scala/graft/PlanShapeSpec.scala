@@ -361,7 +361,16 @@ class PlanShapeSpec extends SparkSuite {
       "eval_ece",             // the same centroid/totals broadcasts
       "pipeline_dataset_card", // 1-row corpus-totals broadcast
       "stats_pacf",           // 1-row ACF frame × 1-row day count
-      "stats_woolf")          // 1-row pooled-lnOR broadcast vs 7 strata
+      "stats_woolf",          // 1-row pooled-lnOR broadcast vs 7 strata
+      // late-session-13 scalar broadcasts (audited: each build side is
+      // a 1-row aggregate — SPRT constants, corpus totals, id bounds):
+      "ab_sprt",              // 1-row (p0, p1, c1, c2) constants frame
+      "dq_out_of_order",      // 1-row ladder-total broadcast
+      "eval_dedup_threshold", // 1-row corpus doc-count broadcast
+      "join_null_safe",       // 1-row corpus-midpoint broadcast
+      "pack_greedy_bins",     // 1-row (lo, hi) id-bounds broadcast
+      "sample_pps",           // 1-row id-bounds + 1-row mass-total
+      "text_shingle_stats")   // 1-row corpus-totals broadcast
     // collect ALL offenders before asserting — a failure names every
     // key that needs auditing, not just the alphabetically first
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
