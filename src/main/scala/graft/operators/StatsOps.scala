@@ -601,6 +601,55 @@ object StatsOps {
         (col("p2") < lit(0.05d)).as("significant"))
   }
 
+  // ── Mood's two-sample SCALE test (click vs purchase values): scores
+  // each observation by its squared distance from the mid-rank center,
+  // (R − (N+1)/2)², so it detects SPREAD differences where
+  // Mann–Whitney detects location — the rank-based competitor to
+  // stats_ansari_bradley, kept because the two weigh the tails
+  // differently (Mood quadratically — more tail-sensitive). In doubled
+  // midranks the score is the exact INTEGER (D − (N+1))² = 4·score, so
+  // T accumulates in DECIMAL(38,0) on the cents value grid (midranks
+  // stand in for ties; the null moments are the classical no-ties
+  // forms, the standard practical approximation, noted here). One
+  // grid-sized window + one reduce; z and p are single expressions. ──
+  def statsMoodScale(spark: SparkSession, dir: String): DataFrame = {
+    val g = ev(spark, dir)
+      .filter(col("event_type").isin(KsTypeA, KsTypeB))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === KsTypeA, 1L).otherwise(0L))
+        .as("a"),
+        sum(when(col("event_type") === KsTypeB, 1L).otherwise(0L))
+          .as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val byVal = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g
+      .withColumn("f", coalesce(sum(col("t")).over(byVal), lit(0L)))
+      .withColumn("dd", expr("2 * f + t + 1"))
+    val withN = r.crossJoin(broadcast(
+        g.agg(sum(col("a") + col("b")).as("nn"))))
+      .select(col("a"),
+        expr("CAST(a AS DECIMAL(38,0)) * (dd - (nn + 1)) * (dd - (nn + 1))")
+          .as("sc"), col("nn"))
+      .agg(first(col("nn")).as("nn"),
+        sum(col("a")).as("n1"), sum(col("sc")).as("t4"))
+    withN
+      .crossJoin(broadcast(g.agg(sum(col("b")).as("n2"))))
+      .withColumn("e4", expr(
+        "cast(n1 as double) * (cast(nn as double) * nn - 1) / 3"))
+      .withColumn("v4", expr(
+        "4.0 * (cast(n1 as double) * n2 * (nn + 1)" +
+          " * (cast(nn as double) * nn - 4)) / 45"))
+      .withColumn("z", expr("(cast(t4 as double) - e4) / sqrt(v4)"))
+      .withColumn("az", abs(col("z")))
+      .withColumn("p2", r6(expr(s"2.0 * (1.0 - ${phiSql("az")})")))
+      .select(col("n1"), col("n2"),
+        r6(expr("cast(t4 as double) / 4")).as("t_stat"),
+        r6(expr("e4 / 4")).as("t_expected"),
+        r6(col("z")).as("z"), col("p2").as("p_two"),
+        (col("p2") < lit(0.05d)).as("significant"))
+  }
+
   // ── two-sample Poisson rate comparison (click vs purchase arrivals
   // over the same day exposure): the conditional test — given N = n₁+n₂
   // events, n₁ ~ Bin(N, ½) under equal rates — reduces to
@@ -5610,6 +5659,7 @@ object StatsOps {
     "stats_stl_strength"    -> statsStlStrength _,
     "window_pivot_points"   -> windowPivotPoints _,
     "stats_poisson_rate"    -> statsPoissonRate _,
+    "stats_mood_scale"      -> statsMoodScale _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -6088,6 +6138,47 @@ object StatsOps {
          |    + 0.0 AS df,
          |  p2 AS p_two, p2 < 0.05 AS significant
          |FROM d5""".stripMargin
+    },
+    "stats_mood_scale" -> {
+      val pz = phiSql("az")
+      s"""WITH g AS (
+         |  SELECT "value" AS v,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS b
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1),
+         |gt AS (SELECT *, a + b AS t FROM g),
+         |r AS (SELECT *,
+         |    CAST(COALESCE(sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS f
+         |  FROM gt),
+         |rr AS (SELECT *, 2 * f + t + 1 AS dd FROM r),
+         |nn0 AS (SELECT CAST(sum(a + b) AS BIGINT) AS nn FROM g),
+         |m AS (SELECT CAST(any_value(nn) AS BIGINT) AS nn,
+         |    CAST(sum(a) AS BIGINT) AS n1,
+         |    sum(CAST(a AS HUGEINT)
+         |      * (dd - (nn + 1)) * (dd - (nn + 1))) AS t4
+         |  FROM rr, nn0),
+         |n2t AS (SELECT CAST(sum(b) AS BIGINT) AS n2 FROM g),
+         |d1 AS (SELECT m.*, n2t.n2,
+         |    CAST(n1 AS DOUBLE) * (CAST(nn AS DOUBLE) * nn - 1) / 3
+         |      AS e4,
+         |    4.0 * (CAST(n1 AS DOUBLE) * n2 * (nn + 1)
+         |      * (CAST(nn AS DOUBLE) * nn - 4)) / 45 AS v4
+         |  FROM m, n2t),
+         |d2 AS (SELECT *, (CAST(t4 AS DOUBLE) - e4) / sqrt(v4) AS z
+         |  FROM d1),
+         |d3 AS (SELECT *, abs(z) AS az FROM d2),
+         |d4 AS (SELECT *, round(2.0 * (1.0 - $pz), 6) + 0.0 AS p2
+         |  FROM d3)
+         |SELECT n1, n2,
+         |  round(CAST(t4 AS DOUBLE) / 4, 6) + 0.0 AS t_stat,
+         |  round(e4 / 4, 6) + 0.0 AS t_expected,
+         |  round(z, 6) + 0.0 AS z, p2 AS p_two, p2 < 0.05 AS significant
+         |FROM d4""".stripMargin
     },
     "stats_poisson_rate" -> {
       val pz = phiSql("az")

@@ -446,6 +446,40 @@ object TextOps {
     packCore(Tables.documents(spark, dir)
       .select(col("doc_id"), size(toksCol).cast("long").as("n_toks")))
 
+  // ── per-language token-budget cut: give every language an equal
+  // slice of a fixed token budget and admit docs in doc_id order until
+  // each slice fills — the allocation step between sample_temperature
+  // (which only computes target WEIGHTS) and an actual training-set
+  // manifest. A doc is taken iff its language-cumulative token count
+  // BEFORE it is still under the slice (the prefix-cut convention:
+  // deterministic, and the overshoot is bounded by one document). The
+  // per-language running sums are lang-partitioned windows (at corpus
+  // scale a skewed language sub-bands on the integer doc-id shards,
+  // the sample_pps device); the report is exact integers plus one
+  // utilization division per language. ──
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100000L
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toksCol).cast("long").as("n_toks"))
+    val nl = d.agg(countDistinct(col("lang")).as("n_langs"))
+    val wo = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cum", coalesce(sum(col("n_toks")).over(wo), lit(0L)))
+      .crossJoin(broadcast(nl))
+      .withColumn("slice", expr(s"${budget}L div n_langs"))
+      .filter(col("cum") < col("slice"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_taken"),
+        sum(col("n_toks")).as("tokens_taken"),
+        first(col("slice")).as("slice_budget"))
+      .select(col("lang"), col("n_docs_taken"), col("tokens_taken"),
+        col("slice_budget"),
+        r6(expr("cast(tokens_taken as double) / slice_budget"))
+          .as("utilization"))
+      .orderBy("lang")
+  }
+
   // ── no-split greedy binning audit: pack_sequences splits documents
   // across 512-token window boundaries (zero padding by construction);
   // instruction-tuning and retrieval corpora must keep docs WHOLE, and
@@ -1673,6 +1707,7 @@ object TextOps {
     "pipeline_dataset_card" -> pipelineDatasetCard _,
     "text_length_hist"      -> textLengthHist _,
     "pack_greedy_bins"      -> packGreedyBins _,
+    "sample_token_budget"   -> sampleTokenBudget _,
     "text_keyphrase_rake"   -> textKeyphraseRake _,
     "text_oov_rate"         -> textOovRate _,
     "decontaminate_near"    -> decontaminateNear _,
@@ -2502,6 +2537,29 @@ object TextOps {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |  FROM documents) t
         |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+    "sample_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_toks
+        |  FROM documents),
+        |nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |       FROM d),
+        |c AS (SELECT d.*, nl.n_langs,
+        |    CAST(COALESCE(sum(n_toks) OVER (PARTITION BY lang
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum,
+        |    100000 // nl.n_langs AS slice
+        |  FROM d, nl),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_taken,
+        |        CAST(sum(n_toks) AS BIGINT) AS tokens_taken,
+        |        CAST(any_value(slice) AS BIGINT) AS slice_budget
+        |      FROM c WHERE cum < slice GROUP BY 1)
+        |SELECT lang, n_docs_taken, tokens_taken, slice_budget,
+        |  round(CAST(tokens_taken AS DOUBLE) / slice_budget, 6) + 0.0
+        |    AS utilization
+        |FROM g ORDER BY lang""".stripMargin,
     "pack_greedy_bins" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
