@@ -2401,18 +2401,7 @@ object StatsOps {
   // sums are exact small ints; Q = 3·ΣS2_j²/(nk(k+1)) − 3n(k+1) is one
   // cast-first division. ──
   def statsFriedman(spark: SparkSession, dir: String): DataFrame = {
-    val rev = ev(spark, dir).groupBy(col("day"), col("event_type"))
-      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
-        .as("revc"))
-    val days = rev.select(col("day")).distinct()
-    val types = rev.select(col("event_type")).distinct()
-    val grid = days.crossJoin(broadcast(types))
-      .join(rev, Seq("day", "event_type"), "left")
-      .withColumn("revc", coalesce(col("revc"), lit(0L)))
-    val ranked = grid.withColumn("r2x",
-      rank().over(Window.partitionBy(col("day")).orderBy(col("revc"))) * 2
-        + count(lit(1)).over(Window.partitionBy(col("day"), col("revc")))
-        - 1)
+    val ranked = friedmanGrid(spark, dir)
     val s = ranked.groupBy(col("event_type"))
       .agg(sum(col("r2x")).as("s2"), count(lit(1)).as("n"))
     s.agg(count(lit(1)).as("k"), first(col("n")).as("n_blocks"),
@@ -2421,6 +2410,102 @@ object StatsOps {
         r6(expr("cast(3 * ss as double)" +
           " / (cast(n_blocks as double) * k * (k + 1))" +
           " - cast(3 * n_blocks * (k + 1) as double)")).as("q"))
+  }
+
+  /** The stats_friedman block grid (zero-filled day×type cells with
+    * doubled within-day midranks), shared by [[statsQuade]] and
+    * [[statsNemenyi]] so the three blocked-rank keys rank identically. */
+  private def friedmanGrid(spark: SparkSession, dir: String): DataFrame = {
+    val rev = ev(spark, dir).groupBy(col("day"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("revc"))
+    val days = rev.select(col("day")).distinct()
+    val types = rev.select(col("event_type")).distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(rev, Seq("day", "event_type"), "left")
+      .withColumn("revc", coalesce(col("revc"), lit(0L)))
+    grid.withColumn("r2x",
+      rank().over(Window.partitionBy(col("day")).orderBy(col("revc"))) * 2
+        + count(lit(1)).over(Window.partitionBy(col("day"), col("revc")))
+        - 1)
+  }
+
+  // ── Quade test: the block-WEIGHTED Friedman — blocks (days) with a
+  // wider value range carry proportionally more evidence, which makes
+  // Quade sharper than Friedman when treatment effects scale with the
+  // block's overall level (revenue days do exactly that). Block weights
+  // are doubled midranks of the integer day range; centered cell scores
+  // S = q·(r − (k+1)/2) stay EXACT int64 in ×4 units, so A and the
+  // per-treatment sums reduce exactly and the F statistic is pure
+  // cast-first arithmetic ((b−1)·B/(A−B), the ×16 factors cancel). ──
+  def statsQuade(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = friedmanGrid(spark, dir)
+    val dayRange = ranked.groupBy(col("day"))
+      .agg((max(col("revc")) - min(col("revc"))).as("rng"))
+    val q2 = dayRange.withColumn("q2",
+      rank().over(Window.orderBy(col("rng"))) * 2
+        + count(lit(1)).over(Window.partitionBy(col("rng"))) - 1)
+      .select(col("day"), col("q2"))
+    val cells = ranked.join(q2, "day")
+      .withColumn("k",
+        count(lit(1)).over(Window.partitionBy(col("day"))))
+      .withColumn("s4", col("q2") * (col("r2x") - (col("k") + 1)))
+    val perType = cells.groupBy(col("event_type"))
+      .agg(sum(col("s4")).as("t4"), count(lit(1)).as("b"),
+        first(col("k")).as("k"))
+    val a16 = cells.agg(
+      sum(expr("CAST(s4 AS DECIMAL(38,0)) * s4")).as("a16"))
+    perType
+      .agg(first(col("k")).as("k"), first(col("b")).as("n_blocks"),
+        sum(expr("cast(t4 as double) * t4")).as("b16n"))
+      .crossJoin(broadcast(a16))
+      .withColumn("bb", expr("b16n / n_blocks"))
+      .select(col("n_blocks"), col("k"),
+        r6(expr("cast(a16 as double) / 16")).as("a_stat"),
+        r6(expr("bb / 16")).as("b_stat"),
+        r6(expr("(cast(n_blocks as double) - 1) * bb" +
+          " / (cast(a16 as double) - bb)")).as("f_stat"),
+        (col("k") - 1).as("df1"),
+        ((col("n_blocks") - 1) * (col("k") - 1)).as("df2"))
+  }
+
+  /** Nemenyi q_0.05/√2 critical constants by treatment count (published
+    * Studentized-range table; the SAME literals appear in the oracle). */
+  private val NemenyiQ = Map(2 -> "1.959964", 3 -> "2.343701",
+    4 -> "2.569032", 5 -> "2.727774", 6 -> "2.849705")
+
+  // ── Nemenyi post-hoc after Friedman: WHICH event-type pairs differ —
+  // the omnibus Q only says "some do". Mean ranks come from the shared
+  // doubled-rank grid (exact integers / one division); a pair is
+  // flagged when |R̄ᵢ − R̄ⱼ| exceeds the critical distance
+  // q·√(k(k+1)/6n) with the published q constant for this k (literal
+  // ladder, k ≤ 6 here — extend the table before adding types).
+  // Verdicts compare 6-dp-snapped values. ──
+  def statsNemenyi(spark: SparkSession, dir: String): DataFrame = {
+    val s = friedmanGrid(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("r2x")).as("s2"), count(lit(1)).as("n"))
+    val k = s.agg(count(lit(1)).as("k"))
+    val qCase = NemenyiQ.toSeq.sortBy(_._1)
+      .map { case (kk, q) => s"WHEN $kk THEN ${q}D" }.mkString(" ")
+    val withK = s.crossJoin(broadcast(k))
+      .withColumn("rbar", expr("cast(s2 as double) / (2 * n)"))
+    withK.as("a").join(withK.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.n").as("n_blocks"), col("a.k").as("k"),
+        col("a.rbar").as("rbar_a"), col("b.rbar").as("rbar_b"))
+      .withColumn("diff6", r6(abs(col("rbar_a") - col("rbar_b"))))
+      .withColumn("cd6", r6(expr(
+        s"(CASE k $qCase END)" +
+          " * sqrt(cast(k as double) * (k + 1) / (6.0 * n_blocks))")))
+      .select(col("type_a"), col("type_b"),
+        r6(col("rbar_a")).as("mean_rank_a"),
+        r6(col("rbar_b")).as("mean_rank_b"),
+        col("diff6").as("rank_diff"), col("cd6").as("critical_dist"),
+        (col("diff6") > col("cd6")).as("significant"))
+      .orderBy("type_a", "type_b")
   }
 
   // ── regression influence diagnostics for the daily revenue trend:
@@ -5660,6 +5745,8 @@ object StatsOps {
     "window_pivot_points"   -> windowPivotPoints _,
     "stats_poisson_rate"    -> statsPoissonRate _,
     "stats_mood_scale"      -> statsMoodScale _,
+    "stats_quade"           -> statsQuade _,
+    "stats_nemenyi"         -> statsNemenyi _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -5870,6 +5957,26 @@ object StatsOps {
       |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
       |      AS revc
       |  FROM events GROUP BY 1, 2, 3),
+      |""".stripMargin
+
+  /** Shared oracle CTE block mirroring [[friedmanGrid]]: zero-filled
+    * day×type grid with doubled within-day midranks. Ends at
+    * `rk(day, event_type, revc, r2x)`, comma-terminated. */
+  private val duckFriedmanGrid: String =
+    """WITH rev AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+      |    CAST(sum(CAST("value" AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS revc
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.day, t.event_type, COALESCE(r.revc, 0) AS revc
+      |  FROM (SELECT DISTINCT day FROM rev) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM rev) t
+      |  LEFT JOIN rev r ON r.day = d.day AND r.event_type = t.event_type),
+      |rk AS (SELECT day, event_type, revc,
+      |    rank() OVER (PARTITION BY day ORDER BY revc) * 2
+      |      + count(*) OVER (PARTITION BY day, revc) - 1 AS r2x
+      |  FROM grid),
       |""".stripMargin
 
   /** Shared oracle CTE block mirroring [[strataTables]]: day-of-week
@@ -6139,6 +6246,63 @@ object StatsOps {
          |  p2 AS p_two, p2 < 0.05 AS significant
          |FROM d5""".stripMargin
     },
+    "stats_quade" -> (duckFriedmanGrid +
+      """rng AS (SELECT day,
+        |    CAST(max(revc) - min(revc) AS BIGINT) AS rng
+        |  FROM rk GROUP BY 1),
+        |q2 AS (SELECT day,
+        |    rank() OVER (ORDER BY rng) * 2
+        |      + count(*) OVER (PARTITION BY rng) - 1 AS q2
+        |  FROM rng),
+        |cells AS (SELECT rk.event_type,
+        |    CAST(count(*) OVER (PARTITION BY rk.day) AS BIGINT) AS k,
+        |    q2.q2 * (rk.r2x - (count(*) OVER (PARTITION BY rk.day) + 1))
+        |      AS s4
+        |  FROM rk JOIN q2 ON q2.day = rk.day),
+        |pt AS (SELECT event_type, CAST(sum(s4) AS BIGINT) AS t4,
+        |    CAST(count(*) AS BIGINT) AS b,
+        |    CAST(any_value(k) AS BIGINT) AS k
+        |  FROM cells GROUP BY 1),
+        |a16 AS (SELECT sum(CAST(s4 AS HUGEINT) * s4) AS a16 FROM cells),
+        |f AS (SELECT CAST(any_value(k) AS BIGINT) AS k,
+        |    CAST(any_value(b) AS BIGINT) AS n_blocks,
+        |    sum(CAST(t4 AS DOUBLE) * t4) AS b16n
+        |  FROM pt),
+        |g AS (SELECT f.*, a16.a16, b16n / n_blocks AS bb
+        |      FROM f, a16)
+        |SELECT n_blocks, k,
+        |  round(CAST(a16 AS DOUBLE) / 16, 6) + 0.0 AS a_stat,
+        |  round(bb / 16, 6) + 0.0 AS b_stat,
+        |  round((CAST(n_blocks AS DOUBLE) - 1) * bb
+        |    / (CAST(a16 AS DOUBLE) - bb), 6) + 0.0 AS f_stat,
+        |  k - 1 AS df1, (n_blocks - 1) * (k - 1) AS df2
+        |FROM g""".stripMargin),
+    "stats_nemenyi" -> (duckFriedmanGrid +
+      s"""s AS (SELECT event_type, CAST(sum(r2x) AS BIGINT) AS s2,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM rk GROUP BY 1),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM s),
+         |wk AS (SELECT s.*, kk.k,
+         |    CAST(s2 AS DOUBLE) / (2 * n) AS rbar
+         |  FROM s, kk),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.n AS n_blocks, a.k AS k, a.rbar AS rbar_a,
+         |    b.rbar AS rbar_b
+         |  FROM wk a JOIN wk b ON a.event_type < b.event_type),
+         |d AS (SELECT *,
+         |    round(abs(rbar_a - rbar_b), 6) + 0.0 AS diff6,
+         |    round((CASE k ${NemenyiQ.toSeq.sortBy(_._1)
+              .map { case (kk2, q) => s"WHEN $kk2 THEN $q" }
+              .mkString(" ")} END)
+         |      * sqrt(CAST(k AS DOUBLE) * (k + 1) / (6.0 * n_blocks)),
+         |      6) + 0.0 AS cd6
+         |  FROM p)
+         |SELECT type_a, type_b,
+         |  round(rbar_a, 6) + 0.0 AS mean_rank_a,
+         |  round(rbar_b, 6) + 0.0 AS mean_rank_b,
+         |  diff6 AS rank_diff, cd6 AS critical_dist,
+         |  diff6 > cd6 AS significant
+         |FROM d ORDER BY type_a, type_b""".stripMargin),
     "stats_mood_scale" -> {
       val pz = phiSql("az")
       s"""WITH g AS (
