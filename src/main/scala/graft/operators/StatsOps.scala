@@ -2490,7 +2490,7 @@ object StatsOps {
       .map { case (kk, q) => s"WHEN $kk THEN ${q}D" }.mkString(" ")
     val withK = s.crossJoin(broadcast(k))
       .withColumn("rbar", expr("cast(s2 as double) / (2 * n)"))
-    withK.as("a").join(withK.as("b"),
+    withK.as("a").join(broadcast(withK.as("b")),
         col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"),

@@ -370,7 +370,11 @@ class PlanShapeSpec extends SparkSuite {
       "join_null_safe",       // 1-row corpus-midpoint broadcast
       "pack_greedy_bins",     // 1-row (lo, hi) id-bounds broadcast
       "sample_pps",           // 1-row id-bounds + 1-row mass-total
-      "text_shingle_stats")   // 1-row corpus-totals broadcast
+      "text_shingle_stats",   // 1-row corpus-totals broadcast
+      "stats_mood_scale",     // 1-row N + 1-row n2 total frames
+      "sample_token_budget",  // 1-row language-count broadcast
+      "stats_quade",          // 1-row A-statistic frame
+      "stats_nemenyi")        // 1-row treatment-count broadcast
     // collect ALL offenders before asserting — a failure names every
     // key that needs auditing, not just the alphabetically first
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
