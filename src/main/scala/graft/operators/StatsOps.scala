@@ -4217,6 +4217,80 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  // ── Ichimoku baseline pair per event type: tenkan (9-bar) and kijun
+  // (26-bar) channel MIDPOINTS — (HH+LL)/2, a different statistic from
+  // the EMAs/means every other overlay here uses (midpoints ignore
+  // in-channel distribution entirely, so they hold level through
+  // one-sided noise). Channel edges are integer window max/min of exact
+  // cents; the midpoints are single /200 maps; the cross signal
+  // (tenkan vs kijun) compares 6-dp-snapped values. Entity-partitioned
+  // windows, full 26-bar frames only. ──
+  def windowIchimoku(spark: SparkSession, dir: String): DataFrame = {
+    val bars = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("vc")).as("h"), min(col("vc")).as("l"),
+        max(struct(col("us"), col("event_id"), col("vc")))
+          .getField("vc").as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w9 = wOrd.rowsBetween(-8, 0)
+    val w26 = wOrd.rowsBetween(-25, 0)
+    bars
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("th", max(col("h")).over(w9))
+      .withColumn("tl", min(col("l")).over(w9))
+      .withColumn("kh", max(col("h")).over(w26))
+      .withColumn("kl", min(col("l")).over(w26))
+      .filter(col("rn") >= 26)
+      .withColumn("t6", r6(expr("cast(th + tl as double) / 200")))
+      .withColumn("k6", r6(expr("cast(kh + kl as double) / 200")))
+      .select(col("event_type"), col("day"),
+        r6(expr("cast(c as double) / 100")).as("close"),
+        col("t6").as("tenkan9"), col("k6").as("kijun26"),
+        r6(expr("(cast(th + tl as double) / 200" +
+          " + cast(kh + kl as double) / 200) / 2")).as("senkou_a"),
+        (col("t6") > col("k6")).as("bullish_cross"))
+      .orderBy("event_type", "day")
+  }
+
+  // ── chandelier exit per event type: trailing stop at
+  // HH(22) − 3·ATR(22) — the volatility-scaled exit line that ratchets
+  // under a long position (window_atr prices the volatility; this
+  // turns it into the risk rule). Highest-high and the 22-bar true-
+  // range sum are integer window aggregates; the stop is one double
+  // map, and the exit flag compares the integer close against the
+  // 6-dp-snapped stop. Entity-partitioned, full frames only. ──
+  def windowChandelierExit(spark: SparkSession, dir: String): DataFrame = {
+    val bars = ev(spark, dir)
+      .withColumn("vc",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("vc")).as("h"), min(col("vc")).as("l"),
+        max(struct(col("us"), col("event_id"), col("vc")))
+          .getField("vc").as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w22 = wOrd.rowsBetween(-21, 0)
+    bars
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("pc", lag(col("c"), 1).over(wOrd))
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("pc")), abs(col("l") - col("pc"))))
+      .withColumn("hh", max(col("h")).over(w22))
+      .withColumn("atr_c", sum(col("tr")).over(w22))
+      .filter(col("rn") >= 23)
+      .withColumn("stop6", r6(expr(
+        "cast(hh as double) / 100" +
+          " - 3.0 * (cast(atr_c as double) / 2200)")))
+      .select(col("event_type"), col("day"),
+        r6(expr("cast(c as double) / 100")).as("close"),
+        r6(expr("cast(hh as double) / 100")).as("hh22"),
+        r6(expr("cast(atr_c as double) / 2200")).as("atr22"),
+        col("stop6").as("chandelier_stop"),
+        (expr("cast(c as double) / 100") < col("stop6")).as("exit_long"))
+      .orderBy("event_type", "day")
+  }
+
   // ── Aroon oscillator (14-period) on the per-type daily revenue: how
   // recently the trailing-14 high/low printed — a trend-freshness
   // signal orthogonal to level-based bands (window_bollinger) and
@@ -5747,6 +5821,8 @@ object StatsOps {
     "stats_mood_scale"      -> statsMoodScale _,
     "stats_quade"           -> statsQuade _,
     "stats_nemenyi"         -> statsNemenyi _,
+    "window_ichimoku"       -> windowIchimoku _,
+    "window_chandelier_exit" -> windowChandelierExit _,
     "forecast_ar2"          -> forecastAr2 _,
     "stats_lilliefors"      -> statsLilliefors _,
     "stats_rmst"            -> statsRmst _,
@@ -7533,6 +7609,65 @@ object StatsOps {
         |  round(CAST(tr AS DOUBLE) / 100, 6) + 0.0 AS true_range,
         |  round(CAST(atr_c AS DOUBLE) / 1400, 6) + 0.0 AS atr14
         |FROM t3 WHERE rn >= 15 ORDER BY event_type, day""".stripMargin,
+    "window_ichimoku" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |bars AS (SELECT event_type, day,
+        |    CAST(max(vc) AS BIGINT) AS h, CAST(min(vc) AS BIGINT) AS l,
+        |    max({'us': us, 'event_id': event_id, 'vc': vc}).vc AS c
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT *, row_number() OVER wo AS rn,
+        |    max(h) OVER w9 AS th, min(l) OVER w9 AS tl,
+        |    max(h) OVER w26 AS kh, min(l) OVER w26 AS kl
+        |  FROM bars
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |    w9 AS (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |    w26 AS (PARTITION BY event_type ORDER BY day
+        |            ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT *,
+        |    round(CAST(th + tl AS DOUBLE) / 200, 6) + 0.0 AS t6,
+        |    round(CAST(kh + kl AS DOUBLE) / 200, 6) + 0.0 AS k6
+        |  FROM w WHERE rn >= 26)
+        |SELECT event_type, day,
+        |  round(CAST(c AS DOUBLE) / 100, 6) + 0.0 AS close,
+        |  t6 AS tenkan9, k6 AS kijun26,
+        |  round((CAST(th + tl AS DOUBLE) / 200
+        |    + CAST(kh + kl AS DOUBLE) / 200) / 2, 6) + 0.0 AS senkou_a,
+        |  t6 > k6 AS bullish_cross
+        |FROM f ORDER BY event_type, day""".stripMargin,
+    "window_chandelier_exit" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |bars AS (SELECT event_type, day,
+        |    CAST(max(vc) AS BIGINT) AS h, CAST(min(vc) AS BIGINT) AS l,
+        |    max({'us': us, 'event_id': event_id, 'vc': vc}).vc AS c
+        |  FROM e GROUP BY 1, 2),
+        |t1 AS (SELECT *, row_number() OVER wo AS rn, lag(c) OVER wo AS pc
+        |  FROM bars WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+        |t2 AS (SELECT *,
+        |    greatest(h - l, abs(h - pc), abs(l - pc)) AS tr FROM t1),
+        |t3 AS (SELECT *, max(h) OVER w22 AS hh, sum(tr) OVER w22 AS atr_c
+        |  FROM t2
+        |  WINDOW w22 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT *,
+        |    round(CAST(hh AS DOUBLE) / 100
+        |      - 3.0 * (CAST(atr_c AS DOUBLE) / 2200), 6) + 0.0 AS stop6
+        |  FROM t3 WHERE rn >= 23)
+        |SELECT event_type, day,
+        |  round(CAST(c AS DOUBLE) / 100, 6) + 0.0 AS close,
+        |  round(CAST(hh AS DOUBLE) / 100, 6) + 0.0 AS hh22,
+        |  round(CAST(atr_c AS DOUBLE) / 2200, 6) + 0.0 AS atr22,
+        |  stop6 AS chandelier_stop,
+        |  CAST(c AS DOUBLE) / 100 < stop6 AS exit_long
+        |FROM f ORDER BY event_type, day""".stripMargin,
     "window_williams_r" ->
       """WITH e AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
