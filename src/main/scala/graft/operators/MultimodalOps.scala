@@ -535,6 +535,37 @@ object MultimodalOps {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
         |  md5(text) AS digest, 'fake/rgb8' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // FakeDecoder replay: the same (s·31 + byte) fold in HUGEINT with an
+    // explicit mod-2^64 wrap, mapped back to signed int64 at the end;
+    // |c/7| = |c|//7 because truncated division commutes with abs. The
+    // char-position fold equals the BYTE fold because this corpus is
+    // ASCII-only (verified; a non-ASCII corpus would need encode()+BLOB
+    // byte access, which DuckDB lacks per-byte — the Scala side is
+    // byte-true either way).
+    "multimodal_features" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(length(text) AS INTEGER) AS byte_len,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(string_split(text, ''),
+        |          c -> CAST(ord(c) AS HUGEINT))),
+        |      (acc, b) -> (acc * 31 + b)
+        |        % CAST('18446744073709551616' AS HUGEINT)) AS uh
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, byte_len,
+        |    CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN uh - CAST('18446744073709551616' AS HUGEINT)
+        |         ELSE uh END AS c,
+        |    CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN CAST('18446744073709551616' AS HUGEINT) - uh
+        |         ELSE uh END AS absc
+        |  FROM u)
+        |SELECT doc_id, 'fake/rgb8' AS format, byte_len,
+        |  CAST(64 + absc % 512 AS INTEGER) AS width,
+        |  CAST(64 + (absc // 7) % 512 AS INTEGER) AS height,
+        |  CAST(c AS BIGINT) AS checksum
+        |FROM s ORDER BY doc_id""".stripMargin,
     "multimodal_dedup" ->
       """WITH m AS (SELECT doc_id, text,
         |             md5(substring(hex(encode(text)), 1, 512)) AS head

@@ -2457,9 +2457,12 @@ object StatsOps {
       sum(expr("CAST(s4 AS DECIMAL(38,0)) * s4")).as("a16"))
     perType
       .agg(first(col("k")).as("k"), first(col("b")).as("n_blocks"),
-        sum(expr("cast(t4 as double) * t4")).as("b16n"))
+        // B side summed exactly like A (DECIMAL(38,0), HUGEINT in the
+        // oracle): t4² can exceed 2^53, where a double sum becomes
+        // partial-aggregation-order-dependent; double only at the ratio
+        sum(expr("CAST(t4 AS DECIMAL(38,0)) * t4")).as("b16n"))
       .crossJoin(broadcast(a16))
-      .withColumn("bb", expr("b16n / n_blocks"))
+      .withColumn("bb", expr("cast(b16n as double) / n_blocks"))
       .select(col("n_blocks"), col("k"),
         r6(expr("cast(a16 as double) / 16")).as("a_stat"),
         r6(expr("bb / 16")).as("b_stat"),
@@ -5742,7 +5745,14 @@ object StatsOps {
       .withColumn("z", expr("(yc - mu) / sd"))
       .withColumn("rn", row_number().over(Window
         .partitionBy(col("event_type")).orderBy(col("yc"), col("day"))))
-      .withColumn("phi", expr(phiSql("z")))
+      // clamped off the exact {0,1} saturation points of the A–S
+      // polynomial (|z| ≳ 8.5): one extreme-outlier day would otherwise
+      // make AD's ln(phi)/ln(1−phi) a -Inf/NaN in BOTH engines — and
+      // non-finite doubles serialize differently across them, breaking
+      // the bit-exact gate. Identity everywhere else (the clamp binds
+      // only within 1e-15 of the endpoints; outputs snap at 6-9 dp).
+      .withColumn("phi", expr(
+        s"greatest(least(${phiSql("z")}, 1.0 - 1e-15), 1e-15)"))
   }
 
   // ── Anderson–Darling normality test per event type: the tail-weighted
@@ -6097,7 +6107,9 @@ object StatsOps {
        |    CAST(row_number() OVER (PARTITION BY d.event_type
        |      ORDER BY d.revc, d.day) AS BIGINT) AS rn
        |  FROM daily d JOIN mm USING (event_type)),
-       |pp AS (SELECT event_type, n, rn, ${phiSql("z")} AS phi FROM zz),
+       |pp AS (SELECT event_type, n, rn,
+       |    greatest(least(${phiSql("z")}, 1.0 - 1e-15), 1e-15) AS phi
+       |  FROM zz),
        |""".stripMargin
 
   /** Shared user-spend oracle CTE (mirrors [[userSpendPos]]). */
@@ -6342,9 +6354,10 @@ object StatsOps {
         |a16 AS (SELECT sum(CAST(s4 AS HUGEINT) * s4) AS a16 FROM cells),
         |f AS (SELECT CAST(any_value(k) AS BIGINT) AS k,
         |    CAST(any_value(b) AS BIGINT) AS n_blocks,
-        |    sum(CAST(t4 AS DOUBLE) * t4) AS b16n
+        |    sum(CAST(t4 AS HUGEINT) * t4) AS b16n
         |  FROM pt),
-        |g AS (SELECT f.*, a16.a16, b16n / n_blocks AS bb
+        |g AS (SELECT f.*, a16.a16,
+        |      CAST(b16n AS DOUBLE) / n_blocks AS bb
         |      FROM f, a16)
         |SELECT n_blocks, k,
         |  round(CAST(a16 AS DOUBLE) / 16, 6) + 0.0 AS a_stat,

@@ -520,12 +520,20 @@ object TextOps {
            |                 'bins', st.bins),
            |    named_struct('fill', d.n_toks, 'bins', st.bins + 1L)))"""
           .stripMargin))
-    folded.join(over, Seq("bkt"), "left")
-      .select(col("bkt").cast("long").as("shard"), col("n_docs"),
+    // FULL outer, not left: a shard whose every document exceeds the
+    // budget has no `folded` row at all — driving the report from
+    // `folded` would silently drop that shard AND its n_oversize count.
+    // Oversize-only shards report n_docs = 0 / n_bins = 0 explicitly.
+    folded.join(over, Seq("bkt"), "full_outer")
+      .select(col("bkt").cast("long").as("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_oversize"), lit(0L)).as("n_oversize"),
-        col("st.bins").as("n_bins"), col("tot_toks"),
-        (col("st.bins") * budget - col("tot_toks")).as("padding_toks"),
-        r6(expr(s"cast(tot_toks as double) / (st.bins * $budget)"))
+        coalesce(col("st.bins"), lit(0L)).as("n_bins"),
+        coalesce(col("tot_toks"), lit(0L)).as("tot_toks"),
+        (coalesce(col("st.bins"), lit(0L)) * budget -
+          coalesce(col("tot_toks"), lit(0L))).as("padding_toks"),
+        r6(expr(s"CASE WHEN st.bins IS NULL THEN 0.0" +
+          s" ELSE cast(tot_toks as double) / (st.bins * $budget) END"))
           .as("utilization"))
       .orderBy("shard")
   }
@@ -2591,15 +2599,20 @@ object TextOps {
         |fin AS (SELECT bkt, bins FROM rec WHERE tt2 = nn),
         |ag AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_docs,
         |        CAST(sum(n_toks) AS BIGINT) AS tot_toks
-        |       FROM fit GROUP BY 1)
-        |SELECT CAST(a.bkt AS BIGINT) AS shard, a.n_docs,
+        |       FROM fit GROUP BY 1),
+        |af AS (SELECT a.bkt, a.n_docs, a.tot_toks, f.bins
+        |       FROM ag a JOIN fin f ON f.bkt = a.bkt)
+        |SELECT CAST(COALESCE(af.bkt, o.bkt) AS BIGINT) AS shard,
+        |  COALESCE(af.n_docs, CAST(0 AS BIGINT)) AS n_docs,
         |  COALESCE(o.n_oversize, CAST(0 AS BIGINT)) AS n_oversize,
-        |  CAST(f.bins AS BIGINT) AS n_bins, a.tot_toks,
-        |  CAST(f.bins * 512 - a.tot_toks AS BIGINT) AS padding_toks,
-        |  round(CAST(a.tot_toks AS DOUBLE) / (f.bins * 512), 6) + 0.0
-        |    AS utilization
-        |FROM ag a JOIN fin f ON f.bkt = a.bkt
-        |LEFT JOIN ov o ON o.bkt = a.bkt
+        |  CAST(COALESCE(af.bins, 0) AS BIGINT) AS n_bins,
+        |  COALESCE(af.tot_toks, CAST(0 AS BIGINT)) AS tot_toks,
+        |  CAST(COALESCE(af.bins, 0) * 512
+        |    - COALESCE(af.tot_toks, 0) AS BIGINT) AS padding_toks,
+        |  CASE WHEN af.bins IS NULL THEN round(0.0, 6) + 0.0
+        |       ELSE round(CAST(af.tot_toks AS DOUBLE)
+        |         / (af.bins * 512), 6) + 0.0 END AS utilization
+        |FROM af FULL JOIN ov o ON o.bkt = af.bkt
         |ORDER BY shard""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (

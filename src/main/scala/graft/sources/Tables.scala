@@ -14,8 +14,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   private def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  /** Schema cache, keyed by (path, mtime, size) so a rewritten store is
+    * re-inferred. On a cluster the catalog (metastore/iceberg) serves the
+    * schema and the per-query footer-inference read never happens; a bare
+    * `spark.read.parquet(path)` re-lists and re-infers on EVERY DataFrame
+    * construction, which profiled at 0.1-0.2 s of driver time per query —
+    * a fixed tax on all 455 bench keys. Caching the inferred schema and
+    * passing it explicitly restores catalog-like behavior without changing
+    * any result: the cached schema IS what inference produced under the
+    * session's parquet confs, and the stat-stamp invalidates on rewrite. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = path(dir, name)
+    val f = new java.io.File(p)
+    if (!f.exists()) spark.read.parquet(p)
+    else {
+      val key = (p, f.lastModified(), f.length())
+      var s = schemaCache.get(key)
+      if (s == null) {
+        s = spark.read.parquet(p).schema
+        schemaCache.put(key, s)
+      }
+      spark.read.schema(s).parquet(p)
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")

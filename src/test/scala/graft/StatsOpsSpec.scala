@@ -546,4 +546,31 @@ class StatsOpsSpec extends SparkSuite {
     }
     assert(rows.map(_.getDouble(3)).distinct.length <= 7)
   }
+
+  test("stats_anderson_darling: finite A² under an extreme-outlier day " +
+    "(phi clamp keeps ln terms off the {0,1} saturation points)") {
+    // one day at 1e6 against 89 days at 1.00 puts the outlier's z at
+    // ~sqrt(n-1) ≈ 9.4 — past the |z| ≈ 8.5 point where the A–S
+    // polynomial saturates to exactly 1.0 and ln(1-phi) would be -Inf
+    val dir = java.nio.file.Files.createTempDirectory("graft_adclamp").toString
+    val rows = (0 until 90).map { i =>
+      val v = if (i == 89) 1000000.0 else 1.0
+      val day = java.time.LocalDate.of(2026, 1, 1).plusDays(i.toLong)
+      (i.toLong, java.sql.Timestamp.valueOf(day.atTime(12, 0)),
+        1L, "click", v, "{}")
+    }
+    spark.createDataFrame(rows).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = StatsOps.statsAndersonDarling(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val a2 = r.getDouble(r.fieldIndex("a2"))
+    val a2s = r.getDouble(r.fieldIndex("a2_star"))
+    assert(!a2.isNaN && !a2.isInfinite, s"a2 = $a2")
+    assert(!a2s.isNaN && !a2s.isInfinite, s"a2_star = $a2s")
+    // and the test still does its job: the outlier day is decidedly
+    // non-normal
+    assert(r.getBoolean(r.fieldIndex("normal_rejected")))
+  }
 }

@@ -187,4 +187,34 @@ class TextMultimodalSpec extends SparkSuite {
     // between distinct payloads is 13)
     assert(out.length === expected.size)
   }
+
+  test("pack_greedy_bins: a shard whose every doc is oversize still " +
+    "reports (n_docs = 0, n_bins = 0) with its n_oversize count") {
+    // ids 1 and 2 land in shards 1 and 33 (((id-lo)*64) div span + 1 with
+    // lo=1, span=2); doc 1 is 600 tokens — no 512-token bin can hold it,
+    // so shard 1 has NO fitting docs and would vanish under a left join
+    // driven from the folded (fit-only) side
+    val dir = java.nio.file.Files.createTempDirectory("graft_packover").toString
+    Seq(
+      (1L, (1 to 600).map(i => s"w$i").mkString(" "), "en", "web", 600L),
+      (2L, "five little words right here", "en", "web", 29L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextOps.packGreedyBins(spark, dir)
+      .orderBy("shard").collect()
+    assert(out.length === 2, out.mkString("; "))
+    val over = out.head
+    assert(over.getLong(over.fieldIndex("shard")) === 1L)
+    assert(over.getLong(over.fieldIndex("n_docs")) === 0L)
+    assert(over.getLong(over.fieldIndex("n_oversize")) === 1L)
+    assert(over.getLong(over.fieldIndex("n_bins")) === 0L)
+    assert(over.getLong(over.fieldIndex("padding_toks")) === 0L)
+    assert(over.getDouble(over.fieldIndex("utilization")) === 0.0)
+    val fit = out(1)
+    assert(fit.getLong(fit.fieldIndex("shard")) === 33L)
+    assert(fit.getLong(fit.fieldIndex("n_docs")) === 1L)
+    assert(fit.getLong(fit.fieldIndex("n_oversize")) === 0L)
+    assert(fit.getLong(fit.fieldIndex("n_bins")) === 1L)
+    assert(fit.getLong(fit.fieldIndex("tot_toks")) === 5L)
+  }
 }
