@@ -139,12 +139,24 @@ object DedupOps {
       .select(col("shingle"), explode(col("docs")).as("doc_id"))
   }
 
-  /** Shingle vocabulary → dense id (oracle-deterministic stand-in for
-    * xxhash64; see object scaladoc). Vocabulary-sized, broadcastable.
-    * The distributed dense-rank device lives in [[graft.functions.RankDict]]
-    * (shared with text fingerprinting's token dictionary). */
+  /** Shingle vocabulary → integer id, derived from the first 60 bits of
+    * md5 (oracle-deterministic stand-in for xxhash64; see object
+    * scaladoc — DuckDB replays `conv(substring(md5(s),1,15),16,10)` as
+    * `CAST('0x'||… AS BIGINT)` bit-for-bit, verified both engines).
+    * Vocabulary-sized, broadcastable. Replaced the former global
+    * dense-rank dictionary (distinct → single-partition sort →
+    * RDD zipWithIndex): that ran an EAGER driver job at DataFrame-build
+    * time on every dict-using key and serialized the vocabulary through
+    * one sort task, where this is one distinct + a per-row hash — no
+    * global state, the same shape the xxhash64 production form has.
+    * Collision odds at 60 bits are vocab²/2^61 (~1e-7 at sf0.1);
+    * a collision merges two shingles, the exact failure mode the prod
+    * hash form accepts. */
   private def shingleDict(sh: DataFrame): DataFrame =
-    graft.functions.RankDict.ranked(sh, "shingle", "sid")
+    sh.select(col("shingle")).distinct()
+      .withColumn("sid", expr(
+        "pmod(cast(conv(substring(md5(shingle), 1, 15), 16, 10)" +
+          " as bigint), 2147483647)"))
 
   /** True Jaccard over shingle sets for a given candidate pair set
     * (columns doc_a < doc_b). Joins candidates back to the shingle lists —
@@ -273,13 +285,19 @@ object DedupOps {
     val sh = shingles(spark, dir).cache()
     val dict = shingleDict(sh)
     val cand = minhashCandidates(sh.join(broadcast(dict), "shingle"))
-      .cache()
-    val truth = ngramPairs(sh).select(col("doc_a"), col("doc_b")).cache()
-    val nc = cand.agg(count(lit(1)).as("n_cand"))
-    val nt = truth.agg(count(lit(1)).as("n_true"))
-    val tp = cand.join(truth, Seq("doc_a", "doc_b"))
-      .agg(count(lit(1)).as("tp"))
-    nc.crossJoin(broadcast(nt)).crossJoin(broadcast(tp))
+      .withColumn("is_cand", lit(1L))
+    val truth = ngramPairs(sh).select(col("doc_a"), col("doc_b"))
+      .withColumn("is_true", lit(1L))
+    // ONE pass over the union of both pair sets: |cand|, |truth| and the
+    // overlap fall out of a single full-outer join + aggregate, replacing
+    // the previous three separate count jobs over two cached pair frames
+    // (each pair set is consumed exactly once now, so neither needs a
+    // cache — this key was the single most expensive bench entry and the
+    // extra materializations were pure overhead).
+    cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(col("is_cand")).as("n_cand"),
+        sum(col("is_true")).as("n_true"),
+        sum(col("is_cand") * col("is_true")).as("tp"))
       .withColumn("p", expr("cast(tp as double) / n_cand"))
       .withColumn("r", expr("cast(tp as double) / n_true"))
       .select(col("n_cand"), col("n_true"), col("tp"),
@@ -838,7 +856,9 @@ object DedupOps {
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM t),
       |sh AS (SELECT doc_id, shingle FROM sh0
       |       QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
-      |dict AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      |dict AS (SELECT shingle,
+      |           CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+      |             % 2147483647 AS sid
       |         FROM (SELECT DISTINCT shingle FROM sh)),
       |ws AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
