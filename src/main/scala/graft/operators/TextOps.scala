@@ -209,18 +209,26 @@ object TextOps {
 
   // ── document fingerprinting: order-sensitive polynomial rolling hash over
   // the token sequence (north star "rolling hash"). The oracle-deterministic
-  // form maps tokens to dense ids via a global dictionary
-  // ([[graft.functions.RankDict]] — the distributed dense-rank device shared
-  // with DedupOps.shingleDict), then folds (acc*131 + id) mod 1e9+7
+  // form maps tokens to md5-derived integer ids (the same device as
+  // DedupOps.shingleDict), then folds (acc*131 + id) mod 1e9+7
   // along the sequence with the `aggregate` higher-order function. AT
-  // SCALE: replace the dictionary+rank with `xxhash64(token)` directly —
-  // same fold, no global state; the dictionary exists only because a hash
-  // seed can't be replicated bit-for-bit in the DuckDB oracle. ──
+  // SCALE: replace the dictionary with `xxhash64(token)` directly —
+  // same fold, no dictionary join; the md5 form exists only because an
+  // xxhash64 seed can't be replicated bit-for-bit in the DuckDB oracle. ──
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
       posexplode(toksCol).as(Seq("pos", "tok")))
-    val dict = graft.functions.RankDict.ranked(toks, "tok", "wid")
+    // md5-derived token id (same device as DedupOps.shingleDict, same
+    // rationale): DuckDB replays the 60-bit hex prefix bit-for-bit, so
+    // the oracle holds WITHOUT a global dense-rank — the former
+    // RankDict form ran an eager zipWithIndex job at build time and
+    // sorted the vocabulary in one task. wid < 2^31 keeps the
+    // (acc*131 + wid) fold inside exact int64, as before.
+    val dict = toks.select(col("tok")).distinct()
+      .withColumn("wid", expr(
+        "pmod(cast(conv(substring(md5(tok), 1, 15), 16, 10)" +
+          " as bigint), 2147483647)"))
     toks.join(broadcast(dict), "tok")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("wid")))).as("seq"))
@@ -2797,7 +2805,9 @@ object TextOps {
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |tok AS (SELECT doc_id, i, toks[i] AS tok
         |        FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
-        |dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS wid
+        |dict AS (SELECT tok,
+        |           CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
+        |             % 2147483647 AS wid
         |         FROM (SELECT DISTINCT tok FROM tok)),
         |seq AS (SELECT doc_id, list(wid ORDER BY i) AS wids
         |        FROM tok JOIN dict USING (tok) GROUP BY doc_id)
