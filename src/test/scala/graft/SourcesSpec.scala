@@ -108,4 +108,24 @@ class SourcesSpec extends SparkSuite {
       spark.read.text(dir), col("value"))
     assert(out.select($"city").as[String].collect().toSeq === Seq("Medan"))
   }
+
+  test("Tables schema cache invalidates when the file is rewritten") {
+    // the cache is keyed by (path, mtime, size) — a store rewritten with
+    // a DIFFERENT schema at the same path must re-infer, not serve the
+    // stale schema (the one new failure class a schema cache introduces)
+    val dir = Files.createTempDirectory("graft_schemacache").toString
+    val p = s"$dir/documents.parquet"
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(p)
+    val first = graft.sources.Tables.documents(spark, dir)
+    assert(first.columns.toSeq === Seq("doc_id", "text"))
+    assert(first.count() === 1)
+    // rewrite in place with an extra column and different mtime/size
+    Thread.sleep(1100) // mtime granularity on some filesystems is 1s
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    val second = graft.sources.Tables.documents(spark, dir)
+    assert(second.columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(second.select($"lang").as[String].collect().toSeq === Seq("en"))
+  }
 }
