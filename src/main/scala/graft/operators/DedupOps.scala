@@ -139,24 +139,24 @@ object DedupOps {
       .select(col("shingle"), explode(col("docs")).as("doc_id"))
   }
 
-  /** Shingle vocabulary → integer id, derived from the first 60 bits of
-    * md5 (oracle-deterministic stand-in for xxhash64; see object
-    * scaladoc — DuckDB replays `conv(substring(md5(s),1,15),16,10)` as
-    * `CAST('0x'||… AS BIGINT)` bit-for-bit, verified both engines).
-    * Vocabulary-sized, broadcastable. Replaced the former global
-    * dense-rank dictionary (distinct → single-partition sort →
-    * RDD zipWithIndex): that ran an EAGER driver job at DataFrame-build
-    * time on every dict-using key and serialized the vocabulary through
-    * one sort task, where this is one distinct + a per-row hash — no
-    * global state, the same shape the xxhash64 production form has.
-    * Collision odds at 60 bits are vocab²/2^61 (~1e-7 at sf0.1);
-    * a collision merges two shingles, the exact failure mode the prod
-    * hash form accepts. */
-  private def shingleDict(sh: DataFrame): DataFrame =
-    sh.select(col("shingle")).distinct()
-      .withColumn("sid", expr(
-        "pmod(cast(conv(substring(md5(shingle), 1, 15), 16, 10)" +
-          " as bigint), 2147483647)"))
+  /** Shingle → integer id, the first 60 bits of md5 reduced mod P —
+    * computed INLINE per (doc_id, shingle) row: no dictionary relation
+    * at all (oracle-deterministic stand-in for xxhash64 — DuckDB replays
+    * `conv(substring(md5(s),1,15),16,10)` as `CAST('0x'||… AS BIGINT)`
+    * bit-for-bit, verified both engines). Replaced the former global
+    * dense-rank dictionary (distinct → single-partition sort → EAGER
+    * RDD zipWithIndex at DataFrame-build time, then a broadcast join
+    * back) with one scalar expression — no global state, no extra
+    * shuffle, the exact shape of the xxhash64 production form
+    * ([[dedupMinhashFast]]). Collision odds at 60 bits are
+    * vocab²/2^61 (~1e-7 at sf0.1); a collision merges two shingles,
+    * the failure mode the prod hash form accepts by design. The
+    * oracle's dict CTE still materializes the vocabulary relation —
+    * same per-shingle values, so the join there is value-neutral. */
+  private def withSid(sh: DataFrame): DataFrame =
+    sh.withColumn("sid", expr(
+      "pmod(cast(conv(substring(md5(shingle), 1, 15), 16, 10)" +
+        " as bigint), 2147483647)"))
 
   /** True Jaccard over shingle sets for a given candidate pair set
     * (columns doc_a < doc_b). Joins candidates back to the shingle lists —
@@ -283,8 +283,7 @@ object DedupOps {
   // keys themselves. ──
   def evalDedupPr(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
-    val dict = shingleDict(sh)
-    val cand = minhashCandidates(sh.join(broadcast(dict), "shingle"))
+    val cand = minhashCandidates(withSid(sh))
       .withColumn("is_cand", lit(1L))
     val truth = ngramPairs(sh).select(col("doc_a"), col("doc_b"))
       .withColumn("is_true", lit(1L))
@@ -319,8 +318,7 @@ object DedupOps {
   // midpoint; both engines compute it from the same literals. ──
   def evalLshCurve(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
-    val dict = shingleDict(sh)
-    val cand = minhashCandidates(sh.join(broadcast(dict), "shingle"))
+    val cand = minhashCandidates(withSid(sh))
       .withColumn("captured", lit(1L))
     val truth = ngramPairs(sh)
     truth
@@ -373,8 +371,7 @@ object DedupOps {
   // catches ~78% of true pairs — the standard recall/cost dial. ──
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
-    val dict = shingleDict(sh)
-    minhashFromSids(sh.join(broadcast(dict), "shingle"), sh)
+    minhashFromSids(withSid(sh), sh)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -445,8 +442,7 @@ object DedupOps {
     // branch and the in-session cache entry from the sibling dedup keys
     // (identical logical plan) is reused when they run in the same session
     val sh = shingles(spark, dir)
-    val dict = shingleDict(sh)
-    simhashPairs(sh.join(broadcast(dict), "shingle"))
+    simhashPairs(withSid(sh))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -705,8 +701,7 @@ object DedupOps {
   // dups, singletons are method-specific candidates. ──
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
-    val dict = shingleDict(sh)
-    val withSid = sh.join(broadcast(dict), "shingle")
+    val sidded = withSid(sh)
     // the exhaustive shared-shingle Jaccard table is computed ONCE and
     // reused: the ngram branch IS it, and the minhash branch's verified
     // pairs are exactly (LSH candidates ∩ jaccard ≥ 0.3) — LSH candidates
@@ -717,11 +712,11 @@ object DedupOps {
     val jac = ngramPairs(sh).cache()
     val ng = jac
       .select(col("doc_a"), col("doc_b"), lit("ngram").as("method"))
-    val mh = minhashCandidates(withSid)
+    val mh = minhashCandidates(sidded)
       .join(jac.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"),
         "left_semi")
       .select(col("doc_a"), col("doc_b"), lit("minhash").as("method"))
-    val sim = simhashPairs(withSid)
+    val sim = simhashPairs(sidded)
       .select(col("doc_a"), col("doc_b"), lit("simhash").as("method"))
     ng.unionByName(mh).unionByName(sim)
       .groupBy(col("doc_a"), col("doc_b"))
