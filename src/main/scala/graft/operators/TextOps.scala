@@ -215,28 +215,21 @@ object TextOps {
   // SCALE: replace the dictionary with `xxhash64(token)` directly —
   // same fold, no dictionary join; the md5 form exists only because an
   // xxhash64 seed can't be replicated bit-for-bit in the DuckDB oracle. ──
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"),
-      posexplode(toksCol).as(Seq("pos", "tok")))
-    // md5-derived token id (same device as DedupOps.shingleDict, same
-    // rationale): DuckDB replays the 60-bit hex prefix bit-for-bit, so
-    // the oracle holds WITHOUT a global dense-rank — the former
-    // RankDict form ran an eager zipWithIndex job at build time and
-    // sorted the vocabulary in one task. wid < 2^31 keeps the
-    // (acc*131 + wid) fold inside exact int64, as before.
-    val dict = toks.select(col("tok")).distinct()
-      .withColumn("wid", expr(
-        "pmod(cast(conv(substring(md5(tok), 1, 15), 16, 10)" +
-          " as bigint), 2147483647)"))
-    toks.join(broadcast(dict), "tok")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("wid")))).as("seq"))
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    // token id = 60-bit md5 prefix mod 2^31-1, computed INLINE in the
+    // same per-row fold the xxhash64 production form uses — no
+    // explode/dictionary/shuffle at all; DuckDB replays the hex prefix
+    // bit-for-bit so the oracle holds. (History: dense-rank dictionary →
+    // md5 dictionary + broadcast join → this pure scalar form.)
+    // wid < 2^31 keeps the (acc*131 + wid) fold inside exact int64.
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
-        expr("aggregate(transform(seq, s -> s.wid), CAST(0 AS BIGINT)," +
+        expr("aggregate(transform(split(trim(lower(text)), '\\\\s+')," +
+          " t -> pmod(cast(conv(substring(md5(t), 1, 15), 16, 10)" +
+          " as bigint), 2147483647))," +
+          " CAST(0 AS BIGINT)," +
           " (acc, x) -> (acc * 131 + x) % 1000000007)").as("fp"))
       .orderBy("doc_id")
-  }
 
   /** Production variant of [[textFingerprint]]: fold over `xxhash64(token)`
     * directly — no dictionary, no global rank. Same 1e9+7 modulus as the
