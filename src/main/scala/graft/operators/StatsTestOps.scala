@@ -563,15 +563,23 @@ private[operators] trait StatsTestOps extends StatsOpsBase {
         sum(col("c") * (col("fb") * 2 + col("t") + 1)).as("s2"))
     val tc = t.agg(sum(col("t").cast("decimal(38,0)") * col("t") * col("t")
       - col("t")).as("tsum"))
+    // each s2²/n_g term snaps to 9-dp DECIMAL before the k-term sum:
+    // s2² passes 2^53 at corpus scale, where a raw double sum becomes
+    // partial-aggregation-order-dependent (the stats_quade B-side
+    // class); the snapped DECIMAL sum is exact and order-free, with
+    // each term the identical double expression in both engines
     g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
-        sum(expr("cast(s2 as double) * cast(s2 as double) / n_g")).as("q"))
+        sum(expr("CAST(round(cast(s2 as double) * cast(s2 as double)" +
+          " / n_g, 9) AS DECIMAL(38,9))")).as("q"))
       .crossJoin(broadcast(tc))
       .select(col("k"), col("n"),
-        r6(expr("3.0 * q / (cast(n as double) * (n + 1)) - 3.0 * (n + 1)"))
+        r6(expr("3.0 * cast(q as double) / (cast(n as double) * (n + 1))" +
+          " - 3.0 * (n + 1)"))
           .as("h"),
         r6(expr("1.0 - cast(tsum as double)" +
           " / (cast(n as double) * n * n - n)")).as("tie_c"),
-        r6(expr("(3.0 * q / (cast(n as double) * (n + 1)) - 3.0 * (n + 1))" +
+        r6(expr("(3.0 * cast(q as double)" +
+          " / (cast(n as double) * (n + 1)) - 3.0 * (n + 1))" +
           " / (1.0 - cast(tsum as double)" +
           " / (cast(n as double) * n * n - n))")).as("h_adj"))
   }
@@ -2307,14 +2315,17 @@ private[operators] trait StatsTestOps extends StatsOpsBase {
         |       FROM t),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
         |    CAST(sum(n_g) AS BIGINT) AS n,
-        |    sum(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n_g) AS q
+        |    sum(CAST(round(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / n_g, 9) AS DECIMAL(38,9))) AS q
         |  FROM g)
         |SELECT k, n,
-        |  round(3.0 * q / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1), 6)
+        |  round(3.0 * CAST(q AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1), 6)
         |    + 0.0 AS h,
         |  round(1.0 - CAST(tsum AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * n * n - n), 6) + 0.0 AS tie_c,
-        |  round((3.0 * q / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+        |  round((3.0 * CAST(q AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
         |    / (1.0 - CAST(tsum AS DOUBLE)
         |       / (CAST(n AS DOUBLE) * n * n - n)), 6) + 0.0 AS h_adj
         |FROM tot, tc""".stripMargin,
