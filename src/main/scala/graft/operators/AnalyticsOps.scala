@@ -327,7 +327,10 @@ object AnalyticsOps {
       sum((col("lu") === col("lv")).cast("long")).as("within"))
     val d2 = tagged.groupBy(col("lu")).agg(count(lit(1)).as("dc"))
       .agg(count(lit(1)).as("n_communities"),
-        sum(col("dc") * col("dc")).as("sd2"))
+        // DECIMAL(38,0): dc is a community DEGREE sum, so dc² passes
+        // int64 once a community holds ~2e9 edge-endpoints — the long
+        // product would wrap silently (the tie-cube guard's class)
+        sum(expr("CAST(dc AS DECIMAL(38,0)) * dc")).as("sd2"))
     val out = m.crossJoin(broadcast(d2))
       .select(col("n_communities"), col("a").as("n_edges_directed"),
         col("within").as("within_edges"),
@@ -1085,7 +1088,7 @@ object AnalyticsOps {
        |      AS within
        |  FROM tagged),
        |d2 AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
-       |    CAST(sum(dc * dc) AS BIGINT) AS sd2
+       |    sum(CAST(dc AS HUGEINT) * dc) AS sd2
        |  FROM (SELECT lu, CAST(count(*) AS BIGINT) AS dc
        |        FROM tagged GROUP BY 1))
        |SELECT n_communities, a AS n_edges_directed, within AS within_edges,

@@ -597,11 +597,14 @@ object MiningOps {
         "u")
       .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))),
         "v")
+    // DECIMAL(38,0) moments: du·dv is a degree product — it passes
+    // int64 once max-degree reaches ~3e9, and the long sum would wrap
+    // silently at corpus scale (same class as the tie-cube guard)
     e.agg(count(lit(1)).as("n_edges_directed"),
         sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
-        sum(col("du") * col("dv")).as("sxy"),
-        sum(col("du") * col("du")).as("sxx"),
-        sum(col("dv") * col("dv")).as("syy"))
+        sum(expr("CAST(du AS DECIMAL(38,0)) * dv")).as("sxy"),
+        sum(expr("CAST(du AS DECIMAL(38,0)) * du")).as("sxx"),
+        sum(expr("CAST(dv AS DECIMAL(38,0)) * dv")).as("syy"))
       .select(col("n_edges_directed"),
         r6((col("n_edges_directed").cast("double") * col("sxy") -
           col("sx").cast("double") * col("sy")) /
@@ -1458,9 +1461,9 @@ object MiningOps {
         |      JOIN deg dv ON adj.v = dv.node),
         |m AS (SELECT count(*) AS n,
         |    CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dv) AS BIGINT) AS sy,
-        |    CAST(sum(du * dv) AS BIGINT) AS sxy,
-        |    CAST(sum(du * du) AS BIGINT) AS sxx,
-        |    CAST(sum(dv * dv) AS BIGINT) AS syy
+        |    sum(CAST(du AS HUGEINT) * dv) AS sxy,
+        |    sum(CAST(du AS HUGEINT) * du) AS sxx,
+        |    sum(CAST(dv AS HUGEINT) * dv) AS syy
         |  FROM e)
         |SELECT n AS n_edges_directed,
         |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
