@@ -22,7 +22,11 @@ object Tables {
     * a fixed tax on all 455 bench keys. Caching the inferred schema and
     * passing it explicitly restores catalog-like behavior without changing
     * any result: the cached schema IS what inference produced under the
-    * session's parquet confs, and the stat-stamp invalidates on rewrite. */
+    * session's parquet confs, and the stat-stamp invalidates on rewrite.
+    * Non-local paths (hdfs://, s3://) fail the java.io.File existence
+    * probe and fall through to the plain uncached read — graceful
+    * degradation; on a real cluster the catalog owns the schema and this
+    * cache is not the mechanism. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       org.apache.spark.sql.types.StructType]()
