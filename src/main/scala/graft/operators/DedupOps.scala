@@ -294,9 +294,9 @@ object DedupOps {
     // cache — this key was the single most expensive bench entry and the
     // extra materializations were pure overhead).
     cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
-      .agg(sum(col("is_cand")).as("n_cand"),
-        sum(col("is_true")).as("n_true"),
-        sum(col("is_cand") * col("is_true")).as("tp"))
+      .agg(coalesce(sum(col("is_cand")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("is_true")), lit(0L)).as("n_true"),
+        coalesce(sum(col("is_cand") * col("is_true")), lit(0L)).as("tp"))
       .withColumn("p", expr("cast(tp as double) / n_cand"))
       .withColumn("r", expr("cast(tp as double) / n_true"))
       .select(col("n_cand"), col("n_true"), col("tp"),
