@@ -165,4 +165,29 @@ class PropertySpec extends SparkSuite {
     assert(fps(0) === fps(3))         // same sequence ⇒ same hash
     assert(Set(fps(0), fps(1), fps(2)).size === 3) // permutations differ
   }
+
+  test("md5-derived integer ids are collision-free on the test " +
+    "vocabularies (a collision would silently merge shingles/tokens)") {
+    // the 60-bit md5-prefix id (DedupOps.withSid / textFingerprint)
+    // accepts ~vocab²/2^61 collision odds by design; pin that the actual
+    // corpora are in the collision-free regime so a dedup/fingerprint
+    // mismatch can never be a silent id merge at gate scale
+    val sid = "pmod(cast(conv(substring(md5(s), 1, 15), 16, 10)" +
+      " as bigint), 2147483647)"
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val shingles = docs
+      .selectExpr("explode(transform(sequence(1," +
+        " greatest(size(split(trim(lower(text)), '\\\\s+')) - 2, 1))," +
+        " i -> concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+')," +
+        " i, 3)))) AS s")
+      .distinct()
+    val toks = docs
+      .selectExpr("explode(split(trim(lower(text)), '\\\\s+')) AS s")
+      .distinct()
+    for (vocab <- Seq(shingles, toks)) {
+      val n = vocab.count()
+      val nIds = vocab.selectExpr(s"$sid AS sid").distinct().count()
+      assert(n === nIds, s"id collision: $n values -> $nIds ids")
+    }
+  }
 }
