@@ -702,4 +702,38 @@ class IngestPipelineSpec extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming: dedup -> tumbling window CHAINED stateful pipeline " +
+    "(watermark declared once, propagated; redelivery counted once)") {
+    // the StreamDemo composition: dedupedStream sets the watermark and
+    // dropDuplicatesWithinWatermark; the window aggregate downstream
+    // must NOT call withWatermark again (Spark rejects redefinition) —
+    // this pins both the API shape and the end-to-end semantics: a
+    // redelivered (city, dt) contributes to the window exactly once
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val obs = IngestPipeline.ingest(stream.toDF(), col("value"))
+    val q = IngestPipeline.dedupedStream(obs)
+      .groupBy(window(col("obs_ts"), "5 minutes"), col("city"))
+      .agg(avg(col("temperature")).as("avg_temp"),
+        count(lit(1)).as("n_obs"))
+      .select(col("window.start").as("win_start"), col("city"),
+        col("avg_temp"), col("n_obs"))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("dedup_window").start()
+    try {
+      def rec(city: String, temp: Double, dt: Long) =
+        s"""{"name":"$city","main":{"temp":$temp,"humidity":70,"pressure":1010},"dt":$dt,"timezone":0}"""
+      val t0 = 1748515200L // aligned to 5-min boundary
+      stream.addData(
+        rec("X", 10.0, t0), rec("X", 10.0, t0), // redelivered twice
+        rec("X", 20.0, t0 + 60), rec("Y", 30.0, t0 + 120))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT city, avg_temp, n_obs FROM dedup_window" +
+          " ORDER BY win_start, city").collect()
+      assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .toSeq === Seq(("X", 15.0, 2L), ("Y", 30.0, 1L)))
+    } finally q.stop()
+  }
 }
