@@ -124,7 +124,8 @@ object AdvancedOps {
         lit(-1L).as("delta")))
       .unionByName(spine)
       .withColumn("day", to_date(timestamp_micros(col("us"))))
-      .cache() // consumed by BOTH the day-total and running-sum branches
+      // consumed by BOTH the day-total and running-sum branches
+      .transform(Eager(_))
     val withinDay = Window.partitionBy(col("day"))
       .orderBy(col("us"), desc("delta"))
       .rowsBetween(Window.unboundedPreceding, 0)

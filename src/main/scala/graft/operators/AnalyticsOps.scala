@@ -126,7 +126,7 @@ object AnalyticsOps {
       .withColumn("last_touch", last(touch, ignoreNulls = true).over(tl))
       .withColumn("first_touch", first(touch, ignoreNulls = true).over(tl))
       .filter(col("event_type") === "purchase")
-      .cache() // one timeline pass feeds both attribution models
+      .transform(Eager(_)) // one timeline pass feeds both attribution models
     def agg(model: String, c: Column) = p
       .groupBy(coalesce(c, lit("(none)")).as("touch_type"))
       .agg(count(lit(1)).as("n_purchases"),
@@ -175,7 +175,7 @@ object AnalyticsOps {
     // the edge-sized contribution set never crosses the wire again: the
     // one-time repartition here replaces PrIters per-iteration shuffles
     // (the broadcast join on src preserves the dst partitioning)
-    val adj = und.join(deg, "src").repartition(col("dst")).cache()
+    val adj = Eager(und.join(deg, "src").repartition(col("dst")))
     var ranks = deg.select(col("src").as("node"), lit(PrScale).as("r"))
     for (_ <- 1 to PrIters) {
       // the rank vector is |nodes| ≪ |edges| — broadcast it so the cached
@@ -231,7 +231,7 @@ object AnalyticsOps {
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val adj = und.repartition(col("dst")).cache()
+    val adj = Eager(und.repartition(col("dst")))
     var x = adj.select(col("src").as("node")).distinct()
       .withColumn("r", lit(EcScale))
     for (_ <- 1 to EcIters) {
@@ -246,7 +246,6 @@ object AnalyticsOps {
         // otherwise re-executes every prior round — O(k²)
         .localCheckpoint()
     }
-    adj.unpersist()
     x.select(col("node"), col("r").as("centrality")).orderBy("node")
   }
 
@@ -268,8 +267,9 @@ object AnalyticsOps {
   /** The LP machinery shared by [[graphLabelProp]] and
     * [[graphModularity]]: (directed-both-ways edge frame, final labels)
     * — ONE definition so the partition the modularity key scores is
-    * exactly the partition the community key reports. Caller unpersists
-    * the returned edge frame. */
+    * exactly the partition the community key reports. The edge frame is
+    * eagerly checkpointed ([[Eager]]); its blocks are GC-managed, so
+    * callers need no unpersist. */
   private def lpLabels(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val li = Tables.lineitem(spark, dir)
@@ -284,8 +284,8 @@ object AnalyticsOps {
     // per-src argmax's clustered distributions (partitioning exprs ⊆
     // grouping exprs), so after this one-time shuffle every round is
     // exchange-free — broadcast label join, two in-partition aggregations
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).cache()
+    val und = Eager(e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")))
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to LpIters) {
@@ -304,7 +304,6 @@ object AnalyticsOps {
     val out = labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
       .orderBy("community")
-    und.unpersist()
     out
   }
 
@@ -336,7 +335,6 @@ object AnalyticsOps {
         col("within").as("within_edges"),
         r6(expr("cast(within as double) / a" +
           " - cast(sd2 as double) / (cast(a as double) * a)")).as("q"))
-    und.unpersist()
     out
   }
 
@@ -500,7 +498,7 @@ object AnalyticsOps {
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
     val act = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .cache() // feeds both the DAU aggregate and the cover expansion
+      .transform(Eager(_)) // feeds both the DAU aggregate and the cover expansion
     val dau = act.groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("dau"))
     val wau = act
@@ -898,7 +896,7 @@ object AnalyticsOps {
       .select(col("o_orderkey"), col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct().cache()
+      .distinct().transform(Eager(_))
     var h = e.select(col("cust")).distinct()
       .withColumn("h", lit(HitsScale))
     var a = e.select(col("supp")).distinct().withColumn("a", lit(HitsScale))
@@ -923,7 +921,6 @@ object AnalyticsOps {
         .orderBy(desc("score"), col("node"))))
       .filter(col("rnk") <= 10)
       .orderBy("side", "rnk")
-    e.unpersist()
     out
   }
 

@@ -18,16 +18,21 @@ import graft.sources.Tables
   *  - pair outputs are canonicalized `doc_a < doc_b` so results are stable
   *    under any execution order.
   *
-  * Oracle determinism: shingles/tokens are mapped to dense integer ids via
-  * a vocabulary dictionary (`dense_rank` over distinct shingles) and all
-  * MinHash/SimHash arithmetic is exact int64 — replicable bit-for-bit in
-  * DuckDB SQL. AT SCALE the dictionary (a global rank) is replaced by
-  * `xxhash64(shingle)` — same pipelines, no global state; the dictionary
-  * form exists only so the oracle can reproduce the hash values.
+  * Oracle determinism: shingles/tokens are mapped to integer ids INLINE
+  * (first 60 bits of md5, mod P — see [[withSid]]; no dictionary relation,
+  * no global state) and all MinHash/SimHash arithmetic is exact int64 —
+  * replicable bit-for-bit in DuckDB SQL. AT SCALE the md5 stand-in is
+  * replaced by `xxhash64(shingle)` ([[dedupMinhashFast]]) — the identical
+  * plan shape; md5 exists only so the oracle can reproduce the hash values.
   */
 object DedupOps {
 
   private val P = 2147483647L // 2^31-1, Mersenne prime for affine hashes
+
+  /** See [[Eager]] — every shared shingle/pair stage in this file fans out
+    * to concurrent consumers of one action, the exact shape `.cache()`
+    * mishandles. */
+  private def eager(df: DataFrame): DataFrame = Eager(df)
 
   // ── exact dedup, window form (SURVEY §2.10 dedup_exact):
   // keep the lowest doc_id per identical text. groupBy-style shuffle on the
@@ -181,7 +186,7 @@ object DedupOps {
   // shingles would be capped; this corpus tops out at doc-freq 25), then
   // exact Jaccard ≥ 0.3. ──
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    ngramPairs(shingles(spark, dir).cache()).orderBy("doc_a", "doc_b")
+    ngramPairs(eager(shingles(spark, dir))).orderBy("doc_a", "doc_b")
 
   /** n-gram pair core over a given shingle set (shared by [[dedupNgram]]
     * and the composite [[dedupPipeline]]). */
@@ -214,7 +219,7 @@ object DedupOps {
   // θ and one division; removal is the same deterministic
   // duplicate-of-lower-id convention the dedup keys use. ──
   def evalDedupThreshold(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = eager(shingles(spark, dir))
     val pairs = ngramPairs(sh)
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     pairs
@@ -282,7 +287,7 @@ object DedupOps {
   // 1-row aggregates combined — pair-set-sized work, same as the dedup
   // keys themselves. ──
   def evalDedupPr(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = eager(shingles(spark, dir))
     val cand = minhashCandidates(withSid(sh))
       .withColumn("is_cand", lit(1L))
     val truth = ngramPairs(sh).select(col("doc_a"), col("doc_b"))
@@ -297,8 +302,15 @@ object DedupOps {
       .agg(coalesce(sum(col("is_cand")), lit(0L)).as("n_cand"),
         coalesce(sum(col("is_true")), lit(0L)).as("n_true"),
         coalesce(sum(col("is_cand") * col("is_true")), lit(0L)).as("tp"))
-      .withColumn("p", expr("cast(tp as double) / n_cand"))
-      .withColumn("r", expr("cast(tp as double) / n_true"))
+      // zero-guarded like the counts above: an empty candidate/truth
+      // universe reports p = r = 0, never NULL — the report row is fully
+      // non-NULL whatever the corpus (f1's own guard then yields 0 too)
+      .withColumn("p",
+        expr("CASE WHEN n_cand > 0 THEN cast(tp as double) / n_cand" +
+          " ELSE 0.0 END"))
+      .withColumn("r",
+        expr("CASE WHEN n_true > 0 THEN cast(tp as double) / n_true" +
+          " ELSE 0.0 END"))
       .select(col("n_cand"), col("n_true"), col("tp"),
         round(col("p"), 6).+(lit(0.0d)).as("precision"),
         round(col("r"), 6).+(lit(0.0d)).as("recall"),
@@ -317,7 +329,7 @@ object DedupOps {
   // separates. Theory is pure per-row arithmetic on the bucket
   // midpoint; both engines compute it from the same literals. ──
   def evalLshCurve(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = eager(shingles(spark, dir))
     val cand = minhashCandidates(withSid(sh))
       .withColumn("captured", lit(1L))
     val truth = ngramPairs(sh)
@@ -346,7 +358,7 @@ object DedupOps {
   // distinguish true near-identity (both high) from inclusion (C high,
   // J low). ──
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = eager(shingles(spark, dir))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -370,7 +382,7 @@ object DedupOps {
   // verified with true Jaccard ≥ 0.3. At j=0.3 the 16-band/2-row curve
   // catches ~78% of true pairs — the standard recall/cost dial. ──
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = eager(shingles(spark, dir))
     minhashFromSids(withSid(sh), sh)
       .orderBy("doc_a", "doc_b")
   }
@@ -384,7 +396,7 @@ object DedupOps {
     * DedupSimilaritySpec: pairs ⊆ exhaustive n-gram pairs with equal
     * jaccard, and ≥90% pair-set overlap with the dict variant. */
   def dedupMinhashFast(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = eager(shingles(spark, dir))
     minhashFromSids(sh.withColumn("sid", pmod(xxhash64(col("shingle")), lit(P))), sh)
       .orderBy("doc_a", "doc_b")
   }
@@ -411,17 +423,18 @@ object DedupOps {
       struct(lit(b).as("band"), col(s"mh${2 * b}").as("m0"),
         col(s"mh${2 * b + 1}").as("m1"))
     }
-    // cached because SkewPairs consumes its input THREE times (the cell-
-    // count join-back plus both sides of the triangular self-join) —
-    // uncached, each consumer re-runs the 32-min-hash signature
-    // aggregation over the full shingle table (measured: the candidate
-    // stage more than halves with the cache at sf0.1). doc×band rows,
-    // ~13× smaller than the shingle table feeding them.
-    val bands = sig.select(col("doc_id"),
+    // eagerly materialized because SkewPairs consumes its input THREE
+    // times (the cell-count join-back plus both sides of the triangular
+    // self-join) — shared lazily, each consumer re-runs the 32-min-hash
+    // signature aggregation over the full shingle table (measured: the
+    // candidate stage more than halves when shared; was a `.cache()`,
+    // promoted to [[eager]] so the three concurrent consumers can never
+    // race a cold cache into 3× recomputes). doc×band rows, ~13× smaller
+    // than the shingle table feeding them.
+    val bands = eager(sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
-        col("bs.m0").as("m0"), col("bs.m1").as("m1"))
-      .cache()
+        col("bs.m0").as("m0"), col("bs.m1").as("m1")))
     // skew-hardened band-bucket pairing: one boilerplate-heavy band value
     // shared by B docs is O(B²) — SkewPairs splits it into capped
     // sub-blocks with the exact same candidate set (no recall cost, unlike
@@ -595,9 +608,9 @@ object DedupOps {
 
   private[graft] def dedupClusterWithCap(
       spark: SparkSession, dir: String, smallCap: Long): DataFrame = {
-    val pairs = dedupNgram(spark, dir).select(col("doc_a"), col("doc_b"))
-      .cache()
-    val nEdges = pairs.count() * 2
+    val pairs = Eager(dedupNgram(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
+    val nEdges = pairs.count() * 2 // counts the checkpointed blocks
     // propagate over edge ENDPOINTS only — a singleton's label can never
     // change, so the cluster computation is proportional to the DUP GRAPH
     // (pairs that survived candidate pruning + Jaccard), not the corpus;
@@ -630,10 +643,9 @@ object DedupOps {
         val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct
         import spark.implicits._
         nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
-      } else distributedMinLabel(
+      } else distributedMinLabel(Eager(
         pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst").cache())
-    pairs.unpersist()
+          .toDF("src", "dst")))
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
@@ -652,8 +664,8 @@ object DedupOps {
   private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def distributedMinLabel(edges: DataFrame): DataFrame = {
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+    var labels = Eager(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var checksum = -1L
     var converged = false
     var rounds = 0
@@ -661,46 +673,45 @@ object DedupOps {
       rounds += 1
       val msgs = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
-      // cached: the jump self-join below reads prop twice — uncached it
-      // would re-run the propagation union+groupBy once per side
-      val prop = labels.union(msgs)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .cache()
-      val next = prop.as("a")
+      // eagerly materialized: the jump self-join below reads prop TWICE —
+      // shared lazily, both sides of the self-join recompute the
+      // propagation union+groupBy; the checkpoint also truncates the
+      // per-round lineage (round k never re-plans rounds 1..k-1), and its
+      // GC-managed blocks replace the old per-round cache/unpersist dance
+      val prop = Eager(labels.union(msgs)
+        .groupBy(col("node")).agg(min(col("label")).as("label")))
+      val next = Eager(prop.as("a")
         .join(prop.select(col("node").as("jn"), col("label").as("jl")).as("b"),
           col("a.label") === col("jn"), "left")
         .select(col("a.node").as("node"),
-          coalesce(col("jl"), col("a.label")).as("label"))
-        .cache()
+          coalesce(col("jl"), col("a.label")).as("label")))
       val nextSum = next.agg(sum(col("label"))).head.getLong(0)
-      prop.unpersist()
-      labels.unpersist()
       labels = next
       converged = nextSum == checksum
       checksum = nextSum
     }
     lastCcRounds.set(rounds)
-    edges.unpersist()
-    // hand back a lineage-truncated copy and drop the loop's cache entry:
-    // the caller's output plan no longer pins a per-invocation cached DF
-    // in the session (the leak would accumulate across repeated calls)
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    out
+    // already lineage-truncated and GC-managed — the caller's output plan
+    // pins no session-lifetime cache entry across repeated calls
+    labels
   }
 
   // ── the dedup family as ONE pipeline: shingle + dictionary stages
-  // computed ONCE (cached), feeding n-gram Jaccard, MinHash-LSH and
-  // SimHash in parallel, results unioned per pair with the set of methods
-  // that flagged it. This is the plan a real corpus-dedup job runs — the
-  // standalone keys re-derive shingles per invocation only because the
-  // driver's bench times them hermetically; here the shared stage is
-  // explicit (sh is ONE shuffle via BoundedDistinctAgg, reused by all
-  // three branches through the cache). Agreement across methods is also
-  // the practical confidence signal: n_methods = 3 pairs are certain
-  // dups, singletons are method-specific candidates. ──
+  // computed ONCE (eagerly, [[eager]]), feeding n-gram Jaccard,
+  // MinHash-LSH and SimHash in parallel, results unioned per pair with
+  // the set of methods that flagged it. This is the plan a real
+  // corpus-dedup job runs — the standalone keys re-derive shingles per
+  // invocation only because the driver's bench times them hermetically;
+  // here the shared stage is explicit (sh is ONE shuffle via
+  // BoundedDistinctAgg, materialized once and reused by all three
+  // branches as a checkpointed frame — a lazy `.cache()` here let the
+  // three concurrent branches of the single output action race the cold
+  // cache into per-branch recomputes, which under the driver's
+  // multi-tenant refresh cost 6.5× the idle-box time). Agreement across
+  // methods is also the practical confidence signal: n_methods = 3 pairs
+  // are certain dups, singletons are method-specific candidates. ──
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = eager(shingles(spark, dir))
     val sidded = withSid(sh)
     // the exhaustive shared-shingle Jaccard table is computed ONCE and
     // reused: the ngram branch IS it, and the minhash branch's verified
@@ -709,7 +720,7 @@ object DedupOps {
     // threshold already has a row here (the `mh ⊆ ng` invariant
     // DedupSimilaritySpec pins). A semi-join replaces the branch's second
     // round of intersection counting.
-    val jac = ngramPairs(sh).cache()
+    val jac = eager(ngramPairs(sh))
     val ng = jac
       .select(col("doc_a"), col("doc_b"), lit("ngram").as("method"))
     val mh = minhashCandidates(sidded)
@@ -1109,8 +1120,10 @@ object DedupOps {
         |tp AS (SELECT CAST(count(*) AS BIGINT) AS tp
         |       FROM cand JOIN truth USING (doc_a, doc_b)),
         |pr AS (SELECT n_cand, n_true, tp,
-        |    CAST(tp AS DOUBLE) / n_cand AS p,
-        |    CAST(tp AS DOUBLE) / n_true AS r
+        |    CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / n_cand
+        |         ELSE 0.0 END AS p,
+        |    CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true
+        |         ELSE 0.0 END AS r
         |  FROM nc CROSS JOIN nt CROSS JOIN tp)
         |SELECT n_cand, n_true, tp, round(p, 6) + 0.0 AS precision,
         |  round(r, 6) + 0.0 AS recall,

@@ -58,10 +58,10 @@ object MiningOps {
   // every ratio is rounded from the same integer inputs, so the numbers
   // are engine-independent. ──
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    // cached: the basket relation (a distinct = one shuffle over
+    // eagerly materialized: the basket relation (a distinct = one shuffle over
     // lineitem) feeds the order total, the item supports, and both pair
-    // sides — uncached each consumer re-runs the scan + distinct
-    val op = baskets(spark, dir).cache()
+    // sides — shared lazily each consumer re-runs the scan + distinct
+    val op = Eager(baskets(spark, dir))
     val nOrders = op.select(col("o")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCnt = op.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
@@ -130,14 +130,14 @@ object MiningOps {
   // own list because all its edges point INTO it. The oracle replays the
   // same orientation from the same integer degrees. ──
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache() // read twice by the self-join
-    // cache the deduped edge set: degrees, orientation, the closing-edge
-    // probe and the edge count all consume it — uncached, each consumer
+    val op = Eager(baskets(spark, dir)) // read twice by the self-join
+    // materialize the deduped edge set: degrees, orientation, the closing-edge
+    // probe and the edge count all consume it — shared lazily, each consumer
     // re-runs the baskets self-join + distinct (~6 re-executions)
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct().cache()
+      .select(col("u"), col("v")).distinct().transform(Eager(_))
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -145,7 +145,7 @@ object MiningOps {
     val withDeg = und
       .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
       .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
-    // cached too: probed once as each wedge's closing edge and read twice
+    // materialized too: probed once as each wedge's closing edge and read twice
     // more (via dirRanked) as the wedge-generation sides
     val dir2 = withDeg.select(
       when(col("du") < col("dv") ||
@@ -153,7 +153,7 @@ object MiningOps {
         .otherwise(col("v")).as("src"),
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("v"))
-        .otherwise(col("u")).as("dst")).cache()
+        .otherwise(col("u")).as("dst")).transform(Eager(_))
     // edge-iterator counting: per oriented base edge (u,v), the closing
     // vertices are exactly adj_out(u) ∩ adj_out(v), so each triangle is
     // counted once — at the edge whose endpoints are its two LOWEST
@@ -268,16 +268,16 @@ object MiningOps {
   // scalars (model-sized, like pagerank's convergence checksums). The
   // oracle unrolls the same three rounds. ──
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct().cache()
+      .select(col("u"), col("v")).distinct().transform(Eager(_))
     def degreesOf(e: DataFrame): DataFrame =
       e.select(col("u").as("node")).union(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val one = Window.partitionBy(lit(1))
-    val deg0 = degreesOf(und).cache()
+    val deg0 = Eager(degreesOf(und))
     val k = deg0
       .withColumn("rn", row_number().over(one.orderBy(col("d"), col("node"))))
       .withColumn("m", count(lit(1)).over(one))
@@ -508,14 +508,14 @@ object MiningOps {
   // localCheckpoint per round truncates the growing lineage (the kcore
   // lesson). Output: parts per hop level. ──
   def graphBfs(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
     val edges = und
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")).cache()
+      .repartition(col("u")).transform(Eager(_))
     // the seed is ONE driver scalar (TakeOrdered of the degree frame) —
     // model-sized by construction
     val seed = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -530,8 +530,6 @@ object MiningOps {
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))
         .localCheckpoint(true)
     }
-    edges.unpersist()
-    op.unpersist()
     dist.groupBy(col("hop")).agg(count(lit(1)).as("n_parts"))
       .orderBy("hop")
   }
@@ -547,14 +545,14 @@ object MiningOps {
   // degrees). Candidates anti-join the edge set; top-50 by CN via
   // TakeOrdered, never a global sort. ──
   def graphCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct().cache()
+      .select(col("u"), col("v")).distinct().transform(Eager(_))
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d")).cache()
+    val deg = Eager(adj.groupBy(col("node")).agg(count(lit(1)).as("d")))
     val mid = adj.join(broadcast(deg), "node").filter(col("d") <= 64)
       .select(col("node").as("w"), col("nbr"), col("d").as("dw"))
     val wedges = mid.select(col("w"), col("nbr").as("cu"), col("dw"))
@@ -585,7 +583,7 @@ object MiningOps {
   // table broadcasts to both endpoints; nothing fact-sized shuffles
   // twice. ──
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
@@ -625,14 +623,14 @@ object MiningOps {
   // enumeration. Ratio is 2.0·int/int: one double op, no rounding
   // discipline needed beyond the final r6. ──
   def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct().cache()
+      .select(col("u"), col("v")).distinct().transform(Eager(_))
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("d")).cache()
+      .groupBy(col("node")).agg(count(lit(1)).as("d")).transform(Eager(_))
     val withDeg = und
       .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))),
         "u")
@@ -644,10 +642,10 @@ object MiningOps {
         .otherwise(col("v")).as("src"),
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("v"))
-        .otherwise(col("u")).as("dst")).cache()
+        .otherwise(col("u")).as("dst")).transform(Eager(_))
     val adj = dir2.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
-    // cached: the credit union reads this frame three times
+    // materialized eagerly: the credit union reads this frame three times
     val triVerts = dir2
       .join(adj.select(col("src").as("u"), col("nbrs").as("nu")),
         col("src") === col("u"))
@@ -655,7 +653,7 @@ object MiningOps {
         col("dst") === col("v"))
       .select(col("src"), col("dst"),
         explode(array_intersect(col("nu"), col("nv"))).as("w"))
-      .cache()
+      .transform(Eager(_))
     val credits = triVerts.select(col("src").as("node"))
       .union(triVerts.select(col("dst").as("node")))
       .union(triVerts.select(col("w").as("node")))
@@ -679,7 +677,7 @@ object MiningOps {
   // ROUNDED score so both engines break ties at identical values, then
   // by neighbor id. ──
   def recsysItemKnn(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val cnt = op.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
     val pairs = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
@@ -714,7 +712,7 @@ object MiningOps {
   // shapes as the recommender itself: pair counts shuffle on item,
   // lists are top-3 windows per item. ──
   def evalRecsysHitrate(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val held = op.groupBy(col("o"))
       .agg(max(col("p")).as("held"), count(lit(1)).as("sz"))
       .filter(col("sz") >= 2)
@@ -763,7 +761,7 @@ object MiningOps {
   // two would misbin on one engine and not the other). Node degrees are
   // one keyed count; the distribution is |bins|-sized. ──
   def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
@@ -792,14 +790,14 @@ object MiningOps {
   // against it, and each (k) group reduces to two exact integers; φ is
   // one cast-first division, NULL below 2 club members. ──
   def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("d")).cache()
+      .groupBy(col("node")).agg(count(lit(1)).as("d")).transform(Eager(_))
     val ks = Seq(4, 8, 16, 32)
     val kCol = explode(array(ks.map(lit): _*)).as("k")
     val nk = deg.select(col("d"), kCol)
@@ -905,14 +903,14 @@ object MiningOps {
   // localCheckpoint per round; multiplicities are exact int64, so the
   // oracle unrolls all three rounds bit-for-bit. ──
   def graphPathCounts(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
     val edges = und
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")).cache()
+      .repartition(col("u")).transform(Eager(_))
     val seed = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .orderBy(desc("d"), col("u")).limit(1)
       .collect()(0).getLong(0)
@@ -929,7 +927,6 @@ object MiningOps {
         .select(col("node"), lit(k.toLong).as("hop"), col("sigma"))
       state = state.unionByName(nw).localCheckpoint(true)
     }
-    edges.unpersist(); op.unpersist()
     state.groupBy(col("hop"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("sigma")).as("n_paths"),
         max(col("sigma")).as("max_paths"))
@@ -981,7 +978,7 @@ object MiningOps {
   // join as the kNN key; everything integer until three final
   // divisions. ──
   def evalRecsysCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val cnt = op.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
     val pairs = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
@@ -1014,7 +1011,6 @@ object MiningOps {
         r6(expr("cast(nr as double) / n_active")).as("coverage_active"),
         r6(expr("2.0 * srx / (cast(nr as double) * sx)" +
           " - cast(nr + 1 as double) / nr")).as("exposure_gini"))
-    op.unpersist()
     out
   }
 
@@ -1030,14 +1026,14 @@ object MiningOps {
   // a broadcast 5-row frame, no collect. Per-hop counts are exact
   // int64; HC = c₁ + c₂/2 + c₃/3 with cast-first divisions. ──
   def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
-    val op = baskets(spark, dir).cache()
+    val op = Eager(baskets(spark, dir))
     val und = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
     val edges = und
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u")).cache()
+      .repartition(col("u")).transform(Eager(_))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val seeds = deg.orderBy(desc("d"), col("u")).limit(5)
       .select(col("u").as("seed"))
@@ -1065,7 +1061,6 @@ object MiningOps {
         r6(expr("cast(n_hop1 + n_hop2 + n_hop3 as double)" +
           " / (n_nodes - 1)")).as("reach_share_3"))
       .orderBy("seed")
-    edges.unpersist(); op.unpersist()
     out
   }
 

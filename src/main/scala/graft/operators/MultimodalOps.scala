@@ -182,7 +182,7 @@ object MultimodalOps {
           |      shiftleft(1L, CAST(i AS INT)), 0L)),
           |  0L, (a, x) -> a + x)""".stripMargin))
       .select(col("doc_id"), col("ph"))
-      .cache()
+      .transform(Eager(_))
     val bands = hashed.select(col("doc_id"), col("ph"),
       explode(array((0 to 3).map(b => struct(lit(b).as("b"),
         shiftright(col("ph"), 15 * b).bitwiseAND(lit(32767L)).as("bv"))): _*))

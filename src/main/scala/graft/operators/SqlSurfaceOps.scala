@@ -518,7 +518,7 @@ object SqlSurfaceOps {
       .agg(count(lit(1)).as("available"))
       .withColumn("weight", element_at(typedLit(MixtureWeights), col("lang")))
       .filter(col("weight").isNotNull)
-      .cache()
+      .transform(Eager(_))
     val feas = counts.agg(min(expr("available * 10 div weight")).as("nfeas"))
     val tgt = counts.crossJoin(broadcast(feas))
       .select(col("lang"), col("available"), col("weight"),
@@ -554,8 +554,8 @@ object SqlSurfaceOps {
   def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // cached: the |langs|-row count frame feeds sizing AND the accept join
-    val counts = docs.groupBy(col("lang"))
-      .agg(count(lit(1)).as("available")).cache()
+    val counts = Eager(docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("available")))
     val w = counts.select(col("lang"), col("available"),
       floor(sqrt(col("available")) * lit(1000000d)).cast("long").as("wppm"))
     val tot = w.agg(sum(col("wppm")).as("wsum"),
@@ -1019,7 +1019,7 @@ object SqlSurfaceOps {
     val mid = e.agg(expr("(min(us) + max(us)) div 2").as("m"))
     val halves = e.crossJoin(broadcast(mid))
       .withColumn("half", when(col("us") < col("m"), 1).otherwise(2))
-      .cache()
+      .transform(Eager(_))
     def dom(h: Int) = halves.filter(col("half") === h)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))

@@ -493,7 +493,7 @@ private[operators] trait StatsDistOps extends StatsOpsBase {
     val cells = ev(spark, dir)
       .groupBy(expr("pmod(datediff(day, DATE'1970-01-01'), 7)").as("dow"),
         floor(col("value") / 100).as("vb"), col("event_type"))
-      .agg(count(lit(1)).as("c")).cache()
+      .agg(count(lit(1)).as("c")).transform(Eager(_))
     val glob = cells.groupBy(col("event_type")).agg(sum(col("c")).as("ct"))
     val tot = glob.agg(sum(col("ct")).as("n"))
     val groups = cells.groupBy(col("dow"), col("vb"))

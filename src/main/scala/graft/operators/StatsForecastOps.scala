@@ -194,12 +194,12 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
     val dec = seasonalDecompose(spark, dir)
       .select(col("day"), col("v"), col("trend"), col("seasonal"),
         col("resid"))
-      .cache()
+      .transform(Eager(_))
     val med = explicitMedian(dec, "resid", Nil)
       .select(col("resid").as("med"))
     val dev = dec.crossJoin(broadcast(med))
       .withColumn("dev", abs(col("resid") - col("med")))
-      .cache()
+      .transform(Eager(_))
     val mad = explicitMedian(dev.select(col("dev")), "dev", Nil)
       .select(col("dev").as("mad"))
     dev.crossJoin(broadcast(mad))

@@ -314,7 +314,7 @@ private[operators] trait StatsSeqOps extends StatsOpsBase {
       .select(col("event_type"),
         datediff(col("day"), lit("1970-01-01")).cast("double").as("x"),
         col("y"))
-      .cache()
+      .transform(Eager(_))
     def medianOf(df: DataFrame, v: String): DataFrame =
       explicitMedian(df, v, Seq("event_type"))
     val a = daily.alias("a")
@@ -721,7 +721,7 @@ private[operators] trait StatsSeqOps extends StatsOpsBase {
   def statsMutualInfo(spark: SparkSession, dir: String): DataFrame = {
     val j = ev(spark, dir)
       .groupBy(col("event_type"), floor(col("value") / 100).as("vb"))
-      .agg(count(lit(1)).as("c")).cache()
+      .agg(count(lit(1)).as("c")).transform(Eager(_))
     val rT = j.groupBy(col("event_type")).agg(sum(col("c")).as("r"))
     val cT = j.groupBy(col("vb")).agg(sum(col("c")).as("s"))
     val n = j.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
@@ -1268,7 +1268,7 @@ private[operators] trait StatsSeqOps extends StatsOpsBase {
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
         .as("revc"))
       .withColumn("dayno", expr("datediff(day, DATE'1970-01-01')"))
-      .cache()
+      .transform(Eager(_))
     val a = daily.alias("a")
     val b = daily.alias("b")
     val s = a.join(b, col("a.event_type") === col("b.event_type") &&
@@ -1313,7 +1313,7 @@ private[operators] trait StatsSeqOps extends StatsOpsBase {
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
         .as("revc"))
       .withColumn("dayno", expr("datediff(day, DATE'1970-01-01')"))
-      .cache()
+      .transform(Eager(_))
     val a = daily.alias("a")
     val b = daily.alias("b")
     val v = a.join(b, col("a.event_type") === col("b.event_type") &&
@@ -1856,7 +1856,7 @@ private[operators] trait StatsSeqOps extends StatsOpsBase {
   def statsTheilU(spark: SparkSession, dir: String): DataFrame = {
     val j = Tables.documents(spark, dir)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
-      .cache()
+      .transform(Eager(_))
     val rT = j.groupBy(col("lang")).agg(sum(col("c")).as("r"))
     val cT = j.groupBy(col("source")).agg(sum(col("c")).as("s"))
     val n = j.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))

@@ -552,7 +552,7 @@ private[operators] trait StatsTestOps extends StatsOpsBase {
     val j = ev(spark, dir)
       .groupBy(col("event_type"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .agg(count(lit(1)).as("c")).cache()
+      .agg(count(lit(1)).as("c")).transform(Eager(_))
     val t = j.groupBy(col("cents")).agg(sum(col("c")).as("t"))
     val f = t.withColumn("fb",
       sum(col("t")).over(Window.orderBy(col("cents"))
@@ -1351,7 +1351,7 @@ private[operators] trait StatsTestOps extends StatsOpsBase {
       .select(floor(col("value") / 100).cast("long").as("xb"),
         expr("((us div 3600000000) % 24) div 6").as("yb"))
       .groupBy(col("xb"), col("yb")).agg(count(lit(1)).as("m"))
-      .cache()
+      .transform(Eager(_))
     val a = cells.select(col("xb").as("x1"), col("yb").as("y1"),
       col("m").as("m1"))
     val b = cells.select(col("xb").as("x2"), col("yb").as("y2"),

@@ -14,32 +14,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   private def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Schema cache, keyed by (path, mtime, size) so a rewritten store is
-    * re-inferred. On a cluster the catalog (metastore/iceberg) serves the
-    * schema and the per-query footer-inference read never happens; a bare
-    * `spark.read.parquet(path)` re-lists and re-infers on EVERY DataFrame
-    * construction, which profiled at 0.1-0.2 s of driver time per query —
-    * a fixed tax on all 455 bench keys. Caching the inferred schema and
-    * passing it explicitly restores catalog-like behavior without changing
-    * any result: the cached schema IS what inference produced under the
-    * session's parquet confs, and the stat-stamp invalidates on rewrite.
-    * Non-local paths (hdfs://, s3://) fail the java.io.File existence
-    * probe and fall through to the plain uncached read — graceful
-    * degradation; on a real cluster the catalog owns the schema and this
-    * cache is not the mechanism. */
+  /** Schema cache, keyed by the store's DATA-FILE listing (count, max
+    * mtime, total bytes over the non-hidden files inside a directory
+    * store; the file's own stat for a single-file store) so a rewritten
+    * store is re-inferred. Keying on the DIRECTORY stat alone is wrong
+    * for Spark-written parquet: dir mtime moves only when direct entries
+    * are created/renamed/deleted and dir length() is not content size, so
+    * an in-place rewrite of identically-named part files would serve a
+    * stale schema. On a cluster the catalog (metastore/iceberg) serves
+    * the schema and the per-query footer-inference read never happens; a
+    * bare `spark.read.parquet(path)` re-lists and re-infers on EVERY
+    * DataFrame construction, which profiled at 0.1-0.2 s of driver time
+    * per query — a fixed tax on all 455 bench keys. Caching the inferred
+    * schema and passing it explicitly restores catalog-like behavior
+    * without changing any result: the cached schema IS what inference
+    * produced under the session's parquet confs, and the listing stamp
+    * invalidates on any rewrite. Non-local paths (hdfs://, s3://) fail
+    * the java.io.File existence probe and fall through to the plain
+    * uncached read — graceful degradation; on a real cluster the catalog
+    * owns the schema and this cache is not the mechanism. Bounded: the
+    * key space is (test dirs × tables × rewrites), tiny by construction,
+    * but a defensive clear at 1024 entries stops unbounded growth if a
+    * caller loops over generated stores. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long),
       org.apache.spark.sql.types.StructType]()
+  private val SchemaCacheMaxEntries = 1024
+
+  /** (n_files, max mtime, total bytes) over a store's data files —
+    * the listing stamp that changes whenever any part file is added,
+    * removed, or rewritten in place (mtime moves even when the name and
+    * byte count don't). Hidden/metadata entries (`_SUCCESS`, `.crc`) are
+    * excluded so a metadata-only touch doesn't churn the cache. */
+  private def listingStamp(f: java.io.File): (Long, Long, Long) =
+    if (f.isFile) (1L, f.lastModified(), f.length())
+    else {
+      val files = Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(c => c.isFile && !c.getName.startsWith("_") &&
+          !c.getName.startsWith("."))
+      if (files.isEmpty) (0L, f.lastModified(), 0L)
+      else (files.length.toLong, files.map(_.lastModified()).max,
+        files.map(_.length()).sum)
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val p = path(dir, name)
     val f = new java.io.File(p)
     if (!f.exists()) spark.read.parquet(p)
     else {
-      val key = (p, f.lastModified(), f.length())
+      val (n, mt, sz) = listingStamp(f)
+      val key = (p, n, mt, sz)
       var s = schemaCache.get(key)
       if (s == null) {
         s = spark.read.parquet(p).schema
+        if (schemaCache.size() >= SchemaCacheMaxEntries) schemaCache.clear()
         schemaCache.put(key, s)
       }
       spark.read.schema(s).parquet(p)

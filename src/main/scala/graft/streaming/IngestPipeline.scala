@@ -199,15 +199,27 @@ object IngestPipeline {
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
     recoverBuckets(fs, store)
+    // persisted for the batch's lifetime: this function runs 1 + |touched
+    // buckets| actions over the micro-batch, and an UNcached batch frame
+    // re-reads the SOURCE per action — IngestPipelineSpec's wire test
+    // caught the source being read 4× per epoch via numInputRows, which
+    // against a real broker is 4 fetches of the same offsets. The collect
+    // below materializes the cache before the per-bucket consumers run
+    // (cache-then-action, so no cold-cache race), and the unpersist is
+    // safe because every action completes inside this call.
     val slim = batch.select("city", "temperature", "humidity", "dt")
       .withColumn("bucket", bucketOf(col("city")))
-    // ≤ StoreBuckets ids — a driver-bounded collect by construction
-    val touched = slim.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    touched.foreach { b =>
-      mergeSwapBucket(slim.filter(col("bucket") === b).drop("bucket"),
-        fs, s"$store/bucket=$b", s"$store.tmp/bucket=$b", s"$store.bak/bucket=$b")
-    }
+      .persist()
+    try {
+      // ≤ StoreBuckets ids — a driver-bounded collect by construction
+      val touched = slim.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      touched.foreach { b =>
+        mergeSwapBucket(slim.filter(col("bucket") === b).drop("bucket"),
+          fs, s"$store/bucket=$b", s"$store.tmp/bucket=$b",
+          s"$store.bak/bucket=$b")
+      }
+    } finally slim.unpersist()
   }
 
   /** Restore any bucket whose previous batch died between its two renames:

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.IngestPipeline
+import graft.streaming.{IngestPipeline, KafkaWire}
 
 /** The consumer.py ingest semantics (SURVEY §5.2/§5.3/§5.5): golden 5-row
   * sample from analysis.ipynb cell 0, the weather-as-string fallback, the
@@ -338,6 +338,72 @@ class IngestPipelineSpec extends SparkSuite {
       assert(rows.forall { case (_, avg, n) => avg === 15.0 && n === 2L })
       assert(rows(1)._1.toInstant.getEpochSecond === t0)
     } finally q.stop()
+  }
+
+  test("end-to-end wire replay: typed payload → to_json serialize → Kafka " +
+      "bytes → deserialize/flatten → upsert store, resuming from " +
+      "committed offsets across a restart") {
+    // The whole reference wire in ONE in-process path (VERDICT r8 §next 6):
+    // producer.py:38-41 serializes the API response dict with json.dumps —
+    // the engine-side twin is to_json over a TYPED struct, so the JSON
+    // bytes on the wire are produced by the engine, not a string literal.
+    // Those bytes ride the exact Kafka source column contract
+    // (KafkaWire.wrap), are deserialized/flattened by the one consumer
+    // line every deployment keeps (KafkaWire.consume = consumer.py:18-25),
+    // and land in the MongoDB-stand-in bucketed upsert store — with the
+    // committed position in the checkpoint: stop mid-feed, produce more,
+    // restart. The second run must process ONLY the new offsets (observed
+    // via numInputRows — replay would be masked by the idempotent store,
+    // so the resume is asserted on the stream itself, not just the sink).
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_wire_store")
+      .resolve("store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wire_ck").toString
+    // (offset, city, temp, dt): the typed producer-side payload
+    val stream = MemoryStream[(Long, String, Double, Long)]
+    def start() = {
+      val typed = stream.toDF().toDF("off", "city", "temp", "dt")
+      val serialized = typed.select(col("off"), col("dt"),
+        to_json(struct(
+          col("city").as("name"),
+          struct(col("temp").as("temp"), lit(70).as("humidity"),
+            lit(1010).as("pressure")).as("main"),
+          array(struct(lit("haze").as("description"))).as("weather"),
+          struct(lit(3.1).as("speed")).as("wind"),
+          struct(lit(98.7).as("lon"), lit(3.6).as("lat")).as("coord"),
+          col("dt"), lit(0L).as("timezone"))).as("json"))
+      val wire = KafkaWire.wrap(serialized, col("off"), col("json"),
+        timestamp_seconds(col("dt")), topic = "weather", nPartitions = 4)
+      IngestPipeline.upsertStream(KafkaWire.consume(wire), store, ckpt)
+    }
+    // epoch 1: offsets 0-2, three cities
+    stream.addData((0L, "Medan", 30.0, 100L), (1L, "Jakarta", 32.0, 200L),
+      (2L, "Padang", 31.0, 300L))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // epoch 2 after restart: offsets 3-4 — one new city, one UPDATE
+    stream.addData((3L, "Bandung", 29.0, 400L), (4L, "Medan", 30.5, 500L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // committed-offset resume, asserted on the stream itself: run 2's
+      // only data batch is a CONTINUATION (batchId 1, never a re-run of
+      // batch 0) and it read exactly the 2 new records — numInputRows
+      // also pins upsertBatch's single-read discipline (an uncached
+      // batch frame re-reads the source once per touched bucket, which
+      // this metric counts)
+      val prog = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(prog.map(_.batchId).toSeq === Seq(1L),
+        s"run 2 batches: ${q2.recentProgress.map(p =>
+          (p.batchId, p.numInputRows)).toSeq}")
+      assert(prog.map(_.numInputRows).sum === 2L,
+        s"run 2 processed ${prog.map(_.numInputRows).sum} records")
+    } finally q2.stop()
+    val got = spark.read.parquet(store)
+      .select("city", "temperature", "dt")
+      .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("Bandung", 29.0, 400L), ("Jakarta", 32.0, 200L),
+      ("Medan", 30.5, 500L), ("Padang", 31.0, 300L)))
   }
 
   test("foreachBatch upsert keeps exactly the latest row per city") {

@@ -165,6 +165,12 @@ class PlanShapeSpec extends SparkSuite {
         // anomaly_seasonal's dev over dec): recurse into its build plan
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
           groupSizedPhys(s.relation.cachedPlan)
+        // an eager checkpoint (Eager/localCheckpoint) is group-sized iff
+        // the plan it MATERIALIZED is — Eager records that plan in its
+        // provenance map precisely so this audit can look through the
+        // otherwise-opaque RDD leaf
+        case r if graft.operators.Eager.planBehindPhys(r).isDefined =>
+          groupSized(graft.operators.Eager.planBehindPhys(r).get)
         case l if l.children.isEmpty => false
         case l => l.children.forall(groupSizedPhys)
       }
@@ -178,6 +184,10 @@ class PlanShapeSpec extends SparkSuite {
       // (anomaly_seasonal caches its |days|-row residual frame)
       case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
         groupSizedPhys(m.cachedPlan)
+      // checkpointed leaf: recurse into the pre-checkpoint plan (e.g.
+      // anomaly_seasonal's |days|-row dev frame, now Eager-materialized)
+      case l if graft.operators.Eager.planBehind(l).isDefined =>
+        groupSized(graft.operators.Eager.planBehind(l).get)
       case l if l.children.isEmpty => false
       case l => l.children.forall(groupSized)
     }
@@ -191,22 +201,68 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
-  test("text_quality_buckets scans documents ONCE (shared cached subplan)") {
+  test("text_quality_buckets scans documents ONCE (shared eager subplan)") {
     // the tercile thresholds and the bucketing pass both consume the
-    // quality score; the score must come from one shared in-memory copy,
-    // not two independent documents scans re-running the regexes
+    // quality score; the score must come from one shared MATERIALIZED
+    // copy (Eager/localCheckpoint — already computed at plan-build time),
+    // not two independent documents scans re-running the regexes. Both
+    // consumers must read checkpointed leaves; no branch may go back to
+    // parquet.
     val df = graft.operators.TextOps.textQualityBuckets(spark, sf0001)
     val lp = df.queryExecution.optimizedPlan
-    // both consumers must read the ONE cached relation; no branch may go
-    // back to parquet (the InMemoryRelation's own build plan holds the
-    // single real scan, materialized once at execution)
-    val cacheReads = lp.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    val checkpointReads = lp.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r }
     val directScans = lp.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l }
-    assert(cacheReads.size === 2, lp.toString.take(2000))
+    assert(checkpointReads.size === 2, lp.toString.take(2000))
     assert(directScans.isEmpty,
-      s"documents scanned outside the shared cache:\n${lp.toString.take(2000)}")
+      s"documents scanned outside the shared eager frame:\n${lp.toString.take(2000)}")
+  }
+
+  test("multi-consumer composites read their shared stage from checkpointed" +
+      " blocks — the fact table cannot be re-scanned per branch") {
+    // The round-8 lesson: dedup_pipeline's shared shingle/Jaccard frames
+    // were `.cache()`d, and under the driver's multi-tenant refresh the
+    // three fan-out branches recomputed them (cold-cache race + eviction)
+    // at 6.5× the idle-box cost. The fix is Eager (localCheckpoint(true)):
+    // the shared stage executes exactly once AT PLAN-BUILD TIME, and every
+    // branch's plan bottoms out in LogicalRDD leaves over the checkpointed
+    // blocks. That makes "executes once per action" a STRUCTURAL property
+    // checkable here: if the optimized plan contains no parquet leaf over
+    // the fact table, no action can ever re-scan (or re-shingle) it —
+    // there is no lineage left to re-execute. Entries map key → max
+    // allowed direct fact-table scans (non-zero where a branch
+    // legitimately takes its own single pass, e.g. a corpus row count).
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val expected: Seq[(String, String, Int)] = Seq(
+      ("dedup_pipeline", "documents", 0),
+      ("dedup_ngram", "documents", 0),
+      ("dedup_minhash", "documents", 0),
+      ("dedup_minhash_fast", "documents", 0),
+      ("dedup_containment", "documents", 0),
+      ("eval_dedup_pr", "documents", 0),
+      ("eval_lsh_curve", "documents", 0),
+      ("eval_dedup_threshold", "documents", 1), // the n_docs denominator
+      ("eval_nb_confusion", "documents", 0),
+      ("eval_cohen_kappa", "documents", 0),
+      ("text_nb_lang", "documents", 1),  // priors; tokens are checkpointed
+      ("text_lm_score", "documents", 1), // vocab; bigrams are checkpointed
+      ("eval_recsys_coverage", "lineitem", 0),
+      ("eval_recsys_hitrate", "lineitem", 0),
+      ("recsys_item_knn", "lineitem", 0),
+      ("assoc_rules", "lineitem", 0),
+      ("graph_triangles", "lineitem", 0))
+    expected.foreach { case (key, fact, maxScans) =>
+      val lp = SparkEntry.queries(key)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      val factScans = lp.collect {
+        case l: LogicalRelation
+            if l.relation.toString.contains(s"$fact.parquet") => l
+      }
+      assert(factScans.size <= maxScans,
+        s"$key re-scans $fact ${factScans.size}× (allowed $maxScans) — a " +
+          s"shared stage lost its eager materialization:\n${lp.toString.take(2000)}")
+    }
   }
 
   test("tpch_q5 broadcasts every dimension and shuffles only the fact join") {

@@ -21,6 +21,25 @@ class TextMultimodalSpec extends SparkSuite {
     assert(exact.nonEmpty)
   }
 
+  test("documents corpus is ASCII — the multimodal_features oracle's " +
+      "standing assumption fails loudly here if the corpus changes") {
+    // The DuckDB oracle for multimodal_features folds per-CHARACTER
+    // ord() and uses length(text) for byte_len; the Scala FakeDecoder is
+    // byte-true. The two agree exactly when every character is one byte
+    // (ASCII). This gate makes that documented assumption a hard check:
+    // a future non-ASCII corpus fails HERE with a clear message instead
+    // of as a silent engine-vs-oracle hash drift.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    val nonAscii = graft.sources.Tables.documents(spark, sf0001)
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii === 0,
+      s"$nonAscii documents contain multi-byte characters: the " +
+        "multimodal_features DuckDB oracle (per-char ord() fold, " +
+        "length() as byte_len) no longer matches the byte-true " +
+        "FakeDecoder — switch the oracle to byte-level folding")
+  }
+
   test("fingerprint is order-sensitive and injective on this corpus") {
     val fp = TextOps.textFingerprint(spark, sf0001)
       .as[(Long, Long)].collect().toMap
