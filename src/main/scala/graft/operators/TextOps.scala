@@ -1605,7 +1605,13 @@ object TextOps {
   // source row. ──
   def decontaminateReport(spark: SparkSession, dir: String): DataFrame = {
     val (train, shTrain0, shEval) = contamFrames(spark, dir)
-    val shTrain = Eager(shTrain0) // 3 consumers (exact, trainSize, near)
+    // deliberately LAZY (neither cache nor Eager): the shared frame here
+    // is the corpus-scale training-side shingle stream, and materializing
+    // it costs more than its three consumers' cheap projection scans do
+    // (measured 6.7× at sf0.1) — and at 100 TB you must not materialize
+    // the big side of a decontamination pass at all; each consumer
+    // streams it once
+    val shTrain = shTrain0
     val exact = shTrain
       .join(broadcast(shEval.select("shingle").distinct()), "shingle")
       .select("doc_id").distinct()
