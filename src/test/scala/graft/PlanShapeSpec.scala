@@ -251,7 +251,29 @@ class PlanShapeSpec extends SparkSuite {
       ("eval_recsys_hitrate", "lineitem", 0),
       ("recsys_item_knn", "lineitem", 0),
       ("assoc_rules", "lineitem", 0),
-      ("graph_triangles", "lineitem", 0))
+      ("graph_triangles", "lineitem", 0),
+      ("graph_bfs", "lineitem", 0),
+      ("graph_path_counts", "lineitem", 0),
+      ("graph_closeness", "lineitem", 0),
+      ("graph_kcore", "lineitem", 0),
+      ("graph_common_neighbors", "lineitem", 0),
+      ("graph_pagerank", "lineitem", 0),
+      ("graph_eigencentrality", "lineitem", 0),
+      ("graph_label_prop", "lineitem", 0),
+      ("graph_modularity", "lineitem", 0),
+      ("graph_hits", "lineitem", 0),
+      ("attribution", "events", 0),
+      ("rolling_active_users", "events", 0),
+      ("join_null_safe", "events", 0),
+      ("stats_mutual_info", "events", 0),
+      ("stats_mann_kendall", "events", 0),
+      ("stats_pettitt", "events", 0),
+      ("stats_kruskal", "events", 0),
+      ("stats_ordinal_assoc", "events", 0),
+      ("stats_theil_u", "documents", 0),
+      ("pipeline_mix_raking", "documents", 0),
+      ("text_cond_entropy", "documents", 0),
+      ("text_quality_buckets", "documents", 0))
     expected.foreach { case (key, fact, maxScans) =>
       val lp = SparkEntry.queries(key)(spark, sf0001)
         .queryExecution.optimizedPlan
