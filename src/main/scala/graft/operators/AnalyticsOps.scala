@@ -166,8 +166,10 @@ object AnalyticsOps {
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val und = edgesDirected.union(
-      edgesDirected.select(col("dst").as("src"), col("src").as("dst")))
+    val und = edgesDirected
+      .select(explode(array(struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // static per-edge frame: (src, dst, src-degree), cached PRE-PARTITIONED
     // ON dst — the key every iteration aggregates on. HashPartitioning(dst)
@@ -230,7 +232,10 @@ object AnalyticsOps {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val und = e
+      .select(explode(array(struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
     val adj = Eager(und.repartition(col("dst")))
     var x = adj.select(col("src").as("node")).distinct()
       .withColumn("r", lit(EcScale))
@@ -284,7 +289,10 @@ object AnalyticsOps {
     // per-src argmax's clustered distributions (partitioning exprs ⊆
     // grouping exprs), so after this one-time shuffle every round is
     // exchange-free — broadcast label join, two in-partition aggregations
-    val und = Eager(e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val und = Eager(e
+      .select(explode(array(struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
       .repartition(col("src")))
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))

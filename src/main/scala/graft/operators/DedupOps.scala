@@ -644,8 +644,10 @@ object DedupOps {
         import spark.implicits._
         nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
       } else distributedMinLabel(Eager(
-        pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst")))
+        pairs.select(explode(array(
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+            struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))))
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),

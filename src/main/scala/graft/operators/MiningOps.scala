@@ -138,8 +138,9 @@ object MiningOps {
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct().transform(Eager(_))
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
+    // one pass, not a union of two projections: each edge credits both
+    // endpoints via an exploded 2-array
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     // degree lookup is |parts|-sized — broadcast to both endpoints
     val withDeg = und
@@ -274,7 +275,9 @@ object MiningOps {
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct().transform(Eager(_))
     def degreesOf(e: DataFrame): DataFrame =
-      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      // exploded 2-array, not a union of two projections: the edge
+      // restriction feeding each round is computed ONCE per recount
+      e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val one = Window.partitionBy(lit(1))
     val deg0 = Eager(degreesOf(und))
@@ -514,7 +517,10 @@ object MiningOps {
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
     val edges = und
-      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      // both directions in ONE pass over the deduped edge set
+      .select(explode(array(struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("u")).transform(Eager(_))
     // the seed is ONE driver scalar (TakeOrdered of the degree frame) —
     // model-sized by construction
@@ -550,8 +556,11 @@ object MiningOps {
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct().transform(Eager(_))
-    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
-      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    val adj = und
+      .select(explode(array(
+        struct(col("u").as("node"), col("v").as("nbr")),
+        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
     val deg = Eager(adj.groupBy(col("node")).agg(count(lit(1)).as("d")))
     val mid = adj.join(broadcast(deg), "node").filter(col("d") <= 64)
       .select(col("node").as("w"), col("nbr"), col("d").as("dw"))
@@ -588,7 +597,10 @@ object MiningOps {
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
-    val adj = und.union(und.select(col("v"), col("u"))).toDF("u", "v")
+    val adj = und
+      .select(explode(array(struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
     val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
     val e = adj
       .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))),
@@ -628,9 +640,11 @@ object MiningOps {
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct().transform(Eager(_))
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("d")).transform(Eager(_))
+    // one pass, not a union of two projections: each edge credits both
+    // endpoints via an exploded 2-array — und is read ONCE here
+    val deg = Eager(und
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d")))
     val withDeg = und
       .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))),
         "u")
@@ -645,19 +659,30 @@ object MiningOps {
         .otherwise(col("u")).as("dst")).transform(Eager(_))
     val adj = dir2.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
-    // materialized eagerly: the credit union reads this frame three times
-    val triVerts = dir2
+    // every triangle credits its three members in ONE pass: the closing
+    // vertices explode TOGETHER with the base edge's endpoints, so the
+    // triangle-vertex frame has exactly one consumer and never needs
+    // materializing (the previous 3-way union-of-projections read a
+    // checkpointed copy of it three times — at sf≈1 that one frame was
+    // 15 s of the key's 29 s)
+    val credits = dir2
       .join(adj.select(col("src").as("u"), col("nbrs").as("nu")),
         col("src") === col("u"))
       .join(adj.select(col("src").as("v"), col("nbrs").as("nv")),
         col("dst") === col("v"))
       .select(col("src"), col("dst"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
-      .transform(Eager(_))
-    val credits = triVerts.select(col("src").as("node"))
-      .union(triVerts.select(col("dst").as("node")))
-      .union(triVerts.select(col("w").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      // per base edge with k closing vertices (k triangles): src and dst
+      // each earn k credits, every closing vertex earns 1 — emitted as
+      // ONE weighted (node, c) array so the whole credit assignment is a
+      // single explode + keyed sum
+      .select(explode(expr(
+        "concat(array(struct(src AS node, CAST(size(ws) AS BIGINT) AS c)," +
+          " struct(dst AS node, CAST(size(ws) AS BIGINT) AS c))," +
+          " transform(ws, w -> struct(w AS node, CAST(1 AS BIGINT) AS c)))"))
+        .as("e"))
+      .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("tri"))
     deg.filter(col("d") >= 2)
       .join(credits, Seq("node"), "left")
       .select(col("node"), col("d"),
@@ -766,8 +791,7 @@ object MiningOps {
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val binned = deg
       .groupBy((length(expr("bin(d)")) - 1).as("log2_bin"))
@@ -795,8 +819,7 @@ object MiningOps {
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d")).transform(Eager(_))
     val ks = Seq(4, 8, 16, 32)
     val kCol = explode(array(ks.map(lit): _*)).as("k")
@@ -909,7 +932,10 @@ object MiningOps {
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
     val edges = und
-      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      // both directions in ONE pass over the deduped edge set
+      .select(explode(array(struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("u")).transform(Eager(_))
     val seed = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .orderBy(desc("d"), col("u")).limit(1)
@@ -1032,7 +1058,10 @@ object MiningOps {
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
     val edges = und
-      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      // both directions in ONE pass over the deduped edge set
+      .select(explode(array(struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("u")).transform(Eager(_))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val seeds = deg.orderBy(desc("d"), col("u")).limit(5)
