@@ -126,16 +126,24 @@ object AnalyticsOps {
       .withColumn("last_touch", last(touch, ignoreNulls = true).over(tl))
       .withColumn("first_touch", first(touch, ignoreNulls = true).over(tl))
       .filter(col("event_type") === "purchase")
-      .transform(Eager(_)) // one timeline pass feeds both attribution models
-    def agg(model: String, c: Column) = p
-      .groupBy(coalesce(c, lit("(none)")).as("touch_type"))
+    // BOTH attribution models from the one timeline pass, in ONE
+    // aggregation: each purchase row explodes into its (model, touch)
+    // credit pair and a single keyed agg replaces the former
+    // union-of-two-aggregations (which read a materialized copy of the
+    // timeline twice) — the timeline now has exactly one consumer and
+    // never materializes
+    p.select(explode(array(
+        struct(lit("first_touch").as("model"),
+          coalesce(col("first_touch"), lit("(none)")).as("touch_type"),
+          col("value")),
+        struct(lit("last_touch").as("model"),
+          coalesce(col("last_touch"), lit("(none)")).as("touch_type"),
+          col("value")))).as("e"))
+      .groupBy(col("e.model").as("model"),
+        col("e.touch_type").as("touch_type"))
       .agg(count(lit(1)).as("n_purchases"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
+        sum(col("e.value").cast("decimal(18,2)")).cast("double")
           .as("attributed_value"))
-      .select(lit(model).as("model"), col("touch_type"),
-        col("n_purchases"), col("attributed_value"))
-    agg("first_touch", col("first_touch"))
-      .union(agg("last_touch", col("last_touch")))
       .orderBy("model", "touch_type")
   }
 

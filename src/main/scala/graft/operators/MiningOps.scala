@@ -593,10 +593,12 @@ object MiningOps {
   // twice. ──
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val op = Eager(baskets(spark, dir))
-    val und = op.select(col("o"), col("p").as("u"))
+    // materialized: deg and the probe side both trace back to this
+    // self-join — lazy, the distinct recomputes once per consumer
+    val und = Eager(op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+      .select(col("u"), col("v")).distinct())
     val adj = und
       .select(explode(array(struct(col("u"), col("v")),
         struct(col("v").as("u"), col("u").as("v")))).as("e"))
@@ -815,10 +817,11 @@ object MiningOps {
   // one cast-first division, NULL below 2 club members. ──
   def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
     val op = Eager(baskets(spark, dir))
-    val und = op.select(col("o"), col("p").as("u"))
+    // materialized: the degree build and the club-edge probe both read it
+    val und = Eager(op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+      .select(col("u"), col("v")).distinct())
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d")).transform(Eager(_))
     val ks = Seq(4, 8, 16, 32)

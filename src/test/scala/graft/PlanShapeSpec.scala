@@ -262,7 +262,9 @@ class PlanShapeSpec extends SparkSuite {
       ("graph_label_prop", "lineitem", 0),
       ("graph_modularity", "lineitem", 0),
       ("graph_hits", "lineitem", 0),
-      ("attribution", "events", 0),
+      // attribution's one-pass explode form has a SINGLE consumer of the
+      // timeline, so the correct plan is one direct scan, no checkpoint
+      ("attribution", "events", 1),
       ("rolling_active_users", "events", 0),
       ("join_null_safe", "events", 0),
       ("stats_mutual_info", "events", 0),
