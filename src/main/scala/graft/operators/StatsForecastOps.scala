@@ -370,13 +370,16 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
   // Group-sized state; top-50 by occurrence count, never a global
   // sort. ──
   def forecastSba(spark: SparkSession, dir: String): DataFrame = {
-    val demD = Tables.lineitem(spark, dir)
+    // materialized: the Croston fold and the size/interval moments both
+    // consume this (part, day) demand table — lazy, the lineitem⋈orders
+    // join + aggregation ran once per consumer
+    val demD = Eager(Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_partkey").as("part"),
         expr("datediff(to_date(o_orderdate), DATE'1970-01-01')")
           .cast("long").as("dayno"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("dd"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("dd")))
     val dem = demD.withColumn("d", col("dd").cast("double"))
     val a = CrostonA
     val folded = dem.groupBy(col("part"))
