@@ -1644,36 +1644,43 @@ object MiningOps {
     // the same three peeling rounds unrolled; K = lower-median degree
     // via the explicit middle-row rule
     "graph_kcore" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |und AS (
+      // every CTE is MATERIALIZED: each peel round references the
+      // previous round's frames more than once (the two endpoint joins
+      // plus the count subqueries), and DuckDB inlines multi-referenced
+      // CTEs here — round 3's inlined tree re-expands rounds 1-2
+      // combinatorially (measured at sf0.1: >80 GB of spilled temp vs
+      // 5 s materialized). This is the SQL spelling of the engine's
+      // per-round localCheckpoint.
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS MATERIALIZED (
         |  SELECT DISTINCT a.p AS u, b.p AS v
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
-        |d0 AS (
+        |d0 AS MATERIALIZED (
         |  SELECT node, count(*) AS d FROM (
         |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
         |  GROUP BY 1),
-        |kk AS (
+        |kk AS MATERIALIZED (
         |  SELECT d AS k FROM (
         |    SELECT d, row_number() OVER (ORDER BY d, node) AS rn,
         |      count(*) OVER () AS m FROM d0)
         |  WHERE rn = (m + 1) // 2),
-        |k1 AS (SELECT node FROM d0, kk WHERE d >= k),
-        |e1 AS (SELECT u, v FROM und
+        |k1 AS MATERIALIZED (SELECT node FROM d0, kk WHERE d >= k),
+        |e1 AS MATERIALIZED (SELECT u, v FROM und
         |       JOIN k1 a ON und.u = a.node JOIN k1 b ON und.v = b.node),
-        |d1 AS (
+        |d1 AS MATERIALIZED (
         |  SELECT k1.node, COALESCE(c.d, 0) AS d FROM k1 LEFT JOIN (
         |    SELECT node, count(*) AS d FROM (
         |      SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
         |    GROUP BY 1) c USING (node)),
-        |k2 AS (SELECT node FROM d1, kk WHERE d >= k),
-        |e2 AS (SELECT u, v FROM e1
+        |k2 AS MATERIALIZED (SELECT node FROM d1, kk WHERE d >= k),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1
         |       JOIN k2 a ON e1.u = a.node JOIN k2 b ON e1.v = b.node),
-        |d2 AS (
+        |d2 AS MATERIALIZED (
         |  SELECT k2.node, COALESCE(c.d, 0) AS d FROM k2 LEFT JOIN (
         |    SELECT node, count(*) AS d FROM (
         |      SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
         |    GROUP BY 1) c USING (node)),
-        |k3 AS (SELECT node FROM d2, kk WHERE d >= k)
+        |k3 AS MATERIALIZED (SELECT node FROM d2, kk WHERE d >= k)
         |SELECT CAST(1 AS BIGINT) AS round, kk.k,
         |  (SELECT count(*) FROM d0) - (SELECT count(*) FROM k1) AS n_removed,
         |  (SELECT count(*) FROM k1) AS n_remaining FROM kk

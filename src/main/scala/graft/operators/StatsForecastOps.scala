@@ -1062,12 +1062,21 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
         |        ON s.event_type = f.event_type AND s.dow = f.dow),
         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    sum(resid) AS s_resid,
-        |    sum(CAST(resid AS DECIMAL(24,6)) * resid) AS q_resid,
+        |    CAST(CAST(sum(CAST(resid AS DECIMAL(24,6)) * resid)
+        |      AS VARCHAR) AS DOUBLE) AS q_resid,
         |    sum(det) AS s_det,
-        |    sum(CAST(det AS DECIMAL(24,6)) * det) AS q_det,
+        |    CAST(CAST(sum(CAST(det AS DECIMAL(24,6)) * det)
+        |      AS VARCHAR) AS DOUBLE) AS q_det,
         |    sum(des) AS s_des,
-        |    sum(CAST(des AS DECIMAL(24,6)) * des) AS q_des
+        |    CAST(CAST(sum(CAST(des AS DECIMAL(24,6)) * des)
+        |      AS VARCHAR) AS DOUBLE) AS q_des
         |  FROM c GROUP BY 1)
+        |-- q_* go DECIMAL(38,12)→VARCHAR→DOUBLE: DuckDB's direct
+        |-- decimal→double cast rounds twice (int128→double, then
+        |-- ÷10^12) and is off by an ulp once the unscaled value
+        |-- passes 2^53 (gate-measured at sf0.1: q_des of the signup
+        |-- group); the string path is correctly rounded, matching
+        |-- Spark/Java's BigDecimal.doubleValue exactly.
         |SELECT event_type, n AS n_days,
         |  round((n * CAST(q_resid AS DOUBLE)
         |    - CAST(s_resid AS DOUBLE) * CAST(s_resid AS DOUBLE))

@@ -57,7 +57,7 @@ private[operators] trait StatsOpsBase {
     * unbounded recurrence while keeping per-row state O(1). */
   protected val EwmaLags = 49
 
-  protected val EwmaDecay = "0.9D"
+  protected val EwmaDecay = "0.9"
 
   /** [[statsKs]] samples: the two behavioral distributions compared. */
   protected val KsTypeA = "click"
@@ -183,19 +183,11 @@ private[operators] trait StatsOpsBase {
   // bit-identical constant.
   protected val MacdD12 = (11.0 / 13.0).toString
 
-  protected val MacdA12 = (2.0 / 13.0).toString
-
   protected val MacdD26 = (25.0 / 27.0).toString
-
-  protected val MacdA26 = (2.0 / 27.0).toString
 
   protected val MacdD9 = (0.8).toString
 
-  protected val MacdA9 = (0.2).toString
-
   protected val KeltD = (19.0 / 21.0).toString
-
-  protected val KeltA = (2.0 / 21.0).toString
 
   protected val CrostonA = (0.1).toString
 
@@ -356,12 +348,39 @@ private[operators] trait StatsOpsBase {
       |        (COALESCE(tp, mxus) - t0) // 3600000000 AS t
       |      FROM subj CROSS JOIN mx)""".stripMargin
 
-  /** Duck-side EMA over a window-listed history `h` — identical element
-    * order, weights and sequential summation as the Spark fold. */
-  protected def duckEma(h: String, d: String, a: String): String =
-    s"""list_sum(list_transform(range(1, len($h) + 1),
-       |    k -> $h[k] * pow($d, len($h) - k)))
-       |/ ((1.0 - pow($d, CAST(len($h) AS DOUBLE))) / $a)""".stripMargin
+  /** Spark-side finite-history EMA over a window-listed history `h` as a
+    * HORNER fold: one pass accumulates numerator Σ xᵢ·d^(n−1−i) and
+    * weight-sum Σ d^k together via st ← st·d + x — ONLY IEEE mul+add, no
+    * libm. The previous closed form (per-term `pow(d, k)` weights and a
+    * (1−dⁿ)/α normalizer) called `pow`, and Java vs C pow disagree by an
+    * ulp on non-exact bases: at sf0.1 that ulp crossed a 6-dp round
+    * boundary in window_macd (gate-measured, 3 rows on adjacent 1e-6
+    * grid points). A mul/add chain is bit-identical in any IEEE-754
+    * engine given the same element order, which the ordered window list
+    * pins — [[duckEma]] replays the identical op sequence (init 0 here
+    * folds 0·d + x₁ = x₁, exactly DuckDB's reduce-from-first-element). */
+  protected def sparkEma(h: String, d: String): String =
+    s"""(aggregate($h,
+       |  named_struct('num', CAST(0 AS DOUBLE), 'g', CAST(0 AS DOUBLE)),
+       |  (st, x) -> named_struct(
+       |    'num', st.num * ${d}D + x,
+       |    'g',   st.g * ${d}D + 1.0D),
+       |  st -> st.num / st.g))""".stripMargin
+
+  /** Duck-side twin of [[sparkEma]] — same Horner mul/add chain over the
+    * same list order (list_reduce seeds with element 1, matching the
+    * Spark fold's first step); the fold runs twice (num, then g) because
+    * DuckDB lacks a finish lambda — day-grid-sized lists, negligible. */
+  protected def duckEma(h: String, d: String): String = {
+    val fold =
+      s"""list_reduce(
+         |  list_transform($h, x -> struct_pack(num := x,
+         |    g := CAST(1 AS DOUBLE))),
+         |  (acc, x) -> struct_pack(
+         |    num := acc.num * CAST($d AS DOUBLE) + x.num,
+         |    g   := acc.g * CAST($d AS DOUBLE) + x.g))""".stripMargin
+    s"(struct_extract($fold, 'num') / struct_extract($fold, 'g'))"
+  }
 
   protected val duckNormalDeciles: String = NormalDeciles
     .map { case (d, z) => s"($d, CAST($z AS DOUBLE))" }.mkString(", ")

@@ -27,13 +27,7 @@ private[operators] trait StatsWindowOps extends StatsOpsBase {
       .select(col("event_id"), col("user_id"), col("us"), col("value"))
       .withColumn("hist", collect_list(col("value")).over(w))
       .withColumn("ewma", expr(
-        s"""round(
-           |  aggregate(
-           |    transform(hist,
-           |      (x, i) -> x * pow($EwmaDecay, size(hist) - 1 - i)),
-           |    0D, (a, b) -> a + b)
-           |  / ((1.0D - pow($EwmaDecay, CAST(size(hist) AS DOUBLE))) / 0.1D),
-           |6) + 0.0D""".stripMargin))
+        s"round(${sparkEma("hist", EwmaDecay)}, 6) + 0.0D"))
       .select(col("event_id"), col("user_id"), col("ewma"))
       .orderBy("user_id", "event_id")
   }
@@ -349,22 +343,19 @@ private[operators] trait StatsWindowOps extends StatsOpsBase {
   // ── MACD(12, 26, 9) on daily revenue — the trend-vs-momentum
   // completion of the TA family (RSI positions within the recent range,
   // Bollinger bands the level, MACD reads the CROSSOVER of two decay
-  // horizons). Each EMA is the pandas adjust=true closed form — a
-  // geometric-weighted mean over a bounded trailing frame (the
-  // window_ewma device: finite window, exact partial-window
-  // normalization (1−dⁿ)/α). MACD snaps to 6 dp BEFORE the signal
-  // EMA consumes it, so the second smoothing stage reads provably
-  // identical inputs in both engines. Per-type windows; the series
-  // frame is day-grid-sized at any corpus. ──
+  // horizons). Each EMA is the pandas adjust=true form — a
+  // geometric-weighted mean over a bounded trailing frame, computed by
+  // the shared Horner fold [[sparkEma]] (pure IEEE mul+add; the earlier
+  // pow()-weighted form diverged from the oracle by a libm ulp that
+  // crossed a 6-dp round boundary at sf0.1). MACD snaps to 6 dp BEFORE
+  // the signal EMA consumes it, so the second smoothing stage reads
+  // provably identical inputs in both engines. Per-type windows; the
+  // series frame is day-grid-sized at any corpus. ──
   def windowMacd(spark: SparkSession, dir: String): DataFrame = {
     val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
         .as("revc"))
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    def ema(h: String, d: String, a: String): String =
-      s"""aggregate(transform($h, (x, i) -> x * pow($d, size($h) - 1 - i)),
-         |  0D, (acc, t) -> acc + t)
-         |/ ((1.0D - pow($d, cast(size($h) as double))) / $a)""".stripMargin
     val staged = daily
       .withColumn("h12",
         collect_list(col("revc").cast("double")).over(
@@ -373,13 +364,13 @@ private[operators] trait StatsWindowOps extends StatsOpsBase {
         collect_list(col("revc").cast("double")).over(
           wOrd.rowsBetween(-25, 0)))
       .withColumn("macd", round(
-        expr(ema("h12", MacdD12, MacdA12)) -
-          expr(ema("h26", MacdD26, MacdA26)), 6) + lit(0.0d))
+        expr(sparkEma("h12", MacdD12)) -
+          expr(sparkEma("h26", MacdD26)), 6) + lit(0.0d))
     staged
       .withColumn("h9",
         collect_list(col("macd")).over(wOrd.rowsBetween(-8, 0)))
       .withColumn("signal",
-        round(expr(ema("h9", MacdD9, MacdA9)), 6) + lit(0.0d))
+        round(expr(sparkEma("h9", MacdD9)), 6) + lit(0.0d))
       .select(col("event_type"), col("day"), col("macd"), col("signal"),
         r6(col("macd") - col("signal")).as("histogram"))
       .orderBy("event_type", "day")
@@ -402,10 +393,6 @@ private[operators] trait StatsWindowOps extends StatsOpsBase {
         max(struct(col("us"), col("event_id"), col("vc")))
           .getField("vc").as("c"))
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    def ema(h: String, d: String, a: String): String =
-      s"""aggregate(transform($h, (x, i) -> x * pow($d, size($h) - 1 - i)),
-         |  0D, (acc, t) -> acc + t)
-         |/ ((1.0D - pow($d, cast(size($h) as double))) / $a)""".stripMargin
     bars
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("pc", lag(col("c"), 1).over(wOrd))
@@ -417,7 +404,7 @@ private[operators] trait StatsWindowOps extends StatsOpsBase {
       .withColumn("atr_c", sum(col("tr")).over(wOrd.rowsBetween(-9, 0)))
       .filter(col("rn") >= 20)
       .withColumn("mid6",
-        round(expr(ema("h20", KeltD, KeltA) + "/ 100"), 6) + lit(0.0d))
+        round(expr(sparkEma("h20", KeltD) + "/ 100"), 6) + lit(0.0d))
       .withColumn("atr6", r6(expr("cast(atr_c as double) / 1000")))
       .withColumn("up6", r6(col("mid6") + lit(2.0d) * col("atr6")))
       .withColumn("lo6", r6(col("mid6") - lit(2.0d) * col("atr6")))
@@ -777,11 +764,14 @@ private[operators] trait StatsWindowOps extends StatsOpsBase {
         abs(col("yc") - lag(col("yc"), 10).over(wOrd)))
       .withColumn("vol", sum(abs(col("yc") - lag(col("yc"), 1).over(wOrd)))
         .over(wOrd.rowsBetween(-9, 0)))
-      .withColumn("sc", expr(
+      // the smoothing constant is scb², squared by explicit multiply:
+      // pow(x, 2) is a libm call whose low bit Java and C may disagree
+      // on, x*x is a single IEEE multiply — bit-identical everywhere
+      .withColumn("scb", expr(
         "CASE WHEN rn >= 11 THEN" +
-          " pow((CASE WHEN vol > 0 THEN cast(net as double) / vol" +
-          " ELSE 0.0D END) * (2.0D / 3 - 2.0D / 31) + 2.0D / 31, 2)" +
-          " END"))
+          " (CASE WHEN vol > 0 THEN cast(net as double) / vol" +
+          " ELSE 0.0D END) * (2.0D / 3 - 2.0D / 31) + 2.0D / 31 END"))
+      .withColumn("sc", expr("scb * scb"))
     er.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sort_array(collect_list(struct(col("day"), col("yc"), col("sc"),
@@ -939,11 +929,12 @@ private[operators] trait StatsWindowOps extends StatsOpsBase {
         |    PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol
         |  FROM s0),
-        |s2 AS (SELECT *, CASE WHEN rn >= 11 THEN
-        |    pow((CASE WHEN vol > 0 THEN CAST(net AS DOUBLE) / vol
-        |      ELSE 0.0 END) * (2.0 / 3 - 2.0 / 31) + 2.0 / 31, 2)
-        |    END AS sc
+        |s1 AS (SELECT *, CASE WHEN rn >= 11 THEN
+        |    (CASE WHEN vol > 0 THEN CAST(net AS DOUBLE) / vol
+        |      ELSE 0.0 END) * (2.0 / 3 - 2.0 / 31) + 2.0 / 31
+        |    END AS scb
         |  FROM s),
+        |s2 AS (SELECT *, scb * scb AS sc FROM s1),
         |rec AS (
         |  SELECT event_type, n, rn, CAST(yc AS DOUBLE) AS kama
         |  FROM s2 WHERE rn = 11
@@ -1191,15 +1182,15 @@ private[operators] trait StatsWindowOps extends StatsOpsBase {
          |  FROM daily
          |  WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
          |m AS (SELECT event_type, day,
-         |    round(${duckEma("h12", MacdD12, MacdA12)}
-         |      - ${duckEma("h26", MacdD26, MacdA26)}, 6) + 0.0 AS macd
+         |    round(${duckEma("h12", MacdD12)}
+         |      - ${duckEma("h26", MacdD26)}, 6) + 0.0 AS macd
          |  FROM h),
          |s AS (SELECT event_type, day, macd,
          |    list(macd) OVER (wo ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
          |      AS h9
          |  FROM m WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
          |f AS (SELECT event_type, day, macd,
-         |    round(${duckEma("h9", MacdD9, MacdA9)}, 6) + 0.0 AS signal
+         |    round(${duckEma("h9", MacdD9)}, 6) + 0.0 AS signal
          |  FROM s)
          |SELECT event_type, day, macd, signal,
          |  round(macd - signal, 6) + 0.0 AS histogram
@@ -1228,7 +1219,7 @@ private[operators] trait StatsWindowOps extends StatsOpsBase {
          |    w10 AS (PARTITION BY event_type ORDER BY day
          |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
          |t4 AS (SELECT *,
-         |    round((${duckEma("h20", KeltD, KeltA)}) / 100, 6) + 0.0
+         |    round((${duckEma("h20", KeltD)}) / 100, 6) + 0.0
          |      AS mid6,
          |    round(CAST(atr_c AS DOUBLE) / 1000, 6) + 0.0 AS atr6
          |  FROM t3 WHERE rn >= 20),
@@ -1435,19 +1426,22 @@ private[operators] trait StatsWindowOps extends StatsOpsBase {
         |SELECT event_id, user_id, z, abs(z) > 3 AS is_out
         |FROM z ORDER BY user_id, event_id""".stripMargin,
     "window_ewma" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, "value" AS v,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
-        |  FROM events),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |        ORDER BY us, event_id) AS rn FROM e)
-        |SELECT a.event_id, a.user_id,
-        |  round(sum(b.v * pow(0.9, a.rn - b.rn)) /
-        |        ((1 - pow(0.9, count(*))) / 0.1), 6) + 0.0 AS ewma
-        |FROM r a JOIN r b
-        |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 49 AND a.rn
-        |GROUP BY a.event_id, a.user_id
-        |ORDER BY a.user_id, a.event_id""".stripMargin,
+      // same window-listed Horner fold as the engine (the earlier
+      // join-GROUP BY form summed pow()-weighted terms in whatever
+      // order the hash aggregate emitted — two float-determinism holes
+      // the shared [[duckEma]] device closes at once)
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, "value" AS v,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |r AS (SELECT *, list(v) OVER (PARTITION BY user_id
+         |        ORDER BY us, event_id
+         |        ROWS BETWEEN $EwmaLags PRECEDING AND CURRENT ROW)
+         |        AS hist FROM e)
+         |SELECT event_id, user_id,
+         |  round(${duckEma("hist", EwmaDecay)}, 6) + 0.0 AS ewma
+         |FROM r
+         |ORDER BY user_id, event_id""".stripMargin,
     "window_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
