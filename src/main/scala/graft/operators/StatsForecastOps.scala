@@ -496,8 +496,7 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
         size(col("s")).cast("long").as("n_days"),
         r6(col("st.l")).as("level"),
         r6(col("st.b")).as("trend"),
-        r6(expr(s"st.l + st.b * ($DampP * (1.0D - pow($DampP, 7))" +
-          s" / (1.0D - $DampP))")).as("forecast_7"))
+        r6(expr(s"st.l + st.b * ${DampSum7}D")).as("forecast_7"))
       .orderBy("event_type")
 
   // ── AR(2) fit by Yule–Walker on per-type daily revenue — the
@@ -682,7 +681,7 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
         |    AS forecast_7
         |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
     "forecast_damped" ->
-      """WITH RECURSIVE d AS (
+      s"""WITH RECURSIVE d AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS y
         |  FROM events GROUP BY 1, 2),
@@ -707,7 +706,7 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
         |  WHERE r.t < r.n)
         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
         |  round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
-        |  round(l + b * (0.9 * (1.0 - pow(0.9, 7)) / (1.0 - 0.9)), 6)
+        |  round(l + b * CAST($DampSum7 AS DOUBLE), 6)
         |    + 0.0 AS forecast_7
         |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
     "forecast_croston" ->

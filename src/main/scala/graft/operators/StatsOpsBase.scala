@@ -245,6 +245,17 @@ private[operators] trait StatsOpsBase {
 
   protected val DampP = "0.9"
 
+  /** The 7-step damping multiplier Σ_{k=1..7} φᵏ = φ(1−φ⁷)/(1−φ),
+    * pre-evaluated HERE by repeated IEEE multiply and interpolated into
+    * both engines as the same shortest-round-trip literal — the closed
+    * form called pow(φ, 7), a libm function whose low bit Java and C
+    * may disagree on inside a 6-dp-rounded compare. */
+  protected val DampSum7: String = {
+    var s = 0.0; var p = 1.0
+    for (_ <- 1 to 7) { p *= 0.9; s += p }
+    s.toString
+  }
+
   /** Standard-normal CDF as a SQL snippet — Abramowitz & Stegun 7.1.26
     * (max abs error 1.5e-7, well inside the 6-dp compare): the SAME
     * string is embedded in the Spark expr and the DuckDB oracle, so the

@@ -2470,7 +2470,7 @@ private[operators] trait StatsTestOps extends StatsOpsBase {
         |SELECT a.event_type AS type_a, b.event_type AS type_b,
         |  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) + 0.0
         |    AS t_stat,
-        |  round(pow(a.v / a.n + b.v / b.n, 2) /
+        |  round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
         |    ((a.v / a.n) * (a.v / a.n) / (a.n - 1) +
         |     (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 6) + 0.0 AS df
         |FROM m a, m b WHERE a.event_type < b.event_type
