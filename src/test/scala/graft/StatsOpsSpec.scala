@@ -352,6 +352,38 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("window_ewma: bit-exact against a driver-side Horner replay " +
+    "(pins the libm-free EMA device of round 9)") {
+    // the shared sparkEma/duckEma device must be pure IEEE mul+add over
+    // the window's element order: st ← st·d + x for numerator and
+    // weight-sum alike. A Scala replay of that exact op sequence must
+    // therefore match to the BIT (===, not a tolerance) — any pow(),
+    // reordering, or fused-multiply creeping back into the fold breaks
+    // this test even when the DuckDB gate's magnitudes mask the ulp.
+    val out = StatsOps.windowEwma(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hist = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._2)
+    assert(out.nonEmpty)
+    val d = 0.9
+    hist.foreach { case (user, rows) =>
+      val ordered = rows.sortBy(t => (t._4, t._1)) // (us, event_id)
+      ordered.indices.foreach { i =>
+        val window = ordered.slice(math.max(0, i - 49), i + 1)
+        var num = 0.0; var g = 0.0
+        window.foreach { t => num = num * d + t._3; g = g * d + 1.0 }
+        val expected = BigDecimal(num / g)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0d
+        assert(out((ordered(i)._1, user)) === expected,
+          s"user $user event ${ordered(i)._1}")
+      }
+    }
+  }
+
   test("window_streaks: longest <= active days, streak count positive, " +
     "and active days equals the user's distinct-day count") {
     val s = StatsOps.windowStreaks(spark, sf0001).collect()
