@@ -150,6 +150,20 @@ object Bench {
       (line + "\n" + s"""{"samples":$samplesJson}""" + "\n" +
         s"""{"min_total":$minTotal,"min":$minJson}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The driver keeps only the last ~2 KB of stdout, so the full per-key
+    // line above loses its head (its opening "{" is ~28 KB back) and the
+    // driver records "parsed": null. Emit a COMPACT, self-describing JSON
+    // line LAST — short enough to survive the tail intact — carrying the
+    // totals plus the slowest keys (the performance-relevant ones); the
+    // complete per-key map lives in the committed artifact named inside.
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$slow,""" +
+      s""""note":"queries = slowest 15 of ${results.size} keys by median;""" +
+      s""" full per-key medians/samples/mins committed at $outPath",""" +
+      s""""n_queries":${results.size},"min_total":$minTotal,""" +
+      s""""failed":$failedJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -118,8 +118,14 @@ object DedupOps {
     * sets: this corpus draws ~16 words from a ~30-word vocabulary, so word
     * SETS collide for most document pairs (measured: 92k of 125k pairs have
     * set-Jaccard ≥ 0.5 at sf0.01) while 3-gram shingles separate cleanly. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.documents(spark, dir)
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesFrom(Tables.documents(spark, dir))
+
+  /** [[shingles]] over an arbitrary documents frame — the sampled eval
+    * harness admits a deterministic doc subset first, then reuses the
+    * exact production shingle stage. */
+  private def shinglesFrom(docs: DataFrame): DataFrame = {
+    val raw = docs
       .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
       .select(col("doc_id"),
         // guard: sequence(1, 0) in Spark generates a DESCENDING sequence,
@@ -286,8 +292,34 @@ object DedupOps {
   // never recover; F1 summarizes the (b, r) operating point. Three
   // 1-row aggregates combined — pair-set-sized work, same as the dedup
   // keys themselves. ──
-  def evalDedupPr(spark: SparkSession, dir: String): DataFrame = {
-    val sh = eager(shingles(spark, dir))
+  def evalDedupPr(spark: SparkSession, dir: String): DataFrame =
+    prReport(eager(shingles(spark, dir)))
+
+  /** Deterministic 30% document admission shared verbatim by the engine
+    * and the oracle: the first 60 bits of md5(doc_id) mod 10 < 3 — a
+    * portable hash both engines replay bit-for-bit (same device as the
+    * inline shingle ids), uncorrelated with doc_id order, stable under
+    * repartitioning. This is the 100 TB deployment mode of the
+    * exhaustive eval harnesses: grade the LSH operating point on a
+    * hash-admitted sample instead of the full corpus — the candidate/
+    * truth universes shrink quadratically (~9% of the pairs at 30% of
+    * the docs) while the measured precision/recall stay unbiased
+    * estimators of the corpus-wide operating point (admission is
+    * independent of content). */
+  private val SampleAdmissionSpark =
+    "CAST(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)" +
+      " AS BIGINT) % 10 < 3"
+  private[operators] val SampleAdmissionDuck =
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))" +
+      " AS BIGINT) % 10 < 3"
+
+  /** [[evalDedupPr]] on the hash-admitted sample — same production
+    * candidate generator, same exact truth, ~1/10 the pair work. */
+  def evalDedupPrSampled(spark: SparkSession, dir: String): DataFrame =
+    prReport(eager(shinglesFrom(
+      Tables.documents(spark, dir).filter(expr(SampleAdmissionSpark)))))
+
+  private def prReport(sh: DataFrame): DataFrame = {
     val cand = minhashCandidates(withSid(sh))
       .withColumn("is_cand", lit(1L))
     val truth = ngramPairs(sh).select(col("doc_a"), col("doc_b"))
@@ -834,6 +866,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_dedup_pr" -> evalDedupPr _,
+    "eval_dedup_pr_sampled" -> evalDedupPrSampled _,
     "eval_lsh_curve" -> evalLshCurve _,
     "record_linkage" -> recordLinkage _,
     "dedup_canonical" -> dedupCanonical _,
@@ -858,8 +891,13 @@ object DedupOps {
     * declared unconditionally — harmless for the non-recursive oracles,
     * required by dedup_cluster's reachability CTE, and it keeps this one
     * prefix shared by every dedup oracle without string surgery. */
-  private val duckShingles =
-    """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+  private val duckShingles = duckShinglesFrom("documents")
+
+  /** [[duckShingles]] over an arbitrary documents source (subquery or
+    * table) — the oracle twin of [[shinglesFrom]]. */
+  private def duckShinglesFrom(src: String) =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM $src),""".stripMargin +
+    """
       |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle FROM t),
       |sh AS (SELECT doc_id, shingle FROM sh0
@@ -902,6 +940,49 @@ object DedupOps {
       |         FROM reach GROUP BY origin),
       |cl AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
       |       FROM documents d LEFT JOIN comp c USING (doc_id))""".stripMargin
+
+  /** The eval_dedup_pr oracle over an arbitrary documents source — shared
+    * by the exhaustive and hash-admitted-sample keys. */
+  private def duckPr(src: String): String = duckShinglesFrom(src) +
+    """,
+        |hashed AS (SELECT doc_id, i, ((2*i + 1) * sid + 17*i + 7) % 2147483647 AS h
+        |           FROM ws, (SELECT unnest(range(0, 32)) AS i)),
+        |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |            min(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+        |            min(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+        |          FROM sig GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
+        |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
+        |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |               AND a.doc_id < b.doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |          FROM scand JOIN sh sa ON doc_a = sa.doc_id
+        |                     JOIN sh sb ON doc_b = sb.doc_id
+        |                          AND sa.shingle = sb.shingle
+        |          GROUP BY doc_a, doc_b),
+        |truth AS (SELECT doc_a, doc_b
+        |          FROM inter JOIN sizes za ON doc_a = za.doc_id
+        |                     JOIN sizes zb ON doc_b = zb.doc_id
+        |          WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6)
+        |                >= 0.3),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+        |tp AS (SELECT CAST(count(*) AS BIGINT) AS tp
+        |       FROM cand JOIN truth USING (doc_a, doc_b)),
+        |pr AS (SELECT n_cand, n_true, tp,
+        |    CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / n_cand
+        |         ELSE 0.0 END AS p,
+        |    CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true
+        |         ELSE 0.0 END AS r
+        |  FROM nc CROSS JOIN nt CROSS JOIN tp)
+        |SELECT n_cand, n_true, tp, round(p, 6) + 0.0 AS precision,
+        |  round(r, 6) + 0.0 AS recall,
+        |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+        |        ELSE 0.0 END, 6) + 0.0 AS f1
+        |FROM pr""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // cluster assignment + text_quality's scoring CTE + per-cluster
@@ -1092,46 +1173,9 @@ object DedupOps {
         |FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
         |WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "eval_dedup_pr" -> (duckShingles +
-      """,
-        |hashed AS (SELECT doc_id, i, ((2*i + 1) * sid + 17*i + 7) % 2147483647 AS h
-        |           FROM ws, (SELECT unnest(range(0, 32)) AS i)),
-        |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
-        |bands AS (SELECT doc_id, i // 2 AS band,
-        |            min(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
-        |            min(CASE WHEN i % 2 = 1 THEN mh END) AS m1
-        |          FROM sig GROUP BY doc_id, i // 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
-        |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
-        |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
-        |               AND a.doc_id < b.doc_id),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS i
-        |          FROM scand JOIN sh sa ON doc_a = sa.doc_id
-        |                     JOIN sh sb ON doc_b = sb.doc_id
-        |                          AND sa.shingle = sb.shingle
-        |          GROUP BY doc_a, doc_b),
-        |truth AS (SELECT doc_a, doc_b
-        |          FROM inter JOIN sizes za ON doc_a = za.doc_id
-        |                     JOIN sizes zb ON doc_b = zb.doc_id
-        |          WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6)
-        |                >= 0.3),
-        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
-        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
-        |tp AS (SELECT CAST(count(*) AS BIGINT) AS tp
-        |       FROM cand JOIN truth USING (doc_a, doc_b)),
-        |pr AS (SELECT n_cand, n_true, tp,
-        |    CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / n_cand
-        |         ELSE 0.0 END AS p,
-        |    CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true
-        |         ELSE 0.0 END AS r
-        |  FROM nc CROSS JOIN nt CROSS JOIN tp)
-        |SELECT n_cand, n_true, tp, round(p, 6) + 0.0 AS precision,
-        |  round(r, 6) + 0.0 AS recall,
-        |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
-        |        ELSE 0.0 END, 6) + 0.0 AS f1
-        |FROM pr""".stripMargin),
+    "eval_dedup_pr" -> duckPr("documents"),
+    "eval_dedup_pr_sampled" -> duckPr(
+      s"(SELECT * FROM documents WHERE $SampleAdmissionDuck)"),
     "eval_lsh_curve" -> (duckShingles +
       """,
         |hashed AS (SELECT doc_id, i, ((2*i + 1) * sid + 17*i + 7) % 2147483647 AS h

@@ -1028,9 +1028,15 @@ object SqlSurfaceOps {
           .orderBy(desc("c"), col("event_type"))))
       .filter(col("pick") === 1)
       .select(col("user_id"), col("event_type").as(s"a$h"))
-    val prof = e.select(col("user_id")).distinct()
+    // the user universe comes from the ALREADY-materialized halves (same
+    // rows as e — the crossJoin adds a column, drops nothing), and prof
+    // itself is Eager'd because g1 AND g2 both consume it: before round
+    // 10's audit fix, each re-ran the distinct + both argmax joins AND
+    // re-scanned events for the user list (2 fact scans, invisible while
+    // the audit matcher was vacuous)
+    val prof = Eager(halves.select(col("user_id")).distinct()
       .join(dom(1), Seq("user_id"), "left")
-      .join(dom(2), Seq("user_id"), "left")
+      .join(dom(2), Seq("user_id"), "left"))
     val g1 = prof.groupBy(col("a1")).agg(count(lit(1)).as("n_h1"))
     val g2 = prof.groupBy(col("a2")).agg(count(lit(1)).as("n_h2"))
     g1.join(g2, g1("a1") <=> g2("a2"), "full")

@@ -1225,7 +1225,8 @@ private[operators] trait StatsDistOps extends StatsOpsBase {
         |  FROM events CROSS JOIN grid g)
         |SELECT CAST(j AS INT) AS grid_id, round(gx, 6) + 0.0 AS x,
         |  round(CAST(sum(term) AS DOUBLE) /
-        |        (CAST(n AS DOUBLE) * h * 2.5066282746310002), 6) + 0.0
+        |        (CAST(n AS DOUBLE) * h *
+        |         CAST('2.5066282746310002' AS DOUBLE)), 6) + 0.0
         |    AS density
         |FROM terms GROUP BY j, gx, n, h ORDER BY grid_id""".stripMargin,
     "group_entropy" ->

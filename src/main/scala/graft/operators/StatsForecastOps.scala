@@ -706,7 +706,7 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
         |  WHERE r.t < r.n)
         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
         |  round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
-        |  round(l + b * CAST($DampSum7 AS DOUBLE), 6)
+        |  round(l + b * CAST('$DampSum7' AS DOUBLE), 6)
         |    + 0.0 AS forecast_7
         |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
     "forecast_croston" ->
@@ -724,8 +724,8 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
          |el AS (SELECT * FROM s WHERE n >= 3),
          |rec AS (
          |  SELECT part, n, 2 AS t,
-         |    CAST($CrostonA AS DOUBLE) * max(CASE WHEN t = 2 THEN d END)
-         |      + (1.0 - CAST($CrostonA AS DOUBLE))
+         |    CAST('$CrostonA' AS DOUBLE) * max(CASE WHEN t = 2 THEN d END)
+         |      + (1.0 - CAST('$CrostonA' AS DOUBLE))
          |        * max(CASE WHEN t = 1 THEN d END) AS z,
          |    CAST(max(CASE WHEN t = 2 THEN dayno END)
          |      - max(CASE WHEN t = 1 THEN dayno END) AS DOUBLE) AS p,
@@ -733,10 +733,10 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
          |  FROM el GROUP BY part, n
          |  UNION ALL
          |  SELECT r.part, r.n, r.t + 1,
-         |    CAST($CrostonA AS DOUBLE) * pp.d
-         |      + (1.0 - CAST($CrostonA AS DOUBLE)) * r.z,
-         |    CAST($CrostonA AS DOUBLE) * CAST(pp.dayno - r.pt AS DOUBLE)
-         |      + (1.0 - CAST($CrostonA AS DOUBLE)) * r.p,
+         |    CAST('$CrostonA' AS DOUBLE) * pp.d
+         |      + (1.0 - CAST('$CrostonA' AS DOUBLE)) * r.z,
+         |    CAST('$CrostonA' AS DOUBLE) * CAST(pp.dayno - r.pt AS DOUBLE)
+         |      + (1.0 - CAST('$CrostonA' AS DOUBLE)) * r.p,
          |    pp.dayno
          |  FROM rec r JOIN el pp
          |    ON pp.part = r.part AND pp.t = r.t + 1
@@ -762,8 +762,8 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
          |el AS (SELECT * FROM s WHERE n >= 3),
          |rec AS (
          |  SELECT part, n, 2 AS t,
-         |    CAST($CrostonA AS DOUBLE) * max(CASE WHEN t = 2 THEN d END)
-         |      + (1.0 - CAST($CrostonA AS DOUBLE))
+         |    CAST('$CrostonA' AS DOUBLE) * max(CASE WHEN t = 2 THEN d END)
+         |      + (1.0 - CAST('$CrostonA' AS DOUBLE))
          |        * max(CASE WHEN t = 1 THEN d END) AS z,
          |    CAST(max(CASE WHEN t = 2 THEN dayno END)
          |      - max(CASE WHEN t = 1 THEN dayno END) AS DOUBLE) AS p,
@@ -771,10 +771,10 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
          |  FROM el GROUP BY part, n
          |  UNION ALL
          |  SELECT r.part, r.n, r.t + 1,
-         |    CAST($CrostonA AS DOUBLE) * pp.d
-         |      + (1.0 - CAST($CrostonA AS DOUBLE)) * r.z,
-         |    CAST($CrostonA AS DOUBLE) * CAST(pp.dayno - r.pt AS DOUBLE)
-         |      + (1.0 - CAST($CrostonA AS DOUBLE)) * r.p,
+         |    CAST('$CrostonA' AS DOUBLE) * pp.d
+         |      + (1.0 - CAST('$CrostonA' AS DOUBLE)) * r.z,
+         |    CAST('$CrostonA' AS DOUBLE) * CAST(pp.dayno - r.pt AS DOUBLE)
+         |      + (1.0 - CAST('$CrostonA' AS DOUBLE)) * r.p,
          |    pp.dayno
          |  FROM rec r JOIN el pp
          |    ON pp.part = r.part AND pp.t = r.t + 1

@@ -383,18 +383,30 @@ private[operators] trait StatsOpsBase {
     * Spark fold's first step); the fold runs twice (num, then g) because
     * DuckDB lacks a finish lambda — day-grid-sized lists, negligible. */
   protected def duckEma(h: String, d: String): String = {
+    // the decay constant is QUOTED so DuckDB takes its correctly-rounded
+    // string→double path: an unquoted 16-dp literal parses as
+    // DECIMAL(17,16), whose unscaled value exceeds 2^53 — the
+    // DECIMAL→DOUBLE cast then double-rounds to a double one ulp away
+    // from Spark's Java-parsed `<literal>D` (measured on MacdD26,
+    // 0.9259259259259259). Same class as the q_* VARCHAR route in
+    // stats_stl_strength.
     val fold =
       s"""list_reduce(
          |  list_transform($h, x -> struct_pack(num := x,
          |    g := CAST(1 AS DOUBLE))),
          |  (acc, x) -> struct_pack(
-         |    num := acc.num * CAST($d AS DOUBLE) + x.num,
-         |    g   := acc.g * CAST($d AS DOUBLE) + x.g))""".stripMargin
+         |    num := acc.num * CAST('$d' AS DOUBLE) + x.num,
+         |    g   := acc.g * CAST('$d' AS DOUBLE) + x.g))""".stripMargin
     s"(struct_extract($fold, 'num') / struct_extract($fold, 'g'))"
   }
 
+  // z constants are quoted for the same reason as duckEma's decay: a
+  // 17-sig-digit literal parses as DECIMAL(17,16) whose unscaled value
+  // exceeds 2^53, and the DECIMAL→DOUBLE cast double-rounds (these
+  // particular values happen to survive, measured — but that is margin,
+  // not correctness; the string→double path is always correctly rounded)
   protected val duckNormalDeciles: String = NormalDeciles
-    .map { case (d, z) => s"($d, CAST($z AS DOUBLE))" }.mkString(", ")
+    .map { case (d, z) => s"($d, CAST('$z' AS DOUBLE))" }.mkString(", ")
 
   /** Shared daily-cents-per-type oracle CTE for the trend/changepoint
     * tests (mirrors the grouped frame in [[statsMannKendall]] /

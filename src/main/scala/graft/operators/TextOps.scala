@@ -1056,13 +1056,16 @@ object TextOps {
     val f = Eager(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(toksCol).as("tok"))
       .filter(col("tok") =!= ""))
-    val priors = Tables.documents(spark, dir)
+    // priors feeds TWO consumers (the lang×vocab grid and the final
+    // logprior join) — Eager'd, or each re-scans documents for a
+    // |langs|-row frame (caught by the fixed checkpoint audit, round 10)
+    val priors = Eager(Tables.documents(spark, dir)
       .groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
       .withColumn("ntot",
         sum(col("nd")).over(Window.partitionBy(lit(1))))
       .withColumn("logprior",
         round(log(col("nd").cast("double") / col("ntot")), 9)
-          .cast("decimal(18,9)"))
+          .cast("decimal(18,9)")))
     val vocab = f.agg(countDistinct(col("tok")).as("v"))
     val totals = f.groupBy(col("lang").as("l"))
       .agg(count(lit(1)).as("tl"))
@@ -1675,12 +1678,18 @@ object TextOps {
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .filter(!col("is_stop"))
-    val phrases = toks.groupBy(col("doc_id"), col("pid"))
+    // `phrases` fans out to THREE consumers (the final projection, and
+    // twice through `words` via wscore/scored) — without materialization
+    // every branch re-runs the documents scan → posexplode → per-doc
+    // window → groupBy subplan. Eager runs it once and every consumer
+    // reads the checkpointed blocks (the round-8 dedup_pipeline lesson;
+    // pinned in PlanShapeSpec's checkpoint audit + fleet sweep).
+    val phrases = Eager(toks.groupBy(col("doc_id"), col("pid"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, tok)))," +
         " s -> s.tok)").as("ws"))
       .filter(size(col("ws")).between(1, 4))
       .withColumn("plen", size(col("ws")).cast("long"))
-      .withColumn("phrase", array_join(col("ws"), " "))
+      .withColumn("phrase", array_join(col("ws"), " ")))
     val words = phrases.select(col("doc_id"), col("pid"), col("plen"),
       explode(col("ws")).as("w"))
     val wscore = words.groupBy(col("w"))
