@@ -264,11 +264,23 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
         |  (st, p) -> named_struct(
         |    'sv', alpha * p.y + (1.0D - alpha) * st.sv,
         |    'sse', st.sse + (p.y - st.sv) * (p.y - st.sv)))""".stripMargin))
+      // report RMSE, not raw SSE: the corpus-scale SSE grows with the
+      // square of the daily magnitudes (~3.9e10 at sf≈1), and above
+      // ~2^53/10^6 the 6-dp round itself diverges between engines
+      // (DuckDB multiplies by 10^6 in double; Java routes through exact
+      // BigDecimal — caught by the round-10 sf≈1 gate). RMSE is the
+      // same selection criterion (sqrt∘÷ is monotonic), reads in the
+      // series' own units, and sits at ~1e4 where 6-dp rounding is in
+      // the exact regime for many scale decades. sqrt and the single
+      // division are IEEE-correctly-rounded in both engines, so the
+      // value stays bit-identical given the bit-identical fold SSE.
       .select(col("alpha"), size(col("s")).cast("long").as("n_days"),
-        r6(col("st.sv")).as("level"), r6(col("st.sse")).as("sse"))
+        r6(col("st.sv")).as("level"),
+        r6(sqrt(col("st.sse") /
+          (size(col("s")) - 1).cast("double"))).as("rmse"))
     folded
       .withColumn("is_best", (row_number().over(Window.partitionBy(lit(1))
-        .orderBy(col("sse"), col("alpha"))) === 1))
+        .orderBy(col("rmse"), col("alpha"))) === 1))
       .orderBy("alpha")
   }
 
@@ -860,11 +872,12 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
         |  WHERE r.t < r.n),
         |fin AS (
         |  SELECT alpha, CAST(n AS BIGINT) AS n_days,
-        |    round(sv, 6) + 0.0 AS level, round(sse, 6) + 0.0 AS sse
+        |    round(sv, 6) + 0.0 AS level,
+        |    round(sqrt(sse / CAST(n - 1 AS DOUBLE)), 6) + 0.0 AS rmse
         |  FROM rec WHERE t = n AND n >= 2),
-        |rk AS (SELECT *, row_number() OVER (ORDER BY sse, alpha) AS rn
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rmse, alpha) AS rn
         |       FROM fin)
-        |SELECT alpha, n_days, level, sse, rn = 1 AS is_best
+        |SELECT alpha, n_days, level, rmse, rn = 1 AS is_best
         |FROM rk ORDER BY alpha""".stripMargin,
     "forecast_holt" ->
       """WITH RECURSIVE d AS (

@@ -2699,7 +2699,11 @@ private[operators] trait StatsSeqOps extends StatsOpsBase {
         |      * CAST(dayno AS DECIMAL(18,0))) AS sx2,
         |    sum(e2m) AS se,
         |    sum(CAST(e2m AS DECIMAL(28,0)) * e2m) AS se2,
-        |    sum(CAST(dayno AS DECIMAL(18,0)) * e2m) AS sxe
+        |    -- DECIMAL(28), not (18): dayno(~2e4) x e2m grows with the
+        |    -- SQUARE of the corpus scale and crossed 10^18 at sf~1
+        |    -- (DuckDB DECIMAL(18) x DECIMAL(18) does not widen; caught
+        |    -- by the round-10 sf~1 gate)
+        |    sum(CAST(dayno AS DECIMAL(28,0)) * e2m) AS sxe
         |  FROM m GROUP BY 1),
         |r AS (SELECT *,
         |    (CAST(n * sxe - sx * se AS DOUBLE)

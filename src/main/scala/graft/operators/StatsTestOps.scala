@@ -371,15 +371,31 @@ private[operators] trait StatsTestOps extends StatsOpsBase {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("s1"),
         sum(col("value").cast("decimal(18,2)") *
           col("value").cast("decimal(18,2)")).cast("double").as("s2"))
-    val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
-      sum(col("s1")).as("t"), sum(col("s2")).as("ss2"),
-      sum(col("s1") * col("s1") / col("n")).as("sg"))
-    tot.select(col("k"), col("nn").as("n"),
-        r6(col("sg") - col("t") * col("t") / col("nn")).as("ss_between"),
-        r6(col("ss2") - col("sg")).as("ss_within"),
-        (col("k") - 1).as("df1"), (col("nn") - col("k")).as("df2"),
-        r6(((col("sg") - col("t") * col("t") / col("nn")) / (col("k") - 1)) /
-          ((col("ss2") - col("sg")) / (col("nn") - col("k")))).as("f_stat"))
+    // The four cross-group reductions are DOUBLE sums over k rows, and
+    // ss_between = sg − t²/nn cancels ~6 leading digits — an
+    // engine-specific SUMMATION ORDER perturbs low bits that the
+    // cancellation amplifies across the 6-dp grid (hash-failed at the
+    // round-10 sf≈1 gate; the driver scales passed only by margin).
+    // Fold the group rows in event_type order — the EMA device — so both
+    // engines run the identical IEEE op sequence.
+    val folded = g.agg(sort_array(collect_list(struct(
+        col("event_type"), col("n"), col("s1"), col("s2")))).as("gs"))
+      .select(size(col("gs")).cast("long").as("k"), expr(
+        """aggregate(gs,
+          |  named_struct('nn', 0L, 't', 0D, 'ss2', 0D, 'sg', 0D),
+          |  (a, x) -> named_struct(
+          |    'nn', a.nn + x.n, 't', a.t + x.s1,
+          |    'ss2', a.ss2 + x.s2,
+          |    'sg', a.sg + x.s1 * x.s1 / x.n))""".stripMargin).as("st"))
+    folded.select(col("k"), col("st.nn").as("n"),
+      r6(col("st.sg") - col("st.t") * col("st.t") / col("st.nn"))
+        .as("ss_between"),
+      r6(col("st.ss2") - col("st.sg")).as("ss_within"),
+      (col("k") - 1).as("df1"), (col("st.nn") - col("k")).as("df2"),
+      r6(((col("st.sg") - col("st.t") * col("st.t") / col("st.nn")) /
+          (col("k") - 1)) /
+        ((col("st.ss2") - col("st.sg")) / (col("st.nn") - col("k"))))
+        .as("f_stat"))
   }
 
   // ── Gini coefficient of per-user spend: how concentrated is activity
@@ -2415,17 +2431,22 @@ private[operators] trait StatsTestOps extends StatsOpsBase {
         |    CAST(sum(CAST("value" AS DECIMAL(18,2)) *
         |             CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM events GROUP BY 1),
-        |t AS (
-        |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn, sum(s1) AS t,
-        |    sum(s2) AS ss2, sum(s1 * s1 / n) AS sg
-        |  FROM g)
-        |SELECT k, nn AS n,
-        |  round(sg - t * t / nn, 6) + 0.0 AS ss_between,
-        |  round(ss2 - sg, 6) + 0.0 AS ss_within,
-        |  k - 1 AS df1, nn - k AS df2,
-        |  round(((sg - t * t / nn) / (k - 1)) /
-        |        ((ss2 - sg) / (nn - k)), 6) + 0.0 AS f_stat
-        |FROM t""".stripMargin,
+        |l AS (SELECT list(struct_pack(n := n, s1 := s1, s2 := s2)
+        |               ORDER BY event_type) AS gs,
+        |        CAST(count(*) AS BIGINT) AS k FROM g),
+        |f AS (SELECT k, list_reduce(list_transform(gs, x -> struct_pack(
+        |          nn := x.n, t := x.s1, ss2 := x.s2,
+        |          sg := x.s1 * x.s1 / x.n)),
+        |        (a, x) -> struct_pack(nn := a.nn + x.nn, t := a.t + x.t,
+        |          ss2 := a.ss2 + x.ss2, sg := a.sg + x.sg)) AS st
+        |      FROM l)
+        |SELECT k, st.nn AS n,
+        |  round(st.sg - st.t * st.t / st.nn, 6) + 0.0 AS ss_between,
+        |  round(st.ss2 - st.sg, 6) + 0.0 AS ss_within,
+        |  k - 1 AS df1, st.nn - k AS df2,
+        |  round(((st.sg - st.t * st.t / st.nn) / (k - 1)) /
+        |        ((st.ss2 - st.sg) / (st.nn - k)), 6) + 0.0 AS f_stat
+        |FROM f""".stripMargin,
     "stats_cohens_d" ->
       """WITH m AS (
         |  SELECT event_type, count(*) AS n,

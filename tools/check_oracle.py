@@ -31,8 +31,15 @@ def canon(v):
 
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; builder-inflated
+        # stores (graft.Inflate -> /tmp/sf1) are Spark-written DIRECTORIES
+        # of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:  # dev iteration: check only these comma-separated keys
         oracle = {k: v for k, v in oracle.items() if k in only.split(",")}
