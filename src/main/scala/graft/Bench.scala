@@ -156,12 +156,24 @@ object Bench {
     // line LAST — short enough to survive the tail intact — carrying the
     // totals plus the slowest keys (the performance-relevant ones); the
     // complete per-key map lives in the committed artifact named inside.
+    // Locale.ROOT: f"%.3f" honors the default JVM locale, and a
+    // comma-decimal locale would emit 1,234 — invalid JSON in the one
+    // line the driver machine-parses (the rest of the file renders
+    // doubles via locale-independent Double.toString).
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-      .map { case (k, v) => s"\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
+    // The artifact path comes from env (SPARK_GRAFT_BENCH_OUT); a quote
+    // or backslash in it would break this machine-parsed JSON line, so
+    // escape it before interpolating.
+    val outPathJson = outPath.toString
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$slow,""" +
       s""""note":"queries = slowest 15 of ${results.size} keys by median;""" +
-      s""" full per-key medians/samples/mins committed at $outPath",""" +
+      s""" full per-key medians/samples/mins committed at $outPathJson",""" +
       s""""n_queries":${results.size},"min_total":$minTotal,""" +
       s""""failed":$failedJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()

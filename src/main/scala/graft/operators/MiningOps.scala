@@ -1155,25 +1155,11 @@ object MiningOps {
   )
 
 
-  /** Force DuckDB to materialize every CTE of a graph oracle. DuckDB
-    * INLINES multi-referenced CTEs, so an unrolled iterative oracle whose
-    * round k references round k-1 twice re-expands the whole prefix
-    * combinatorially -- round 9 hit this on graph_kcore (>80 GB spill at
-    * sf0.1) and fixed that one key by hand; the round-10 sf~1 gate showed
-    * the same blowup on graph_bfs (>95 CPU-min of DuckDB work, vs seconds
-    * materialized) and the rest of the family is one data decade behind
-    * it. `AS MATERIALIZED` is the SQL spelling of the engine's own
-    * per-round localCheckpoint. Idempotent (an already-materialized CTE
-    * no longer matches `AS (`); none of these oracles is RECURSIVE (all
-    * rounds are unrolled), and the regex spares non-CTE `AS` uses (column
-    * aliases never precede an opening parenthesis).
-    */
+  // CTE materialization for graph oracles lives in [[OracleSql.matCtes]]
+  // (shared with AnalyticsOps; see its scaladoc for the DuckDB inlining
+  // blowup it prevents and the RECURSIVE/WINDOW guard rails).
   private[operators] def matCtes(sql: String): String =
-    sql.replaceAll("(?m)^(\\s*)([A-Za-z_0-9]+(\\([^)]*\\))?) AS \\(",
-      "$1$2 AS MATERIALIZED (")
-      // ... and the FIRST cte, which carries the WITH keyword on its line
-      .replaceAll("(?m)^(WITH(?: RECURSIVE)?\\s+)([A-Za-z_0-9]+(\\([^)]*\\))?) AS \\(",
-        "$1$2 AS MATERIALIZED (")
+    OracleSql.matCtes(sql)
 
   val oracles: Map[String, String] = Map(
     "graph_closeness" ->

@@ -405,15 +405,28 @@ object SqlSurfaceOps {
   // what this op exists to avoid at scale. The anti-join against the
   // observed interactions and the min-i dedup both shuffle on the
   // candidate key. Same pmod-before-multiply overflow discipline as
-  // sample_weighted; identical arithmetic in the DuckDB oracle. ──
+  // sample_weighted; identical arithmetic in the DuckDB oracle.
+  //
+  // The interaction set is the expensive stage (it was this inventory's
+  // slowest key at 8 s/sf0.1), so it is built the at-scale way:
+  //  - orders⋈lineitem reads the CO-BUCKETED twins (both bucketed on
+  //    orderkey at write time, graft.sources.Bucketed) — a zero-Exchange
+  //    sort-merge join instead of shuffling two fact tables;
+  //  - NO distinct() before the anti-join: LEFT ANTI only probes for
+  //    existence, so duplicate (c, p) build rows change nothing, and
+  //    deduplicating first costs a full extra shuffle of the interaction
+  //    set just to shrink rows the join skips anyway. ──
   def sampleNegatives(spark: SparkSession, dir: String): DataFrame = {
     val np = Tables.part(spark, dir).agg(count(lit(1)).as("np"))
-    val purchased = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+    val (ot, lt) = graft.sources.Bucketed.ensure(spark, dir)
+    // hint("merge") pins the bucket-exploiting SMJ (joinBucketed's
+    // device): at test SF the optimizer would broadcast orders, which at
+    // 100 TB it cannot — the pinned plan is the at-scale one
+    val purchased = spark.table(lt).select(col("l_orderkey"), col("l_partkey"))
+      .join(spark.table(ot).select(col("o_orderkey"), col("o_custkey"))
+          .hint("merge"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
     val cand = Tables.customer(spark, dir).select(col("c_custkey"))
       .crossJoin(broadcast(np))
       .select(col("c_custkey"), col("np"),

@@ -211,9 +211,17 @@ object IngestPipeline {
       .withColumn("bucket", bucketOf(col("city")))
       .persist()
     try {
-      // ≤ StoreBuckets ids — a driver-bounded collect by construction
+      // ≤ StoreBuckets ids — bounded by construction (bucketOf is
+      // pmod(hash, StoreBuckets)), and ENFORCED: a refactor that widens
+      // bucketOf without revisiting this driver-side loop must fail here,
+      // not OOM the driver. limit(+1) bounds the collect itself, so even
+      // the failing path never materializes an unbounded id set.
       val touched = slim.select("bucket").distinct()
+        .limit(StoreBuckets + 1)
         .collect().map(_.getInt(0)).sorted
+      require(touched.length <= StoreBuckets,
+        s"upsertBatch: > $StoreBuckets distinct bucket ids — bucketOf no " +
+          "longer matches the StoreBuckets driver-side bound")
       touched.foreach { b =>
         mergeSwapBucket(slim.filter(col("bucket") === b).drop("bucket"),
           fs, s"$store/bucket=$b", s"$store.tmp/bucket=$b",
@@ -417,7 +425,14 @@ object IngestPipeline {
     *    front ([[recoverDirs]]), not per-touched-day — a crash on the
     *    LAST batch that would ever touch a day must not leave that day
     *    invisible to readers forever. */
-  private def mergeDayStore(withDay: DataFrame, store: String, batchId: Long,
+  /** Most distinct days one micro-batch may touch before [[mergeDayStore]]
+    * refuses: 400 covers a full year plus watermark slop of late days at
+    * one swap job each (~seconds of driver work), while keeping the
+    * per-batch day collect ≈10 KB. Exceeding it means a batch is really a
+    * bulk backfill, which belongs in bounded slices. */
+  private[graft] val MaxDaysPerBatch = 400
+
+  private[graft] def mergeDayStore(withDay: DataFrame, store: String, batchId: Long,
       queryId: String,
       sketchOf: DataFrame => DataFrame,
       mergeOf: DataFrame => DataFrame): Unit = {
@@ -426,9 +441,20 @@ object IngestPipeline {
     val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     recoverDirs(fs, store, "day=")
-    // days-per-batch is watermark-bounded — a driver-bounded collect
+    // Days-per-batch is watermark-bounded in steady state, but a
+    // checkpoint-reset backfill (or a replay of months of broker backlog
+    // in one micro-batch) is not — cap the driver-side day spine the way
+    // DedupOps.SmallGraphEdgeCap caps the union-find collect. limit(+1)
+    // bounds the collect itself; the failure tells the operator to split
+    // the backfill (maxOffsetsPerTrigger / smaller source slices) rather
+    // than silently looping 10⁴ per-day swap jobs off one batch.
     val days = withDay.select("day").distinct()
+      .limit(MaxDaysPerBatch + 1)
       .collect().map(_.getDate(0)).sortBy(_.toString)
+    require(days.length <= MaxDaysPerBatch,
+      s"mergeDayStore: one micro-batch spans > $MaxDaysPerBatch distinct " +
+        "days — split the backfill (bound the source per trigger) instead " +
+        "of merging years of history in a single batch")
     days.foreach { d =>
       val (dayDir, tmp, bak) = (s"$store/day=$d", s"$store.tmp/day=$d",
         s"$store.bak/day=$d")

@@ -693,6 +693,97 @@ class IngestPipelineSpec extends SparkSuite {
     assert(countA === 60)
   }
 
+  test("day store: a batch spanning more days than MaxDaysPerBatch is refused") {
+    // The per-batch day spine is collected on the driver; steady-state it
+    // is watermark-bounded, but a checkpoint-reset backfill is not — the
+    // cap must fail loudly instead of looping thousands of per-day swap
+    // jobs (or collecting an unbounded day set).
+    val store = java.nio.file.Files.createTempDirectory("graft_cmcap")
+      .resolve("store").toString
+    val day1 = 1748515200L // 2025-05-29 UTC
+    val wide = (0 to IngestPipeline.MaxDaysPerBatch) // N+1 distinct days
+      .map(i => ("A", day1 + i * 86400L)).toDF("city", "sec")
+      .select($"city", timestamp_seconds($"sec").as("obs_ts"))
+    val e = intercept[IllegalArgumentException] {
+      IngestPipeline.cmStoreBatch(wide, store, batchId = 0)
+    }
+    assert(e.getMessage.contains("distinct"))
+    // and a batch AT the cap still merges
+    val atCap = (1 to IngestPipeline.MaxDaysPerBatch)
+      .map(i => ("A", day1 + i * 86400L)).toDF("city", "sec")
+      .select($"city", timestamp_seconds($"sec").as("obs_ts"))
+    IngestPipeline.cmStoreBatch(atCap, store, batchId = 1)
+    assert(IngestPipeline.cmStoreCounts(spark, store, Seq("A"))
+      .as[Long].head() === IngestPipeline.MaxDaysPerBatch.toLong)
+  }
+
+  test("upsertBatch replay is idempotent: the same epoch applied twice" +
+      " leaves the store identical") {
+    // foreachBatch's contract is at-least-once per epoch: a crash after
+    // the store swap but before the checkpoint commit re-delivers the
+    // SAME batch. The rank-1 latest-per-city merge must absorb the replay
+    // byte-for-byte at the row level — no duplicates, no flips.
+    val store = java.nio.file.Files.createTempDirectory("graft_upsert_rep")
+      .resolve("store").toString
+    def batchOf(rows: (String, Double, Long)*) =
+      rows.toDF("city", "temperature", "dt")
+        .select($"city", $"temperature", lit(1).as("humidity"), $"dt")
+    // seed the store with an older A
+    IngestPipeline.upsertBatch(batchOf(("A", 1.0, 100L)), store)
+    val epoch = batchOf(("A", 2.0, 200L), ("B", 3.0, 100L))
+    def snapshot() = spark.read.parquet(store)
+      .select("city", "temperature", "dt")
+      .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    IngestPipeline.upsertBatch(epoch, store)
+    val once = snapshot()
+    assert(once === Seq(("A", 2.0, 200L), ("B", 3.0, 100L)))
+    IngestPipeline.upsertBatch(epoch, store) // crash-replay of the epoch
+    assert(snapshot() === once)
+  }
+
+  test("late events beyond the watermark are dropped and window state" +
+      " is evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val obs = IngestPipeline.ingest(stream.toDF(), col("value"))
+    // Append mode: a window emits exactly once, when the watermark passes
+    // its end — so a late row either changes the emitted aggregate (bug)
+    // or is provably dropped.
+    val q = IngestPipeline.tumblingAvg(obs)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("tumbling_late").start()
+    try {
+      def rec(city: String, temp: Double, dt: Long) =
+        s"""{"name":"$city","main":{"temp":$temp,"humidity":70,"pressure":1010},"dt":$dt,"timezone":0}"""
+      val t0 = 1748515200L // aligned to the 5-min boundary
+      stream.addData(rec("X", 10.0, t0), rec("X", 20.0, t0 + 60))
+      q.processAllAvailable()
+      // advance event time 20 min: watermark (10 min delay) passes the
+      // first window's end → it emits and its state row must evict
+      stream.addData(rec("X", 99.0, t0 + 1200))
+      q.processAllAvailable()
+      def w0rows = spark.sql(
+        s"SELECT avg_temp, n_obs FROM tumbling_late WHERE city = 'X' AND " +
+          s"win_start = timestamp_seconds($t0)").collect()
+      assert(w0rows.map(r => (r.getDouble(0), r.getLong(1))).toSeq ===
+        Seq((15.0, 2L)))
+      val stateAfterClose = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfterClose === 1L, // only the open t0+1200 window remains
+        s"closed-window state not evicted: $stateAfterClose rows")
+      // a LATE row for the closed window (event time far below the
+      // watermark) must be dropped: the emitted row never updates (Append
+      // re-emission would be a duplicate) and no state row reappears
+      stream.addData(rec("X", 1000.0, t0 + 30))
+      q.processAllAvailable()
+      assert(w0rows.map(r => (r.getDouble(0), r.getLong(1))).toSeq ===
+        Seq((15.0, 2L)))
+      assert(q.lastProgress.stateOperators(0).numRowsTotal === 1L)
+      assert(q.recentProgress
+        .map(_.stateOperators(0).numRowsDroppedByWatermark).sum >= 1L,
+        "late row was not counted as dropped by the watermark")
+    } finally q.stop()
+  }
+
   test("compaction: oversized partitions collapse to one file, contents identical") {
     val store = java.nio.file.Files.createTempDirectory("graft_compact")
       .resolve("store").toString

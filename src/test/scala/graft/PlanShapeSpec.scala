@@ -22,6 +22,53 @@ class PlanShapeSpec extends SparkSuite {
       case _ => ""
     }
 
+  private val facts =
+    Seq("lineitem", "orders", "events", "documents", "embeddings")
+
+  private def isFactScan(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p match {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        facts.exists(t => scanPathsOf(l).contains(s"$t.parquet"))
+      case _ => false
+    }
+
+  private def shuffley(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate | _: Join | _: Window | _: Deduplicate => true
+      case _ => false
+    }
+  }
+
+  /** Keys where the fleet sweep's duplicated fact-bearing shuffle subtree
+    * is ARGUED acceptable. Membership is NOT a blanket exemption: the
+    * allowlist-audit test re-runs each key and asserts the verified
+    * property — the bit-equal logical copies collapse physically
+    * (ReusedExchange) or are eliminated at runtime (AQE empty-relation
+    * propagation), i.e. no two canonically-equal materialized
+    * fact-bearing exchanges ever both execute. */
+  private val dupAllowed: Set[String] = Set(
+    "budget_waterfall", "decontaminate_report", "dedup_embed",
+    "dedup_simhash", "dist_atkinson", "dist_theil", "dq_out_of_order",
+    "dq_referential", "dq_volume_anomaly", "embed_knn_graph", "eval_auc",
+    "eval_brier_decomp", "eval_ece", "eval_lift", "eval_roc_points",
+    "forecast_ar2", "join_bloom_prefilter",
+    "pack_greedy_bins", "pack_sequences", "pareto_abc",
+    "pipeline_training_corpus", "rfm_segments", "sample_ess",
+    "sample_neyman_alloc", "sample_pps", "seasonal_decompose",
+    "skyline_2d", "source_overlap", "stats_breusch_pagan",
+    "stats_cohens_d", "stats_dw", "stats_hodges_lehmann", "stats_hurst",
+    "stats_influence", "stats_kendall_tau", "stats_kendall_w",
+    "stats_mood_median", "stats_nemenyi", "stats_psi", "stats_qq_normal",
+    "stats_quade", "stats_rmst", "stats_sample_entropy",
+    "stats_sign_test", "stats_stl_strength", "stats_trimmed_mean",
+    "stats_ttest", "stats_welch_anova", "stats_wilcoxon_signed",
+    "stats_woolf", "stats_xbar_chart", "text_collocations",
+    "text_freq_drift", "tpch_q11", "weighted_median", "window_ntile",
+    "window_rank_family_scaled")
+
   test("flagship joins the dims broadcast, never cartesian") {
     val plan = planOf(CoreOps.flagshipRevenue(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"))
@@ -507,17 +554,6 @@ class PlanShapeSpec extends SparkSuite {
     // normal Spark idiom, on a cluster too — the bug is re-running a
     // shuffle stage per consumer.
     import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val facts = Seq("lineitem", "orders", "events", "documents", "embeddings")
-    def isFactScan(p: LogicalPlan): Boolean = p match {
-      case l: LogicalRelation =>
-        facts.exists(t => scanPathsOf(l).contains(s"$t.parquet"))
-      case _ => false
-    }
-    def shuffley(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate | _: Join | _: Window | _: Deduplicate => true
-      case _ => false
-    }
     // EXACT canonical equality (exprIds → ordinals, otherwise identical
     // trees) is the right bar: two equal subtrees are literally the same
     // stage executed twice — zero false positives by construction.
@@ -542,25 +578,10 @@ class PlanShapeSpec extends SparkSuite {
     // §4's eager-vs-lazy rule) or add it here with a bench number and the
     // reuse check repeated. text_keyphrase_rake is deliberately NOT
     // listed: its Eager is the round-10 fix this sweep now guards.
-    val allowed: Set[String] = Set(
-      "budget_waterfall", "decontaminate_report", "dedup_embed",
-      "dedup_simhash", "dist_atkinson", "dist_theil", "dq_out_of_order",
-      "dq_referential", "dq_volume_anomaly", "embed_knn_graph", "eval_auc",
-      "eval_brier_decomp", "eval_ece", "eval_lift", "eval_roc_points",
-      "forecast_ar2", "join_bloom_prefilter",
-      "pack_greedy_bins", "pack_sequences", "pareto_abc",
-      "pipeline_training_corpus", "rfm_segments", "sample_ess",
-      "sample_neyman_alloc", "sample_pps", "seasonal_decompose",
-      "skyline_2d", "source_overlap", "stats_breusch_pagan",
-      "stats_cohens_d", "stats_dw", "stats_hodges_lehmann", "stats_hurst",
-      "stats_influence", "stats_kendall_tau", "stats_kendall_w",
-      "stats_mood_median", "stats_nemenyi", "stats_psi", "stats_qq_normal",
-      "stats_quade", "stats_rmst", "stats_sample_entropy",
-      "stats_sign_test", "stats_stl_strength", "stats_trimmed_mean",
-      "stats_ttest", "stats_welch_anova", "stats_wilcoxon_signed",
-      "stats_woolf", "stats_xbar_chart", "text_collocations",
-      "text_freq_drift", "tpch_q11", "weighted_median", "window_ntile",
-      "window_rank_family_scaled")
+    // (The list itself lives at class level — `dupAllowed` — because the
+    // allowlist-audit test below re-verifies the reuse property per key
+    // instead of treating membership as a blanket exemption.)
+    val allowed: Set[String] = dupAllowed
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => allowed(kv._1))
       .flatMap { case (name, fn) =>
@@ -577,5 +598,55 @@ class PlanShapeSpec extends SparkSuite {
       "duplicated fact-bearing shuffle subplans — a shared stage is " +
         "re-executed per consumer; Eager it (or justify in the allowlist):\n" +
         offenders.mkString("\n"))
+  }
+
+  test("allowlist audit: every dupAllowed key's duplicated subplan" +
+      " collapses physically — no equal fact-bearing exchange executes" +
+      " twice") {
+    // The fleet sweep above exempts dupAllowed keys from the LOGICAL
+    // duplicate check; this test re-verifies the property that justified
+    // each exemption (round 10 verified it on only 5 representatives —
+    // the advisor flagged that an allowlisted key could regress into a
+    // real re-executed shuffle with no test firing). After execution, the
+    // AQE-final physical plan must not contain TWO canonically-equal
+    // materialized exchanges whose subtree reads a fact table: a
+    // collapsed duplicate shows up as ReusedExchange (a leaf, not an
+    // Exchange), and a runtime-eliminated branch (empty-relation
+    // propagation — pack_greedy_bins at sf0.001) vanishes entirely.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Seq.empty[SparkPlan]
+      }
+      p +: (p.children ++ p.subqueries ++ nested).flatMap(walk)
+    }
+    def readsFact(root: SparkPlan): Boolean = walk(root).exists {
+      case f: FileSourceScanExec =>
+        facts.exists(t =>
+          f.relation.location.rootPaths.mkString(",").contains(s"$t.parquet"))
+      case _ => false
+    }
+    val offenders = dupAllowed.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect() // materialize so the plan is the AQE-final one
+      val exchanges = walk(df.queryExecution.executedPlan)
+        .collect { case e: Exchange => e }
+      val dups = exchanges.groupBy(_.canonicalized)
+        .filter { case (_, copies) =>
+          copies.size >= 2 && copies.exists(readsFact)
+        }
+      if (dups.nonEmpty)
+        Some(s"$name (${dups.size} equal fact-bearing exchanges executed " +
+          s"twice, e.g. ${dups.head._2.head.nodeName})")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "allowlisted key regressed into a really-re-executed shuffle — fix " +
+        "the plan (Eager the shared frame) or remove the key from " +
+        "dupAllowed:\n" + offenders.mkString("\n"))
   }
 }

@@ -71,6 +71,25 @@ class TopKPerKeySpec extends SparkSuite {
     assert(top1 === Set(("a", 2L), ("b", 3L)))
   }
 
+  test("the registered topk_per_key_native query runs on the native" +
+      " operator (plan evidence for the driver-executed form)") {
+    // The driver runs SparkEntry.queries("topk_per_key_native"), not
+    // TopK.perKey directly — pin that THE registered query's executed
+    // plan carries the partial/final heap pair, so a refactor of the
+    // query body (or a rule-registration regression in GraftExtensions)
+    // cannot silently fall back to the window form while the oracle
+    // still passes on values.
+    val df = SparkEntry.queries("topk_per_key_native")(spark, sf0001)
+    df.collect() // AQE-final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK"), plan.take(1500))
+    assert(plan.contains("FinalTopK"), plan.take(1500))
+    val partialIdx = plan.indexOf("PartialTopK")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial heap not below the shuffle\n${plan.take(1500)}")
+  }
+
   test("optimizer rule rewrites the row_number idiom to the native operator") {
     import org.apache.spark.sql.expressions.Window
     TopK.enableRewrite(spark)
