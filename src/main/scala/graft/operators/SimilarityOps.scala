@@ -106,6 +106,51 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Invariant summary that lets a trained-ANN key meet the DuckDB gate
+    * (round 11): k-means cells/codebooks are FP-order-sensitive, so the
+    * returned NEIGHBORS can't be oracled cross-engine — but three
+    * engine-independent properties of a correct ANN result can:
+    *
+    *  - `results_ok`: exactly k rows came back (candidate pools at every
+    *    gate scale exceed k — embeddings ships ≥500 rows);
+    *  - `score_ok`: the best returned (6-dp) cosine never exceeds the
+    *    brute-force top-1 — round is monotone, so any candidate's rounded
+    *    cosine ≤ the rounded global max; a violation means the scores are
+    *    not real cosines;
+    *  - `recall_ok`: ≥ `minOverlap` of the k results are in the
+    *    brute-force top-k. Floors are per-family, sized from measurement
+    *    across sf0.001/0.01/0.1/sf≈1 (IVF nprobe=2/16 bottoms at 2/10 on
+    *    the small corpora — floor 1; PQ rescoring stays 10/10 — floor 7,
+    *    matching PqIndexSpec; IVF-PQ bottoms at 5/10 — floor 4). The
+    *    informative recall EVALUATION lives in eval_ann_recall (oracled)
+    *    and the Ivf/Pq specs; this floor catches the broken-index class
+    *    (wrong cells probed / garbage codes ⇒ overlap collapses to 0).
+    *
+    * The DuckDB side verifies k and asserts the booleans TRUE — the
+    * ε-bound-oracle pattern shared with approx_distinct. */
+  def annInvariant(spark: SparkSession, dir: String, results: DataFrame,
+      minOverlap: Int): DataFrame = {
+    val b = simSearch(spark, dir)
+      .select(col("vec_id").as("b_id"), col("cos_sim").as("b_cos"))
+    val bTop1 = b.agg(max(col("b_cos")).as("b_top1"))
+    results
+      .join(broadcast(b.select(col("b_id"))),
+        col("vec_id") === col("b_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("b_id").isNotNull, 1L).otherwise(0L)).as("overlap"),
+        max(col("cos_sim")).as("r_top"))
+      .crossJoin(broadcast(bTop1))
+      .select(lit(10).as("k"),
+        (col("n") === 10L).as("results_ok"),
+        (col("r_top") <= col("b_top1") + lit(1e-9)).as("score_ok"),
+        (col("overlap") >= minOverlap.toLong).as("recall_ok"))
+  }
+
+  /** Shared DuckDB oracle for every [[annInvariant]]-wrapped key. */
+  val annInvariantOracle: String =
+    """SELECT 10 AS k, TRUE AS results_ok, TRUE AS score_ok,
+      |  TRUE AS recall_ok""".stripMargin
+
   // ── per-label centroid (the "train the coarse quantizer" building block:
   // IVF cell centers, cluster means for k-means iterations). Unpivot each
   // vector with posexplode, average per (label, position), re-assemble the

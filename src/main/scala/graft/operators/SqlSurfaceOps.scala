@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Exact._
@@ -645,17 +645,26 @@ object SqlSurfaceOps {
       .orderBy("split")
 
   // ── Approximate distinct (HLL): users per event type via
-  // approx_count_distinct, alongside the exact count for error inspection.
-  // At 100 TB the sketch is the only sane default: fixed memory per group,
-  // mergeable across partitions (partial aggregation works), one shuffle
-  // of sketch bytes instead of a (group, value) expand. No oracle —
-  // HLL implementations differ across engines; the ScalaTest asserts
-  // relative error < 5% against the exact count. ──
+  // approx_count_distinct, alongside the exact count. At 100 TB the
+  // sketch is the only sane default: fixed memory per group, mergeable
+  // across partitions (partial aggregation works), one shuffle of sketch
+  // bytes instead of a (group, value) expand. HLL estimates differ across
+  // engines, so the VALUE can't be oracled — but the ε-BOUND can
+  // (round 11, invariant oracle): the key emits the exact count plus a
+  // boolean |approx−exact|/exact ≤ 0.15, and the DuckDB oracle verifies
+  // the exact count and asserts the boolean TRUE. Bound sized from
+  // measurement: max observed group error 0.067 across
+  // sf0.001/0.01/0.1/sf≈1 (approx_count_distinct rsd default 0.05) —
+  // 0.15 is 2.2× margin yet still fails on any real HLL breakage
+  // (which is order-of-magnitude, not percent). ──
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= lit(0.15) * col("exact_users")).as("approx_ok"))
       .orderBy("event_type")
 
   // ── mergeable-sketch distinct counting (Apache DataSketches HLL via
@@ -663,17 +672,27 @@ object SqlSurfaceOps {
   // period total — the pattern that makes distinct counts INCREMENTAL at
   // scale (store a sketch per partition/day; any rollup is a cheap union,
   // never a rescan). approx_count_distinct can't do this: its sketch is
-  // consumed inside one aggregation. No oracle (sketch bytes are
-  // implementation-specific); the ScalaTest pins union-vs-exact error. ──
+  // consumed inside one aggregation. Invariant oracle (round 11): the
+  // union estimate itself is engine-specific, so the key emits the exact
+  // day/total facts plus a boolean |union_est − exact_total| ≤ 0.05 ·
+  // exact_total (max observed union error 0.016 across the four gate
+  // scales), and DuckDB verifies the exact columns and asserts the
+  // boolean TRUE. ──
   def approxDistinctMerge(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_daily"))
     daily.agg(
-      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_total_users"),
-      count(lit(1)).as("n_days"),
-      sum(col("exact_daily")).as("sum_daily_exact"))
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_total"),
+        count(lit(1)).as("n_days"),
+        sum(col("exact_daily")).as("sum_daily_exact"))
+      .crossJoin(broadcast(Tables.events(spark, dir)
+        .agg(countDistinct(col("user_id")).as("exact_total_users"))))
+      .select(col("n_days"), col("sum_daily_exact"),
+        col("exact_total_users"),
+        (abs(col("approx_total") - col("exact_total_users"))
+          <= lit(0.05) * col("exact_total_users")).as("union_ok"))
   }
 
   // ── Regexp surface: leading word of each document (RE2-safe pattern),
@@ -737,17 +756,41 @@ object SqlSurfaceOps {
   // approx_percentile (KLL-style sketch) — at 100 TB the exact form
   // shuffles every (group, value) pair, the sketch shuffles a bounded
   // summary per partition and merges. Accuracy 10000 → rank error ≤ 1e-4
-  // of the group. Rows-only key (sketch internals are engine-specific; no
-  // cross-engine oracle is possible) — the ScalaTest pins the error bound
-  // against the exact form, mirroring approx_distinct's treatment. ──
-  def percentileGroupApprox(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  // of the group. The sketch VALUES are engine-specific, so the invariant
+  // oracle (round 11) checks the defining property of a quantile sketch
+  // instead — the RANK bracket: for estimate v at quantile q,
+  // count(x < v)/n ≤ q + ε and count(x ≤ v)/n ≥ q − ε (the ≤/< split is
+  // what makes the bracket tie-safe on l_quantity's 2%-mass integer
+  // ties). ε = 0.002 — 20× the max observed margin (1e-4) across the
+  // four gate scales, 20× tighter than a broken sketch. DuckDB verifies
+  // the group row counts and asserts the three booleans TRUE. ──
+  def percentileGroupApprox(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.002
+    val approx = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 6).as("p50_qty"),
-        round(expr("approx_percentile(l_quantity, 0.9, 10000)"), 6).as("p90_qty"),
-        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 6).as("p50_price"))
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("q50"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("q90"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"))
+    def bracket(lt: Column, le: Column, q: Double): Column =
+      (lt.cast("double") / col("n_rows") <= lit(q + eps)) &&
+        (le.cast("double") / col("n_rows") >= lit(q - eps))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(approx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") < col("q50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_quantity") <= col("q50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_quantity") < col("q90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("l_quantity") <= col("q90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("l_extendedprice") < col("p50"), 1L).otherwise(0L)).as("ltp"),
+        sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L)).as("lep"))
+      .select(col("l_returnflag"), col("n_rows"),
+        bracket(col("lt50"), col("le50"), 0.5).as("p50_qty_ok"),
+        bracket(col("lt90"), col("le90"), 0.9).as("p90_qty_ok"),
+        bracket(col("ltp"), col("lep"), 0.5).as("p50_price_ok"))
       .orderBy("l_returnflag")
+  }
 
   // ── mergeable-sketch percentiles (the approx_distinct_merge pattern for
   // QUANTILES): one log-bucket relative-error sketch per (day, event_type)
@@ -755,21 +798,40 @@ object SqlSurfaceOps {
   // rollup is pure bucket addition (graft.functions.QSketch; the published
   // DDSketch design), never a rescan of values. Unlike approx_percentile,
   // whose sketch dies inside a single aggregation, the persisted form
-  // answers "p90 of the last N days" from N stored rows. Rows-only key
-  // (sketch bytes and estimates are implementation-specific; DuckDB has no
-  // twin) — QuantileSketchSpec pins the α error bound against exact
-  // percentiles, merge-order invariance, and the parquet round-trip. ──
-  def percentileStoreMerge(spark: SparkSession, dir: String): DataFrame = {
+  // answers "p90 of the last N days" from N stored rows. The estimates
+  // are implementation-specific (DuckDB has no DDSketch twin), so the
+  // invariant oracle (round 11) checks the sketch's own α-guarantee
+  // instead: |merged estimate − exact percentile| ≤ 0.03·|exact| per
+  // (event_type, quantile) — 2.2× the max observed merged error (0.0137)
+  // across the four gate scales at α = 0.01, the log-bucket design's
+  // relative-VALUE bound. DuckDB verifies n_days exactly and asserts the
+  // booleans TRUE; QuantileSketchSpec still pins merge-order invariance
+  // and the parquet round-trip. ──
+  /** The estimates frame — the LIBRARY surface of the merged sketch store
+    * (event_type, n_days, e50, e90), used directly by QuantileSketchSpec;
+    * [[percentileStoreMerge]] wraps it with the gate's bound booleans. */
+  def percentileStoreEstimates(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{QuantileEstimate, QuantileMergeAgg, QuantileSketchAgg}
     val daily = Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(QuantileSketchAgg(col("value"), 0.01).as("sk"))
     daily.groupBy(col("event_type"))
       .agg(QuantileMergeAgg(col("sk")).as("msk"), count(lit(1)).as("n_days"))
-      .select(col("event_type"),
-        round(QuantileEstimate(col("msk"), 0.5), 6).as("p50_value"),
-        round(QuantileEstimate(col("msk"), 0.9), 6).as("p90_value"),
-        col("n_days"))
+      .select(col("event_type"), col("n_days"),
+        QuantileEstimate(col("msk"), 0.5).as("e50"),
+        QuantileEstimate(col("msk"), 0.9).as("e90"))
+  }
+
+  def percentileStoreMerge(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("x50"),
+        expr("percentile(value, 0.9)").as("x90"))
+    def ok(e: Column, x: Column): Column =
+      abs(e - x) <= lit(0.03) * greatest(abs(x), lit(1e-9))
+    percentileStoreEstimates(spark, dir).join(exact, "event_type")
+      .select(col("event_type"), col("n_days"),
+        ok(col("e50"), col("x50")).as("p50_ok"),
+        ok(col("e90"), col("x90")).as("p90_ok"))
       .orderBy("event_type")
   }
 
@@ -1276,6 +1338,33 @@ object SqlSurfaceOps {
         |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 6) AS p90_qty,
         |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // ── invariant oracles (round 11): the approx value is engine-specific
+    // but its error BOUND is a boolean DuckDB can assert — the exact
+    // columns are verified exactly, and the Spark side's bound booleans
+    // must come out TRUE or the hash compare fails. ──
+    "approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "approx_distinct_merge" ->
+      """SELECT
+        |  CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS n_days,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM (
+        |     SELECT count(DISTINCT user_id) AS c FROM events
+        |     GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)) d) AS sum_daily_exact,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total_users,
+        |  TRUE AS union_ok
+        |FROM events""".stripMargin,
+    "percentile_group_approx" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS p50_qty_ok, TRUE AS p90_qty_ok, TRUE AS p50_price_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "percentile_store_merge" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS n_days,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // DuckDB has no width_bucket; this spells out Spark's exact formula
     // (bucketSize = (hi-lo)/n, bucket = floor((x-lo)/bucketSize)+1, with
     // the out-of-range rails) so the arithmetic is IEEE-identical

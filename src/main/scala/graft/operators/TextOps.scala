@@ -411,9 +411,13 @@ object TextOps {
   // never-underestimate guarantee the spec pins. Only sketches shuffle —
   // the token stream is touched once per shard — so a vocabulary
   // frequency service over a 100 TB corpus is one scan + 64 KB rollups,
-  // any later term lookup O(1). Rows-only key (DuckDB has no CMS);
-  // CountMinSketchSpec pins the ε-bound, split-invariant merge bytes and
-  // the parquet store round-trip. ──
+  // any later term lookup O(1). DuckDB has no CMS, so the estimate
+  // itself can't be oracled — but the sketch's DEFINING one-sided
+  // guarantee can (round 11, invariant oracle): never underestimate, and
+  // overestimate ≤ ceil(e/width · N) (N = total token updates) — the
+  // exact bound CountMinSketchSpec pins, here asserted per returned term
+  // as a boolean DuckDB expects TRUE. The exact top-10 term counts are
+  // verified exactly (same oracle arm as heavy_hitters). ──
   def countMinFreq(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{CountMinEstimate, CountMinMergeAgg, CountMinSketchAgg}
     val toks = Tables.documents(spark, dir)
@@ -421,14 +425,19 @@ object TextOps {
       .filter(col("term") =!= "")
     val merged = toks
       .groupBy((col("doc_id") % 16).as("shard"))
-      .agg(CountMinSketchAgg(col("term")).as("sk"))
-      .agg(CountMinMergeAgg(col("sk")).as("msk"))
+      .agg(CountMinSketchAgg(col("term")).as("sk"),
+        count(lit(1)).as("n_shard"))
+      .agg(CountMinMergeAgg(col("sk")).as("msk"),
+        sum(col("n_shard")).as("n_total"))
     toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(desc("exact_cnt"), col("term"))
       .limit(10)
       .crossJoin(broadcast(merged))
       .select(col("term"), col("exact_cnt"),
-        CountMinEstimate(col("msk"), col("term")).as("cms_cnt"))
+        ((CountMinEstimate(col("msk"), col("term")) >= col("exact_cnt")) &&
+          (CountMinEstimate(col("msk"), col("term")) - col("exact_cnt") <=
+            ceil(lit(math.E / graft.functions.CMSketch.Width)
+              * col("n_total")).cast("long"))).as("cms_ok"))
       .orderBy(desc("exact_cnt"), col("term"))
   }
 
@@ -2568,6 +2577,15 @@ object TextOps {
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |  FROM documents) t
         |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+    // invariant oracle (round 11): exact top-10 verified exactly; the CMS
+    // estimate's one-sided εN bound is a boolean DuckDB asserts TRUE
+    "count_min_freq" ->
+      """SELECT token AS term, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |  TRUE AS cms_ok FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents) t
+        |WHERE token <> '' GROUP BY token
+        |ORDER BY exact_cnt DESC, term LIMIT 10""".stripMargin,
     "sample_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -63,9 +63,12 @@ class QuantileSketchSpec extends SparkSuite {
     assert(math.abs(fromStore - target) / math.abs(target) <= alpha + 1e-9)
   }
 
-  test("percentile_store_merge key: per-type estimates within α of exact") {
+  test("percentile_store_merge estimates: per-type within α of exact;" +
+      " the registered key's bound booleans all true") {
+    // library surface: the raw merged-store estimates
     val got = graft.operators.SqlSurfaceOps
-      .percentileStoreMerge(spark, sf0001)
+      .percentileStoreEstimates(spark, sf0001)
+      .select($"event_type", $"e50", $"e90", $"n_days")
       .as[(String, Double, Double, Long)].collect()
     assert(got.nonEmpty)
     val byType = graft.sources.Tables.events(spark, sf0001)
@@ -79,6 +82,14 @@ class QuantileSketchSpec extends SparkSuite {
         assert(math.abs(est - exact) / math.abs(exact) <= alpha + 1e-6,
           s"$t q=$q exact=$exact got=$est")
       }
+    }
+    // gate surface: the invariant-oracle wrapper must report in-bound
+    val key = graft.operators.SqlSurfaceOps
+      .percentileStoreMerge(spark, sf0001)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(key.nonEmpty)
+    key.foreach { case (t, n, ok50, ok90) =>
+      assert(n > 0 && ok50 && ok90, s"$t n=$n ok50=$ok50 ok90=$ok90")
     }
   }
 
