@@ -851,8 +851,14 @@ object AdvancedOps {
       .groupBy(col("late_supp"))
       .agg(sum(col("late_lines")).as("numwait"))
       .join(broadcast(s), col("late_supp") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(desc("numwait"), col("s_name"))
+      // group + order by the supplier KEY, with the name as display: the
+      // round-11 sf≈1 gate caught the by-name form double-counting when
+      // the inflated store repeats s_name across key-shifted copies (and
+      // name ties made the top-20 cut nondeterministic). Entity identity
+      // is the key; TPC-H's name⇔key bijection made the two accidentally
+      // equivalent at base scale.
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_suppkey"))
       .limit(20)
   }
 
@@ -1593,7 +1599,7 @@ object AdvancedOps {
         |   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
         |   OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
     "tpch_q21" ->
-      """SELECT s_name, count(*) AS numwait
+      """SELECT s_suppkey, s_name, count(*) AS numwait
         |FROM lineitem l1
         |JOIN orders ON l1.l_orderkey = o_orderkey
         |JOIN supplier ON l1.l_suppkey = s_suppkey
@@ -1606,7 +1612,8 @@ object AdvancedOps {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
-        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "tpch_q2" ->
       """WITH ps AS (
         |  SELECT l_partkey AS p_partkey, l_suppkey, p_name, p_size,

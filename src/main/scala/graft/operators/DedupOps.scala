@@ -911,15 +911,21 @@ object DedupOps {
 
   /** Shared candidate-pair + intersection CTEs (shared-shingle candidates,
     * per-pair intersection counts) — appended to [[duckShingles]] by the
-    * ngram / edit / cluster oracles. */
+    * ngram / edit / cluster oracles.
+    *
+    * ONE self-join + GROUP BY, exactly like the Spark side ("counting
+    * rows per pair IS the intersection size"): the previous two-step
+    * form (DISTINCT cand, then cand ⋈ sh ⋈ sh re-derives intersections)
+    * multiplied every candidate pair by both docs' full shingle lists
+    * before the equality filter — ~660M intermediate rows at sf≈1, >10
+    * min and >10 GB of spill where this form takes 30 s. Same rows, same
+    * counts: a candidate pair IS a pair with ≥1 shared shingle. */
   private val duckCandInter =
     """,
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-      |inter AS (SELECT doc_a, doc_b, count(*) AS i
-      |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
-      |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-      |          GROUP BY doc_a, doc_b)""".stripMargin
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY doc_a, doc_b),
+      |cand AS (SELECT doc_a, doc_b FROM inter)""".stripMargin
 
   /** Connected-component CTEs shared by the cluster-family oracles:
     * verified pairs → undirected edges → recursive reachability →
@@ -955,14 +961,11 @@ object DedupOps {
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
         |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
-        |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
-        |               AND a.doc_id < b.doc_id),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS i
-        |          FROM scand JOIN sh sa ON doc_a = sa.doc_id
-        |                     JOIN sh sb ON doc_b = sb.doc_id
-        |                          AND sa.shingle = sb.shingle
+        |               AND a.doc_id < b.doc_id
         |          GROUP BY doc_a, doc_b),
+        |scand AS (SELECT doc_a, doc_b FROM inter),
         |truth AS (SELECT doc_a, doc_b
         |          FROM inter JOIN sizes za ON doc_a = za.doc_id
         |                     JOIN sizes zb ON doc_b = zb.doc_id
@@ -984,7 +987,14 @@ object DedupOps {
         |        ELSE 0.0 END, 6) + 0.0 AS f1
         |FROM pr""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // Every oracle below runs through OracleSql.matCtesSkip (map-wide, at
+  // the bottom of this file): the shared shingle/candidate CTEs are
+  // referenced 4-5× each, and DuckDB re-INLINES every reference — at
+  // sf≈1 the round-11 gate measured the un-materialized forms spilling
+  // >200 GB across the family (same blowup class as round 10's
+  // graph_bfs). `reach` is excluded: a recursive head cannot take AS
+  // MATERIALIZED.
+  private val rawOracles: Map[String, String] = Map(
     // cluster assignment + text_quality's scoring CTE + per-cluster
     // argmax — the composed canonical-selection semantics, re-derived
     // end to end by the oracle
@@ -1043,10 +1053,8 @@ object DedupOps {
         |mcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |          FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
         |               AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
-        |minter AS (SELECT doc_a, doc_b, count(*) AS i
-        |           FROM mcand JOIN sh sa ON doc_a = sa.doc_id
-        |                     JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-        |           GROUP BY doc_a, doc_b),
+        |minter AS (SELECT inter.doc_a, inter.doc_b, inter.i
+        |           FROM inter JOIN mcand USING (doc_a, doc_b)),
         |mh2 AS (SELECT doc_a, doc_b
         |        FROM minter JOIN sizes za ON doc_a = za.doc_id
         |                   JOIN sizes zb ON doc_b = zb.doc_id
@@ -1188,14 +1196,11 @@ object DedupOps {
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
         |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
-        |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle
-        |               AND a.doc_id < b.doc_id),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS i
-        |          FROM scand JOIN sh sa ON doc_a = sa.doc_id
-        |                     JOIN sh sb ON doc_b = sb.doc_id
-        |                          AND sa.shingle = sb.shingle
+        |               AND a.doc_id < b.doc_id
         |          GROUP BY doc_a, doc_b),
+        |scand AS (SELECT doc_a, doc_b FROM inter),
         |truth AS (SELECT doc_a, doc_b,
         |      round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) AS jaccard
         |    FROM inter JOIN sizes za ON doc_a = za.doc_id
@@ -1228,10 +1233,11 @@ object DedupOps {
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
         |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS i
-        |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
-        |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-        |          GROUP BY doc_a, doc_b)
+        |shinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |            GROUP BY doc_a, doc_b),
+        |inter AS (SELECT shinter.doc_a, shinter.doc_b, shinter.i
+        |          FROM shinter JOIN cand USING (doc_a, doc_b))
         |SELECT doc_a, doc_b,
         |  round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 6) AS jaccard
         |FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
@@ -1263,4 +1269,9 @@ object DedupOps {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
   )
+
+  val oracles: Map[String, String] =
+    rawOracles.map { case (k, v) =>
+      (k, OracleSql.matCtesSkip(v, skip = Set("reach")))
+    }
 }

@@ -42,4 +42,28 @@ private[graft] object OracleSql {
       .replaceAll("(?m)^(WITH\\s+)([A-Za-z_0-9]+(\\([^)]*\\))?) AS \\(",
         "$1$2 AS MATERIALIZED (")
   }
+
+  /** [[matCtes]] for a WITH-list that CONTAINS a genuinely recursive CTE:
+    * materialize every CTE head EXCEPT the named ones (a recursive head
+    * cannot take AS MATERIALIZED in DuckDB; its non-recursive siblings
+    * can and must — the round-11 sf≈1 gate found the dedup-family
+    * oracles' 4-5×-referenced shingle CTEs re-inlined into a multi-100 GB
+    * spill, the same blowup class graph_bfs hit in round 10). The WINDOW
+    * guard from [[matCtes]] applies; the RECURSIVE guard is replaced by
+    * the explicit skip set. */
+  def matCtesSkip(sql: String, skip: Set[String]): String = {
+    require(!"""(?mi)^\s*WINDOW\b""".r.findFirstIn(sql).isDefined,
+      "matCtesSkip: named-WINDOW clause present — materialize by hand")
+    def keep(name: String): Boolean = skip.contains(name.takeWhile(_ != '('))
+    val body = """(?m)^(\s*)([A-Za-z_0-9]+(\([^)]*\))?) AS \(""".r
+      .replaceAllIn(sql, m =>
+        if (keep(m.group(2))) scala.util.matching.Regex.quoteReplacement(m.matched)
+        else scala.util.matching.Regex
+          .quoteReplacement(s"${m.group(1)}${m.group(2)} AS MATERIALIZED ("))
+    """(?m)^(WITH(?: RECURSIVE)?\s+)([A-Za-z_0-9]+(\([^)]*\))?) AS \(""".r
+      .replaceAllIn(body, m =>
+        if (keep(m.group(2))) scala.util.matching.Regex.quoteReplacement(m.matched)
+        else scala.util.matching.Regex
+          .quoteReplacement(s"${m.group(1)}${m.group(2)} AS MATERIALIZED ("))
+  }
 }

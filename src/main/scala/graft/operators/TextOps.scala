@@ -363,20 +363,41 @@ object TextOps {
   // ([[graft.functions.MisraGriesAgg]]): ONE aggregate with fixed
   // capacity-sized state — tasks summarize map-side and only
   // capacity-sized summaries shuffle, vs text_tokens' exact
-  // group-every-token plan whose shuffle grows with the vocabulary. At
-  // this fixture's vocabulary (31 ≪ capacity 64) the sketch is provably
-  // exact, which is what licenses the DuckDB group-count oracle; at
-  // 100 TB the same plan runs with capacity ≪ vocabulary and the classic
-  // N/(capacity+1) undercount bound (see the aggregate's scaladoc). ──
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  // group-every-token plan whose shuffle grows with the vocabulary.
+  // The round-11 sf≈1 gate ended the "provably exact below capacity"
+  // oracle: the inflated corpus's ~310-token vocabulary exceeds capacity
+  // 64, and MG legitimately undercounts (its contract, not a bug) — so
+  // the key now carries the count_min_freq-style INVARIANT oracle: the
+  // exact top-10 term counts are verified exactly, and MG's defining
+  // guarantee — never overestimate, undercount ≤ ⌊N/(cap+1)⌋, and a
+  // term ABSENT from the summary must itself be ≤ ⌊N/(cap+1)⌋ — rides
+  // along as a boolean DuckDB asserts TRUE. ──
+  private val MgCap = 64
+
+  private def mgOkCol: Column = {
+    val bound = expr(s"n_total div ${MgCap + 1}")
+    // get(): a term ABSENT from the summary (the lossy regime sf≈1
+    // exercises) must yield NULL, not an ANSI array-index error
+    val est = expr("get(filter(hh, s -> s.term = token), 0).cnt")
+    (est.isNotNull && est <= col("exact_cnt") &&
+      col("exact_cnt") - est <= bound) ||
+      (est.isNull && col("exact_cnt") <= bound)
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
       .select(explode(toksCol).as("token"))
       .filter(col("token") =!= "")
-      .agg(graft.functions.MisraGriesAgg(col("token"), 64).as("hh"))
-      .select(explode(col("hh")).as("s"))
-      .select(col("s.term").as("term"), col("s.cnt").as("cnt"))
-      .orderBy(desc("cnt"), col("term"))
+    val mg = toks.agg(
+      graft.functions.MisraGriesAgg(col("token"), MgCap).as("hh"),
+      count(lit(1)).as("n_total"))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("token"))
       .limit(10)
+      .crossJoin(broadcast(mg))
+      .select(col("token").as("term"), col("exact_cnt"), mgOkCol.as("mg_ok"))
+      .orderBy(desc("exact_cnt"), col("term"))
+  }
 
   // ── heavy-hitters summary STORE rollup: per-source Misra-Gries
   // summaries (modeling the per-shard sketch store an ingest job
@@ -388,17 +409,25 @@ object TextOps {
   // result provably equals heavy_hitters' — the two keys SHARE an oracle
   // (machine-checked equivalence); the lossy capacity-cut path is pinned
   // separately in MisraGriesSpec. ──
-  def heavyHittersMerge(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def heavyHittersMerge(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
       .select(col("source"), explode(toksCol).as("token"))
       .filter(col("token") =!= "")
+    // per-source summaries merged BY SUMMARY (the store-rollup path);
+    // the merged sketch keeps the same ⌊N/(cap+1)⌋ undercount bound, so
+    // the same invariant oracle applies (see heavyHitters)
+    val mg = toks
       .groupBy(col("source"))
-      .agg(graft.functions.MisraGriesAgg(col("token"), 64).as("hh"))
-      .agg(graft.functions.MisraGriesMergeAgg(col("hh"), 64).as("merged"))
-      .select(explode(col("merged")).as("s"))
-      .select(col("s.term").as("term"), col("s.cnt").as("cnt"))
-      .orderBy(desc("cnt"), col("term"))
+      .agg(graft.functions.MisraGriesAgg(col("token"), MgCap).as("hh"))
+      .agg(graft.functions.MisraGriesMergeAgg(col("hh"), MgCap).as("hh"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_total"))))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("token"))
       .limit(10)
+      .crossJoin(broadcast(mg))
+      .select(col("token").as("term"), col("exact_cnt"), mgOkCol.as("mg_ok"))
+      .orderBy(desc("exact_cnt"), col("term"))
+  }
 
   // ── point-frequency sketch store (Count-Min — the fourth member of the
   // sketch family: HLL cardinality, DDSketch quantiles, Misra-Gries
@@ -2564,19 +2593,25 @@ object TextOps {
         |ORDER BY base.doc_id""".stripMargin,
     // exact only because capacity ≥ vocabulary at test scale — the sketch
     // degenerates to a group-count (see heavyHitters scaladoc)
+    // invariant oracles (round 11): exact top-10 verified exactly, MG's
+    // never-overestimate + ⌊N/(cap+1)⌋ undercount bound as a boolean
+    // DuckDB asserts TRUE (the count_min_freq pattern — the former
+    // "capacity > vocabulary ⇒ exact" oracle broke at sf≈1 where the
+    // inflated vocabulary passes the capacity)
     "heavy_hitters" ->
-      """SELECT token AS term, count(*) AS cnt FROM (
+      """SELECT token AS term, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |  TRUE AS mg_ok FROM (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |  FROM documents) t
-        |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
-    // store-merge form: capacity > vocabulary keeps every per-source
-    // summary exact, so the merged rollup provably equals the direct
-    // count — same oracle = machine-checked equivalence
+        |WHERE token <> '' GROUP BY token
+        |ORDER BY exact_cnt DESC, term LIMIT 10""".stripMargin,
     "heavy_hitters_merge" ->
-      """SELECT token AS term, count(*) AS cnt FROM (
+      """SELECT token AS term, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |  TRUE AS mg_ok FROM (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |  FROM documents) t
-        |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+        |WHERE token <> '' GROUP BY token
+        |ORDER BY exact_cnt DESC, term LIMIT 10""".stripMargin,
     // invariant oracle (round 11): exact top-10 verified exactly; the CMS
     // estimate's one-sided εN bound is a boolean DuckDB asserts TRUE
     "count_min_freq" ->

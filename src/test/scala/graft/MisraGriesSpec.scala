@@ -55,22 +55,25 @@ class MisraGriesSpec extends SparkSuite {
     assert(est === trueCounts)
   }
 
-  test("heavy_hitters key is exact at fixture scale and ordered") {
+  test("heavy_hitters key: exact top-10 ordered, MG bound booleans true") {
     val rows = TextOps.heavyHitters(spark, sf0001)
-      .as[(String, Long)].collect()
+      .as[(String, Long, Boolean)].collect()
     assert(rows.length === 10)
-    // non-increasing counts, term-tiebroken
-    rows.sliding(2).foreach { case Array((t1, c1), (t2, c2)) =>
+    // non-increasing counts, term-tiebroken; every bound check true
+    rows.sliding(2).foreach { case Array((t1, c1, _), (t2, c2, _)) =>
       assert(c1 > c2 || (c1 === c2 && t1 < t2))
     }
+    rows.foreach { case (t, _, ok) => assert(ok, s"$t: MG bound violated") }
   }
 
-  test("store-merge: exact-regime rollup equals the direct key") {
+  test("store-merge key equals the direct key (same exact top-10, both" +
+      " in-bound)") {
     val direct = TextOps.heavyHitters(spark, sf0001)
-      .as[(String, Long)].collect().toSeq
+      .as[(String, Long, Boolean)].collect().toSeq
     val merged = TextOps.queries("heavy_hitters_merge")(spark, sf0001)
-      .as[(String, Long)].collect().toSeq
-    assert(merged === direct)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(merged.map(r => (r._1, r._2)) === direct.map(r => (r._1, r._2)))
+    (direct ++ merged).foreach { case (t, _, ok) => assert(ok, t) }
   }
 
   test("store-merge: lossy regime keeps the mergeable-summaries bound") {

@@ -39,6 +39,25 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("RECURSIVE"))
   }
 
+  test("matCtesSkip materializes non-recursive CTEs, leaves skipped heads") {
+    val sql =
+      """WITH RECURSIVE sh AS (
+        |  SELECT 1 AS x),
+        |reach(origin, node) AS (
+        |  SELECT x, x FROM sh
+        |  UNION
+        |  SELECT r.origin, r.node + 1 FROM reach r WHERE r.node < 3)
+        |SELECT max(node) FROM reach""".stripMargin
+    val out = OracleSql.matCtesSkip(sql, skip = Set("reach"))
+    assert(out.contains("WITH RECURSIVE sh AS MATERIALIZED ("))
+    // the recursive head must stay untouched — AS MATERIALIZED on it is
+    // invalid DuckDB
+    assert(out.contains("reach(origin, node) AS ("))
+    assert(!out.contains("reach(origin, node) AS MATERIALIZED"))
+    // idempotent
+    assert(OracleSql.matCtesSkip(out, skip = Set("reach")) == out)
+  }
+
   test("matCtes rejects a named-WINDOW clause instead of corrupting it") {
     // The continuation line `w2 AS (...)` is regex-indistinguishable
     // from a CTE head — matCtes must refuse, not emit `w2 AS

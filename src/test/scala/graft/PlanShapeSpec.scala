@@ -393,7 +393,14 @@ class PlanShapeSpec extends SparkSuite {
     // window_ntile's bounds/offsets/total broadcasts. Everything else
     // must not nest-loop.
     val allowed = Set("sim_search", "sim_search_ann", "sim_search_lsh",
-      "sim_search_ivf", "sim_search_ivf_serve", "text_tfidf", "window_ntile",
+      "sim_search_ivf", "sim_search_ivf_serve",
+      // round 11: the trained-ANN keys return the annInvariant summary,
+      // which embeds the brute-force arm (1-row probe broadcast — the
+      // audited sim_search shape) as the recall reference
+      "sim_search_pq", "sim_search_pq_serve",
+      "sim_search_ivfpq", "sim_search_ivfpq_serve",
+      "approx_distinct_merge", // 1-row exact-total broadcast crossJoin
+      "text_tfidf", "window_ntile",
       "window_rank_family_scaled", "pack_sequences", "embed_align",
       "pipeline_training_corpus",
       "tpch_q22", // scalar avg-balance broadcast (1 row) vs customer

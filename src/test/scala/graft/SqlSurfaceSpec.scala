@@ -92,22 +92,43 @@ class SqlSurfaceSpec extends SparkSuite {
   }
 
   test("unioned daily HLL sketches estimate the period total within 5%") {
-    val r = SqlSurfaceOps.approxDistinctMerge(spark, sf0001).collect().head
-    val approx = r.getLong(0).toDouble
+    import org.apache.spark.sql.functions._
+    // the raw union estimate (the key now emits its BOUND boolean, so the
+    // tight 5% property is re-derived here from the same plan pieces)
+    val approx = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("a"))
+      .collect().head.getLong(0).toDouble
     val exact = graft.sources.Tables.events(spark, sf0001)
       .select("user_id").distinct().count().toDouble
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
-    // and the union is genuinely deduplicating across days: users active
-    // on many days would otherwise be counted once per day
-    assert(approx < r.getLong(2))
+    // the registered key: exact columns correct, bound boolean true, and
+    // the union genuinely dedups across days (total < Σ daily distincts)
+    val r = SqlSurfaceOps.approxDistinctMerge(spark, sf0001).collect().head
+    assert(r.getLong(2).toDouble === exact) // exact_total_users
+    assert(r.getBoolean(3), "union_ok bound violated")
+    assert(exact < r.getLong(1)) // sum_daily_exact overcounts multi-day users
   }
 
   test("approx distinct stays within 5% of exact") {
-    val rows = SqlSurfaceOps.approxDistinct(spark, sf0001).collect()
-    rows.foreach { r =>
+    import org.apache.spark.sql.functions._
+    val raw = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .collect()
+    raw.foreach { r =>
       val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
       assert(math.abs(approx - exact) / exact < 0.05,
         s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+    // the registered key: exact counts + bound booleans all true
+    val key = SqlSurfaceOps.approxDistinct(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    raw.foreach { r =>
+      val (e, ok) = key(r.getString(0))
+      assert(e === r.getLong(2) && ok, s"${r.getString(0)}")
     }
   }
 
@@ -145,19 +166,33 @@ class SqlSurfaceSpec extends SparkSuite {
   }
 
   test("approx percentiles stay within sketch error of the exact form") {
+    import org.apache.spark.sql.functions._
     val exact = SqlSurfaceOps.percentileGroup(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = SqlSurfaceOps.percentileGroupApprox(spark, sf0001).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // raw sketch values (the key now emits the rank-bracket booleans, so
+    // the 5%-of-exact VALUE property is re-derived from the raw sketch)
+    val approx = graft.sources.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("a"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("b"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("c"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(approx.keySet === exact.keySet)
-    // accuracy 10000 → rank error ≤ 1/10000 of each group; on these value
-    // ranges that is within 5% relative of the exact quantile
     approx.foreach { case (k, (a50q, a90q, a50p)) =>
       val (e50q, e90q, e50p) = exact(k)
       assert(math.abs(a50q - e50q) <= 0.05 * math.max(1.0, e50q), s"$k p50_qty")
       assert(math.abs(a90q - e90q) <= 0.05 * math.max(1.0, e90q), s"$k p90_qty")
       assert(math.abs(a50p - e50p) <= 0.05 * math.max(1.0, e50p), s"$k p50_price")
     }
+    // the registered key: rank-bracket booleans all true per group
+    SqlSurfaceOps.percentileGroupApprox(spark, sf0001).collect()
+      .foreach { r =>
+        assert(r.getLong(1) > 0)
+        assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+          s"${r.getString(0)} rank bracket violated")
+      }
   }
 
   test("variant extraction equals the string-path get_json_object") {

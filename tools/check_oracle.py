@@ -32,6 +32,22 @@ def canon(v):
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     import os
+    # DUCKDB_THREADS / DUCKDB_MEMORY: cap per-process parallelism and
+    # memory so several key-chunk checkers can run side by side at big
+    # SFs (sf~1 gate). Without the memory cap each process assumes 80%
+    # of system RAM — 8 concurrent dedup-family oracles at sf~1 measured
+    # 17-19 GB RSS each and were headed for the OOM killer.
+    if os.environ.get("DUCKDB_THREADS"):
+        con.sql(f"SET threads TO {int(os.environ['DUCKDB_THREADS'])}")
+    if os.environ.get("DUCKDB_MEMORY"):
+        con.sql(f"SET memory_limit = '{os.environ['DUCKDB_MEMORY']}'")
+        # a memory cap forces spills, and DuckDB's default temp dir is the
+        # RELATIVE '.tmp' — concurrent checkers in one cwd then delete
+        # each other's blocks (seen: dedup_canonical 'Cannot open file
+        # .tmp/duckdb_temp_block-…'). Give each process its own dir.
+        tmp = f"/tmp/duckspill_{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        con.sql(f"SET temp_directory = '{tmp}'")
     for t in TABLES:
         # driver testdata ships single parquet FILES; builder-inflated
         # stores (graft.Inflate -> /tmp/sf1) are Spark-written DIRECTORIES
