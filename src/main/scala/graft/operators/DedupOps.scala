@@ -1012,6 +1012,13 @@ object DedupOps {
     // jaro_winkler_similarity (byte semantics pinned in
     // graft.functions.JaroWinkler's scaladoc), and re-derives the same
     // rounded-score-then-rank assignment
+    // mirrors the Spark arm's DEDUPED sides (distinct dirty names ⋈
+    // name-grouped min-key clean entities, scored once per NAME pair and
+    // joined back to dirty ids) — the round-11 sf≈1 gate caught the
+    // previous per-ROW form doing 100× the jaro work once the inflated
+    // store repeats every p_name across 10 key-shifted copies (>50 GB of
+    // DuckDB spill); with duplicate names the min-clean_id rank makes
+    // the two forms value-identical
     "record_linkage" ->
       """WITH dirty AS (
         |  SELECT p_partkey AS dirty_id,
@@ -1021,18 +1028,21 @@ object DedupOps {
         |        || substr(p_name, 3, 1) || substr(p_name, 5)
         |      ELSE p_name END AS dname
         |  FROM part),
-        |clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
+        |dn AS (SELECT DISTINCT dname FROM dirty),
+        |clean AS (SELECT p_name AS name, min(p_partkey) AS clean_id
+        |          FROM part GROUP BY p_name),
         |cand AS (
-        |  SELECT d.dirty_id, c.clean_id,
+        |  SELECT d.dname, c.clean_id,
         |    round(jaro_winkler_similarity(d.dname, c.name), 6) + 0.0 AS score
-        |  FROM dirty d JOIN clean c
+        |  FROM dn d JOIN clean c
         |    ON substr(d.dname, 1, 2) = substr(c.name, 1, 2)
         |   AND abs(length(d.dname) - length(c.name)) <= 2),
         |r AS (
-        |  SELECT dirty_id, clean_id, score, row_number() OVER (
-        |      PARTITION BY dirty_id ORDER BY score DESC, clean_id) AS rn
+        |  SELECT dname, clean_id, score, row_number() OVER (
+        |      PARTITION BY dname ORDER BY score DESC, clean_id) AS rn
         |  FROM cand WHERE score >= 0.9)
-        |SELECT dirty_id, clean_id, score FROM r WHERE rn = 1
+        |SELECT dirty_id, clean_id, score
+        |FROM dirty JOIN r USING (dname) WHERE rn = 1
         |ORDER BY dirty_id""".stripMargin,
     // composite: the three pair sets from the SAME shingle CTEs, unioned
     // with method labels (CTE names suffixed to avoid colliding with the

@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   * Store shape (respects the production candidate caps — a hot cluster
   * must stay under ShingleDocFreqCap = 1000 or its shingles are
   * legitimately dropped and nothing pairs):
-  *   documents: 1 hot cluster of 950 docs + 150 clusters of 95 + 10 000
-  *   singletons → Σ pairs = C(950,2) + 150·C(95,2) ≈ 1.12M undirected
-  *   (2.24M directed, over the 2M cap); within-cluster Jaccard ≈ 0.82.
+  *   documents: 1 hot cluster of 950 docs + 200 clusters of 95 + 10 000
+  *   singletons → Σ pairs = C(950,2) + 200·C(95,2) ≈ 1.34M undirected
+  *   (2.69M directed, 1.35× the 2M cap); within-cluster Jaccard ≈ 0.88.
   *   embeddings: 3 000 vectors in label 0 (hot cell), 200 × labels 1–9;
   *   every 10th vector duplicates its predecessor so cos-dup pairs exist.
   *
@@ -107,13 +107,17 @@ object SkewSoak {
   private def build(spark: SparkSession, dir: String): Unit = {
     val f = new java.io.File(s"$dir/documents.parquet")
     if (f.exists()) return // content-stable: same generator, same store
-    // documents: hot cluster ids 0..949 (cluster 0); 150×95 at ids
-    // 1000..15249; singletons at ids 20000..29999
-    val clustered = spark.range(0, 15250)
+    // documents: hot cluster ids 0..949 (cluster 0); 200×95 at ids
+    // 1000..19999; singletons at ids 20000..29999. Σ pairs = C(950,2) +
+    // 200·C(95,2) ≈ 1.34M undirected → 2.69M directed, 1.35× the 2M cap.
+    // `div`, not Column./ — double division renders cid as "1.0526…"
+    // making every doc's body unique (the first soak run found exactly
+    // that: only the hot cluster paired).
+    val clustered = spark.range(0, 20000)
       .filter(col("id") < 950 || col("id") >= 1000)
       .select(col("id").as("doc_id"),
-        when(col("id") < 950, 0L)
-          .otherwise((col("id") - 1000L) / 95L + 1L).as("cid"))
+        when(col("id") < 950, lit(0L))
+          .otherwise(expr("(id - 1000) div 95 + 1")).as("cid"))
       .select(col("doc_id"),
         concat(
           expr("concat_ws(' ', transform(sequence(0, 29)," +

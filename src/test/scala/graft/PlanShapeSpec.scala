@@ -400,6 +400,8 @@ class PlanShapeSpec extends SparkSuite {
       "sim_search_pq", "sim_search_pq_serve",
       "sim_search_ivfpq", "sim_search_ivfpq_serve",
       "approx_distinct_merge", // 1-row exact-total broadcast crossJoin
+      // 1-row MG-summary + token-total broadcasts (invariant-oracle form)
+      "heavy_hitters", "heavy_hitters_merge",
       "text_tfidf", "window_ntile",
       "window_rank_family_scaled", "pack_sequences", "embed_align",
       "pipeline_training_corpus",
