@@ -144,38 +144,41 @@ object Bench {
       s"\"" + k + "\":" + minOf(ts)
     }.mkString("{", ",", "}")
     val minTotal = samples.map { case (_, ts) => minOf(ts) }.filter(_ >= 0).sum
-    val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
-    java.nio.file.Files.write(outPath,
-      (line + "\n" + s"""{"samples":$samplesJson}""" + "\n" +
-        s"""{"min_total":$minTotal,"min":$minJson}""" + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // The driver keeps only the last ~2 KB of stdout, so the full per-key
+    // The driver keeps only a small tail of stdout, so the full per-key
     // line above loses its head (its opening "{" is ~28 KB back) and the
-    // driver records "parsed": null. Emit a COMPACT, self-describing JSON
-    // line LAST — short enough to survive the tail intact — carrying the
-    // totals plus the slowest keys (the performance-relevant ones); the
-    // complete per-key map lives in the committed artifact named inside.
+    // driver records "parsed": null — and round 11 proved even a
+    // 15-key+note compact line gets CUT mid-note by the tail window.
+    // Round 12: the compact line is minimal (top-5 slowest keys, no
+    // prose note — the full map lives in the committed artifact), and it
+    // ships on THREE channels so at least one survives any tail policy:
+    // (1) last stdout line before spark.stop, (2) FIRST line of the
+    // SPARK_GRAFT_BENCH_OUT artifact, (3) a JVM shutdown hook to stderr
+    // — the genuinely last thing this process emits, after sbt's
+    // [success] chatter has nothing further to append on stdout.
     // Locale.ROOT: f"%.3f" honors the default JVM locale, and a
     // comma-decimal locale would emit 1,234 — invalid JSON in the one
     // line the driver machine-parses (the rest of the file renders
     // doubles via locale-independent Double.toString).
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) =>
         "\"" + k + "\":" +
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       }.mkString("{", ",", "}")
-    // The artifact path comes from env (SPARK_GRAFT_BENCH_OUT); a quote
-    // or backslash in it would break this machine-parsed JSON line, so
-    // escape it before interpolating.
-    val outPathJson = outPath.toString
-      .replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$slow,""" +
-      s""""note":"queries = slowest 15 of ${results.size} keys by median;""" +
-      s""" full per-key medians/samples/mins committed at $outPathJson",""" +
       s""""n_queries":${results.size},"min_total":$minTotal,""" +
-      s""""failed":$failedJson,"sf":"$sfDir","reps":$reps}""")
+      s""""failed":$failedJson,"sf":"$sfDir","reps":$reps}"""
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+    java.nio.file.Files.write(outPath,
+      (compact + "\n" + line + "\n" + s"""{"samples":$samplesJson}""" +
+        "\n" + s"""{"min_total":$minTotal,"min":$minJson}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.err.println(compact)
+      System.err.flush()
+    }))
+    println(compact)
     spark.stop()
   }
 }

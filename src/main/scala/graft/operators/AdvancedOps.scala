@@ -829,7 +829,16 @@ object AdvancedOps {
   // late_supps = 1 (nobody else was late) — min(late suppkey) then IS
   // the sole offender, and sum(late lines) its per-order wait count.
   // One lineitem pass, one orderkey shuffle; the correlated form would
-  // rescan lineitem twice per row. ──
+  // rescan lineitem twice per row.
+  //
+  // SCHEMA NOTE (driver consumers): unlike canonical Q21's (s_name,
+  // numwait) ordered by numwait/name, this key returns (s_suppkey,
+  // s_name, numwait) grouped and ORDERED BY THE ENTITY KEY. Deliberate
+  // (round 11): the inflated sf≈1 store key-shifts supplier copies
+  // WITHOUT renaming, so s_name is not a bijection for s_suppkey there —
+  // grouping/ordering by display name silently merges distinct suppliers
+  // at scale. Same deviation on both engines; a consumer expecting the
+  // canonical 2-column shape should project/sort downstream. ──
   def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F")

@@ -165,15 +165,7 @@ object AnalyticsOps {
   // division (`div`), matching DuckDB `//` on positives, so the oracle can
   // replay all 5 iterations exactly. ──
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    // dedup the fact side to (order, supplier) BEFORE the join: shrinks the
-    // join input ~4× (multi-line orders) and the distinct after it
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val edgesDirected = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    val edgesDirected = SharedGraph.tradeEdges(spark, dir)
     val und = edgesDirected
       .select(explode(array(struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
@@ -232,14 +224,7 @@ object AnalyticsOps {
   // so it cannot overflow, and floor `div` matches DuckDB `//` on
   // positives — the oracle replays all 4 rounds bit-exactly. ──
   def graphEigenCentrality(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val e = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    val e = SharedGraph.tradeEdges(spark, dir)
     val und = e
       .select(explode(array(struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
@@ -285,13 +270,7 @@ object AnalyticsOps {
     * callers need no unpersist. */
   private def lpLabels(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val e = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    val e = SharedGraph.tradeEdges(spark, dir)
     // cached PRE-PARTITIONED ON src, the key every round aggregates on:
     // HashPartitioning(src) satisfies both the (src, lbl) count's and the
     // per-src argmax's clustered distributions (partitioning exprs ⊆
@@ -906,13 +885,7 @@ object AnalyticsOps {
   // max-degree · Scale² < 9.2e18 (maxdeg ≲ 9e6 at ppm scale — drop
   // Scale to 1e3 beyond). ──
   def graphHits(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val e = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct().transform(Eager(_))
+    val e = SharedGraph.tradePairs(spark, dir)
     var h = e.select(col("cust")).distinct()
       .withColumn("h", lit(HitsScale))
     var a = e.select(col("supp")).distinct().withColumn("a", lit(HitsScale))

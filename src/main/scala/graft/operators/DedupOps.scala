@@ -19,7 +19,7 @@ import graft.sources.Tables
   *    under any execution order.
   *
   * Oracle determinism: shingles/tokens are mapped to integer ids INLINE
-  * (first 60 bits of md5, mod P — see [[withSid]]; no dictionary relation,
+  * (first 60 bits of md5, mod P — see [[sidExpr]]; no dictionary relation,
   * no global state) and all MinHash/SimHash arithmetic is exact int64 —
   * replicable bit-for-bit in DuckDB SQL. AT SCALE the md5 stand-in is
   * replaced by `xxhash64(shingle)` ([[dedupMinhashFast]]) — the identical
@@ -118,13 +118,22 @@ object DedupOps {
     * sets: this corpus draws ~16 words from a ~30-word vocabulary, so word
     * SETS collide for most document pairs (measured: 92k of 125k pairs have
     * set-Jaccard ≥ 0.5 at sf0.01) while 3-gram shingles separate cleanly. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesFrom(Tables.documents(spark, dir))
+  private def sidShingles(spark: SparkSession, dir: String): DataFrame =
+    sidShinglesFrom(Tables.documents(spark, dir))
 
-  /** [[shingles]] over an arbitrary documents frame — the sampled eval
-    * harness admits a deterministic doc subset first, then reuses the
-    * exact production shingle stage. */
-  private def shinglesFrom(docs: DataFrame): DataFrame = {
+  /** Capped per-shingle posting lists (shingle, docs) — the one-shuffle
+    * core shared by the string-keyed ([[shinglesFrom]]) and int-keyed
+    * ([[sidShinglesFrom]]) shingle stages.
+    *
+    * Dedup + stop-shingle cap in ONE shuffle: the bounded-distinct
+    * aggregate builds each shingle's posting list map-side (partial
+    * aggregation dedups AND saturates before the exchange) and returns
+    * null for any shingle exceeding the cap — replacing the previous
+    * distinct + windowed-count pair of shuffles, with O(cap) memory per
+    * shingle even for a boilerplate shingle in 10^8 docs. The capped
+    * universe applies UNIFORMLY — intersections AND set sizes — so
+    * Jaccard stays a true Jaccard over informative shingles. */
+  private def shingleDocs(docs: DataFrame): DataFrame = {
     val raw = docs
       .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
       .select(col("doc_id"),
@@ -135,20 +144,22 @@ object DedupOps {
             " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))" +
             " ELSE CAST(array() AS ARRAY<STRING>) END"))
           .as("shingle"))
-    // dedup + stop-shingle cap in ONE shuffle: the bounded-distinct
-    // aggregate builds each shingle's posting list map-side (partial
-    // aggregation dedups AND saturates before the exchange) and returns
-    // null for any shingle exceeding the cap — replacing the previous
-    // distinct + windowed-count pair of shuffles, with O(cap) memory per
-    // shingle even for a boilerplate shingle in 10^8 docs. The capped
-    // universe applies UNIFORMLY — intersections AND set sizes — so
-    // Jaccard stays a true Jaccard over informative shingles.
     raw.groupBy(col("shingle"))
       .agg(graft.functions.BoundedDistinctAgg(col("doc_id"), ShingleDocFreqCap)
         .as("docs"))
       .filter(col("docs").isNotNull)
-      .select(col("shingle"), explode(col("docs")).as("doc_id"))
   }
+
+  /** Int-only shingle stage: (doc_id, sid) with the md5 sid computed ONCE
+    * per vocabulary entry (on the grouped posting lists, before the doc
+    * explode) and the string dropped before anything is materialized.
+    * Since round 12 the WHOLE exact-Jaccard family checkpoints this frame
+    * instead of the old string form — two longs per row (~3× fewer
+    * checkpoint bytes than rows carrying the ~20-char shingle), and the
+    * hash runs |vocab| times, not |doc×shingle| times. */
+  private def sidShinglesFrom(docs: DataFrame): DataFrame =
+    shingleDocs(docs)
+      .select(sidExpr.as("sid"), explode(col("docs")).as("doc_id"))
 
   /** Shingle → integer id, the first 60 bits of md5 reduced mod P —
     * computed INLINE per (doc_id, shingle) row: no dictionary relation
@@ -164,20 +175,26 @@ object DedupOps {
     * the failure mode the prod hash form accepts by design. The
     * oracle's dict CTE still materializes the vocabulary relation —
     * same per-shingle values, so the join there is value-neutral. */
-  private def withSid(sh: DataFrame): DataFrame =
-    sh.withColumn("sid", expr(
-      "pmod(cast(conv(substring(md5(shingle), 1, 15), 16, 10)" +
-        " as bigint), 2147483647)"))
+  /** The shingle→sid scalar, applied once per vocabulary entry in
+    * [[sidShinglesFrom]] (and alongside the xxhash64 derivation in
+    * [[dedupMinhashFast]]) so the derivations cannot drift. */
+  private def sidExpr: Column = expr(
+    "pmod(cast(conv(substring(md5(shingle), 1, 15), 16, 10)" +
+      " as bigint), 2147483647)")
 
-  /** True Jaccard over shingle sets for a given candidate pair set
-    * (columns doc_a < doc_b). Joins candidates back to the shingle lists —
-    * work is O(candidates × shingles/doc), never all-pairs. */
-  private def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  /** True Jaccard over shingle-ID sets for a given candidate pair set
+    * (columns doc_a < doc_b). Joins candidates back to the (doc_id, sid)
+    * lists — work is O(candidates × shingles/doc), never all-pairs.
+    * Int-keyed since round 12: every consumer ships sids, the string
+    * never reaches this join (smaller shuffles, cheaper compares; the
+    * oracles derive over the SAME sids so a hash collision — if one ever
+    * occurred — lands identically on both engines). */
+  private def jaccardFor(cand: DataFrame, ws: DataFrame): DataFrame = {
+    val sizes = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
+      .join(ws.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(ws.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.sid") === col("sb.sid"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
@@ -188,21 +205,21 @@ object DedupOps {
   }
 
   // ── n-gram Jaccard near-dup (SURVEY §2.10): candidates = pairs sharing
-  // ≥1 shingle (a shuffle join keyed on shingle — at scale, high-frequency
-  // shingles would be capped; this corpus tops out at doc-freq 25), then
-  // exact Jaccard ≥ 0.3. ──
+  // ≥1 shingle (a shuffle join keyed on shingle id — at scale,
+  // high-frequency shingles would be capped; this corpus tops out at
+  // doc-freq 25), then exact Jaccard ≥ 0.3. ──
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    ngramPairs(eager(shingles(spark, dir))).orderBy("doc_a", "doc_b")
+    ngramPairs(eager(sidShingles(spark, dir))).orderBy("doc_a", "doc_b")
 
-  /** n-gram pair core over a given shingle set (shared by [[dedupNgram]]
-    * and the composite [[dedupPipeline]]). */
-  private def ngramPairs(sh: DataFrame): DataFrame = {
-    // shingle-keyed self-join: each output row is one SHARED shingle of a
+  /** n-gram pair core over a given (doc_id, sid) shingle set (shared by
+    * [[dedupNgram]] and the composite [[dedupPipeline]]). */
+  private def ngramPairs(ws: DataFrame): DataFrame = {
+    // sid-keyed self-join: each output row is one SHARED shingle of a
     // pair, so counting rows per pair IS the intersection size — no
-    // separate candidate pass, one shuffle on shingle + one on pair.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+    // separate candidate pass, one shuffle on sid + one on pair.
+    val sizes = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = ws.as("a").join(ws.as("b"),
+        col("a.sid") === col("b.sid") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -225,7 +242,7 @@ object DedupOps {
   // θ and one division; removal is the same deterministic
   // duplicate-of-lower-id convention the dedup keys use. ──
   def evalDedupThreshold(spark: SparkSession, dir: String): DataFrame = {
-    val sh = eager(shingles(spark, dir))
+    val sh = eager(sidShingles(spark, dir))
     val pairs = ngramPairs(sh)
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     pairs
@@ -293,7 +310,7 @@ object DedupOps {
   // 1-row aggregates combined — pair-set-sized work, same as the dedup
   // keys themselves. ──
   def evalDedupPr(spark: SparkSession, dir: String): DataFrame =
-    prReport(eager(shingles(spark, dir)))
+    prReport(eager(sidShingles(spark, dir)))
 
   /** Deterministic 30% document admission shared verbatim by the engine
     * and the oracle: the first 60 bits of md5(doc_id) mod 10 < 3 — a
@@ -316,13 +333,13 @@ object DedupOps {
   /** [[evalDedupPr]] on the hash-admitted sample — same production
     * candidate generator, same exact truth, ~1/10 the pair work. */
   def evalDedupPrSampled(spark: SparkSession, dir: String): DataFrame =
-    prReport(eager(shinglesFrom(
+    prReport(eager(sidShinglesFrom(
       Tables.documents(spark, dir).filter(expr(SampleAdmissionSpark)))))
 
-  private def prReport(sh: DataFrame): DataFrame = {
-    val cand = minhashCandidates(withSid(sh))
+  private def prReport(ws: DataFrame): DataFrame = {
+    val cand = minhashCandidates(ws)
       .withColumn("is_cand", lit(1L))
-    val truth = ngramPairs(sh).select(col("doc_a"), col("doc_b"))
+    val truth = ngramPairs(ws).select(col("doc_a"), col("doc_b"))
       .withColumn("is_true", lit(1L))
     // ONE pass over the union of both pair sets: |cand|, |truth| and the
     // overlap fall out of a single full-outer join + aggregate, replacing
@@ -361,8 +378,8 @@ object DedupOps {
   // separates. Theory is pure per-row arithmetic on the bucket
   // midpoint; both engines compute it from the same literals. ──
   def evalLshCurve(spark: SparkSession, dir: String): DataFrame = {
-    val sh = eager(shingles(spark, dir))
-    val cand = minhashCandidates(withSid(sh))
+    val sh = eager(sidShingles(spark, dir))
+    val cand = minhashCandidates(sh)
       .withColumn("captured", lit(1L))
     val truth = ngramPairs(sh)
     truth
@@ -390,10 +407,10 @@ object DedupOps {
   // distinguish true near-identity (both high) from inclusion (C high,
   // J low). ──
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = eager(shingles(spark, dir))
+    val sh = eager(sidShingles(spark, dir))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.sid") === col("b.sid") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -414,8 +431,8 @@ object DedupOps {
   // verified with true Jaccard ≥ 0.3. At j=0.3 the 16-band/2-row curve
   // catches ~78% of true pairs — the standard recall/cost dial. ──
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = eager(shingles(spark, dir))
-    minhashFromSids(withSid(sh), sh)
+    val ws = eager(sidShingles(spark, dir))
+    minhashFromSids(ws, ws)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -428,13 +445,19 @@ object DedupOps {
     * DedupSimilaritySpec: pairs ⊆ exhaustive n-gram pairs with equal
     * jaccard, and ≥90% pair-set overlap with the dict variant. */
   def dedupMinhashFast(spark: SparkSession, dir: String): DataFrame = {
-    val sh = eager(shingles(spark, dir))
-    minhashFromSids(sh.withColumn("sid", pmod(xxhash64(col("shingle")), lit(P))), sh)
+    // one int-only frame carrying BOTH id derivations per posting-list
+    // row: xsid (xxhash64 — drives the LSH banding, the production hash)
+    // and sid (md5 — drives the exact-Jaccard verification, so verified
+    // scores stay bit-identical to dedup_ngram's as the spec pins)
+    val ws = eager(shingleDocs(Tables.documents(spark, dir))
+      .select(pmod(xxhash64(col("shingle")), lit(P)).as("xsid"),
+        sidExpr.as("sid"), explode(col("docs")).as("doc_id")))
+    minhashFromSids(ws.select(col("doc_id"), col("xsid").as("sid")), ws)
       .orderBy("doc_a", "doc_b")
   }
 
-  private def minhashFromSids(withSid: DataFrame, sh: DataFrame): DataFrame =
-    jaccardFor(minhashCandidates(withSid), sh)
+  private def minhashFromSids(candWs: DataFrame, ws: DataFrame): DataFrame =
+    jaccardFor(minhashCandidates(candWs), ws.select(col("doc_id"), col("sid")))
       .filter(col("jaccard") >= 0.3)
 
   /** LSH band-bucket candidate pairs (doc_a < doc_b, distinct) — the
@@ -483,11 +506,10 @@ object DedupOps {
   // standard pigeonhole trick: d≤3 ⇒ some chunk of 4 is untouched ⇒
   // shared — also exactly how it shards at 100 TB). ──
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // not cached: measured slower WITH cache here — sh is consumed once per
-    // branch and the in-session cache entry from the sibling dedup keys
-    // (identical logical plan) is reused when they run in the same session
-    val sh = shingles(spark, dir)
-    simhashPairs(withSid(sh))
+    // not cached: measured slower WITH cache here — the shingle stage is
+    // consumed once and the in-session cache entry from the sibling dedup
+    // keys (identical logical plan) is reused when they share a session
+    simhashPairs(sidShingles(spark, dir))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -730,40 +752,43 @@ object DedupOps {
     labels
   }
 
-  // ── the dedup family as ONE pipeline: shingle + dictionary stages
-  // computed ONCE (eagerly, [[eager]]), feeding n-gram Jaccard,
-  // MinHash-LSH and SimHash in parallel, results unioned per pair with
-  // the set of methods that flagged it. This is the plan a real
-  // corpus-dedup job runs — the standalone keys re-derive shingles per
-  // invocation only because the driver's bench times them hermetically;
-  // here the shared stage is explicit (sh is ONE shuffle via
-  // BoundedDistinctAgg, materialized once and reused by all three
-  // branches as a checkpointed frame — a lazy `.cache()` here let the
-  // three concurrent branches of the single output action race the cold
-  // cache into per-branch recomputes, which under the driver's
-  // multi-tenant refresh cost 6.5× the idle-box time). Agreement across
-  // methods is also the practical confidence signal: n_methods = 3 pairs
-  // are certain dups, singletons are method-specific candidates. ──
+  // ── the dedup family as ONE pipeline: the shingle stage computed ONCE
+  // (eagerly, [[eager]]), feeding n-gram Jaccard, MinHash-LSH and SimHash
+  // in parallel, results unioned per pair with the set of methods that
+  // flagged it. This is the plan a real corpus-dedup job runs — the
+  // standalone keys re-derive shingles per invocation only because the
+  // driver's bench times them hermetically; here the shared stage is
+  // explicit and checkpointed (a lazy `.cache()` here let the concurrent
+  // branches of the single output action race the cold cache into
+  // per-branch recomputes, which under the driver's multi-tenant refresh
+  // cost 6.5× the idle-box time). Agreement across methods is also the
+  // practical confidence signal: n_methods = 3 pairs are certain dups,
+  // singletons are method-specific candidates. ──
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val sh = eager(shingles(spark, dir))
-    val sidded = withSid(sh)
-    // the exhaustive shared-shingle Jaccard table is computed ONCE and
-    // reused: the ngram branch IS it, and the minhash branch's verified
-    // pairs are exactly (LSH candidates ∩ jaccard ≥ 0.3) — LSH candidates
-    // share ≥1 band ⇒ ≥1 shingle, so every candidate that passes the
-    // threshold already has a row here (the `mh ⊆ ng` invariant
-    // DedupSimilaritySpec pins). A semi-join replaces the branch's second
-    // round of intersection counting.
-    val jac = eager(ngramPairs(sh))
-    val ng = jac
-      .select(col("doc_a"), col("doc_b"), lit("ngram").as("method"))
-    val mh = minhashCandidates(sidded)
-      .join(jac.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"),
-        "left_semi")
-      .select(col("doc_a"), col("doc_b"), lit("minhash").as("method"))
-    val sim = simhashPairs(sidded)
+    // ONE materialization (round 12, was three): the int-only (sid,
+    // doc_id) frame — strings never reach the checkpoint, and every
+    // branch (sid self-join ×2, minhash signatures, simhash fingerprints)
+    // reads these two-long rows. The former SECOND Eager (the Jaccard
+    // table) is gone: restructured below so the Jaccard table has exactly
+    // one consumer and can stay lazy. Under the driver's cold bench
+    // protocol the checkpoint writes + first-run codegen dominated
+    // (18.3 s cold vs 5.9 s warm at r11) — fewer/smaller materialized
+    // stages attack exactly that.
+    val ws = eager(sidShingles(spark, dir))
+    val jac = ngramPairs(ws)
+    // minhash branch = LSH candidates ∩ (jaccard ≥ 0.3): candidates share
+    // a band ⇒ share a sid ⇒ already a row of jac when they pass the
+    // threshold (the `mh ⊆ ng` invariant DedupSimilaritySpec pins). A
+    // LEFT join from jac marks them in the SAME pass that emits the ngram
+    // branch — jac is consumed exactly once, so it needs no checkpoint.
+    val mhc = minhashCandidates(ws).withColumn("is_mh", lit(true))
+    val ngmh = jac.join(mhc, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        explode(when(col("is_mh"), array(lit("ngram"), lit("minhash")))
+          .otherwise(array(lit("ngram")))).as("method"))
+    val sim = simhashPairs(ws)
       .select(col("doc_a"), col("doc_b"), lit("simhash").as("method"))
-    ng.unionByName(mh).unionByName(sim)
+    ngmh.unionByName(sim)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(array_sort(collect_set(col("method"))).as("ms"))
       .select(col("doc_a"), col("doc_b"),
@@ -919,11 +944,16 @@ object DedupOps {
     * multiplied every candidate pair by both docs' full shingle lists
     * before the equality filter — ~660M intermediate rows at sf≈1, >10
     * min and >10 GB of spill where this form takes 30 s. Same rows, same
-    * counts: a candidate pair IS a pair with ≥1 shared shingle. */
+    * counts: a candidate pair IS a pair with ≥1 shared shingle.
+    *
+    * Int-keyed over `ws` (sid) since round 12, mirroring the engine's
+    * int-only shared shingle stage — a sid collision (if one ever
+    * occurred) lands identically on both sides; per-doc sizes are
+    * row-identical between sh and ws (1:1 through the dict join). */
   private val duckCandInter =
     """,
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          FROM ws a JOIN ws b ON a.sid = b.sid AND a.doc_id < b.doc_id
       |          GROUP BY doc_a, doc_b),
       |cand AS (SELECT doc_a, doc_b FROM inter)""".stripMargin
 
@@ -962,7 +992,7 @@ object DedupOps {
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
         |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |          FROM ws a JOIN ws b ON a.sid = b.sid
         |               AND a.doc_id < b.doc_id
         |          GROUP BY doc_a, doc_b),
         |scand AS (SELECT doc_a, doc_b FROM inter),
@@ -1207,7 +1237,7 @@ object DedupOps {
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
         |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |          FROM ws a JOIN ws b ON a.sid = b.sid
         |               AND a.doc_id < b.doc_id
         |          GROUP BY doc_a, doc_b),
         |scand AS (SELECT doc_a, doc_b FROM inter),
@@ -1244,7 +1274,7 @@ object DedupOps {
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.m0 = b.m0
         |              AND a.m1 = b.m1 AND a.doc_id < b.doc_id),
         |shinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |            FROM ws a JOIN ws b ON a.sid = b.sid AND a.doc_id < b.doc_id
         |            GROUP BY doc_a, doc_b),
         |inter AS (SELECT shinter.doc_a, shinter.doc_b, shinter.i
         |          FROM shinter JOIN cand USING (doc_a, doc_b))

@@ -61,7 +61,7 @@ object MiningOps {
     // eagerly materialized: the basket relation (a distinct = one shuffle over
     // lineitem) feeds the order total, the item supports, and both pair
     // sides — shared lazily each consumer re-runs the scan + distinct
-    val op = Eager(baskets(spark, dir))
+    val op = SharedGraph.baskets(spark, dir)
     val nOrders = op.select(col("o")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCnt = op.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
@@ -130,14 +130,10 @@ object MiningOps {
   // own list because all its edges point INTO it. The oracle replays the
   // same orientation from the same integer degrees. ──
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir)) // read twice by the self-join
     // materialize the deduped edge set: degrees, orientation, the closing-edge
     // probe and the edge count all consume it — shared lazily, each consumer
     // re-runs the baskets self-join + distinct (~6 re-executions)
-    val und = op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct().transform(Eager(_))
+    val und = SharedGraph.coPurchaseEdges(spark, dir)
     // one pass, not a union of two projections: each edge credits both
     // endpoints via an exploded 2-array
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
@@ -269,11 +265,7 @@ object MiningOps {
   // scalars (model-sized, like pagerank's convergence checksums). The
   // oracle unrolls the same three rounds. ──
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
-    val und = op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct().transform(Eager(_))
+    val und = SharedGraph.coPurchaseEdges(spark, dir)
     def degreesOf(e: DataFrame): DataFrame =
       // exploded 2-array, not a union of two projections: the edge
       // restriction feeding each round is computed ONCE per recount
@@ -511,17 +503,7 @@ object MiningOps {
   // localCheckpoint per round truncates the growing lineage (the kcore
   // lesson). Output: parts per hop level. ──
   def graphBfs(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
-    val und = op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
-    val edges = und
-      // both directions in ONE pass over the deduped edge set
-      .select(explode(array(struct(col("u"), col("v")),
-        struct(col("v").as("u"), col("u").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .repartition(col("u")).transform(Eager(_))
+    val edges = SharedGraph.coPurchaseAdjByU(spark, dir)
     // the seed is ONE driver scalar (TakeOrdered of the degree frame) —
     // model-sized by construction
     val seed = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -551,11 +533,7 @@ object MiningOps {
   // degrees). Candidates anti-join the edge set; top-50 by CN via
   // TakeOrdered, never a global sort. ──
   def graphCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
-    val und = op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct().transform(Eager(_))
+    val und = SharedGraph.coPurchaseEdges(spark, dir)
     val adj = und
       .select(explode(array(
         struct(col("u").as("node"), col("v").as("nbr")),
@@ -592,13 +570,9 @@ object MiningOps {
   // table broadcasts to both endpoints; nothing fact-sized shuffles
   // twice. ──
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
     // materialized: deg and the probe side both trace back to this
     // self-join — lazy, the distinct recomputes once per consumer
-    val und = Eager(op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct())
+    val und = SharedGraph.coPurchaseEdges(spark, dir)
     val adj = und
       .select(explode(array(struct(col("u"), col("v")),
         struct(col("v").as("u"), col("u").as("v")))).as("e"))
@@ -637,11 +611,7 @@ object MiningOps {
   // enumeration. Ratio is 2.0·int/int: one double op, no rounding
   // discipline needed beyond the final r6. ──
   def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
-    val und = op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct().transform(Eager(_))
+    val und = SharedGraph.coPurchaseEdges(spark, dir)
     // one pass, not a union of two projections: each edge credits both
     // endpoints via an exploded 2-array — und is read ONCE here
     val deg = Eager(und
@@ -704,7 +674,7 @@ object MiningOps {
   // ROUNDED score so both engines break ties at identical values, then
   // by neighbor id. ──
   def recsysItemKnn(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
+    val op = SharedGraph.baskets(spark, dir)
     val cnt = op.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
     val pairs = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
@@ -739,7 +709,7 @@ object MiningOps {
   // shapes as the recommender itself: pair counts shuffle on item,
   // lists are top-3 windows per item. ──
   def evalRecsysHitrate(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
+    val op = SharedGraph.baskets(spark, dir)
     val held = op.groupBy(col("o"))
       .agg(max(col("p")).as("held"), count(lit(1)).as("sz"))
       .filter(col("sz") >= 2)
@@ -788,11 +758,7 @@ object MiningOps {
   // two would misbin on one engine and not the other). Node degrees are
   // one keyed count; the distribution is |bins|-sized. ──
   def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
-    val und = op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    val und = SharedGraph.coPurchaseEdges(spark, dir)
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val binned = deg
@@ -816,12 +782,8 @@ object MiningOps {
   // against it, and each (k) group reduces to two exact integers; φ is
   // one cast-first division, NULL below 2 club members. ──
   def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
     // materialized: the degree build and the club-edge probe both read it
-    val und = Eager(op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct())
+    val und = SharedGraph.coPurchaseEdges(spark, dir)
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d")).transform(Eager(_))
     val ks = Seq(4, 8, 16, 32)
@@ -929,17 +891,7 @@ object MiningOps {
   // localCheckpoint per round; multiplicities are exact int64, so the
   // oracle unrolls all three rounds bit-for-bit. ──
   def graphPathCounts(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
-    val und = op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
-    val edges = und
-      // both directions in ONE pass over the deduped edge set
-      .select(explode(array(struct(col("u"), col("v")),
-        struct(col("v").as("u"), col("u").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .repartition(col("u")).transform(Eager(_))
+    val edges = SharedGraph.coPurchaseAdjByU(spark, dir)
     val seed = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .orderBy(desc("d"), col("u")).limit(1)
       .collect()(0).getLong(0)
@@ -1007,7 +959,7 @@ object MiningOps {
   // join as the kNN key; everything integer until three final
   // divisions. ──
   def evalRecsysCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
+    val op = SharedGraph.baskets(spark, dir)
     val cnt = op.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
     val pairs = op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
@@ -1055,17 +1007,7 @@ object MiningOps {
   // a broadcast 5-row frame, no collect. Per-hop counts are exact
   // int64; HC = c₁ + c₂/2 + c₃/3 with cast-first divisions. ──
   def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
-    val op = Eager(baskets(spark, dir))
-    val und = op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
-    val edges = und
-      // both directions in ONE pass over the deduped edge set
-      .select(explode(array(struct(col("u"), col("v")),
-        struct(col("v").as("u"), col("u").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .repartition(col("u")).transform(Eager(_))
+    val edges = SharedGraph.coPurchaseAdjByU(spark, dir)
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val seeds = deg.orderBy(desc("d"), col("u")).limit(5)
       .select(col("u").as("seed"))

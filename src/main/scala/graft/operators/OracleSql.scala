@@ -52,8 +52,11 @@ private[graft] object OracleSql {
     * guard from [[matCtes]] applies; the RECURSIVE guard is replaced by
     * the explicit skip set. */
   def matCtesSkip(sql: String, skip: Set[String]): String = {
-    require(!"""(?mi)^\s*WINDOW\b""".r.findFirstIn(sql).isDefined,
-      "matCtesSkip: named-WINDOW clause present — materialize by hand")
+    require(!"""(?mi)^\s*WINDOW\b""".r.findFirstIn(sql).isDefined &&
+      !"""(?i)\bWINDOW\s+[A-Za-z_0-9]+\s+AS\s*\(""".r
+        .findFirstIn(sql).isDefined,
+      "matCtesSkip: named-WINDOW clause present — its continuation lines " +
+        "would be rewritten as CTE heads; materialize by hand")
     def keep(name: String): Boolean = skip.contains(name.takeWhile(_ != '('))
     val body = """(?m)^(\s*)([A-Za-z_0-9]+(\([^)]*\))?) AS \(""".r
       .replaceAllIn(sql, m =>

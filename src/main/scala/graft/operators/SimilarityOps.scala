@@ -118,13 +118,14 @@ object SimilarityOps {
     *    cosine ≤ the rounded global max; a violation means the scores are
     *    not real cosines;
     *  - `recall_ok`: ≥ `minOverlap` of the k results are in the
-    *    brute-force top-k. Floors are per-family, sized from measurement
-    *    across sf0.001/0.01/0.1/sf≈1 (IVF nprobe=2/16 bottoms at 2/10 on
-    *    the small corpora — floor 1; PQ rescoring stays 10/10 — floor 7,
-    *    matching PqIndexSpec; IVF-PQ bottoms at 5/10 — floor 4). The
-    *    informative recall EVALUATION lives in eval_ann_recall (oracled)
-    *    and the Ivf/Pq specs; this floor catches the broken-index class
-    *    (wrong cells probed / garbage codes ⇒ overlap collapses to 0).
+    *    brute-force top-k, counted over DISTINCT matched ids. Floors are
+    *    per-family at obs_min − 1 from the round-12 BoundProbe sweep
+    *    across sf0.001/0.01/0.1/sf≈1: IVF at nprobe=4/16 measured
+    *    4/5/6/9 — floor 3; PQ rescoring stays 10/10 — floor 9; IVF-PQ
+    *    measured 7/7/5/9 — floor 4. The informative recall EVALUATION
+    *    lives in eval_ann_recall (oracled) and the Ivf/Pq specs; this
+    *    floor fails the gate on the degraded-index class (wrong cells
+    *    probed, garbage codes), not just total collapse.
     *
     * The DuckDB side verifies k and asserts the booleans TRUE — the
     * ε-bound-oracle pattern shared with approx_distinct. */
@@ -141,11 +142,16 @@ object SimilarityOps {
       .join(broadcast(b.select(col("b_id"))),
         col("vec_id") === col("b_id"), "left")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("b_id").isNotNull, 1L).otherwise(0L)).as("overlap"),
+        // DISTINCT on both sides (round 12): a regressed index returning
+        // the same id k times would otherwise pass results_ok (n==k) and
+        // inflate overlap by row count — countDistinct(b_id) ignores the
+        // unmatched-left nulls, so it counts distinct true hits only
+        countDistinct(col("vec_id")).as("n_distinct"),
+        countDistinct(col("b_id")).as("overlap"),
         max(col("cos_sim")).as("r_top"))
       .crossJoin(broadcast(bTop1))
       .select(lit(10).as("k"),
-        (col("n") === 10L).as("results_ok"),
+        (col("n") === 10L && col("n_distinct") === 10L).as("results_ok"),
         (col("r_top") <= col("b_top1") + lit(1e-9)).as("score_ok"),
         (col("overlap") >= minOverlap.toLong).as("recall_ok"))
   }

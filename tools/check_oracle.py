@@ -48,6 +48,9 @@ def main(sf_dir, out_dir, only=None):
         tmp = f"/tmp/duckspill_{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         con.sql(f"SET temp_directory = '{tmp}'")
+        # spill dirs otherwise accumulate in /tmp across capped gate runs
+        import atexit, shutil
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     for t in TABLES:
         # driver testdata ships single parquet FILES; builder-inflated
         # stores (graft.Inflate -> /tmp/sf1) are Spark-written DIRECTORIES

@@ -52,15 +52,22 @@ def main():
         procs.append((i, p, log))
     for i, p, log in procs:
         p.wait()
-    n_pass, bad = len(done), []
+    # Tally with per-key latest-status semantics: resume reruns failed keys
+    # but their old FAIL/WARN lines persist in the appended logs, so a raw
+    # line scan would exit 1 even after a clean rerun. A key counts as bad
+    # only if NO log anywhere records a PASS for it (resume never reruns a
+    # passed key, so a PASS is always the key's final word).
+    status = {}  # key -> last non-PASS line seen (for reporting)
+    passed = set()
     for log in glob.glob(f"{out_dir}/gate_chunk_*.log"):
         for line in open(log):
             if line.startswith("PASS "):
-                k = line.split()[1]
-                if k not in done:
-                    n_pass += 1
-            elif line.startswith(("FAIL", "WARN")):
-                bad.append(line.strip())
+                passed.add(line.split()[1])
+            elif line.startswith(("FAIL ", "WARN ")):
+                k = line.split()[1].rstrip(":")
+                status[k] = line.strip()
+    bad = [status[k] for k in sorted(status) if k not in passed]
+    n_pass = len(passed)
     print(f"== parallel gate: {n_pass} pass, {len(bad)} fail/warn ==")
     for line in bad[:40]:
         print(line)
