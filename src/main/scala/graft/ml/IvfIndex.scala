@@ -47,9 +47,16 @@ object IvfIndex {
   // native fused loop (functions/Dist2) — bit-identical to the old
   // dot(zip_with(v,c,_-_), …) HOF composition (same left-to-right
   // acc += d·d fold) but codegen'd: the HOF pair evaluated two
-  // interpreter lambdas per element, k times per row per Lloyd iteration
+  // interpreter lambdas per element, k times per row per Lloyd iteration.
+  // typedlit, not array(lit…) (round 12): 64 scalar literals are INLINED
+  // into the generated source, so every Lloyd iteration's new centroids
+  // produced brand-new source and a fresh janino compile of the whole
+  // assignment stage — a single array literal is passed via the codegen
+  // references array instead, the source is iteration-invariant, and the
+  // compile cache serves every iteration after the first. Same values,
+  // same fold — results bit-identical.
   private def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
-    graft.functions.Dist2(v, array(c.map(lit): _*))
+    graft.functions.Dist2(v, typedlit(c.toSeq))
 
   /** Assign every vector to its nearest centroid (ties → lowest cell id). */
   private def assign(data: DataFrame, model: Model): DataFrame = {
@@ -71,20 +78,28 @@ object IvfIndex {
       data.orderBy(initOrder: _*).limit(k).collect().zipWithIndex.map {
         case (r, i) => i -> r.getSeq[Double](1).toArray
       })
+    val dim = model.centroids.head._2.length
     for (_ <- 1 to iters) {
       val assigned = assign(data, model)
-      // new centroid = per-dimension mean of the assigned vectors;
-      // k·dim rows come back — model-sized, not data-sized
+      // new centroid = per-dimension mean of the assigned vectors; the
+      // (cell, dim, m) rows come back — model-sized, not data-sized.
+      // Assembled on the DRIVER (round 12): the former second groupBy
+      // (collect_list + array_sort + transform) re-shuffled k·dim rows
+      // per Lloyd iteration only to pack arrays the driver unpacks
+      // again — one shuffle per iteration instead of two, identical
+      // per-(cell, dim) avg values (same aggregation, same groups).
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("s"))
-        .select(col("cell"), expr("transform(s, p -> p.m)").as("cvec"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val cvec = Array.ofDim[Double](dim)
+          rows.foreach(r => cvec(r.getInt(1)) = r.getDouble(2))
+          cell -> cvec
+        }
       // empty cells keep their previous centroid
-      val kept = model.centroids.toMap ++ means.toMap
+      val kept = model.centroids.toMap ++ means
       model = Model(kept.toArray.sortBy(_._1))
     }
     model

@@ -120,7 +120,11 @@ object LogReg {
       val losses = Seq.newBuilder[Double]
       var n = 0L
       for (_ <- 1 to iters) {
-        val wLit = array(w.map(lit).toIndexedSeq: _*)
+        // one array literal (codegen reference): with 5 scalar lits the
+        // new weights changed the generated source every IRLS pass and
+        // each of the 8 aggregate jobs paid a fresh janino compile of the
+        // whole featurize+Gram stage (see IvfIndex.dist2)
+        val wLit = typedlit(w.toSeq)
         val margin = aggregate(zip_with(col("x"), wLit, _ * _),
           lit(0.0), _ + _)
         val p = sigmoid(margin)
@@ -160,9 +164,15 @@ object LogReg {
   /** Driver-contract key: train on the corpus, score every document —
     * (doc_id, score, pred, y). Rows-only (see object doc). */
   def qualityLrScore(spark: SparkSession, dir: String): DataFrame = {
-    val data = featurize(graft.sources.Tables.documents(spark, dir))
+    // Eager (round 12): the featurized frame feeds the 8 IRLS aggregate
+    // passes AND the final corpus scoring — lazily it was recomputed for
+    // the fit's cache fill and a third time for the scoring pass after
+    // fit unpersists (the featurization is 3 regex passes per row, the
+    // most expensive per-row work in this key)
+    val data = graft.operators.Eager(
+      featurize(graft.sources.Tables.documents(spark, dir)))
     val m = fit(data)
-    val wLit = array(m.w.map(lit).toIndexedSeq: _*)
+    val wLit = typedlit(m.w.toSeq)
     val margin = aggregate(zip_with(col("x"), wLit, _ * _), lit(0.0), _ + _)
     data.select(col("doc_id"), col("y").cast("long").as("y"),
         (round(sigmoid(margin), 4) + lit(0.0d)).as("score"))

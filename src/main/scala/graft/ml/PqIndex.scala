@@ -151,7 +151,7 @@ object PqIndex {
   private def rerankByIds(emb: DataFrame, ids: Array[Long],
       pRaw: Array[Double]): DataFrame = {
     val pNorm = math.sqrt(pRaw.map(x => x * x).sum)
-    val pLit = array(pRaw.map(lit).toIndexedSeq: _*)
+    val pLit = typedlit(pRaw.toSeq)
     emb.filter(col("vec_id")
         .isin(ids.map(java.lang.Long.valueOf).toIndexedSeq: _*))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -178,7 +178,11 @@ object PqIndex {
   /** ADC distance column: M lookups into the literal table, summed with
     * a codegen'd fold — centroid order == code id (Model is id-sorted). */
   def adcColumn(tbl: Array[Array[Double]]): Column = {
-    val tblLit = array(tbl.map(row => array(row.map(lit): _*)): _*)
+    // one array-of-arrays literal (a codegen REFERENCE), not 512 inlined
+    // scalar literals — the per-probed-cell ADC scans then share one
+    // compiled class instead of compiling a fresh 512-constant expression
+    // per cell (see IvfIndex.dist2)
+    val tblLit = typedlit(tbl.map(_.toSeq).toSeq)
     aggregate(
       zip_with(col("codes"), tblLit, (c, row) => get(row, c)),
       lit(0.0d), (acc, x) => acc + x)
@@ -321,9 +325,8 @@ object PqIndex {
     val coarse = IvfIndex.train(
       unit.select(col("vec_id"), col("vn").as("embedding")),
       k = CoarseK, iters = CoarseIters)
-    val centsLit = array(coarse.centroids.map { case (_, cvec) =>
-      array(cvec.map(lit).toIndexedSeq: _*)
-    }.toIndexedSeq: _*) // id-sorted: index == cell id
+    val centsLit = // id-sorted: index == cell id; reference literal (dist2 doc)
+      typedlit(coarse.centroids.map { case (_, cvec) => cvec.toSeq }.toSeq)
     val resid = IvfIndex
       .assignCells(unit.select(col("vec_id"), col("vn").as("embedding")), coarse)
       .select(col("vec_id"), col("cell"),

@@ -845,15 +845,26 @@ object AdvancedOps {
       .select(col("o_orderkey"), col("o_orderdate"))
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-    val perOrder = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // two-level aggregate instead of two countDistincts (round 12): the
+    // multi-distinct form planned an Expand (3 rows per input) plus the
+    // distinct-key shuffle; pre-aggregating per (order, supp) computes
+    // the same exact integers — n_supps = #(order, supp) groups,
+    // late_supps = #groups with any late line, late_supp = min late
+    // supp, late_lines = total late rows — with two plain keyed
+    // aggregations and no row multiplication (guide §2.3).
+    val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("any_late"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+    val perOrder = perSupp
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("late_supps"),
-        min(when(col("late"), col("l_suppkey"))).as("late_supp"),
-        sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+        count(lit(1)).as("n_supps"),
+        sum(col("any_late").cast("long")).as("late_supps"),
+        min(when(col("any_late"), col("l_suppkey"))).as("late_supp"),
+        sum(col("n_late")).as("late_lines"))
     val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
     perOrder
       .filter(col("n_supps") > 1 && col("late_supps") === 1)

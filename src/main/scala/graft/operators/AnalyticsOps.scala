@@ -270,28 +270,39 @@ object AnalyticsOps {
     * callers need no unpersist. */
   private def lpLabels(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val e = SharedGraph.tradeEdges(spark, dir)
-    // cached PRE-PARTITIONED ON src, the key every round aggregates on:
-    // HashPartitioning(src) satisfies both the (src, lbl) count's and the
-    // per-src argmax's clustered distributions (partitioning exprs ⊆
-    // grouping exprs), so after this one-time shuffle every round is
-    // exchange-free — broadcast label join, two in-partition aggregations
-    val und = Eager(e
-      .select(explode(array(struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
-      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
-      .repartition(col("src")))
-    var labels = und.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to LpIters) {
-      labels = und.join(broadcast(labels), und("dst") === labels("node"))
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
-        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
-        .select(col("src").as("node"), col("m").getField("l").as("lbl"))
-        .localCheckpoint()
+    // both frames memoized per corpus (round 12): graph_label_prop and
+    // graph_modularity each re-ran the 3 synchronous rounds for the SAME
+    // partition — LP state is corpus state ([[SharedCorpus]]); the
+    // modularity key scores exactly the partition the community key
+    // reports, by construction AND by sharing the frame
+    val und = SharedCorpus.memo(spark, "lp_und", dir, "lineitem", "orders") {
+      val e = SharedGraph.tradeEdges(spark, dir)
+      // cached PRE-PARTITIONED ON src, the key every round aggregates on:
+      // HashPartitioning(src) satisfies both the (src, lbl) count's and the
+      // per-src argmax's clustered distributions (partitioning exprs ⊆
+      // grouping exprs), so after this one-time shuffle every round is
+      // exchange-free — broadcast label join, two in-partition aggregations
+      Eager(e
+        .select(explode(array(struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+        .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+        .repartition(col("src")))
     }
-    (und, labels)
+    val fin = SharedCorpus.memo(spark, "lp_labels", dir, "lineitem",
+      "orders") {
+      var labels = und.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to LpIters) {
+        labels = und.join(broadcast(labels), und("dst") === labels("node"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("src").as("node"), col("m").getField("l").as("lbl"))
+          .localCheckpoint()
+      }
+      labels
+    }
+    (und, fin)
   }
 
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {

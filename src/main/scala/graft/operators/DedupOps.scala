@@ -114,12 +114,10 @@ object DedupOps {
     * here is 68). */
   private val ChunkBucketCap = 1000
 
-  /** Distinct (doc_id, word-3-gram-shingle) pairs. Word 3-grams, not word
-    * sets: this corpus draws ~16 words from a ~30-word vocabulary, so word
-    * SETS collide for most document pairs (measured: 92k of 125k pairs have
-    * set-Jaccard ≥ 0.5 at sf0.01) while 3-gram shingles separate cleanly. */
-  private def sidShingles(spark: SparkSession, dir: String): DataFrame =
-    sidShinglesFrom(Tables.documents(spark, dir))
+  // Word 3-grams, not word sets: this corpus draws ~16 words from a
+  // ~30-word vocabulary, so word SETS collide for most document pairs
+  // (measured: 92k of 125k pairs have set-Jaccard ≥ 0.5 at sf0.01) while
+  // 3-gram shingles separate cleanly.
 
   /** Capped per-shingle posting lists (shingle, docs) — the one-shuffle
     * core shared by the string-keyed ([[shinglesFrom]]) and int-keyed
@@ -161,6 +159,72 @@ object DedupOps {
     shingleDocs(docs)
       .select(sidExpr.as("sid"), explode(col("docs")).as("doc_id"))
 
+  // ── memoized shared corpus frames (round 12, optimization pass) ──
+  // Eleven keys of this family derive from the SAME three base frames —
+  // the shingle posting rows, the exact pair-intersection stats, and the
+  // LSH band candidates — and until this round each key re-derived them
+  // per invocation (the driver's bench showed the family's cost was
+  // dominated by exactly this rebuild: shingle explode + self-join ≈
+  // 2–4 s per key at sf0.1 before any key-specific work ran). They are
+  // corpus state in the [[SharedGraph]] sense: a production dedup session
+  // computes them once per corpus and runs every report against them.
+  // Memo discipline: (applicationId, corpus fingerprint) key, Eager
+  // (checkpointed) values — see [[SharedCorpus]]. All three are integer
+  // frames (ids and exact counts only — no floats in corpus state), so
+  // every consumer recomputes its own rounded ratios from identical
+  // integers and the per-key values are bit-for-bit what the standalone
+  // derivations produced; the DuckDB oracles are untouched.
+
+  /** (xsid, sid, doc_id) posting rows: BOTH hash derivations per row —
+    * md5 sid (oracle-replicable, drives exact Jaccard) and xxhash64 xsid
+    * (the production banding hash, [[dedupMinhashFast]]) — so one
+    * checkpoint serves the whole family. */
+  private def sharedShingles(spark: SparkSession, dir: String): DataFrame =
+    SharedCorpus.memo(spark, "dedup_shingles", dir, "documents")(
+      Eager(shingleDocs(Tables.documents(spark, dir))
+        .select(pmod(xxhash64(col("shingle")), lit(P)).as("xsid"),
+          sidExpr.as("sid"), explode(col("docs")).as("doc_id"))))
+
+  /** The (doc_id, sid) view every md5-keyed consumer reads. */
+  private def sharedSid(spark: SparkSession, dir: String): DataFrame =
+    sharedShingles(spark, dir).select(col("doc_id"), col("sid"))
+
+  /** (doc_a, doc_b, inter, na, nb) for every pair sharing ≥1 shingle —
+    * the exact-integer pair stats behind Jaccard AND containment (each
+    * consumer derives its own rounded measure from these integers, so the
+    * values cannot drift between keys). The sid self-join this caches was
+    * the single most expensive recomputed stage of the family. */
+  private def sharedPairStats(spark: SparkSession, dir: String): DataFrame =
+    SharedCorpus.memo(spark, "dedup_pairstats", dir, "documents") {
+      val ws = sharedSid(spark, dir)
+      val sizes = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      Eager(ws.as("a").join(ws.as("b"),
+          col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("za.n").as("na"), col("zb.n").as("nb")))
+    }
+
+  /** Verified n-gram Jaccard pairs over [[sharedPairStats]] — identical
+    * arithmetic to [[ngramPairs]] (same cast-first division, same 6-dp
+    * round, same ≥ 0.3 gate), derived from the memoized integers. */
+  private def sharedNgramPairs(spark: SparkSession, dir: String): DataFrame =
+    sharedPairStats(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+
+  /** Memoized LSH band-bucket candidates over the md5 sids (the
+    * [[minhashCandidates]] stage shared by dedup_minhash, both PR
+    * harnesses, the S-curve audit and the composite pipeline). */
+  private def sharedMhCands(spark: SparkSession, dir: String): DataFrame =
+    SharedCorpus.memo(spark, "dedup_mhcands", dir, "documents")(
+      Eager(minhashCandidates(sharedSid(spark, dir))))
+
   /** Shingle → integer id, the first 60 bits of md5 reduced mod P —
     * computed INLINE per (doc_id, shingle) row: no dictionary relation
     * at all (oracle-deterministic stand-in for xxhash64 — DuckDB replays
@@ -182,34 +246,12 @@ object DedupOps {
     "pmod(cast(conv(substring(md5(shingle), 1, 15), 16, 10)" +
       " as bigint), 2147483647)")
 
-  /** True Jaccard over shingle-ID sets for a given candidate pair set
-    * (columns doc_a < doc_b). Joins candidates back to the (doc_id, sid)
-    * lists — work is O(candidates × shingles/doc), never all-pairs.
-    * Int-keyed since round 12: every consumer ships sids, the string
-    * never reaches this join (smaller shuffles, cheaper compares; the
-    * oracles derive over the SAME sids so a hash collision — if one ever
-    * occurred — lands identically on both engines). */
-  private def jaccardFor(cand: DataFrame, ws: DataFrame): DataFrame = {
-    val sizes = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(ws.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(ws.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.sid") === col("sb.sid"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("inter")), 6).as("jaccard"))
-  }
-
   // ── n-gram Jaccard near-dup (SURVEY §2.10): candidates = pairs sharing
   // ≥1 shingle (a shuffle join keyed on shingle id — at scale,
   // high-frequency shingles would be capped; this corpus tops out at
   // doc-freq 25), then exact Jaccard ≥ 0.3. ──
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    ngramPairs(eager(sidShingles(spark, dir))).orderBy("doc_a", "doc_b")
+    sharedNgramPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   /** n-gram pair core over a given (doc_id, sid) shingle set (shared by
     * [[dedupNgram]] and the composite [[dedupPipeline]]). */
@@ -242,8 +284,7 @@ object DedupOps {
   // θ and one division; removal is the same deterministic
   // duplicate-of-lower-id convention the dedup keys use. ──
   def evalDedupThreshold(spark: SparkSession, dir: String): DataFrame = {
-    val sh = eager(sidShingles(spark, dir))
-    val pairs = ngramPairs(sh)
+    val pairs = sharedNgramPairs(spark, dir)
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     pairs
       .select(col("doc_b"), col("jaccard"),
@@ -310,7 +351,8 @@ object DedupOps {
   // 1-row aggregates combined — pair-set-sized work, same as the dedup
   // keys themselves. ──
   def evalDedupPr(spark: SparkSession, dir: String): DataFrame =
-    prReport(eager(sidShingles(spark, dir)))
+    prReport(sharedMhCands(spark, dir),
+      sharedNgramPairs(spark, dir).select(col("doc_a"), col("doc_b")))
 
   /** Deterministic 30% document admission shared verbatim by the engine
     * and the oracle: the first 60 bits of md5(doc_id) mod 10 < 3 — a
@@ -332,15 +374,16 @@ object DedupOps {
 
   /** [[evalDedupPr]] on the hash-admitted sample — same production
     * candidate generator, same exact truth, ~1/10 the pair work. */
-  def evalDedupPrSampled(spark: SparkSession, dir: String): DataFrame =
-    prReport(eager(sidShinglesFrom(
-      Tables.documents(spark, dir).filter(expr(SampleAdmissionSpark)))))
+  def evalDedupPrSampled(spark: SparkSession, dir: String): DataFrame = {
+    val ws = eager(sidShinglesFrom(
+      Tables.documents(spark, dir).filter(expr(SampleAdmissionSpark))))
+    prReport(minhashCandidates(ws),
+      ngramPairs(ws).select(col("doc_a"), col("doc_b")))
+  }
 
-  private def prReport(ws: DataFrame): DataFrame = {
-    val cand = minhashCandidates(ws)
-      .withColumn("is_cand", lit(1L))
-    val truth = ngramPairs(ws).select(col("doc_a"), col("doc_b"))
-      .withColumn("is_true", lit(1L))
+  private def prReport(cand0: DataFrame, truth0: DataFrame): DataFrame = {
+    val cand = cand0.withColumn("is_cand", lit(1L))
+    val truth = truth0.withColumn("is_true", lit(1L))
     // ONE pass over the union of both pair sets: |cand|, |truth| and the
     // overlap fall out of a single full-outer join + aggregate, replacing
     // the previous three separate count jobs over two cached pair frames
@@ -378,10 +421,9 @@ object DedupOps {
   // separates. Theory is pure per-row arithmetic on the bucket
   // midpoint; both engines compute it from the same literals. ──
   def evalLshCurve(spark: SparkSession, dir: String): DataFrame = {
-    val sh = eager(sidShingles(spark, dir))
-    val cand = minhashCandidates(sh)
+    val cand = sharedMhCands(spark, dir)
       .withColumn("captured", lit(1L))
-    val truth = ngramPairs(sh)
+    val truth = sharedNgramPairs(spark, dir)
     truth
       .join(cand, Seq("doc_a", "doc_b"), "left")
       .withColumn("bucket", floor(col("jaccard") * 10).cast("long"))
@@ -406,35 +448,33 @@ object DedupOps {
   // C ≥ 0.9 with the Jaccard emitted alongside so downstream policy can
   // distinguish true near-identity (both high) from inclusion (C high,
   // J low). ──
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = eager(sidShingles(spark, dir))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sid") === col("b.sid") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    // same integer inputs as the standalone self-join form (memoized
+    // [[sharedPairStats]]), same rounded expressions — values identical
+    sharedPairStats(spark, dir)
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
-          least(col("za.n"), col("zb.n")), 6).as("containment"),
+          least(col("na"), col("nb")), 6).as("containment"),
         round(col("inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("inter")), 6).as("jaccard"))
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("containment") >= 0.9)
       .orderBy("doc_a", "doc_b")
-  }
 
   // ── MinHash + LSH (SURVEY §2.10 dedup_minhash): 32 affine min-hashes
   // over shingle ids, banded 16×2; candidate pairs share a band signature;
   // verified with true Jaccard ≥ 0.3. At j=0.3 the 16-band/2-row curve
   // catches ~78% of true pairs — the standard recall/cost dial. ──
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val ws = eager(sidShingles(spark, dir))
-    minhashFromSids(ws, ws)
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    // candidates share a band ⇒ share a sid (the affine h is a bijection
+    // mod the prime P, so equal minima have equal argmin sids) ⇒ their
+    // verified Jaccard is already a row of the shared n-gram pair table —
+    // the `mh ⊆ ng` invariant DedupSimilaritySpec pins. The inner join
+    // therefore yields exactly jaccardFor(candidates) ≥ 0.3, without
+    // re-running the intersection join.
+    sharedNgramPairs(spark, dir)
+      .join(sharedMhCands(spark, dir), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Production variant: shingle ids from xxhash64 — no dictionary, no
     * global rank, nothing driver-wide; THE form to run at 100 TB. Not
@@ -445,20 +485,21 @@ object DedupOps {
     * DedupSimilaritySpec: pairs ⊆ exhaustive n-gram pairs with equal
     * jaccard, and ≥90% pair-set overlap with the dict variant. */
   def dedupMinhashFast(spark: SparkSession, dir: String): DataFrame = {
-    // one int-only frame carrying BOTH id derivations per posting-list
-    // row: xsid (xxhash64 — drives the LSH banding, the production hash)
-    // and sid (md5 — drives the exact-Jaccard verification, so verified
-    // scores stay bit-identical to dedup_ngram's as the spec pins)
-    val ws = eager(shingleDocs(Tables.documents(spark, dir))
-      .select(pmod(xxhash64(col("shingle")), lit(P)).as("xsid"),
-        sidExpr.as("sid"), explode(col("docs")).as("doc_id")))
-    minhashFromSids(ws.select(col("doc_id"), col("xsid").as("sid")), ws)
+    // the shared posting frame carries BOTH id derivations per row: xsid
+    // (xxhash64 — drives the LSH banding, the production hash) and sid
+    // (md5 — drives the exact-Jaccard verification, so verified scores
+    // stay bit-identical to dedup_ngram's as the spec pins). Same
+    // band ⇒ shared-xsid ⇒ shared-shingle argument as [[dedupMinhash]]:
+    // a candidate pair's verified Jaccard is a shared n-gram pair row
+    // (an xsid collision-only pair has no shared md5 sid and was dropped
+    // by the old intersection join exactly as the inner join drops it).
+    val cands = minhashCandidates(
+      sharedShingles(spark, dir).select(col("doc_id"), col("xsid").as("sid")))
+    sharedNgramPairs(spark, dir)
+      .join(cands, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
-
-  private def minhashFromSids(candWs: DataFrame, ws: DataFrame): DataFrame =
-    jaccardFor(minhashCandidates(candWs), ws.select(col("doc_id"), col("sid")))
-      .filter(col("jaccard") >= 0.3)
 
   /** LSH band-bucket candidate pairs (doc_a < doc_b, distinct) — the
     * pre-verification stage of [[minhashFromSids]], exposed so
@@ -505,13 +546,15 @@ object DedupOps {
   // candidate-restricted to pairs sharing one of four 8-bit chunks (the
   // standard pigeonhole trick: d≤3 ⇒ some chunk of 4 is untouched ⇒
   // shared — also exactly how it shards at 100 TB). ──
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // not cached: measured slower WITH cache here — the shingle stage is
-    // consumed once and the in-session cache entry from the sibling dedup
-    // keys (identical logical plan) is reused when they share a session
-    simhashPairs(sidShingles(spark, dir))
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    sharedSimhashPairs(spark, dir)
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** Memoized simhash near-dup pairs — consumed by the standalone key and
+    * the composite pipeline (pair-set-sized: ids + hamming). */
+  private def sharedSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    SharedCorpus.memo(spark, "dedup_simhash_pairs", dir, "documents")(
+      Eager(simhashPairs(sharedSid(spark, dir))))
 
   /** SimHash pair core over (doc_id, sid) rows (shared by [[dedupSimhash]]
     * and the composite [[dedupPipeline]]). */
@@ -662,9 +705,11 @@ object DedupOps {
 
   private[graft] def dedupClusterWithCap(
       spark: SparkSession, dir: String, smallCap: Long): DataFrame = {
-    val pairs = Eager(dedupNgram(spark, dir)
-      .select(col("doc_a"), col("doc_b")))
-    val nEdges = pairs.count() * 2 // counts the checkpointed blocks
+    // a cheap filter+project over the memoized pair stats — no extra
+    // checkpoint needed (the Eager here predated sharedPairStats)
+    val pairs = sharedNgramPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val nEdges = pairs.count() * 2
     // propagate over edge ENDPOINTS only — a singleton's label can never
     // change, so the cluster computation is proportional to the DUP GRAPH
     // (pairs that survived candidate pruning + Jaccard), not the corpus;
@@ -765,28 +810,25 @@ object DedupOps {
   // practical confidence signal: n_methods = 3 pairs are certain dups,
   // singletons are method-specific candidates. ──
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    // ONE materialization (round 12, was three): the int-only (sid,
-    // doc_id) frame — strings never reach the checkpoint, and every
-    // branch (sid self-join ×2, minhash signatures, simhash fingerprints)
-    // reads these two-long rows. The former SECOND Eager (the Jaccard
-    // table) is gone: restructured below so the Jaccard table has exactly
-    // one consumer and can stay lazy. Under the driver's cold bench
-    // protocol the checkpoint writes + first-run codegen dominated
-    // (18.3 s cold vs 5.9 s warm at r11) — fewer/smaller materialized
-    // stages attack exactly that.
-    val ws = eager(sidShingles(spark, dir))
-    val jac = ngramPairs(ws)
+    // Round 12 optimization pass: every stage reads the memoized shared
+    // frames — the composite pays only its union + per-pair aggregation
+    // when the family's corpus state is already built (and builds it for
+    // its siblings otherwise). The cold path keeps the round-12 shape:
+    // ONE int-only posting checkpoint, the Jaccard table lazy with
+    // exactly one consumer here (the shared pair-stats checkpoint it now
+    // derives from is itself corpus state with many consumers).
+    val jac = sharedNgramPairs(spark, dir)
     // minhash branch = LSH candidates ∩ (jaccard ≥ 0.3): candidates share
     // a band ⇒ share a sid ⇒ already a row of jac when they pass the
     // threshold (the `mh ⊆ ng` invariant DedupSimilaritySpec pins). A
     // LEFT join from jac marks them in the SAME pass that emits the ngram
-    // branch — jac is consumed exactly once, so it needs no checkpoint.
-    val mhc = minhashCandidates(ws).withColumn("is_mh", lit(true))
+    // branch.
+    val mhc = sharedMhCands(spark, dir).withColumn("is_mh", lit(true))
     val ngmh = jac.join(mhc, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
         explode(when(col("is_mh"), array(lit("ngram"), lit("minhash")))
           .otherwise(array(lit("ngram")))).as("method"))
-    val sim = simhashPairs(ws)
+    val sim = sharedSimhashPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit("simhash").as("method"))
     ngmh.unionByName(sim)
       .groupBy(col("doc_a"), col("doc_b"))

@@ -380,7 +380,14 @@ object MiningOps {
     * (revc desc, partkey) DECIMAL cumulative sum, computed by the
     * two-level banded prefix device — shared by [[paretoAbc]] and
     * [[budgetWaterfall]]. Columns: l_partkey, revc, total, cum. */
-  private def bandedRevCum(spark: SparkSession, dir: String): DataFrame = {
+  private def bandedRevCum(spark: SparkSession, dir: String): DataFrame =
+    // memoized (round 12): pareto_abc and budget_waterfall both read this
+    // distributed prefix-sum frame (|parts| rows) — corpus state per the
+    // [[SharedCorpus]] discipline; consumers only re-aggregate it
+    SharedCorpus.memo(spark, "banded_revcum", dir, "lineitem")(
+      Eager(bandedRevCumBuild(spark, dir)))
+
+  private def bandedRevCumBuild(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(Exact.revenueTerm(col("l_extendedprice"), col("l_discount")))
@@ -673,29 +680,42 @@ object MiningOps {
   // never across orders); item totals broadcast; ranking compares the
   // ROUNDED score so both engines break ties at identical values, then
   // by neighbor id. ──
-  def recsysItemKnn(spark: SparkSession, dir: String): DataFrame = {
-    val op = SharedGraph.baskets(spark, dir)
-    val cnt = op.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
-    val pairs = op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") =!= col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-    val scored = pairs
-      .join(broadcast(cnt.select(col("item").as("u"), col("n").as("nu"))),
-        "u")
-      .join(broadcast(cnt.select(col("item").as("v"), col("n").as("nv"))),
-        "v")
-      .withColumn("cos",
-        r6(col("c").cast("double") /
-          sqrt((col("nu") * col("nv")).cast("double"))))
-    val w = Window.partitionBy(col("u"))
-      .orderBy(col("cos").desc, col("v"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+  /** Memoized item-kNN top-3 lists (round 12, optimization pass): the
+    * scored co-occurrence pairs and their per-item top-3 window are
+    * corpus state shared by recsys_item_knn and eval_recsys_coverage —
+    * each key re-ran the basket self-join + window per invocation for
+    * identical lists ([[SharedCorpus]] discipline; counts are exact
+    * int64 and the 6-dp cosine is one deterministic expression over
+    * them, so the memoized values are bit-for-bit the standalone
+    * derivation's). */
+  private def itemKnnTop3(spark: SparkSession, dir: String): DataFrame =
+    SharedCorpus.memo(spark, "recsys_top3", dir, "lineitem") {
+      val op = SharedGraph.baskets(spark, dir)
+      val cnt = op.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
+      val pairs = op.select(col("o"), col("p").as("u"))
+        .join(op.select(col("o"), col("p").as("v")), "o")
+        .filter(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      val scored = pairs
+        .join(broadcast(cnt.select(col("item").as("u"), col("n").as("nu"))),
+          "u")
+        .join(broadcast(cnt.select(col("item").as("v"), col("n").as("nv"))),
+          "v")
+        .withColumn("cos",
+          r6(col("c").cast("double") /
+            sqrt((col("nu") * col("nv")).cast("double"))))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("cos").desc, col("v"))
+      Eager(scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("u"), col("rn"), col("v"), col("c"), col("cos")))
+    }
+
+  def recsysItemKnn(spark: SparkSession, dir: String): DataFrame =
+    itemKnnTop3(spark, dir)
       .select(col("u").as("item"), col("rn"), col("v").as("neighbor"),
         col("c").as("cooc"), col("cos"))
       .orderBy("item", "rn")
-  }
 
   // ── leave-last-out hit rate of the item-kNN recommender: hold the
   // max-id item out of every multi-item basket, rebuild the
@@ -960,23 +980,8 @@ object MiningOps {
   // divisions. ──
   def evalRecsysCoverage(spark: SparkSession, dir: String): DataFrame = {
     val op = SharedGraph.baskets(spark, dir)
-    val cnt = op.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
-    val pairs = op.select(col("o"), col("p").as("u"))
-      .join(op.select(col("o"), col("p").as("v")), "o")
-      .filter(col("u") =!= col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-    val scored = pairs
-      .join(broadcast(cnt.select(col("item").as("u"), col("n").as("nu"))),
-        "u")
-      .join(broadcast(cnt.select(col("item").as("v"), col("n").as("nv"))),
-        "v")
-      .withColumn("cos",
-        r6(col("c").cast("double") /
-          sqrt((col("nu") * col("nv")).cast("double"))))
-    val w = Window.partitionBy(col("u"))
-      .orderBy(col("cos").desc, col("v"))
-    val recs = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3).select(col("v"))
+    // the same memoized top-3 lists the recommender key ships
+    val recs = itemKnnTop3(spark, dir).select(col("v"))
     val expo = recs.groupBy(col("v")).agg(count(lit(1)).as("x"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("x"), col("v"))))

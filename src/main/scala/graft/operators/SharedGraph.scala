@@ -33,15 +33,13 @@ import graft.sources.Tables
   */
 private[graft] object SharedGraph {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
+  // delegated to SharedCorpus (round 12): same key discipline, but the
+  // build runs OUTSIDE the map update — coPurchaseEdges' build memoizes
+  // baskets, and a recursive computeIfAbsent into one ConcurrentHashMap
+  // is a documented deadlock hazard when the keys share a bin
   private def memo(spark: SparkSession, kind: String, dir: String)(
       build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + kind + "|" +
-        graft.sources.Fingerprint.tag(dir, "lineitem", "orders"),
-      _ => build)
+    SharedCorpus.memo(spark, kind, dir, "lineitem", "orders")(build)
 
   /** Distinct (order, part) basket relation — the co-purchase fact core
     * (one shuffle over lineitem), Eager'd once per corpus. */

@@ -131,12 +131,14 @@ object SimilarityOps {
     * ε-bound-oracle pattern shared with approx_distinct. */
   def annInvariant(spark: SparkSession, dir: String, results: DataFrame,
       minOverlap: Int): DataFrame = {
-    // Eager: the brute top-k (k rows) feeds BOTH the overlap join and the
-    // top-1 scalar — lazily shared, each consumer would re-run the full
-    // brute-force scan (the fleet duplicate-subplan sweep flags exactly
-    // this); checkpointing 10 rows is free
-    val b = Eager(simSearch(spark, dir)
-      .select(col("vec_id").as("b_id"), col("cos_sim").as("b_cos")))
+    // The brute top-k reference (10 rows) is memoized per corpus (round
+    // 12, [[SharedCorpus]]): all nine ANN keys grade against the SAME
+    // exact reference, and each was re-running the full brute-force scan
+    // per key. Eager inside the memo also serves both consumers here
+    // (the overlap join and the top-1 scalar) from one materialization.
+    val b = SharedCorpus.memo(spark, "ann_brute_ref", dir, "embeddings")(
+      Eager(simSearch(spark, dir)
+        .select(col("vec_id").as("b_id"), col("cos_sim").as("b_cos"))))
     val bTop1 = b.agg(max(col("b_cos")).as("b_top1"))
     results
       .join(broadcast(b.select(col("b_id"))),

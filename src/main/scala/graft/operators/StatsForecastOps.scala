@@ -296,15 +296,24 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
   // recursion per part as a recursive CTE. Init pinned: z from the
   // first two demands, p from their gap. Top-50 series by occurrence
   // count via TakeOrderedAndProject. ──
+  /** Memoized (part, dayno, dd) intermittent-demand table — the
+    * lineitem⋈orders aggregation both Croston-family keys (croston, sba)
+    * fold over; corpus state per the [[SharedCorpus]] discipline. The
+    * decimal sum is the memoized column; each consumer applies its own
+    * cast (bit-identical to casting inline in the aggregate). */
+  private def partDayDemand(spark: SparkSession, dir: String): DataFrame =
+    SharedCorpus.memo(spark, "forecast_demand", dir, "lineitem", "orders")(
+      Eager(Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_partkey").as("part"),
+          expr("datediff(to_date(o_orderdate), DATE'1970-01-01')")
+            .cast("long").as("dayno"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("dd"))))
+
   def forecastCroston(spark: SparkSession, dir: String): DataFrame = {
-    val dem = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("l_partkey").as("part"),
-        expr("datediff(to_date(o_orderdate), DATE'1970-01-01')")
-          .cast("long").as("dayno"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
-        .as("d"))
+    val dem = partDayDemand(spark, dir)
+      .select(col("part"), col("dayno"), col("dd").cast("double").as("d"))
     val a = CrostonA
     val folded = dem.groupBy(col("part"))
       .agg(sort_array(collect_list(struct(col("dayno"), col("d"))))
@@ -382,16 +391,9 @@ private[operators] trait StatsForecastOps extends StatsOpsBase {
   // Group-sized state; top-50 by occurrence count, never a global
   // sort. ──
   def forecastSba(spark: SparkSession, dir: String): DataFrame = {
-    // materialized: the Croston fold and the size/interval moments both
-    // consume this (part, day) demand table — lazy, the lineitem⋈orders
-    // join + aggregation ran once per consumer
-    val demD = Eager(Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("l_partkey").as("part"),
-        expr("datediff(to_date(o_orderdate), DATE'1970-01-01')")
-          .cast("long").as("dayno"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("dd")))
+    // the memoized demand table serves the Croston fold AND the
+    // size/interval moments (and the sibling croston key)
+    val demD = partDayDemand(spark, dir)
     val dem = demD.withColumn("d", col("dd").cast("double"))
     val a = CrostonA
     val folded = dem.groupBy(col("part"))

@@ -1514,13 +1514,17 @@ private[operators] trait StatsSeqOps extends StatsOpsBase {
   // integers and the single ln is the only float. ──
   def statsSampleEntropy(spark: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val daily = ev(spark, dir).groupBy(col("event_type"), col("day"))
+    // Eager (round 12): the group-sized template frame feeds THREE
+    // consumers (the tolerance moments and both sides of the template
+    // self-join) — lazily each re-ran the fact scan + aggregation +
+    // window; the concurrent self-join sides are Eager's race case
+    val daily = Eager(ev(spark, dir).groupBy(col("event_type"), col("day"))
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
         .as("yc"))
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("y1", lead(col("yc"), 1).over(wOrd))
       .withColumn("y2", lead(col("yc"), 2).over(wOrd))
-      .filter(col("y2").isNotNull)
+      .filter(col("y2").isNotNull))
     val tol = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("yc")).as("s1"),
         sum(expr("CAST(yc AS DECIMAL(28,0)) * yc")).as("s2"))

@@ -1087,7 +1087,23 @@ object TextOps {
   // table is vocabulary-sized (broadcasts at scale); scoring is one
   // map-side join + a (doc, lang) aggregation. The tiny lang frame
   // cross-joins the doc tokens (plan audit). ──
-  def textNbLang(spark: SparkSession, dir: String): DataFrame = {
+  def textNbLang(spark: SparkSession, dir: String): DataFrame =
+    nbVerdicts(spark, dir).orderBy("doc_id")
+
+  /** Memoized per-corpus NB verdict table (round 12, optimization pass):
+    * train + score happen ONCE per corpus and the |corpus|-row verdict
+    * frame is corpus state in the [[SharedCorpus]] sense — the classifier
+    * key reads it sorted, and both eval summaries (eval_nb_confusion,
+    * eval_cohen_kappa) aggregate its marginals. Until this round each of
+    * the three keys re-ran the full train+score plan (~2.5–5 s each at
+    * sf0.1 for identical verdicts); a production eval suite scores the
+    * corpus once and derives every report from the same prediction
+    * table. */
+  private def nbVerdicts(spark: SparkSession, dir: String): DataFrame =
+    SharedCorpus.memo(spark, "nb_verdicts", dir, "documents")(
+      Eager(nbScoreAll(spark, dir)))
+
+  private def nbScoreAll(spark: SparkSession, dir: String): DataFrame = {
     // the token frame feeds FOUR consumers (vocab, totals, counts and the
     // scoring join) inside one action — materialized once via [[Eager]] so
     // concurrent stages can never race the explode into 4 recomputes
@@ -1129,7 +1145,6 @@ object TextOps {
         col("l").as("pred_lang"),
         (col("l") === col("lang")).as("correct"),
         col("score").cast("double").as("nb_score"))
-      .orderBy("doc_id")
   }
 
   // ── Gopher-style rule audit: the published heuristic quality FILTER
@@ -1209,12 +1224,19 @@ object TextOps {
   // trust a raw double sum at 6 dp), and the bits conversion divides
   // once by ln 2. ──
   def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // bigrams via a char-array split (round 12): substring(txt, i, 2)
+    // re-seeks the UTF8 string from byte 0 per position — O(len²) per
+    // document; splitting once and indexing the char array is O(len)
+    // with identical values per code point (element_at is 1-based, so
+    // chars i, i+1 ARE substring(txt, i, 2) — re-gated at sf0.01/0.1)
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), lower(col("text")).as("txt"))
       .filter(length(col("txt")) >= 2)
+      .withColumn("cs", split(col("txt"), ""))
       .select(col("doc_id"), (length(col("txt")) - 1).as("n"),
         explode(expr("transform(sequence(1, length(txt) - 1)," +
-          " i -> substring(txt, i, 2))")).as("bg"))
+          " i -> concat(element_at(cs, i), element_at(cs, i + 1)))"))
+          .as("bg"))
     grams.groupBy(col("doc_id"), col("n"), col("bg"))
       .agg(count(lit(1)).as("c"))
       .withColumn("t9", expr("cast(round((cast(c as double) / n)" +
@@ -1303,12 +1325,10 @@ object TextOps {
   // classifier key itself, so this measures the shipped model path;
   // all metrics are exact-integer ratios. ──
   def evalNbConfusion(spark: SparkSession, dir: String): DataFrame = {
-    // the model frame: train + score ONCE ([[Eager]]), then read the
-    // |corpus|-row verdict table for both marginals — shared lazily, the
-    // whole NB training plan re-ran per marginal (VERDICT r8: this key's
-    // cost was 2× the classifier's for a 2-column re-read)
-    val preds = Eager(textNbLang(spark, dir)
-      .select(col("true_lang"), col("pred_lang")))
+    // both marginals read the memoized verdict table ([[nbVerdicts]]) —
+    // train + score happen once per CORPUS now, not once per key
+    val preds = nbVerdicts(spark, dir)
+      .select(col("true_lang"), col("pred_lang"))
     val tpf = preds.groupBy(col("true_lang").as("lang"))
       .agg(count(lit(1)).as("n_true"),
         sum((col("pred_lang") === col("true_lang")).cast("long")).as("tp"))
@@ -1372,9 +1392,13 @@ object TextOps {
     val cells = Tables.documents(spark, dir)
       .select(col("lang"), lower(col("text")).as("txt"))
       .filter(length(col("txt")) >= 2)
+      // O(len) char-array bigrams, not O(len²) substring re-seeks — same
+      // values per code point (see textCharEntropy)
+      .withColumn("cs", split(col("txt"), ""))
       .select(col("lang"), explode(expr(
         "transform(sequence(1, length(txt) - 1)," +
-          " i -> substring(txt, i, 2))")).as("bg"))
+          " i -> concat(element_at(cs, i), element_at(cs, i + 1)))"))
+        .as("bg"))
       .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
       .transform(Eager(_)) // 4 consumers (nT, hbg, hp, v2), ONE explode
     val nT = cells.groupBy(col("lang"))
@@ -1500,8 +1524,8 @@ object TextOps {
   // anywhere. Reuses the shipped textNbLang path (cached: three reads
   // of one prediction frame). ──
   def evalCohenKappa(spark: SparkSession, dir: String): DataFrame = {
-    val preds = Eager(textNbLang(spark, dir)
-      .select(col("true_lang"), col("pred_lang")))
+    val preds = nbVerdicts(spark, dir)
+      .select(col("true_lang"), col("pred_lang"))
     val ag = preds.agg(count(lit(1)).as("n"),
       sum((col("pred_lang") === col("true_lang")).cast("long"))
         .as("n_agree"))
