@@ -165,19 +165,16 @@ object AnalyticsOps {
   // division (`div`), matching DuckDB `//` on positives, so the oracle can
   // replay all 5 iterations exactly. ──
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edgesDirected = SharedGraph.tradeEdges(spark, dir)
-    val und = edgesDirected
-      .select(explode(array(struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
-      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // static per-edge frame: (src, dst, src-degree), cached PRE-PARTITIONED
-    // ON dst — the key every iteration aggregates on. HashPartitioning(dst)
-    // satisfies the per-iteration groupBy(dst)'s clustered distribution, so
-    // the edge-sized contribution set never crosses the wire again: the
-    // one-time repartition here replaces PrIters per-iteration shuffles
-    // (the broadcast join on src preserves the dst partitioning)
-    val adj = Eager(und.join(deg, "src").repartition(col("dst")))
+    // static per-edge frame: (src, dst, src-degree) over the MEMOIZED
+    // dst-partitioned undirected trade graph (round 12 — was a per-key
+    // Eager rebuild): HashPartitioning(dst) satisfies the per-iteration
+    // groupBy(dst)'s clustered distribution, so the edge-sized
+    // contribution set never crosses the wire; the broadcast degree join
+    // (node-sized build side, re-run per round over the checkpointed
+    // edges) preserves that partitioning
+    val und = SharedGraph.tradeUndByDst(spark, dir)
+    val deg = SharedGraph.tradeDeg(spark, dir)
+    val adj = und.join(broadcast(deg), "src")
     var ranks = deg.select(col("src").as("node"), lit(PrScale).as("r"))
     for (_ <- 1 to PrIters) {
       // the rank vector is |nodes| ≪ |edges| — broadcast it so the cached
@@ -224,12 +221,9 @@ object AnalyticsOps {
   // so it cannot overflow, and floor `div` matches DuckDB `//` on
   // positives — the oracle replays all 4 rounds bit-exactly. ──
   def graphEigenCentrality(spark: SparkSession, dir: String): DataFrame = {
-    val e = SharedGraph.tradeEdges(spark, dir)
-    val und = e
-      .select(explode(array(struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
-      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
-    val adj = Eager(und.repartition(col("dst")))
+    // the memoized dst-partitioned undirected trade frame (round 12 —
+    // identical definition to the former per-key Eager rebuild)
+    val adj = SharedGraph.tradeUndByDst(spark, dir)
     var x = adj.select(col("src").as("node")).distinct()
       .withColumn("r", lit(EcScale))
     for (_ <- 1 to EcIters) {

@@ -65,11 +65,12 @@ object MiningOps {
     val nOrders = op.select(col("o")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCnt = op.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
-    val pairs = op.select(col("o"), col("p").as("part_a"))
-      .join(op.select(col("o"), col("p").as("part_b")), "o")
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("support"))
+    // the u<v half of the memoized directed pair counts IS the support
+    // relation (same order self-join, same exact counts)
+    val pairs = SharedGraph.coPurchasePairCounts(spark, dir)
+      .filter(col("u") < col("v"))
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("c").as("support"))
       .filter(col("support") >= 2)
     pairs
       .join(broadcast(itemCnt.select(col("p").as("part_a"), col("cnt").as("cnt_a"))), "part_a")
@@ -692,10 +693,7 @@ object MiningOps {
     SharedCorpus.memo(spark, "recsys_top3", dir, "lineitem") {
       val op = SharedGraph.baskets(spark, dir)
       val cnt = op.groupBy(col("p").as("item")).agg(count(lit(1)).as("n"))
-      val pairs = op.select(col("o"), col("p").as("u"))
-        .join(op.select(col("o"), col("p").as("v")), "o")
-        .filter(col("u") =!= col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      val pairs = SharedGraph.coPurchasePairCounts(spark, dir)
       val scored = pairs
         .join(broadcast(cnt.select(col("item").as("u"), col("n").as("nu"))),
           "u")

@@ -96,4 +96,40 @@ private[graft] object SharedGraph {
   def tradeEdges(spark: SparkSession, dir: String): DataFrame =
     tradePairs(spark, dir)
       .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+
+  /** [[tradeEdges]] exploded undirected and pre-partitioned on `dst` —
+    * the per-round aggregation key of the power-iteration keys
+    * (graph_pagerank, graph_eigencentrality). HashPartitioning(dst)
+    * survives the checkpoint (LogicalRDD carries outputPartitioning), so
+    * every round's broadcast-rank join + groupBy(dst) stays
+    * exchange-free; until round 12 each key rebuilt + re-checkpointed
+    * this frame per invocation. */
+  def tradeUndByDst(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, "trade_und_dst", dir) {
+      Eager(tradeEdges(spark, dir)
+        .select(explode(array(struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+        .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+        .repartition(col("dst")))
+    }
+
+  /** Node degrees of the undirected trade graph (node-sized) — the
+    * contribution divisor and rank-vector seed of graph_pagerank. */
+  def tradeDeg(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, "trade_deg", dir)(Eager(
+      tradeUndByDst(spark, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))))
+
+  /** Directed co-purchase pair counts (u ≠ v, c = #co-occurrence
+    * orders) — the support/cosine core shared by assoc_rules and the
+    * item-kNN recommender keys (the u<v half IS the association-rule
+    * support by symmetry of the order self-join). */
+  def coPurchasePairCounts(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, "copurchase_paircnt", dir) {
+      val op = baskets(spark, dir)
+      Eager(op.select(col("o"), col("p").as("u"))
+        .join(op.select(col("o"), col("p").as("v")), "o")
+        .filter(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c")))
+    }
 }
